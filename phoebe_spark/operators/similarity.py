@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- cosine / dot product as JVM higher-order functions (``zip_with`` +
+  ``aggregate``) — no Python in the scan path.
+- brute_force_topk : exact top-k against a broadcast query set. The big
+  side streams; the query side is broadcast — no shuffle of the corpus.
+- lsh_bucketed_topk: random-hyperplane LSH pre-filter, then exact cosine
+  within buckets — the 100 TB scale path (corpus shuffled once by bucket,
+  candidates only within matching buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_to_query(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine similarity of every row to one literal query vector. The
+    query is a literal array — constant-folded, corpus scanned once."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query: broadcast the (small) query
+    set, cross-join-free scan of the corpus, per-query window top-k. The
+    corpus never shuffles on data — only the (query_id, k) results do."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-dot-product LSH bucket id per vector from a fixed list of
+    hyperplanes (generated driver-side from a seeded RNG). ~Uniform bucket
+    key -> skew-free shuffle; bucket count = 2^len(planes)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        pv = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(F.col(vec_col), pv) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs: bucket by random hyperplanes, exact
+    cosine within buckets only. One shuffle on bucket; within-bucket join is
+    quadratic only in the bucket size (tunable via plane count)."""
+    b = random_hyperplane_buckets(df, planes, id_col, vec_col)
+    a = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    c = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,83 @@
+"""Text-analysis operators over a documents table.
+
+These are the LLM-training-data-pipeline extensions: all implemented as
+JVM-side column expressions (no Python UDFs in the hot path) so a 100 TB
+documents scan stays in whole-stage codegen with full column pruning.
+
+Schema convention: ``documents(doc_id BIGINT, text STRING, lang STRING,
+source STRING, n_chars BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for the n-gram/stopword language
+# heuristic. Kept small and explicit so the oracle SQL can mirror them.
+_EN_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token count, char count, average token length, and
+    punctuation ratio — the quality-signal primitives."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    n_punct = n_char - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return df.select(
+        "*",
+        n_tok.alias("token_count"),
+        n_char.alias("char_count"),
+        F.when(n_tok > 0, (n_char - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0)).alias("punct_ratio"),
+    )
+
+
+def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = _EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0, 1]: rewards mid-length documents with
+    a healthy stopword ratio and low punctuation density. Deterministic
+    arithmetic only — oracle-checkable."""
+    s = token_stats(df, text_col)
+    sw = stopword_ratio(F.col(text_col))
+    len_score = F.least(F.col("token_count") / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    punct_penalty = F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
+    return s.select(
+        "*",
+        sw.alias("stopword_ratio"),
+        (0.5 * len_score + 0.5 * sw_score - 0.25 * punct_penalty).alias("quality_score"),
+    )
+
+
+def predict_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-frequency language heuristic: 'en' when English stopwords
+    exceed 3% of tokens, else 'other'. (A full n-gram profile model slots
+    in here later; the operator contract — pure column expr over the text
+    column — is what matters at scale.)"""
+    sw = stopword_ratio(F.col(text_col))
+    return df.select(
+        "*",
+        F.when(sw > 0.03, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercase text. md5 is available identically in Spark and DuckDB, which
+    makes the fingerprint oracle-checkable end-to-end."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

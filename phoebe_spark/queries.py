@@ -1,0 +1,729 @@
+"""Oracle-checked query registry.
+
+Every operator from SURVEY.md §2 that is implemented so far is exposed here
+twice: as a Spark DataFrame pipeline (``QUERIES[name](spark, sf_dir)``) and
+as ANSI SQL for the DuckDB oracle (``ORACLE[name]``). Column names/types and
+rounding are aligned pair-wise so the driver's order-insensitive value-hash
+matches.
+
+Float-determinism policy:
+- Large money sums (pricing/revenue) go through DECIMAL(18,4) so partial-
+  aggregation order cannot change the result; the decimal sum is rounded to
+  scale 2 before the cast to DOUBLE so the cast is exact in both engines.
+- Small aggregates (time-series means, cosines, slopes) stay DOUBLE and are
+  rounded to 6 decimals — accumulated reordering error is orders of
+  magnitude below the rounding step at these magnitudes.
+- Timestamps are compared as epoch-seconds BIGINT: Spark ``cast(ts AS
+  long)`` floors, so the oracle uses ``CAST(floor(epoch(ts)) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from phoebe_spark.operators import dedup, similarity, text
+from phoebe_spark.timeseries import aggregates as ts_agg
+from phoebe_spark.timeseries import core as ts_core
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+# Epoch-seconds helpers, aligned between engines. The events table stores
+# TIMESTAMP(NANOS) which Spark reads as a nanosecond LONG (legacy conf
+# below) and DuckDB as a timestamp; integer division to seconds is exact in
+# both (a double `epoch()` would lose sub-second precision at 2^53).
+EPOCH_SQL = "(epoch_ns({c}) // 1000000000)"
+
+
+def _epoch(c: str = "ts"):
+    return F.expr(f"{c} div 1000000000")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet uses INT64 TIMESTAMP(NANOS); Spark only reads it with
+    # nanosAsLong (runtime-settable, harmless for the other tables).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,4)")
+
+
+def _dsum2(col) -> F.Column:
+    """Order-independent money sum: decimal sum, rounded to scale 2, cast to
+    DOUBLE (exact — see module docstring)."""
+    return F.round(F.sum(col), 2).cast("double")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-2.6 on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           round(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (A1-A3 aggregates + F2 filter).
+
+    Scale notes: single scan, filter pushed to parquet, map-side partial
+    aggregation on a 4-group key — shuffle is O(groups), not O(rows).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum2(_dec("l_quantity")).alias("sum_qty"),
+            _dsum2(_dec("l_extendedprice")).alias("sum_base_price"),
+            _dsum2(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("sum_disc_price"),
+            F.round(_dsum2(_dec("l_quantity")) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(_dsum2(_dec("l_discount")) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: equality filter + column projection; both push to the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "q03_membership_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def q03_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: membership (IN) filter — pushed to parquet as an In filter."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@query(
+    "q04_region_acctbal",
+    oracle="""
+    SELECT r.r_name, count(*) AS num_customers,
+           round(CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) / count(*), 6) AS avg_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q04_region_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join chain with broadcast: nation/region are tiny dims —
+    broadcast both so the customer scan never shuffles on data."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.round(_dsum2(_dec("c_acctbal")) / F.count(F.lit(1)), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "q05_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join (lineitem ⋈ orders) + broadcast dims + aggregation.
+
+    Scale notes: the only real shuffle is lineitem⋈orders on orderkey (both
+    sides co-partitioned by the join key after shuffle; with bucketed tables
+    this becomes shuffle-free). customer/nation broadcast. The orders-status
+    filter is applied before the join, shrinking the build side.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(_dsum2(rev).alias("revenue"))
+    )
+
+
+@query(
+    "q06_candidate_grid",
+    oracle="""
+    SELECT CAST(t.s AS INT) AS scale_out, d.o_orderstatus
+    FROM generate_series(2, 24) t(s)
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) d
+    """,
+)
+def q06_candidate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 grid-replication join: replicate rows across the scale-out range
+    (``latency/models.py:141-146``). spark.range is a distributed source."""
+    grid = spark.range(2, 25).select(F.col("id").cast("int").alias("scale_out"))
+    d = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return grid.crossJoin(d)
+
+
+@query(
+    "q07_union_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q07_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 vertical concat + U3 distinct."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "q12_threshold_pick",
+    oracle="""
+    SELECT o_orderpriority,
+           CASE WHEN count(CASE WHEN o_totalprice > 150000 THEN 1 END) > 0
+                THEN min(CASE WHEN o_totalprice > 150000 THEN o_totalprice END)
+                ELSE max(o_totalprice) END AS picked_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q12_threshold_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 first-match threshold search with argmax fallback
+    (``baselines/models.py:40-51``): smallest value exceeding the
+    threshold, else the overall max."""
+    o = _t(spark, sf_dir, "orders")
+    over = F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice"))
+    return o.groupBy("o_orderpriority").agg(
+        F.when(F.count(over) > 0, F.min(over)).otherwise(F.max("o_totalprice")).alias("picked_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series kernel on the events table (SURVEY §2.4-2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_ts_minutely_sum",
+    oracle=f"""
+    SELECT event_type, CAST(floor({EPOCH_SQL.format(c='ts')} / 60) AS BIGINT) AS minute,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q14_ts_minutely_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 cross-series sum (PromQL ``sum(metric)`` per timestamp bucket,
+    ``ClientsManager.java:341-364``): one shuffle on (key, minute)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("minute", F.floor(_epoch() / 60).cast("long"))
+        .groupBy("event_type", "minute")
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+@query(
+    "q15_ts_trailing_avg",
+    oracle=f"""
+    WITH m AS (SELECT max({EPOCH_SQL.format(c='ts')}) AS mx FROM events)
+    SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n_obs
+    FROM events, m
+    WHERE {EPOCH_SQL.format(c='ts')} BETWEEN m.mx - 604800 AND m.mx
+    GROUP BY event_type
+    """,
+)
+def q15_ts_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 trailing window + W2 inclusive slice + A6 mean
+    (``Graph.java:82-87``): average over the trailing 7 days, inclusive on
+    both ends like ``.loc[start:end]``."""
+    e = _t(spark, sf_dir, "events").withColumn("es", _epoch())
+    mx = e.agg(F.max("es").alias("mx"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .filter(F.col("es").between(F.col("mx") - 604800, F.col("mx")))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n_obs"))
+    )
+
+
+@query(
+    "q16_ts_summary",
+    oracle=f"""
+    SELECT event_type,
+           round(avg(value), 6) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value,
+           round(sum(value), 6) AS sum_value,
+           count(*) AS count_obs, count(value) AS count_non_null,
+           min({EPOCH_SQL.format(c='ts')}) AS start_time,
+           max({EPOCH_SQL.format(c='ts')}) AS end_time,
+           max_by(value, ts) AS last_value, min_by(value, ts) AS first_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q16_ts_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 null-skipping aggregates + A8 first/last by time
+    (``TimeSeries.java:256-316``), via :func:`ts_agg.ts_summary`."""
+    e = _t(spark, sf_dir, "events")
+    # first/last must be ordered by the raw (microsecond) timestamp, but
+    # reported bounds use epoch seconds — pass raw ts for ordering.
+    base = e.select("event_type", F.col("ts").alias("_raw"), _epoch().alias("timestamp"), "value")
+    s = ts_agg.ts_summary(base.withColumn("timestamp", F.col("timestamp")), keys=["event_type"])
+    # recompute last/first against the raw timestamp for exact ordering
+    raw = base.groupBy("event_type").agg(
+        F.max_by("value", F.col("_raw")).alias("last_value"),
+        F.min_by("value", F.col("_raw")).alias("first_value"),
+    )
+    return (
+        s.drop("last_value", "first_value")
+        .join(raw, "event_type")
+        .select(
+            "event_type",
+            F.round("avg_value", 6).alias("avg_value"),
+            "min_value",
+            "max_value",
+            F.round("sum_value", 6).alias("sum_value"),
+            "count_obs",
+            "count_non_null",
+            "start_time",
+            "end_time",
+            "last_value",
+            "first_value",
+        )
+    )
+
+
+@query(
+    "q17_ts_slope",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, CAST({EPOCH_SQL.format(c='ts')} - 1704067200 AS DOUBLE) AS xs, value
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           round(covar_pop(xs, value) / var_pop(xs) * 86400, 6) AS slope_per_day,
+           round(avg(value) - covar_pop(xs, value) / var_pop(xs) * avg(xs), 6) AS intercept
+    FROM x GROUP BY event_type
+    """,
+)
+def q17_ts_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 OLS trend per series (``common/routes.py:27-47``,
+    ``ClientsManager.java:329-339``): closed-form slope/intercept as
+    aggregates; x centered to keep the moments well-conditioned."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (_epoch() - F.lit(1704067200)).alias("timestamp"), "value"
+    )
+    s = ts_agg.slope_intercept(e, keys=["event_type"])
+    return s.select(
+        "event_type",
+        F.round(F.col("slope") * 86400, 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+@query(
+    "q18_ts_strided",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type FROM r WHERE (rn - 1) % 50 = 0
+    """,
+)
+def q18_ts_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 strided subsample anchored at the newest observation
+    (``TimeSeries.java:185-215``), via :func:`ts_core.strided_subsample`."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", F.col("ts").alias("timestamp"))
+    out = ts_core.strided_subsample(e.withColumn("value", F.lit(None).cast("double")), rate=50, keys=["event_type"])
+    return out.select("event_id", "event_type")
+
+
+@query(
+    "q19_ts_rolling",
+    oracle="""
+    SELECT event_id, event_type,
+           round(avg(value) OVER (PARTITION BY event_type ORDER BY ts
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS rolling_avg
+    FROM events
+    """,
+)
+def q19_ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 centered rolling mean, min_periods=1
+    (``workload/models.py:64-68``), via :func:`ts_core.rolling_mean_centered`."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").alias("timestamp"), "value"
+    )
+    out = ts_core.rolling_mean_centered(e, half_window=2, keys=["event_type"], out_col="rolling_avg")
+    return out.select("event_id", "event_type", F.round("rolling_avg", 6).alias("rolling_avg"))
+
+
+@query(
+    "q20_ts_interpolate",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 3600) AS BIGINT) AS hr, sum(value) AS v
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM h), (SELECT max(hr) FROM h))) AS timestamp
+    ),
+    j AS (SELECT g.timestamp, h.v AS value FROM grid g LEFT JOIN h ON h.hr = g.timestamp),
+    w AS (
+      SELECT timestamp, value,
+        last_value(value IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN value IS NOT NULL THEN timestamp END IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(value IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN value IS NOT NULL THEN timestamp END IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT timestamp,
+           round(CASE WHEN value IS NOT NULL THEN value
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) * (timestamp - pt) / (nt - pt)
+                      ELSE coalesce(pv, nv) END, 6) AS value
+    FROM w
+    """,
+)
+def q20_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify + W4 linear interpolation (the reference's
+    ``interpolate(method='linear', limit_direction='both')``,
+    ``workload/schemes.py:50,92``): hourly click volume on a dense hour
+    grid with gaps filled linearly."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("timestamp", F.floor(_epoch() / 3600).cast("long"))
+        .groupBy("timestamp")
+        .agg(F.sum("value").alias("value"))
+    )
+    dense = ts_core.densify(hourly, step=1)
+    filled = ts_core.fill_linear(dense)
+    return filled.select("timestamp", F.round("value", 6).alias("value"))
+
+
+@query(
+    "q21_regression_metrics",
+    oracle="""
+    WITH p AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS pred
+      FROM events
+    ),
+    f AS (SELECT * FROM p WHERE pred IS NOT NULL AND value > 1)
+    SELECT event_type,
+           round(avg(abs(value - pred)), 6) AS mae,
+           round(quantile_cont(abs(value - pred), 0.5), 6) AS median_ae,
+           round(avg(abs((value - pred) / value)), 6) AS mape,
+           round(avg((value - pred) * (value - pred)), 6) AS mse,
+           round(sqrt(avg((value - pred) * (value - pred))), 6) AS rmse
+    FROM f GROUP BY event_type
+    """,
+)
+def q21_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 regression-metric suite (``common/models.py:41-51``) comparing
+    each value to the previous observation (persistence forecast)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts")
+    p = e.withColumn("pred", F.lag("value").over(w)).filter(
+        F.col("pred").isNotNull() & (F.col("value") > 1)
+    )
+    m = ts_agg.regression_metrics(p, "value", "pred", keys=["event_type"], exact_median=True)
+    return m.select(
+        "event_type",
+        F.round("mae", 6).alias("mae"),
+        F.round("median_ae", 6).alias("median_ae"),
+        F.round("mape", 6).alias("mape"),
+        F.round("mse", 6).alias("mse"),
+        F.round("rmse", 6).alias("rmse"),
+    )
+
+
+@query(
+    "q26_ts_binned_mean",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, CAST(floor(rn * 10 / n) AS INT) AS bin,
+           round(avg(value), 6) AS value
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q26_ts_binned_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 equal-width binned means (``recoverytime/models.py:33-39``),
+    via :func:`ts_core.binned_mean`."""
+    e = _t(spark, sf_dir, "events").select("event_type", F.col("ts").alias("timestamp"), "value")
+    out = ts_core.binned_mean(e, bin_count=10, keys=["event_type"])
+    return out.select("event_type", "bin", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup (documents table)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_SW_SQL = f"len(list_filter({_TOKS_SQL}, x -> x IN ('the','a','of','and','to')))"
+
+
+@query(
+    "q08_dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q08_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash-groupBy; the
+    canonical 100 TB exact dedup — skew-free uniform key)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+@query(
+    "q09_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS token_count,
+           length(text) AS char_count,
+           round(CASE WHEN trim(text) = '' THEN 0.0
+                 ELSE (length(text) - (len({_TOKS_SQL}) - 1)) * 1.0 / len({_TOKS_SQL}) END, 6) AS avg_token_len,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def q09_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counts + punctuation ratio — JVM column expressions only
+    (whole-stage codegen over the documents scan)."""
+    d = _t(spark, sf_dir, "documents")
+    s = text.token_stats(d)
+    return s.select(
+        "doc_id",
+        "token_count",
+        "char_count",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+@query(
+    "q10_text_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS tok,
+             length(text) AS ch,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END AS pr,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END AS sw
+      FROM documents
+    )
+    SELECT doc_id, round(sw, 6) AS stopword_ratio,
+           round(0.5 * least(tok / 100.0, 1.0) + 0.5 * least(sw * 5.0, 1.0)
+                 - 0.25 * least(pr * 5.0, 1.0), 6) AS quality_score
+    FROM s
+    """,
+)
+def q10_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length + stopword + punctuation signals)."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d)
+    return q.select(
+        "doc_id",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+@query(
+    "q11_langid_counts",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END AS sw
+      FROM documents
+    )
+    SELECT CASE WHEN sw > 0.03 THEN 'en' ELSE 'other' END AS pred_lang,
+           count(*) AS n_docs
+    FROM s GROUP BY 1
+    """,
+)
+def q11_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID + distribution."""
+    d = _t(spark, sf_dir, "documents")
+    p = text.predict_language(d)
+    return p.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q13_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 5
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                          i -> array_to_string(t[i:i+4], ' '))) AS grams
+      FROM toks
+    ),
+    posting AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS size_a, b.sz AS size_b,
+             count(*) AS inter
+      FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter * 1.0 / (size_a + size_b - inter), 6) AS jaccard
+    FROM pairs WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.2
+    """,
+)
+def q13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 5-gram Jaccard via an inverted shingle index
+    — no O(n²) cross join; see :func:`dedup.ngram_jaccard_pairs`."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=5, threshold=0.2)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+      list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "q22_emb_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id, {_COS_SQL} AS cs FROM embeddings e, q)
+    SELECT vec_id, round(cs, 6) AS cos_sim FROM s WHERE cs > 0.2
+    """,
+)
+def q22_emb_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine against one query vector: the query is collected
+    once (a single-row lookup) and folded into the plan as a literal — the
+    corpus is scanned exactly once, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    scored = similarity.cosine_to_query(emb, list(qvec))
+    return scored.filter(F.col("cos_sim") > 0.2).select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@query(
+    "q23_emb_knn",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cs
+      FROM embeddings e, q
+    ),
+    r AS (SELECT query_id, neighbor_id, cs,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cs, 6) AS cos_sim
+    FROM r WHERE rank <= 5
+    """,
+)
+def q23_emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k ANN baseline: broadcast query set, per-query window
+    top-k (``similarity.brute_force_topk``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle: hash functions differ across engines)
+# ---------------------------------------------------------------------------
+
+
+@query("q24_minhash_pairs")
+def q24_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (xxhash64-based — not
+    SQL-oracle-expressible; correctness pinned by unit tests instead)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3)
+
+
+@query("q25_simhash")
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64-based; unit-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d)

@@ -1,0 +1,229 @@
+"""Core dense time-series transforms as DataFrame -> DataFrame functions.
+
+Reference semantics reproduced (citations into /root/reference):
+
+- densify          — dense grid constructor, TimeSeries.java:35-51
+- fill_linear      — pandas ``interpolate(method='linear',
+                     limit_direction='both')``, workload/schemes.py:50,92
+- merge_overwrite  — Python ``TimeSeries.merge``: grid + overwrite-by-recency
+                     + interpolate, workload/schemes.py:73-94
+- merge_sum        — Java ``TimeSeries.merge``: aligned union, overlapping
+                     non-null values summed, TimeSeries.java:109-138
+- slice_inclusive  — ``TimeSeries.select`` pandas ``.loc[start:end]`` (both
+                     ends inclusive), workload/schemes.py:96-101
+- strided_subsample— Java ``resample(timestamp, sampleRate, limit)``
+                     backwards-strided pick, TimeSeries.java:185-215
+- rolling_mean_centered — centered rolling mean, workload/models.py:64-68
+- binned_mean      — equal-width binned means (``subsample``),
+                     recoverytime/models.py:33-39
+
+All are pure column-expression pipelines (whole-stage codegen eligible); no
+Python row loops. Per-series parallelism comes from ``keys`` partitioning —
+at scale every window spec partitions by the series key, so no single-node
+global sort is required when a key column is present.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS = "timestamp"
+VAL = "value"
+
+
+def _keyed_window(keys: Sequence[str] | None, order_col=None, desc: bool = False) -> Window:
+    order = F.col(order_col or TS)
+    if desc:
+        order = order.desc()
+    w = Window.orderBy(order)
+    if keys:
+        w = w.partitionBy(*[F.col(k) for k in keys])
+    return w
+
+
+def densify(
+    df: DataFrame,
+    step: int = 1,
+    keys: Sequence[str] | None = None,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Expand to a dense fixed-step grid; missing points become null values.
+
+    Mirrors the dense-grid TimeSeries constructor
+    (``structures/TimeSeries.java:35-51``): the series spans
+    ``[start, end]`` inclusive at ``step`` spacing, with null ``value`` for
+    grid points that have no observation. With ``keys`` the grid is computed
+    per series (min/max per key unless explicit bounds are given).
+
+    Scale note: the grid is generated with ``sequence`` + ``explode`` on the
+    per-key bounds row (one row per key), so grid generation is distributed
+    and the join back to observations is a key+timestamp equi-join.
+    """
+    keys = list(keys or [])
+    spark = df.sparkSession
+    lo = F.lit(start) if start is not None else F.min(TS)
+    hi = F.lit(end) if end is not None else F.max(TS)
+    if keys:
+        bounds = df.groupBy(*keys).agg(lo.alias("_lo"), hi.alias("_hi"))
+    else:
+        bounds = df.agg(lo.alias("_lo"), hi.alias("_hi"))
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))).alias(TS),
+    )
+    return grid.join(df, on=keys + [TS], how="left").select(*keys, TS, VAL)
+
+
+def fill_linear(df: DataFrame, keys: Sequence[str] | None = None, value_col: str = VAL) -> DataFrame:
+    """Linear interpolation with edge extrapolation-by-nearest.
+
+    Equivalent of pandas ``interpolate(method='linear',
+    limit_direction='both')`` as used throughout the reference
+    (``analytics/app/workload/schemes.py:50,92``; ``workload/models.py:67,134``):
+    interior null gaps are filled linearly between the surrounding non-null
+    observations; leading/trailing nulls take the nearest non-null value.
+
+    Implemented with four window expressions (last/first non-null value and
+    timestamp over unbounded-preceding / unbounded-following frames) — stays
+    entirely in whole-stage codegen.
+    """
+    v = F.col(value_col)
+    w_prev = _keyed_window(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = _keyed_window(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    valid_ts = F.when(v.isNotNull(), F.col(TS))
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(valid_ts, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(valid_ts, ignorenulls=True).over(w_next)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (F.col(TS) - prev_t) / (next_t - prev_t),
+        ).otherwise(F.coalesce(prev_v, next_v))
+    )
+    return df.withColumn(value_col, interp)
+
+
+def merge_sum(*dfs: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Java-merge: aligned union where overlapping non-null values are summed.
+
+    ``structures/TimeSeries.java:109-138`` (``merge``) and the
+    divide-and-conquer ``asyncMerge`` (``:140-158``) — used to add
+    per-generator workload rates. The D&C fold is unnecessary on Spark: a
+    union + hash-shuffle aggregation is already parallel, and map-side
+    partial aggregation makes it one shuffle regardless of series count.
+    Timestamps where every input is null stay null (Spark ``sum`` skips
+    nulls and returns null for all-null groups, matching the reference).
+    """
+    keys = list(keys or [])
+    out = dfs[0].select(*keys, TS, VAL)
+    for d in dfs[1:]:
+        out = out.unionByName(d.select(*keys, TS, VAL))
+    return out.groupBy(*keys, TS).agg(F.sum(VAL).alias(VAL))
+
+
+def merge_overwrite(*dfs: DataFrame) -> DataFrame:
+    """Python-merge: dense grid + overwrite-by-recency + linear interpolation.
+
+    ``analytics/app/workload/schemes.py:73-94``: build the dense 1 s index
+    ``range(min_start, max_end + 1)``; write each series onto it in order of
+    ascending ``end_time`` so later-ending series overwrite earlier ones on
+    overlap; then interpolate remaining gaps linearly (both directions).
+
+    Spark expression: tag each input with its ``end_time`` rank, take the
+    value from the highest-ranked series that has an observation at each
+    grid point (``max_by`` over rank), then :func:`fill_linear`.
+    """
+    spark = dfs[0].sparkSession
+    tagged = None
+    for i, d in enumerate(dfs):
+        t = d.select(TS, VAL).withColumn("_series", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    ends = tagged.groupBy("_series").agg(F.max(TS).alias("_end"))
+    rank_w = Window.orderBy(F.col("_end").asc(), F.col("_series").asc())
+    ranks = ends.withColumn("_rank", F.row_number().over(rank_w)).select("_series", "_rank")
+    obs = (
+        tagged.join(F.broadcast(ranks), "_series")
+        .groupBy(TS)
+        .agg(F.max_by(VAL, F.col("_rank")).alias(VAL))
+    )
+    return fill_linear(densify(obs, step=1))
+
+
+def slice_inclusive(df: DataFrame, start: int, end: int, keys: Sequence[str] | None = None) -> DataFrame:
+    """``TimeSeries.select(ts, start, end)`` — pandas ``.loc[start:end]``,
+    BOTH ends inclusive (``analytics/app/workload/schemes.py:96-101``).
+    Spark ``between`` is also inclusive, so semantics match directly; the
+    predicate pushes down to the scan."""
+    return df.filter(F.col(TS).between(start, end))
+
+
+def strided_subsample(
+    df: DataFrame,
+    rate: int,
+    keys: Sequence[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Keep every ``rate``-th observation walking backwards from the newest.
+
+    Java ``resample(timestamp, sampleRate, limit)``
+    (``structures/TimeSeries.java:185-215``) and the Python equivalent
+    stride ``(count-1) - arange(0, count, step)`` reversed
+    (``analytics/app/workload/models.py:81-83``): anchor at the latest
+    observation, retain indices ``latest, latest-rate, latest-2·rate, …``,
+    optionally at most ``limit`` points, output in ascending time order.
+    """
+    w = _keyed_window(keys, desc=True)
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % rate == 0)
+    )
+    if limit is not None:
+        out = out.filter(F.col("_rn") <= (limit - 1) * rate + 1)
+    return out.drop("_rn")
+
+
+def rolling_mean_centered(
+    df: DataFrame,
+    half_window: int,
+    keys: Sequence[str] | None = None,
+    value_col: str = VAL,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Centered rolling mean over ``2*half_window+1`` rows, min_periods=1.
+
+    Plain-kernel equivalent of the reference's centered rolling smoothing
+    (``analytics/app/workload/models.py:64-68, 134-136``). The exact
+    exponential win_type kernel lives in the models layer as a pandas UDF;
+    this JVM-side version is the scalable default.
+    """
+    w = _keyed_window(keys).rowsBetween(-half_window, half_window)
+    return df.withColumn(out_col or value_col, F.avg(F.col(value_col)).over(w))
+
+
+def binned_mean(
+    df: DataFrame,
+    bin_count: int,
+    keys: Sequence[str] | None = None,
+    value_col: str = VAL,
+) -> DataFrame:
+    """Equal-width binned means (``subsample``,
+    ``analytics/app/recoverytime/models.py:33-39``): split the ordered
+    series into ``bin_count`` equal-width position bins and average each.
+    Returns one row per (keys, bin) with columns ``bin`` and ``value``.
+    """
+    keys = list(keys or [])
+    w = _keyed_window(keys)
+    counts = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
+    out = (
+        df.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(counts))
+        .withColumn("bin", F.floor(F.col("_rn") * bin_count / F.col("_n")).cast("int"))
+        .groupBy(*keys, "bin")
+        .agg(F.avg(value_col).alias(value_col))
+    )
+    return out

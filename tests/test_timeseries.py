@@ -1,0 +1,110 @@
+"""Golden-value tests for the time-series kernel, pinned to the reference's
+own test expectations (/root/reference/analytics/app/test/api_test.py:38-48
+for the merge golden; structures/TimeSeries.java:109-138 for sum-merge)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from phoebe_spark.timeseries import (
+    binned_mean,
+    densify,
+    fill_linear,
+    merge_overwrite,
+    merge_sum,
+    slice_inclusive,
+    strided_subsample,
+)
+from phoebe_spark.timeseries.aggregates import slope_intercept, ts_summary
+
+
+def _ts(spark, pairs):
+    return spark.createDataFrame(
+        [(int(t), float(v) if v is not None else None) for t, v in pairs],
+        "timestamp LONG, value DOUBLE",
+    )
+
+
+def test_merge_overwrite_golden(spark):
+    """The reference's exact-value merge golden: merge({0:1,1:2,2:2,3:3},
+    {7:8,8:9,9:9,10:10}) == [1,2,2,3,4.25,5.5,6.75,8,9,9,10] on 0..10
+    (api_test.py:38-48 — outer join + overwrite + linear interpolation)."""
+    ts1 = _ts(spark, [(0, 1), (1, 2), (2, 2), (3, 3)])
+    ts2 = _ts(spark, [(7, 8), (8, 9), (9, 9), (10, 10)])
+    out = merge_overwrite(ts1, ts2).orderBy("timestamp").collect()
+    assert [r["timestamp"] for r in out] == list(range(11))
+    assert [r["value"] for r in out] == [1, 2, 2, 3, 4.25, 5.5, 6.75, 8, 9, 9, 10]
+
+
+def test_merge_overwrite_recency_wins(spark):
+    """Later-ending series overwrites earlier on overlap
+    (workload/schemes.py:83-88: series written in ascending end_time)."""
+    early = _ts(spark, [(0, 1), (1, 1), (2, 1)])
+    late = _ts(spark, [(1, 9), (2, 9), (3, 9)])
+    out = {r["timestamp"]: r["value"] for r in merge_overwrite(early, late).collect()}
+    assert out == {0: 1.0, 1: 9.0, 2: 9.0, 3: 9.0}
+
+
+def test_merge_sum_java_semantics(spark):
+    """Java merge sums overlapping non-null values; disjoint gaps remain
+    null (no interpolation) — TimeSeries.java:109-138."""
+    ts1 = _ts(spark, [(0, 1), (1, 2), (2, None)])
+    ts2 = _ts(spark, [(1, 10), (2, 20), (4, 40)])
+    dense = densify(merge_sum(ts1, ts2), step=1)
+    out = {r["timestamp"]: r["value"] for r in dense.collect()}
+    assert out == {0: 1.0, 1: 12.0, 2: 20.0, 3: None, 4: 40.0}
+
+
+def test_fill_linear_interior_and_edges(spark):
+    df = _ts(spark, [(0, None), (1, 2.0), (2, None), (3, None), (4, 8.0), (5, None)])
+    out = [r["value"] for r in fill_linear(df).orderBy("timestamp").collect()]
+    assert out == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]
+
+
+def test_slice_inclusive_both_ends(spark):
+    """Pandas .loc[start:end] keeps BOTH ends (workload/schemes.py:96-101)."""
+    df = _ts(spark, [(i, i) for i in range(10)])
+    out = sorted(r["timestamp"] for r in slice_inclusive(df, 3, 6).collect())
+    assert out == [3, 4, 5, 6]
+
+
+def test_strided_subsample_anchors_latest(spark):
+    """Backwards stride keeps the newest observation and every rate-th
+    before it (TimeSeries.java:185-215)."""
+    df = _ts(spark, [(i, i) for i in range(10)])
+    out = sorted(r["timestamp"] for r in strided_subsample(df, rate=3).collect())
+    assert out == [0, 3, 6, 9]
+    limited = sorted(r["timestamp"] for r in strided_subsample(df, rate=3, limit=2).collect())
+    assert limited == [6, 9]
+
+
+def test_densify_fills_gaps_with_null(spark):
+    df = _ts(spark, [(0, 1.0), (3, 4.0)])
+    out = {r["timestamp"]: r["value"] for r in densify(df, step=1).collect()}
+    assert out == {0: 1.0, 1: None, 2: None, 3: 4.0}
+
+
+def test_binned_mean(spark):
+    """subsample() equal-width bins (recoverytime/models.py:33-39)."""
+    df = _ts(spark, [(i, float(i)) for i in range(10)])
+    out = {r["bin"]: r["value"] for r in binned_mean(df, bin_count=5).collect()}
+    assert out == {0: 0.5, 1: 2.5, 2: 4.5, 3: 6.5, 4: 8.5}
+
+
+def test_ts_summary_counts_include_nulls(spark):
+    """count = all observations incl. nulls (workload/schemes.py:19-21);
+    aggregates skip nulls; first/last are non-null by time."""
+    df = _ts(spark, [(0, None), (1, 2.0), (2, 4.0), (3, None)])
+    r = ts_summary(df).collect()[0]
+    assert r["count_obs"] == 4 and r["count_non_null"] == 2
+    assert r["avg_value"] == 3.0 and r["sum_value"] == 6.0
+    assert r["first_value"] == 2.0 and r["last_value"] == 4.0
+    assert r["start_time"] == 0 and r["end_time"] == 3
+
+
+def test_slope_intercept_exact_line(spark):
+    df = _ts(spark, [(i, 2.0 * i + 5.0) for i in range(10)])
+    r = slope_intercept(df).collect()[0]
+    assert r["slope"] == pytest.approx(2.0)
+    assert r["intercept"] == pytest.approx(5.0)
