@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution with a count-style noop write
+(``df.write.format('noop')``) so no result ferries to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from phoebe_spark.queries import QUERIES
+from phoebe_spark.session import get_spark
+
+# Headline set: one per operator family — relational agg, fact-fact join,
+# dedup, text, timeseries window/interpolate, similarity, minhash LSH.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q08_dedup_exact",
+    "q13_ngram_jaccard",
+    "q14_ts_minutely_sum",
+    "q16_ts_summary",
+    "q17_ts_slope",
+    "q19_ts_rolling",
+    "q20_ts_interpolate",
+    "q22_emb_cosine",
+    "q23_emb_knn",
+    "q24_minhash_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("phoebe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
