@@ -1,0 +1,123 @@
+"""Structured Streaming equivalents of the reference's monitored jobs.
+
+The Flink jobs Phoebe tunes (SURVEY §2.10; /root/reference/src/main/
+resources/baseline.properties:10 ``YahooStreamingBenchmark``,
+phoebe.properties:13 ``TopSpeedWindowing``) define the semantics:
+Kafka source -> filter/join (static campaign table) -> keyed 10 s windowed
+aggregation -> sink, with checkpointing and watermark-based late-data
+handling. Kafka itself is transport; these builders work over any streaming
+DataFrame (rate source, file source, kafka source) so tests can drive them
+with file/rate sources while production uses
+``spark.readStream.format("kafka")``.
+
+Workload generation mirrors the reference's sine-modulated generators
+(execution/Workload.java:56-67; prepare_model.py:24-47): a rate source
+whose value column is reshaped by the C4 sine expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sine_rate_source(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    amplitude: float = 100_000.0,
+    vertical_phase: float = 100_000.0,
+    period: int = 7_200,
+    noise: float = 0.01,
+    seed: int = 42,
+    num_keys: int = 100,
+) -> DataFrame:
+    """Sine-modulated workload stream: rate source -> per-event value =
+    ``abs((A*sin(2*pi*t/period) + V) * (1 + N(0, noise)))``, keyed by
+    ``value % num_keys`` (the generator's per-key fan-out). Columns:
+    (event_time TIMESTAMP, key LONG, value DOUBLE)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    t = F.unix_timestamp("timestamp").cast("double")
+    base = amplitude * F.sin(F.lit(2 * math.pi) * (t % period) / period) + vertical_phase
+    noisy = F.abs(base * (F.lit(1.0) + F.randn(seed) * noise))
+    return rate.select(
+        F.col("timestamp").alias("event_time"),
+        (F.col("value") % num_keys).alias("key"),
+        noisy.alias("value"),
+    )
+
+
+def windowed_keyed_agg(
+    stream: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "event_time",
+    value_col: str = "value",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Keyed tumbling-window aggregation with watermark — the shared shape
+    of both target jobs (ad-counts per campaign per 10 s; per-car windowed
+    top speed). ``aggs`` maps output name -> one of count/sum/avg/max/min
+    over the value column; default matches both jobs: count + max.
+
+    Scale notes: watermark bounds state (late rows beyond it are dropped —
+    the reference monitors exactly this via consumer lag); the aggregation
+    state is partitioned by (key, window), the natural uniform key."""
+    aggs = aggs or {"events": "count", "max_value": "max"}
+    fns = {
+        "count": lambda c: F.count(F.lit(1)),
+        "sum": lambda c: F.sum(c),
+        "avg": lambda c: F.avg(c),
+        "max": lambda c: F.max(c),
+        "min": lambda c: F.min(c),
+    }
+    exprs = [fns[kind](value_col).alias(name) for name, kind in aggs.items()]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(*exprs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            *aggs.keys(),
+        )
+    )
+
+
+def stream_static_join(
+    stream: DataFrame, static_dim: DataFrame, on: str, how: str = "inner"
+) -> DataFrame:
+    """Stream-static equi-join (the ADS job's Redis campaign lookup,
+    baseline.properties:25-26). Spark broadcasts the static side per
+    micro-batch — no stream state, no shuffle of the stream."""
+    return stream.join(F.broadcast(static_dim), on=on, how=how)
+
+
+def run_to_sink(
+    result: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    queryName: str | None = None,
+    fmt: str = "memory",
+    trigger_available_now: bool = True,
+    **options,
+):
+    """Start the query with a checkpoint (exactly-once restart point —
+    the reference's ``--chkInterval`` / savepoint-restore mechanism maps to
+    the checkpoint directory here; rescaling = stop + restart the same
+    checkpoint with a different ``spark.sql.shuffle.partitions``)."""
+    w = (
+        result.writeStream.outputMode(output_mode)
+        .format(fmt)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if queryName:
+        w = w.queryName(queryName)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
