@@ -727,3 +727,398 @@ def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64-based; unit-tested)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash(d)
+
+
+# ---------------------------------------------------------------------------
+# Control-loop / profile-store operators (SURVEY A4, A7, A11-A13, W9, J5, M10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_grouped_topn",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
+    FROM r WHERE rank <= 3
+    """,
+)
+def q27_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 grouped ordered assembly + W8 positional slice: the reference
+    groups profiles by scaleOut and walks each group in stop-time order
+    (``Graph.java:92-102``); expressed relationally as a per-group
+    row_number + top-n (no collect_list on the driver)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", F.col("rank").cast("int").alias("rank"), "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q28_p95_latency",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.95), 6) AS p95_value,
+           round(quantile_cont(value, 0.5), 6) AS p50_value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q28_p95_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 quantile: the reference's p95 operator-latency metric
+    (``ClientsManager.java:47, 352-353``). Exact interpolating percentile
+    here for oracle parity; at 100 TB switch to percentile_approx (sketch
+    merges map-side, no per-group sort)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_value"),
+    )
+
+
+@query(
+    "q29_simpson_integral",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 3600) AS BIGINT) AS hr,
+             sum(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT v, row_number() OVER (ORDER BY hr) - 1 AS rn,
+             lead(v, 1) OVER (ORDER BY hr) AS v1,
+             lead(v, 2) OVER (ORDER BY hr) AS v2,
+             count(*) OVER () AS n
+      FROM h
+    )
+    SELECT round(sum((v + 4 * v1 + v2) / 3.0), 6) AS integral
+    FROM d WHERE rn % 2 = 0 AND rn + 2 <= n - 1
+    """,
+)
+def q29_simpson_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 composite Simpson integral as a window expression (the
+    recovery-time catch-up integrand, ``recoverytime/models.py:45-70``):
+    on the uniform hourly grid (h=1), sum (y0 + 4*y1 + y2)*h/3 over
+    disjoint interval pairs; a trailing odd interval is truncated
+    identically on both sides."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("hr", F.floor(_epoch() / 3600).cast("long"))
+        .groupBy("hr")
+        .agg(F.sum("value").alias("v"))
+    )
+    w = Window.orderBy("hr")
+    d = (
+        hourly.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("v1", F.lead("v", 1).over(w))
+        .withColumn("v2", F.lead("v", 2).over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    )
+    return d.filter((F.col("rn") % 2 == 0) & (F.col("rn") + 2 <= F.col("n") - 1)).agg(
+        F.round(F.sum((F.col("v") + 4 * F.col("v1") + F.col("v2")) / 3.0), 6).alias("integral")
+    )
+
+
+@query(
+    "q30_pairwise_clustering",
+    oracle="""
+    WITH cand AS (
+      SELECT o_orderpriority AS cand, avg(o_totalprice) AS val FROM orders GROUP BY 1
+    ),
+    agree AS (
+      SELECT a.cand, count(*) AS peers
+      FROM cand a JOIN cand b ON abs(a.val - b.val) / b.val < 0.05
+      GROUP BY a.cand
+    ),
+    m AS (SELECT max(peers) AS mx FROM agree)
+    SELECT agree.cand, CAST(peers AS BIGINT) AS peers,
+           (peers = m.mx) AS in_largest_group
+    FROM agree, m
+    """,
+)
+def q30_pairwise_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 pairwise relative-distance clustering (``utils/Evaluate.java:
+    13-39``): each candidate counts peers within relative distance; the
+    largest agreement group wins. Self-join + filter + count — the
+    candidate set is tiny so the cross join is bounded."""
+    o = _t(spark, sf_dir, "orders")
+    cand = o.groupBy(F.col("o_orderpriority").alias("cand")).agg(
+        F.avg("o_totalprice").alias("val")
+    )
+    a = cand.select(F.col("cand"), F.col("val").alias("va"))
+    b = cand.select(F.col("cand").alias("cb"), F.col("val").alias("vb"))
+    agree = (
+        a.crossJoin(b)
+        .filter(F.abs((F.col("va") - F.col("vb")) / F.col("vb")) < 0.05)
+        .groupBy("cand")
+        .agg(F.count(F.lit(1)).alias("peers"))
+    )
+    mx = agree.agg(F.max("peers").alias("mx"))
+    return agree.crossJoin(F.broadcast(mx)).select(
+        "cand", F.col("peers").cast("long").alias("peers"),
+        (F.col("peers") == F.col("mx")).alias("in_largest_group"),
+    )
+
+
+@query(
+    "q31_regression_validity",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, {EPOCH_SQL.format(c='ts')} - 1704067200 AS x, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    fit AS (
+      SELECT event_type,
+             covar_pop(CAST(x AS DOUBLE), value) / var_pop(CAST(x AS DOUBLE)) AS slope,
+             avg(value) - covar_pop(CAST(x AS DOUBLE), value) / var_pop(CAST(x AS DOUBLE)) * avg(CAST(x AS DOUBLE)) AS icept
+      FROM s WHERE rn < n GROUP BY event_type
+    ),
+    lastv AS (SELECT event_type, x AS lx, value AS lv FROM s WHERE rn = n)
+    SELECT l.event_type,
+           round(f.slope * l.lx + f.icept, 6) AS predicted,
+           round(l.lv, 6) AS actual,
+           (abs((f.slope * l.lx + f.icept) - l.lv) / l.lv < 2.0) AS is_valid
+    FROM lastv l JOIN fit f ON l.event_type = f.event_type
+    """,
+)
+def q31_regression_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 per-group regression validity (``utils/Evaluate.java:41-56``):
+    OLS on all-but-last points, candidate valid if the last value is within
+    2.0 relative error of the extrapolation."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_type", (_epoch() - F.lit(1704067200)).alias("x"), "value", F.col("ts")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts")
+    cnt = Window.partitionBy("event_type")
+    s = e.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count(F.lit(1)).over(cnt))
+    xd = F.col("x").cast("double")
+    fit = (
+        s.filter(F.col("rn") < F.col("n"))
+        .groupBy("event_type")
+        .agg(
+            (F.covar_pop(xd, F.col("value")) / F.var_pop(xd)).alias("slope"),
+            F.avg("value").alias("_my"),
+            F.avg(xd).alias("_mx"),
+        )
+        .select(
+            "event_type", "slope", (F.col("_my") - F.col("slope") * F.col("_mx")).alias("icept")
+        )
+    )
+    lastv = s.filter(F.col("rn") == F.col("n")).select(
+        "event_type", F.col("x").alias("lx"), F.col("value").alias("lv")
+    )
+    pred = F.col("slope") * F.col("lx") + F.col("icept")
+    return lastv.join(fit, "event_type").select(
+        "event_type",
+        F.round(pred, 6).alias("predicted"),
+        F.round("lv", 6).alias("actual"),
+        (F.abs(pred - F.col("lv")) / F.col("lv") < 2.0).alias("is_valid"),
+    )
+
+
+@query(
+    "q32_response_finalizer",
+    oracle="""
+    WITH cand AS (
+      SELECT row_number() OVER (ORDER BY revenue DESC) + 1 AS scale_out,
+             revenue / 1000000.0 AS value
+      FROM (
+        SELECT n.n_name, sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+      )
+    ),
+    r AS (SELECT quantile_cont(value, 0.5) AS restriction FROM cand),
+    v AS (
+      SELECT scale_out, round(CAST(value AS DOUBLE), 6) AS value,
+             (value < r.restriction) AS is_valid
+      FROM cand, r
+    ),
+    fv AS (SELECT min(CASE WHEN is_valid THEN scale_out END) AS first_valid FROM v)
+    SELECT CAST(v.scale_out AS INT) AS scale_out, v.value, v.is_valid,
+           (v.is_valid AND v.scale_out = fv.first_valid) AS is_best
+    FROM v, fv
+    """,
+)
+def q32_response_finalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 ResponseFinalizer (``common/schemes.py:43-68``): candidates sorted
+    by scale_out, validity = value < restriction, single best = first valid.
+    Candidate values derived deterministically from the revenue query so the
+    oracle can rebuild them."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc())
+    cand = rev.select(
+        (F.row_number().over(w) + 1).alias("scale_out"),
+        (F.col("revenue") / F.lit(1000000.0)).alias("value"),
+    )
+    restriction = cand.agg(F.expr("percentile(value, 0.5)").alias("restriction"))
+    v = cand.crossJoin(F.broadcast(restriction)).select(
+        "scale_out",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        (F.col("value") < F.col("restriction")).alias("is_valid"),
+    )
+    fv = v.agg(F.min(F.when(F.col("is_valid"), F.col("scale_out"))).alias("first_valid"))
+    return v.crossJoin(F.broadcast(fv)).select(
+        F.col("scale_out").cast("int").alias("scale_out"),
+        "value",
+        "is_valid",
+        (F.col("is_valid") & (F.col("scale_out") == F.col("first_valid"))).alias("is_best"),
+    )
+
+
+@query(
+    "q33_series_align",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 60) AS BIGINT) AS minute, sum(value) AS va
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 60) AS BIGINT) AS minute, sum(value) AS vb
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT count(*) AS n_aligned,
+           round(avg(abs(va - vb)), 6) AS mae,
+           round(avg(va - vb), 6) AS bias
+    FROM a JOIN b USING (minute)
+    """,
+)
+def q33_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 as-of/alignment join: align two series on shared timestamps and
+    compare elementwise (``workload/models.py:138-147``). Equi-join on the
+    minute bucket; at scale both sides are pre-partitioned by time."""
+    e = _t(spark, sf_dir, "events")
+    minutely = lambda typ, out: (
+        e.filter(F.col("event_type") == typ)
+        .withColumn("minute", F.floor(_epoch() / 60).cast("long"))
+        .groupBy("minute")
+        .agg(F.sum("value").alias(out))
+    )
+    a = minutely("click", "va")
+    b = minutely("view", "vb")
+    return a.join(b, "minute").agg(
+        F.count(F.lit(1)).alias("n_aligned"),
+        F.round(F.avg(F.abs(F.col("va") - F.col("vb"))), 6).alias("mae"),
+        F.round(F.avg(F.col("va") - F.col("vb")), 6).alias("bias"),
+    )
+
+
+@query(
+    "q34_backpressure_detector",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST({EPOCH_SQL.format(c='ts')} - 1704067200 AS DOUBLE) AS x,
+             value,
+             CASE WHEN value > 150 THEN 1.0 ELSE 0.0 END AS over
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           round(avg(over), 6) AS bck_pres_per,
+           round(covar_pop(x, value) / var_pop(x) * 86400, 6) AS lat_slope_per_day,
+           (avg(over) = 1.0 OR (avg(over) > 0 AND covar_pop(x, value) / var_pop(x) * 86400 > 1
+                                AND avg(value) > 50)) AS is_bck_pres
+    FROM s GROUP BY event_type
+    """,
+)
+def q34_backpressure_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 backpressure detector boolean rule (``ClientsManager.java:
+    329-339``): full backpressure, or partial backpressure with rising
+    latency and rising lag. Expressed over per-type aggregates (threshold
+    fraction stands in for the PromQL backpressure ratio)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (_epoch() - F.lit(1704067200)).cast("double").alias("x"),
+        "value",
+        F.when(F.col("value") > 150, 1.0).otherwise(0.0).alias("over"),
+    )
+    slope = F.covar_pop(F.col("x"), F.col("value")) / F.var_pop(F.col("x")) * 86400
+    return e.groupBy("event_type").agg(
+        F.round(F.avg("over"), 6).alias("bck_pres_per"),
+        F.round(slope, 6).alias("lat_slope_per_day"),
+        (
+            (F.avg("over") == 1.0)
+            | ((F.avg("over") > 0) & (slope > 1) & (F.avg("value") > 50))
+        ).alias("is_bck_pres"),
+    )
+
+
+# -- pandas-UDF (Arrow) rows-only entries ----------------------------------
+
+
+@query("q35_savgol_smooth")
+def q35_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 Savitzky-Golay smoothing per series via applyInPandas (the
+    reference's scipy savgol, numpy reimplementation in
+    functions.numeric). Grouped-map: one Arrow batch per event_type."""
+    import pandas as pd
+
+    from phoebe_spark.functions.numeric import savgol_filter
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id"), F.col("ts").alias("t"), "value"
+    )
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        pdf["smoothed"] = savgol_filter(pdf["value"].to_numpy(), 51, 3)
+        return pdf[["event_type", "event_id", "smoothed"]]
+
+    return e.groupBy("event_type").applyInPandas(
+        _smooth, "event_type STRING, event_id LONG, smoothed DOUBLE"
+    )
+
+
+@query("q36_ewm_ensemble")
+def q36_ewm_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 horizontal EWM ensemble via applyInPandas: per minute, combine the
+    per-type series as ordered 'model columns' with EWM(span=5) across them
+    then a centered rolling mean down time (``workload/models.py:132-136``)."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "minute", F.floor(_epoch() / 60).cast("long")
+    ).groupBy("minute", "event_type").agg(F.sum("value").alias("v"))
+
+    def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        wide = pdf.pivot_table(index="minute", columns="event_type", values="v").sort_index()
+        ewm = wide.T.ewm(min_periods=1, ignore_na=True, adjust=False, span=5).mean().T
+        ewm = ewm.interpolate(method="linear", limit_direction="both", axis=0)
+        rolled = ewm.rolling(min_periods=1, window=120, center=True).mean()
+        out = rolled.iloc[:, -1].reset_index()
+        out.columns = ["minute", "combined"]
+        return out
+
+    one = e.withColumn("_g", F.lit(1))
+    return one.groupBy("_g").applyInPandas(
+        _combine, "minute LONG, combined DOUBLE"
+    )
