@@ -43,6 +43,13 @@ def main() -> None:
     spark = get_spark("phoebe-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the session (JVM JIT, codegen, shuffle machinery, parquet
+    # footers) so per-query timings measure the queries, not session boot.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

@@ -80,26 +80,49 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard, found via an inverted
-    shingle index instead of a cross join.
+    """Near-duplicate pairs by exact n-gram Jaccard via an inverted shingle
+    index — no cross join, and the posting list is computed exactly once.
 
     Plan shape (scales to 100 TB):
-      1. posting list (doc, shingle) via :func:`shingle_postings`
-      2. self-join on shingle     -> candidate pairs w/ co-occurrence count
-         (groupBy(pair).count() gives |A∩B| in one aggregation)
-      3. Jaccard = inter / (|A| + |B| - inter); filter >= threshold.
-    Hot shingles can skew step 2; AQE skew-join splitting handles moderate
-    skew, and a frequency cap (drop shingles appearing in > f docs, via
-    ``max_shingle_freq``) is the standard mitigation at corpus scale.
+      1. posting list (doc, size, shingle) via :func:`shingle_postings`
+      2. groupBy(shingle) collects each shingle's (doc, size) posting group;
+         ordered pairs expand JVM-side with nested ``transform``+``slice``
+         (i < j combinations only). A self-join would re-evaluate the whole
+         shingling subtree per side (verified via .explain: two full scan->
+         explode->window chains); the grouped form shuffles postings once.
+      3. groupBy(pair).count() gives |A∩B|; Jaccard = inter /
+         (|A| + |B| - inter); filter >= threshold.
+    Hot shingles (stopword-grams) blow up step 2 quadratically;
+    ``max_shingle_freq`` drops shingles seen in more than f docs — the
+    standard df-cap mitigation at corpus scale.
     """
     post = shingle_postings(df, id_col, text_col, n)
-    exploded = post.withColumn("size", F.count(F.lit(1)).over(Window.partitionBy("doc")))
-    a = exploded.select(F.col("shingle"), F.col("doc").alias("doc_a"), F.col("size").alias("size_a"))
-    b = exploded.select(F.col("shingle"), F.col("doc").alias("doc_b"), F.col("size").alias("size_b"))
+    sized = post.withColumn("size", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    grouped = sized.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("doc"), F.col("size"))).alias("ds")
+    )
+    if max_shingle_freq is not None:
+        grouped = grouped.filter(F.size("ds") <= max_shingle_freq)
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(x["doc"], y["doc"]).alias("doc_a"),
+                    F.greatest(x["doc"], y["doc"]).alias("doc_b"),
+                    F.when(x["doc"] < y["doc"], x["size"]).otherwise(y["size"]).alias("size_a"),
+                    F.when(x["doc"] < y["doc"], y["size"]).otherwise(x["size"]).alias("size_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.size_a", "p.size_b")
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
