@@ -1122,3 +1122,25 @@ def q36_ewm_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.groupBy("_g").applyInPandas(
         _combine, "minute LONG, combined DOUBLE"
     )
+
+
+@query(
+    "q37_json_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q37_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 JSON (de)serialization: parse the ``props`` JSON column with a
+    typed schema (``from_json`` — JVM-side, no UDF) and aggregate by the
+    extracted field. Mirrors the reference's gson/pydantic TimeSeries JSON
+    boundary (``TimeSeries.java:323-327``)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("_p", F.from_json("props", "k INT"))
+    return parsed.groupBy(F.col("_p.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
