@@ -1144,3 +1144,121 @@ def q37_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@query(
+    "q38_semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderstatus = 'F') AS has_finished_order
+    FROM customer c
+    WHERE c.c_acctbal > 0
+    """,
+)
+def q38_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface (the reference has no semi/anti joins — SURVEY
+    §2.3 notes Spark provides the full suite for free): per customer, an
+    existence flag against filtered orders. Implemented as a left_semi
+    union left_anti pair so both plan shapes are exercised."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    keys = o.select(F.col("o_custkey")).distinct()
+    with_flag = c.join(keys, c.c_custkey == keys.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment", F.lit(True).alias("has_finished_order")
+    )
+    without = c.join(keys, c.c_custkey == keys.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment", F.lit(False).alias("has_finished_order")
+    )
+    return with_flag.unionByName(without)
+
+
+@query(
+    "q39_outer_join_nulls",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE), 0.0) AS total_spend,
+           count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q39_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-group handling (F4 null-skip semantics on
+    the agg side): customers with zero orders keep a 0.0 spend row."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(_dsum2(_dec("o_totalprice")), F.lit(0.0)).alias("total_spend"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q40_merge_overwrite",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 3600) AS BIGINT) AS hr, sum(value) AS v
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 3600) AS BIGINT) AS hr, sum(value) AS v
+      FROM events WHERE event_type = 'view'
+        AND {EPOCH_SQL.format(c='ts')} < (SELECT max({EPOCH_SQL.format(c='ts')}) FROM events) - 172800
+      GROUP BY 1
+    ),
+    ends AS (SELECT (SELECT max(hr) FROM a) AS end_a, (SELECT max(hr) FROM b) AS end_b),
+    -- later-ending series overwrites on overlap (Python TimeSeries.merge)
+    obs AS (
+      SELECT hr, CASE WHEN av IS NOT NULL AND (bv IS NULL OR e.end_a >= e.end_b) THEN av ELSE bv END AS v
+      FROM (SELECT coalesce(a.hr, b.hr) AS hr, a.v AS av, b.v AS bv
+            FROM a FULL OUTER JOIN b ON a.hr = b.hr), ends e
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM obs), (SELECT max(hr) FROM obs))) AS timestamp
+    ),
+    j AS (SELECT g.timestamp, o.v AS value FROM grid g LEFT JOIN obs o ON o.hr = g.timestamp),
+    w AS (
+      SELECT timestamp, value,
+        last_value(value IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN value IS NOT NULL THEN timestamp END IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(value IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN value IS NOT NULL THEN timestamp END IGNORE NULLS) OVER (ORDER BY timestamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT timestamp,
+           round(CASE WHEN value IS NOT NULL THEN value
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) * (timestamp - pt) / (nt - pt)
+                      ELSE coalesce(pv, nv) END, 6) AS value
+    FROM w
+    """,
+)
+def q40_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 Python-merge (overwrite-by-recency + linear interpolation) on
+    real series: hourly 'click' volume merged with a truncated hourly
+    'view' series — the later-ending click series overwrites on overlap,
+    and the gap left by the truncation interpolates linearly. This is the
+    flagship custom operator (:func:`ts_core.merge_overwrite`), oracle-
+    checked beyond its golden unit test."""
+    e = _t(spark, sf_dir, "events")
+    hourly = lambda typ: (
+        e.filter(F.col("event_type") == typ)
+        .withColumn("timestamp", F.floor(_epoch() / 3600).cast("long"))
+        .groupBy("timestamp")
+        .agg(F.sum("value").alias("value"))
+    )
+    a = hourly("click")
+    mx = e.agg(F.max(_epoch()).alias("mx")).collect()[0]["mx"]
+    b = (
+        e.filter((F.col("event_type") == "view") & (_epoch() < F.lit(int(mx) - 172800)))
+        .withColumn("timestamp", F.floor(_epoch() / 3600).cast("long"))
+        .groupBy("timestamp")
+        .agg(F.sum("value").alias("value"))
+    )
+    merged = ts_core.merge_overwrite(b, a)
+    return merged.select("timestamp", F.round("value", 6).alias("value"))
