@@ -87,6 +87,55 @@ def random_hyperplane_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse centroids over
+    the corpus, each vector assigned to its nearest centroid's cell, each
+    query scanning only its ``n_probe`` nearest cells.
+
+    Scale shape: the corpus is scanned once to assign cells (broadcast
+    centroids, no shuffle), then the query-side join touches only
+    ``n_probe / n_centroids`` of the corpus — at 100 TB that fraction, not
+    the corpus, is the per-query cost. Recall is tunable via n_probe (see
+    tests/test_similarity.py for recall-vs-brute-force measurement)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_centroids, featuresCol="_features", predictionCol="_cell", seed=seed)
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select(id_col, vec_col, "_cell")
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "_cell INT, _centroid ARRAY<DOUBLE>")
+
+    # per query: n_probe nearest centroids
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d", cosine(F.col("q_vec"), F.col("_centroid")))
+        .withColumn("_rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("_d").desc())))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "q_vec", "_cell")
+    )
+    scored = assigned.join(F.broadcast(q_cells), "_cell").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     planes: list[list[float]],

@@ -1262,3 +1262,94 @@ def q40_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = ts_core.merge_overwrite(b, a)
     return merged.select("timestamp", F.round("value", 6).alias("value"))
+
+
+@query(
+    "q41_emb_neardup_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.95
+    """,
+)
+def q41_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at >= 0.95 (the embedding
+    variant of near-dup dedup). Exact pairwise form as the oracle-checkable
+    baseline; the LSH-bucketed variant (similarity.lsh_bucketed_pairs) is
+    the scale path, tested for recall against this in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("_c"))
+        .filter(F.col("_c") >= 0.95)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "q42_part_stats",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           round(CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) / count(*), 6) AS avg_price,
+           max(p_size) AS max_size
+    FROM part WHERE p_size >= 10 GROUP BY p_brand
+    """,
+)
+def q42_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part-table coverage: filtered grouped stats."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(_dsum2(_dec("p_retailprice")) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+@query(
+    "q43_supplier_nation",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_suppliers,
+           CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q43_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier-table coverage: broadcast dim join + grouped money sum."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _dsum2(_dec("s_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@query("q44_ivf_ann")
+def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: KMeans centroids are engine-
+    specific; recall vs brute force is pinned in tests/test_similarity.py).
+    The 100 TB ANN scale path: per-query cost is n_probe/n_centroids of
+    the corpus, not the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.limit(5), k=5, n_centroids=8, n_probe=4)

@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the time-series kernel — beyond
+the reference's own example-based strategy (SURVEY §5 notes it has none)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from phoebe_spark.functions.numeric import exp_rolling_mean, nnls, simpson
+from phoebe_spark.timeseries import densify, fill_linear, merge_sum, strided_subsample
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda p: p[0],
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(t), None if v is None else float(v)) for t, v in pairs],
+        "timestamp LONG, value DOUBLE",
+    )
+
+
+@SLOW
+@given(pairs=series_strategy)
+def test_fill_linear_preserves_observed_and_bounds(spark, pairs):
+    df = _df(spark, pairs)
+    out = {r["timestamp"]: r["value"] for r in fill_linear(df).collect()}
+    observed = {t: v for t, v in pairs if v is not None}
+    for t, v in observed.items():
+        assert out[t] == v  # non-null points unchanged
+    if observed:
+        lo, hi = min(observed.values()), max(observed.values())
+        for t, v in out.items():
+            if v is not None:
+                assert lo - 1e-9 <= v <= hi + 1e-9  # interpolation never extrapolates beyond range
+    else:
+        assert all(v is None for v in out.values())
+
+
+@SLOW
+@given(pairs=series_strategy)
+def test_densify_is_dense_and_preserves(spark, pairs):
+    df = _df(spark, pairs)
+    rows = densify(df, step=1).collect()
+    ts = sorted(r["timestamp"] for r in rows)
+    assert ts == list(range(min(t for t, _ in pairs), max(t for t, _ in pairs) + 1))
+    vals = {r["timestamp"]: r["value"] for r in rows}
+    for t, v in pairs:
+        assert vals[t] == v
+
+
+@SLOW
+@given(pairs=series_strategy)
+def test_merge_sum_commutative(spark, pairs):
+    half = len(pairs) // 2 or 1
+    a, b = _df(spark, pairs[:half]), _df(spark, pairs[half:] or pairs[:1])
+    ab = {r["timestamp"]: r["value"] for r in merge_sum(a, b).collect()}
+    ba = {r["timestamp"]: r["value"] for r in merge_sum(b, a).collect()}
+    assert ab == ba
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=1, max_value=50),
+    rate=st.integers(min_value=1, max_value=10),
+)
+def test_strided_subsample_count_and_anchor(spark, n, rate):
+    df = _df(spark, [(i, float(i)) for i in range(n)])
+    out = sorted(r["timestamp"] for r in strided_subsample(df, rate=rate).collect())
+    assert len(out) == (n + rate - 1) // rate
+    assert out[-1] == n - 1  # newest observation always kept
+
+
+@given(
+    ys=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=3, max_size=40)
+)
+@settings(max_examples=50, deadline=None)
+def test_simpson_close_to_trapezoid(ys):
+    x = np.arange(len(ys), dtype=float)
+    y = np.array(ys)
+    s = simpson(y, x)
+    t = float(np.trapz(y, x))
+    # both are consistent integral estimates; for bounded values on a unit
+    # grid they cannot diverge more than the total variation
+    bound = np.sum(np.abs(np.diff(y))) + 1e-6
+    assert abs(s - t) <= bound
+
+
+@given(
+    ys=st.lists(st.floats(min_value=-1e4, max_value=1e4, allow_nan=False), min_size=1, max_size=60),
+    window=st.integers(min_value=2, max_value=20),
+)
+@settings(max_examples=50, deadline=None)
+def test_exp_rolling_mean_stays_in_range(ys, window):
+    y = np.array(ys)
+    out = exp_rolling_mean(y, window)
+    assert len(out) == len(y)
+    assert np.all(out >= y.min() - 1e-6) and np.all(out <= y.max() + 1e-6)
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_nnls_never_negative(data):
+    rng_seed = data.draw(st.integers(min_value=0, max_value=10_000))
+    rng = np.random.default_rng(rng_seed)
+    A = rng.standard_normal((12, 4))
+    b = rng.standard_normal(12)
+    x, resid = nnls(A, b)
+    assert np.all(x >= -1e-12)
+    # residual no worse than the zero solution
+    assert resid <= np.linalg.norm(b) + 1e-9

@@ -1,0 +1,60 @@
+"""Similarity-search tests: IVF and LSH approximate paths measured for
+recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from phoebe_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    queries = emb.limit(10)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10).collect())
+    approx = _topk_sets(ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=4).collect())
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert np.mean(recalls) >= 0.6, f"IVF mean recall {np.mean(recalls):.2f} too low"
+    # probing all cells must recover exact results
+    full = _topk_sets(ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=8).collect())
+    assert all(full[q] == exact[q] for q in exact)
+
+
+def test_lsh_pairs_subset_of_exact(spark, emb):
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64)).tolist()
+    lsh = lsh_bucketed_pairs(emb, planes, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # every LSH pair must genuinely clear the threshold (no false accepts:
+    # exact cosine is computed inside the bucket)
+    from phoebe_spark.operators.similarity import cosine
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.95)
+        .collect()
+    }
+    assert got <= exact
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.5, f"LSH recall {recall:.2f} too low for near-dups"
