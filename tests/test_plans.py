@@ -1,0 +1,64 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around must be visible in the plans, and regressions should fail tests —
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, and the shingling subtree is not duplicated."""
+
+from __future__ import annotations
+
+import re
+
+from phoebe_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _ops(plan: str, op: str) -> int:
+    """Count physical operators via their detail entries '(n) <Op>'."""
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    # projection pruned: untouched wide columns never read
+    assert "l_comment" not in plan and "l_partkey" not in plan
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "HashAggregate") == 2  # map-side partial + final
+
+
+def test_q02_filters_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_filter_project")
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "GreaterThan(o_totalprice,100000.0)" in plan
+    assert "o_orderdate" not in plan  # pruned
+
+
+def test_q05_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_revenue_by_nation")
+    assert _ops(plan, "BroadcastHashJoin") >= 2  # customer & nation broadcast
+    # status filter applied before the join, shrinking the build side
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_q13_posting_list_scanned_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q13_ngram_jaccard")
+    # one scan + one token explosion => the shingling subtree is computed
+    # once (the old self-join shape showed two full chains)
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Generate") <= 2  # posexplode + pair explode
+
+
+def test_q23_query_side_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q23_emb_knn")
+    assert _ops(plan, "BroadcastExchange") + _ops(plan, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_q14_partial_aggregation_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q14_ts_minutely_sum")
+    assert _ops(plan, "HashAggregate") == 2  # partial + final
+    assert _ops(plan, "Exchange") == 1  # exactly one shuffle
