@@ -194,6 +194,53 @@ class WorkloadForecaster:
         self.predicted = (out_ts[:horizon_s], vals[:horizon_s])
         return self.predicted
 
+    @staticmethod
+    def fit_many(
+        spark: SparkSession,
+        series_df: DataFrame,
+        num_models: int = NUM_MODELS,
+        step_size: int = STEP_SIZE,
+    ) -> dict[str, "WorkloadForecaster"]:
+        """Fit forecasters for MANY jobs in one Spark job — the scale form
+        of M1. Input: DataFrame (job STRING, timestamp LONG, value DOUBLE).
+
+        One grouped-map task per job fits that job's full model ensemble
+        (the per-model AR fits are cheap; per-job granularity avoids
+        shuffling each series num_models times). With thousands of jobs the
+        fan-out saturates the cluster; a single job degenerates to the
+        per-model fan-out in :meth:`fit`."""
+        import pickle as _pickle
+
+        def _fit_job(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("timestamp")
+            t = pdf["timestamp"].to_numpy()
+            v = pdf["value"].to_numpy(dtype=float)
+            processed = process_workload(t, v, step_size)
+            end_time = int(t[-1])
+            models = {}
+            for model_id in range(1, num_models + 1):
+                stride = model_id * step_size
+                idx = (len(processed) - 1) - np.arange(0, len(processed), stride)
+                idx = idx[::-1].astype(int)
+                w = ArModelWrapper(step_size=stride, last_learned_timestamp=end_time)
+                w.update(processed[idx])
+                models[model_id] = w
+            return pd.DataFrame(
+                {"job": [pdf["job"].iloc[0]], "blob": [_pickle.dumps(models)]}
+            )
+
+        rows = (
+            series_df.groupBy("job")
+            .applyInPandas(_fit_job, "job STRING, blob BINARY")
+            .collect()
+        )
+        out: dict[str, WorkloadForecaster] = {}
+        for r in rows:
+            f = WorkloadForecaster(num_models=num_models, step_size=step_size)
+            f.models = pickle.loads(bytes(r["blob"]))
+            out[r["job"]] = f
+        return out
+
     def eval_accuracy(self, timestamps: np.ndarray, values: np.ndarray) -> dict[str, float] | None:
         """M3: compare the previous forecast to realized values over the
         overlap (workload/models.py:138-147)."""

@@ -216,3 +216,28 @@ def test_recovery_time_model_end_to_end(spark):
         first_valid = next(c for c in cands if c["is_valid"])
         assert bests[0]["scale_out"] == first_valid["scale_out"]
     assert out["predicted_peak"] > 0
+
+
+def test_fit_many_jobs_one_spark_job(spark):
+    """M1 scale form: several jobs' ensembles fitted in one grouped-map
+    pass; per-job forecasts reflect each job's own period/level."""
+    rows = []
+    for job, period, level in (("ads", 600, 2000.0), ("cars", 300, 500.0)):
+        t, _ = _sine_workload(2400, period=period)
+        rng = np.random.default_rng(7)
+        vals = np.abs((level / 2 * np.sin(2 * np.pi * t / period) + level) * (1 + rng.normal(0, 0.01, len(t))))
+        rows += [(job, int(ts), float(v)) for ts, v in zip(t, vals)]
+    df = spark.createDataFrame(rows, "job STRING, timestamp LONG, value DOUBLE")
+
+    from phoebe_spark.models.workload import WorkloadForecaster
+
+    fleet = WorkloadForecaster.fit_many(spark, df, num_models=4, step_size=30)
+    assert set(fleet) == {"ads", "cars"}
+    for job, period, level in (("ads", 600, 2000.0), ("cars", 300, 500.0)):
+        t = np.arange(2400)
+        rng = np.random.default_rng(7)
+        vals = np.abs((level / 2 * np.sin(2 * np.pi * t / period) + level) * (1 + rng.normal(0, 0.01, len(t))))
+        fut_ts, fut_vals = fleet[job].predict(t, vals, horizon_s=60)
+        assert len(fut_vals) == 60
+        # forecast stays near the job's own level, not the other job's
+        assert 0.2 * level < np.mean(fut_vals) < 3 * level
