@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "q22_emb_cosine",
     "q23_emb_knn",
     "q24_minhash_pairs",
+    "q40_merge_overwrite",
+    "q41_emb_neardup_pairs",
+    "q44_ivf_ann",
 ]
 
 

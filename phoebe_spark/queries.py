@@ -1279,24 +1279,17 @@ def q40_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (a.nrm * b.nrm) >= 0.95
+          / (a.nrm * b.nrm) >= 0.45
     """,
 )
 def q41_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at >= 0.95 (the embedding
+    """Embedding-cosine near-duplicate pairs at >= 0.45 (the embedding
     variant of near-dup dedup). Exact pairwise form as the oracle-checkable
     baseline; the LSH-bucketed variant (similarity.lsh_bucketed_pairs) is
     the scale path, tested for recall against this in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = similarity.cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("_c"))
-        .filter(F.col("_c") >= 0.95)
-        .select("id_a", "id_b", F.round("_c", 6).alias("cos_sim"))
-    )
+    pairs = similarity.all_pairs_cosine(emb, threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 @query(
