@@ -60,6 +60,26 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Model-pipeline throughput vs the reference (BASELINE.md: the
+    # analytics engine processes 6 h of 1 Hz samples, 21,600 points, with a
+    # 20-model ensemble): fit + 600 s forecast on the same-sized series.
+    import numpy as np
+
+    from phoebe_spark.models.workload import WorkloadForecaster
+
+    rng = np.random.default_rng(42)
+    t = np.arange(21_600)
+    vals = np.abs(
+        (100_000 * np.sin(2 * np.pi * t / 7_200) + 100_000) * (1 + rng.normal(0, 0.01, len(t)))
+    )
+    t0 = time.time()
+    forecaster = WorkloadForecaster()
+    forecaster.fit(spark, t, vals)
+    timings["m1_fit_20_models_6h_series"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    forecaster.predict(t, vals, horizon_s=600)
+    timings["m2_forecast_600s"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -156,6 +156,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse centroids over
     the corpus, each vector assigned to its nearest centroid's cell, each
@@ -170,7 +171,9 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_centroids, featuresCol="_features", predictionCol="_cell", seed=seed)
+    km = KMeans(
+        k=n_centroids, featuresCol="_features", predictionCol="_cell", seed=seed, maxIter=max_iter
+    )
     model = km.fit(corpus_v)
     assigned = model.transform(corpus_v).select(id_col, vec_col, "_cell")
 

@@ -96,6 +96,44 @@ def stream_static_join(
     return stream.join(F.broadcast(static_dim), on=on, how=how)
 
 
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S8 Kafka transport, source side (``execution/Job.java:94-99``
+    --brokerList/--consumerTopic): value bytes + event timestamp. Requires
+    a broker + the spark-sql-kafka package at runtime; semantics-only here
+    (no broker in the test container)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(
+            F.col("timestamp").alias("event_time"),
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+
+
+def kafka_sink(result: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
+    """S8 Kafka transport, sink side (--producerTopic): rows serialized to
+    the value column; exactly-once via the checkpoint."""
+    payload = result.select(
+        F.to_json(F.struct(*result.columns)).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def run_to_sink(
     result: DataFrame,
     checkpoint_dir: str,
