@@ -1,0 +1,73 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's control loop keeps per-job running state (cached workload,
+last-learned timestamp, EWMA-smoothed rates) across evaluation intervals.
+In Structured Streaming that state lives in the state store, keyed by
+group, surviving micro-batches and checkpoint restarts — the pattern the
+brief names for "custom stateful operators".
+
+``keyed_ewma`` maintains a per-key exponentially-weighted moving average of
+the value column (the streaming analogue of the reference's smoothed
+workload rate): each micro-batch folds its rows (in event-time order) into
+the carried EWMA and emits one row per key per batch with the updated
+state. State size is O(keys), bounded and checkpointed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_OUTPUT_SCHEMA = "key STRING, ewma DOUBLE, n_obs LONG, last_ts TIMESTAMP"
+EWMA_STATE_SCHEMA = "ewma DOUBLE, n_obs LONG"
+
+
+def keyed_ewma(
+    stream: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "key",
+    ts_col: str = "event_time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key streaming EWMA with explicit state.
+
+    adjust=False recursion (matching the reference's pandas ``ewm``):
+    ``ewma_t = alpha * x_t + (1 - alpha) * ewma_{t-1}``, folded across
+    batches through the state store."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        last_ts = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for v, ts in zip(pdf[value_col], pdf[ts_col]):
+                ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+                n += 1
+                last_ts = ts
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "ewma": [ewma], "n_obs": [n], "last_ts": [last_ts]}
+        )
+
+    return (
+        # key normalized to string so any upstream key type (long campaign
+        # ids, string event types) flows through one output schema
+        stream.select(F.col(key_col).cast("string").alias(key_col), ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
