@@ -1346,3 +1346,99 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, not the corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.limit(5), k=5, n_centroids=8, n_probe=4)
+
+
+@query(
+    "q45_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+    scored AS (
+      SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(n.n_docs * 1.0 / dfreq.df) DESC, tf.term) AS rk
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rank FROM scored WHERE rk <= 3
+    """,
+)
+def q45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic text-pipeline scoring
+    operator: term frequencies and document frequencies are two hash
+    aggregations, idf joins back on term (broadcastable: vocabulary <<
+    corpus), per-doc top-k is a window. All JVM-side."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"), F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "q46_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, {EPOCH_SQL.format(c='ts')} AS es FROM events
+    ),
+    marked AS (
+      SELECT user_id, es,
+             CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                       OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, es,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY es
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, count(*) AS ev, max(es) - min(es) AS dur
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(ev) AS BIGINT) AS n_events,
+           round(avg(ev), 6) AS avg_session_events,
+           round(avg(dur), 6) AS avg_session_dur_s
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q46_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap): the canonical windowed
+    data-pipeline operator — gap detection via lag, session ids via a
+    running sum, two follow-up aggregations. One shuffle on user_id; the
+    windows reuse that partitioning."""
+    e = _t(spark, sf_dir, "events").select("user_id", _epoch().alias("es"))
+    w = Window.partitionBy("user_id").orderBy("es")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("es").over(w).isNull() | ((F.col("es") - F.lag("es").over(w)) > 1800), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("ev"), (F.max("es") - F.min("es")).alias("dur")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("ev").cast("long").alias("n_events"),
+        F.round(F.avg("ev"), 6).alias("avg_session_events"),
+        F.round(F.avg("dur"), 6).alias("avg_session_dur_s"),
+    )
