@@ -166,21 +166,29 @@ class WorkloadForecaster:
 
         for model_id in sorted(self.models):
             w = self.models[model_id]
-            # incremental update with observations at the model's stride
-            # since its last learned timestamp
-            stride = w.step_size
-            new_mask = ts > w.last_learned_timestamp
-            tgt = ts[new_mask][::-1][::max(stride, 1)][::-1] if new_mask.any() else np.array([], dtype=int)
-            if len(tgt):
-                sel = np.isin(ts, tgt)
+            # incremental update at the model's stride, anchored FORWARD
+            # from last_learned_timestamp (ArimaModelWrapper.
+            # compute_target_timestamps, workload/models.py:27-38):
+            # targets = arange(last_learned + stride, end + 1, stride)
+            stride = max(w.step_size, 1)
+            targets = np.arange(w.last_learned_timestamp + stride, end_time + 1, stride)
+            sel = np.isin(ts, targets)
+            if sel.any():
                 w.update(processed[sel])
                 w.last_learned_timestamp = int(ts[sel][-1])
             if df.isnull().values.all():
                 df.iloc[0, :] = processed[-1]
-            n_target = len([t for t in horizon_grid if t > end_time and (t - end_time) % stride == 0])
-            if n_target:
-                preds = w.predict(n_target)
-                tgts = [t for t in horizon_grid if t > end_time and (t - end_time) % stride == 0]
+            # forecast targets continue the same phase past end_time
+            # (workload/models.py:126-131)
+            tgts = [
+                t
+                for t in np.arange(
+                    w.last_learned_timestamp + stride, horizon_grid[-1] + 1, stride
+                )
+                if t > end_time
+            ]
+            if tgts:
+                preds = w.predict(len(tgts))
                 df.loc[tgts, model_id] = preds[: len(tgts)]
 
         df = df.dropna(axis="columns", how="all")
