@@ -171,6 +171,42 @@ def create_app(spark=None) -> Flask:
         )
         return jsonify({"current": current, "candidates": cands})
 
+    @app.post("/latency/evaluation")
+    def latency_evaluation():
+        """Evaluate latency on a recovery-time candidate set (the
+        reference's cross-model composition, latency/routes.py:50 +
+        latency/models.py:116-148): the candidate scale-outs become the
+        grid and only previously-valid ones can stay valid."""
+        body = request.get_json()
+        m = latency_models.get(body["job"])
+        if m is None or m.regressor_model is None:
+            return jsonify({"message": "The required model was not yet trained!"}), 412
+        cand_in = body["candidates"]
+        scale_outs = sorted({int(c["scale_out"]) for c in cand_in})
+        prev_valid = [int(c["scale_out"]) for c in cand_in if c.get("is_valid")]
+        out = m.predict(
+            spark,
+            float(body["throughput_rate"]),
+            min(scale_outs),
+            max(scale_outs),
+            previously_valid=prev_valid or None,
+        )
+        rows = [r for r in out.orderBy("scale_outs").collect() if r["scale_outs"] in set(scale_outs)]
+        cands = [
+            {
+                "scale_out": r["scale_outs"],
+                "latency": float(r["latency"]),
+                "is_valid": bool(r["is_valid"]),
+                "is_best": bool(r["is_best"]),
+            }
+            for r in rows
+        ]
+        current = next(
+            (c for c in cands if c["scale_out"] == int(body["current"]["scale_out"])), cands[0]
+        )
+        slope = float(body.get("slope", 0.0))
+        return jsonify({"current": current, "candidates": cands, "slope": slope})
+
     # -- recoverytime ------------------------------------------------------
     @app.post("/recoverytime/training")
     def recoverytime_training():
@@ -208,6 +244,45 @@ def create_app(spark=None) -> Flask:
         cands = out["candidates"]
         current = next(
             (c for c in cands if c["scale_out"] == int(body["scale_out"])), cands[0]
+        )
+        return jsonify(
+            {
+                "current": current,
+                "candidates": cands,
+                "predicted_max_throughput": out["predicted_peak"],
+                "slope": out["slope"],
+            }
+        )
+
+    @app.post("/recoverytime/evaluation")
+    def recoverytime_evaluation():
+        """Evaluate recovery time on a latency candidate set
+        (recoverytime/routes.py:62 + models.py:118-123): the candidate
+        scale-outs define the range, valid ones carry over."""
+        body = request.get_json()
+        job = body["job"]
+        m = recovery_models.get(job)
+        f = forecasters.get(job)
+        if m is None or f is None:
+            return jsonify({"message": "The required model was not yet trained!"}), 412
+        cand_in = body["candidates"]
+        scale_outs = sorted({int(c["scale_out"]) for c in cand_in})
+        prev_valid = [int(c["scale_out"]) for c in cand_in if c.get("is_valid")]
+        t, v = ts_to_arrays(body["workload"])
+        out = m.predict(
+            f,
+            t,
+            v,
+            scale_out_range=scale_outs,
+            prediction_period_s=int(body["prediction_period_in_s"]),
+            max_recovery_time=float(body["max_recovery_time"]),
+            downtime=float(body["downtime"]),
+            last_checkpoint=float(body["last_checkpoint"]),
+            previously_valid=prev_valid or None,
+        )
+        cands = out["candidates"]
+        current = next(
+            (c for c in cands if c["scale_out"] == int(body["current"]["scale_out"])), cands[0]
         )
         return jsonify(
             {

@@ -170,3 +170,49 @@ def test_recoverytime_and_twres_composition(client):
     )
     assert r.status_code == 200
     assert isinstance(r.get_json()["scale_out"], int)
+
+
+def test_cross_model_evaluation_flows(client):
+    """The reference's rt->latency-eval and latency->rt-eval composition
+    tests (api_test.py test_recoverytime_plus_latency / reverse)."""
+    t, v = _sine_ts()
+    r = client.post(
+        "/recoverytime/prediction",
+        json={
+            "job": "TEST", "min_scale_out": 2, "max_scale_out": 24,
+            "workload": arrays_to_ts(t, v), "scale_out": 4,
+            "prediction_period_in_s": 150, "downtime": 10.0,
+            "last_checkpoint": 90, "max_recovery_time": 240,
+        },
+    )
+    assert r.status_code == 200
+    rt = r.get_json()
+
+    r = client.post(
+        "/latency/evaluation",
+        json={
+            "job": "TEST", "throughput_rate": 50379.1,
+            "current": rt["current"], "candidates": rt["candidates"],
+            "slope": rt["slope"],
+        },
+    )
+    assert r.status_code == 200
+    lat = r.get_json()
+    assert len(lat["candidates"]) == len(rt["candidates"])
+    # validity can only shrink: latency-eval restricts to rt-valid set
+    rt_valid = {c["scale_out"] for c in rt["candidates"] if c["is_valid"]}
+    assert {c["scale_out"] for c in lat["candidates"] if c["is_valid"]} <= rt_valid
+
+    r = client.post(
+        "/recoverytime/evaluation",
+        json={
+            "job": "TEST", "workload": arrays_to_ts(t, v),
+            "current": lat["current"], "candidates": lat["candidates"],
+            "prediction_period_in_s": 150, "downtime": 10.0,
+            "last_checkpoint": 90, "max_recovery_time": 240,
+        },
+    )
+    assert r.status_code == 200
+    out = r.get_json()
+    assert len(out["candidates"]) == len(lat["candidates"])
+    assert sum(c["is_best"] for c in out["candidates"]) <= 1
