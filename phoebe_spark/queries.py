@@ -1442,3 +1442,69 @@ def q46_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ev"), 6).alias("avg_session_events"),
         F.round(F.avg("dur"), 6).alias("avg_session_dur_s"),
     )
+
+
+@query(
+    "q47_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q47_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (beyond the reference's surface — SURVEY §2.4
+    notes it has none): exact per-key distinct count. At 100 TB prefer
+    approx_count_distinct (HLL sketch, map-side mergeable) unless
+    exactness is required; the exact form is the oracle-checkable one."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q48_latest_per_user",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1
+    """,
+)
+def q48_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup — the standard CDC/snapshot compaction
+    operator: one window on the natural partition key, deterministic
+    tiebreak."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q49_rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q49_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> priority -> grand total): one
+    pass, partial aggregation per grouping set; NULL marks the rolled-up
+    levels identically in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        _dsum2(_dec("o_totalprice")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
