@@ -160,7 +160,8 @@ def create_app(spark=None) -> Flask:
         cands = [
             {
                 "scale_out": r["scale_outs"],
-                "latency": float(r["latency"]),
+                # reference rounds to 2 decimals (LatencyInformationModel validator)
+                "latency": round(float(r["latency"]), 2),
                 "is_valid": bool(r["is_valid"]),
                 "is_best": bool(r["is_best"]),
             }
@@ -176,7 +177,12 @@ def create_app(spark=None) -> Flask:
         """Evaluate latency on a recovery-time candidate set (the
         reference's cross-model composition, latency/routes.py:50 +
         latency/models.py:116-148): the candidate scale-outs become the
-        grid and only previously-valid ones can stay valid."""
+        grid and only previously-valid ones can stay valid.
+
+        Request contract is LatencyModelEvaluationRequest: the throughput
+        input arrives as ``predicted_throughput_rate`` (the recovery-time
+        response's predicted peak, forwarded by ClientsManager
+        .latencyEvaluate)."""
         body = request.get_json()
         m = latency_models.get(body["job"])
         if m is None or m.regressor_model is None:
@@ -184,9 +190,10 @@ def create_app(spark=None) -> Flask:
         cand_in = body["candidates"]
         scale_outs = sorted({int(c["scale_out"]) for c in cand_in})
         prev_valid = [int(c["scale_out"]) for c in cand_in if c.get("is_valid")]
+        thr = body.get("predicted_throughput_rate", body.get("throughput_rate"))
         out = m.predict(
             spark,
-            float(body["throughput_rate"]),
+            float(thr),
             min(scale_outs),
             max(scale_outs),
             previously_valid=prev_valid or None,
@@ -195,7 +202,7 @@ def create_app(spark=None) -> Flask:
         cands = [
             {
                 "scale_out": r["scale_outs"],
-                "latency": float(r["latency"]),
+                "latency": round(float(r["latency"]), 2),
                 "is_valid": bool(r["is_valid"]),
                 "is_best": bool(r["is_best"]),
             }
@@ -240,8 +247,10 @@ def create_app(spark=None) -> Flask:
             max_recovery_time=float(body["max_recovery_time"]),
             downtime=float(body["downtime"]),
             last_checkpoint=float(body["last_checkpoint"]),
+            bin_count=int(body.get("bin_count", 4)),
         )
-        cands = out["candidates"]
+        # reference rounds recovery_time to 2 decimals (RecoveryTimeInformationModel)
+        cands = [dict(c, recovery_time=round(float(c["recovery_time"]), 2)) for c in out["candidates"]]
         current = next(
             (c for c in cands if c["scale_out"] == int(body["scale_out"])), cands[0]
         )
@@ -249,7 +258,8 @@ def create_app(spark=None) -> Flask:
             {
                 "current": current,
                 "candidates": cands,
-                "predicted_max_throughput": out["predicted_peak"],
+                # RecoveryTimeModelPredictionResponse key (RecTimeResponse.predThr)
+                "predicted_throughput_rate": out["predicted_peak"],
                 "slope": out["slope"],
             }
         )
@@ -279,8 +289,9 @@ def create_app(spark=None) -> Flask:
             downtime=float(body["downtime"]),
             last_checkpoint=float(body["last_checkpoint"]),
             previously_valid=prev_valid or None,
+            bin_count=int(body.get("bin_count", 4)),
         )
-        cands = out["candidates"]
+        cands = [dict(c, recovery_time=round(float(c["recovery_time"]), 2)) for c in out["candidates"]]
         current = next(
             (c for c in cands if c["scale_out"] == int(body["current"]["scale_out"])), cands[0]
         )
@@ -288,7 +299,7 @@ def create_app(spark=None) -> Flask:
             {
                 "current": current,
                 "candidates": cands,
-                "predicted_max_throughput": out["predicted_peak"],
+                "predicted_throughput_rate": out["predicted_peak"],
                 "slope": out["slope"],
             }
         )

@@ -92,9 +92,14 @@ class RecoveryTimeModel:
         downtime: float,
         last_checkpoint: float,
         previously_valid: list[int] | None = None,
+        bin_count: int = 4,
     ) -> dict:
         """Returns {candidates: [(scale_out, recovery_time, is_valid,
-        is_best)], predicted_peak, slope} (recoverytime/models.py:72-116)."""
+        is_best)], predicted_peak, slope} (recoverytime/models.py:72-116).
+
+        ``bin_count`` controls the equal-width binning of the forecast used
+        for the predicted peak; the reference defaults to 4 and its client
+        sends 5 (ClientsManager:545)."""
         fut_ts, fut_vals = forecaster.predict(past_ts, past_vals, prediction_period_s)
         grid_ts, grid_vals = merge_overwrite_np(
             np.asarray(past_ts), np.asarray(past_vals), fut_ts, fut_vals
@@ -126,7 +131,6 @@ class RecoveryTimeModel:
                 break
 
         # predicted peak throughput = max of equal-width binned means (A9)
-        bin_count = 10
         n = len(fut_vals)
         slices = np.linspace(0, n, bin_count + 1, True).astype(int)
         counts = np.diff(slices)

@@ -141,10 +141,12 @@ def optimize_step(
     rec_current = next(c for c in rec_cands if c.scale_out == current_scale_out)
     best_by_rectime = best_scale_out_by_min_value(rec_current, rec_cands)
 
-    # 4. latency evaluation on the recovery-time candidate set
+    # 4. latency evaluation on the recovery-time candidate set, at the
+    # recovery-time response's predicted peak throughput (Graph.java:257 +
+    # ClientsManager.latencyEvaluate:531), not the current trailing average
     prev_valid = [c.scale_out for c in rec_cands if c.is_valid] or None
     lat_df = latency_model.predict(
-        spark, avg_thr, min_scale_out, max_scale_out, previously_valid=prev_valid
+        spark, rec["predicted_peak"], min_scale_out, max_scale_out, previously_valid=prev_valid
     )
     lat_rows = lat_df.orderBy("scale_outs").collect()
     lat_cands = [

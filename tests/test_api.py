@@ -148,7 +148,8 @@ def test_recoverytime_and_twres_composition(client):
     assert r.status_code == 200
     out = r.get_json()
     assert len(out["candidates"]) == 23
-    assert out["predicted_max_throughput"] > 0
+    assert out["predicted_throughput_rate"] > 0
+    assert all(c["recovery_time"] == round(c["recovery_time"], 2) for c in out["candidates"])
 
     r = client.post(
         "/baselines/twres_training",
@@ -188,10 +189,12 @@ def test_cross_model_evaluation_flows(client):
     assert r.status_code == 200
     rt = r.get_json()
 
+    # the reference client forwards the rt response's predicted peak as
+    # predicted_throughput_rate (LatencyModelEvaluationRequest)
     r = client.post(
         "/latency/evaluation",
         json={
-            "job": "TEST", "throughput_rate": 50379.1,
+            "job": "TEST", "predicted_throughput_rate": rt["predicted_throughput_rate"],
             "current": rt["current"], "candidates": rt["candidates"],
             "slope": rt["slope"],
         },
