@@ -93,57 +93,80 @@ def all_pairs_cosine(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_size: int = 4096,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine similarity above a threshold via blocked GEMM.
+    """All-pairs cosine similarity above a threshold via 2D-blocked GEMM,
+    fully distributed — the corpus is never collected to the driver.
 
-    The right-hand side is normalized and broadcast in ``block_size``-row
-    blocks; each corpus partition computes ``A @ B_block.T`` with numpy
-    (BLAS) inside ``mapInPandas`` and emits only pairs clearing the
-    threshold with ``id_a < id_b``. Per-element JVM higher-order dot
-    products evaluate interpreted and are ~40x slower at 5k vectors; the
-    GEMM form is also the 100 TB shape — block the broadcast side, stream
-    the scan side, never materialize the similarity matrix.
+    Each vector hashes into one of ``n_blocks`` blocks; every unordered
+    block pair (bi <= bj) becomes one cogroup task that computes
+    ``A @ B.T`` with numpy (BLAS) over the two blocks and emits only pairs
+    clearing the threshold, normalized to ``id_a < id_b``. An unordered
+    vector pair lands in exactly one block pair, so the output is exact
+    and duplicate-free.
+
+    Scale shape: each row is shuffled to ~``n_blocks`` tasks (classic 2D
+    all-pairs schedule, O(n * sqrt(tasks)) communication) instead of the
+    whole corpus landing on the driver; per-task memory is two blocks of
+    ~n/n_blocks vectors. Grow ``n_blocks`` with the corpus so a block pair
+    fits an executor — compute stays the unavoidable exact O(n^2) GEMM,
+    evenly sharded. Per-element JVM higher-order dot products evaluate
+    interpreted and are ~40x slower at 5k vectors; for approximate
+    near-dup at extreme scale prefer :func:`lsh_bucketed_pairs`.
     """
     import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    blocks = [
-        (ids[lo : lo + block_size], M[lo : lo + block_size])
-        for lo in range(0, len(ids), block_size)
+    pair_rows = [
+        (bi * n_blocks + bj, bi, bj)
+        for bi in range(n_blocks)
+        for bj in range(bi, n_blocks)
     ]
-    b_blocks = spark.sparkContext.broadcast(blocks)
+    pm = spark.createDataFrame(pair_rows, "pair LONG, bi INT, bj INT")
 
-    def _pairs(it):
-        for pdf in it:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-            out_a, out_b, out_c = [], [], []
-            for b_ids, B in b_blocks.value:
-                sims = A @ B.T
-                ii, jj = np.nonzero(sims >= threshold)
-                if len(ii):
-                    ia, ib = a_ids[ii], b_ids[jj]
-                    keep = ia < ib
-                    out_a.append(ia[keep])
-                    out_b.append(ib[keep])
-                    out_c.append(sims[ii, jj][keep])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                        "cos_sim": np.concatenate(out_c),
-                    }
-                )
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    left = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk"))
+        .join(F.broadcast(pm), F.col("_blk") == F.col("bi"))
+        .select("pair", "_id", "_vec", "_blk")
+    )
+    right = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk"))
+        .join(F.broadcast(pm.select(F.col("pair").alias("pair_r"), "bj")), F.col("_blk") == F.col("bj"))
+        .select(F.col("pair_r").alias("pair"), "_id", "_vec", "_blk")
+    )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        _pairs, "id_a LONG, id_b LONG, cos_sim DOUBLE"
+    def _gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        a_ids = lpdf["_id"].to_numpy(dtype=np.int64)
+        b_ids = rpdf["_id"].to_numpy(dtype=np.int64)
+        A = np.array([list(v) for v in lpdf["_vec"]], dtype=np.float64)
+        B = np.array([list(v) for v in rpdf["_vec"]], dtype=np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        sims = A @ B.T
+        ii, jj = np.nonzero(sims >= threshold)
+        if not len(ii):
+            return empty
+        ia, ib = a_ids[ii], b_ids[jj]
+        if int(lpdf["_blk"].iloc[0]) == int(rpdf["_blk"].iloc[0]):
+            # diagonal block: both GEMM triangles present — keep one
+            keep = ia < ib
+            ia, ib, cs = ia[keep], ib[keep], sims[ii, jj][keep]
+        else:
+            # off-diagonal: each unordered pair appears once; orient it
+            cs = sims[ii, jj]
+            lo = np.minimum(ia, ib)
+            ib = np.maximum(ia, ib)
+            ia = lo
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": cs})
+
+    return (
+        left.groupBy("pair")
+        .cogroup(right.groupBy("pair"))
+        .applyInPandas(_gemm, "id_a LONG, id_b LONG, cos_sim DOUBLE")
     )
 
 

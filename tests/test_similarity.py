@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from phoebe_spark.operators.similarity import (
+    all_pairs_cosine,
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_pairs,
@@ -58,3 +59,27 @@ def test_lsh_pairs_subset_of_exact(spark, emb):
     if exact:
         recall = len(got) / len(exact)
         assert recall >= 0.5, f"LSH recall {recall:.2f} too low for near-dups"
+
+
+def test_all_pairs_cosine_exact_and_distributed(spark, emb):
+    """The 2D-blocked all-pairs operator must be exact (match the naive
+    cross-join at the same threshold, duplicate-free) and distributed —
+    a cogrouped GEMM in the physical plan, no driver-side collect."""
+    from phoebe_spark.operators.similarity import cosine
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 6)
+        for r in all_pairs_cosine(emb, threshold=0.45, n_blocks=4).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["c"], 6)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("c") >= 0.45)
+        .collect()
+    }
+    assert got == exact
+    plan = all_pairs_cosine(emb, threshold=0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
