@@ -191,13 +191,26 @@ class WorkloadForecaster:
                 preds = w.predict(len(tgts))
                 df.loc[tgts, model_id] = preds[: len(tgts)]
 
-        df = df.dropna(axis="columns", how="all")
-        # EWM across model columns (the reference's ewm(axis=1), removed in
-        # pandas 2.x) == EWM down the rows of the transpose.
-        combined = df.T.ewm(min_periods=1, ignore_na=True, adjust=False, span=5).mean().T
-        combined = combined.interpolate(method="linear", limit_direction="both", axis=0)
-        combined = combined.rolling(min_periods=1, window=120, center=True).mean()
-        vals = combined.values[1:, -1].reshape(-1)
+        # Only the LAST column of the horizontal EWM is consumed, and
+        # interpolate/rolling are column-independent — so the reference's
+        # ewm(axis=1, span=5, adjust=False, ignore_na=True) + interpolate +
+        # centered rolling(120) collapses to: per-row left fold
+        # acc + (x - acc)/3 over non-NaN values in column order, then the
+        # 1-D interpolate + rolling on that single series (same closed form
+        # as the JVM-side q36_ewm_ensemble).
+        M = df[sorted(df.columns)].to_numpy(dtype=float)
+        acc = np.full(len(df), np.nan)
+        for j in range(M.shape[1]):
+            x = M[:, j]
+            m = ~np.isnan(x)
+            start = m & np.isnan(acc)
+            acc[start] = x[start]
+            upd = m & ~start
+            acc[upd] += (x[upd] - acc[upd]) / 3.0
+        s = pd.Series(acc, index=df.index)
+        s = s.interpolate(method="linear", limit_direction="both")
+        s = s.rolling(min_periods=1, window=120, center=True).mean()
+        vals = s.to_numpy()[1:]
         out_ts = np.arange(end_time + 1, end_time + 1 + len(vals))
         self.predicted = (out_ts[:horizon_s], vals[:horizon_s])
         return self.predicted

@@ -80,7 +80,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard via an inverted shingle
     index — no cross join, and the posting list is computed exactly once.
@@ -94,9 +94,15 @@ def ngram_jaccard_pairs(
          explode->window chains); the grouped form shuffles postings once.
       3. groupBy(pair).count() gives |A∩B|; Jaccard = inter /
          (|A| + |B| - inter); filter >= threshold.
-    Hot shingles (stopword-grams) blow up step 2 quadratically;
-    ``max_shingle_freq`` drops shingles seen in more than f docs — the
-    standard df-cap mitigation at corpus scale.
+    Hot shingles (stopword-grams) blow up step 2 quadratically: one gram
+    shared by 1e5 docs emits 1e10 pairs from a single group.
+    ``max_shingle_freq`` (default 1000 — ON by default; pass None to
+    disable) drops shingles seen in more than f docs before pairing, the
+    standard document-frequency cap. Recall trade: dropped grams are
+    excluded from the intersection count but still count in the per-doc
+    sizes (computed before the cap), so the reported Jaccard is a LOWER
+    BOUND — pairs supported only by near-stopword boilerplate grams are
+    missed, while true near-dups (sharing many rarer grams) survive.
     """
     post = shingle_postings(df, id_col, text_col, n)
     sized = post.withColumn("size", F.count(F.lit(1)).over(Window.partitionBy("doc")))

