@@ -111,9 +111,14 @@ def optimize_step(
     prediction_period_s: int = 600,
     downtime: float = 110.0,
     last_checkpoint: float = 10.0,
+    record_to: tuple[int, str] | None = None,
 ) -> dict:
-    """One evaluation-interval step; returns the decision record
-    (the row written to ``predictions`` when a rescale fires)."""
+    """One evaluation-interval step; returns the decision record.
+
+    When ``record_to=(expId, genType)`` is given and the step decides to
+    rescale, the decision row is persisted to the ``predictions`` store
+    (``Graph.java:275`` -> ``DataManager.addPrediction``) with the NEW
+    scale-out and the predicted latency/recovery-time at that scale-out."""
     now = int(workload_ts[-1])
     avg_lat = trailing_avg(metrics, "latency", now - avg_window, now)
     avg_thr = trailing_avg(metrics, "thrRate", now - avg_window, now)
@@ -163,6 +168,16 @@ def optimize_step(
 
     pred_lat = next((c.value for c in lat_cands if c.scale_out == decision), float("nan"))
     pred_rec = next((c.value for c in rec_cands if c.scale_out == decision), float("nan"))
+
+    # 6. record the decision (Graph.java:265-276: only when a rescale fires)
+    if rescale and record_to is not None:
+        from phoebe_spark.sources.tables import insert_prediction
+
+        exp_id, gen_type = record_to
+        insert_prediction(
+            spark, exp_id, gen_type, now, decision, avg_thr, pred_lat, pred_rec
+        )
+
     return {
         "timestamp": now,
         "current_scale_out": current_scale_out,

@@ -1543,3 +1543,68 @@ def q49_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum2(_dec("o_totalprice")).alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q50_profile_store",
+    oracle="""
+    WITH base AS (
+      SELECT 1 AS expId, event_type AS genType,
+             'job_' || CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR) AS jobName,
+             CAST(json_extract_string(props, '$.k') AS INT) AS scaleOut,
+             round(avg(value), 6) AS avgLat,
+             round(sum(value), 6) AS avgThr,
+             CAST(json_extract_string(props, '$.k') AS INT) % 2 AS isBckPres,
+             min(epoch_ns(ts) // 1000000000) AS startTs,
+             max(epoch_ns(ts) // 1000000000) AS stopTs
+      FROM events
+      GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS INT)
+    )
+    SELECT expId, genType, jobName, scaleOut, avgLat, avgThr, isBckPres, startTs, stopTs
+    FROM base
+    WHERE genType IN ('click', 'view')
+      AND NOT (genType = 'click' AND isBckPres = 1)
+    """,
+)
+def q50_profile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-S6 profile-store round-trip: DDL + insert + predicate delete +
+    filtered ordered select (``DataManager.java:148-214``). Profile rows
+    derive from the events table (one per (genType, scaleOut)); the
+    DELETE WHERE expId/genType/isBckPres is a static-partition overwrite
+    (see :mod:`phoebe_spark.sources.tables`) so at scale it swaps out one
+    partition directory instead of rewriting the store. The oracle mirrors
+    the delete as an anti-filter over the same derived rows."""
+    import tempfile
+
+    from phoebe_spark.sources import tables as store
+
+    spark.sql("DROP TABLE IF EXISTS profiles")
+    spark.sql("DROP TABLE IF EXISTS predictions")
+    store.create_profile_store(spark, tempfile.mkdtemp(prefix="phoebe_store_"))
+
+    e = _t(spark, sf_dir, "events").withColumn("k", F.from_json("props", "k INT")["k"])
+    base = (
+        e.groupBy("event_type", "k")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avgLat"),
+            F.round(F.sum("value"), 6).alias("avgThr"),
+            F.min(_epoch()).alias("startTs"),
+            F.max(_epoch()).alias("stopTs"),
+        )
+        .select(
+            F.lit(1).alias("expId"),
+            F.col("event_type").alias("genType"),
+            F.concat(F.lit("job_"), F.col("k").cast("string")).alias("jobName"),
+            F.col("k").alias("scaleOut"),
+            "avgLat",
+            "avgThr",
+            (F.col("k") % 2).alias("isBckPres"),
+            "startTs",
+            "stopTs",
+        )
+    )
+    store.insert_profiles(spark, base)
+    store.delete_profiles(spark, 1, "click", is_bck_pres=1)
+    return store.select_profiles(spark, [1], "click").unionAll(
+        store.select_profiles(spark, [1], "view")
+    )

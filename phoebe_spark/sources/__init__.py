@@ -3,7 +3,13 @@ from phoebe_spark.sources.tables import (
     PROFILES_SCHEMA,
     PREDICTIONS_SCHEMA,
     create_profile_store,
+    delete_predictions,
+    delete_profiles,
+    insert_prediction,
+    insert_profiles,
     load_tables,
+    select_predictions,
+    select_profiles,
 )
 
 __all__ = [
@@ -12,5 +18,11 @@ __all__ = [
     "PROFILES_SCHEMA",
     "PREDICTIONS_SCHEMA",
     "create_profile_store",
+    "insert_profiles",
+    "delete_profiles",
+    "select_profiles",
+    "insert_prediction",
+    "delete_predictions",
+    "select_predictions",
     "load_tables",
 ]

@@ -123,3 +123,29 @@ def test_optimize_step_composition(spark):
     assert 2 <= out["decision"] <= 24
     assert isinstance(out["rescale"], bool)
     assert math.isfinite(out["pred_rec_time"])
+
+    # record_to persists the decision to the predictions store iff a
+    # rescale fires (Graph.java:265-276)
+    from phoebe_spark.sources import tables as store
+
+    spark.sql("DROP TABLE IF EXISTS profiles")
+    spark.sql("DROP TABLE IF EXISTS predictions")
+    import tempfile
+
+    store.create_profile_store(spark, tempfile.mkdtemp(prefix="ctl_store_"))
+    out2 = optimize_step(
+        spark, metrics, t, vals,
+        latency_model=latency, recovery_model=recovery, forecaster=forecaster,
+        current_scale_out=12, min_scale_out=2, max_scale_out=24,
+        max_recovery_time=240.0, prediction_period_s=150,
+        record_to=(7, "ADS"),
+    )
+    recorded = store.select_predictions(spark, [7]).collect()
+    if out2["rescale"]:
+        assert len(recorded) == 1
+        assert recorded[0]["scaleOut"] == out2["decision"]
+        assert recorded[0]["timestamp"] == out2["timestamp"]
+    else:
+        assert recorded == []
+    spark.sql("DROP TABLE IF EXISTS profiles")
+    spark.sql("DROP TABLE IF EXISTS predictions")

@@ -6,10 +6,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import functions as F
-
 from phoebe_spark.sources.csv import read_timeseries_csv, write_timeseries_csv
-from phoebe_spark.sources.tables import PROFILES_SCHEMA
 
 
 def test_csv_roundtrip_with_nulls_and_malformed(spark, tmp_path):
@@ -31,31 +28,61 @@ def test_csv_roundtrip_with_nulls_and_malformed(spark, tmp_path):
     assert {r["timestamp"]: r["value"] for r in back.collect()} == rows
 
 
-def test_profile_store_sql(spark, tmp_path):
-    """S4-S6: the reference's profiles table DDL + 'WHERE expId IN (...)
-    AND genType = ... ORDER BY scaleOut, stopTs' select runs verbatim on a
-    Spark temp view (DataManager.java:150-208)."""
+def test_profile_store_roundtrip(spark, tmp_path):
+    """S4-S6 against the real store API: DDL, addProfile, deleteRow
+    (expId/genType/isBckPres), initProfiles removePrevious (both flags),
+    and the filtered ordered select (DataManager.java:148-214)."""
+    from phoebe_spark.sources import tables as store
+
+    spark.sql("DROP TABLE IF EXISTS profiles")
+    spark.sql("DROP TABLE IF EXISTS predictions")
+    store.create_profile_store(spark, str(tmp_path / "store"))
     rows = [
         (1, "ADS", "profile_2_a", 2, 900.0, 20000.0, 0, 1000, 1120),
         (1, "ADS", "profile_2_b", 2, 1100.0, 40000.0, 1, 1200, 1320),
         (1, "ADS", "profile_5_a", 5, 850.0, 20000.0, 0, 1000, 1120),
         (2, "CARS", "profile_2_c", 2, 700.0, 15000.0, 0, 1000, 1120),
     ]
-    df = spark.createDataFrame(rows, PROFILES_SCHEMA)
-    df.createOrReplaceTempView("profiles")
-    out = spark.sql(
-        "SELECT * FROM profiles WHERE expId IN (1) AND genType = 'ADS' "
-        "ORDER BY scaleOut ASC, stopTs ASC"
-    ).collect()
-    assert [r["jobName"] for r in out] == ["profile_2_a", "profile_2_b", "profile_5_a"]
+    store.insert_profiles(spark, rows)
 
-    # S6 delete-equivalent on parquet: overwrite-filtered-write
-    path = str(tmp_path / "profiles_store")
-    df.write.mode("overwrite").parquet(path)
-    kept = spark.read.parquet(path).filter(
-        ~((F.col("expId") == 1) & (F.col("genType") == "ADS") & (F.col("isBckPres") == 1))
-    )
-    kept.write.mode("overwrite").parquet(str(tmp_path / "profiles_store2"))
-    back = spark.read.parquet(str(tmp_path / "profiles_store2"))
-    assert back.count() == 3
-    assert back.filter("isBckPres = 1").count() == 0
+    out = store.select_profiles(spark, [1], "ADS").collect()
+    assert [r["jobName"] for r in out] == ["profile_2_a", "profile_2_b", "profile_5_a"]
+    # reference column order preserved on read-back
+    assert list(out[0].asDict()) == list(store.PROFILE_COLS)
+
+    # deleteRow: only the (1, ADS, isBckPres=1) partition is cleared
+    store.delete_profiles(spark, 1, "ADS", is_bck_pres=1)
+    out = store.select_profiles(spark, [1], "ADS").collect()
+    assert [r["jobName"] for r in out] == ["profile_2_a", "profile_5_a"]
+    assert store.select_profiles(spark, [2], "CARS").count() == 1
+
+    # initProfiles(removePrevious): both backpressure flags go
+    store.delete_profiles(spark, 1, "ADS")
+    assert store.select_profiles(spark, [1], "ADS").count() == 0
+    assert store.select_profiles(spark, [2], "CARS").count() == 1
+
+    spark.sql("DROP TABLE IF EXISTS profiles")
+    spark.sql("DROP TABLE IF EXISTS predictions")
+
+
+def test_predictions_store_roundtrip(spark, tmp_path):
+    """addPrediction / getPredictions / initPredictions(removePrevious)
+    (DataManager.java:218-266)."""
+    from phoebe_spark.sources import tables as store
+
+    spark.sql("DROP TABLE IF EXISTS profiles")
+    spark.sql("DROP TABLE IF EXISTS predictions")
+    store.create_profile_store(spark, str(tmp_path / "store"))
+    store.insert_prediction(spark, 1, "ADS", 2000, 8, 30000.0, 950.0, 120.5)
+    store.insert_prediction(spark, 1, "ADS", 1000, 4, 20000.0, 900.0, 100.0)
+    store.insert_prediction(spark, 2, "CARS", 1500, 6, 25000.0, 800.0, 90.0)
+
+    out = store.select_predictions(spark, [1, 2]).collect()
+    assert [(r["expId"], r["timestamp"]) for r in out] == [(1, 1000), (1, 2000), (2, 1500)]
+    assert list(out[0].asDict()) == list(store.PREDICTION_COLS)
+
+    store.delete_predictions(spark, 1, "ADS")
+    assert [r["expId"] for r in store.select_predictions(spark, [1, 2]).collect()] == [2]
+
+    spark.sql("DROP TABLE IF EXISTS profiles")
+    spark.sql("DROP TABLE IF EXISTS predictions")
