@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 from phoebe_spark.operators.text import tokens
 
 
+def md5_hash64(col, seed: int | None = None):
+    """Oracle-portable 60-bit hash: the first 15 hex chars of md5, parsed
+    base-16 (DuckDB: ``CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)``,
+    bit-identical). ``seed`` concatenates '|seed' before hashing. Slower
+    than ``xxhash64`` (md5 per value) but still JVM-side codegen; use it
+    when the result must be reproducible outside Spark."""
+    s = col if seed is None else F.concat(col, F.lit(f"|{seed}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized text: one surviving row (min id) per
     fingerprint plus the duplicate count. groupBy-on-hash is the scalable
@@ -147,19 +157,26 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: for hash seed i, the minimum
-    ``xxhash64(shingle, i)`` over the document's shingles.
+    ``hash(shingle, i)`` over the document's shingles.
 
-    Implemented as explode(shingles) -> ``num_hashes`` plain ``min(xxhash64
-    (g, i))`` aggregates -> array. Plain hash columns stay inside
+    Implemented as explode(shingles) -> ``num_hashes`` plain ``min(hash(g,
+    i))`` aggregates -> array. Plain hash columns stay inside
     whole-stage codegen and get map-side partial aggregation, which
     benchmarks ~50x faster than nested higher-order-function evaluation
     (which re-evaluates the shingle expression per seed). One shuffle on
     doc id (uniform key). Documents with no shingles (< n tokens) drop out.
+
+    ``hash_fn``: 'xxhash64' (default, fastest) or 'md5'
+    (:func:`md5_hash64`, reproducible outside Spark for oracle checks).
     """
     sh = shingle_postings(df, id_col, text_col, shingle_n).withColumnRenamed("shingle", "g")
-    aggs = [F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    if hash_fn == "md5":
+        aggs = [F.min(md5_hash64(F.col("g"), i)).alias(f"_h{i}") for i in range(num_hashes)]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
     return (
         sh.groupBy("doc")
         .agg(*aggs)
@@ -174,27 +191,30 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: split each signature into
     ``bands`` rows of ``num_hashes/bands`` values, hash each band to a
     bucket, and emit candidate pairs sharing any (band, bucket). The
     band-bucket join is an equi-join on a ~uniform key — shuffle-friendly.
     Returns distinct candidate pairs with their estimated Jaccard (fraction
-    of agreeing signature positions)."""
+    of agreeing signature positions).
+
+    With ``hash_fn='md5'`` the bucket key is the raw comma-joined band
+    string (collision-free, engine-portable); the default hashes it with
+    xxhash64 to keep the shuffle key small."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    band_str = F.concat_ws(",", F.transform(
+        F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
+        lambda x: x.cast("string"),
+    ))
     banded = sigs.select(
         "doc",
         "signature",
         band_idx,
-    ).withColumn(
-        "bucket",
-        F.xxhash64(F.concat_ws(",", F.transform(
-            F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
-            lambda x: x.cast("string"),
-        ))),
-    )
+    ).withColumn("bucket", band_str if hash_fn == "md5" else F.xxhash64(band_str))
     a = banded.select("band", "bucket", F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
     b = banded.select("band", "bucket", F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
     cand = (
@@ -211,27 +231,42 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document as a bit string: sum ±1 per bit position
-    over token hashes; the sign gives the bit. Expressed with ``aggregate``
-    over token arrays per bit — JVM-side, single pass, no shuffle. The
-    fingerprint is a 64-char '0'/'1' string (sign-safe, join-friendly);
-    Hamming distance between two fingerprints = differing positions."""
-    toks = tokens(F.col(text_col))
-    bits = F.sequence(F.lit(0), F.lit(63))
-    # counts[b] = sum over tokens of (hash bit b set ? +1 : -1)
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document as a bit string: sum ±1 per bit position over
+    token hashes; the sign gives the bit. The token-hash array is projected
+    once, then per-bit counts are ``aggregate`` expressions over it —
+    JVM-side, single pass, no shuffle (hashing each token once instead of
+    once per bit). The fingerprint is a '0'/'1' string (sign-safe,
+    join-friendly); Hamming distance between two fingerprints = differing
+    positions. 64 bits with the default xxhash64; 60 bits with
+    ``hash_fn='md5'`` (:func:`md5_hash64`, engine-portable)."""
+    n_bits = 60 if hash_fn == "md5" else 64
+    tok_hash = (
+        (lambda t: md5_hash64(t)) if hash_fn == "md5" else (lambda t: F.xxhash64(t))
+    )
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(tokens(F.col(text_col)), tok_hash).alias("_hs"),
+    )
+    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    # counts[b] = sum over token hashes of (bit b set ? +1 : -1)
     counts = F.transform(
         bits,
         lambda b: F.aggregate(
-            toks,
+            F.col("_hs"),
             F.lit(0),
-            lambda acc, t: acc + F.when(F.getbit(F.xxhash64(t), b) == 1, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
         ),
     )
     sim = F.concat_ws(
         "", F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
     )
-    return df.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
+    return hashed.select("doc", sim.alias("simhash"))
 
 
 def simhash_hamming_pairs(

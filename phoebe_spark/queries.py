@@ -721,19 +721,89 @@ def q23_emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q24_minhash_pairs")
+# shared 60-bit md5-derived hash, bit-identical in both engines
+# (Spark: conv(substring(md5(x),1,15),16,10); see dedup.md5_hash64)
+_MD5H_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "q24_minhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS grams
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             min({_MD5H_SQL.format(x="g || '|' || CAST(i AS VARCHAR)")}) AS h
+      FROM post CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) seeds
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, s, b,
+             array_to_string(list_transform(s[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ',') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      FROM banded a JOIN banded b ON a.b = b.b AND a.bucket = b.bucket
+                                 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(list_sum(list_transform(generate_series(1, 32),
+                 k -> CASE WHEN sa[k] = sb[k] THEN 1 ELSE 0 END)) / 32.0, 6) AS est_jaccard
+    FROM cand
+    """,
+)
 def q24_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (xxhash64-based — not
-    SQL-oracle-expressible; correctness pinned by unit tests instead)."""
+    """MinHash+LSH near-dup candidate pairs. Uses the md5-derived 60-bit
+    hash (:func:`dedup.md5_hash64`) so the whole pipeline — signatures,
+    band buckets, candidate join, agreement estimate — is reproduced
+    hash-for-hash by the DuckDB oracle. The xxhash64 default stays the
+    fast path for production corpora."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3, hash_fn="md5")
+    return pairs.select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
 
 
-@query("q25_simhash")
+@query(
+    "q25_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE {_TOKS_SQL} END AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(t, tok -> {_MD5H_SQL.format(x="tok")}) AS hs
+      FROM toks
+    )
+    SELECT doc_id AS doc,
+           array_to_string(list_transform(generate_series(0, 59), b ->
+             CASE WHEN list_sum(list_transform(hs,
+                    x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN '1' ELSE '0' END), '') AS simhash
+    FROM h
+    """,
+)
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (xxhash64-based; unit-tested)."""
+    """60-bit SimHash per document via the md5-derived hash — bit-for-bit
+    reproduced by the DuckDB oracle (the 64-bit xxhash64 form stays the
+    production default)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash(d)
+    return dedup.simhash(d, hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -1082,11 +1152,58 @@ def q34_backpressure_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- pandas-UDF (Arrow) rows-only entries ----------------------------------
 
 
-@query("q35_savgol_smooth")
+def _savgol_oracle() -> str:
+    """DuckDB oracle for savgol(51, 3): the filter is LINEAR in the input,
+    so it is three literal coefficient blocks — a 51-tap centered
+    convolution for interior rows and 25x51 head/tail matrices for the
+    'interp' polynomial edges — extracted numerically by applying
+    :func:`savgol_filter` to unit vectors (block structure verified:
+    Toeplitz interior, head/tail support only in the first/last 51)."""
+    import numpy as np
+
+    from phoebe_spark.functions.numeric import savgol_filter
+
+    n = 200
+    L = np.array([savgol_filter(np.eye(n)[j], 51, 3) for j in range(n)]).T
+
+    def lit1(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    def lit2(M):
+        return "[" + ", ".join(lit1(r) for r in M) + "]"
+
+    center, head, tail = L[100, 75:126], L[:25, :51], L[-25:, -51:]
+    return f"""
+    WITH s AS (
+      SELECT event_type,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
+             list(event_id ORDER BY ts, event_id) AS ids
+      FROM events GROUP BY event_type
+    ),
+    c AS (SELECT {lit1(center)} AS cc, {lit2(head)} AS hh, {lit2(tail)} AS tt)
+    SELECT event_type,
+           unnest(ids) AS event_id,
+           unnest(list_transform(generate_series(1, len(vs)), i ->
+             round(CASE
+               WHEN i <= 25 THEN
+                 list_sum(list_transform(generate_series(1, 51), j -> hh[i][j] * vs[j]))
+               WHEN i >= len(vs) - 24 THEN
+                 list_sum(list_transform(generate_series(1, 51),
+                          j -> tt[i - (len(vs) - 25)][j] * vs[len(vs) - 51 + j]))
+               ELSE
+                 list_sum(list_transform(generate_series(1, 51), j -> cc[j] * vs[i - 26 + j]))
+             END, 6))) AS smoothed
+    FROM s, c
+    """
+
+
+@query("q35_savgol_smooth", oracle=_savgol_oracle())
 def q35_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 Savitzky-Golay smoothing per series via applyInPandas (the
     reference's scipy savgol, numpy reimplementation in
-    functions.numeric). Grouped-map: one Arrow batch per event_type."""
+    functions.numeric). Grouped-map: one Arrow batch per event_type.
+    Oracle-checked against the literal-coefficient linear form (see
+    :func:`_savgol_oracle`)."""
     import pandas as pd
 
     from phoebe_spark.functions.numeric import savgol_filter
@@ -1096,8 +1213,8 @@ def q35_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        pdf["smoothed"] = savgol_filter(pdf["value"].to_numpy(), 51, 3)
+        pdf = pdf.sort_values(["t", "event_id"])
+        pdf["smoothed"] = savgol_filter(pdf["value"].to_numpy(), 51, 3).round(6)
         return pdf[["event_type", "event_id", "smoothed"]]
 
     return e.groupBy("event_type").applyInPandas(
