@@ -180,6 +180,9 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 8,
+    fit_sample_size: int = 65536,
+    cache: bool = True,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse centroids over
     the corpus, each vector assigned to its nearest centroid's cell, each
@@ -189,15 +192,34 @@ def ivf_topk(
     centroids, no shuffle), then the query-side join touches only
     ``n_probe / n_centroids`` of the corpus — at 100 TB that fraction, not
     the corpus, is the per-query cost. Recall is tunable via n_probe (see
-    tests/test_similarity.py for recall-vs-brute-force measurement)."""
+    tests/test_similarity.py for recall-vs-brute-force measurement).
+
+    Centroids are fitted on a ``fit_sample_size`` random sample — coarse
+    quantizers need ~a few hundred points per centroid, not the corpus —
+    and ``cache=True`` (default) persists that bounded sample for the
+    k-means passes (kmeans|| init + ``max_iter`` iterations), releasing it
+    after the fit. The full corpus is scanned exactly twice (sampling,
+    cell assignment) instead of once per iteration; per-executor memory is
+    bounded by the sample, never the corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.storagelevel import StorageLevel
 
+    # count() reads parquet metadata/row-group counts, not vector data
+    n = corpus.count()
     corpus_v = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_df = corpus_v
+    if n > fit_sample_size:
+        fit_df = corpus_v.sample(fraction=min(1.0, 1.2 * fit_sample_size / n), seed=seed)
+    if cache:
+        fit_df = fit_df.persist(StorageLevel.MEMORY_AND_DISK)
     km = KMeans(
-        k=n_centroids, featuresCol="_features", predictionCol="_cell", seed=seed, maxIter=max_iter
+        k=n_centroids, featuresCol="_features", predictionCol="_cell",
+        seed=seed, maxIter=max_iter, initMode=init_mode,
     )
-    model = km.fit(corpus_v)
+    model = km.fit(fit_df)
+    if cache:
+        fit_df.unpersist(blocking=False)
     assigned = model.transform(corpus_v).select(id_col, vec_col, "_cell")
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

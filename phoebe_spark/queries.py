@@ -455,8 +455,8 @@ def q20_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("timestamp")
         .agg(F.sum("value").alias("value"))
     )
-    dense = ts_core.densify(hourly, step=1)
-    filled = ts_core.fill_linear(dense)
+    dense = ts_core.densify(hourly, step=1, assume_bounded=True)
+    filled = ts_core.fill_linear(dense, assume_bounded=True)
     return filled.select("timestamp", F.round("value", 6).alias("value"))
 
 
@@ -1405,14 +1405,18 @@ def q40_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("value").alias("value"))
     )
     a = hourly("click")
-    mx = e.agg(F.max(_epoch()).alias("mx")).collect()[0]["mx"]
+    # truncation cutoff as a broadcast 1-row aggregate (as q15 does), not a
+    # driver-side collect — the plan stays lazy end-to-end
+    cut = e.agg((F.max(_epoch()) - F.lit(172800)).alias("_cut"))
     b = (
-        e.filter((F.col("event_type") == "view") & (_epoch() < F.lit(int(mx) - 172800)))
+        e.filter(F.col("event_type") == "view")
+        .join(F.broadcast(cut))
+        .filter(_epoch() < F.col("_cut"))
         .withColumn("timestamp", F.floor(_epoch() / 3600).cast("long"))
         .groupBy("timestamp")
         .agg(F.sum("value").alias("value"))
     )
-    merged = ts_core.merge_overwrite(b, a)
+    merged = ts_core.merge_overwrite(b, a, assume_bounded=True)
     return merged.select("timestamp", F.round("value", 6).alias("value"))
 
 
@@ -1495,9 +1499,14 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: KMeans centroids are engine-
     specific; recall vs brute force is pinned in tests/test_similarity.py).
     The 100 TB ANN scale path: per-query cost is n_probe/n_centroids of
-    the corpus, not the corpus."""
+    the corpus, not the corpus. Coarse-quantizer settings: random init +
+    few iterations — cell quality barely moves recall at fixed n_probe,
+    and the fit passes run on a cached bounded sample."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.limit(5), k=5, n_centroids=8, n_probe=4)
+    return similarity.ivf_topk(
+        emb, emb.limit(5), k=5, n_centroids=8, n_probe=4,
+        max_iter=4, init_mode="random",
+    )
 
 
 @query(
@@ -1524,14 +1533,17 @@ def q45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations, idf joins back on term (broadcastable: vocabulary <<
     corpus), per-doc top-k is a window. All JVM-side."""
     d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    n_docs = d.count()
+    # corpus size as a broadcast 1-row aggregate, not a driver-side action —
+    # the whole query stays one lazy plan
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    tfidf = F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term"))
     return (
         tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"), F.col("rank").cast("int").alias("rank"))

@@ -27,7 +27,17 @@ class ProgressMetricsListener(StreamingQueryListener):
     - ``batchDur``  — triggerExecution duration ms (stand-in for the job's
       processing-latency histogram; p95 over a window = A7)
     - ``inputRows`` — numInputRows
+    - ``watermarkLagMs`` — batch wall-clock minus event-time watermark (the
+      late-data / end-to-end freshness signal)
+    - ``stateRows`` / ``lateDropped`` — stateful-operator footprint and rows
+      dropped as later than the watermark
+    - ``lagMax``    — the ``records_lag_max`` analog
+      (``ClientsManager.java:374-380``): Kafka sources report
+      offsets-behind-latest in source metrics; absent that, the per-batch
+      unprocessed backlog estimated from input vs processed rate
     """
+
+    _TS_FMTS = ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ")
 
     def __init__(self):
         self.rows: list[tuple[int, str, float]] = []
@@ -36,18 +46,62 @@ class ProgressMetricsListener(StreamingQueryListener):
     def onQueryStarted(self, event):
         pass
 
+    @classmethod
+    def _parse_ts(cls, s):
+        from datetime import datetime
+
+        for fmt in cls._TS_FMTS:
+            try:
+                return datetime.strptime(s, fmt)
+            except (TypeError, ValueError):
+                continue
+        return None
+
     def onQueryProgress(self, event):
         p = event.progress
         ts = int(p.batchId)  # batch ordinal; wall-clock available via p.timestamp
         try:
-            dur = float(p.durationMs.get("triggerExecution", 0.0))
+            d = json.loads(p.json)
         except Exception:
-            dur = 0.0
+            d = {}
+        dur = float((d.get("durationMs") or {}).get("triggerExecution", 0.0))
+        thr = float(p.inputRowsPerSecond or 0.0)
+        proc = float(p.processedRowsPerSecond or 0.0)
+        rows = [
+            (ts, "thrRate", thr),
+            (ts, "procRate", proc),
+            (ts, "batchDur", dur),
+            (ts, "inputRows", float(p.numInputRows or 0.0)),
+        ]
+        # late-data freshness: wall-clock minus event-time watermark
+        wm = self._parse_ts((d.get("eventTime") or {}).get("watermark"))
+        bt = self._parse_ts(d.get("timestamp"))
+        if wm is not None and bt is not None:
+            rows.append((ts, "watermarkLagMs", (bt - wm).total_seconds() * 1000.0))
+        # stateful-operator footprint + rows dropped later than the watermark
+        ops = d.get("stateOperators") or []
+        if ops:
+            rows.append((ts, "stateRows", float(sum(o.get("numRowsTotal") or 0 for o in ops))))
+            rows.append(
+                (ts, "lateDropped", float(sum(o.get("numRowsDroppedByWatermark") or 0 for o in ops)))
+            )
+        # consumer-lag analog: Kafka's offsets-behind-latest when available,
+        # else the backlog this batch accrued (input arrived minus processed)
+        lags = []
+        for s in d.get("sources") or []:
+            m = s.get("metrics") or {}
+            for k in ("maxOffsetsBehindLatest", "minOffsetsBehindLatest", "records_lag_max"):
+                if k in m:
+                    try:
+                        lags.append(float(m[k]))
+                    except (TypeError, ValueError):
+                        pass
+        if lags:
+            rows.append((ts, "lagMax", max(lags)))
+        elif thr > 0 and dur > 0:
+            rows.append((ts, "lagMax", max(0.0, (thr - proc) * dur / 1000.0)))
         with self._lock:
-            self.rows.append((ts, "thrRate", float(p.inputRowsPerSecond or 0.0)))
-            self.rows.append((ts, "procRate", float(p.processedRowsPerSecond or 0.0)))
-            self.rows.append((ts, "batchDur", dur))
-            self.rows.append((ts, "inputRows", float(p.numInputRows or 0.0)))
+            self.rows.extend(rows)
 
     def onQueryTerminated(self, event):
         pass

@@ -25,6 +25,7 @@ global sort is required when a key column is present.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -32,6 +33,25 @@ from pyspark.sql import functions as F
 
 TS = "timestamp"
 VAL = "value"
+
+
+class UnkeyedGlobalWindowWarning(UserWarning):
+    """An unkeyed call put a global ``Window.orderBy`` (single-partition
+    sort) or global densify into the plan. Safe only for bounded series —
+    the reference's are ~21.6k points — never for corpus-scale input."""
+
+
+def _check_unkeyed(op: str, keys: Sequence[str] | None, assume_bounded: bool) -> None:
+    if not keys and not assume_bounded:
+        warnings.warn(
+            f"{op} called without `keys`: the time window runs as a single-"
+            "partition global sort and will not scale beyond one bounded "
+            "series. Pass `keys` to partition per series, or "
+            "`assume_bounded=True` to assert the input is one bounded "
+            "series (e.g. an already-aggregated per-interval grid).",
+            UnkeyedGlobalWindowWarning,
+            stacklevel=3,
+        )
 
 
 def _keyed_window(keys: Sequence[str] | None, order_col=None, desc: bool = False) -> Window:
@@ -50,6 +70,7 @@ def densify(
     keys: Sequence[str] | None = None,
     start: int | None = None,
     end: int | None = None,
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Expand to a dense fixed-step grid; missing points become null values.
 
@@ -61,8 +82,11 @@ def densify(
 
     Scale note: the grid is generated with ``sequence`` + ``explode`` on the
     per-key bounds row (one row per key), so grid generation is distributed
-    and the join back to observations is a key+timestamp equi-join.
+    and the join back to observations is a key+timestamp equi-join. The
+    unkeyed form additionally generates the whole grid from ONE exploded
+    bounds row — warned unless ``assume_bounded``.
     """
+    _check_unkeyed("densify", keys, assume_bounded)
     keys = list(keys or [])
     spark = df.sparkSession
     lo = F.lit(start) if start is not None else F.min(TS)
@@ -78,7 +102,12 @@ def densify(
     return grid.join(df, on=keys + [TS], how="left").select(*keys, TS, VAL)
 
 
-def fill_linear(df: DataFrame, keys: Sequence[str] | None = None, value_col: str = VAL) -> DataFrame:
+def fill_linear(
+    df: DataFrame,
+    keys: Sequence[str] | None = None,
+    value_col: str = VAL,
+    assume_bounded: bool = False,
+) -> DataFrame:
     """Linear interpolation with edge extrapolation-by-nearest.
 
     Equivalent of pandas ``interpolate(method='linear',
@@ -91,6 +120,7 @@ def fill_linear(df: DataFrame, keys: Sequence[str] | None = None, value_col: str
     timestamp over unbounded-preceding / unbounded-following frames) — stays
     entirely in whole-stage codegen.
     """
+    _check_unkeyed("fill_linear", keys, assume_bounded)
     v = F.col(value_col)
     w_prev = _keyed_window(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = _keyed_window(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -126,7 +156,7 @@ def merge_sum(*dfs: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
     return out.groupBy(*keys, TS).agg(F.sum(VAL).alias(VAL))
 
 
-def merge_overwrite(*dfs: DataFrame) -> DataFrame:
+def merge_overwrite(*dfs: DataFrame, assume_bounded: bool = False) -> DataFrame:
     """Python-merge: dense grid + overwrite-by-recency + linear interpolation.
 
     ``analytics/app/workload/schemes.py:73-94``: build the dense 1 s index
@@ -137,7 +167,11 @@ def merge_overwrite(*dfs: DataFrame) -> DataFrame:
     Spark expression: tag each input with its ``end_time`` rank, take the
     value from the highest-ranked series that has an observation at each
     grid point (``max_by`` over rank), then :func:`fill_linear`.
+
+    Inherently single-series (the reference's Python merge contract) —
+    warned unless ``assume_bounded`` asserts the merged span is bounded.
     """
+    _check_unkeyed("merge_overwrite", None, assume_bounded)
     spark = dfs[0].sparkSession
     tagged = None
     for i, d in enumerate(dfs):
@@ -151,7 +185,7 @@ def merge_overwrite(*dfs: DataFrame) -> DataFrame:
         .groupBy(TS)
         .agg(F.max_by(VAL, F.col("_rank")).alias(VAL))
     )
-    return fill_linear(densify(obs, step=1))
+    return fill_linear(densify(obs, step=1, assume_bounded=True), assume_bounded=True)
 
 
 def slice_inclusive(df: DataFrame, start: int, end: int, keys: Sequence[str] | None = None) -> DataFrame:
@@ -167,6 +201,7 @@ def strided_subsample(
     rate: int,
     keys: Sequence[str] | None = None,
     limit: int | None = None,
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Keep every ``rate``-th observation walking backwards from the newest.
 
@@ -177,6 +212,7 @@ def strided_subsample(
     observation, retain indices ``latest, latest-rate, latest-2·rate, …``,
     optionally at most ``limit`` points, output in ascending time order.
     """
+    _check_unkeyed("strided_subsample", keys, assume_bounded)
     w = _keyed_window(keys, desc=True)
     out = (
         df.withColumn("_rn", F.row_number().over(w))
@@ -193,6 +229,7 @@ def rolling_mean_centered(
     keys: Sequence[str] | None = None,
     value_col: str = VAL,
     out_col: str | None = None,
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Centered rolling mean over ``2*half_window+1`` rows, min_periods=1.
 
@@ -201,6 +238,7 @@ def rolling_mean_centered(
     exponential win_type kernel lives in the models layer as a pandas UDF;
     this JVM-side version is the scalable default.
     """
+    _check_unkeyed("rolling_mean_centered", keys, assume_bounded)
     w = _keyed_window(keys).rowsBetween(-half_window, half_window)
     return df.withColumn(out_col or value_col, F.avg(F.col(value_col)).over(w))
 

@@ -62,3 +62,18 @@ def test_q14_partial_aggregation_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q14_ts_minutely_sum")
     assert _ops(plan, "HashAggregate") == 2  # partial + final
     assert _ops(plan, "Exchange") == 1  # exactly one shuffle
+
+
+def test_registry_free_of_unasserted_global_windows(spark, sf_dir):
+    """VERDICT r1 #8: every registry query must either partition its time
+    windows per key or explicitly assert bounded input — building the whole
+    registry with UnkeyedGlobalWindowWarning escalated to an error proves
+    no query sneaks an unbounded single-partition sort into its plan."""
+    import warnings
+
+    from phoebe_spark.timeseries.core import UnkeyedGlobalWindowWarning
+
+    for name, fn in QUERIES.items():
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UnkeyedGlobalWindowWarning)
+            fn(spark, sf_dir)  # plan construction is where the guard fires

@@ -32,7 +32,7 @@ def test_merge_overwrite_golden(spark):
     (api_test.py:38-48 — outer join + overwrite + linear interpolation)."""
     ts1 = _ts(spark, [(0, 1), (1, 2), (2, 2), (3, 3)])
     ts2 = _ts(spark, [(7, 8), (8, 9), (9, 9), (10, 10)])
-    out = merge_overwrite(ts1, ts2).orderBy("timestamp").collect()
+    out = merge_overwrite(ts1, ts2, assume_bounded=True).orderBy("timestamp").collect()
     assert [r["timestamp"] for r in out] == list(range(11))
     assert [r["value"] for r in out] == [1, 2, 2, 3, 4.25, 5.5, 6.75, 8, 9, 9, 10]
 
@@ -42,7 +42,7 @@ def test_merge_overwrite_recency_wins(spark):
     (workload/schemes.py:83-88: series written in ascending end_time)."""
     early = _ts(spark, [(0, 1), (1, 1), (2, 1)])
     late = _ts(spark, [(1, 9), (2, 9), (3, 9)])
-    out = {r["timestamp"]: r["value"] for r in merge_overwrite(early, late).collect()}
+    out = {r["timestamp"]: r["value"] for r in merge_overwrite(early, late, assume_bounded=True).collect()}
     assert out == {0: 1.0, 1: 9.0, 2: 9.0, 3: 9.0}
 
 
@@ -51,14 +51,14 @@ def test_merge_sum_java_semantics(spark):
     null (no interpolation) — TimeSeries.java:109-138."""
     ts1 = _ts(spark, [(0, 1), (1, 2), (2, None)])
     ts2 = _ts(spark, [(1, 10), (2, 20), (4, 40)])
-    dense = densify(merge_sum(ts1, ts2), step=1)
+    dense = densify(merge_sum(ts1, ts2), step=1, assume_bounded=True)
     out = {r["timestamp"]: r["value"] for r in dense.collect()}
     assert out == {0: 1.0, 1: 12.0, 2: 20.0, 3: None, 4: 40.0}
 
 
 def test_fill_linear_interior_and_edges(spark):
     df = _ts(spark, [(0, None), (1, 2.0), (2, None), (3, None), (4, 8.0), (5, None)])
-    out = [r["value"] for r in fill_linear(df).orderBy("timestamp").collect()]
+    out = [r["value"] for r in fill_linear(df, assume_bounded=True).orderBy("timestamp").collect()]
     assert out == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]
 
 
@@ -73,15 +73,15 @@ def test_strided_subsample_anchors_latest(spark):
     """Backwards stride keeps the newest observation and every rate-th
     before it (TimeSeries.java:185-215)."""
     df = _ts(spark, [(i, i) for i in range(10)])
-    out = sorted(r["timestamp"] for r in strided_subsample(df, rate=3).collect())
+    out = sorted(r["timestamp"] for r in strided_subsample(df, rate=3, assume_bounded=True).collect())
     assert out == [0, 3, 6, 9]
-    limited = sorted(r["timestamp"] for r in strided_subsample(df, rate=3, limit=2).collect())
+    limited = sorted(r["timestamp"] for r in strided_subsample(df, rate=3, limit=2, assume_bounded=True).collect())
     assert limited == [6, 9]
 
 
 def test_densify_fills_gaps_with_null(spark):
     df = _ts(spark, [(0, 1.0), (3, 4.0)])
-    out = {r["timestamp"]: r["value"] for r in densify(df, step=1).collect()}
+    out = {r["timestamp"]: r["value"] for r in densify(df, step=1, assume_bounded=True).collect()}
     assert out == {0: 1.0, 1: None, 2: None, 3: 4.0}
 
 
@@ -108,3 +108,31 @@ def test_slope_intercept_exact_line(spark):
     r = slope_intercept(df).collect()[0]
     assert r["slope"] == pytest.approx(2.0)
     assert r["intercept"] == pytest.approx(5.0)
+
+
+def test_unkeyed_global_window_warns(spark):
+    """VERDICT r1 #8: unkeyed calls put a single-partition global sort (or
+    a one-row grid explode) in the plan — legal only for bounded series, so
+    the kernel warns unless `keys` partitions it or `assume_bounded`
+    asserts it."""
+    import warnings
+
+    from phoebe_spark.timeseries.core import UnkeyedGlobalWindowWarning
+
+    df = _ts(spark, [(0, 1.0), (2, None), (4, 3.0)])
+    with pytest.warns(UnkeyedGlobalWindowWarning):
+        densify(df, step=1)
+    with pytest.warns(UnkeyedGlobalWindowWarning):
+        fill_linear(df)
+    with pytest.warns(UnkeyedGlobalWindowWarning):
+        strided_subsample(df, rate=2)
+    with pytest.warns(UnkeyedGlobalWindowWarning):
+        merge_overwrite(df, df)
+    # keyed or explicitly-asserted-bounded calls stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UnkeyedGlobalWindowWarning)
+        densify(df, step=1, assume_bounded=True)
+        fill_linear(df, assume_bounded=True)
+        merge_overwrite(df, df, assume_bounded=True)
+        densify(df.withColumn("k", F.lit(1)), step=1, keys=["k"])
+        fill_linear(df.withColumn("k", F.lit(1)), keys=["k"])
