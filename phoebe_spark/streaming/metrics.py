@@ -76,7 +76,7 @@ class ProgressMetricsListener(StreamingQueryListener):
         # late-data freshness: wall-clock minus event-time watermark
         wm = self._parse_ts((d.get("eventTime") or {}).get("watermark"))
         bt = self._parse_ts(d.get("timestamp"))
-        if wm is not None and bt is not None:
+        if wm is not None and bt is not None and wm.year > 1970:  # skip uninitialized watermark
             rows.append((ts, "watermarkLagMs", (bt - wm).total_seconds() * 1000.0))
         # stateful-operator footprint + rows dropped later than the watermark
         ops = d.get("stateOperators") or []
@@ -115,3 +115,52 @@ class ProgressMetricsListener(StreamingQueryListener):
         return spark.createDataFrame(
             rows or [(0, "empty", 0.0)], "timestamp LONG, series_key STRING, value DOUBLE"
         )
+
+
+def detect_backpressure(
+    metrics,
+    lat_slope_threshold: float = 0.0,
+    lag_slope_threshold: float = 0.0,
+):
+    """M10 backpressure rule over live listener series — the streaming twin
+    of q34's batch detector (``ClientsManager.java:329-339``): full
+    backpressure (every batch fell behind), or partial backpressure with
+    rising processing latency AND rising consumer lag.
+
+    Input is the listener's ``(timestamp, series_key, value)`` frame; the
+    per-batch "fell behind" indicator is ``procRate < thrRate``. Slopes are
+    OLS over the batch ordinal (covar/var — one aggregation, no window).
+    Returns a 1-row DataFrame: bck_pres_per, lat_slope, lag_slope,
+    is_bck_pres."""
+    from pyspark.sql import functions as F
+
+    wide = (
+        metrics.groupBy("timestamp")
+        .pivot("series_key", ["thrRate", "procRate", "batchDur", "watermarkLagMs", "lagMax"])
+        .agg(F.first("value"))
+    )
+    x = F.col("timestamp").cast("double")
+    behind = F.when(F.col("procRate") < F.col("thrRate"), 1.0).otherwise(0.0)
+    lag = F.coalesce(F.col("watermarkLagMs"), F.col("lagMax"))
+
+    def slope(y):
+        return F.covar_pop(x, y) / F.var_pop(x)
+
+    agg = wide.filter(F.col("thrRate").isNotNull()).agg(
+        F.avg(behind).alias("bck_pres_per"),
+        slope(F.col("batchDur")).alias("lat_slope"),
+        slope(lag).alias("lag_slope"),
+    )
+    return agg.select(
+        "bck_pres_per",
+        "lat_slope",
+        "lag_slope",
+        (
+            (F.col("bck_pres_per") == 1.0)
+            | (
+                (F.col("bck_pres_per") > 0)
+                & (F.col("lat_slope") > lat_slope_threshold)
+                & (F.col("lag_slope") > lag_slope_threshold)
+            )
+        ).alias("is_bck_pres"),
+    )
