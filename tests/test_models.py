@@ -5,6 +5,8 @@ fixtures per FIXTURES.md §3/§8. Statistical models get threshold acceptance
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -13,6 +15,7 @@ from phoebe_spark.models.capacity import CapacityModel
 from phoebe_spark.models.recovery import RecoveryTimeModel, eval_single, merge_overwrite_np
 from phoebe_spark.models.twres import TwresModel, mst_fmap
 from phoebe_spark.models.workload import WorkloadForecaster, process_workload
+from phoebe_spark.sources.csv import read_timeseries_csv
 
 SCALE_OUTS = [2, 5, 8, 11, 14, 17, 20, 23]
 
@@ -241,3 +244,38 @@ def test_fit_many_jobs_one_spark_job(spark):
         assert len(fut_vals) == 60
         # forecast stays near the job's own level, not the other job's
         assert 0.2 * level < np.mean(fut_vals) < 3 * level
+
+
+# -- CARS dataset replay (VERDICT r1 #9) -----------------------------------
+
+_CARS_CSV = "/root/reference/analytics/app/cars_1D_1S_35K_small.csv"
+
+
+@pytest.mark.skipif(not os.path.exists(_CARS_CSV), reason="CARS fixture csv absent")
+def test_forecaster_on_cars_replay(spark):
+    """Startup pre-train acceptance on the reference's real workload shape
+    (``prepare_model.py:50-72``): the CARS 1 Hz trace read through the S1
+    CSV source, value x5 ("5 generators"), tiled to train+update+test
+    length on an arange grid, 1% multiplicative noise at seed 42. The
+    forecaster must fit the train span, absorb the update span
+    incrementally, and beat a MAPE threshold on the held-out test span —
+    the same statistical-acceptance gate the reference applies at boot."""
+    train, update, test = 3600, 600, 600
+    need = train + update + test
+
+    raw = (
+        read_timeseries_csv(spark, _CARS_CSV)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    vals = np.tile(raw["value"].to_numpy(dtype=float) * 5, int(np.ceil(need / len(raw))))[:need]
+    rng = np.random.RandomState(42)
+    vals = np.abs(vals + vals * rng.normal(0, 0.01, len(vals)))
+    ts = np.arange(need)
+
+    f = WorkloadForecaster(num_models=10, step_size=60)
+    f.fit(spark, ts[:train], vals[:train])
+    fut_ts, fut_vals = f.predict(ts[: train + update], vals[: train + update], horizon_s=test)
+    y_true = vals[-test:]
+    mape = float(np.mean(np.abs((y_true - fut_vals) / np.where(y_true == 0, 1, y_true))))
+    assert mape < 0.25, f"CARS replay forecast MAPE {mape:.3f} too high"
