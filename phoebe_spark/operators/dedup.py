@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 from phoebe_spark.operators.text import tokens
 
+# modulus for the md5 double-hash minhash family (2^31 - 1, prime):
+# (h1 + i*h2) stays < 2^36, far from BIGINT overflow in Spark and DuckDB
+MD5_DOUBLE_HASH_P = 2147483647
+
 
 def md5_hash64(col, seed: int | None = None):
     """Oracle-portable 60-bit hash: the first 15 hex chars of md5, parsed
@@ -174,7 +178,22 @@ def minhash_signatures(
     """
     sh = shingle_postings(df, id_col, text_col, shingle_n).withColumnRenamed("shingle", "g")
     if hash_fn == "md5":
-        aggs = [F.min(md5_hash64(F.col("g"), i)).alias(f"_h{i}") for i in range(num_hashes)]
+        # Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields
+        # (h1, h2); hash family i is (h1 + i*h2) mod p. Same minhash
+        # guarantees as independent seeds at 1/num_hashes the hashing cost,
+        # and bit-identical in DuckDB (q24's oracle mirrors the formula).
+        # p = 2^31-1 keeps i*h2 far from BIGINT overflow in both engines.
+        p = MD5_DOUBLE_HASH_P
+        md5 = F.md5(F.col("g"))
+        sh = sh.select(
+            "doc",
+            (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % p).alias("_h1"),
+            (F.conv(F.substring(md5, 17, 15), 16, 10).cast("long") % (p - 1) + 1).alias("_h2"),
+        )
+        aggs = [
+            F.min((F.col("_h1") + i * F.col("_h2")) % p).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     else:
         aggs = [F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
     return (

@@ -93,7 +93,8 @@ def all_pairs_cosine(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """All-pairs cosine similarity above a threshold via 2D-blocked GEMM,
     fully distributed — the corpus is never collected to the driver.
@@ -117,6 +118,19 @@ def all_pairs_cosine(
     import pandas as pd
 
     spark = df.sparkSession
+    if n_blocks is None:
+        # two constraints: blocks small enough to bound per-task memory
+        # (~target_block_rows vectors per block; replication ~n_blocks
+        # copies per row grows only with sqrt of total pair work), AND
+        # enough block pairs (nb*(nb+1)/2) to saturate the cluster -
+        # ~2 tasks per core via nb ~= 2*sqrt(parallelism). Tiny corpora
+        # cap at 64-row blocks so tasks aren't pure overhead. count() is
+        # a cheap metadata-mostly job on columnar sources.
+        n = df.count()
+        par = spark.sparkContext.defaultParallelism
+        nb_mem = -(-n // target_block_rows)
+        nb_par = min(2 * int(par**0.5) + 1, -(-n // 64))
+        n_blocks = max(1, min(64, max(nb_mem, nb_par)))
     pair_rows = [
         (bi * n_blocks + bj, bi, bj)
         for bi in range(n_blocks)

@@ -740,10 +740,15 @@ _MD5H_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
       FROM toks
     ),
     post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    hp AS (
+      SELECT doc_id,
+             {_MD5H_SQL.format(x='g')} % 2147483647 AS h1,
+             CAST(('0x' || substring(md5(g), 17, 15)) AS BIGINT) % 2147483646 + 1 AS h2
+      FROM post
+    ),
     mh AS (
-      SELECT doc_id, i,
-             min({_MD5H_SQL.format(x="g || '|' || CAST(i AS VARCHAR)")}) AS h
-      FROM post CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) seeds
+      SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS h
+      FROM hp CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) seeds
       GROUP BY doc_id, i
     ),
     sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
