@@ -323,3 +323,50 @@ def simhash_hamming_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the public MOSS local fingerprinting algorithm): hash every
+    character ``k``-gram of the whitespace-normalized lowercase text, slide
+    a ``window`` of consecutive gram hashes, keep the minimum of each
+    window, and dedupe — guaranteeing any shared substring of length
+    ``k + window - 1`` contributes a shared fingerprint, at ~2/(window+1)
+    sampling density.
+
+    Spark shape: one scan, one ``sequence``+``explode`` (fan-out = text
+    length, bounded per row), the window-min as a per-doc rows-frame window
+    (keyed by doc — partitions stay parallel at corpus scale), one distinct
+    shuffle on (doc, fp). The hash is the md5 double-hash base
+    (:data:`MD5_DOUBLE_HASH_P`), so fingerprints are bit-identical in
+    DuckDB and the whole operator oracle-checks end-to-end (q51).
+
+    Returns (doc, fp) — one row per distinct fingerprint per document.
+    """
+    p = MD5_DOUBLE_HASH_P
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    d = df.select(F.col(id_col).alias("doc"), norm.alias("t")).filter(
+        F.length("t") >= k + window - 1
+    )
+    grams = d.select(
+        "doc",
+        F.posexplode(F.sequence(F.lit(1), F.length("t") - k + 1)).alias("_i", "pos"),
+        F.col("t"),
+    ).select("doc", "pos", F.expr(f"substring(t, pos, {k})").alias("g"))
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long") % p
+    w_min = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    w_doc = Window.partitionBy("doc")
+    return (
+        grams.select("doc", "pos", h.alias("h"))
+        .withColumn("fp", F.min("h").over(w_min))
+        .withColumn("_mx", F.max("pos").over(w_doc))
+        .filter(F.col("pos") <= F.col("_mx") - (window - 1))
+        .select("doc", "fp")
+        .distinct()
+    )

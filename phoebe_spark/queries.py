@@ -1742,3 +1742,48 @@ def q50_profile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.select_profiles(spark, [1], "click").unionAll(
         store.select_profiles(spark, [1], "view")
     )
+
+
+@query(
+    "q51_winnow_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, t, unnest(range(1, length(t) - 8 + 2)) AS pos
+      FROM d WHERE length(t) >= 11
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substring(md5(substring(t, pos, 8)), 1, 15)) AS BIGINT)
+               % 2147483647 AS h
+      FROM p
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             max(pos) OVER (PARTITION BY doc_id) AS mx
+      FROM g
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= mx - 3)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, bit_xor(fp) AS fp_xor,
+           min(fp) AS min_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q51_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (MOSS; the classic
+    substring-level near-dup fingerprint for training corpora), k=8 char
+    grams, window=4, via :func:`dedup.winnow_fingerprints`. Compacted to
+    per-doc (count, xor, min) of the fingerprint set so the oracle compare
+    is value-sensitive to every fingerprint without ferrying the full set."""
+    d = _t(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(d, k=8, window=4)
+    return fps.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.bit_xor("fp").alias("fp_xor"),
+        F.min("fp").alias("min_fp"),
+    )

@@ -53,3 +53,43 @@ def test_cap_preserves_true_neardups(spark):
         for r in ngram_jaccard_pairs(df, n=5, threshold=0.5, max_shingle_freq=10).collect()
     }
     assert got == {(0, 1)}
+
+
+# -- winnowing fingerprints -------------------------------------------------
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core property: two documents sharing a substring of at
+    least k + window - 1 chars share at least one fingerprint; disjoint
+    texts (different alphabets of grams) share none."""
+    from phoebe_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"XXXX {shared} YYYY"),
+            (3, "zebra zebu zygote zen zesty zinc zonal zoom"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = winnow_fingerprints(docs, k=8, window=4)
+    sets: dict[int, set[int]] = {}
+    for r in fps.collect():
+        sets.setdefault(r["doc"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "docs sharing a long substring must share fingerprints"
+    assert not (sets[1] & sets[3]), "disjoint docs should not collide"
+    # density: ~2/(w+1) of gram positions become fingerprints, never zero
+    assert 0 < len(sets[1]) < len(f"AAAA {shared} BBBB")
+
+
+def test_winnow_length_gate(spark):
+    """Docs shorter than k + window - 1 produce no full window, hence no
+    fingerprints (and no degenerate sequence() output)."""
+    from phoebe_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "exactly11ch")], "doc_id LONG, text STRING"
+    )
+    out = winnow_fingerprints(docs, k=8, window=4).collect()
+    assert {r["doc"] for r in out} == {2}
