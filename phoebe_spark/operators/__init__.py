@@ -6,4 +6,4 @@
 - ``candidates`` — scale-out candidate grid + ResponseFinalizer (W9)
 """
 
-from phoebe_spark.operators import candidates, dedup, similarity, text  # noqa: F401
+from phoebe_spark.operators import candidates, dedup, sampling, similarity, text  # noqa: F401

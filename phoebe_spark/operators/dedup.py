@@ -370,3 +370,51 @@ def winnow_fingerprints(
         .select("doc", "fp")
         .distinct()
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_col_a: str = "doc_a",
+    id_col_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the dedup-cluster
+    step that turns pairwise matches (minhash / simhash / embedding-cosine
+    pairs) into keep-one-per-cluster groups.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round labels flow across edges and each node keeps the minimum seen.
+    Converges in O(cluster diameter) rounds — near-dup clusters are
+    shallow (most are pairs/triangles), so a handful of rounds suffice.
+    Each round is one equi-join + one min-aggregation on the edge list
+    (both shuffle on uniform node ids), with an eager ``localCheckpoint``
+    truncating the growing lineage; the convergence probe is a
+    ``limit(1).count()`` on changed labels. For adversarially deep chain
+    graphs switch to the large-star/small-star formulation; for dedup
+    workloads this simple form is the right cost.
+
+    Returns (doc, component) where component = min doc id in the cluster.
+    """
+    e = pairs.select(F.col(id_col_a).alias("s"), F.col(id_col_b).alias("d"))
+    e = e.union(
+        pairs.select(F.col(id_col_b).alias("s"), F.col(id_col_a).alias("d"))
+    ).distinct()
+    labels = e.select(F.col("s").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
+    for _ in range(max_iter):
+        prop = e.join(
+            labels.select(F.col("doc").alias("d"), "lbl"), "d"
+        ).select(F.col("s").alias("doc"), "lbl")
+        new_labels = (
+            labels.union(prop).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc")
+            .filter(F.col("o.lbl") != F.col("n.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("lbl").alias("component"))

@@ -1,0 +1,72 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines.
+
+At 100 TB, ``df.sample()`` / ``rand()`` splits are the wrong tool: they
+change under re-partitioning, retries, and seed drift, so yesterday's
+train set is not today's. The reproducible pattern is content hashing —
+assign each record to a bucket by a salted hash of its id and cut the
+bucket range by the requested shares. The assignment is a pure column
+expression (whole-stage codegen, no shuffle, no RNG state), identical on
+any cluster size, and — built on the md5 double-hash base — bit-identical
+in DuckDB so splits oracle-check end-to-end (q55).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from phoebe_spark.operators.dedup import md5_hash64
+
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.9),
+    ("val", 0.05),
+    ("test", 0.05),
+)
+
+
+def hash_bucket(id_col, salt: str = "v1", buckets: int = 10000):
+    """Stable bucket in [0, buckets): md5 double-hash of ``id || '|' ||
+    salt``. Change the salt to draw an independent split."""
+    return md5_hash64(F.concat(id_col.cast("string"), F.lit(f"|{salt}"))) % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+    salt: str = "v1",
+    buckets: int = 10000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label by cumulative bucket
+    ranges (e.g. train [0, 9000), val [9000, 9500), test [9500, 10000)).
+    Shares must sum to <= 1; any remainder is labeled null (held out)."""
+    total = sum(f for _, f in splits)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(F.col(id_col), salt, buckets)
+    expr = None
+    acc = 0.0
+    for name, frac in splits:
+        acc += frac
+        bound = int(round(acc * buckets))
+        cond = b < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr.otherwise(F.lit(None).cast("string")))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic ``fraction`` subsample by bucket cut — reproducible
+    across runs and cluster layouts, unlike ``df.sample``. Nested samples:
+    a 1% cut is a subset of the 10% cut at the same salt."""
+    bound = int(round(fraction * buckets))
+    return df.filter(hash_bucket(F.col(id_col), salt, buckets) < F.lit(bound))

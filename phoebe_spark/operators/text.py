@@ -40,6 +40,22 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer approximation, restricted to syntax RE2 and
+# Java regex agree on (no lookarounds, ASCII classes): contraction tails,
+# letter runs, single digits, punctuation runs. Counting its matches
+# estimates BPE token count to first order (BPE merges only ever split
+# within these pre-token boundaries).
+BPE_SPLIT_RE = r"'(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """Estimated subword (BPE) token count: matches of the GPT-2-ish
+    pre-tokenizer regex. Pure ``regexp_count`` — stays in codegen; the
+    identical pattern runs in DuckDB via ``regexp_extract_all`` for the
+    oracle."""
+    return F.regexp_count(text_col, F.lit(BPE_SPLIT_RE))
+
+
 def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = _EN_STOPWORDS) -> Column:
     """Fraction of tokens that are (English) stopwords."""
     toks = tokens(text_col)

@@ -75,7 +75,7 @@ def clustering_validity(profiles: DataFrame, distance: float = 2.0) -> DataFrame
         a.join(
             F.broadcast(b),
             (F.col("a.scaleOut") != F.col("b.scaleOut"))
-            & (F.abs((F.col("a.last_lat") - F.col("b.last_lat")) / F.col("b.last_lat")) < distance),
+            & (F.abs(F.try_divide(F.col("a.last_lat") - F.col("b.last_lat"), F.col("b.last_lat"))) < distance),
             "left",
         )
         .groupBy(F.col("a.scaleOut").alias("scaleOut"), F.col("a.last_lat").alias("last_lat"))
@@ -106,7 +106,7 @@ def regression_validity(profiles: DataFrame, distance: float = 2.0) -> DataFrame
         (F.col("stopTs") == w_last).alias("is_last"),
     )
     fit = obs.filter(~F.col("is_last")).groupBy("scaleOut").agg(
-        (F.covar_pop("x", "avgLat") / F.var_pop("x")).alias("slope"),
+        F.try_divide(F.covar_pop("x", "avgLat"), F.var_pop("x")).alias("slope"),
         F.avg("avgLat").alias("ybar"),
         F.avg("x").alias("xbar"),
     )
@@ -119,7 +119,7 @@ def regression_validity(profiles: DataFrame, distance: float = 2.0) -> DataFrame
     return (
         last.join(F.broadcast(fit), "scaleOut")
         .withColumn("pred", pred)
-        .filter(F.abs((F.col("last_lat") - F.col("pred")) / F.col("pred")) < distance)
+        .filter(F.abs(F.try_divide(F.col("last_lat") - F.col("pred"), F.col("pred"))) < distance)
         .select("scaleOut", F.col("last_lat").alias("valid_lat"))
     )
 

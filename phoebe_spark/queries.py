@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from phoebe_spark.operators import dedup, similarity, text
+from phoebe_spark.operators import dedup, sampling, similarity, text
 from phoebe_spark.timeseries import aggregates as ts_agg
 from phoebe_spark.timeseries import core as ts_core
 
@@ -1786,4 +1786,142 @@ def q51_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_fp"),
         F.bit_xor("fp").alias("fp_xor"),
         F.min("fp").alias("min_fp"),
+    )
+
+
+@query(
+    "q52_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+           length(text) AS chars
+    FROM documents
+    """,
+)
+def q52_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens plus
+    the GPT-2-ish pre-tokenizer match count (:func:`text.bpe_token_count`)
+    — the standard first-order BPE token estimate. Both are single-pass
+    column expressions over the documents scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+@query(
+    "q53_dedup_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings) a
+      JOIN (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings) b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc = e.d
+    )
+    SELECT doc AS doc_id, min(lbl) AS component
+    FROM reach GROUP BY doc
+    """,
+)
+def q53_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: embedding near-dup pairs (q41's exact >= 0.45
+    cosine) closed into connected components via iterative min-label
+    propagation (:func:`dedup.dedup_components`). The oracle computes the
+    same components with a recursive reachability CTE, so the iterative
+    Spark algorithm is checked end-to-end against a declarative fixpoint."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.all_pairs_cosine(emb, threshold=0.45)
+    comp = dedup.dedup_components(pairs, id_col_a="id_a", id_col_b="id_b")
+    return comp.select(F.col("doc").alias("doc_id"), "component")
+
+
+@query(
+    "q54_asof_join",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, CAST(floor({EPOCH_SQL.format(c='ts')} / 60) AS BIGINT) AS minute,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, minute, v FROM m WHERE minute % 5 = 0)
+    SELECT l.event_type, l.minute, l.v AS minute_sum,
+           r.v AS checkpoint_sum_asof
+    FROM m l ASOF LEFT JOIN r
+      ON l.event_type = r.event_type AND l.minute >= r.minute
+    """,
+)
+def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic backward as-of join (:func:`ts_core.asof_join`, the pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` operator): every per-minute sum
+    picks up the most recent 5-minute checkpoint at or before it, per
+    event_type. Checked against DuckDB's native ASOF LEFT JOIN — ties
+    inclusive, leading rows null. The union-tag plan shuffles once on the
+    key; no range cross-product."""
+    e = _t(spark, sf_dir, "events")
+    m = (
+        e.withColumn("minute", F.floor(_epoch() / 60).cast("long"))
+        .groupBy("event_type", "minute")
+        .agg(F.round(F.sum("value"), 6).alias("minute_sum"))
+    )
+    r = m.filter(F.col("minute") % 5 == 0).select(
+        "event_type", "minute", F.col("minute_sum").alias("checkpoint_sum")
+    )
+    out = ts_core.asof_join(
+        m, r, on="minute", by=["event_type"], value_cols=["checkpoint_sum"]
+    )
+    return out.select("event_type", "minute", "minute_sum", "checkpoint_sum_asof")
+
+
+@query(
+    "q55_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM b GROUP BY 1
+    """,
+)
+def q55_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (:func:`sampling.hash_split`):
+    salted md5 bucket cut, reproducible across runs, partitionings, and
+    engines — the 100 TB-safe alternative to rand()/sample() splits. The
+    oracle recomputes the identical assignment in DuckDB; aggregated per
+    split so the compare is sensitive to every row's label."""
+    d = _t(spark, sf_dir, "documents")
+    s = sampling.hash_split(d, id_col="doc_id")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
     )

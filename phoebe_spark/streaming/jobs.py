@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -45,6 +45,37 @@ def sine_rate_source(
         F.col("timestamp").alias("event_time"),
         (F.col("value") % num_keys).alias("key"),
         noisy.alias("value"),
+    )
+
+
+def dataset_replay_source(
+    spark: SparkSession,
+    series: DataFrame,
+    rows_per_second: int = 1000,
+    num_keys: int = 100,
+    value_col: str = "value",
+) -> DataFrame:
+    """DATASET generator mode (``Graph.java:190-204`` SINE|DATASET;
+    ``prepare_model.py:50-72`` replays the recorded CARS trace): each
+    wall-clock second draws its value from the recorded 1 Hz trace, tiled
+    modulo its length. The trace is indexed once (bounded, driver-side
+    count + row_number) and joined to the rate stream as a stream-static
+    broadcast join per micro-batch — no stream state, no shuffle of the
+    stream. Columns: (event_time TIMESTAMP, key LONG, value DOUBLE)."""
+    n = series.count()
+    w = Window.orderBy("timestamp")
+    indexed = series.select(
+        (F.row_number().over(w) - 1).alias("_idx"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    t = F.unix_timestamp("timestamp")
+    return rate.join(
+        F.broadcast(indexed), F.pmod(t, F.lit(n)) == F.col("_idx")
+    ).select(
+        F.col("timestamp").alias("event_time"),
+        (F.col("value") % num_keys).alias("key"),
+        F.col("_v").alias("value"),
     )
 
 

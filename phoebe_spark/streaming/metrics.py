@@ -144,7 +144,8 @@ def detect_backpressure(
     lag = F.coalesce(F.col("watermarkLagMs"), F.col("lagMax"))
 
     def slope(y):
-        return F.covar_pop(x, y) / F.var_pop(x)
+        # try_divide: fewer than two batches has var 0 - undefined, not an error
+        return F.try_divide(F.covar_pop(x, y), F.var_pop(x))
 
     agg = wide.filter(F.col("thrRate").isNotNull()).agg(
         F.avg(behind).alias("bck_pres_per"),

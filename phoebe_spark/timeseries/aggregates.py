@@ -65,7 +65,9 @@ def slope_intercept(
     x = F.col(x_col).cast("double")
     y = F.col(y_col)
     base = df.filter(y.isNotNull())
-    slope = (F.covar_pop(x, y) / F.var_pop(x)).alias("slope")
+    # try_divide: a single-observation series has var_pop(x) = 0 — its
+    # slope is undefined (null), not an ANSI division error
+    slope = F.try_divide(F.covar_pop(x, y), F.var_pop(x)).alias("slope")
     aggs = [slope, F.avg(y).alias("_my"), F.avg(x).alias("_mx")]
     g = base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
     return g.select(

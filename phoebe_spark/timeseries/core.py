@@ -265,3 +265,57 @@ def binned_mean(
         .agg(F.avg(value_col).alias(value_col))
     )
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = TS,
+    by: Sequence[str] | None = None,
+    value_cols: Sequence[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the most recent right
+    observation at or before its timestamp, per ``by`` group (pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics; the generalization of
+    the reference's series alignment, ``workload/models.py:138-147``).
+
+    Union-tag implementation — the scalable as-of shape: tag right rows 0
+    and left rows 1, order by (time, tag) per key, carry the right values
+    forward with ``last(..., ignorenulls)`` over an unbounded-preceding
+    frame, keep the left rows. ONE shuffle on the ``by`` key, no range
+    cross-product, no per-row probe; ties (right at exactly the left
+    timestamp) are included. ``tolerance`` (same unit as ``on``) nulls out
+    matches older than ``on - tolerance``. Unkeyed input runs as a global
+    sort — same boundedness caveat as the other unkeyed kernels.
+
+    Right value columns land as ``<col><suffix>``.
+    """
+    keys = list(by or [])
+    vals = list(value_cols or [c for c in right.columns if c not in keys + [on]])
+    out_names = {c: f"{c}{suffix}" for c in vals}
+    r = (
+        right.select(*keys, F.col(on), *[F.col(c).alias(out_names[c]) for c in vals])
+        .withColumn("_tag", F.lit(0))
+        .withColumn("_r_ts", F.col(on).cast("long"))
+    )
+    l = left.withColumn("_tag", F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(on), F.col("_tag"))
+    else:
+        w = Window.orderBy(F.col(on), F.col("_tag"))
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = merged.select(
+        "*",
+        *[F.last(out_names[c], ignorenulls=True).over(w).alias(f"_c{i}") for i, c in enumerate(vals)],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+    ).filter(F.col("_tag") == 1)
+    keep = F.lit(True)
+    if tolerance is not None:
+        keep = F.col("_c_ts") >= F.col(on).cast("long") - F.lit(int(tolerance))
+    return carried.select(
+        *left.columns,
+        *[F.when(keep, F.col(f"_c{i}")).alias(out_names[c]) for i, c in enumerate(vals)],
+    )

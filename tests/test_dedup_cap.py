@@ -93,3 +93,44 @@ def test_winnow_length_gate(spark):
     )
     out = winnow_fingerprints(docs, k=8, window=4).collect()
     assert {r["doc"] for r in out} == {2}
+
+
+def test_dedup_components_chain_triangle_singletons(spark):
+    """Min-label propagation: a 4-chain, a triangle, and an isolated pair
+    resolve to their min-id components; unpaired docs don't appear."""
+    from phoebe_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),       # chain 1-2-3-4
+            (10, 11), (11, 12), (10, 12), # triangle
+            (20, 21),                     # pair
+        ],
+        "doc_a LONG, doc_b LONG",
+    )
+    out = {r["doc"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_hash_split_deterministic_and_nested(spark):
+    """hash_split: stable across invocations, shares near the request, and
+    hash_sample cuts nest (1% subset of 10%) at the same salt."""
+    from phoebe_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert s1 == s2
+    from collections import Counter
+
+    shares = Counter(s1.values())
+    assert abs(shares["train"] / 5000 - 0.9) < 0.03
+    assert abs(shares["val"] / 5000 - 0.05) < 0.02
+    assert abs(shares["test"] / 5000 - 0.05) < 0.02
+
+    small = {r["doc_id"] for r in hash_sample(df, 0.01).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, 0.10).collect()}
+    assert small <= big and len(small) > 0
+    # independent salt draws a different set
+    other = {r["doc_id"] for r in hash_sample(df, 0.10, salt="v2").collect()}
+    assert other != big

@@ -141,3 +141,37 @@ def test_sine_rate_source_schema(spark):
     src = sine_rate_source(spark, rows_per_second=10)
     assert src.isStreaming
     assert [f.name for f in src.schema.fields] == ["event_time", "key", "value"]
+
+
+def test_dataset_replay_source(spark):
+    """DATASET generator mode: streamed values must come exactly from the
+    recorded trace (tiled modulo its length), keyed like the sine mode."""
+    import tempfile
+    import time as _time
+
+    from phoebe_spark.streaming.jobs import dataset_replay_source, run_to_sink
+
+    trace = spark.createDataFrame(
+        [(i, 100.0 + i) for i in range(10)], "timestamp LONG, value DOUBLE"
+    )
+    src = dataset_replay_source(spark, trace, rows_per_second=500, num_keys=5)
+    q = run_to_sink(
+        src, tempfile.mkdtemp(), queryName="replay_src",
+        fmt="memory", trigger_available_now=False,
+    )
+    try:
+        deadline = _time.time() + 20
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql("SELECT * FROM replay_src").collect()
+            if len(rows) >= 100:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 100, "replay stream produced too few rows"
+    allowed = {100.0 + i for i in range(10)}
+    assert {r["value"] for r in rows} <= allowed
+    assert {r["key"] for r in rows} <= set(range(5))
+    # consecutive wall-clock seconds walk the trace, so >1 distinct value
+    assert len({r["value"] for r in rows}) > 1

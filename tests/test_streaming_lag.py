@@ -83,7 +83,7 @@ def test_lag_series_and_backpressure_flip(spark):
     def throttled(df, batch_id):
         df.count()
         state["batch"] += 1
-        time.sleep(min(0.35 * state["batch"], 2.5))
+        time.sleep(min(0.5 * state["batch"], 3.0))
 
     q = None
     try:
@@ -122,7 +122,11 @@ def test_lag_series_and_backpressure_flip(spark):
         assert sum(v for _, k, v in listener.rows if k == "lateDropped") > 0, (
             "watermark dropped no late rows"
         )
-        flags = detect_backpressure(listener.to_df(spark)).collect()[0]
+        # evaluate over the trailing window past the boot batches, as the
+        # reference does (batch 0 carries one-off startup cost that can
+        # mask the rising trend over a short run)
+        steady = listener.to_df(spark).filter("timestamp >= 2")
+        flags = detect_backpressure(steady).collect()[0]
         assert flags["lat_slope"] > 0, flags  # per-batch cost is growing
         assert flags["is_bck_pres"], flags
     finally:

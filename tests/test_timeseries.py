@@ -136,3 +136,30 @@ def test_unkeyed_global_window_warns(spark):
         merge_overwrite(df, df, assume_bounded=True)
         densify(df.withColumn("k", F.lit(1)), step=1, keys=["k"])
         fill_linear(df.withColumn("k", F.lit(1)), keys=["k"])
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: most recent right row at-or-before each left row,
+    per key; ties inclusive; no-match rows null; tolerance cuts old rows."""
+    from phoebe_spark.timeseries.core import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 12, 2.0), ("b", 7, 3.0)],
+        "k STRING, timestamp LONG, lv DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 10, 100.0), ("a", 12, 120.0), ("b", 9, 90.0)],
+        "k STRING, timestamp LONG, rv DOUBLE",
+    )
+    out = {
+        (r["k"], r["timestamp"]): r["rv_asof"]
+        for r in asof_join(left, right, by=["k"], value_cols=["rv"]).collect()
+    }
+    assert out == {("a", 5): 30.0, ("a", 12): 120.0, ("b", 7): None}
+    # tolerance: at ("a", 12) with tolerance 1, the tie at 12 still matches;
+    # at ("a", 5) the match from t=3 is older than 5-1 and is nulled
+    tol = {
+        (r["k"], r["timestamp"]): r["rv_asof"]
+        for r in asof_join(left, right, by=["k"], value_cols=["rv"], tolerance=1).collect()
+    }
+    assert tol == {("a", 5): None, ("a", 12): 120.0, ("b", 7): None}
