@@ -1925,3 +1925,29 @@ def q55_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "q56_salted_agg",
+    oracle=f"""
+    SELECT event_type, round(sum(value), 6) AS sum_value,
+           CAST(count(*) AS BIGINT) AS count
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (:func:`skew.salted_aggregate`):
+    groupBy(key, salt) partials then groupBy(key) combine. The oracle is
+    the PLAIN single-phase GROUP BY — proving the salted plan is
+    result-identical while its first shuffle spreads each hot key over 32
+    reducers (the 100 TB answer to power-law keys when AQE's skew split
+    isn't available, e.g. pre-shuffle cardinality explosions)."""
+    from phoebe_spark.operators import skew
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = skew.salted_aggregate(e, keys=["event_type"], sum_cols=["value"])
+    return out.select(
+        "event_type",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.col("count"),
+    )
