@@ -418,3 +418,37 @@ def dedup_components(
         if changed == 0:
             break
     return labels.select("doc", F.col("lbl").alias("component"))
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — the train/eval overlap scrub every
+    training corpus needs: count, per corpus document, its distinct word
+    ``n``-grams that also occur anywhere in the benchmark set.
+
+    Plan: both sides shingle once via :func:`shingle_postings` (single
+    scan each); the benchmark's distinct shingle set is broadcast (eval
+    suites are tiny next to a 100 TB corpus) so the probe is a map-side
+    broadcast semi-join inside the corpus scan — no shuffle of corpus
+    shingles; the per-doc count is one aggregation on the doc key.
+
+    Returns (doc, n_contaminated) for every corpus document, zeros
+    included.
+    """
+    c = shingle_postings(corpus, id_col, text_col, n)
+    b = shingle_postings(benchmark, id_col, text_col, n).select("shingle").distinct()
+    hits = (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select("doc", F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
+    )

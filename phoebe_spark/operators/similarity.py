@@ -184,6 +184,25 @@ def all_pairs_cosine(
     )
 
 
+def _spherical_kmeans(X, k: int, iters: int, seed: int):
+    """Driver-side spherical k-means on a BOUNDED sample (numpy): assign by
+    dot product on unit vectors, recentre, renormalize. Deterministic under
+    seed; milliseconds at coarse-quantizer sizes (k<=4096, sample<=64k)."""
+    rng = np.random.RandomState(seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)]
+    if len(C) < k:  # degenerate tiny corpus: pad by repeating
+        C = np.vstack([C] * (k // len(C) + 1))[:k]
+    for _ in range(iters):
+        a = (Xn @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = Xn[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -195,49 +214,50 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 8,
     fit_sample_size: int = 65536,
-    cache: bool = True,
-    init_mode: str = "k-means||",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse centroids over
-    the corpus, each vector assigned to its nearest centroid's cell, each
+    """IVF (inverted-file) approximate top-k: coarse centroids over the
+    corpus, each vector assigned to its nearest centroid's cell, each
     query scanning only its ``n_probe`` nearest cells.
 
-    Scale shape: the corpus is scanned once to assign cells (broadcast
-    centroids, no shuffle), then the query-side join touches only
-    ``n_probe / n_centroids`` of the corpus — at 100 TB that fraction, not
-    the corpus, is the per-query cost. Recall is tunable via n_probe (see
-    tests/test_similarity.py for recall-vs-brute-force measurement).
+    Scale shape: centroids are FIT on a bounded random sample collected to
+    the driver (coarse quantizers need a few hundred points per centroid,
+    never the corpus; <=``fit_sample_size`` rows by construction — this is
+    a model fit on a bounded sample, not a data collect) with spherical
+    k-means in numpy — microseconds per iteration, no per-iteration Spark
+    jobs. Cell ASSIGNMENT is distributed: one ``mapInPandas`` pass over
+    the corpus scan computing an Arrow-batched GEMM argmax against the
+    broadcast centroid matrix — the corpus is scanned once, shuffled
+    never. The query side probes ``n_probe / n_centroids`` of the corpus
+    via a broadcast cell join; at 100 TB that fraction, not the corpus, is
+    the per-query cost. Recall is tunable via n_probe
+    (tests/test_similarity.py pins recall vs brute force)."""
+    import pandas as pd
 
-    Centroids are fitted on a ``fit_sample_size`` random sample — coarse
-    quantizers need ~a few hundred points per centroid, not the corpus —
-    and ``cache=True`` (default) persists that bounded sample for the
-    k-means passes (kmeans|| init + ``max_iter`` iterations), releasing it
-    after the fit. The full corpus is scanned exactly twice (sampling,
-    cell assignment) instead of once per iteration; per-executor memory is
-    bounded by the sample, never the corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.storagelevel import StorageLevel
-
-    # count() reads parquet metadata/row-group counts, not vector data
-    n = corpus.count()
-    corpus_v = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    fit_df = corpus_v
-    if n > fit_sample_size:
-        fit_df = corpus_v.sample(fraction=min(1.0, 1.2 * fit_sample_size / n), seed=seed)
-    if cache:
-        fit_df = fit_df.persist(StorageLevel.MEMORY_AND_DISK)
-    km = KMeans(
-        k=n_centroids, featuresCol="_features", predictionCol="_cell",
-        seed=seed, maxIter=max_iter, initMode=init_mode,
-    )
-    model = km.fit(fit_df)
-    if cache:
-        fit_df.unpersist(blocking=False)
-    assigned = model.transform(corpus_v).select(id_col, vec_col, "_cell")
-
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession
+    n = corpus.count()  # metadata-mostly on columnar sources
+    sample = corpus.select(vec_col)
+    if n > fit_sample_size:
+        sample = sample.sample(fraction=min(1.0, 1.2 * fit_sample_size / n), seed=seed)
+    X = np.array([list(r[0]) for r in sample.limit(fit_sample_size).collect()], dtype=np.float64)
+    C = _spherical_kmeans(X, n_centroids, max_iter, seed)
+
+    id_field = corpus.schema[id_col]
+    vec_field = corpus.schema[vec_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        f"{vec_col} {vec_field.dataType.simpleString()}, _cell INT"
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cells = (Vn @ C.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col], "_cell": cells})
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
     cent_df = spark.createDataFrame(centroids, "_cell INT, _centroid ARRAY<DOUBLE>")
 
     # per query: n_probe nearest centroids

@@ -97,3 +97,29 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     makes the fingerprint oracle-checkable end-to-end."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# PII patterns shared by the Spark expressions and the DuckDB oracle —
+# intentionally lookaround-free so Java regex and RE2 agree.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """PII redaction for training corpora: emails, phone-number shapes, and
+    IPv4 literals replaced with typed placeholder tokens, with per-doc
+    match counts for audit. Pure ``regexp_replace``/``regexp_count``
+    column expressions — single pass, whole-stage codegen, and the exact
+    patterns re-run in DuckDB for the oracle (q57)."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    cleaned = F.regexp_replace(cleaned, PII_IPV4_RE, "<IP>")
+    cleaned = F.regexp_replace(cleaned, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        "*",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(F.regexp_replace(F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        cleaned.alias(out_col),
+    )

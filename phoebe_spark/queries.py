@@ -1504,14 +1504,11 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: KMeans centroids are engine-
     specific; recall vs brute force is pinned in tests/test_similarity.py).
     The 100 TB ANN scale path: per-query cost is n_probe/n_centroids of
-    the corpus, not the corpus. Coarse-quantizer settings: random init +
-    few iterations — cell quality barely moves recall at fixed n_probe,
-    and the fit passes run on a cached bounded sample."""
+    the corpus, not the corpus. Centroids fit driver-side on a bounded
+    sample (spherical k-means, numpy); assignment is one distributed
+    Arrow GEMM pass."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, emb.limit(5), k=5, n_centroids=8, n_probe=4,
-        max_iter=4, init_mode="random",
-    )
+    return similarity.ivf_topk(emb, emb.limit(5), k=5, n_centroids=8, n_probe=4)
 
 
 @query(
@@ -1951,3 +1948,97 @@ def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 6).alias("sum_value"),
         F.col("count"),
     )
+
+
+@query(
+    "q57_pii_scrub",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN doc_id % 11 = 0 THEN ' call +1 (415) 555-0100 soon'
+               WHEN doc_id % 13 = 0 THEN ' host 192.168.0.1 up'
+               ELSE '' END AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+             len(regexp_extract_all(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phones
+      FROM planted
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones, md5(clean_text) AS clean_md5
+    FROM scrubbed
+    """,
+)
+def q57_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (:func:`text.scrub_pii`) with deterministically planted
+    emails / phone shapes / IPv4 literals so the replacement paths are
+    exercised, not just counted as zero. The md5 of the cleaned text makes
+    the oracle compare sensitive to every replaced character. Single-pass
+    regexp expressions — at 100 TB this runs inside the documents scan."""
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(F.col("doc_id") % 11 == 0, F.lit(" call +1 (415) 555-0100 soon"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(" host 192.168.0.1 up"))
+        .otherwise(F.lit(""))
+    )
+    planted = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    s = text.scrub_pii(planted)
+    return s.select(
+        "doc_id", "n_emails", "n_ips", "n_phones", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+@query(
+    "q58_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 5
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                          i -> array_to_string(t[i:i+4], ' '))) AS grams
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM post WHERE doc_id < 5),
+    hits AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM post p JOIN bench b ON p.g = b.g
+      WHERE p.doc_id >= 5
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id AS doc, coalesce(h.n_contaminated, 0) AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= 5
+    """,
+)
+def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (:func:`dedup.contamination_flags`):
+    documents 0-4 stand in as the benchmark set; every other document
+    counts its distinct 5-gram overlaps with them. The benchmark shingle
+    set broadcasts, so the corpus-side probe is shuffle-free — the plan a
+    100 TB decontamination pass needs. (The testdata's planted near-dups
+    make real overlaps fire.)"""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 5)
+    corpus = d.filter(F.col("doc_id") >= 5)
+    return dedup.contamination_flags(corpus, bench, n=5)
