@@ -77,3 +77,42 @@ def test_registry_free_of_unasserted_global_windows(spark, sf_dir):
         with warnings.catch_warnings():
             warnings.simplefilter("error", UnkeyedGlobalWindowWarning)
             fn(spark, sf_dir)  # plan construction is where the guard fires
+
+
+def test_q51_winnow_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q51_winnow_fingerprints")
+    assert _ops(plan, "Scan parquet") == 1  # one pass over documents
+    assert "text" in plan and "lang" not in plan  # pruned to the text column
+
+
+def test_q54_asof_single_shuffle_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q54_asof_join")
+    # union-tag asof: NO join operator at all - the carry-forward window
+    # does the matching; shuffles: pre-agg exchange + window exchange
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert _ops(plan, op) == 0, f"asof plan must not contain {op}"
+    assert _ops(plan, "Window") >= 1
+
+
+def test_q58_benchmark_side_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q58_decontamination")
+    # the eval-set shingle list must broadcast; the corpus side must not
+    # shuffle into a sort-merge join
+    assert _ops(plan, "BroadcastHashJoin") >= 1
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q56_salted_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q56_salted_agg")
+    # partial agg on (key, salt), final agg on key, plus map-side partials:
+    # at least two HashAggregate pairs and exactly two exchanges at most
+    assert _ops(plan, "HashAggregate") >= 3
+    assert "_salt" in plan
+
+
+def test_q55_split_is_scan_side_expression(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q55_hash_split")
+    # no join, no window: the split assignment must be a pure projection
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert _ops(plan, op) == 0
+    assert _ops(plan, "Scan parquet") == 1
