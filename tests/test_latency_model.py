@@ -5,9 +5,12 @@ mid-range throughput."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
+from phoebe_spark.models.capacity import CapacityModel
 from phoebe_spark.models.latency import LatencyModel
 
 SCALE_OUTS = [2, 5, 8, 11, 14, 17, 20, 23]
@@ -87,3 +90,55 @@ def test_append_mode_unions_training_data(fitted, spark):
     m2.fit(base)
     m2.fit(extra, append=True)
     assert m2.previous_data.count() == len(rows) + 1
+
+
+# -- reference profiling ground truth (BASELINE.md "profiling ground truth")
+
+_PROFILES2 = "/root/reference/analytics/app/test/profiles2.csv"
+
+
+@pytest.mark.skipif(not os.path.exists(_PROFILES2), reason="profiles2 fixture absent")
+def test_models_on_reference_profiles2(spark):
+    """Fit the latency and capacity models on the reference's shipped
+    profiling ground truth (87 rows, scale-outs {2,5,8,11,14,17,20,23}):
+    the latency model must separate the saturated high-latency profiles
+    from the healthy band and mark healthy scale-outs valid at the
+    profiled rate; the capacity model's max-throughput curve must be
+    monotone-ish and bracket the ~20k ev/s sustained profiling rate."""
+    import csv
+
+    with open(_PROFILES2) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 87
+
+    lat_rows = [
+        (int(r["scaleOut"]), float(r["avgThr"]), float(r["avgLat"]))
+        for r in rows
+        if r["isBckPres"] == "0"
+    ]
+    cap_rows = [
+        (int(r["scaleOut"]), float(r["avgThr"]))
+        for r in rows
+        if r["isBckPres"] == "1"
+    ]
+    assert len(lat_rows) == 79 and len(cap_rows) == 8
+
+    train = spark.createDataFrame(
+        lat_rows, "scale_outs INT, throughput_rates DOUBLE, latencies DOUBLE"
+    )
+    m = LatencyModel()
+    m.fit(train)
+    out = m.predict(spark, 20000.0, 2, 24).orderBy("scale_outs").collect()
+    valid = [r["scale_outs"] for r in out if r["is_valid"]]
+    # at the sustained profiling rate most of the profiled range holds the
+    # latency band; the model must not reject everything nor accept nothing
+    assert len(valid) >= 3, f"too few valid scale-outs: {valid}"
+    best = [r["scale_outs"] for r in out if r["is_best"]]
+    assert len(best) == 1 and best[0] in valid
+
+    cap = CapacityModel()
+    cap.fit([s for s, _ in cap_rows], [t for _, t in cap_rows])
+    pred = cap.predict([2, 8, 16, 24])
+    # capacity grows with scale-out and stays in a physical range
+    assert pred[-1] > pred[0] > 0
+    assert 10_000 < pred[0] < 1_000_000
