@@ -123,3 +123,49 @@ def test_nnls_never_negative(data):
     assert np.all(x >= -1e-12)
     # residual no worse than the zero solution
     assert resid <= np.linalg.norm(b) + 1e-9
+
+
+asof_sides = st.tuples(
+    st.lists(  # left: (key, ts) unique
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1, max_size=20, unique=True,
+    ),
+    st.lists(  # right: (key, ts, value) unique on (key, ts)
+        st.tuples(st.integers(0, 2), st.integers(0, 100),
+                  st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1, max_size=20, unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+
+
+@SLOW
+@given(sides=asof_sides)
+def test_asof_join_matches_pandas_merge_asof(spark, sides):
+    """asof_join must agree with pandas merge_asof (direction='backward',
+    by=key) on arbitrary keyed series — the de-facto semantics contract."""
+    import pandas as pd
+
+    left_rows, right_rows = sides
+    left = spark.createDataFrame(
+        [(k, t) for k, t in left_rows], "k INT, timestamp LONG"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right_rows], "k INT, timestamp LONG, rv DOUBLE"
+    )
+    from phoebe_spark.timeseries.core import asof_join
+
+    got = {
+        (r["k"], r["timestamp"]): r["rv_asof"]
+        for r in asof_join(left, right, by=["k"], value_cols=["rv"]).collect()
+    }
+
+    lp = pd.DataFrame(sorted(left_rows), columns=["k", "timestamp"])
+    rp = pd.DataFrame(sorted(right_rows), columns=["k", "timestamp", "rv"])
+    lp = lp.sort_values("timestamp", kind="stable").reset_index(drop=True)
+    rp = rp.sort_values("timestamp", kind="stable").reset_index(drop=True)
+    exp_df = pd.merge_asof(lp, rp, on="timestamp", by="k", direction="backward")
+    exp = {
+        (int(r.k), int(r.timestamp)): (None if pd.isna(r.rv) else float(r.rv))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
