@@ -2042,3 +2042,47 @@ def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") < 5)
     corpus = d.filter(F.col("doc_id") >= 5)
     return dedup.contamination_flags(corpus, bench, n=5)
+
+
+@query(
+    "q59_media_metadata",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 5 = 0 THEN '\xFF\xD8\xFF'::BLOB
+                   WHEN doc_id % 7 = 0 THEN '\x89PNG'::BLOB
+                   WHEN doc_id % 11 = 0 THEN 'RIFF'::BLOB
+                   ELSE ''::BLOB END) || encode(text) AS content
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           CASE WHEN substring(hex(content), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+                WHEN substring(hex(content), 1, 8) = '89504E47' THEN 'image/png'
+                WHEN substring(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
+                ELSE 'application/octet-stream' END AS sniffed_mime
+    FROM b
+    """,
+)
+def q59_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass (:func:`multimodal.attach_media_metadata`):
+    opaque binary columns get byte length + magic-byte mime sniffing as
+    pure column expressions — no decode. Binary payloads are synthesized
+    from the text column with planted JPEG/PNG/RIFF magic prefixes so the
+    sniff paths execute; DuckDB mirrors the bytes via encode()+hex
+    prefixes. The real pipeline runs this exact scan shape over media
+    blobs before routing to decode stages."""
+    from phoebe_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
+        .when(F.col("doc_id") % 7 == 0, F.lit(b"\x89PNG"))
+        .when(F.col("doc_id") % 11 == 0, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    blobs = d.select(
+        "doc_id", F.concat(magic, F.col("text").cast("binary")).alias("content")
+    )
+    out = multimodal.attach_media_metadata(blobs)
+    return out.select("doc_id", "n_bytes", "sniffed_mime")

@@ -118,6 +118,32 @@ def windowed_keyed_agg(
     )
 
 
+def sessionized_agg(
+    stream: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native session windows — the
+    streaming twin of the batch q46 sessionize (gap-based session ids by
+    window lag): events for a key closer than ``gap`` merge into one
+    session whose window extends until the gap passes. State is bounded by
+    the watermark (sessions older than it finalize and emit). Output:
+    (session_start, session_end, key, events)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "events",
+        )
+    )
+
+
 def stream_static_join(
     stream: DataFrame, static_dim: DataFrame, on: str, how: str = "inner"
 ) -> DataFrame:

@@ -175,3 +175,44 @@ def test_dataset_replay_source(spark):
     assert {r["key"] for r in rows} <= set(range(5))
     # consecutive wall-clock seconds walk the trace, so >1 distinct value
     assert len({r["value"] for r in rows}) > 1
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Native streaming session windows (the streaming twin of batch q46):
+    a file-sourced stream with availableNow trigger — fully deterministic —
+    must merge events within the gap into one session per key and split
+    across larger gaps."""
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.streaming.jobs import run_to_sink, sessionized_agg
+
+    src_dir = tmp_path / "sessions_in"
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 25),      # one session: gaps < 30s
+        ("u1", 100), ("u1", 110),               # second session after 75s gap
+        ("u2", 5),                              # singleton session
+    ]
+    spark.createDataFrame(rows, "key STRING, ts LONG").select(
+        "key", F.col("ts").cast("timestamp").alias("event_time")
+    ).write.parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("key STRING, event_time TIMESTAMP")
+        .parquet(str(src_dir))
+    )
+    agg = sessionized_agg(stream, gap="30 seconds", watermark="10 minutes")
+    q = run_to_sink(
+        agg, str(tmp_path / "chk"), output_mode="complete",
+        queryName="sess_win", trigger_available_now=True,
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM sess_win").collect()
+    sessions = {
+        (r["key"], int(r["session_start"].timestamp()), int(r["session_end"].timestamp())): r["events"]
+        for r in out
+    }
+    assert sessions == {
+        ("u1", 0, 55): 3,      # 0,10,25 merge; window extends 30s past last
+        ("u1", 100, 140): 2,   # 100,110
+        ("u2", 5, 35): 1,
+    }
