@@ -32,4 +32,13 @@ def get_spark(app_name: str = "phoebe-spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("PHOEBE_DRIVER_MEM", "8g"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Iterative algorithms (GBT's 200 boosting rounds, label propagation)
+    # need a checkpoint dir or their lineage grows until task serialization
+    # overflows the stack. MLlib's checkpointInterval only engages when one
+    # is set; cheap no-op for everything else.
+    if spark.sparkContext.getCheckpointDir() is None:
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="phoebe_ckpt_"))
+    return spark
