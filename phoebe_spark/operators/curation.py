@@ -1,0 +1,205 @@
+"""Corpus-curation operators: quality-rule filtering, repetition signals,
+sequence packing, and source-mixture weighting.
+
+These are the Gopher/C4-style curation stages of an LLM training-data
+pipeline (public heuristics: Rae et al. 2021 "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher" §A1.1; Raffel et al.
+2020 "Exploring the Limits of Transfer Learning" §2.2), re-expressed as
+Spark column expressions and keyed aggregations.
+
+Scale design:
+- The quality flags are pure column expressions — they run inside the
+  documents scan under whole-stage codegen, no shuffle, no Python.
+- Repetition statistics need per-(doc, gram) frequencies; that is one
+  shuffle keyed by ``(doc_id, gram)`` — skew-free because doc_id spreads
+  every document's grams across the cluster.
+- Sequence packing is a running-sum window partitioned by source (or any
+  bounded partition key) — each partition sorts locally; no global sort.
+- Mixture weights aggregate to one row per source (tiny) and broadcast
+  back — O(sources) state, never O(rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from phoebe_spark.operators.text import tokens
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules as one boolean column per rule
+    plus an overall ``passes_quality`` conjunction.
+
+    Every rule is a deterministic column expression over the text column —
+    the full rule set evaluates in a single codegen stage during the scan,
+    and the identical arithmetic runs in DuckDB for the oracle (q60).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    # mean word length over words, not chars/words (excludes separators)
+    total_word_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_word_len = F.when(n_words > 0, total_word_chars / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\.|…"))
+    symbol_word_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(F.lit(0.0))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    ellipsis_end_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    ellipsis_line_frac = F.when(n_lines > 0, ellipsis_end_lines / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_word_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    stopword_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*_STOPWORDS)))
+
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_word_ratio <= max_symbol_word_ratio,
+        "ok_ellipsis_lines": ellipsis_line_frac <= max_ellipsis_line_frac,
+        "ok_alpha_words": alpha_word_frac >= min_alpha_word_frac,
+        "ok_stopwords": stopword_hits >= min_stopword_hits,
+    }
+    out = df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    passes = None
+    for name in flags:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes_quality", passes)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals (Gopher §A1.1): duplicate-token
+    fraction and the fraction of n-gram occurrences taken by the single
+    most frequent n-gram.
+
+    The unigram stat is a pure array expression. The n-gram stat needs
+    per-(doc, gram) counts: explode -> two keyed aggregations. Both
+    shuffles key on (doc, gram) / doc — no hot keys, because every
+    document's grams hash across the cluster independently of corpus
+    skew. No collect, no Python.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+    grams = base.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "n_tokens", "n_distinct_tokens", "gram").agg(
+        F.count(F.lit(1)).alias("gram_count")
+    )
+    per_doc = per_gram.groupBy(id_col, "n_tokens", "n_distinct_tokens").agg(
+        F.sum("gram_count").alias("total_grams"),
+        F.max("gram_count").alias("top_gram_count"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(F.col("top_gram_count") / F.col("total_grams"), 6).alias("top_gram_frac"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_tokens: int,
+    token_col: str = "token_count",
+    order_col: str = "doc_id",
+    partition_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Assign each document to a training-sequence pack: documents are
+    concatenated in ``order_col`` order within each partition and cut at
+    ``ctx_tokens`` boundaries; ``pack_id`` is the chunk index, ``pack_off``
+    the token offset of the document inside the concatenated stream.
+
+    This is the deterministic contiguous-packing strategy (concatenate,
+    then split at the context length) used by most large-scale pretraining
+    loaders — not bin-packing, so it is a pure running-sum window: one
+    keyed sort per partition, no global ordering, identical SQL in DuckDB.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    start = cum - F.col(token_col)
+    return df.select(
+        "*",
+        start.alias("pack_off"),
+        (start / F.lit(ctx_tokens)).cast("bigint").alias("pack_id"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based source-mixture weights: sampling weight for source
+    s is ``n_s^alpha / sum_s n_s^alpha`` (alpha=1 proportional, alpha->0
+    uniform) — the standard multilingual/multi-source rebalancing rule
+    (e.g. multilingual BERT / XLM-R exponent-smoothed sampling).
+
+    Aggregates to one row per source then computes the normalizer over
+    that tiny frame — O(sources) driver-free arithmetic; the heavy input
+    is touched exactly once for the count.
+    """
+    size_expr = F.sum(token_col) if token_col else F.count(F.lit(1))
+    per_src = df.groupBy(source_col).agg(size_expr.cast("double").alias("n"))
+    w = Window.partitionBy()  # over the tiny per-source frame only
+    powed = per_src.withColumn("_p", F.pow("n", F.lit(alpha)))
+    return powed.select(
+        source_col,
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(F.col("_p") / F.sum("_p").over(w), 6).alias("weight"),
+        F.round(
+            (F.col("_p") / F.sum("_p").over(w)) * F.sum("n").over(w) / F.col("n"), 6
+        ).alias("rel_epochs"),
+    )

@@ -2086,3 +2086,201 @@ def q59_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = multimodal.attach_media_metadata(blobs)
     return out.select("doc_id", "n_bytes", "sniffed_mime")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (Gopher/C4-style rules, packing, mixing) + range join
+# ---------------------------------------------------------------------------
+
+_WLEN_SQL = f"list_aggregate(list_transform({_TOKS_SQL}, x -> len(x)), 'sum')"
+
+
+@query(
+    "q60_quality_rules",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 17 = 0 THEN ' ## ## ## ## ## ## ## ##'
+                          WHEN doc_id % 19 = 0 THEN chr(10) || 'teaser one...' || chr(10) || 'teaser two...'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text,
+             {_TOKS_SQL} AS toks,
+             len({_TOKS_SQL}) AS n_words,
+             string_split(text, chr(10)) AS lines
+      FROM planted WHERE trim(text) <> ''
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE) / n_words ELSE 0.0 END AS mwl,
+             CASE WHEN n_words > 0 THEN CAST(len(text) - len(replace(text, '#', '')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / n_words ELSE 0.0 END AS swr,
+             CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS elf,
+             CASE WHEN n_words > 0 THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / n_words ELSE 0.0 END AS awf,
+             len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to'))) AS swh
+      FROM base
+    )
+    SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+           (n_words >= 10 AND n_words <= 100000) AS ok_word_count,
+           (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+           (swr <= 0.1) AS ok_symbol_ratio,
+           (elf <= 0.3) AS ok_ellipsis_lines,
+           (awf >= 0.80) AS ok_alpha_words,
+           (swh >= 2) AS ok_stopwords,
+           ((n_words >= 10 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND (swr <= 0.1) AND (elf <= 0.3) AND (awf >= 0.80) AND (swh >= 2)) AS passes_quality
+    FROM m
+    """,
+)
+def q60_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (:func:`curation.gopher_quality_flags`;
+    Rae et al. 2021 §A1.1). Symbol-spam and ellipsis-line suffixes are
+    planted on deterministic doc_id slices so the reject paths execute.
+    Pure column expressions — the full rule set evaluates inside the
+    documents scan with no shuffle, which is the shape a 100 TB quality
+    pass needs."""
+    from phoebe_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" ## ## ## ## ## ## ## ##"))
+        .when(F.col("doc_id") % 19 == 0, F.lit("\nteaser one...\nteaser two..."))
+        .otherwise(F.lit(""))
+    )
+    planted = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text")).filter(
+        F.trim("text") != ""
+    )
+    out = curation.gopher_quality_flags(planted)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len",
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords", "passes_quality",
+    )
+
+
+@query(
+    "q61_repetition_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM base WHERE len(t) >= 2
+    ),
+    per_gram AS (
+      SELECT doc_id, n_tokens, n_distinct, gram, count(*) AS c
+      FROM grams GROUP BY ALL
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_gram_frac
+    FROM per_gram GROUP BY doc_id, n_tokens, n_distinct
+    """,
+)
+def q61_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (:func:`curation.repetition_stats`):
+    duplicate-token fraction and most-frequent-bigram share, the Gopher
+    repetition heuristics. Explode + two keyed aggregations on
+    (doc, gram) — skew-free shuffle keys, no Python, no collect."""
+    from phoebe_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    return curation.repetition_stats(d).filter(F.col("n_tokens") >= 2)
+
+
+@query(
+    "q62_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id, source, token_count,
+           sum(token_count) OVER w - token_count AS pack_off,
+           CAST(floor(CAST(sum(token_count) OVER w - token_count AS DOUBLE) / 512) AS BIGINT) AS pack_id
+    FROM toks
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q62_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (:func:`curation.pack_sequences`):
+    concatenate documents per source in doc_id order and cut at a
+    512-token context boundary — one keyed running-sum window per source
+    partition, no global sort. This is the deterministic packing layout a
+    pretraining dataloader materializes."""
+    from phoebe_spark.operators import curation, text
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id", "source", F.size(text.tokens(F.col("text"))).cast("bigint").alias("token_count")
+    )
+    return curation.pack_sequences(toks, ctx_tokens=512)
+
+
+@query(
+    "q63_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_items,
+           round(pow(n, 0.5) / sum(pow(n, 0.5)) OVER (), 6) AS weight,
+           round(pow(n, 0.5) / sum(pow(n, 0.5)) OVER () * sum(n) OVER () / n, 6) AS rel_epochs
+    FROM per_src
+    """,
+)
+def q63_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source-mixture weights (alpha=0.5,
+    :func:`curation.mixture_weights`) — the exponent-smoothed sampling
+    rule used for multi-source/multilingual pretraining mixes. One
+    aggregation to O(sources) rows; the window normalizer runs over that
+    tiny frame only."""
+    from phoebe_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.mixture_weights(d, alpha=0.5)
+
+
+@query(
+    "q64_range_join",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, {EPOCH_SQL.format(c="ts")} AS sec
+      FROM events
+    ),
+    err AS (SELECT * FROM ev WHERE event_type = 'error'),
+    clk AS (SELECT * FROM ev WHERE event_type = 'click'),
+    hits AS (
+      SELECT e.event_id, count(*) AS n
+      FROM err e JOIN clk c ON c.user_id = e.user_id
+       AND c.sec > e.sec AND c.sec <= e.sec + 60
+      GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, coalesce(h.n, 0) AS n_clicks_60s
+    FROM err e LEFT JOIN hits h ON e.event_id = h.event_id
+    """,
+)
+def q64_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via :func:`ts_core.range_join_bucketed`: for every
+    error event, count same-user clicks in the following 60 s. The naive
+    range join is a cartesian plan; bucketing time to the window span
+    turns it into a shuffled equi-join on (user, bucket) with constant
+    ~2x left replication — the shape that survives 100 TB of events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch("ts").alias("sec")
+    )
+    err = ev.filter(F.col("event_type") == "error").drop("event_type")
+    clk = ev.filter(F.col("event_type") == "click").drop("event_type")
+    matched = ts_core.range_join_bucketed(
+        err, clk, on="sec", by=["user_id"], lower=0, upper=60
+    )
+    hits = matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        err.join(hits, "event_id", "left")
+        .select(
+            "event_id", "user_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks_60s")
+        )
+    )

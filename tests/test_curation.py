@@ -1,0 +1,107 @@
+"""Curation operators: Gopher quality rules, repetition stats, sequence
+packing, mixture weights, and the bucketed range join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from phoebe_spark.operators import curation
+from phoebe_spark.timeseries import core as ts_core
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_gopher_flags_reject_paths(spark):
+    rows = [
+        (1, "s", "the cat sat of the mat and went to a shop for the day today"),  # clean
+        (2, "s", "## ## ## ## the a of"),  # symbol spam + too short
+        (3, "s", "one...\ntwo...\nthe a of and to more words here to pad it out"),  # ellipsis lines
+        (4, "s", "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"),  # no alpha, no stopwords
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in curation.gopher_quality_flags(_docs(spark, rows), min_words=10).collect()
+    }
+    assert out[1]["passes_quality"]
+    assert not out[2]["ok_symbol_ratio"] and not out[2]["ok_word_count"]
+    assert not out[3]["ok_ellipsis_lines"]
+    assert not out[4]["ok_alpha_words"] and not out[4]["ok_stopwords"]
+
+
+def test_gopher_flags_no_shuffle(spark):
+    d = _docs(spark, [(1, "s", "the a of and to")])
+    plan = curation.gopher_quality_flags(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure column exprs: evaluates inside the scan
+
+
+def test_repetition_stats_crafted(spark):
+    rows = [
+        (1, "s", "a b a b a b"),  # dup tokens; top bigram 'a b' = 3/5
+        (2, "s", "u v w x y z"),  # all distinct
+    ]
+    out = {r["doc_id"]: r for r in curation.repetition_stats(_docs(spark, rows)).collect()}
+    assert out[1]["dup_token_frac"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert out[1]["top_gram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_gram_frac"] == pytest.approx(1 / 5, abs=1e-6)
+
+
+def test_pack_sequences_contiguous(spark):
+    rows = [(i, "s", i * 100) for i in range(10)]  # 0,100,...,900 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, token_count long")
+    out = curation.pack_sequences(df, ctx_tokens=1000).orderBy("doc_id").collect()
+    # offsets are the running sum of everything before
+    offs = [r["pack_off"] for r in out]
+    assert offs == [0, 0, 100, 300, 600, 1000, 1500, 2100, 2800, 3600]
+    # pack_id = floor(offset / ctx) and is non-decreasing in stream order
+    assert all(r["pack_id"] == r["pack_off"] // 1000 for r in out)
+    ids = [r["pack_id"] for r in out]
+    assert ids == sorted(ids)
+
+
+def test_mixture_weights_properties(spark):
+    rows = [(i, f"src{i % 3}", "x") for i in range(60)] + [(100 + i, "rare", "x") for i in range(3)]
+    out = curation.mixture_weights(_docs(spark, rows), alpha=0.5).collect()
+    w = {r["source"]: r for r in out}
+    assert sum(r["weight"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    # alpha<1 upsamples the rare source relative to proportional sampling
+    assert w["rare"]["rel_epochs"] > 1.0 > min(w[f"src{i}"]["rel_epochs"] for i in range(3))
+    # alpha=1 is exactly proportional: rel_epochs == 1 everywhere
+    prop = curation.mixture_weights(_docs(spark, rows), alpha=1.0).collect()
+    assert all(r["rel_epochs"] == pytest.approx(1.0, abs=1e-6) for r in prop)
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [(i, rng.randrange(3), rng.randrange(0, 500)) for i in range(80)]
+    right = [(1000 + i, rng.randrange(3), rng.randrange(0, 500)) for i in range(200)]
+    l = spark.createDataFrame(left, "id long, k long, t long")
+    r = spark.createDataFrame(right, "id long, k long, t long")
+    got = {
+        (row["id"], row["id_r"])
+        for row in ts_core.range_join_bucketed(l, r, on="t", by=["k"], lower=0, upper=45).collect()
+    }
+    want = {
+        (li, ri)
+        for (li, lk, lt) in left
+        for (ri, rk, rt) in right
+        if lk == rk and lt < rt <= lt + 45
+    }
+    assert got == want
+
+
+def test_range_join_no_cartesian(spark):
+    l = spark.createDataFrame([(1, 1, 10)], "id long, k long, t long")
+    r = spark.createDataFrame([(2, 1, 20)], "id long, k long, t long")
+    plan = (
+        ts_core.range_join_bucketed(l, r, on="t", by=["k"], lower=0, upper=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
