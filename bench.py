@@ -52,6 +52,14 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    # Pre-spawn the Python UDF workers + Arrow serde path so the first
+    # pandas-backed query times its work, not worker boot.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark.range(64).repartition(8).groupBy(F.col("id") % 8).applyInPandas(
+        lambda pdf: pd.DataFrame({"n": [len(pdf)]}), "n long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

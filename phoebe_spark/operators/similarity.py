@@ -129,7 +129,10 @@ def all_pairs_cosine(
         n = df.count()
         par = spark.sparkContext.defaultParallelism
         nb_mem = -(-n // target_block_rows)
-        nb_par = min(2 * int(par**0.5) + 1, -(-n // 64))
+        # parallelism wants ~2 tasks/core (nb*(nb+1)/2 pairs), but never
+        # shatter a small corpus into sub-512-row blocks: task overhead
+        # (python worker dispatch + arrow) then dwarfs the BLAS work.
+        nb_par = min(2 * int(par**0.5) + 1, -(-n // 512))
         n_blocks = max(1, min(64, max(nb_mem, nb_par)))
     pair_rows = [
         (bi * n_blocks + bj, bi, bj)
