@@ -340,31 +340,45 @@ def winnow_fingerprints(
     ``k + window - 1`` contributes a shared fingerprint, at ~2/(window+1)
     sampling density.
 
-    Spark shape: one scan, one ``sequence``+``explode`` (fan-out = text
-    length, bounded per row), the window-min as a per-doc rows-frame window
-    (keyed by doc — partitions stay parallel at corpus scale), one distinct
-    shuffle on (doc, fp). The hash is the md5 double-hash base
-    (:data:`MD5_DOUBLE_HASH_P`), so fingerprints are bit-identical in
-    DuckDB and the whole operator oracle-checks end-to-end (q51).
+    Spark shape: one scan, one codepoint ``posexplode`` (fan-out = text
+    length, bounded per row), then a single shuffle on the doc key under
+    which THREE ordered-window passes share one sort: (1) the gram hash
+    assembled from ``lead(codepoint, j)`` — the paper's polynomial
+    (Rabin-Karp) family ``sum(c_j·B^(k-1-j)) mod p``, pure integer
+    arithmetic, O(1) per char (hashing ``substring(t, pos, k)`` per gram
+    would re-walk the UTF-8 string from index 0 each time — O(len²) per
+    doc); (2) the window-min fingerprint pick; (3) the trailing-gram
+    exclusion. Finishes with one distinct shuffle on (doc, fp). The hash
+    is reproduced digit-for-digit by the DuckDB oracle (q51).
 
     Returns (doc, fp) — one row per distinct fingerprint per document.
     """
     p = MD5_DOUBLE_HASH_P
+    B = 131
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     d = df.select(F.col(id_col).alias("doc"), norm.alias("t")).filter(
         F.length("t") >= k + window - 1
     )
-    grams = d.select(
-        "doc",
-        F.posexplode(F.sequence(F.lit(1), F.length("t") - k + 1)).alias("_i", "pos"),
-        F.col("t"),
-    ).select("doc", "pos", F.expr(f"substring(t, pos, {k})").alias("g"))
-    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long") % p
+    chars = (
+        d.select("doc", F.posexplode(F.split(F.col("t"), "(?!^)")).alias("pos", "c"))
+        # the (?!^) lookahead also matches at end-of-string, so split keeps
+        # one trailing "" element — drop it or it becomes a phantom NUL char
+        .filter(F.col("c") != "")
+        .select("doc", "pos", F.ascii("c").cast("long").alias("c"))
+    )
+    w_ord = Window.partitionBy("doc").orderBy("pos")
+    # Horner over this char and the next k-1 (leads run off the end ->
+    # null h, dropped below: those positions start no gram). A mod per
+    # step keeps every intermediate below B*p + max_codepoint ~= 2.8e11,
+    # far inside BIGINT range in both engines.
+    h = F.col("c")
+    for j in range(1, k):
+        h = (h * B + F.lead("c", j).over(w_ord)) % p
+    grams = chars.select("doc", "pos", h.alias("h")).filter(F.col("h").isNotNull())
     w_min = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
     w_doc = Window.partitionBy("doc")
     return (
-        grams.select("doc", "pos", h.alias("h"))
-        .withColumn("fp", F.min("h").over(w_min))
+        grams.withColumn("fp", F.min("h").over(w_min))
         .withColumn("_mx", F.max("pos").over(w_doc))
         .filter(F.col("pos") <= F.col("_mx") - (window - 1))
         .select("doc", "fp")
@@ -388,33 +402,42 @@ def dedup_components(
     shallow (most are pairs/triangles), so a handful of rounds suffice.
     Each round is one equi-join + one min-aggregation on the edge list
     (both shuffle on uniform node ids), with an eager ``localCheckpoint``
-    truncating the growing lineage; the convergence probe is a
-    ``limit(1).count()`` on changed labels. For adversarially deep chain
-    graphs switch to the large-star/small-star formulation; for dedup
-    workloads this simple form is the right cost.
+    truncating the growing lineage; the changed-label flag rides along in
+    the same materialization, so the convergence probe is a local count on
+    checkpointed rows, not a second Spark job per round. For adversarially
+    deep chain graphs switch to the large-star/small-star formulation; for
+    dedup workloads this simple form is the right cost.
 
     Returns (doc, component) where component = min doc id in the cluster.
     """
     e = pairs.select(F.col(id_col_a).alias("s"), F.col(id_col_b).alias("d"))
-    e = e.union(
-        pairs.select(F.col(id_col_b).alias("s"), F.col(id_col_a).alias("d"))
-    ).distinct()
+    e = (
+        e.union(pairs.select(F.col(id_col_b).alias("s"), F.col(id_col_a).alias("d")))
+        .distinct()
+        # materialize the edge list ONCE: pair generation upstream (LSH /
+        # GEMM / jaccard) is often the dominant cost, and without this every
+        # propagation round (and every convergence probe) re-evaluates it.
+        .localCheckpoint(eager=True)
+    )
     labels = e.select(F.col("s").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
     for _ in range(max_iter):
         prop = e.join(
             labels.select(F.col("doc").alias("d"), "lbl"), "d"
         ).select(F.col("s").alias("doc"), "lbl")
+        # min over {old label} ∪ {labels seen across edges}, plus a
+        # did-anything-improve flag computed in the same aggregation so the
+        # convergence check reuses this round's checkpointed result.
         new_labels = (
-            labels.union(prop).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+            labels.withColumn("_old", F.col("lbl"))
+            .union(prop.withColumn("_old", F.lit(None)))
+            .groupBy("doc")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                (F.min("lbl") < F.min("_old")).alias("_chg"),
+            )
         ).localCheckpoint(eager=True)
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "doc")
-            .filter(F.col("o.lbl") != F.col("n.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("doc", "lbl")
         if changed == 0:
             break
     return labels.select("doc", F.col("lbl").alias("component"))

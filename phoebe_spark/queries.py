@@ -1754,8 +1754,14 @@ def q50_profile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT doc_id, pos,
-             CAST(('0x' || substring(md5(substring(t, pos, 8)), 1, 15)) AS BIGINT)
-               % 2147483647 AS h
+             (((((((CAST(ord(substr(t, pos, 1)) AS BIGINT)
+               * 131 + ord(substr(t, pos + 1, 1))) % 2147483647
+               * 131 + ord(substr(t, pos + 2, 1))) % 2147483647
+               * 131 + ord(substr(t, pos + 3, 1))) % 2147483647
+               * 131 + ord(substr(t, pos + 4, 1))) % 2147483647
+               * 131 + ord(substr(t, pos + 5, 1))) % 2147483647
+               * 131 + ord(substr(t, pos + 6, 1))) % 2147483647
+               * 131 + ord(substr(t, pos + 7, 1))) % 2147483647 AS h
       FROM p
     ),
     w AS (
