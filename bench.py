@@ -37,6 +37,16 @@ BENCH_QUERIES = [
     "q40_merge_overwrite",
     "q41_emb_neardup_pairs",
     "q44_ivf_ann",
+    # round-2 additions: curation / join / rollup coverage
+    "q46_sessionize",
+    "q49_rollup_revenue",
+    "q51_winnow_fingerprints",
+    "q53_dedup_components",
+    "q54_asof_join",
+    "q58_decontamination",
+    "q60_quality_rules",
+    "q62_pack_sequences",
+    "q64_range_join",
 ]
 
 
