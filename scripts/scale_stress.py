@@ -1,0 +1,143 @@
+"""Scale-stress harness: does each scale-critical operator grow ~linearly?
+
+Generates seeded synthetic corpora at SCALE x the sf0.1 row counts
+(documents 5k, embeddings 2k x 64, events 100k) ENTIRELY inside Spark
+(`spark.range` + hash arithmetic — no driver-side data), with planted
+exact/near duplicates, then times the production paths (xxhash64 hash
+family, LSH/IVF approximations) of the operators whose cost could go
+super-linear: dedup family, similarity family, as-of join.
+
+Usage: python scripts/scale_stress.py [scale ...]   (default: 1 10)
+
+Prints one JSON line per scale: {"scale": N, "rows": {...}, "sec": {...}}.
+A healthy result grows each op's time ~O(scale) (pair emitters may grow
+with planted-dup pair count, which is itself linear here by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from phoebe_spark.operators import curation, dedup, similarity  # noqa: E402
+from phoebe_spark.session import get_spark  # noqa: E402
+from phoebe_spark.timeseries.core import asof_join  # noqa: E402
+
+WORDS = [
+    "batch", "spark", "line", "column", "order", "small", "sort", "fast",
+    "query", "join", "data", "agg", "window", "shuffle", "plan", "scan",
+    "merge", "hash", "key", "value", "stream", "state", "time", "series",
+    "model", "fit", "predict", "scale", "out", "rate", "lag", "load",
+]
+
+
+def gen_documents(spark, n: int) -> DataFrame:
+    """n docs of 40-100 words drawn by hash from a small vocab. Every
+    50th doc is an EXACT copy of its predecessor; every 25th appends one
+    token to its predecessor's text (a near dup). Generated from a
+    `base` id so copies need no join."""
+    vocab = F.array(*[F.lit(w) for w in WORDS])
+    base = F.when(F.col("id") % 50 == 1, F.col("id") - 1).otherwise(
+        F.when(F.col("id") % 25 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    )
+    nwords = (F.pmod(F.xxhash64(base), F.lit(61)) + 40).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), nwords),
+        lambda j: F.element_at(vocab, (F.pmod(F.xxhash64(base * 1009 + j), F.lit(len(WORDS))) + 1).cast("int")),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when((F.col("id") % 25 == 1) & (F.col("id") % 50 != 1), F.concat(text, F.lit(" extra"))).otherwise(text)
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def gen_embeddings(spark, n: int, dim: int = 64) -> DataFrame:
+    """n unit-ish vectors from hash noise; every 40th vector is a tiny
+    perturbation of its predecessor (a planted near dup)."""
+    base = F.when(F.col("id") % 40 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    perturb = F.when(F.col("id") % 40 == 1, F.lit(0.01)).otherwise(F.lit(0.0))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (F.pmod(F.xxhash64(base * 131 + j), F.lit(2000)) - 1000) / 1000.0
+        + perturb * (F.pmod(F.xxhash64(F.col("id") * 31 + j), F.lit(100))) / 100.0,
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.cast("array<float>").alias("embedding"))
+
+
+def gen_events(spark, n: int) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit(1_700_000_000) + F.pmod(F.xxhash64("id"), F.lit(n // 10))).alias("ts"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(max(100, n // 1000))).alias("user_id"),
+        (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(1000)) / 10.0).alias("value"),
+    )
+
+
+def run_scale(spark, scale: int) -> dict:
+    n_docs, n_emb, n_ev = 5000 * scale, 2000 * scale, 100_000 * scale
+    # materialize inputs once so op timings measure the op, not generation
+    docs = gen_documents(spark, n_docs).localCheckpoint(eager=True)
+    emb = gen_embeddings(spark, n_emb).localCheckpoint(eager=True)
+    ev = gen_events(spark, n_ev).localCheckpoint(eager=True)
+    quotes = ev.select("ts", "user_id", F.col("value").alias("quote"))
+
+    sec: dict[str, float] = {}
+
+    def t(name: str, df: DataFrame) -> None:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        sec[name] = round(time.time() - t0, 2)
+
+    t("exact_dedup", dedup.exact_dedup(docs))
+    t("minhash_lsh", dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle_n=3))
+    t("simhash", dedup.simhash(docs))
+    t("winnow", dedup.winnow_fingerprints(docs, k=8, window=4))
+    t("ngram_jaccard", dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_shingle_freq=1000))
+    t("decontaminate", dedup.contamination_flags(docs, docs.limit(200), n=5))
+    t("repetition", curation.repetition_stats(docs))
+    t("allpairs_gemm", similarity.all_pairs_cosine(emb, threshold=0.95))
+    t(
+        "lsh_pairs",
+        similarity.lsh_bucketed_pairs(
+            emb, planes=[[((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(64)] for i in range(12)], threshold=0.95
+        ),
+    )
+    t("ivf_topk", similarity.ivf_topk(emb, emb.limit(64), k=10, n_centroids=max(16, scale * 4), n_probe=4))
+    t("asof_join", asof_join(ev.select("event_id", "ts", "user_id"), quotes, on="ts", by=["user_id"]))
+
+    rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
+    return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen/Python-worker paths so scale-1 timings measure
+    # the operators, not session boot
+    import pandas as pd
+
+    spark.range(64).repartition(8).groupBy(F.col("id") % 8).applyInPandas(
+        lambda pdf: pd.DataFrame({"n": [len(pdf)]}), "n long"
+    ).collect()
+    gen_documents(spark, 500).write.format("noop").mode("overwrite").save()
+    results = []
+    for s in scales:
+        r = run_scale(spark, s)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        ratio = {
+            k: round(b["sec"][k] / max(a["sec"][k], 0.01), 1)
+            for k in b["sec"]
+        }
+        print(json.dumps({"data_ratio": b["scale"] // a["scale"], "time_ratio": ratio}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
