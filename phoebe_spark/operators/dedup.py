@@ -221,9 +221,18 @@ def minhash_lsh_pairs(
 
     With ``hash_fn='md5'`` the bucket key is the raw comma-joined band
     string (collision-free, engine-portable); the default hashes it with
-    xxhash64 to keep the shuffle key small."""
+    xxhash64 to keep the shuffle key small.
+
+    The signature table is materialized (``localCheckpoint``) before the
+    band self-join: both join sides would otherwise re-evaluate the whole
+    scan→shingle→hash→aggregate subtree (verified: 2 FileScans, no
+    ReusedExchange), doubling the dominant cost. Signatures are tiny
+    relative to the corpus (num_hashes longs per doc), so this is the
+    write-once-join-twice shape you'd use at 100 TB anyway."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, hash_fn
+    ).localCheckpoint(eager=True)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     band_str = F.concat_ws(",", F.transform(
         F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
@@ -299,9 +308,11 @@ def simhash_hamming_pairs(
     trick: split the 64-bit fingerprint into ``bands`` blocks — any pair
     within ``max_hamming < bands`` distance must agree on at least one full
     block (pigeonhole), so candidate pairs come from an equi-join on
-    (block_idx, block_bits) instead of a cross join."""
+    (block_idx, block_bits) instead of a cross join. Fingerprints are
+    materialized once before the self-join (see
+    :func:`minhash_lsh_pairs` — same double-evaluation trap)."""
     width = 64 // bands
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     blocks = sigs.select(
         "doc",
         "simhash",

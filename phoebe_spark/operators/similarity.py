@@ -290,8 +290,11 @@ def lsh_bucketed_pairs(
 ) -> DataFrame:
     """Near-duplicate embedding pairs: bucket by random hyperplanes, exact
     cosine within buckets only. One shuffle on bucket; within-bucket join is
-    quadratic only in the bucket size (tunable via plane count)."""
-    b = random_hyperplane_buckets(df, planes, id_col, vec_col)
+    quadratic only in the bucket size (tunable via plane count). Bucket
+    assignments (len(planes) interpreted dot products per vector) are
+    materialized once before the self-join — both sides would otherwise
+    recompute them (see dedup.minhash_lsh_pairs, same trap)."""
+    b = random_hyperplane_buckets(df, planes, id_col, vec_col).localCheckpoint(eager=True)
     a = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     c = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
