@@ -114,6 +114,12 @@ def all_pairs_cosine(
     evenly sharded. Per-element JVM higher-order dot products evaluate
     interpreted and are ~40x slower at 5k vectors; for approximate
     near-dup at extreme scale prefer :func:`lsh_bucketed_pairs`.
+
+    The block-pair replication is a literal jump table (array-of-arrays
+    indexed by the row's block, exploded) — pure codegen in the scan
+    projection. The earlier broadcast-join against a block-pair table did
+    the same thing ~2x slower: two BroadcastExchanges + join overhead
+    dominated at small scale and bought nothing at large scale.
     """
     import pandas as pd
 
@@ -134,24 +140,33 @@ def all_pairs_cosine(
         # (python worker dispatch + arrow) then dwarfs the BLAS work.
         nb_par = min(2 * int(par**0.5) + 1, -(-n // 512))
         n_blocks = max(1, min(64, max(nb_mem, nb_par)))
-    pair_rows = [
-        (bi * n_blocks + bj, bi, bj)
-        for bi in range(n_blocks)
-        for bj in range(bi, n_blocks)
-    ]
-    pm = spark.createDataFrame(pair_rows, "pair LONG, bi INT, bj INT")
+
+    # pair id = bi * n_blocks + bj (bi <= bj). A row in block b serves as
+    # the LEFT operand of pairs (b, bj >= b) and the RIGHT operand of
+    # pairs (bi <= b, b); both lists are compile-time literals per block.
+    left_pairs = [[b * n_blocks + bj for bj in range(b, n_blocks)] for b in range(n_blocks)]
+    right_pairs = [[bi * n_blocks + b for bi in range(0, b + 1)] for b in range(n_blocks)]
+    lmap = F.array(*[F.array(*[F.lit(p) for p in row]) for row in left_pairs])
+    rmap = F.array(*[F.array(*[F.lit(p) for p in row]) for row in right_pairs])
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
-    left = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk"))
-        .join(F.broadcast(pm), F.col("_blk") == F.col("bi"))
-        .select("pair", "_id", "_vec", "_blk")
-    )
-    right = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk"))
-        .join(F.broadcast(pm.select(F.col("pair").alias("pair_r"), "bj")), F.col("_blk") == F.col("bj"))
-        .select(F.col("pair_r").alias("pair"), "_id", "_vec", "_blk")
-    )
+
+    def _side(pmap):
+        # each side gets its OWN select chain (fresh expression ids): a
+        # shared subplan would give both cogroup children identical
+        # attribute ids, and the optimizer's dedup-then-prune pass then
+        # strips the right child down to just the grouping key
+        # (pandas UDF sees only ['pair'] on that side).
+        b = df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk")
+        )
+        return b.select(
+            F.explode(F.element_at(pmap, F.col("_blk") + 1)).alias("pair"),
+            "_id", "_vec", "_blk",
+        )
+
+    left = _side(lmap)
+    right = _side(rmap)
 
     def _gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
@@ -159,8 +174,10 @@ def all_pairs_cosine(
             return empty
         a_ids = lpdf["_id"].to_numpy(dtype=np.int64)
         b_ids = rpdf["_id"].to_numpy(dtype=np.int64)
-        A = np.array([list(v) for v in lpdf["_vec"]], dtype=np.float64)
-        B = np.array([list(v) for v in rpdf["_vec"]], dtype=np.float64)
+        # Arrow hands array<float> cells over as ndarrays: stack, don't
+        # per-row list() (pure-Python, ~10x slower on wide blocks)
+        A = np.stack(lpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(rpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
         A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
         B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         sims = A @ B.T
