@@ -65,15 +65,24 @@ def word_shingles(text_col, n: int = 3):
 
 
 def shingle_postings(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (doc, shingle) posting list via posexplode + window ``lead``.
+    """(doc, shingle) posting list via posexplode + window ``lead``.
 
     This is the scalable shingling path: token explosion and the n-1
     ``lead`` columns are whole-stage-codegen expressions (no per-row array
     slicing), the window partitions by doc (uniform key), and the distinct
     collapses repeated shingles map-side. ~10x faster than materializing
-    shingle arrays per row at 100k+ docs.
+    shingle arrays per row at 100k+ docs (measured 30x at sf0.1: higher-
+    order ``transform``+``get`` evaluates interpreted, and projection
+    collapse re-inlines the tokenizer into every lambda use).
+
+    ``distinct=False`` skips the set-collapse shuffle and emits one row per
+    gram OCCURRENCE. Consumers whose aggregate is duplicate-insensitive
+    (minhash: min over a multiset == min over its set) should pass False —
+    the downstream groupBy(doc) then reuses the window's doc partitioning,
+    making the whole pipeline a single shuffle.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -85,7 +94,8 @@ def shingle_postings(
     if n > 1:
         g = g.filter(F.col(f"_t{n-1}").isNotNull())
     gram = F.concat_ws(" ", F.col("tok"), *[F.col(f"_t{i}") for i in range(1, n)])
-    return g.select("doc", gram.alias("shingle")).distinct()
+    out = g.select("doc", gram.alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -176,7 +186,12 @@ def minhash_signatures(
     ``hash_fn``: 'xxhash64' (default, fastest) or 'md5'
     (:func:`md5_hash64`, reproducible outside Spark for oracle checks).
     """
-    sh = shingle_postings(df, id_col, text_col, shingle_n).withColumnRenamed("shingle", "g")
+    # distinct=False: min() is duplicate-insensitive, and skipping the set
+    # collapse drops a whole shuffle — the groupBy(doc) below reuses the
+    # shingling window's doc partitioning (~2x end-to-end, measured).
+    sh = shingle_postings(df, id_col, text_col, shingle_n, distinct=False).withColumnRenamed(
+        "shingle", "g"
+    )
     if hash_fn == "md5":
         # Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields
         # (h1, h2); hash family i is (h1 + i*h2) mod p. Same minhash
@@ -421,13 +436,16 @@ def dedup_components(
 
     Returns (doc, component) where component = min doc id in the cluster.
     """
-    e = pairs.select(F.col(id_col_a).alias("s"), F.col(id_col_b).alias("d"))
+    # materialize the pair list BEFORE the symmetrizing union: pair
+    # generation upstream (LSH / GEMM / jaccard) is often the dominant
+    # cost, and the union's two branches would each evaluate that subtree
+    # (then every propagation round and convergence probe would again).
+    p = pairs.select(
+        F.col(id_col_a).alias("s"), F.col(id_col_b).alias("d")
+    ).localCheckpoint(eager=True)
     e = (
-        e.union(pairs.select(F.col(id_col_b).alias("s"), F.col(id_col_a).alias("d")))
+        p.union(p.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        # materialize the edge list ONCE: pair generation upstream (LSH /
-        # GEMM / jaccard) is often the dominant cost, and without this every
-        # propagation round (and every convergence probe) re-evaluates it.
         .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("s").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
@@ -475,7 +493,13 @@ def contamination_flags(
     included.
     """
     c = shingle_postings(corpus, id_col, text_col, n)
-    b = shingle_postings(benchmark, id_col, text_col, n).select("shingle").distinct()
+    # distinct=False: the per-doc set collapse is redundant under the
+    # global .distinct() on shingle alone (one shuffle instead of two).
+    b = (
+        shingle_postings(benchmark, id_col, text_col, n, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
     hits = (
         c.join(F.broadcast(b), "shingle")
         .groupBy("doc")
