@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,8 +122,6 @@ def all_pairs_cosine(
     the same thing ~2x slower: two BroadcastExchanges + join overhead
     dominated at small scale and bought nothing at large scale.
     """
-    import pandas as pd
-
     spark = df.sparkSession
     if n_blocks is None:
         # two constraints: blocks small enough to bound per-task memory
@@ -251,8 +250,6 @@ def ivf_topk(
     via a broadcast cell join; at 100 TB that fraction, not the corpus, is
     the per-query cost. Recall is tunable via n_probe
     (tests/test_similarity.py pins recall vs brute force)."""
-    import pandas as pd
-
     spark = corpus.sparkSession
     n = corpus.count()  # metadata-mostly on columnar sources
     sample = corpus.select(vec_col)
@@ -289,10 +286,22 @@ def ivf_topk(
         .filter(F.col("_rk") <= n_probe)
         .select("query_id", "q_vec", "_cell")
     )
+
+    # candidate scoring is the hot loop (n_probe/n_centroids of the corpus
+    # per query): Arrow-vectorized row-wise cosine, not the interpreted
+    # higher-order `cosine` expression (~40x at corpus scale).
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.maximum(np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-12)
+        return pd.Series(num / den)
+
     scored = assigned.join(F.broadcast(q_cells), "_cell").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        _cos(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -50,7 +50,11 @@ def test_q13_posting_list_scanned_once(spark, sf_dir):
     # one scan + one token explosion => the shingling subtree is computed
     # once (the old self-join shape showed two full chains)
     assert _ops(plan, "Scan parquet") == 1
-    assert _ops(plan, "Generate") <= 2  # posexplode + pair explode
+    # posexplode(tokens) + explode(collect_set) + pair explode — the set
+    # explode replaced a (doc, shingle) distinct exchange, so also pin the
+    # shuffle count: token window + groupBy(shingle) + groupBy(pair) only.
+    assert _ops(plan, "Generate") <= 3
+    assert _ops(plan, "Exchange") <= 3
 
 
 def test_q23_query_side_broadcast(spark, sf_dir):
