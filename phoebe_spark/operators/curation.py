@@ -203,3 +203,59 @@ def mixture_weights(
             (F.col("_p") / F.sum("_p").over(w)) * F.sum("n").over(w) / F.col("n"), 6
         ).alias("rel_epochs"),
     )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df_frac: float = 0.02,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: a word ``n``-gram is boilerplate
+    when it appears in at least ``min_df_frac`` of all documents (site
+    chrome, license headers, navigation text); every document is scored by
+    the fraction of its distinct grams that are boilerplate. Complements
+    :func:`repetition_stats`, which only sees WITHIN-document repetition.
+
+    Plan: one shingling pass (:func:`~phoebe_spark.operators.dedup.
+    shingle_postings`, distinct per doc), a groupBy(shingle) document-
+    frequency count, a join back on the uniform shingle key, and a
+    per-doc aggregation — three shuffles total, none keyed on anything
+    skewed beyond the gram distribution itself, at 100 TB the same shape
+    as the minhash shingle pipeline. The doc-count threshold rides in as
+    a broadcast scalar, not a driver-side collect.
+
+    Returns (doc, n_grams, n_boiler, boiler_ratio) for every document,
+    zero rows included.
+    """
+    from phoebe_spark.operators.dedup import shingle_postings
+
+    post = shingle_postings(df, id_col, text_col, n)
+    total = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    gram_df = (
+        post.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df_docs"))
+        .crossJoin(F.broadcast(total))
+        .select("shingle", (F.col("_df_docs") >= F.lit(min_df_frac) * F.col("_n_docs")).alias("_boiler"))
+    )
+    per_doc = (
+        post.join(gram_df, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_boiler") / F.col("n_grams"))
+            .alias("boiler_ratio"),
+        )
+    )

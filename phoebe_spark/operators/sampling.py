@@ -70,3 +70,37 @@ def hash_sample(
     a 1% cut is a subset of the 10% cut at the same salt."""
     bound = int(round(fraction * buckets))
     return df.filter(hash_bucket(F.col(id_col), salt, buckets) < F.lit(bound))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    buckets: int = 10000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsample: each stratum keeps its own
+    ``fractions[stratum]`` share by the same salted-hash bucket cut as
+    :func:`hash_sample` — the downsample-common-sources / keep-rare-sources
+    rebalancing step of corpus curation, reproducible across runs,
+    partitionings, and engines (md5 base, oracle-checked as q65).
+
+    The per-stratum bound compiles to a ``CASE`` chain (whole-stage
+    codegen, no shuffle, no join). That is the right shape while strata
+    are enumerable (sources, languages — tens to hundreds); for
+    unbounded strata keys, broadcast-join a fractions table instead.
+    Strata missing from ``fractions`` keep ``default_fraction``.
+    """
+    bound = None
+    for name, frac in fractions.items():
+        b = int(round(frac * buckets))
+        cond = F.col(strata_col) == name
+        bound = F.when(cond, F.lit(b)) if bound is None else bound.when(cond, F.lit(b))
+    bound = (
+        F.lit(int(round(default_fraction * buckets)))
+        if bound is None
+        else bound.otherwise(F.lit(int(round(default_fraction * buckets))))
+    )
+    return df.filter(hash_bucket(F.col(id_col), salt, buckets) < bound)

@@ -329,3 +329,30 @@ def lsh_bucketed_pairs(
         .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding in long form ``(label, dim, centroid)`` —
+    the class-prototype / cluster-centroid aggregate (semantic-dedup
+    cluster summaries, label-conditioned retrieval anchors).
+
+    Shape: ``posexplode`` fans each vector into (dim, value) rows inside
+    the scan (no Python), and the single groupBy on the composite
+    (label, dim) key gets map-side partial aggregation — one skew-free
+    shuffle of O(labels × dims) partials per task, not O(rows × dims)
+    data. Values cast to double BEFORE the avg so the accumulation
+    matches engines that promote float arrays on read.
+    """
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("_p", "_v"),
+        )
+        .select("label", (F.col("_p") + 1).alias("dim"), F.col("_v").cast("double").alias("_v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("_v").alias("centroid"))
+    )

@@ -2290,3 +2290,150 @@ def q64_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks_60s")
         )
     )
+
+
+_STRAT_FRACS = {f"src{i}": (0.8, 0.5, 0.2, 0.05)[i % 4] for i in range(20)}
+_STRAT_CASE = " ".join(
+    f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in _STRAT_FRACS.items()
+)
+
+
+@query(
+    "q65_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 15)) AS BIGINT)
+            % 10000
+          < CASE source {_STRAT_CASE} ELSE 0 END
+    """,
+)
+def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic subsample (:func:`sampling.
+    stratified_hash_sample`) — the rebalance-by-source curation step
+    (downsample boilerplate-heavy sources, keep rare ones whole). Pure
+    codegen CASE over the salted md5 bucket: no shuffle, no RNG state,
+    identical under repartitioning — and bit-identical in the oracle."""
+    from phoebe_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_hash_sample(d, _STRAT_FRACS, strata_col="source")
+    return out.select("doc_id", "source")
+
+
+@query(
+    "q66_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    )
+    SELECT label, dim, round(avg(v), 6) AS centroid
+    FROM flat GROUP BY label, dim
+    """,
+)
+def q66_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (:func:`similarity.label_centroids`) in
+    long (label, dim, centroid) form — class prototypes for semantic
+    dedup summaries / label-conditioned retrieval. posexplode inside the
+    scan + one map-side-combining groupBy on the tiny (label, dim) key:
+    the shuffle carries O(labels x dims) partials per task, not data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = similarity.label_centroids(emb)
+    return c.select("label", "dim", F.round("centroid", 6).alias("centroid"))
+
+
+@query(
+    "q67_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS grams
+      FROM toks
+    ),
+    posting AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    gdf AS (SELECT g, count(*) AS df_docs FROM posting GROUP BY g),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    per AS (
+      SELECT p.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN gdf.df_docs >= 0.02 * tot.n_docs THEN 1 ELSE 0 END) AS n_boiler
+      FROM posting p JOIN gdf ON gdf.g = p.g CROSS JOIN tot
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id AS doc,
+           coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.n_boiler, 0) AS n_boiler,
+           round(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+                      ELSE per.n_boiler * 1.0 / per.n_grams END, 6) AS boiler_ratio
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def q67_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate scoring (:func:`curation.
+    boilerplate_stats`): a 3-gram in >= 2% of documents is boilerplate
+    (site chrome / license headers); each doc is scored by its
+    boilerplate-gram fraction. Catches cross-document repetition that
+    per-doc :func:`curation.repetition_stats` cannot see."""
+    from phoebe_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    out = curation.boilerplate_stats(d, n=3, min_df_frac=0.02)
+    return out.select(
+        "doc", "n_grams", "n_boiler", F.round("boiler_ratio", 6).alias("boiler_ratio")
+    )
+
+
+@query(
+    "q68_semantic_prune",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings) a
+      JOIN (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings) b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc = e.d
+    ),
+    comp AS (SELECT doc, min(lbl) AS component FROM reach GROUP BY doc)
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN comp c ON c.doc = e.vec_id
+    WHERE c.component IS NULL OR c.component = e.vec_id
+    """,
+)
+def q68_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): close the
+    >= 0.45 cosine near-dup pairs (q41's exact GEMM) into components
+    (q53's min-label propagation) and KEEP one representative per
+    cluster (the min id) plus every unclustered row — the actual dedup
+    action a curation pipeline applies before training. The components
+    frame is only as large as the matched docs; the keep-filter is a
+    left join on the corpus id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.all_pairs_cosine(emb, threshold=0.45)
+    comp = dedup.dedup_components(pairs, id_col_a="id_a", id_col_b="id_b")
+    return (
+        emb.join(comp.withColumnRenamed("doc", "vec_id"), "vec_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("vec_id")))
+        .select("vec_id", "label")
+    )

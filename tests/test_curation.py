@@ -105,3 +105,20 @@ def test_range_join_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_stats_planted(spark):
+    boiler = "all rights reserved"
+    rows = [(i, "s", f"unique words {i} here {boiler}") for i in range(10)]
+    rows.append((100, "s", "totally fresh content nothing shared"))
+    rows.append((101, "s", ""))  # zero-gram doc still present with zeros
+    out = {r["doc"]: r for r in curation.boilerplate_stats(
+        _docs(spark, rows), n=3, min_df_frac=0.5).collect()}
+    assert len(out) == 12
+    # the planted gram appears in 10/12 docs (> 50%): flagged in each
+    assert all(out[i]["n_boiler"] >= 1 for i in range(10))
+    assert out[100]["n_boiler"] == 0 and out[100]["boiler_ratio"] == 0.0
+    assert out[101]["n_grams"] == 0 and out[101]["boiler_ratio"] == 0.0
+    for i in range(10):
+        r = out[i]
+        assert r["boiler_ratio"] == pytest.approx(r["n_boiler"] / r["n_grams"])

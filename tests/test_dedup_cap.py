@@ -6,6 +6,7 @@ by 1e5 docs explodes into 1e10 pairs from one posting group."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from phoebe_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -134,3 +135,27 @@ def test_hash_split_deterministic_and_nested(spark):
     # independent salt draws a different set
     other = {r["doc_id"] for r in hash_sample(df, 0.10, salt="v2").collect()}
     assert other != big
+
+
+def test_stratified_hash_sample_rates_and_nesting(spark):
+    from phoebe_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "common").otherwise("rare").alias("source"),
+    )
+    fr = {"common": 0.1, "rare": 0.9}
+    out = stratified_hash_sample(df, fr, strata_col="source").groupBy("source").count()
+    got = {r["source"]: r["count"] for r in out.collect()}
+    assert got["common"] == pytest.approx(200, rel=0.25)
+    assert got["rare"] == pytest.approx(1800, rel=0.1)
+    # determinism + unlisted-stratum default 0
+    again = {r["source"]: r["count"] for r in
+             stratified_hash_sample(df, fr, strata_col="source").groupBy("source").count().collect()}
+    assert again == got
+    assert stratified_hash_sample(df, {"common": 0.5}, strata_col="source").filter(
+        F.col("source") == "rare").count() == 0
+    # same salt => a stratum's 10% cut nests inside its 50% cut
+    small = {r["doc_id"] for r in stratified_hash_sample(df, {"common": 0.1}, strata_col="source").collect()}
+    big = {r["doc_id"] for r in stratified_hash_sample(df, {"common": 0.5}, strata_col="source").collect()}
+    assert small <= big

@@ -83,3 +83,20 @@ def test_all_pairs_cosine_exact_and_distributed(spark, emb):
     assert got == exact
     plan = all_pairs_cosine(emb, threshold=0.45)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+    from phoebe_spark.operators.similarity import label_centroids
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(4)], int(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["label"], r["dim"]): r["centroid"] for r in label_centroids(df).collect()}
+    X = np.array([np.array(v, dtype=np.float32) for _, v, _ in rows], dtype=np.float64)
+    lab = np.array([l for _, _, l in rows])
+    for l in range(3):
+        want = X[lab == l].mean(axis=0)
+        for d in range(4):
+            assert got[(l, d + 1)] == pytest.approx(want[d], rel=1e-9)
+    assert len(got) == 12
