@@ -144,6 +144,29 @@ def sessionized_agg(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "event_time",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup: drop records whose dedup key was already
+    seen, keeping state only within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the in-flight twin of the batch
+    exact dedup (operators/dedup.py), for at-least-once sources that
+    re-deliver (Kafka producer retries, replayed partitions).
+
+    Scale notes: state is hash-partitioned on the dedup key (uniform if
+    the key is an id/fingerprint) and BOUNDED by the watermark — the
+    classic unbounded-state trap of a plain streaming dropDuplicates is
+    exactly what the within-watermark variant exists to avoid. Keys
+    re-delivered farther apart than the watermark are the source's
+    duplicate-window contract, not state the engine should hold forever.
+    """
+    keys = key_cols or ["key"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_static_join(
     stream: DataFrame, static_dim: DataFrame, on: str, how: str = "inner"
 ) -> DataFrame:

@@ -216,3 +216,34 @@ def test_session_window_stream(spark, tmp_path):
         ("u1", 100, 140): 2,   # 100,110
         ("u2", 5, 35): 1,
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from phoebe_spark.streaming.jobs import streaming_dedup
+
+    src = str(tmp_path / "dup_src")
+    # two micro-batch files; event 2 is re-delivered within the watermark
+    # horizon (same timestamp), event 3 twice within one batch
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 10.0), ("2024-01-01 00:00:01", 2, 20.0),
+         ("2024-01-01 00:00:03", 3, 30.0), ("2024-01-01 00:00:03", 3, 30.0)],
+        "ts string, event_id long, value double",
+    ).select(F.col("ts").cast("timestamp").alias("event_time"), "event_id", "value") \
+     .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("2024-01-01 00:00:01", 2, 20.0), ("2024-01-01 00:00:05", 4, 40.0)],
+        "ts string, event_id long, value double",
+    ).select(F.col("ts").cast("timestamp").alias("event_time"), "event_id", "value") \
+     .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_time TIMESTAMP, event_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, key_cols=["event_id"], watermark="1 minute")
+    q = run_to_sink(out, str(tmp_path / "ck_dedup"), queryName="dedup_sink")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, count(*) AS n FROM dedup_sink GROUP BY event_id").collect()
+    got = {r["event_id"]: r["n"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
