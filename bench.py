@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "q60_quality_rules",
     "q62_pack_sequences",
     "q64_range_join",
+    "q65_stratified_sample",
+    "q66_label_centroids",
+    "q67_boilerplate",
+    "q68_semantic_prune",
 ]
 
 

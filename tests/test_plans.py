@@ -120,3 +120,39 @@ def test_q55_split_is_scan_side_expression(spark, sf_dir):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert _ops(plan, op) == 0
     assert _ops(plan, "Scan parquet") == 1
+
+
+def test_q65_sample_is_scan_side_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q65_stratified_sample")
+    # pure codegen filter over the scan: no shuffle, no join anywhere
+    assert _ops(plan, "Exchange") == 0
+    assert _ops(plan, "Join") == 0
+    assert _ops(plan, "Scan parquet") == 1
+
+
+def test_q66_centroids_single_shuffle_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q66_label_centroids")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Exchange") == 1  # one shuffle on (label, dim)
+    assert _ops(plan, "HashAggregate") == 2  # map-side partial + final
+
+
+def test_q67_boilerplate_threshold_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q67_boilerplate")
+    # the doc-count threshold arrives as a broadcast scalar, not a collect
+    assert _ops(plan, "BroadcastNestedLoopJoin") == 1
+    # gram-df join keyed on shingle: a real equi-join, no cartesian blowup
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") + _ops(plan, "BroadcastHashJoin") >= 2
+
+
+def test_q68_prune_no_cartesian(spark, sf_dir):
+    # the components subtree materializes during construction
+    # (localCheckpoint truncates it to an RDD scan), so the final plan is
+    # corpus LEFT JOIN components — assert the keep-filter never degrades
+    # to a pair-enumerating cartesian/nested-loop shape
+    plan = _plan(spark, sf_dir, "q68_semantic_prune")
+    assert _ops(plan, "CartesianProduct") == 0
+    assert _ops(plan, "BroadcastNestedLoopJoin") == 0
+    assert (
+        _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") + _ops(plan, "BroadcastHashJoin") >= 1
+    )
