@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q66_label_centroids",
     "q67_boilerplate",
     "q68_semantic_prune",
+    "q69_quantize_embeddings",
 ]
 
 

@@ -356,3 +356,33 @@ def label_centroids(
         .groupBy("label", "dim")
         .agg(F.avg("_v").alias("centroid"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector int quantization (absmax scaling): scale =
+    max|v| / (2^(bits-1) - 1), q_i = round(v_i / scale) — the storage /
+    bandwidth compression step an ANN index applies before sharding
+    billions of vectors (4x smaller than float32 at 8 bits; dot products
+    rescale by scale_a * scale_b).
+
+    Pure column expressions over array higher-order functions — evaluated
+    per element but O(dims) per row with no shuffle, no Python, and the
+    arithmetic (double division + half-away-from-zero round) reproduces
+    bit-identically in the oracle. An all-zero vector keeps scale 0 and
+    an all-zero code array.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (absmax / F.lit(float(qmax))).alias("scale")
+    codes = F.when(
+        absmax == 0.0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / (absmax / qmax)).cast("int"))
+    )
+    return df.select(F.col(id_col), scale, codes.alias("qvec"))

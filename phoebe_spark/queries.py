@@ -2437,3 +2437,46 @@ def q68_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("component").isNull() | (F.col("component") == F.col("vec_id")))
         .select("vec_id", "label")
     )
+
+
+@query(
+    "q69_quantize_embeddings",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, am,
+             CASE WHEN am = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / (am / 127)) AS INT)) END AS qvec
+      FROM base
+    )
+    SELECT vec_id, round(am / 127, 6) AS scale,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
+           list_min(qvec) AS q_min, list_max(qvec) AS q_max
+    FROM q
+    """,
+)
+def q69_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 absmax quantization (:func:`similarity.
+    quantize_embeddings`) — the 4x storage/bandwidth compression an ANN
+    index applies before sharding billions of vectors. Codes are compacted
+    to per-vector (sum, l1, min, max) so the oracle compare is
+    value-sensitive to every code without ferrying arrays (q51's
+    fingerprint-compaction pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = similarity.quantize_embeddings(emb)
+    qv = F.col("qvec")
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )

@@ -100,3 +100,22 @@ def test_label_centroids_match_numpy(spark):
         for d in range(4):
             assert got[(l, d + 1)] == pytest.approx(want[d], rel=1e-9)
     assert len(got) == 12
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    import numpy as np
+    from phoebe_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    rows.append((99, [0.0] * 16))  # all-zero vector: scale 0, zero codes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[99]["scale"] == 0.0 and set(out[99]["qvec"]) == {0}
+    for vid, vec in rows[:-1]:
+        r = out[vid]
+        v = np.array(vec, dtype=np.float32).astype(np.float64)
+        assert r["scale"] == pytest.approx(np.abs(v).max() / 127, rel=1e-9)
+        deq = np.array(r["qvec"], dtype=np.float64) * r["scale"]
+        assert np.abs(deq - v).max() <= r["scale"] / 2 + 1e-12
+        assert max(abs(c) for c in r["qvec"]) <= 127
