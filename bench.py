@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q67_boilerplate",
     "q68_semantic_prune",
     "q69_quantize_embeddings",
+    "q70_token_fertility",
+    "q71_event_funnel",
 ]
 
 

@@ -2480,3 +2480,124 @@ def q69_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(qv).alias("q_min"),
         F.array_max(qv).alias("q_max"),
     )
+
+
+@query(
+    "q70_token_fertility",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws,
+             len(regexp_extract_all(text,
+                 '''(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(ws), 6) AS avg_ws_tokens,
+           round(avg(bpe), 6) AS avg_bpe_tokens,
+           round(sum(chars) * 1.0 / sum(bpe), 6) AS chars_per_bpe
+    FROM t GROUP BY lang
+    """,
+)
+def q70_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility rollup by language: average whitespace and
+    BPE-ish subword token counts plus chars-per-subword — the
+    fertility/compression diagnostic a multilingual pretraining mix is
+    balanced on (languages a tokenizer splits inefficiently consume
+    context budget). One scan, pure codegen token counting
+    (:func:`text.bpe_token_count`), one tiny groupBy(lang)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(text.tokens(F.col("text")))
+    bpe = text.bpe_token_count(F.col("text"))
+    return (
+        d.select("lang", ws.alias("ws"), bpe.alias("bpe"), F.length("text").alias("chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ws"), 6).alias("avg_ws_tokens"),
+            F.round(F.avg("bpe"), 6).alias("avg_bpe_tokens"),
+            F.round(F.sum("chars") / F.sum("bpe"), 6).alias("chars_per_bpe"),
+        )
+    )
+
+
+@query(
+    "q71_event_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, {EPOCH_SQL.format(c="ts")} AS sec FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, min(sec) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.sec) AS t2 FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.sec > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.sec) AS t3 FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.sec > s2.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def q71_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel (path) analysis: users reaching each step of
+    view -> click -> purchase with strictly increasing timestamps — the
+    sequence-matching operator class (funnel / user-path analytics).
+
+    Spark shape: ONE shuffle on user_id. Each user's (sec, type) events
+    collect into a sorted array, and a single ``aggregate`` walk over it
+    resolves the dependent step times (t1 = first view, t2 = first click
+    after t1, t3 = first purchase after t2) as a 3-slot state machine in
+    codegen. Per-user state is bounded by that user's event count. No
+    self-joins on the event table, no per-step shuffles — the shape that
+    survives 100 TB of events (the oracle uses the textbook
+    three-self-join form, which would be three fact-fact shuffles here)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", _epoch("ts").alias("sec"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("sec", "event_type"))).alias("evs")
+    )
+    # single aggregate walk over the ordered per-user events: a 3-slot
+    # state (t1, t2, t3) updated left-to-right entirely in codegen
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+    def step(acc, e):
+        is_view = e["event_type"] == "view"
+        is_click = e["event_type"] == "click"
+        is_buy = e["event_type"] == "purchase"
+        t1 = F.when(acc["t1"].isNull() & is_view, e["sec"]).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull() & is_click & acc["t1"].isNotNull() & (e["sec"] > acc["t1"]),
+            e["sec"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull() & is_buy & acc["t2"].isNotNull() & (e["sec"] > acc["t2"]),
+            e["sec"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+    walked = per_user.select(F.aggregate("evs", init, step).alias("st"))
+    counts = walked.agg(
+        F.count("st.t1").alias("n1"), F.count("st.t2").alias("n2"), F.count("st.t3").alias("n3")
+    )
+    steps = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")], "step INT, event_type STRING"
+    )
+    return steps.crossJoin(F.broadcast(counts)).select(
+        "step",
+        "event_type",
+        F.when(F.col("step") == 1, F.col("n1"))
+        .when(F.col("step") == 2, F.col("n2"))
+        .otherwise(F.col("n3"))
+        .alias("n_users"),
+    )

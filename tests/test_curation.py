@@ -122,3 +122,33 @@ def test_boilerplate_stats_planted(spark):
     for i in range(10):
         r = out[i]
         assert r["boiler_ratio"] == pytest.approx(r["n_boiler"] / r["n_grams"])
+
+
+def test_event_funnel_ordering_rules(spark, tmp_path):
+    """Strict-order funnel: click before any view must not count; a
+    purchase only counts after a counted click."""
+    import os
+    rows = [
+        # u1: full ordered funnel
+        (1, "2024-01-01 00:00:00", "view"), (1, "2024-01-01 00:00:05", "click"),
+        (1, "2024-01-01 00:00:09", "purchase"),
+        # u2: click precedes the first view -> stops at step 1
+        (2, "2024-01-01 00:00:00", "click"), (2, "2024-01-01 00:00:04", "view"),
+        (2, "2024-01-01 00:00:02", "purchase"),
+        # u3: view+click, purchase BEFORE the click -> stops at step 2
+        (3, "2024-01-01 00:00:00", "view"), (3, "2024-01-01 00:00:06", "purchase"),
+        (3, "2024-01-01 00:00:08", "click"),
+        # u4: purchase only -> no steps
+        (4, "2024-01-01 00:00:00", "purchase"),
+    ]
+    src = str(tmp_path / "funnel_events")
+    spark.createDataFrame(rows, "user_id long, ts string, event_type string").select(
+        F.col("user_id"),
+        (F.col("ts").cast("timestamp").cast("long") * 1_000_000_000).alias("ts"),
+        "event_type",
+        F.lit(0).cast("long").alias("event_id"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(os.path.join(src, "events.parquet"))
+    from phoebe_spark.queries import QUERIES
+    got = {r["step"]: r["n_users"] for r in QUERIES["q71_event_funnel"](spark, src).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}

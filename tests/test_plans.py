@@ -156,3 +156,12 @@ def test_q68_prune_no_cartesian(spark, sf_dir):
     assert (
         _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") + _ops(plan, "BroadcastHashJoin") >= 1
     )
+
+
+def test_q71_funnel_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q71_event_funnel")
+    # the whole funnel resolves in one groupBy(user) + one global count:
+    # no self-joins of the event table (the oracle's 3-join form would
+    # show 3 fact-fact shuffles here)
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "Scan parquet") == 1
