@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from phoebe_spark.operators import dedup, sampling, similarity, text
+from phoebe_spark.sources.testdata import load_table
 from phoebe_spark.timeseries import aggregates as ts_agg
 from phoebe_spark.timeseries import core as ts_core
 
@@ -43,10 +44,9 @@ def _epoch(c: str = "ts"):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet uses INT64 TIMESTAMP(NANOS); Spark only reads it with
-    # nanosAsLong (runtime-settable, harmless for the other tables).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Canonicalizing loader: events.ts always comes back as epoch-nanos
+    # BIGINT whatever the parquet's physical timestamp type is.
+    return load_table(spark, sf_dir, name)
 
 
 def _dec(c) -> F.Column:

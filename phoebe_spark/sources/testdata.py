@@ -1,0 +1,54 @@
+"""Parquet testdata loader with timestamp normalization.
+
+The harness-generated tables changed representation between rounds:
+``events.ts`` was INT64 TIMESTAMP(NANOS) at first (readable in Spark only
+as a nanosecond BIGINT via the legacy ``nanosAsLong`` conf) and is now
+TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ). The engine's
+whole time-series surface — and every DuckDB oracle (``epoch_ns(ts)``) —
+treats ``ts`` as epoch-**nanoseconds** BIGINT with the wall clock
+interpreted as UTC, so this loader converts whichever physical
+representation the parquet has into that one canonical form at the read
+boundary. Everything downstream stays representation-agnostic.
+
+TZ note: DuckDB's ``epoch_ns`` on a naive TIMESTAMP interprets the wall
+clock as UTC. Spark's NTZ→TIMESTAMP cast interprets it in the *session*
+time zone, so the session zone is pinned to UTC here (it is also set at
+builder time in :mod:`phoebe_spark.session`, but the driver's own session
+may not have it). ``to_utc_timestamp(ts, 'UTC')`` is NOT a substitute — it
+subtracts UTC's zero offset, i.e. it is an identity on the instant and
+silently keeps the session-zone interpretation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: epoch-nanos BIGINT from either a NTZ/LTZ timestamp column; exact integer
+#: math (unix_micros is a long), no double roundtrip.
+_TS_TO_NANOS = "unix_micros(CAST({c} AS TIMESTAMP)) * CAST(1000 AS BIGINT)"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet`` with canonical column types.
+
+    ``events.ts`` comes back as epoch-nanos BIGINT regardless of whether
+    the file stores TIMESTAMP(NANOS) or TIMESTAMP(MICROS) wall clocks.
+    """
+    # Legacy nanos files are only readable with this conf (as BIGINT);
+    # harmless for every other table/type.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_times(spark, df)
+    return df
+
+
+def normalize_event_times(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Coerce an events frame's ``ts`` to epoch-nanos BIGINT (wall = UTC)."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype is None or dtype == "bigint":
+        return df
+    # Wall-clock-as-UTC contract shared with the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumn("ts", F.expr(_TS_TO_NANOS.format(c="ts")))

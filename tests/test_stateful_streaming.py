@@ -10,12 +10,12 @@ from pyspark.sql import functions as F
 
 from phoebe_spark.streaming.jobs import run_to_sink
 from phoebe_spark.streaming.stateful import keyed_ewma
+from phoebe_spark.sources.testdata import load_table
 
 
 def test_keyed_ewma_matches_batch(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = str(tmp_path / "stream_src")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = load_table(spark, sf_dir, "events")
     # range-partition by time so file order == event-time order: EWMA is
     # order-sensitive, and micro-batches replay files in order
     # microsecond timestamps (unique per key -> total fold order), and the

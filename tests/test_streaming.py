@@ -19,6 +19,7 @@ from phoebe_spark.streaming.jobs import (
     windowed_keyed_agg,
 )
 from phoebe_spark.streaming.metrics import ProgressMetricsListener
+from phoebe_spark.sources.testdata import load_table
 
 
 @pytest.fixture()
@@ -26,8 +27,7 @@ def events_stream_dir(spark, sf_dir, tmp_path):
     """File-source directory holding the events table re-written as
     micro-batch-able parquet with proper micros timestamps."""
     out = str(tmp_path / "events_stream")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = load_table(spark, sf_dir, "events")
     df.select(
         F.expr("ts div 1000000000").cast("timestamp").alias("event_time"),
         F.col("event_type").alias("key"),
