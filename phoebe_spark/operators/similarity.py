@@ -233,6 +233,7 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 8,
     fit_sample_size: int = 65536,
+    centroids: "np.ndarray | list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse centroids over the
     corpus, each vector assigned to its nearest centroid's cell, each
@@ -249,14 +250,26 @@ def ivf_topk(
     never. The query side probes ``n_probe / n_centroids`` of the corpus
     via a broadcast cell join; at 100 TB that fraction, not the corpus, is
     the per-query cost. Recall is tunable via n_probe
-    (tests/test_similarity.py pins recall vs brute force)."""
+    (tests/test_similarity.py pins recall vs brute force).
+
+    ``centroids`` (optional) supplies a pretrained coarse quantizer — a
+    ``(n_centroids, dim)`` row-matrix of unit vectors — skipping the
+    k-means fit entirely (the FAISS train-once/assign-many pattern). With
+    fixed centroids every downstream step (cell assignment, probed cells,
+    within-cell exact top-k) is deterministic and engine-portable, which
+    is how q44's DuckDB oracle reproduces this operator exactly."""
     spark = corpus.sparkSession
-    n = corpus.count()  # metadata-mostly on columnar sources
-    sample = corpus.select(vec_col)
-    if n > fit_sample_size:
-        sample = sample.sample(fraction=min(1.0, 1.2 * fit_sample_size / n), seed=seed)
-    X = np.array([list(r[0]) for r in sample.limit(fit_sample_size).collect()], dtype=np.float64)
-    C = _spherical_kmeans(X, n_centroids, max_iter, seed)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        n_centroids = C.shape[0]
+    else:
+        n = corpus.count()  # metadata-mostly on columnar sources
+        sample = corpus.select(vec_col)
+        if n > fit_sample_size:
+            sample = sample.sample(fraction=min(1.0, 1.2 * fit_sample_size / n), seed=seed)
+        X = np.array([list(r[0]) for r in sample.limit(fit_sample_size).collect()], dtype=np.float64)
+        C = _spherical_kmeans(X, n_centroids, max_iter, seed)
 
     id_field = corpus.schema[id_col]
     vec_field = corpus.schema[vec_col]
@@ -282,7 +295,8 @@ def ivf_topk(
     q_cells = (
         q.crossJoin(F.broadcast(cent_df))
         .withColumn("_d", cosine(F.col("q_vec"), F.col("_centroid")))
-        .withColumn("_rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("_d").desc())))
+        .withColumn("_rk", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("_cell"))))
         .filter(F.col("_rk") <= n_probe)
         .select("query_id", "q_vec", "_cell")
     )

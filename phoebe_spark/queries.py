@@ -1499,16 +1499,80 @@ def q43_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q44_ivf_ann")
+@query(
+    "q44_ivf_ann",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    piv AS (
+      SELECT CAST(vec_id - 10 AS INT) AS cell, v AS pv, nrm AS pnrm
+      FROM n WHERE vec_id BETWEEN 10 AND 17
+    ),
+    ad AS (
+      SELECT n.vec_id, n.v, n.nrm, piv.cell,
+             list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * piv.pv[i])) / (n.nrm * piv.pnrm) AS cs
+      FROM n CROSS JOIN piv
+    ),
+    cells AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT vec_id, v, nrm, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rk
+        FROM ad) WHERE rk = 1
+    ),
+    qc AS (
+      SELECT query_id, qv, qnrm, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rk
+        FROM ad WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rk <= 4
+    ),
+    cand AS (
+      SELECT qc.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(c.v)),
+                      i -> c.v[i] * qc.qv[i])) / (c.nrm * qc.qnrm) AS cs
+      FROM qc JOIN cells c USING (cell)
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cs, 6) AS cos_sim
+    FROM (SELECT query_id, neighbor_id, cs,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cand)
+    WHERE rank <= 5
+    """,
+)
 def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: KMeans centroids are engine-
-    specific; recall vs brute force is pinned in tests/test_similarity.py).
-    The 100 TB ANN scale path: per-query cost is n_probe/n_centroids of
-    the corpus, not the corpus. Centroids fit driver-side on a bounded
-    sample (spherical k-means, numpy); assignment is one distributed
-    Arrow GEMM pass."""
+    """IVF approximate top-k with a PRETRAINED coarse quantizer (the FAISS
+    train-once/assign-many pattern): the 8 cell centroids are fixed pivot
+    vectors (corpus vec_id 10-17, normalized), so cell assignment, probed
+    cells, and the within-cell exact top-k are all deterministic — the
+    DuckDB oracle reproduces the operator EXACTLY (value-hash strength;
+    round-2's `no_oracle` retired). The k-means fit path remains the
+    operator default (recall pinned in tests/test_similarity.py).
+
+    100 TB shape unchanged: per-query cost is n_probe/n_centroids of the
+    corpus, assignment is one distributed Arrow GEMM pass, corpus never
+    shuffles."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.limit(5), k=5, n_centroids=8, n_probe=4)
+    pivots = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").between(10, 17))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    out = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=4, centroids=pivots
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
 
 
 @query(
