@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from phoebe_spark.operators import dedup, sampling, similarity, text
@@ -32,10 +32,11 @@ from phoebe_spark.timeseries import core as ts_core
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-# Epoch-seconds helpers, aligned between engines. The events table stores
-# TIMESTAMP(NANOS) which Spark reads as a nanosecond LONG (legacy conf
-# below) and DuckDB as a timestamp; integer division to seconds is exact in
-# both (a double `epoch()` would lose sub-second precision at 2^53).
+# Epoch-seconds helpers, aligned between engines. `events.ts` is canonical
+# epoch-nanos BIGINT, produced by sources.testdata.load_table regardless of
+# the parquet's physical timestamp type (NANOS-as-long or MICROS NTZ);
+# DuckDB sees a timestamp. Integer division to seconds is exact in both (a
+# double `epoch()` would lose sub-second precision at 2^53).
 EPOCH_SQL = "(epoch_ns({c}) // 1000000000)"
 
 
@@ -1204,27 +1205,91 @@ def _savgol_oracle() -> str:
 
 @query("q35_savgol_smooth", oracle=_savgol_oracle())
 def q35_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5 Savitzky-Golay smoothing per series via applyInPandas (the
-    reference's scipy savgol, numpy reimplementation in
-    functions.numeric). Grouped-map: one Arrow batch per event_type.
-    Oracle-checked against the literal-coefficient linear form (see
-    :func:`_savgol_oracle`)."""
-    import pandas as pd
+    """W5 Savitzky-Golay smoothing per series, ALL-JVM (the reference's
+    scipy savgol, `analytics/app/workload/models.py:55-62`). The filter is
+    linear, so it is three literal coefficient blocks (see
+    :func:`_savgol_oracle`): interior rows are a 51-tap centered windowed
+    dot product — ``collect_list`` over a ±25 row frame, ``zip_with`` +
+    ``aggregate`` against the literal tap vector — and the 25-row
+    head/tail 'interp' edges are literal 25x51 matrices applied to each
+    series' first/last 51 values (per-series scalars, broadcast-joined
+    back). No Python in the plan: unlike the round-2
+    one-Arrow-task-per-series ``applyInPandas``, this distributes within a
+    series, so a 10^9-row series is just more window partitions, not one
+    executor's pandas frame. Plan-asserted Python-free in
+    tests/test_plans.py."""
+    import numpy as np
 
     from phoebe_spark.functions.numeric import savgol_filter
 
+    m = 200
+    L = np.array([savgol_filter(np.eye(m)[j], 51, 3) for j in range(m)]).T
+    center, head, tail = L[100, 75:126], L[:25, :51], L[-25:, -51:]
+    CC = F.array(*[F.lit(float(c)) for c in center])
+    HH = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in head])
+    TT = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in tail])
+
+    def _dotl(coeffs: Column, vals: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(coeffs, vals, lambda c, x: c * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     e = _t(spark, sf_dir, "events").select(
-        "event_type", F.col("event_id"), F.col("ts").alias("t"), "value"
+        "event_type",
+        "event_id",
+        F.col("ts").alias("t"),
+        F.col("value").cast("double").alias("value"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("t", "event_id")
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = e.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_all)
     )
 
-    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "event_id"])
-        pdf["smoothed"] = savgol_filter(pdf["value"].to_numpy(), 51, 3).round(6)
-        return pdf[["event_type", "event_id", "smoothed"]]
+    def _ordered_vals(df: DataFrame, pos: Column) -> Column:
+        # sort (pos, value) structs then project values: order-correct
+        # collect without relying on collect_list accumulation order
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct(pos.alias("p"), F.col("value").alias("v")))),
+            lambda s: s["v"],
+        )
 
-    return e.groupBy("event_type").applyInPandas(
-        _smooth, "event_type STRING, event_id LONG, smoothed DOUBLE"
+    first51 = (
+        base.filter(F.col("rn") <= 51)
+        .groupBy("event_type")
+        .agg(_ordered_vals(base, F.col("rn")).alias("first51"))
     )
+    last51 = (
+        base.filter(F.col("rn") > F.col("cnt") - 51)
+        .groupBy("event_type")
+        .agg(_ordered_vals(base, F.col("rn")).alias("last51"))
+    )
+
+    wnd = F.collect_list("value").over(w_ord.rowsBetween(-25, 25))
+    out = (
+        base.join(F.broadcast(first51), "event_type")
+        .join(F.broadcast(last51), "event_type")
+        .withColumn(
+            "smoothed",
+            F.round(
+                F.when(F.col("rn") <= 25, _dotl(F.element_at(HH, F.col("rn")), F.col("first51")))
+                .when(
+                    F.col("rn") >= F.col("cnt") - 24,
+                    _dotl(
+                        F.element_at(TT, (F.col("rn") - (F.col("cnt") - 25)).cast("int")),
+                        F.col("last51"),
+                    ),
+                )
+                .otherwise(_dotl(CC, wnd)),
+                6,
+            ),
+        )
+    )
+    return out.select("event_type", "event_id", "smoothed")
 
 
 @query(

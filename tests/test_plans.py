@@ -165,3 +165,15 @@ def test_q71_funnel_single_user_shuffle(spark, sf_dir):
     # show 3 fact-fact shuffles here)
     assert _ops(plan, "SortMergeJoin") == 0
     assert _ops(plan, "Scan parquet") == 1
+
+
+def test_q35_savgol_python_free(spark, sf_dir):
+    # the 51-tap filter is linear: interior rows are a JVM windowed dot
+    # product, edges literal matrix rows — no Python stage anywhere, so
+    # work distributes WITHIN a series (no one-Arrow-task-per-series cap)
+    plan = _plan(spark, sf_dir, "q35_savgol_smooth")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # edge arrays arrive via broadcast joins, not a driver collect
+    assert _ops(plan, "BroadcastHashJoin") == 2
