@@ -25,6 +25,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt(df: DataFrame, salt_buckets: int) -> F.Column:
+    """Deterministic per-row salt: a content hash over every column.
+
+    Unlike partition-id or seeded-``rand`` salts, a content hash is stable
+    under AQE repartitioning, task retries, and speculative execution —
+    a re-executed task re-derives the identical salt for every row, so the
+    job keeps retry determinism (the property operators/sampling.py exists
+    to protect). A hot KEY still spreads across buckets because its rows
+    differ in the non-key columns; only exact duplicate rows co-locate,
+    which is benign for algebraic aggregates and replicated joins."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.lit("phoebe-salt")),
+        F.lit(salt_buckets),
+    ).cast("int")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -36,7 +52,7 @@ def salted_aggregate(
     groupBy(keys) combine. Identical results to a direct groupBy; the first
     shuffle spreads each key over ``salt_buckets`` reducers."""
     keys = list(keys)
-    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    salted = df.withColumn("_salt", _content_salt(df, salt_buckets))
     partial_aggs = [F.sum(c).alias(f"_s_{c}") for c in sum_cols]
     if count:
         partial_aggs.append(F.count(F.lit(1)).alias("_s_cnt"))
@@ -54,11 +70,14 @@ def salted_broadcast_join(
     salt_buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Hot-key join: salt the big side randomly into ``salt_buckets``,
-    replicate the small side across every salt value, join on
-    (key, salt). Result rows identical to the unsalted join; the hot key's
-    rows land on ``salt_buckets`` tasks instead of one."""
-    big_salted = big.withColumn("_salt", F.pmod(F.xxhash64(F.rand(seed=42)), F.lit(salt_buckets)).cast("int"))
+    """Hot-key join: salt the big side deterministically into
+    ``salt_buckets`` (content hash — see :func:`_content_salt`; a seeded
+    ``rand`` salt would re-roll under AQE/retries, and hashing only the
+    join key would give a hot key ONE salt, i.e. no spread), replicate the
+    small side across every salt value, join on (key, salt). Result rows
+    identical to the unsalted join; the hot key's rows land on
+    ``salt_buckets`` tasks instead of one."""
+    big_salted = big.withColumn("_salt", _content_salt(big, salt_buckets))
     salts = small.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
     small_rep = small.crossJoin(F.broadcast(salts))
     return big_salted.join(F.broadcast(small_rep), on=[on, "_salt"], how=how).drop("_salt")

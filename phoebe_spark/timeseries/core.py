@@ -275,6 +275,7 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     tolerance: int | None = None,
     suffix: str = "_asof",
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Backward as-of join: each left row picks up the most recent right
     observation at or before its timestamp, per ``by`` group (pandas
@@ -288,10 +289,12 @@ def asof_join(
     cross-product, no per-row probe; ties (right at exactly the left
     timestamp) are included. ``tolerance`` (same unit as ``on``) nulls out
     matches older than ``on - tolerance``. Unkeyed input runs as a global
-    sort — same boundedness caveat as the other unkeyed kernels.
+    sort and raises :class:`UnkeyedGlobalWindowWarning` like the other
+    unkeyed kernels (pass ``assume_bounded=True`` to assert boundedness).
 
     Right value columns land as ``<col><suffix>``.
     """
+    _check_unkeyed("asof_join", by, assume_bounded)
     keys = list(by or [])
     vals = list(value_cols or [c for c in right.columns if c not in keys + [on]])
     out_names = {c: f"{c}{suffix}" for c in vals}

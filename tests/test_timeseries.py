@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from phoebe_spark.timeseries.core import asof_join
 from phoebe_spark.timeseries import (
     binned_mean,
     densify,
@@ -128,6 +129,8 @@ def test_unkeyed_global_window_warns(spark):
         strided_subsample(df, rate=2)
     with pytest.warns(UnkeyedGlobalWindowWarning):
         merge_overwrite(df, df)
+    with pytest.warns(UnkeyedGlobalWindowWarning):
+        asof_join(df, df.select("timestamp", F.col("value").alias("rv")), value_cols=["rv"])
     # keyed or explicitly-asserted-bounded calls stay silent
     with warnings.catch_warnings():
         warnings.simplefilter("error", UnkeyedGlobalWindowWarning)
@@ -136,6 +139,15 @@ def test_unkeyed_global_window_warns(spark):
         merge_overwrite(df, df, assume_bounded=True)
         densify(df.withColumn("k", F.lit(1)), step=1, keys=["k"])
         fill_linear(df.withColumn("k", F.lit(1)), keys=["k"])
+        asof_join(
+            df, df.select("timestamp", F.col("value").alias("rv")),
+            value_cols=["rv"], assume_bounded=True,
+        )
+        asof_join(
+            df.withColumn("k", F.lit(1)),
+            df.select("timestamp", F.col("value").alias("rv")).withColumn("k", F.lit(1)),
+            by=["k"], value_cols=["rv"],
+        )
 
 
 def test_asof_join_semantics(spark):
