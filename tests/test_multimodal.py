@@ -108,3 +108,74 @@ def test_partition_by_size_spreads(images):
     out = partition_by_size(images, num_buckets=8)
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 20
+
+
+def test_wav_decode_real_riff_end_to_end(spark):
+    """The stdlib-wave decoder is REAL: synthesize an actual RIFF/WAVE PCM
+    byte string, run the full audio_features pipeline over it, and check
+    the physics (a sine's RMS is amplitude/sqrt(2), zero crossings track
+    frequency) — no stub anywhere in the path."""
+    import io
+    import wave
+
+    from phoebe_spark.operators.multimodal import wav_decode
+
+    sr, freq, amp, dur_s = 8000, 440.0, 0.5, 2.0
+    t = np.arange(int(sr * dur_s)) / sr
+    pcm = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    wav_bytes = buf.getvalue()
+    assert wav_bytes[:4] == b"RIFF"  # genuine container magic
+
+    # direct decode round-trip
+    x = wav_decode(wav_bytes)
+    assert x.dtype == np.float32 and len(x) == len(pcm)
+    assert float(np.max(np.abs(x))) <= 1.0
+
+    df = spark.createDataFrame(
+        [(1, "audio/wav", sr, len(pcm), len(wav_bytes), bytearray(wav_bytes))],
+        "media_id LONG, mime STRING, sample_rate INT, n_samples LONG, n_bytes LONG, content BINARY",
+    )
+    r = audio_features(df, decoder=wav_decode).collect()[0]
+    assert r["duration_s"] == pytest.approx(dur_s)
+    assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    # a 440 Hz sine crosses zero 2*440 times/s -> rate ~= 2*freq/sr
+    assert r["zero_crossing_rate"] == pytest.approx(2 * freq / sr, rel=0.05)
+
+
+def test_wav_decode_stereo_and_8bit(spark):
+    import io
+    import wave
+
+    from phoebe_spark.operators.multimodal import wav_decode
+
+    # stereo 16-bit: L = sine, R = -sine -> mono mean ~ 0
+    sr = 4000
+    t = np.arange(sr) / sr
+    s = (0.25 * np.sin(2 * np.pi * 100 * t) * 32767).astype("<i2")
+    inter = np.empty(2 * len(s), dtype="<i2")
+    inter[0::2], inter[1::2] = s, -s
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(inter.tobytes())
+    x = wav_decode(buf.getvalue())
+    assert len(x) == len(s)
+    assert float(np.max(np.abs(x))) < 1e-4
+
+    # 8-bit unsigned PCM silence decodes to ~0
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sr)
+        w.writeframes(bytes([128] * sr))
+    x8 = wav_decode(buf8.getvalue())
+    assert float(np.max(np.abs(x8))) == 0.0
