@@ -160,10 +160,16 @@ def select_predictions(spark: SparkSession, exp_ids: list[int]) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register temp views. Filters and
     projections over these push down to the parquet scan (check
-    ``PushedFilters`` / ``ReadSchema`` in ``.explain``)."""
+    ``PushedFilters`` / ``ReadSchema`` in ``.explain``).
+
+    Routed through :func:`phoebe_spark.sources.testdata.load_table` so the
+    canonical column contract holds here too — in particular ``events.ts``
+    is epoch-nanos BIGINT whatever the parquet's physical timestamp type."""
+    from phoebe_spark.sources.testdata import load_table
+
     out = {}
     for name in names or TESTDATA_TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -45,10 +45,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_times(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Coerce an events frame's ``ts`` to epoch-nanos BIGINT (wall = UTC)."""
+    """Coerce an events frame's ``ts`` to epoch-nanos BIGINT (wall = UTC).
+
+    Evaluation-time dependency: the NTZ→TIMESTAMP cast inside
+    ``_TS_TO_NANOS`` reads the session time zone when the ACTION runs, not
+    when this frame is built — a later ``spark.conf.set('spark.sql.
+    session.timeZone', ...)`` before an action would silently shift every
+    ts. The zone is pinned to UTC here (and asserted), and again at
+    builder time in :mod:`phoebe_spark.session`; callers must not re-pin
+    it between building and collecting."""
     dtype = dict(df.dtypes).get("ts")
     if dtype is None or dtype == "bigint":
         return df
     # Wall-clock-as-UTC contract shared with the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     return df.withColumn("ts", F.expr(_TS_TO_NANOS.format(c="ts")))
