@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "q69_quantize_embeddings",
     "q70_token_fertility",
     "q71_event_funnel",
+    # round-3 additions
+    "q72_unigram_logprob",
+    "q73_bloom_decontaminate",
 ]
 
 

@@ -533,3 +533,69 @@ def contamination_flags(
         .join(hits, "doc", "left")
         .select("doc", F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
     )
+
+
+def contamination_flags_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 5,
+    bits_per_item: int = 12,
+) -> DataFrame:
+    """:func:`contamination_flags` with a Bloom-filter prefilter — the
+    probabilistic-prune + exact-confirm pattern, result-identical to the
+    exact operator (the confirm join removes every Bloom false positive,
+    and a Bloom filter has no false negatives by construction).
+
+    Why it exists: at 100 TB with a LARGE eval registry the benchmark
+    shingle SET may be too big to broadcast as strings, but its Bloom
+    bits (``bits_per_item`` per shingle, ~12 bits -> <1% FP at 5 hashes)
+    still fit in every executor. The corpus-side probe then drops ~99% of
+    shingles inside the scan stage (pure codegen: seeded ``xxhash64`` ->
+    literal-array word lookup -> shift/mask), and only the tiny surviving
+    candidate set reaches the exact semi-join.
+
+    The filter is FIT like a model: the benchmark's distinct shingles
+    hash through Spark's own ``xxhash64`` (so probe hashing matches
+    bit-for-bit) and the set bits come back to the driver once — bounded
+    by the benchmark size, never the corpus.
+    """
+    import numpy as np
+
+    c = shingle_postings(corpus, id_col, text_col, n)
+    b = (
+        shingle_postings(benchmark, id_col, text_col, n, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    hash_rows = b.select(
+        *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    ).collect()
+    n_items = max(len(hash_rows), 1)
+    m = ((n_items * bits_per_item + 63) // 64) * 64  # bit count, word-aligned
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for row in hash_rows:
+        for i in range(n_hashes):
+            idx = row[i] % m  # python %: non-negative, matches SQL pmod
+            words[idx >> 6] |= np.uint64(1) << np.uint64(idx & 63)
+    arr = F.array(*[F.lit(int(w.astype(np.int64))) for w in words])
+
+    def _bit(seed: int):
+        idx = f"pmod(xxhash64(shingle, {seed}), {m})"
+        word = f"element_at(_bf, CAST({idx} DIV 64 AS INT) + 1)"
+        return f"((shiftright({word}, CAST({idx} % 64 AS INT)) & 1) = 1)"
+
+    probe = " AND ".join(_bit(i) for i in range(n_hashes))
+    pre = c.withColumn("_bf", arr).filter(F.expr(probe)).drop("_bf")
+    hits = (
+        pre.join(F.broadcast(b), "shingle")  # exact confirm: kills Bloom FPs
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select("doc", F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
+    )

@@ -123,3 +123,45 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
         F.regexp_count(F.regexp_replace(F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"), F.lit(PII_PHONE_RE)).alias("n_phones"),
         cleaned.alias(out_col),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """CCNet-style unigram language-model scoring (Wenzek et al. 2020,
+    arXiv 1911.00359): each document's quality signal is the mean negative
+    log-probability of its tokens under a unigram LM — high values flag
+    gibberish / OOV-heavy text for the perplexity-bucket filter every
+    large pretraining corpus runs.
+
+    ``lm`` is a (term, logp) frame; when None the LM is fit on ``df``
+    itself (self-perplexity) with one map-side-combining groupBy over the
+    exploded tokens plus a 1-row total joined back as a broadcast scalar.
+    Scoring is explode -> join(term) -> groupBy(doc): with a trained LM
+    the vocabulary is bounded, so pass ``broadcast_lm=True`` to make the
+    probe a map-side broadcast join (the 100 TB deployment shape —
+    corpus never shuffles on terms); self-fit vocab grows with the corpus,
+    so it defaults to a shuffled equi-join AQE can re-plan.
+    """
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    if lm is None:
+        counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        total = counts.agg(F.sum("cnt").alias("tot"))
+        lm = counts.crossJoin(F.broadcast(total)).select(
+            "term", F.log(F.col("cnt") / F.col("tot")).alias("logp")
+        )
+    probe = F.broadcast(lm) if broadcast_lm else lm
+    return (
+        toks.join(probe, "term")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.col("logp")).alias("avg_neg_logprob"),
+        )
+    )

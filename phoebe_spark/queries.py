@@ -2730,3 +2730,76 @@ def q71_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n3"))
         .alias("n_users"),
     )
+
+
+@query(
+    "q72_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    lm AS (
+      SELECT term, ln(count(*) * 1.0 / (SELECT count(*) FROM toks)) AS logp
+      FROM toks GROUP BY term
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-lm.logp), 6) AS avg_neg_logprob
+    FROM toks t JOIN lm USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def q72_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality scoring
+    (:func:`text.unigram_logprob_scores`, Wenzek et al. 2020): per-doc
+    mean negative log-probability of its tokens under a corpus-fit
+    unigram model — the perplexity-bucket signal pretraining pipelines
+    filter on. One map-side-combining groupBy fits the LM; scoring is
+    explode -> term join -> per-doc agg (broadcast the LM when it is a
+    bounded trained model; self-fit defaults to an AQE-replannable
+    equi-join)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.unigram_logprob_scores(d)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_neg_logprob", 6).alias("avg_neg_logprob")
+    )
+
+
+@query(
+    "q73_bloom_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 5
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                          i -> array_to_string(t[i:i+4], ' '))) AS grams
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM post WHERE doc_id < 5),
+    hits AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM post p JOIN bench b ON p.g = b.g
+      WHERE p.doc_id >= 5
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id AS doc, coalesce(h.n_contaminated, 0) AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= 5
+    """,
+)
+def q73_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via Bloom prefilter + exact confirm
+    (:func:`dedup.contamination_flags_bloom`): result-identical to q58 —
+    the oracle IS the exact-overlap SQL — but the corpus-side probe drops
+    non-matching shingles inside the scan stage with pure-codegen bit
+    tests against a literal word array, so at 100 TB only ~1% of corpus
+    shingles (true hits + Bloom FPs) reach the join. The scale answer for
+    eval registries too large to broadcast as strings."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 5)
+    corpus = d.filter(F.col("doc_id") >= 5)
+    return dedup.contamination_flags_bloom(corpus, bench, n=5)

@@ -177,3 +177,13 @@ def test_q35_savgol_python_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # edge arrays arrive via broadcast joins, not a driver collect
     assert _ops(plan, "BroadcastHashJoin") == 2
+
+
+def test_q73_bloom_prefilter_in_scan_stage(spark, sf_dir):
+    # the Bloom probe must be a plain Filter (codegen bit tests on a
+    # literal word array) ahead of the exact confirm join — no Python, no
+    # extra shuffle, no cartesian
+    plan = _plan(spark, sf_dir, "q73_bloom_decontaminate")
+    assert "shiftright" in plan and "xxhash64" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 1  # exact confirm join
