@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from phoebe_spark.operators import dedup, sampling, similarity, text
@@ -1217,79 +1217,25 @@ def q35_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-Arrow-task-per-series ``applyInPandas``, this distributes within a
     series, so a 10^9-row series is just more window partitions, not one
     executor's pandas frame. Plan-asserted Python-free in
-    tests/test_plans.py."""
-    import numpy as np
-
-    from phoebe_spark.functions.numeric import savgol_filter
-
-    m = 200
-    L = np.array([savgol_filter(np.eye(m)[j], 51, 3) for j in range(m)]).T
-    center, head, tail = L[100, 75:126], L[:25, :51], L[-25:, -51:]
-    CC = F.array(*[F.lit(float(c)) for c in center])
-    HH = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in head])
-    TT = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in tail])
-
-    def _dotl(coeffs: Column, vals: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(coeffs, vals, lambda c, x: c * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    tests/test_plans.py. Kernel: :func:`ts_core.savgol_smooth`."""
     e = _t(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.col("ts").alias("t"),
-        F.col("value").cast("double").alias("value"),
+        F.col("value").alias("value"),
     )
-    w_ord = Window.partitionBy("event_type").orderBy("t", "event_id")
-    w_all = Window.partitionBy("event_type").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    out = ts_core.savgol_smooth(
+        e,
+        window=51,
+        polyorder=3,
+        keys=["event_type"],
+        value_col="value",
+        order_col="t",
+        tiebreak_cols=["event_id"],
     )
-    base = e.withColumn("rn", F.row_number().over(w_ord)).withColumn(
-        "cnt", F.count(F.lit(1)).over(w_all)
+    return out.select(
+        "event_type", "event_id", F.round("smoothed", 6).alias("smoothed")
     )
-
-    def _ordered_vals(df: DataFrame, pos: Column) -> Column:
-        # sort (pos, value) structs then project values: order-correct
-        # collect without relying on collect_list accumulation order
-        return F.transform(
-            F.array_sort(F.collect_list(F.struct(pos.alias("p"), F.col("value").alias("v")))),
-            lambda s: s["v"],
-        )
-
-    first51 = (
-        base.filter(F.col("rn") <= 51)
-        .groupBy("event_type")
-        .agg(_ordered_vals(base, F.col("rn")).alias("first51"))
-    )
-    last51 = (
-        base.filter(F.col("rn") > F.col("cnt") - 51)
-        .groupBy("event_type")
-        .agg(_ordered_vals(base, F.col("rn")).alias("last51"))
-    )
-
-    wnd = F.collect_list("value").over(w_ord.rowsBetween(-25, 25))
-    out = (
-        base.join(F.broadcast(first51), "event_type")
-        .join(F.broadcast(last51), "event_type")
-        .withColumn(
-            "smoothed",
-            F.round(
-                F.when(F.col("rn") <= 25, _dotl(F.element_at(HH, F.col("rn")), F.col("first51")))
-                .when(
-                    F.col("rn") >= F.col("cnt") - 24,
-                    _dotl(
-                        F.element_at(TT, (F.col("rn") - (F.col("cnt") - 25)).cast("int")),
-                        F.col("last51"),
-                    ),
-                )
-                .otherwise(_dotl(CC, wnd)),
-                6,
-            ),
-        )
-    )
-    return out.select("event_type", "event_id", "smoothed")
 
 
 @query(

@@ -375,3 +375,109 @@ def range_join_bucketed(
         (r_t > l_t + F.lit(lower)) & (r_t <= l_t + F.lit(upper))
     )
     return joined.drop("_bkt")
+
+
+def savgol_smooth(
+    df: DataFrame,
+    window: int = 51,
+    polyorder: int = 3,
+    keys: Sequence[str] | None = None,
+    value_col: str = VAL,
+    order_col: str = TS,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "smoothed",
+    assume_bounded: bool = False,
+) -> DataFrame:
+    """W5 Savitzky-Golay smoothing per series, ALL-JVM (the reference's
+    scipy savgol with mode='interp' edges, ``workload/models.py:55-62``).
+
+    The filter is LINEAR in the input, so it decomposes into literal
+    coefficient blocks extracted once at plan-build time by pushing unit
+    vectors through :func:`phoebe_spark.functions.numeric.savgol_filter`:
+    interior rows are a ``window``-tap centered dot product
+    (``collect_list`` over a ±half row frame, ``zip_with`` + ``aggregate``
+    against the literal tap vector) and the half-window head/tail 'interp'
+    edges are literal (half x window) matrices applied to each series'
+    first/last ``window`` values (per-series scalars, broadcast-joined
+    back). No Python anywhere in the plan, so work distributes WITHIN a
+    series — a 10^9-row series is just more window partitions, never one
+    executor's pandas frame. Assumes each series has >= ``window`` rows
+    (shorter series would need the reduced-window fallback the Python
+    kernel applies; the oracle-checked registry shares this domain).
+    """
+    import numpy as np
+
+    from phoebe_spark.functions.numeric import savgol_filter
+
+    _check_unkeyed("savgol_smooth", keys, assume_bounded)
+    keys = list(keys or [])
+    half = window // 2
+    m = max(4 * window, 2 * window + 8)
+    L = np.array([savgol_filter(np.eye(m)[j], window, polyorder) for j in range(m)]).T
+    center = L[m // 2, m // 2 - half : m // 2 + half + 1]
+    head, tail = L[:half, :window], L[-half:, -window:]
+    CC = F.array(*[F.lit(float(c)) for c in center])
+    HH = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in head])
+    TT = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in tail])
+
+    def _dotl(coeffs, vals):
+        return F.aggregate(
+            F.zip_with(coeffs, vals, lambda c, x: c * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    order = [F.col(order_col), *[F.col(c) for c in tiebreak_cols]]
+    if keys:
+        w_ord = Window.partitionBy(*keys).orderBy(*order)
+        w_all = Window.partitionBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    else:
+        w_ord = Window.orderBy(*order)
+        w_all = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    v = F.col(value_col).cast("double")
+    base = df.withColumn("_rn", F.row_number().over(w_ord)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w_all)
+    )
+
+    def _ordered_vals(pos):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct(pos.alias("p"), v.alias("v")))),
+            lambda s: s["v"],
+        )
+
+    grp = keys if keys else [F.lit(1).alias("_g")]
+    join_keys = keys if keys else ["_g"]
+    firstw = (
+        base.filter(F.col("_rn") <= window)
+        .groupBy(*grp)
+        .agg(_ordered_vals(F.col("_rn")).alias("_first_w"))
+    )
+    lastw = (
+        base.filter(F.col("_rn") > F.col("_cnt") - window)
+        .groupBy(*grp)
+        .agg(_ordered_vals(F.col("_rn")).alias("_last_w"))
+    )
+    if not keys:
+        base = base.withColumn("_g", F.lit(1))
+    wnd = F.collect_list(v).over(w_ord.rowsBetween(-half, half))
+    out = (
+        base.join(F.broadcast(firstw), join_keys)
+        .join(F.broadcast(lastw), join_keys)
+        .withColumn(
+            out_col,
+            F.when(F.col("_rn") <= half, _dotl(F.element_at(HH, F.col("_rn")), F.col("_first_w")))
+            .when(
+                F.col("_rn") >= F.col("_cnt") - (half - 1),
+                _dotl(
+                    F.element_at(TT, (F.col("_rn") - (F.col("_cnt") - half)).cast("int")),
+                    F.col("_last_w"),
+                ),
+            )
+            .otherwise(_dotl(CC, wnd)),
+        )
+    )
+    return out.drop("_rn", "_cnt", "_first_w", "_last_w", "_g")

@@ -175,3 +175,28 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, by=["k"], value_cols=["rv"], tolerance=1).collect()
     }
     assert tol == {("a", 5): None, ("a", 12): 120.0, ("b", 7): None}
+
+
+def test_savgol_smooth_matches_numpy_kernel(spark):
+    """The all-JVM literal-coefficient savgol must match the numpy kernel
+    (itself golden-tested against scipy semantics) per series, including
+    the polynomial 'interp' edges."""
+    import numpy as np
+
+    from phoebe_spark.functions.numeric import savgol_filter
+    from phoebe_spark.timeseries.core import savgol_smooth
+
+    rng = np.random.default_rng(3)
+    rows = []
+    series = {}
+    for k in ("a", "b"):
+        y = rng.standard_normal(80).cumsum()
+        series[k] = y
+        rows += [(k, i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "k STRING, timestamp LONG, value DOUBLE")
+    out = savgol_smooth(df, window=21, polyorder=3, keys=["k"])
+    got = {(r["k"], r["timestamp"]): r["smoothed"] for r in out.collect()}
+    for k, y in series.items():
+        exp = savgol_filter(y, 21, 3)
+        for i, e in enumerate(exp):
+            assert got[(k, i)] == pytest.approx(e, abs=1e-9), (k, i)
