@@ -151,7 +151,14 @@ def unigram_logprob_scores(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     if lm is None:
-        counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        # materialize the vocab counts once (the fitted model artifact):
+        # total and scoring both read it, so the corpus scans exactly
+        # twice — once to fit, once to score — instead of three times
+        counts = (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
         total = counts.agg(F.sum("cnt").alias("tot"))
         lm = counts.crossJoin(F.broadcast(total)).select(
             "term", F.log(F.col("cnt") / F.col("tot")).alias("logp")

@@ -187,3 +187,13 @@ def test_q73_bloom_prefilter_in_scan_stage(spark, sf_dir):
     assert "shiftright" in plan and "xxhash64" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert _ops(plan, "BroadcastHashJoin") >= 1  # exact confirm join
+
+
+def test_q72_lm_fit_single_shuffle_partial_agg(spark, sf_dir):
+    # LM fit + per-doc scoring: term-count agg has a map-side partial
+    # (HashAggregate below the exchange); the 1-row total arrives via
+    # broadcast, never a collect; no cartesian anywhere
+    plan = _plan(spark, sf_dir, "q72_unigram_logprob")
+    assert _ops(plan, "HashAggregate") >= 4  # partial+final for LM and doc aggs
+    assert "CartesianProduct" not in plan
+    assert _ops(plan, "Scan parquet") <= 2  # toks subtree reused, not re-scanned per stage

@@ -4,6 +4,7 @@ the reference's own example-based strategy (SURVEY §5 notes it has none)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -169,3 +170,65 @@ def test_asof_join_matches_pandas_merge_asof(spark, sides):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+doc_corpus = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=60),
+    min_size=6,
+    max_size=14,
+)
+
+
+@SLOW
+@given(texts=doc_corpus)
+def test_bloom_decontamination_equals_exact(spark, texts):
+    """The Bloom-prefiltered decontamination must be RESULT-IDENTICAL to
+    the exact operator on arbitrary corpora: Bloom filters have no false
+    negatives, and the confirm join removes every false positive. Tiny
+    bit budgets force real false positives through the prefilter."""
+    from phoebe_spark.operators.dedup import contamination_flags, contamination_flags_bloom
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    bench = df.filter(F.col("doc_id") < 2)
+    corpus = df.filter(F.col("doc_id") >= 2)
+    exact = {
+        (r["doc"], r["n_contaminated"])
+        for r in contamination_flags(corpus, bench, n=2).collect()
+    }
+    bloom = {
+        (r["doc"], r["n_contaminated"])
+        for r in contamination_flags_bloom(
+            corpus, bench, n=2, n_hashes=2, bits_per_item=4
+        ).collect()
+    }
+    assert bloom == exact
+
+
+@SLOW
+@given(texts=doc_corpus)
+def test_unigram_logprob_matches_reference_computation(spark, texts):
+    """The distributed unigram LM scorer must match a direct single-node
+    computation of the same model on arbitrary corpora."""
+    from collections import Counter
+    import math as m
+
+    from phoebe_spark.operators.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+        for r in unigram_logprob_scores(df).collect()
+    }
+
+    toks = {i: t.split() for i, t in enumerate(texts) if t.strip()}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    total = sum(counts.values())
+    for i, ws in toks.items():
+        exp_n = len(ws)
+        exp_score = sum(-m.log(counts[w] / total) for w in ws) / exp_n
+        assert got[i][0] == exp_n
+        assert abs(got[i][1] - exp_score) < 1e-9
