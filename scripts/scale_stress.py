@@ -24,9 +24,9 @@ from pyspark.sql import DataFrame, functions as F
 
 sys.path.insert(0, "/root/repo")
 
-from phoebe_spark.operators import curation, dedup, similarity  # noqa: E402
+from phoebe_spark.operators import curation, dedup, similarity, text  # noqa: E402
 from phoebe_spark.session import get_spark  # noqa: E402
-from phoebe_spark.timeseries.core import asof_join  # noqa: E402
+from phoebe_spark.timeseries.core import asof_join, savgol_smooth  # noqa: E402
 
 WORDS = [
     "batch", "spark", "line", "column", "order", "small", "sort", "fast",
@@ -108,6 +108,19 @@ def run_scale(spark, scale: int) -> dict:
     )
     t("ivf_topk", similarity.ivf_topk(emb, emb.limit(64), k=10, n_centroids=max(16, scale * 4), n_probe=4))
     t("asof_join", asof_join(ev.select("event_id", "ts", "user_id"), quotes, on="ts", by=["user_id"]))
+    t("bloom_decontaminate", dedup.contamination_flags_bloom(docs, docs.limit(200), n=5))
+    t("unigram_lm", text.unigram_logprob_scores(docs))
+    t(
+        "savgol_jvm",
+        savgol_smooth(
+            ev.select(F.pmod("user_id", F.lit(64)).alias("k"), "ts", "event_id", "value"),
+            window=51,
+            polyorder=3,
+            keys=["k"],
+            order_col="ts",
+            tiebreak_cols=["event_id"],
+        ),
+    )
 
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
@@ -125,6 +138,11 @@ def main() -> None:
         lambda pdf: pd.DataFrame({"n": [len(pdf)]}), "n long"
     ).collect()
     gen_documents(spark, 500).write.format("noop").mode("overwrite").save()
+    # full discarded warm-up pass: every op's whole-stage codegen compiles
+    # and Python workers spawn once here, so the first MEASURED scale is
+    # not inflated by first-compile costs (which made sub-linear ratios
+    # read as <1x before)
+    run_scale(spark, 1)
     results = []
     for s in scales:
         r = run_scale(spark, s)
