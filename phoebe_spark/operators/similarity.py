@@ -400,3 +400,53 @@ def quantize_embeddings(
         F.transform(v, lambda x: F.round(x.cast("double") / (absmax / qmax)).cast("int"))
     )
     return df.select(F.col(id_col), scale, codes.alias("qvec"))
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a literal
+    Rademacher (±1/sqrt(out_dim)) projection matrix (Achlioptas 2003,
+    "Database-friendly random projections") — the standard cheap prep
+    before ANN indexing or clustering when the embedding dim is large.
+
+    The matrix is generated driver-side from a seeded RNG and embedded as
+    LITERALS, so the whole projection is whole-stage codegen (one
+    ``zip_with``+``aggregate`` dot product per output dim), shuffle-free,
+    and exactly reproducible across engines — q74's DuckDB oracle
+    replays the identical literal matrix. Output: one row per
+    (id, dim 0..out_dim-1, value).
+    """
+    import numpy as np
+
+    if in_dim is None:
+        in_dim = len(df.select(vec_col).head()[0])
+    R = jl_matrix(in_dim, out_dim, seed)
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in R[j]]),
+                lambda v, r: v.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*projs)).alias("dim", "value")
+    )
+
+
+def jl_matrix(in_dim: int, out_dim: int, seed: int = 7):
+    """Seeded Rademacher projection matrix, shared with the q74 oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(out_dim, in_dim)) * 2 - 1) / np.sqrt(out_dim)

@@ -2749,3 +2749,39 @@ def q73_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") < 5)
     corpus = d.filter(F.col("doc_id") >= 5)
     return dedup.contamination_flags_bloom(corpus, bench, n=5)
+
+
+def _jl_oracle() -> str:
+    """DuckDB oracle for q74: replay the IDENTICAL literal Rademacher
+    matrix (same seeded generator as :func:`similarity.jl_matrix`) as a
+    list-of-lists literal; per (vec, out-dim) dot product, rounded."""
+    from phoebe_spark.operators.similarity import jl_matrix
+
+    R = jl_matrix(64, 8, seed=7)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in R
+    )
+    return f"""
+    WITH r AS (SELECT [{rows}] AS m)
+    SELECT e.vec_id, CAST(d - 1 AS INT) AS dim,
+           round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * r.m[d][i])), 6) AS value
+    FROM embeddings e, r, (SELECT unnest(generate_series(1, 8)) AS d) dims
+    """
+
+
+@query("q74_random_projection", oracle=_jl_oracle())
+def q74_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection
+    (:func:`similarity.random_projection`, Achlioptas 2003): dim-64
+    embeddings to dim-8 via a literal seeded Rademacher matrix — the
+    cheap, shuffle-free prep before ANN indexing/clustering at scale.
+    Entirely whole-stage codegen (one zip_with+aggregate dot per output
+    dim); the oracle replays the identical literal matrix."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.random_projection(emb, out_dim=8, seed=7, in_dim=64)
+    return out.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
