@@ -287,19 +287,36 @@ def ivf_topk(
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
 
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
-    cent_df = spark.createDataFrame(centroids, "_cell INT, _centroid ARRAY<DOUBLE>")
-
-    # per query: n_probe nearest centroids
+    # per query: n_probe nearest centroids — same Arrow GEMM pattern as
+    # cell assignment (one mapInPandas pass over the query scan, centroid
+    # matrix in the closure) instead of a crossJoin against a centroid
+    # frame + interpreted higher-order cosine + rank window: one stage,
+    # no BroadcastExchange, no per-(query,centroid) row blowup. Ties
+    # break toward the lower cell id (argsort on (-sim, cell)), matching
+    # the q44 oracle's ORDER BY cs DESC, cell.
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_cells = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("_d", cosine(F.col("q_vec"), F.col("_centroid")))
-        .withColumn("_rk", F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("_cell"))))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "q_vec", "_cell")
+    q_schema = (
+        f"query_id {id_field.dataType.simpleString()}, "
+        f"q_vec {vec_field.dataType.simpleString()}, _cell INT"
     )
+
+    def _probe(batches):
+        for pdf in batches:
+            Q = np.array([list(v) for v in pdf["q_vec"]], dtype=np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            sims = Qn @ C.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), n_probe)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[idx],
+                    "q_vec": pdf["q_vec"].to_numpy()[idx],
+                    "_cell": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    q_cells = q.mapInPandas(_probe, q_schema)
 
     # candidate scoring is the hot loop (n_probe/n_centroids of the corpus
     # per query): Arrow-vectorized row-wise cosine, not the interpreted
