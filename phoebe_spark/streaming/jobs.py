@@ -239,3 +239,48 @@ def run_to_sink(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "event_time",
+    left_watermark: str = "30 seconds",
+    right_watermark: str = "30 seconds",
+    upper: str = "10 seconds",
+    how: str = "inner",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the canonical streaming
+    enrichment shape (impression x click attribution: each left event
+    matches right events with the same key inside ``(left.ts, left.ts +
+    upper]``). Both sides carry watermarks plus the time-range predicate,
+    which is exactly what lets Spark BOUND THE JOIN STATE: a buffered left
+    row is dropped once the right watermark passes ``left.ts + upper``
+    (and vice versa) instead of accumulating forever — the stream-stream
+    analog of the windowed-agg state bound the reference monitors via
+    consumer lag. State is partitioned by the join key, the natural
+    uniform key at scale. Outer variants emit nulls only after the
+    watermark proves no match can arrive.
+
+    Value columns are suffixed; output keeps the left timestamps plus the
+    matched right timestamp.
+    """
+    lt, rt = f"{ts_col}{suffixes[0]}", f"{ts_col}{suffixes[1]}"
+    l = left.select(
+        F.col(key_col),
+        F.col(ts_col).alias(lt),
+        *[F.col(c).alias(f"{c}{suffixes[0]}") for c in left.columns if c not in (key_col, ts_col)],
+    ).withWatermark(lt, left_watermark)
+    r = right.select(
+        F.col(key_col).alias("_rkey"),
+        F.col(ts_col).alias(rt),
+        *[F.col(c).alias(f"{c}{suffixes[1]}") for c in right.columns if c not in (key_col, ts_col)],
+    ).withWatermark(rt, right_watermark)
+    cond = (
+        (F.col(key_col) == F.col("_rkey"))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how).drop("_rkey")

@@ -247,3 +247,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT event_id, count(*) AS n FROM dedup_sink GROUP BY event_id").collect()
     got = {r["event_id"]: r["n"] for r in rows}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir, tmp_path):
+    """Stream-stream interval join must equal the identical batch join
+    (impressions = all events; conversions = high-value events; match
+    within 1 hour after the impression, same key)."""
+    from phoebe_spark.streaming.jobs import stream_stream_interval_join
+
+    ck = str(tmp_path / "ck_ssj")
+
+    def build(ldf, rdf):
+        return stream_stream_interval_join(
+            ldf, rdf,
+            left_watermark="2 hours", right_watermark="2 hours", upper="1 hour",
+        )
+
+    left_s = _read_stream(spark, events_stream_dir)
+    right_s = _read_stream(spark, events_stream_dir).filter(F.col("value") > 90)
+    q = run_to_sink(
+        build(left_s, right_s).select(
+            "key", "event_time_l", "event_time_r", "value_l", "value_r"
+        ),
+        ck, queryName="ssj",
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = spark.sql("SELECT * FROM ssj")
+
+    left_b = spark.read.parquet(events_stream_dir)
+    right_b = spark.read.parquet(events_stream_dir).filter(F.col("value") > 90)
+    exp = build(left_b, right_b).select(
+        "key", "event_time_l", "event_time_r", "value_l", "value_r"
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
