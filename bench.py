@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # round-3 additions
     "q72_unigram_logprob",
     "q73_bloom_decontaminate",
+    "q74_random_projection",
 ]
 
 
