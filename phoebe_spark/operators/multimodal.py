@@ -10,10 +10,13 @@ batch of large blobs cannot blow executor memory; re-partitioning by a size
 bucket keeps per-task byte volume even (big-blob skew is the common failure
 mode at scale).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are deterministic fakes behind ``decoder=`` hooks (clearly
-marked; swap in real decoders in production). Everything around them —
-schemas, UDF signatures, batching, partitioning — is real and tested.
+Codec status: the audio (:func:`wav_decode`, stdlib ``wave``) and image
+(:func:`png_decode`, stdlib ``zlib`` + numpy unfiltering) paths are REAL
+decoders with zero external dependencies. JPEG/video decode (PIL/ffmpeg
+not in this container) remain deterministic fakes behind the same
+``decoder=`` hooks (clearly marked; swap in real decoders in production).
+Everything around them — schemas, UDF signatures, batching, partitioning —
+is real and tested either way.
 """
 
 from __future__ import annotations
@@ -219,3 +222,82 @@ def partition_by_size(df: DataFrame, num_buckets: int = 64, content_col: str = "
     return df.repartition(
         num_buckets, F.pmod(F.xxhash64(F.col(content_col)), F.lit(num_buckets)).cast("int")
     )
+
+
+def png_decode(content: bytes, width: int = -1, height: int = -1) -> np.ndarray:
+    """REAL decoder for PNG via stdlib ``zlib`` + numpy scanline
+    unfiltering — zero external codec dependencies, so the image path is
+    fully functional in any environment (the audio analog is
+    :func:`wav_decode`). Supports the common cases: 8-bit greyscale (0),
+    truecolor RGB (2), and RGBA (6), all five PNG scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6), non-interlaced. Returns an
+    ``HxWx3 uint8`` array (alpha dropped, grey replicated) — the
+    ``image_features``/``image_resize`` contract. ``width``/``height``
+    arguments are ignored (the IHDR is authoritative); they exist to
+    match the ``decoder=`` hook signature."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG byte stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG: bit_depth={bit_depth} interlace={interlace}")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type: {color_type}")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, scans = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(h):
+        f, line = int(filters[y]), scans[y].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = line + prev
+        else:  # Sub/Average/Paeth need the just-reconstructed left pixel,
+            # and reconstruction is mod-256 PER BYTE (RFC 2083 §6.3) — a
+            # row-end mask would feed >255 left neighbors forward
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    rec = line[x] + a
+                elif f == 3:
+                    rec = line[x] + (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec = line[x] + pr
+                else:
+                    raise ValueError(f"bad PNG filter byte: {f}")
+                cur[x] = rec & 0xFF
+        out[y] = (cur & 0xFF).astype(np.uint8)
+
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[..., :3])

@@ -179,3 +179,95 @@ def test_wav_decode_stereo_and_8bit(spark):
         w.writeframes(bytes([128] * sr))
     x8 = wav_decode(buf8.getvalue())
     assert float(np.max(np.abs(x8))) == 0.0
+
+
+def _encode_png(img: np.ndarray, filters) -> bytes:
+    """Minimal PNG writer for the decoder tests: 8-bit, non-interlaced,
+    per-row filter choice (exercises all five RFC 2083 filters)."""
+    import struct
+    import zlib as _zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", _zlib.crc32(t + d))
+
+    flat = img.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    raw = b""
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = line - pred
+        raw += bytes([f]) + bytes((filt % 256).astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_roundtrip():
+    """png_decode must invert every PNG scanline filter exactly: encode a
+    known image cycling through None/Sub/Up/Average/Paeth rows, decode,
+    compare pixel-for-pixel."""
+    from phoebe_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(15, 9, 3), dtype=np.uint8)
+    got = png_decode(_encode_png(img, filters=[0, 1, 2, 3, 4]))
+    assert got.shape == img.shape
+    assert np.array_equal(got, img)
+
+    # greyscale replicates to 3 channels; RGBA drops alpha
+    grey = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    g3 = png_decode(_encode_png(grey, filters=[4, 3, 2, 1, 0]))
+    assert np.array_equal(g3, np.repeat(grey[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    got_rgba = png_decode(_encode_png(rgba, filters=[2, 4]))
+    assert np.array_equal(got_rgba, rgba[..., :3])
+
+
+def test_png_decode_through_image_pipeline(spark):
+    """End-to-end: REAL PNG bytes through image_features and image_resize —
+    no stub anywhere in the path."""
+    from phoebe_spark.operators.multimodal import image_features, image_resize, png_decode
+
+    rng = np.random.default_rng(5)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        img = rng.integers(0, 256, size=(16 + i, 12 + i, 3), dtype=np.uint8)
+        imgs[i] = img
+        png = _encode_png(img, filters=[0, 1, 2, 3, 4])
+        rows.append((i, "image/png", img.shape[1], img.shape[0], len(png), bytearray(png)))
+    df = spark.createDataFrame(
+        rows, "media_id LONG, mime STRING, width INT, height INT, n_bytes LONG, content BINARY"
+    )
+    feats = {r["media_id"]: r for r in image_features(df, decoder=png_decode).collect()}
+    for i, img in imgs.items():
+        assert feats[i]["mean_r"] == pytest.approx(float(img[..., 0].mean()))
+        assert feats[i]["mean_b"] == pytest.approx(float(img[..., 2].mean()))
+    resized = image_resize(df, target=(8, 8), decoder=png_decode).collect()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in resized)
