@@ -599,3 +599,48 @@ def contamination_flags_bloom(
         .join(hits, "doc", "left")
         .select("doc", F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
     )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "hash64",
+    max_hamming: int = 8,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column (perceptual image
+    ahash, audio fingerprint, simhash-as-long) by Hamming distance, with
+    the pigeonhole banding trick: split the 64 bits into ``bands`` blocks
+    — any pair within ``max_hamming < bands`` distance must agree on at
+    least one full block, so candidates come from an equi-join on
+    (block_idx, block_bits), never a cross join. Distance is
+    ``bit_count(a XOR b)`` — single codegen instruction, unlike the
+    bit-string zip the text simhash path uses. Fingerprints materialize
+    once before the self-join (same double-evaluation trap as
+    :func:`minhash_lsh_pairs`).
+
+    The multimodal dedup composition: PNG/WAV bytes -> feature hash
+    (image_features.ahash) -> hamming_pairs -> dedup_components."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole requires max_hamming < bands")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = df.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).cast("long").alias("h")
+    ).localCheckpoint(eager=True)
+    blocks = h.select(
+        "doc",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("block"),
+    ).withColumn("bits", F.expr(f"shiftrightunsigned(h, block * {width}) & {mask}"))
+    a = blocks.select("block", "bits", F.col("doc").alias("doc_a"), F.col("h").alias("h_a"))
+    b = blocks.select("block", "bits", F.col("doc").alias("doc_b"), F.col("h").alias("h_b"))
+    cand = (
+        a.join(b, ["block", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -271,3 +271,34 @@ def test_png_decode_through_image_pipeline(spark):
         assert feats[i]["mean_b"] == pytest.approx(float(img[..., 2].mean()))
     resized = image_resize(df, target=(8, 8), decoder=png_decode).collect()
     assert all(r["width"] == 8 and r["height"] == 8 for r in resized)
+
+
+def test_image_neardup_via_ahash_hamming(spark):
+    """Multimodal dedup composition on REAL bytes: PNG decode -> perceptual
+    average-hash -> Hamming banding pairs. A slightly-noised copy of an
+    image must pair with its original at low distance; unrelated images
+    must not pair."""
+    from phoebe_spark.operators.dedup import hamming_pairs
+    from phoebe_spark.operators.multimodal import image_features, png_decode
+
+    rng = np.random.default_rng(21)
+    imgs = {i: rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8) for i in range(6)}
+    # planted near-dup: image 6 = image 0 plus faint noise
+    noisy = imgs[0].astype(np.int16) + rng.integers(-6, 7, size=imgs[0].shape)
+    imgs[6] = np.clip(noisy, 0, 255).astype(np.uint8)
+    rows = []
+    for i, img in imgs.items():
+        png = _encode_png(img, filters=[0, 1, 2, 3, 4])
+        rows.append((i, "image/png", img.shape[1], img.shape[0], len(png), bytearray(png)))
+    df = spark.createDataFrame(
+        rows, "media_id LONG, mime STRING, width INT, height INT, n_bytes LONG, content BINARY"
+    )
+    hashes = image_features(df, decoder=png_decode).select(
+        "media_id", F.col("ahash").alias("hash64")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_pairs(hashes, id_col="media_id", max_hamming=8, bands=16).collect()
+    }
+    assert (0, 6) in pairs and pairs[(0, 6)] <= 8
+    assert all(p == (0, 6) for p in pairs), f"false pairs: {pairs}"
