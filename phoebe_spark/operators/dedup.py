@@ -644,3 +644,55 @@ def hamming_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Line/chunk-level exact dedup statistics (the RefinedWeb / CCNet
+    "repeated lines across documents" signal, adapted to newline-free
+    corpora): split each document into consecutive non-overlapping
+    ``chunk_words``-word chunks, count how often each chunk string occurs
+    across the whole corpus, and report per document how many of its
+    chunks are duplicated (corpus-wide occurrence > 1).
+
+    Returns ``(id_col, n_chunks, n_dup_chunks, dup_ratio)``.
+
+    Scale notes: chunk assembly is EXCHANGE-FREE — a codegen
+    ``transform(sequence(...), c -> array_join(slice(...)))`` per row, no
+    posexplode+groupBy re-assembly. The only shuffles are the corpus-wide
+    chunk count (map-side combining groupBy on the chunk string) and the
+    count join back; both are keyed on the chunk value so hot chunks are
+    the natural skew — at 100 TB cap runaway chunks the same way
+    shingle_postings caps hot shingles (a count cutoff changes no
+    dup/not-dup verdict above the cap).
+    """
+    from phoebe_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    chunks = toks.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t) / {chunk_words}.0) as int) - 1),"
+                f" c -> array_join(slice(t, c * {chunk_words} + 1, {chunk_words}), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        chunks.join(counts, "chunk")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_chunks"),
+            F.round(
+                F.sum((F.col("cnt") > 1).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -172,3 +172,30 @@ def unigram_logprob_scores(
             F.avg(-F.col("logp")).alias("avg_neg_logprob"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by frequency (heavy
+    hitters) with a deterministic tie-break (count desc, gram asc) — the
+    boilerplate / template-phrase census a curation pipeline runs before
+    writing removal rules.
+
+    Scale notes: gram construction is exchange-free codegen (transform +
+    slice per row); the count is one map-side-combining groupBy on the
+    gram string, and the global top-k is a TakeOrdered over the partial
+    per-partition top-k — O(k) to the driver, never a full sort of the
+    gram table.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("t")).filter(F.size("t") >= n)
+    grams = toks.select(
+        F.explode(
+            F.expr(f"transform(sequence(1, size(t) - {n - 1}), i -> array_join(slice(t, i, {n}), ' '))")
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(k)

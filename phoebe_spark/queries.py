@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from phoebe_spark.operators import dedup, sampling, similarity, text
 from phoebe_spark.sources.testdata import load_table
 from phoebe_spark.timeseries import aggregates as ts_agg
+from phoebe_spark.timeseries import anomaly as ts_anom
 from phoebe_spark.timeseries import core as ts_core
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2784,4 +2785,346 @@ def q74_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("dim").cast("int").alias("dim"),
         F.round("value", 6).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drift / anomaly detection on the events table (round-3 extensions:
+# the statistical monitors a workload-watching engine runs continuously —
+# complements the q34 backpressure detector)
+# ---------------------------------------------------------------------------
+
+# Shared minutely-mean series, rounded to 6 so both engines agree on the
+# detector input before any cumulative arithmetic starts.
+_MINUTELY_SQL = f"""
+    SELECT event_type,
+           CAST(floor({EPOCH_SQL.format(c='ts')} / 60) AS BIGINT) AS minute,
+           round(avg(value), 6) AS v
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("minute", F.floor(_epoch() / 60).cast("long"))
+        .groupBy("event_type", "minute")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+
+
+@query(
+    "q75_cusum_drift",
+    oracle=f"""
+    WITH m AS ({_MINUTELY_SQL}),
+    p AS (
+      SELECT event_type, minute, v,
+             sum(v - 60.0) OVER (PARTITION BY event_type ORDER BY minute
+                                 ROWS UNBOUNDED PRECEDING) AS p
+      FROM m),
+    s AS (
+      SELECT event_type,
+             p - least(0.0, min(p) OVER (PARTITION BY event_type ORDER BY minute
+                                         ROWS UNBOUNDED PRECEDING)) AS stat
+      FROM p)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN round(stat, 6) > 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+           round(max(stat), 4) AS max_stat
+    FROM s GROUP BY event_type
+    """,
+)
+def q75_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (:func:`ts_anom.cusum`, Page 1954)
+    over the minutely workload series — sustained load above the k=60
+    slack accumulates into the statistic; h=500 is the alarm line. The
+    sequential-looking recursion ``s_i = max(0, s_{i-1} + x_i - k)`` runs
+    as its prefix-sum closed form: two cumulative window frames sharing
+    one sort, fully distributed across series keys, no recursion and no
+    Python. The same pattern the reference's monitoring loop needs for
+    regime-change detection (``analytics/app/optimization`` control loop,
+    q34's sibling)."""
+    m = _minutely(spark, sf_dir)
+    st = ts_anom.cusum(m, "event_type", "minute", "v", k=60.0, h=500.0)
+    return st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum((F.round("stat", 6) > 500.0).cast("long")).alias("n_alarms"),
+        F.round(F.max("stat"), 4).alias("max_stat"),
+    )
+
+
+@query(
+    "q76_autocorr",
+    oracle=f"""
+    WITH m AS ({_MINUTELY_SQL}),
+    l AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY minute) AS prev
+      FROM m)
+    SELECT event_type, round(corr(v, prev), 6) AS acf,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM l WHERE prev IS NOT NULL GROUP BY event_type
+    """,
+)
+def q76_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series (:func:`ts_anom.autocorr`) — the
+    ACF value a forecaster checks before fitting AR terms (the reference
+    fits auto_arima, whose order selection starts exactly here). One
+    shuffle on the series key; ``lag`` + single-pass ``corr`` co-moment
+    aggregate, all JVM."""
+    m = _minutely(spark, sf_dir)
+    a = ts_anom.autocorr(m, "event_type", "minute", "v", lag=1)
+    return a.select("event_type", F.round("acf", 6).alias("acf"), "n_pairs")
+
+
+@query(
+    "q77_mad_anomaly",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS adev
+      FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, round(max(d.med), 6) AS median,
+           round(max(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(d.value - round(d.med, 6))
+                              > 3.0 * 1.4826 * round(mad.mad, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM dev d JOIN mad USING (event_type) GROUP BY d.event_type
+    """,
+)
+def q77_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census via the Hampel MAD rule
+    (:func:`ts_anom.mad_flags`): |x - median| > 3 * 1.4826 * MAD. Two
+    grouped exact-percentile passes with the tiny per-key medians
+    broadcast back; the rounded threshold ingredients pin the cut line so
+    an independent engine reproduces the counts digit-for-digit. At
+    100 TB the same operator runs with ``exact=False``
+    (``approx_percentile`` sketches, bounded memory per group)."""
+    e = _t(spark, sf_dir, "events")
+    return ts_anom.mad_flags(e, "event_type", "value", n_sigmas=3.0)
+
+
+@query(
+    "q83_seasonal_naive",
+    oracle=f"""
+    WITH m AS ({_MINUTELY_SQL}),
+    l AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY minute) AS l1,
+             lag(v, 60) OVER (PARTITION BY event_type ORDER BY minute) AS lm
+      FROM m)
+    SELECT event_type,
+           round(CAST(sum(CAST(abs(v - lm) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mae_seasonal,
+           round(CAST(sum(CAST(abs(v - l1) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mae_naive,
+           round(CAST(sum(CAST(abs(v - lm) AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(abs(v - l1) AS DECIMAL(18,6))) AS DOUBLE), 6) AS ratio,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM l WHERE lm IS NOT NULL GROUP BY event_type
+    """,
+)
+def q83_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style seasonality diagnostic
+    (:func:`ts_anom.seasonal_naive_ratio`, Hyndman & Koehler 2006):
+    seasonal-naive (lag-60) vs one-step-naive MAE over the minutely
+    series. ratio < 1 means hourly seasonality is exploitable — the
+    go/no-go check before the reference's seasonal ARIMA terms. One
+    shuffle, two lag frames sharing one sort."""
+    m = _minutely(spark, sf_dir)
+    r = ts_anom.seasonal_naive_ratio(m, "event_type", "minute", "v", period=60)
+    return r.select(
+        "event_type",
+        F.round("mae_seasonal", 6).alias("mae_seasonal"),
+        F.round("mae_naive", 6).alias("mae_naive"),
+        F.round("ratio", 6).alias("ratio"),
+        "n_obs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation extensions: chunk-level dedup, template-phrase census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q78_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE trim(text) <> ''),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                    c -> array_to_string(toks[c*8+1 : c*8+8], ' '))) AS chunk
+      FROM t),
+    cnt AS (SELECT chunk, count(*) AS c FROM ch GROUP BY chunk)
+    SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+    FROM ch JOIN cnt USING (chunk) GROUP BY ch.doc_id
+    """,
+)
+def q78_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact-duplication census
+    (:func:`dedup.chunk_dedup_stats`): the RefinedWeb/CCNet
+    "repeated lines across documents" signal on 8-word chunks. Chunk
+    assembly is exchange-free codegen (transform + slice per row, no
+    re-assembly groupBy); only the corpus-wide chunk count and its join
+    back shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_stats(d, chunk_words=8)
+
+
+@query(
+    "q79_top_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents
+               WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3),
+    g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(toks[i : i+2], ' '))) AS gram FROM t)
+    SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram
+    ORDER BY n DESC, gram ASC LIMIT 20
+    """,
+)
+def q79_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 trigram heavy hitters (:func:`text.top_ngrams`)
+    with deterministic tie-break — the template-phrase census run before
+    writing boilerplate-removal rules. Gram construction is exchange-free
+    codegen; the global top-k is TakeOrdered over per-partition partial
+    top-k (O(k) to the driver), never a full sort of the gram table."""
+    d = _t(spark, sf_dir, "documents")
+    return text.top_ngrams(d, n=3, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Relational extensions: argmin-per-group join, CUBE, deciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_best_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice / l.l_quantity AS unit_price,
+             row_number() OVER (PARTITION BY l.l_partkey
+                                ORDER BY l.l_extendedprice / l.l_quantity ASC,
+                                         l.l_suppkey ASC, l.l_orderkey ASC,
+                                         l.l_linenumber ASC) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size < 5)
+    SELECT o.l_partkey AS partkey, o.l_suppkey AS suppkey, s.s_name,
+           n.n_name AS nation, round(o.unit_price, 6) AS best_unit_price
+    FROM offers o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.rn = 1
+    """,
+)
+def q80_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style cheapest-offer-per-part (argmin per group with a
+    total tie-break), sourced from lineitem since the driver schema has
+    no partsupp. Filtered part keys broadcast INTO the fact scan (the
+    row_number window then runs on the ~8% survivor set, not all of
+    lineitem); supplier and nation dims broadcast onto the 1-row-per-part
+    result."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 5).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).withColumn(
+        "unit_price", F.col("l_extendedprice") / F.col("l_quantity")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(),
+        F.col("l_suppkey").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("unit_price", 6).alias("best_unit_price"),
+        )
+    )
+
+
+@query(
+    "q81_cube_revenue",
+    oracle="""
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(CAST(year(o.o_orderdate) AS INT), -1) AS o_year,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, year(o.o_orderdate))
+    """,
+)
+def q81_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all four grouping sets of nation x order-year)
+    — the OLAP companion to q49's ROLLUP. Spark expands the cube in one
+    pass with partial aggregation per grouping set; dims broadcast onto
+    the orders scan. Order-independent money sums via the decimal
+    round-trip (q01 contract)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    return (
+        j.cube("n_name", "o_year")
+        .agg(
+            _dsum2(_dec("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "q82_acctbal_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+      FROM customer)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
+           round(avg(c_acctbal), 6) AS avg_bal
+    FROM d GROUP BY decile
+    """,
+)
+def q82_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account-balance deciles via ntile over a total order
+    (tie-break on custkey makes bucket boundaries deterministic).
+    Unkeyed ntile needs a global sort — correct and fine for a 10-row
+    report over a dimension table; for decile-bucketing a 100 TB FACT
+    table use approx-quantile boundaries + a codegen CASE instead (the
+    q65 stratified-sample pattern)."""
+    cst = _t(spark, sf_dir, "customer")
+    d = cst.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
     )
