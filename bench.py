@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "q72_unigram_logprob",
     "q73_bloom_decontaminate",
     "q74_random_projection",
+    "q75_cusum_drift",
+    "q77_mad_anomaly",
+    "q78_chunk_dedup",
+    "q80_best_supplier",
+    "q81_cube_revenue",
 ]
 
 

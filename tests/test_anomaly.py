@@ -1,0 +1,117 @@
+"""Behavioral tests for timeseries.anomaly and the round-3 curation ops:
+each detector is checked against an independent reference implementation
+(naive Python recursion / numpy / pandas), not just the DuckDB oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from phoebe_spark.operators import dedup, text
+from phoebe_spark.timeseries import anomaly as ts_anom
+
+RNG = np.random.default_rng(11)
+
+
+def _series_df(spark, values, key="a"):
+    return spark.createDataFrame(
+        [(key, i, float(v)) for i, v in enumerate(values)],
+        "k STRING, t LONG, v DOUBLE",
+    )
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    vals = RNG.exponential(50.0, size=300)
+    k, h = 60.0, 120.0
+    out = (
+        ts_anom.cusum(_series_df(spark, vals), "k", "t", "v", k=k, h=h)
+        .orderBy("t")
+        .collect()
+    )
+    s = 0.0
+    for row, x in zip(out, vals):
+        s = max(0.0, s + x - k)
+        assert row.stat == pytest.approx(s, abs=1e-9)
+        assert row.alarm == (s > h)
+
+
+def test_cusum_distributes_across_keys(spark):
+    df = _series_df(spark, [100.0, 100.0, 0.0], key="a").union(
+        _series_df(spark, [0.0, 0.0, 0.0], key="b")
+    )
+    out = ts_anom.cusum(df, "k", "t", "v", k=10.0, h=50.0)
+    stats = {(r.k, r.t): r.stat for r in out.collect()}
+    # key b never accumulates; key a's drift does not leak into b
+    assert stats[("b", 2)] == 0.0
+    assert stats[("a", 1)] == pytest.approx(180.0)
+
+
+def test_autocorr_matches_pandas(spark):
+    vals = np.cumsum(RNG.normal(0, 1, size=200))  # random walk: high lag-1 ACF
+    got = ts_anom.autocorr(_series_df(spark, vals), "k", "t", "v", lag=1).collect()[0]
+    expected = pd.Series(vals).autocorr(lag=1)
+    assert got.acf == pytest.approx(expected, abs=1e-9)
+    assert got.n_pairs == 199
+
+
+def test_mad_flags_matches_numpy(spark):
+    vals = np.concatenate([RNG.normal(100, 5, size=500), [500.0, -300.0]])
+    got = ts_anom.mad_flags(_series_df(spark, vals), "k", "v").collect()[0]
+    med = round(float(np.median(vals)), 6)
+    mad = round(float(np.median(np.abs(vals - np.median(vals)))), 6)
+    n_expected = int(np.sum(np.abs(vals - med) > 3.0 * 1.4826 * mad))
+    assert got.median == pytest.approx(med)
+    assert got.mad == pytest.approx(mad)
+    assert got.n_anomalies == n_expected >= 2  # the two planted outliers
+
+
+def test_seasonal_naive_perfect_seasonality(spark):
+    # exact period-4 signal: seasonal-naive error is 0, one-step naive is not
+    vals = [1.0, 9.0, 1.0, 9.0] * 20
+    got = ts_anom.seasonal_naive_ratio(
+        _series_df(spark, vals), "k", "t", "v", period=4
+    ).collect()[0]
+    assert got.mae_seasonal == 0.0
+    assert got.mae_naive == pytest.approx(8.0)
+    assert got.ratio == 0.0
+    assert got.n_obs == len(vals) - 4
+
+
+def test_chunk_dedup_stats_counts_shared_chunks(spark):
+    shared = "a b c d e f g h"  # exactly one 8-word chunk
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x y z"),  # chunk1 shared, chunk2 unique
+            (2, shared),  # chunk1 shared
+            (3, "p q r s t u v w"),  # unique
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup_stats(docs).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 1
+    assert out[2].n_chunks == 1 and out[2].n_dup_chunks == 1
+    assert out[3].n_dup_chunks == 0
+    assert out[1].dup_ratio == pytest.approx(0.5)
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "a b c"), (3, "x y z")],
+        "doc_id LONG, text STRING",
+    )
+    rows = text.top_ngrams(docs, n=3, k=3).collect()
+    assert (rows[0].gram, rows[0].n) == ("x y z", 3)
+    # count-1 grams tie; broken by gram ascending
+    assert rows[1].n == rows[2].n == 1
+    assert rows[1].gram < rows[2].gram
+
+
+def test_chunk_plan_has_no_assembly_exchange(spark):
+    """Chunk construction must happen inside the scan stage: the only
+    exchanges in the plan belong to the count groupBy + count join, not a
+    posexplode/groupBy re-assembly of chunks."""
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id LONG, text STRING")
+    plan = dedup.chunk_dedup_stats(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "transform(sequence" in plan or "slice(" in plan
