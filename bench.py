@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "q78_chunk_dedup",
     "q80_best_supplier",
     "q81_cube_revenue",
+    "q84_column_profile",
+    "q86_theil_sen",
+    "q88_keep_best",
 ]
 
 

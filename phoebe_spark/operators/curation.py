@@ -259,3 +259,26 @@ def boilerplate_stats(
             .alias("boiler_ratio"),
         )
     )
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-quality column profile: per column, the null count, exact
+    distinct count, and total rows — the schema-drift / ingest-sanity
+    report a pipeline runs before accepting a new data drop.
+
+    One scan: all per-column aggregates are computed in a single ``agg``
+    (Spark plans the multi-distinct via EXPAND, one shuffle), then the
+    1-row result is unpivoted to one row per column with ``stack``. At
+    100 TB swap ``countDistinct`` for ``approx_count_distinct`` — the
+    drift signal tolerates HLL error; the exact form is what an
+    independent engine can reproduce."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', _null_{c}, _dist_{c}" for c in cols)
+    return row.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"),
+        F.col("_n").alias("n_rows"),
+    )

@@ -670,20 +670,7 @@ def chunk_dedup_stats(
     shingle_postings caps hot shingles (a count cutoff changes no
     dup/not-dup verdict above the cap).
     """
-    from phoebe_spark.operators.text import tokens
-
-    toks = df.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
-    ).filter(F.size("t") > 0)
-    chunks = toks.select(
-        "doc",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(t) / {chunk_words}.0) as int) - 1),"
-                f" c -> array_join(slice(t, c * {chunk_words} + 1, {chunk_words}), ' '))"
-            )
-        ).alias("chunk"),
-    )
+    chunks = _doc_chunks(df, id_col, text_col, chunk_words)
     counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         chunks.join(counts, "chunk")
@@ -694,5 +681,97 @@ def chunk_dedup_stats(
             F.round(
                 F.sum((F.col("cnt") > 1).cast("long")) / F.count(F.lit(1)), 6
             ).alias("dup_ratio"),
+        )
+    )
+
+
+def _doc_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int
+) -> DataFrame:
+    """(doc, chunk) rows: consecutive non-overlapping ``chunk_words``-word
+    chunks per document. Exchange-free — chunk assembly is a codegen
+    ``transform(sequence(...), c -> array_join(slice(...)))`` inside the
+    scan stage, never a posexplode + re-assembly groupBy."""
+    from phoebe_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    return toks.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t) / {chunk_words}.0) as int) - 1),"
+                f" c -> array_join(slice(t, c * {chunk_words} + 1, {chunk_words}), ' '))"
+            )
+        ).alias("chunk"),
+    )
+
+
+def chunk_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+    max_docs_per_chunk: int = 100,
+) -> DataFrame:
+    """Document near-dup pairs via shared exact chunks: two docs pair when
+    they share at least one ``chunk_words``-word chunk. The cheap
+    edge-generator for chunk-level dedup graphs (feeds
+    :func:`dedup_components` / :func:`keep_best_per_component`).
+
+    Scale notes: the self-join is per-chunk, so cost is quadratic only in
+    docs-per-chunk; chunks hotter than ``max_docs_per_chunk`` occurrences
+    are dropped before pairing (the shingle df-cap pattern —
+    boilerplate-grade chunks would otherwise emit O(df^2) pairs while
+    carrying no near-dup signal)."""
+    ch = _doc_chunks(df, id_col, text_col, chunk_words).dropDuplicates(["doc", "chunk"])
+    eligible = (
+        ch.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter((F.col("df_cnt") >= 2) & (F.col("df_cnt") <= max_docs_per_chunk))
+        .select("chunk")
+    )
+    pc = ch.join(eligible, "chunk")
+    a = pc.select("chunk", F.col("doc").alias("id_a"))
+    b = pc.select("chunk", F.col("doc").alias("id_b"))
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def keep_best_per_component(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection per dedup cluster: keep the member
+    with the highest ``quality_col`` (ties to the smallest id) — the
+    realistic curation action (SemDeDup keeps an arbitrary representative;
+    production pipelines keep the best one).
+
+    ``components`` is :func:`dedup_components` output (``doc,
+    component``); ``docs`` carries the quality signal. One broadcast-able
+    join (components frame scales with matched docs only) + one window
+    argmax per component."""
+    j = components.join(
+        docs.select(F.col(id_col).alias("doc"), F.col(quality_col).alias("_q")), "doc"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col("doc").asc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nm", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc").alias("kept_doc"),
+            F.col("_q").alias("kept_quality"),
+            F.col("_nm").alias("n_members"),
         )
     )

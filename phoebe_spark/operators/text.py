@@ -199,3 +199,27 @@ def top_ngrams(
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(k)
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank), rank assigned by (count desc, term asc) —
+    natural-language corpora land near -1; templated/synthetic text
+    drifts far from it, making this a cheap corpus-health check.
+
+    One explode + map-side-combining term count, a vocabulary-sized
+    row_number window, and a single regr_slope/regr aggregate: the heavy
+    shuffle is on terms (bounded by vocabulary, not corpus size)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("term").asc())),
+    )
+    return ranked.agg(
+        F.expr("regr_slope(ln(cnt), ln(rank))").alias("zipf_slope"),
+        F.expr("regr_intercept(ln(cnt), ln(rank))").alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )

@@ -3128,3 +3128,171 @@ def q82_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling, robust statistics, and dedup-graph curation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q84_column_profile",
+    oracle="""
+    SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct, count(*) AS n_rows FROM events
+    UNION ALL SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id), count(*) FROM events
+    UNION ALL SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type), count(*) FROM events
+    UNION ALL SELECT 'value', count(*) - count(value), count(DISTINCT value), count(*) FROM events
+    UNION ALL SELECT 'props', count(*) - count(props), count(DISTINCT props), count(*) FROM events
+    """,
+)
+def q84_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-sanity column profile (:func:`curation.column_profile`):
+    per-column null and exact-distinct counts in ONE scan — Spark plans
+    the multi-distinct with a single EXPAND + shuffle, then `stack`
+    unpivots the 1-row aggregate (the oracle's five UNION ALL scans show
+    exactly what the one-pass plan saves). ts is excluded by contract:
+    DuckDB truncates the parquet's nano timestamps to micros, so its
+    distinct count is not comparable."""
+    from phoebe_spark.operators.curation import column_profile
+
+    e = _t(spark, sf_dir, "events")
+    return column_profile(e, ["event_id", "user_id", "event_type", "value", "props"])
+
+
+@query(
+    "q85_spearman",
+    oracle=f"""
+    WITH m AS ({_MINUTELY_SQL}),
+    x AS (SELECT minute, v AS vx FROM m WHERE event_type = 'click'),
+    y AS (SELECT minute, v AS vy FROM m WHERE event_type = 'view'),
+    j AS (SELECT x.minute, vx, vy FROM x JOIN y USING (minute)),
+    r AS (SELECT minute, vx, vy,
+                 row_number() OVER (ORDER BY vx ASC, minute ASC) AS rnx,
+                 row_number() OVER (ORDER BY vy ASC, minute ASC) AS rny
+          FROM j),
+    a AS (SELECT vx, vy,
+                 avg(rnx) OVER (PARTITION BY vx) AS ax,
+                 avg(rny) OVER (PARTITION BY vy) AS ay
+          FROM r)
+    SELECT round(corr(ax, ay), 6) AS spearman, CAST(count(*) AS BIGINT) AS n_obs
+    FROM a
+    """,
+)
+def q85_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the click and view minutely
+    series (:func:`ts_agg.spearman_xy`), tie-averaged ranks per the
+    textbook definition — the monotone-dependence check that is robust to
+    the heavy-tailed values Pearson chokes on. Ranks come from
+    row_number + per-value avg windows over the small aligned frame."""
+    m = _minutely(spark, sf_dir)
+    x = m.filter(F.col("event_type") == "click").select("minute", F.col("v").alias("vx"))
+    y = m.filter(F.col("event_type") == "view").select("minute", F.col("v").alias("vy"))
+    j = x.join(y, "minute")
+    out = ts_agg.spearman_xy(j, "vx", "vy", tiebreak="minute")
+    return out.select(F.round("spearman", 6).alias("spearman"), "n_obs")
+
+
+@query(
+    "q86_theil_sen",
+    oracle=f"""
+    WITH m AS ({_MINUTELY_SQL}),
+    s AS (SELECT event_type, minute, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY minute) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM m),
+    d AS (SELECT event_type, minute AS t, v
+          FROM s WHERE rn % greatest(1, CAST(floor(n / 120.0) AS BIGINT)) = 0),
+    p AS (SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS slope
+          FROM d a JOIN d b ON a.event_type = b.event_type AND a.t < b.t)
+    SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY event_type
+    """,
+)
+def q86_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per series (:func:`ts_agg.theil_sen`):
+    median of pairwise slopes, ~29% breakdown point vs OLS q17's 0. The
+    series is strided to <=~120 points per key with pure integer math
+    (deterministic, engine-portable) so the pair join is bounded at
+    ~7k pairs/key however long the series grows."""
+    m = _minutely(spark, sf_dir)
+    out = ts_agg.theil_sen(m, "event_type", "minute", "v", max_points=120)
+    return out.select(
+        "event_type", F.round("ts_slope", 6).alias("ts_slope"), "n_pairs"
+    )
+
+
+@query(
+    "q87_zipf_slope",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents
+                  WHERE trim(text) <> ''),
+    c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank FROM c)
+    SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM r
+    """,
+)
+def q87_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary
+    (:func:`text.zipf_slope`): OLS slope of ln(freq) on ln(rank) —
+    natural corpora land near -1, templated/synthetic text drifts away,
+    making this a one-number corpus-health check. The shuffle is bounded
+    by vocabulary size, not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.zipf_slope(d)
+    return out.select(
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+        F.round("zipf_intercept", 6).alias("zipf_intercept"),
+        "n_terms",
+    )
+
+
+@query(
+    "q88_keep_best",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE trim(text) <> ''),
+    ch AS (
+      SELECT DISTINCT doc_id, chunk FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                      c -> array_to_string(toks[c*8+1 : c*8+8], ' '))) AS chunk
+        FROM t)),
+    elig AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) BETWEEN 2 AND 100),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ch a JOIN elig USING (chunk) JOIN ch b USING (chunk)
+      WHERE a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(doc, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc = e.d),
+    comp AS (SELECT doc, min(lbl) AS component FROM reach GROUP BY doc),
+    j AS (SELECT c.component, c.doc, d.n_chars,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY d.n_chars DESC, c.doc ASC) AS rn,
+                 count(*) OVER (PARTITION BY c.component) AS nm
+          FROM comp c JOIN documents d ON d.doc_id = c.doc)
+    SELECT component, doc AS kept_doc, CAST(n_chars AS BIGINT) AS kept_quality,
+           CAST(nm AS BIGINT) AS n_members
+    FROM j WHERE rn = 1
+    """,
+)
+def q88_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per dedup cluster: shared-chunk
+    near-dup pairs (:func:`dedup.chunk_pairs`, df-capped like the shingle
+    index) -> connected components (q53's min-label propagation) -> keep
+    the HIGHEST-quality member per cluster
+    (:func:`dedup.keep_best_per_component`, quality = n_chars, ties to
+    min id). The realistic curation action: SemDeDup q68 keeps an
+    arbitrary representative; production pipelines keep the best one.
+    The components frame scales with matched docs only."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.chunk_pairs(d, chunk_words=8, max_docs_per_chunk=100)
+    comp = dedup.dedup_components(pairs, id_col_a="id_a", id_col_b="id_b")
+    return dedup.keep_best_per_component(comp, d, quality_col="n_chars")

@@ -107,3 +107,74 @@ def regression_metrics(
         F.sqrt(F.avg(d * d)).alias("rmse"),
     ]
     return base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
+
+
+def spearman_xy(df: DataFrame, x: str, y: str, tiebreak: str) -> DataFrame:
+    """Spearman rank correlation between two columns of one aligned frame,
+    with average ranks for ties (the textbook definition): row_number over
+    (value, tiebreak) gives a total order, then the mean row_number per
+    distinct value is the tie-averaged rank; Pearson corr of the two rank
+    columns is Spearman's rho.
+
+    The two rank windows are unkeyed (global sort) — appropriate for the
+    aligned two-series frames this serves (one row per time bucket). For
+    a billion-row frame, bucket by coarse value ranges first or accept an
+    approximate rho from a sampled frame."""
+    from pyspark.sql import Window
+
+    wx = Window.orderBy(F.col(x).asc(), F.col(tiebreak).asc())
+    wy = Window.orderBy(F.col(y).asc(), F.col(tiebreak).asc())
+    d = df.withColumn("_rnx", F.row_number().over(wx)).withColumn(
+        "_rny", F.row_number().over(wy)
+    )
+    d = d.withColumn("_ax", F.avg("_rnx").over(Window.partitionBy(x))).withColumn(
+        "_ay", F.avg("_rny").over(Window.partitionBy(y))
+    )
+    return d.agg(
+        F.corr("_ax", "_ay").alias("spearman"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    max_points: int = 120,
+) -> DataFrame:
+    """Theil-Sen robust slope per ``key``: the median of all pairwise
+    slopes (value_b - value_a) / (order_b - order_a). Breakdown point
+    ~29% vs OLS's 0 — the trend estimate that shrugs off the outliers
+    that bend :func:`slope_intercept`.
+
+    All-pairs is O(n^2), so the series is first strided down to at most
+    ~``max_points`` points per key with pure integer math (row_number
+    modulo a per-key stride — deterministic, engine-portable, no RNG).
+    The pair join is per-key equi-join on the strided frame: at most
+    ~max_points^2/2 pairs per key, bounded whatever the series length.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order)
+    d = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .withColumn(
+            "_stride", F.greatest(F.lit(1), F.floor(F.col("_n") / max_points))
+        )
+        .filter(F.col("_rn") % F.col("_stride") == 0)
+        .select(key, F.col(order).alias("_t"), F.col(value).alias("_v"))
+    )
+    a = d.select(key, F.col("_t").alias("ta"), F.col("_v").alias("va"))
+    b = d.select(key, F.col("_t").alias("tb"), F.col("_v").alias("vb"))
+    pairs = a.join(b, key).filter(F.col("ta") < F.col("tb"))
+    slope = (F.col("vb") - F.col("va")) / (F.col("tb") - F.col("ta"))
+    return (
+        pairs.withColumn("_s", slope)
+        .groupBy(key)
+        .agg(
+            F.expr("percentile(_s, 0.5)").alias("ts_slope"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

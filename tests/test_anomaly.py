@@ -115,3 +115,97 @@ def test_chunk_plan_has_no_assembly_exchange(spark):
     docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id LONG, text STRING")
     plan = dedup.chunk_dedup_stats(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "transform(sequence" in plan or "slice(" in plan
+
+
+def test_spearman_monotone_and_ties(spark):
+    from phoebe_spark.timeseries import aggregates as ts_agg
+
+    # y = exp(x) is a nonlinear monotone map: Pearson < 1, Spearman == 1
+    rows = [(i, float(i), float(np.exp(i / 10.0))) for i in range(50)]
+    df = spark.createDataFrame(rows, "t LONG, x DOUBLE, y DOUBLE")
+    got = ts_agg.spearman_xy(df, "x", "y", tiebreak="t").collect()[0]
+    assert got.spearman == pytest.approx(1.0)
+    # tie-averaged ranks: compare against pandas' spearman on tied data
+    vals = [(i, float(i // 5), float((i * 7) % 13)) for i in range(40)]
+    df2 = spark.createDataFrame(vals, "t LONG, x DOUBLE, y DOUBLE")
+    got2 = ts_agg.spearman_xy(df2, "x", "y", tiebreak="t").collect()[0]
+    pdf = pd.DataFrame(vals, columns=["t", "x", "y"])
+    # rank-then-Pearson == Spearman with average ranks (no scipy needed)
+    expected = pdf["x"].rank().corr(pdf["y"].rank())
+    assert got2.spearman == pytest.approx(expected, abs=1e-9)
+
+
+def test_theil_sen_ignores_outliers(spark):
+    from phoebe_spark.timeseries import aggregates as ts_agg
+
+    # y = 3t + noise, with 10% gross outliers that wreck OLS
+    rows = []
+    for i in range(100):
+        v = 3.0 * i + float(RNG.normal(0, 0.1))
+        if i % 10 == 5:
+            v += 5000.0
+        rows.append(("s", i, v))
+    df = spark.createDataFrame(rows, "k STRING, t LONG, v DOUBLE")
+    got = ts_agg.theil_sen(df, "k", "t", "v", max_points=200).collect()[0]
+    assert got.ts_slope == pytest.approx(3.0, abs=0.1)
+
+
+def test_zipf_slope_on_zipfian_corpus(spark):
+    from phoebe_spark.operators import text as text_ops
+
+    # frequencies ~ 1/rank: slope of ln(freq) vs ln(rank) should be ~ -1
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * max(1, int(200 / rank))
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id LONG, text STRING")
+    got = text_ops.zipf_slope(docs).collect()[0]
+    assert got.n_terms == 20
+    assert got.zipf_slope == pytest.approx(-1.0, abs=0.1)
+
+
+def test_chunk_pairs_and_keep_best(spark):
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one two three"),
+            (2, shared),
+            (3, "totally different words here now ok fine yes"),
+            (4, shared + " other tail words four five"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.chunk_pairs(docs).collect()}
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+
+    comp = dedup.dedup_components(
+        dedup.chunk_pairs(docs), id_col_a="id_a", id_col_b="id_b"
+    )
+    quality = docs.withColumn("n_chars", F.length("text"))
+    kept = dedup.keep_best_per_component(comp, quality).collect()
+    assert len(kept) == 1
+    # doc 4 has the longest text (42 chars) in the {1,2,4} cluster
+    assert kept[0].kept_doc == 4 and kept[0].n_members == 3
+
+
+def test_chunk_pairs_hot_chunk_cap(spark):
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(i, shared) for i in range(20)], "doc_id LONG, text STRING"
+    )
+    # cap below the chunk's document frequency: no pairs emitted
+    assert dedup.chunk_pairs(docs, max_docs_per_chunk=10).count() == 0
+    # cap above: all C(20,2) pairs
+    assert dedup.chunk_pairs(docs, max_docs_per_chunk=25).count() == 190
+
+
+def test_column_profile(spark):
+    from phoebe_spark.operators.curation import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id LONG, s STRING",
+    )
+    out = {r.col_name: r for r in column_profile(df, ["id", "s"]).collect()}
+    assert out["id"].n_nulls == 1 and out["id"].n_distinct == 3
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["id"].n_rows == 4
