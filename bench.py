@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q84_column_profile",
     "q86_theil_sen",
     "q88_keep_best",
+    "q89_bm25",
+    "q90_rrf_fusion",
 ]
 
 

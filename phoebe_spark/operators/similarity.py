@@ -467,3 +467,66 @@ def jl_matrix(in_dim: int, out_dim: int, seed: int = 7):
 
     rng = np.random.default_rng(seed)
     return (rng.integers(0, 2, size=(out_dim, in_dim)) * 2 - 1) / np.sqrt(out_dim)
+
+
+def rrf_fusion(
+    df: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_rrf: int = 60,
+    top_k: int = 15,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    rankings against one query vector (taken from the frame by id): the
+    cosine ranking and the euclidean ranking, fused as
+    ``1/(k + rank_cos) + 1/(k + rank_l2)`` — the standard way hybrid
+    search merges rankers without score calibration. Both distance
+    columns are pure codegen higher-order-function expressions over one
+    corpus scan; ranks use total-order windows with id tie-breaks
+    (deterministic), and the final top-k is a TakeOrdered, not a full
+    sort to one partition.
+
+    For a billion-vector corpus, feed this the candidate union of the
+    per-ranker top-N (each produced by :func:`brute_force_topk` /
+    :func:`ivf_ann`) instead of the full frame — RRF only needs ranks of
+    candidates."""
+    from pyspark.sql import Window
+
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    s = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("_qv")).alias("_cos"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("_qv"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("_l2"),
+        )
+    )
+    wc = Window.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    wl = Window.orderBy(F.col("_l2").asc(), F.col(id_col).asc())
+    r = s.withColumn("r_cos", F.row_number().over(wc)).withColumn(
+        "r_l2", F.row_number().over(wl)
+    )
+    rrf = 1.0 / (k_rrf + F.col("r_cos")) + 1.0 / (k_rrf + F.col("r_l2"))
+    return (
+        r.select(
+            id_col,
+            F.round(rrf, 6).alias("rrf"),
+            F.col("r_cos").cast("long").alias("r_cos"),
+            F.col("r_l2").cast("long").alias("r_l2"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

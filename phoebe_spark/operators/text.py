@@ -10,6 +10,8 @@ source STRING, n_chars BIGINT)``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -222,4 +224,56 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr("regr_slope(ln(cnt), ln(rank))").alias("zipf_slope"),
         F.expr("regr_intercept(ln(cnt), ln(rank))").alias("zipf_intercept"),
         F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a literal query term set
+    (Robertson-Sparck Jones idf: ln(1 + (N - df + 0.5)/(df + 0.5))) — the
+    lexical half of a hybrid retrieval stack (fuse with the dense half via
+    :func:`phoebe_spark.operators.similarity.rrf_fusion`).
+
+    Plan shape: one tokenize pass feeds both the doc-length table and the
+    query-term tf counts (the term filter prunes the tf branch inside the
+    scan); df and corpus stats are tiny aggregates broadcast back. Each
+    term's contribution is rounded then summed as DECIMAL(18,6) — exact
+    and order-independent, so scores are bit-stable across partition
+    layouts, retries, and engines. Only docs containing >= 1 query term
+    appear (score > 0)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    sc = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        sc.withColumn("_c", F.round(contrib, 6).cast("decimal(18,6)"))
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.sum("_c").cast("double").alias("bm25"))
     )

@@ -3296,3 +3296,120 @@ def q88_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.chunk_pairs(d, chunk_words=8, max_docs_per_chunk=100)
     comp = dedup.dedup_components(pairs, id_col_a="id_a", id_col_b="id_b")
     return dedup.keep_best_per_component(comp, d, quality_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical BM25, rank fusion, dedup-graph diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q89_bm25",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+                  WHERE trim(text) <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('table', 'row', 'hash') GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+                  CAST(round(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+                       AS DECIMAL(18,6)) AS c
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+    SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25 FROM sc GROUP BY doc_id
+    """,
+)
+def q89_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (:func:`text.bm25_scores`) for the
+    literal query {table, row, hash} — the sparse half of hybrid search.
+    One tokenize pass feeds doc lengths and tf; df/corpus stats broadcast
+    back; per-term contributions sum as DECIMAL(18,6) so scores are
+    bit-stable across partitionings and engines."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(d, terms=("table", "row", "hash"))
+
+
+@query(
+    "q90_rrf_fusion",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine,
+                 sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS l2
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    r AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_cos,
+                 row_number() OVER (ORDER BY l2 ASC, vec_id ASC) AS r_l2
+          FROM s)
+    SELECT vec_id, round(1.0/(60 + r_cos) + 1.0/(60 + r_l2), 6) AS rrf,
+           CAST(r_cos AS BIGINT) AS r_cos, CAST(r_l2 AS BIGINT) AS r_l2
+    FROM r ORDER BY rrf DESC, vec_id ASC LIMIT 15
+    """,
+)
+def q90_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (:func:`similarity.rrf_fusion`, Cormack et
+    al. 2009): cosine and euclidean rankings against the vec_id=0 query,
+    merged as 1/(60+r_cos) + 1/(60+r_l2) — hybrid search's standard
+    calibration-free ranker merge. One corpus scan computes both
+    distances in codegen; the top-k is TakeOrdered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.rrf_fusion(emb, query_id=0, top_k=15)
+
+
+@query(
+    "q91_graph_triangles",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE trim(text) <> ''),
+    ch AS (
+      SELECT DISTINCT doc_id, chunk FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                      c -> array_to_string(toks[c*8+1 : c*8+8], ' '))) AS chunk
+        FROM t)),
+    elig AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) BETWEEN 2 AND 100),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ch a JOIN elig USING (chunk) JOIN ch b USING (chunk)
+      WHERE a.doc_id < b.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM
+              (SELECT id_a AS doc FROM pairs UNION ALL SELECT id_b FROM pairs)) AS n_nodes
+    FROM pairs p1
+    JOIN pairs p2 ON p2.id_a = p1.id_b
+    JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    """,
+)
+def q91_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-graph density census: triangles / edges / nodes of the
+    shared-chunk pair graph (:func:`dedup.chunk_pairs`) — high triangle
+    density means clusters are tight duplicate families (safe to collapse
+    aggressively); sparse chains mean borderline matches that deserve a
+    verify pass. Triangle counting by ordered two-hop join (id_a < id_b
+    everywhere, so each triangle counts once); the graph frame is
+    localCheckpointed once and reused by all three statistics."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.chunk_pairs(d, chunk_words=8, max_docs_per_chunk=100)
+    pairs = pairs.localCheckpoint(eager=True)
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc")))
+        .agg(F.countDistinct("doc").alias("n_nodes"))
+    )
+    return tri.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(nodes))

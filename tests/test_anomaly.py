@@ -209,3 +209,72 @@ def test_column_profile(spark):
     assert out["id"].n_nulls == 1 and out["id"].n_distinct == 3
     assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
     assert out["id"].n_rows == 4
+
+
+def test_bm25_matches_hand_computation(spark):
+    from phoebe_spark.operators import text as text_ops
+
+    docs = [
+        (1, "cat dog cat fish"),
+        (2, "dog dog dog"),
+        (3, "bird tree sky"),
+        (4, "cat cat cat cat dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.bm25 for r in text_ops.bm25_scores(df, ("cat", "dog")).collect()}
+
+    import math
+
+    corpus = {i: t.split() for i, t in docs}
+    n, avgdl = len(corpus), round(sum(map(len, corpus.values())) / len(corpus), 6)
+    dfreq = {t: sum(t in toks for toks in corpus.values()) for t in ("cat", "dog")}
+    k1, b = 1.2, 0.75
+    for i, toks in corpus.items():
+        score = 0.0
+        for t in ("cat", "dog"):
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl)), 6
+            )
+        if score > 0:
+            assert got[i] == pytest.approx(score, abs=2e-6), i
+        else:
+            assert i not in got
+    assert 3 not in got  # no query terms -> absent
+
+
+def test_rrf_fusion_ranks_and_scores(spark):
+    from phoebe_spark.operators import similarity as sim
+
+    # query = vec 0; vec 1 identical direction (cos rank 1), vec 3 closest L2
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (2, [0.0, 5.0]),
+        (3, [1.1, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.vec_id: r for r in sim.rrf_fusion(df, query_id=0, top_k=3).collect()}
+    assert out[3].r_l2 == 1  # nearest in euclidean terms
+    assert out[1].r_cos <= 2 and out[3].r_cos <= 2  # colinear-ish vectors lead
+    for r in out.values():
+        assert r.rrf == pytest.approx(
+            round(1 / (60 + r.r_cos) + 1 / (60 + r.r_l2), 6), abs=1e-9
+        )
+
+
+def test_triangle_count_known_graph(spark):
+    from pyspark.sql import functions as SF
+
+    # triangle {1,2,3} + pendant edge 3-4: exactly one triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a LONG, id_b LONG"
+    )
+    p1 = pairs.select(SF.col("id_a").alias("a"), SF.col("id_b").alias("b"))
+    p2 = pairs.select(SF.col("id_a").alias("b"), SF.col("id_b").alias("c"))
+    p3 = pairs.select(SF.col("id_a").alias("a"), SF.col("id_b").alias("c"))
+    n = p1.join(p2, "b").join(p3, ["a", "c"]).count()
+    assert n == 1
