@@ -651,6 +651,7 @@ def chunk_dedup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_words: int = 8,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Line/chunk-level exact dedup statistics (the RefinedWeb / CCNet
     "repeated lines across documents" signal, adapted to newline-free
@@ -670,7 +671,14 @@ def chunk_dedup_stats(
     shingle_postings caps hot shingles (a count cutoff changes no
     dup/not-dup verdict above the cap).
     """
+    # The chunk frame feeds both the corpus-wide count and the join back,
+    # so the tokenize+explode subtree evaluates twice. Measured at sf0.1:
+    # a localCheckpoint here is a wash (1.45s either way) — codegen chunk
+    # assembly is cheaper than materializing the chunk table. Checkpoint
+    # only when the upstream is expensive (pass checkpoint=True).
     chunks = _doc_chunks(df, id_col, text_col, chunk_words)
+    if checkpoint:
+        chunks = chunks.localCheckpoint(eager=True)
     counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         chunks.join(counts, "chunk")
@@ -714,6 +722,7 @@ def chunk_pairs(
     text_col: str = "text",
     chunk_words: int = 8,
     max_docs_per_chunk: int = 100,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Document near-dup pairs via shared exact chunks: two docs pair when
     they share at least one ``chunk_words``-word chunk. The cheap
@@ -725,7 +734,14 @@ def chunk_pairs(
     are dropped before pairing (the shingle df-cap pattern —
     boilerplate-grade chunks would otherwise emit O(df^2) pairs while
     carrying no near-dup signal)."""
+    # This frame is read three times (df-cap filter + both sides of the
+    # per-chunk self-join). Measured at sf0.1: an eager localCheckpoint
+    # REGRESSES q88 (3.1s -> 3.5-4.5s) — the re-evaluated subtree is all
+    # codegen and cheaper than materialization. checkpoint=True is the
+    # escape hatch for corpora where tokenize dominates.
     ch = _doc_chunks(df, id_col, text_col, chunk_words).dropDuplicates(["doc", "chunk"])
+    if checkpoint:
+        ch = ch.localCheckpoint(eager=True)
     eligible = (
         ch.groupBy("chunk")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
