@@ -71,3 +71,55 @@ def keyed_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = "key STRING, stat DOUBLE, alarm BOOLEAN, n_obs LONG"
+CUSUM_STATE_SCHEMA = "stat DOUBLE, n_obs LONG"
+
+
+def keyed_cusum(
+    stream: DataFrame,
+    k: float,
+    h: float,
+    key_col: str = "key",
+    ts_col: str = "event_time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key STREAMING CUSUM drift detector — the live form of
+    :func:`phoebe_spark.timeseries.anomaly.cusum`. Each micro-batch folds
+    its rows (event-time order) through ``s = max(0, s + x - k)`` carried
+    in the state store, and emits one row per key per batch with the
+    updated statistic and whether it crosses the ``h`` alarm line — the
+    continuous regime-change monitor the reference's control loop polls
+    between evaluation intervals.
+
+    State is two scalars per key (O(keys), checkpointed, rescale-safe);
+    the batch CUSUM runs the same recursion as a prefix-sum window plan,
+    so alert thresholds tuned offline transfer unchanged."""
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for v in pdf[value_col]:
+                s = max(0.0, s + float(v) - k)
+                n += 1
+        state.update((s, n))
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "stat": [s], "alarm": [s > h], "n_obs": [n]}
+        )
+
+    return (
+        stream.select(F.col(key_col).cast("string").alias(key_col), ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -72,3 +72,82 @@ def test_keyed_ewma_matches_batch(spark, sf_dir, tmp_path):
         ewma, n = got_map[key]
         assert n == len(grp)
         assert ewma == pytest.approx(expected, rel=1e-9), key
+
+
+def test_keyed_cusum_matches_batch(spark, tmp_path):
+    """Streaming CUSUM folded across 3 micro-batches must equal the batch
+    prefix-sum closed form on the same data."""
+    import time as _time
+
+    from phoebe_spark.streaming.stateful import keyed_cusum
+    from phoebe_spark.timeseries import anomaly as ts_anom
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for key, drift in (("a", 0.0), ("b", 30.0)):
+        vals = rng.exponential(50.0, size=90) + drift
+        rows += [(key, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key STRING, seq LONG, value DOUBLE").withColumn(
+        "event_time", F.expr("timestamp_seconds(1700000000 + seq)")
+    ).select("event_time", "key", "value", "seq")
+
+    src = str(tmp_path / "cusum_src")
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        df.filter((F.col("seq") >= lo) & (F.col("seq") < hi)).coalesce(
+            1
+        ).sortWithinPartitions("event_time").drop("seq").write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_time TIMESTAMP, key STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = keyed_cusum(stream, k=60.0, h=150.0)
+    q = run_to_sink(out, str(tmp_path / "cusum_ck"), output_mode="update", queryName="cusum_q")
+    q.awaitTermination(120)
+    q.stop()
+
+    got = (
+        spark.sql("SELECT * FROM cusum_q")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "key"
+                ).orderBy(F.col("n_obs").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    batch = (
+        ts_anom.cusum(
+            spark.createDataFrame(rows, "key STRING, seq LONG, value DOUBLE"),
+            "key",
+            "seq",
+            "value",
+            k=60.0,
+            h=150.0,
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "key"
+                ).orderBy(F.col("seq").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    bmap = {r.key: r for r in batch}
+    assert len(got) == 2
+    for r in got:
+        assert r.n_obs == 90
+        assert r.stat == pytest.approx(bmap[r.key].stat, abs=1e-9)
+        assert r.alarm == bmap[r.key].alarm
+    # the drifted key should actually be alarming
+    assert bmap["b"].alarm
