@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "q88_keep_best",
     "q89_bm25",
     "q90_rrf_fusion",
+    "q92_edit_verify",
+    "q93_token_entropy",
+    "q94_source_kl",
+    "q95_retention_cohorts",
+    "q96_event_gaps",
+    "q97_weighted_sample",
 ]
 
 

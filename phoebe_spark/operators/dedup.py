@@ -791,3 +791,39 @@ def keep_best_per_component(
             F.col("_nm").alias("n_members"),
         )
     )
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.6,
+) -> DataFrame:
+    """Exact edit-distance CONFIRM pass over candidate pairs: joins the
+    two texts onto each (id_a, id_b) candidate and keeps pairs whose
+    normalized Levenshtein similarity ``1 - lev/max(len_a, len_b)`` meets
+    ``min_sim`` — the standard verify stage after a cheap generator
+    (chunk/LSH/SimHash candidates), turning probabilistic recall into
+    certified pairs.
+
+    Scale notes: Levenshtein is O(len_a * len_b) per pair, so it must
+    only ever run on the CANDIDATE set, never all pairs — cost is
+    pairs * len^2, independent of corpus^2. Both text joins are plain
+    equi-joins on the id (broadcast when the candidate set is small;
+    AQE picks otherwise)."""
+    t = df.select(F.col(id_col), F.col(text_col))
+    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    lev = F.levenshtein("_ta", "_tb")
+    sim = 1.0 - lev / F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("lev"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )

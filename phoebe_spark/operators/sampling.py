@@ -104,3 +104,32 @@ def stratified_hash_sample(
         else bound.otherwise(F.lit(int(round(default_fraction * buckets))))
     )
     return df.filter(hash_bucket(F.col(id_col), salt, buckets) < bound)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u in (0,1) from the salted content
+    hash of its id (no RNG — reproducible across runs, partitionings, and
+    engines) and the k rows with the largest ``u^(1/w)`` — equivalently
+    the largest ``ln(u)/w`` — win. Quality-weighted corpus subsampling
+    with an audit trail: rerunning the pipeline reproduces the sample
+    bit-for-bit, and the DuckDB oracle re-derives it independently.
+
+    The top-k is a TakeOrdered over per-partition partial top-k (O(k) to
+    the driver); everything else is codegen column math on the scan."""
+    h = md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+    # (h + 1) / (2^60 + 1): strictly inside (0, 1) so ln(u) is finite
+    u = (h.cast("double") + 1.0) / float((1 << 60) + 1)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -277,3 +277,67 @@ def bm25_scores(
         .groupBy(F.col("doc").alias(id_col))
         .agg(F.sum("_c").cast("double").alias("bm25"))
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the lexical-diversity signal: low entropy flags repetitive/templated
+    text (complements the q61 repetition stats), high entropy flags
+    random-token garbage.
+
+    One shuffle on (doc, term); the doc-total then comes from a window
+    over the same doc key (no second aggregate pass). Contributions are
+    rounded and summed as DECIMAL(18,6): order-independent, engine-exact."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    c = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("c"))
+    c = c.withColumn("n", F.sum("c").over(Window.partitionBy("doc")))
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        c.withColumn("_e", contrib)
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.sum("_e").cast("double").alias("token_entropy"),
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+
+
+def source_kl(df: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Domain-shift census: KL divergence of each source's term
+    distribution from the whole-corpus distribution,
+    ``sum_t P_s(t) ln(P_s(t)/P(t))`` — the mixture-health check run when
+    a new data drop lands (a source drifting from the corpus either
+    carries novel content or rot). Every source term also occurs in the
+    corpus distribution, so the KL is always finite.
+
+    Shuffles: one on (source, term), one on term for the corpus totals;
+    the corpus distribution joins back on term (AQE-broadcast when the
+    vocabulary is small). DECIMAL contribution sums keep results
+    bit-stable across layouts and engines."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("src"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    st = toks.groupBy("src", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = st.withColumn("n", F.sum("c").over(Window.partitionBy("src")))
+    ct = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    cn = ct.agg(F.sum("cc").alias("cnn"))
+    j = st.join(ct, "term").crossJoin(F.broadcast(cn))
+    ps = F.col("c").cast("double") / F.col("n")
+    pc = F.col("cc").cast("double") / F.col("cnn")
+    contrib = F.round(ps * F.log(ps / pc), 6).cast("decimal(18,6)")
+    return (
+        j.withColumn("_k", contrib)
+        .groupBy(F.col("src").alias(group_col))
+        .agg(
+            F.sum("_k").cast("double").alias("kl_vs_corpus"),
+            F.max("n").alias("n_tokens"),
+        )
+    )

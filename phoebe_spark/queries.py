@@ -3413,3 +3413,199 @@ def q91_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc").alias("n_nodes"))
     )
     return tri.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(nodes))
+
+
+# ---------------------------------------------------------------------------
+# Verify-pass dedup, lexical diversity, domain shift
+# ---------------------------------------------------------------------------
+
+_CHUNK_PAIRS_SQL = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents
+          WHERE trim(text) <> ''),
+    ch AS (SELECT DISTINCT doc_id, chunk FROM (
+       SELECT doc_id,
+              unnest(list_transform(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT)-1),
+                     c -> array_to_string(toks[c*8+1 : c*8+8], ' '))) AS chunk
+       FROM t)),
+    elig AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) BETWEEN 2 AND 100),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ch a JOIN elig USING (chunk) JOIN ch b USING (chunk)
+              WHERE a.doc_id < b.doc_id)
+"""
+
+
+@query(
+    "q92_edit_verify",
+    oracle=f"""
+    WITH {_CHUNK_PAIRS_SQL},
+    sc AS (SELECT p.id_a, p.id_b,
+                  levenshtein(ta.text, tb.text) AS lev,
+                  greatest(len(ta.text), len(tb.text)) AS mx
+           FROM pairs p JOIN t ta ON ta.doc_id = p.id_a
+                        JOIN t tb ON tb.doc_id = p.id_b)
+    SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+           round(1.0 - lev * 1.0 / mx, 6) AS sim
+    FROM sc WHERE round(1.0 - lev * 1.0 / mx, 6) >= 0.6
+    """,
+)
+def q92_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate-then-verify dedup: shared-chunk candidates
+    (:func:`dedup.chunk_pairs`) confirmed by exact normalized Levenshtein
+    similarity (:func:`dedup.edit_distance_verify`, >= 0.6) — the
+    certification stage that turns probabilistic candidate recall into
+    exact near-dup pairs. O(len^2) edit distance runs ONLY on candidates,
+    so cost scales with matches, never corpus^2."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.chunk_pairs(d, chunk_words=8, max_docs_per_chunk=100)
+    return dedup.edit_distance_verify(d, pairs, min_sim=0.6)
+
+
+@query(
+    "q93_token_entropy",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+                  WHERE trim(text) <> ''),
+    c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(sum(CAST(round(-(c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS token_entropy,
+           CAST(max(n.n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+    """,
+)
+def q93_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token histogram
+    (:func:`text.token_entropy`) — the lexical-diversity quality signal:
+    low entropy = templated/repetitive text, implausibly high = random
+    garbage. One shuffle on (doc, term); the doc total reuses the same
+    key via a window; DECIMAL contribution sums are engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return text.token_entropy(d)
+
+
+@query(
+    "q94_source_kl",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+                  WHERE trim(text) <> ''),
+    st AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    sn AS (SELECT source, sum(c) AS n FROM st GROUP BY 1),
+    ct AS (SELECT term, sum(c) AS cc FROM st GROUP BY 1),
+    cn AS (SELECT sum(cc) AS cnn FROM ct)
+    SELECT st.source,
+           CAST(sum(CAST(round((st.c * 1.0 / sn.n) * ln((st.c * 1.0 / sn.n)
+                    / (ct.cc * 1.0 / cn.cnn)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS kl_vs_corpus,
+           CAST(max(sn.n) AS BIGINT) AS n_tokens
+    FROM st JOIN sn USING (source) JOIN ct USING (term) CROSS JOIN cn
+    GROUP BY st.source
+    """,
+)
+def q94_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift census (:func:`text.source_kl`): KL divergence of
+    each source's term distribution from the whole corpus — the
+    mixture-health check run on every new data drop (drifting sources
+    carry novel content or rot; pairs with q63's mixture weights). Always
+    finite (every source term is in the corpus distribution)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.source_kl(d)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: retention cohorts, inter-event gaps, weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_retention_cohorts",
+    oracle=f"""
+    WITH d AS (SELECT user_id,
+                      CAST(floor({EPOCH_SQL.format(c='ts')} / 86400.0) AS BIGINT) AS day
+               FROM events),
+    fs AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+    SELECT fs.cohort, d.day - fs.cohort AS day_offset,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM d JOIN fs USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q95_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen day, counted
+    as active per day-offset — the standard cohort/retention analysis
+    over the events stream. Two keyed shuffles (user first-seen, then
+    cohort x offset distinct-count); the per-user cohort frame is
+    dimension-sized and AQE broadcasts it back onto the events scan."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.floor(_epoch() / 86400).cast("long")
+    )
+    fs = e.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        e.join(fs, "user_id")
+        .groupBy("cohort", (F.col("day") - F.col("cohort")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q96_event_gaps",
+    oracle=f"""
+    WITH es AS (SELECT user_id, event_id, {EPOCH_SQL.format(c='ts')} AS sec FROM events),
+    g AS (
+      SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+      FROM es)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 6) AS median_gap_s,
+           round(quantile_cont(gap, 0.95), 6) AS p95_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+)
+def q96_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-gap profile per user (median + p95 seconds between
+    consecutive events) — the activity-cadence signal behind session-gap
+    tuning (q46 uses a fixed threshold; this measures what it should
+    be). Ordering is by epoch-SECOND + event_id in both engines so the
+    nano-vs-micro timestamp resolution difference cannot reorder ties.
+    One shuffle on user_id; lag and both exact percentiles share it."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _epoch().alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    g = e.withColumn("gap", F.col("sec") - F.lag("sec").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap, 0.95)"), 6).alias("p95_gap_s"),
+    )
+
+
+@query(
+    "q97_weighted_sample",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|ws1'), 1, 15)) AS BIGINT) + 1.0)
+             / 1152921504606846977.0 AS u
+      FROM documents WHERE n_chars > 0),
+    k AS (SELECT doc_id, n_chars, ln(u) / n_chars AS key FROM u)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(key * 1e6, 6) AS neg_key_ppm
+    FROM k ORDER BY key DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (:func:`sampling.weighted_sample`, Efraimidis-Spirakis 2006) — 20
+    docs drawn proportionally to n_chars from content-hash randomness:
+    no RNG, so the sample is bit-reproducible across runs, partition
+    layouts, and engines (the q55 salted-hash philosophy extended to
+    WEIGHTED draws). Top-k is TakeOrdered, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(d, weight_col="n_chars", k=20)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(F.col("_key") * 1e6, 6).alias("neg_key_ppm"),
+    )

@@ -278,3 +278,80 @@ def test_triangle_count_known_graph(spark):
     p3 = pairs.select(SF.col("id_a").alias("a"), SF.col("id_b").alias("c"))
     n = p1.join(p2, "b").join(p3, ["a", "c"]).count()
     assert n == 1
+
+
+def test_edit_distance_verify(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text with other words in it"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a LONG, id_b LONG")
+    out = {(r.id_a, r.id_b): r for r in dedup.edit_distance_verify(docs, pairs, min_sim=0.6).collect()}
+    assert (1, 2) in out and (1, 3) not in out
+    assert out[(1, 2)].lev == 3  # dog -> cat
+    assert out[(1, 2)].sim == pytest.approx(1 - 3 / 43, abs=1e-6)
+
+
+def test_token_entropy_extremes(spark):
+    from phoebe_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in text_ops.token_entropy(docs).collect()}
+    assert out[1].token_entropy == 0.0  # degenerate distribution
+    assert out[2].token_entropy == pytest.approx(np.log(4), abs=1e-5)
+    assert out[2].n_distinct == 4 and out[2].n_tokens == 4
+
+
+def test_source_kl_identical_sources_zero(spark):
+    from phoebe_spark.operators import text as text_ops
+
+    # both sources have the SAME distribution as the corpus -> KL == 0
+    docs = spark.createDataFrame(
+        [(1, "x y", "s1"), (2, "x y", "s2")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = {r.source: r.kl_vs_corpus for r in text_ops.source_kl(docs).collect()}
+    assert out == {"s1": 0.0, "s2": 0.0}
+    # skewed source diverges
+    docs2 = spark.createDataFrame(
+        [(1, "x x x x", "s1"), (2, "y y y y", "s2")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out2 = {r.source: r.kl_vs_corpus for r in text_ops.source_kl(docs2).collect()}
+    assert out2["s1"] == pytest.approx(np.log(2), abs=1e-5)
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from phoebe_spark.operators.sampling import weighted_sample
+
+    # 10 heavy docs (w=1000) vs 200 light docs (w=1): across many salts,
+    # heavy docs should dominate the k=5 sample
+    rows = [(i, 1000) for i in range(10)] + [(i, 1) for i in range(10, 210)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    heavy_hits = 0
+    for salt in ("s1", "s2", "s3", "s4"):
+        got = weighted_sample(df, "w", k=5, salt=salt).collect()
+        assert len(got) == 5
+        heavy_hits += sum(1 for r in got if r.doc_id < 10)
+    assert heavy_hits >= 16  # >= 80% heavy across 20 draws
+
+    # determinism: same salt twice -> identical sample
+    a = [r.doc_id for r in weighted_sample(df, "w", k=5, salt="s1").collect()]
+    b = [r.doc_id for r in weighted_sample(df, "w", k=5, salt="s1").collect()]
+    assert a == b
+
+
+def test_retention_cohort_shape(spark, sf_dir):
+    from phoebe_spark.queries import QUERIES
+
+    rows = QUERIES["q95_retention_cohorts"](spark, sf_dir).collect()
+    assert all(r.day_offset >= 0 for r in rows)
+    # day-0 cells exist and no cell exceeds the user population
+    assert any(r.day_offset == 0 for r in rows)
+    assert max(r.n_users for r in rows) <= 150
