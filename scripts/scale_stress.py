@@ -26,6 +26,7 @@ sys.path.insert(0, "/root/repo")
 
 from phoebe_spark.operators import curation, dedup, similarity, text  # noqa: E402
 from phoebe_spark.session import get_spark  # noqa: E402
+from phoebe_spark.timeseries import anomaly as ts_anom  # noqa: E402
 from phoebe_spark.timeseries.core import asof_join, savgol_smooth  # noqa: E402
 
 WORDS = [
@@ -110,6 +111,24 @@ def run_scale(spark, scale: int) -> dict:
     t("asof_join", asof_join(ev.select("event_id", "ts", "user_id"), quotes, on="ts", by=["user_id"]))
     t("bloom_decontaminate", dedup.contamination_flags_bloom(docs, docs.limit(200), n=5))
     t("unigram_lm", text.unigram_logprob_scores(docs))
+    t("chunk_census", dedup.chunk_dedup_stats(docs))
+    t(
+        "chunk_pairs_verify",
+        dedup.edit_distance_verify(docs, dedup.chunk_pairs(docs), min_sim=0.5),
+    )
+    t("bm25", text.bm25_scores(docs, terms=("spark", "hash", "key")))
+    t("token_entropy", text.token_entropy(docs))
+    t(
+        "cusum",
+        ts_anom.cusum(
+            ev.select(F.pmod("user_id", F.lit(64)).alias("k"), "event_id", "value"),
+            "k",
+            "event_id",
+            "value",
+            k=50.0,
+            h=500.0,
+        ),
+    )
     t(
         "savgol_jvm",
         savgol_smooth(
