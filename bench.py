@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "q95_retention_cohorts",
     "q96_event_gaps",
     "q97_weighted_sample",
+    "q98_pivot_daily",
+    "q99_trailing_actives",
+    "q100_calendar_heatmap",
 ]
 
 

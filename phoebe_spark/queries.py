@@ -3609,3 +3609,104 @@ def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("weight"),
         F.round(F.col("_key") * 1e6, 6).alias("neg_key_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reporting layer: pivot matrix, trailing actives, calendar heatmap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q98_pivot_daily",
+    oracle=f"""
+    WITH d AS (SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 86400.0) AS BIGINT) AS day,
+                      event_type
+               FROM events)
+    SELECT day,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM d GROUP BY day
+    """,
+)
+def q98_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type pivot matrix via Spark's native
+    ``groupBy().pivot()`` with an EXPLICIT value list — the explicit list
+    matters at scale: without it Spark runs an extra distinct-values job
+    and the pivot width becomes data-dependent. One shuffle on day with
+    map-side partial counts per (day, type); missing cells filled 0 to
+    match the oracle's conditional sums."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.floor(_epoch() / 86400).cast("long")
+    )
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        e.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@query(
+    "q99_trailing_actives",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT CAST(floor({EPOCH_SQL.format(c='ts')} / 86400.0) AS BIGINT) AS day,
+                       user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    w AS (SELECT d.day, du.user_id
+          FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day)
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM w GROUP BY day
+    """,
+)
+def q99_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day (WAU) — the engagement metric
+    distinct counts cannot express as a sliding window, so the standard
+    plan is: collapse to distinct (day, user) first (the big shuffle,
+    done ONCE), then range-join the tiny day dimension onto it (broadcast
+    nested-loop over ~days rows, fine because days is calendar-bounded)
+    and distinct-count per window end."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.floor(_epoch() / 86400).cast("long")
+    )
+    du = e.select("day", "user_id").distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d0")
+    w = days.join(
+        du, (F.col("day") >= F.col("d0") - 6) & (F.col("day") <= F.col("d0"))
+    )
+    return w.groupBy(F.col("d0").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
+@query(
+    "q100_calendar_heatmap",
+    oracle=f"""
+    SELECT CAST((floor({EPOCH_SQL.format(c='ts')} / 86400.0) + 4) % 7 AS BIGINT) AS dow,
+           CAST(floor(({EPOCH_SQL.format(c='ts')} % 86400) / 3600.0) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q100_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap (dow 0 = Sunday: epoch day 0
+    was a Thursday, hence the +4 shift) — the 168-cell calendar profile
+    behind load-shaping decisions. Pure integer bucketing on the scan,
+    one tiny-key shuffle with map-side combine."""
+    e = _t(spark, sf_dir, "events").withColumn("es", _epoch())
+    return (
+        e.select(
+            ((F.floor(F.col("es") / 86400) + 4) % 7).cast("long").alias("dow"),
+            F.floor((F.col("es") % 86400) / 3600).cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
