@@ -3710,3 +3710,92 @@ def q100_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+@query(
+    "q101_curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n_words
+      FROM documents WHERE trim(text) <> ''),
+    quality AS (
+      SELECT *, (n_words >= 20) AS ok_quality FROM base),
+    fp AS (
+      SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM quality WHERE ok_quality),
+    keep_dup AS (
+      SELECT *, (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS is_canonical
+      FROM fp),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+             i -> array_to_string(toks[i:i+4], ' ')))) AS g
+      FROM base WHERE len(toks) >= 5),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+    contaminated AS (
+      SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+      WHERE gr.doc_id >= 5),
+    staged AS (
+      SELECT b.source, b.doc_id, b.n_words,
+             coalesce(q.ok_quality, FALSE) AS ok_q,
+             coalesce(k.is_canonical, FALSE) AS ok_d,
+             (c.doc_id IS NULL AND b.doc_id >= 5) AS ok_c
+      FROM base b
+      LEFT JOIN quality q USING (doc_id)
+      LEFT JOIN keep_dup k ON k.doc_id = b.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = b.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(sum(CASE WHEN NOT ok_q THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+           CAST(sum(CASE WHEN ok_q AND NOT ok_d THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+           CAST(sum(CASE WHEN ok_q AND ok_d AND NOT ok_c THEN 1 ELSE 0 END) AS BIGINT) AS drop_contaminated,
+           CAST(sum(CASE WHEN ok_q AND ok_d AND ok_c THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN ok_q AND ok_d AND ok_c THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM staged GROUP BY source
+    """,
+)
+def q101_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline with a per-source yield report —
+    the integration query proving the stages compose: quality gate
+    (length floor) -> exact dedup (md5 fingerprint canonical,
+    :func:`text.fingerprint` / q08) -> benchmark decontamination
+    (5-gram overlap vs the doc_id<5 eval set,
+    :func:`dedup.contamination_flags` / q58) -> per-source attrition +
+    kept-token accounting (the numbers a data lead actually reviews
+    before a training run). Stage flags are computed once each over one
+    corpus scan apiece; the report is a single source-keyed aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        d.filter(F.trim("text") != "")
+        .withColumn("n_words", F.size(text.tokens(F.col("text"))))
+    )
+    ok_q = base.withColumn("ok_q", F.col("n_words") >= 20)
+    fp = text.fingerprint(ok_q.filter("ok_q"))
+    canon = fp.withColumn(
+        "ok_d",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("fingerprint")),
+    ).select("doc_id", "ok_d")
+    flags = dedup.contamination_flags(
+        base.filter(F.col("doc_id") >= 5), base.filter(F.col("doc_id") < 5), n=5
+    )
+    contaminated = flags.filter(F.col("n_contaminated") > 0).select(
+        F.col("doc").alias("doc_id"), F.lit(True).alias("is_cont")
+    )
+    staged = (
+        ok_q.select("source", "doc_id", "n_words", "ok_q")
+        .join(canon, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .withColumn("ok_d", F.coalesce("ok_d", F.lit(False)))
+        .withColumn("ok_c", F.col("is_cont").isNull() & (F.col("doc_id") >= 5))
+    )
+    kept = F.col("ok_q") & F.col("ok_d") & F.col("ok_c")
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum((~F.col("ok_q")).cast("long")).alias("drop_quality"),
+        F.sum((F.col("ok_q") & ~F.col("ok_d")).cast("long")).alias("drop_dup"),
+        F.sum((F.col("ok_q") & F.col("ok_d") & ~F.col("ok_c")).cast("long")).alias(
+            "drop_contaminated"
+        ),
+        F.sum(kept.cast("long")).alias("docs_kept"),
+        F.sum(F.when(kept, F.col("n_words")).otherwise(0)).alias("tokens_kept"),
+    )

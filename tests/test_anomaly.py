@@ -355,3 +355,24 @@ def test_retention_cohort_shape(spark, sf_dir):
     # day-0 cells exist and no cell exceeds the user population
     assert any(r.day_offset == 0 for r in rows)
     assert max(r.n_users for r in rows) <= 150
+
+
+def test_layout_invariance_of_new_operators(spark):
+    """weighted_sample and theil_sen advertise partition-layout
+    determinism: identical results after an adversarial repartition."""
+    from phoebe_spark.operators.sampling import weighted_sample
+    from phoebe_spark.timeseries import aggregates as ts_agg
+
+    rows = [(i, (i * 13) % 97 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", k=10).collect())
+    b = sorted(
+        r.doc_id for r in weighted_sample(df.repartition(7, "w"), "w", k=10).collect()
+    )
+    assert a == b
+
+    ts_rows = [("s", i, float((i * 7) % 31)) for i in range(400)]
+    tdf = spark.createDataFrame(ts_rows, "k STRING, t LONG, v DOUBLE")
+    s1 = ts_agg.theil_sen(tdf, "k", "t", "v", max_points=80).collect()[0]
+    s2 = ts_agg.theil_sen(tdf.repartition(11), "k", "t", "v", max_points=80).collect()[0]
+    assert s1.ts_slope == s2.ts_slope and s1.n_pairs == s2.n_pairs
