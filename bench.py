@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "q98_pivot_daily",
     "q99_trailing_actives",
     "q100_calendar_heatmap",
+    "q101_curation_pipeline",
+    "q102_incremental_dedup",
+    "q103_attribution",
 ]
 
 

@@ -3799,3 +3799,110 @@ def q101_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("long")).alias("docs_kept"),
         F.sum(F.when(kept, F.col("n_words")).otherwise(0)).alias("tokens_kept"),
     )
+
+
+@query(
+    "q102_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents WHERE trim(text) <> ''),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400),
+    batch AS (SELECT * FROM fp WHERE doc_id >= 400),
+    flagged AS (
+      SELECT b.doc_id, b.source, (h.fingerprint IS NOT NULL) AS dup_of_history,
+             (b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fingerprint)) AS dup_in_batch
+      FROM batch b LEFT JOIN hist h USING (fingerprint))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS batch_docs,
+           CAST(sum(CASE WHEN dup_of_history THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_history,
+           CAST(sum(CASE WHEN NOT dup_of_history AND dup_in_batch THEN 1 ELSE 0 END) AS BIGINT) AS dup_in_batch,
+           CAST(sum(CASE WHEN NOT dup_of_history AND NOT dup_in_batch THEN 1 ELSE 0 END) AS BIGINT) AS kept
+    FROM flagged GROUP BY source
+    """,
+)
+def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production daily-drop shape: a new batch
+    (doc_id >= 400) deduped against the historical fingerprint set
+    (doc_id < 400) AND within itself, reported per source. The history
+    side reduces to its distinct fingerprints before the join (at 100 TB
+    that fingerprint set is the only state carried between runs — store
+    it partitioned by fingerprint prefix and this join is storage-pruned);
+    within-batch dups resolve by a min-id window on the batch only."""
+    d = _t(spark, sf_dir, "documents")
+    fp = text.fingerprint(d.filter(F.trim("text") != ""))
+    hist = fp.filter(F.col("doc_id") < 400).select("fingerprint").distinct()
+    batch = fp.filter(F.col("doc_id") >= 400)
+    flagged = (
+        batch.join(
+            hist.withColumn("_h", F.lit(True)), "fingerprint", "left"
+        )
+        .withColumn("dup_of_history", F.col("_h").isNotNull())
+        .withColumn(
+            "dup_in_batch",
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("fingerprint")),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("batch_docs"),
+        F.sum(F.col("dup_of_history").cast("long")).alias("dup_vs_history"),
+        F.sum((~F.col("dup_of_history") & F.col("dup_in_batch")).cast("long")).alias(
+            "dup_in_batch"
+        ),
+        F.sum((~F.col("dup_of_history") & ~F.col("dup_in_batch")).cast("long")).alias(
+            "kept"
+        ),
+    )
+
+
+@query(
+    "q103_attribution",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {EPOCH_SQL.format(c='ts')} AS sec, event_id
+               FROM events),
+    lc AS (
+      SELECT user_id, event_type, sec,
+             max(CASE WHEN event_type = 'click' THEN sec END)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      FROM e),
+    p AS (SELECT CAST(floor(sec / 86400.0) AS BIGINT) AS day,
+                 (last_click IS NOT NULL AND sec - last_click <= 3600) AS attributed
+          FROM lc WHERE event_type = 'purchase')
+    SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+    FROM p GROUP BY day
+    """,
+)
+def q103_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is attributed when the same
+    user clicked within the preceding hour — computed with carried-
+    forward window state (max of click-times over an UNBOUNDED-to-1-
+    PRECEDING frame), NOT an event-table self-join: one user_id shuffle,
+    one pass, however many purchases. Tie order pinned to (second,
+    event_id) so both engines walk the same sequence."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch().alias("sec"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lc = e.withColumn(
+        "last_click",
+        F.max(F.when(F.col("event_type") == "click", F.col("sec"))).over(w),
+    )
+    p = lc.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("sec") / 86400).cast("long").alias("day"),
+        (
+            F.col("last_click").isNotNull()
+            & ((F.col("sec") - F.col("last_click")) <= 3600)
+        ).alias("attributed"),
+    )
+    return p.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("attributed").cast("long")).alias("n_attributed"),
+    )

@@ -376,3 +376,35 @@ def test_layout_invariance_of_new_operators(spark):
     s1 = ts_agg.theil_sen(tdf, "k", "t", "v", max_points=80).collect()[0]
     s2 = ts_agg.theil_sen(tdf.repartition(11), "k", "t", "v", max_points=80).collect()[0]
     assert s1.ts_slope == s2.ts_slope and s1.n_pairs == s2.n_pairs
+
+
+def test_attribution_window_semantics(spark, tmp_path):
+    """Purchases attribute to a preceding same-user click within 1h only;
+    later clicks and other users' clicks never attribute."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 1: click at t=100, purchase at t=200 (attributed)
+        (1, 100, 1, "click"), (2, 200, 1, "purchase"),
+        # user 1: purchase at t=5000 (click 4900s earlier -> too old)
+        (3, 5000, 1, "purchase"),
+        # user 2: purchase BEFORE their click -> organic
+        (4, 150, 2, "purchase"), (5, 160, 2, "click"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 10**9 for r in rows], pa.int64()),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    d = tmp_path / "attr" 
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    from phoebe_spark.queries import QUERIES
+
+    out = QUERIES["q103_attribution"](spark, str(d)).collect()
+    assert sum(r.n_purchases for r in out) == 3
+    assert sum(r.n_attributed for r in out) == 1
