@@ -197,3 +197,49 @@ def test_q72_lm_fit_single_shuffle_partial_agg(spark, sf_dir):
     assert _ops(plan, "HashAggregate") >= 4  # partial+final for LM and doc aggs
     assert "CartesianProduct" not in plan
     assert _ops(plan, "Scan parquet") <= 2  # toks subtree reused, not re-scanned per stage
+
+
+def test_q103_attribution_no_self_join(spark, sf_dir):
+    """Attribution must run as carried-forward window state, never an
+    events x events self-join."""
+    plan = _plan(spark, sf_dir, "q103_attribution")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "SortMergeJoin") == 0 and _ops(plan, "BroadcastHashJoin") == 0
+    assert _ops(plan, "Window") == 1
+
+
+def test_q88_chunk_pairs_grouped_expansion(spark, sf_dir):
+    """The chunk-pair graph expands pairs from ONE grouped doc-set per
+    chunk — no per-chunk self-join of the chunk table."""
+    from phoebe_spark.operators.dedup import chunk_pairs
+    from phoebe_spark.sources.testdata import load_table
+
+    df = chunk_pairs(load_table(spark, sf_dir, "documents"))
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert _ops(plan, "Scan parquet") == 1  # tokenize subtree not duplicated
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q84_profile_single_scan(spark, sf_dir):
+    """The column profile reads the table once (EXPAND-based
+    multi-distinct), not once per column like its oracle."""
+    plan = _plan(spark, sf_dir, "q84_column_profile")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Expand") >= 1
+
+
+def test_q98_pivot_no_distinct_values_job(spark, sf_dir):
+    """Explicit pivot values: the plan aggregates straight to the pivot
+    columns with no distinct-on-event_type subquery."""
+    plan = _plan(spark, sf_dir, "q98_pivot_daily")
+    assert _ops(plan, "Scan parquet") == 1
+    # (day,type) count partial+final then pivotfirst partial+final —
+    # and no fifth aggregate from a distinct-values discovery job
+    assert _ops(plan, "HashAggregate") == 4
+
+
+def test_q97_weighted_sample_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q97_weighted_sample")
+    assert "TakeOrderedAndProject" in plan  # never a global sort to one partition
