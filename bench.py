@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "q101_curation_pipeline",
     "q102_incremental_dedup",
     "q103_attribution",
+    "q104_value_quantiles",
+    "q105_wow_growth",
+    "q106_ship_delay",
 ]
 
 

@@ -72,6 +72,10 @@ class ArModelWrapper:
     last_learned_timestamp: int
     history: np.ndarray = field(default_factory=lambda: np.array([], dtype=float))
     order: int = 3
+    # Box-Jenkins identification instead of the fixed default: re-derive
+    # the AR order from the history's PACF cutoff at each refit (the
+    # auto_arima order-search stand-in; see select_ar_order below).
+    auto_order: bool = False
 
     def _design(self, series: np.ndarray):
         p = min(self.order, max(1, len(series) - 2))
@@ -90,6 +94,8 @@ class ArModelWrapper:
         series = self.history
         if len(series) == 0:
             return np.zeros(n_periods)
+        if self.auto_order:
+            self.order = select_ar_order(series, max_p=6)
         X, y, p = self._design(series)
         if X is None:
             return np.full(n_periods, series[-1])
@@ -284,3 +290,49 @@ class WorkloadForecaster:
             "mse": float(np.mean(d * d)),
             "rmse": float(np.sqrt(np.mean(d * d))),
         }
+
+
+def pacf_durbin_levinson(series: np.ndarray, max_lag: int) -> np.ndarray:
+    """Partial autocorrelations phi_{kk} for k=1..max_lag via the
+    Durbin-Levinson recursion on the sample ACF — the order-selection
+    statistic auto_arima derives its AR(p) candidates from (the
+    distributed form of the same ACF is timeseries.anomaly.autocorr /
+    q76). Pure numpy on a driver-side series (model fitting operates on
+    the strided per-model history, which is bounded by construction)."""
+    x = np.asarray(series, dtype=float)
+    n = len(x)
+    if n < 3:
+        return np.zeros(max_lag)
+    xc = x - x.mean()
+    denom = float(xc @ xc)
+    if denom == 0.0:
+        return np.zeros(max_lag)
+    acf = np.array([float(xc[k:] @ xc[: n - k]) / denom for k in range(max_lag + 1)])
+    pacf = np.zeros(max_lag + 1)
+    phi_prev = np.zeros(0)
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            phi_kk = acf[1]
+            phi = np.array([phi_kk])
+        else:
+            num = acf[k] - float(phi_prev @ acf[1:k][::-1])
+            den = 1.0 - float(phi_prev @ acf[1:k])
+            phi_kk = 0.0 if den == 0.0 else num / den
+            phi = np.concatenate([phi_prev - phi_kk * phi_prev[::-1], [phi_kk]])
+        pacf[k] = phi_kk
+        phi_prev = phi
+    return pacf[1:]
+
+
+def select_ar_order(series: np.ndarray, max_p: int = 6) -> int:
+    """AR order from the PACF cutoff rule: the largest lag whose partial
+    autocorrelation exceeds the 95% white-noise band 1.96/sqrt(n)
+    (clamped to [1, max_p]) — the classic Box-Jenkins identification
+    step, standing in for auto_arima's order search."""
+    x = np.asarray(series, dtype=float)
+    if len(x) < 8:
+        return 1
+    band = 1.96 / np.sqrt(len(x))
+    pacf = pacf_durbin_levinson(x, max_p)
+    signif = [k + 1 for k, v in enumerate(pacf) if abs(v) > band]
+    return max(signif) if signif else 1

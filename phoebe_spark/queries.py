@@ -3906,3 +3906,100 @@ def q103_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("attributed").cast("long")).alias("n_attributed"),
     )
+
+
+@query(
+    "q104_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           CAST(count(value) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q104_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile profile (p25/p50/p75/p95/p99 per series) in ONE
+    exact-percentile aggregate (Spark evaluates the whole percentile
+    ARRAY from a single per-group buffer — five quantiles cost one
+    sort, not five). Extends q28's single p95; at 100 TB swap in
+    approx_percentile with the same array form."""
+    e = _t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95, 0.99))").alias("qs"),
+        F.count("value").alias("n"),
+    )
+    return q.select(
+        "event_type",
+        *[
+            F.round(F.col("qs")[i], 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95", "p99"])
+        ],
+        "n",
+    )
+
+
+@query(
+    "q105_wow_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(floor({EPOCH_SQL.format(c='ts')} / 604800.0) AS BIGINT) AS week,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS wk_value
+      FROM events GROUP BY 1),
+    g AS (SELECT week, wk_value, lag(wk_value) OVER (ORDER BY week) AS prev FROM d)
+    SELECT week, wk_value,
+           round(CASE WHEN prev > 0 THEN (wk_value - prev) / prev END, 6) AS wow_growth
+    FROM g
+    """,
+)
+def q105_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth of total activity — the trend report on top
+    of an order-independent decimal weekly rollup (q01 money contract),
+    so the growth ratios are bit-stable. The lag window runs over the
+    calendar-bounded weekly frame (tiny), not the events."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "week", F.floor(_epoch() / 604800).cast("long")
+    )
+    d = e.groupBy("week").agg(_dsum2(_dec("value")).alias("wk_value"))
+    w = Window.orderBy("week")
+    g = d.withColumn("prev", F.lag("wk_value").over(w))
+    return g.select(
+        "week",
+        "wk_value",
+        F.round(
+            F.when(F.col("prev") > 0, (F.col("wk_value") - F.col("prev")) / F.col("prev")),
+            6,
+        ).alias("wow_growth"),
+    )
+
+
+@query(
+    "q106_ship_delay",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) * 1.0 / count(*), 6) AS avg_ship_delay_days,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS within_30d
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q106_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA by order priority: average order-to-ship delay and
+    the 30-day on-time count (TPC-H Q4's business question, answered
+    with a fact-fact join instead of EXISTS). Integer day sums are exact
+    (BIGINT), so the average is deterministic without decimal help; the
+    orders side carries only two columns into the join."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    dd = F.datediff("l_shipdate", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn("dd", dd)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum("dd") * 1.0 / F.count(F.lit(1)), 6).alias("avg_ship_delay_days"),
+        F.sum((F.col("dd") <= 30).cast("long")).alias("within_30d"),
+    )

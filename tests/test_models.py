@@ -279,3 +279,42 @@ def test_forecaster_on_cars_replay(spark):
     y_true = vals[-test:]
     mape = float(np.mean(np.abs((y_true - fut_vals) / np.where(y_true == 0, 1, y_true))))
     assert mape < 0.25, f"CARS replay forecast MAPE {mape:.3f} too high"
+
+
+def test_select_ar_order_recovers_true_order():
+    import numpy as np
+
+    from phoebe_spark.models.workload import pacf_durbin_levinson, select_ar_order
+
+    rng = np.random.default_rng(3)
+    # AR(2): x_t = 0.6 x_{t-1} - 0.3 x_{t-2} + e
+    x = np.zeros(3000)
+    e = rng.normal(0, 1, 3000)
+    for t in range(2, 3000):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + e[t]
+    assert select_ar_order(x[500:], max_p=6) == 2
+    # white noise: no significant partial autocorrelation -> order 1 floor
+    wn = rng.normal(0, 1, 2000)
+    assert select_ar_order(wn, max_p=6) == 1
+    # PACF of AR(2) cuts off: lags 1,2 big, lag 3+ inside the band
+    p = pacf_durbin_levinson(x[500:], 5)
+    band = 1.96 / np.sqrt(2500)
+    assert abs(p[0]) > band and abs(p[1]) > band
+    assert all(abs(v) < 3 * band for v in p[2:])
+
+
+def test_auto_order_wrapper_forecasts_ar2():
+    import numpy as np
+
+    from phoebe_spark.models.workload import ArModelWrapper
+
+    rng = np.random.default_rng(9)
+    x = np.zeros(1200)
+    e = rng.normal(0, 0.5, 1200)
+    for t in range(2, 1200):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + e[t]
+    m = ArModelWrapper(step_size=1, last_learned_timestamp=0, auto_order=True)
+    m.update(x[:1000])
+    fc = m.predict(5)
+    assert m.order == 2  # PACF identification kicked in
+    assert np.all(np.isfinite(fc))
