@@ -841,3 +841,8 @@ def edit_distance_verify(
         )
         .filter(F.col("sim") >= min_sim)
     )
+
+
+# public alias: chunk construction is useful on its own (q108 groups the
+# census by source; external callers shouldn't reach for the underscore)
+doc_chunks = _doc_chunks

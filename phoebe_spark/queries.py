@@ -4003,3 +4003,153 @@ def q106_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("dd") * 1.0 / F.count(F.lit(1)), 6).alias("avg_ship_delay_days"),
         F.sum((F.col("dd") <= 30).cast("long")).alias("within_30d"),
     )
+
+
+@query(
+    "q107_session_conversion",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {EPOCH_SQL.format(c='ts')} AS es, event_id
+               FROM events),
+    marked AS (
+      SELECT user_id, event_type, es, event_id,
+             CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    per AS (
+      SELECT user_id, sid, count(*) AS ev,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM sess GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 6) AS conversion_rate,
+           round(sum(CASE WHEN converted = 1 THEN ev ELSE 0 END) * 1.0
+                 / nullif(sum(converted), 0), 6) AS avg_events_converted,
+           round(sum(CASE WHEN converted = 0 THEN ev ELSE 0 END) * 1.0
+                 / nullif(count(*) - sum(converted), 0), 6) AS avg_events_organic
+    FROM per
+    """,
+)
+def q107_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session conversion report on q46's gap sessionization: fraction of
+    30-min-gap sessions containing a purchase, plus average session size
+    split by outcome. One user_id shuffle feeds the gap lag, the session
+    running sum, and the per-session rollup (all same-key); the final
+    report is a 1-row aggregate of exact integer sums. Tie order pinned
+    to (second, event_id) in both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch().alias("es"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("es").over(w).isNull() | ((F.col("es") - F.lag("es").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("ev"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    conv = F.sum("converted")
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.alias("n_sessions"),
+        conv.cast("long").alias("n_converted"),
+        F.round(conv * 1.0 / n, 6).alias("conversion_rate"),
+        F.round(
+            F.sum(F.when(F.col("converted") == 1, F.col("ev")).otherwise(0))
+            * 1.0
+            / F.nullif(conv, F.lit(0)),
+            6,
+        ).alias("avg_events_converted"),
+        F.round(
+            F.sum(F.when(F.col("converted") == 0, F.col("ev")).otherwise(0))
+            * 1.0
+            / F.nullif(n - conv, F.lit(0)),
+            6,
+        ).alias("avg_events_organic"),
+    )
+
+
+@query(
+    "q108_source_dup_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+               WHERE trim(text) <> ''),
+    ch AS (SELECT doc_id, source,
+                  unnest(list_transform(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT)-1),
+                         c -> array_to_string(toks[c*8+1 : c*8+8], ' '))) AS chunk FROM t),
+    cnt AS (SELECT chunk, count(*) AS c FROM ch GROUP BY chunk)
+    SELECT ch.source, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+    FROM ch JOIN cnt USING (chunk) GROUP BY ch.source
+    """,
+)
+def q108_source_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE duplication pressure: the q78 chunk census aggregated
+    to the source level — the ranking a curation team uses to decide
+    which feeds get the aggressive dedup treatment. Same exchange-free
+    chunk assembly; corpus-wide counts join back on the chunk key."""
+    d = _t(spark, sf_dir, "documents")
+    ch = dedup.doc_chunks(d, "doc_id", "text", 8).join(
+        d.select(F.col("doc_id").alias("doc"), "source"), "doc"
+    )
+    cnt = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
+    j = ch.join(cnt, "chunk")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_chunks"),
+        F.round(F.sum((F.col("c") > 1).cast("long")) / F.count(F.lit(1)), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+@query(
+    "q109_embedding_health",
+    oracle="""
+    WITH n AS (
+      SELECT label, vec_id, len(embedding) AS dim,
+             round(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+      FROM embeddings)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(min(dim) AS BIGINT) AS min_dim, CAST(max(dim) AS BIGINT) AS max_dim,
+           round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+    FROM n GROUP BY label
+    """,
+)
+def q109_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health per label: vector counts, zero-norm
+    vectors (dead rows an ANN index must not ingest), dimension
+    consistency, and mean norm (catches an un-normalized drop before it
+    poisons cosine math). Norms are codegen higher-order functions;
+    rounded-then-DECIMAL norm sums keep the means engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.round(similarity.norm(F.col("embedding")), 6)
+    n = emb.select(
+        "label",
+        F.size("embedding").alias("dim").cast("long").alias("dim"),
+        nrm.alias("nrm"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+    )
