@@ -83,6 +83,15 @@ BENCH_QUERIES = [
     "q104_value_quantiles",
     "q105_wow_growth",
     "q106_ship_delay",
+    "q107_session_conversion",
+    "q108_source_dup_ratio",
+    "q109_embedding_health",
+    "q110_token_topk",
+    "q111_rfm_segments",
+    "q112_acf",
+    "q113_seasonality",
+    "q114_discount_bands",
+    "q115_bigram_pmi",
 ]
 
 

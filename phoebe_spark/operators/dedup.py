@@ -830,8 +830,19 @@ def edit_distance_verify(
     la, lb = F.length("_ta"), F.length("_tb")
     bound_sim = 1.0 - F.abs(la - lb) / F.greatest(la, lb)
     j = j.filter(bound_sim >= min_sim)
-    lev = F.levenshtein("_ta", "_tb")
-    sim = 1.0 - lev / F.greatest(la, lb)
+    # Banded DP: sim >= min_sim  <=>  lev <= floor((1-min_sim)*maxlen), so
+    # running Levenshtein with that per-row threshold (Spark >= 3.5,
+    # Ukkonen band of width 2*threshold+1) turns O(len^2) into
+    # O(len * threshold) and returns -1 for pairs over the bound. The -1
+    # rows are exactly the pairs the old full-DP filter dropped; survivors
+    # carry the exact distance, so results are identical.
+    max_len = F.greatest(la, lb)
+    lev = F.expr(
+        "levenshtein(_ta, _tb, cast(floor({b} * greatest(length(_ta), length(_tb))) as int))".format(
+            b=1.0 - min_sim
+        )
+    )
+    sim = 1.0 - lev / max_len
     return (
         j.select(
             "id_a",
@@ -839,7 +850,7 @@ def edit_distance_verify(
             lev.cast("long").alias("lev"),
             F.round(sim, 6).alias("sim"),
         )
-        .filter(F.col("sim") >= min_sim)
+        .filter((F.col("lev") >= 0) & (F.col("sim") >= min_sim))
     )
 
 

@@ -4153,3 +4153,361 @@ def q109_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_norm"),
     )
+
+# ---------------------------------------------------------------------------
+# Round-3 (cont.): corpus heavy-hitters, RFM, autocorrelation, seasonality,
+# discount-band OLAP, bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_token_topk",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''),
+    c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2),
+    r AS (SELECT lang, tok, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank
+          FROM c)
+    SELECT lang, CAST(rank AS BIGINT) AS rank, tok, CAST(n AS BIGINT) AS n
+    FROM r WHERE rank <= 5
+    """,
+)
+def q110_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters: top-5 most frequent tokens per language — the
+    vocabulary skew report a tokenizer/mixture design starts from.
+
+    Scale notes: explode + map-side-combined groupBy(lang, tok) is the
+    only O(rows) shuffle; the top-k window then runs over DISTINCT
+    (lang, tok) counts only (vocabulary-sized, orders of magnitude
+    smaller than the corpus), partitioned by lang so no global sort.
+    Ties pinned by token ASC in both engines."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = d.select("lang", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "tok", "n")
+    )
+
+
+@query(
+    "q111_rfm_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS rec_days,
+             count(*) AS freq,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS mon
+      FROM orders GROUP BY o_custkey),
+    th AS (
+      SELECT quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(mon, [0.25, 0.5, 0.75]) AS mq
+      FROM per),
+    seg AS (
+      SELECT (1 + CAST(rec_days > rq[1] AS INT) + CAST(rec_days > rq[2] AS INT)
+                + CAST(rec_days > rq[3] AS INT)) * 100
+           + (4 - CAST(freq > fq[1] AS INT) - CAST(freq > fq[2] AS INT)
+                - CAST(freq > fq[3] AS INT)) * 10
+           + (4 - CAST(mon > mq[1] AS INT) - CAST(mon > mq[2] AS INT)
+                - CAST(mon > mq[3] AS INT)) AS segment,
+             mon
+      FROM per CROSS JOIN th)
+    SELECT CAST(segment AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(mon AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_monetary
+    FROM seg GROUP BY segment
+    """,
+)
+def q111_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    VALUE-BASED quartiles: thresholds are the exact interpolated 25/50/75
+    percentiles of each metric, and a customer's quartile is how many
+    thresholds its value exceeds (recency: lower is better -> quartile 1;
+    freq/monetary: higher is better -> quartile 1).
+
+    Scale notes: deliberately NOT NTILE — rank-based NTILE needs a global
+    single-partition sort, a scale-killer at 100x. Here the per-customer
+    rollup is one shuffle; the 9 thresholds are a 1-row aggregate
+    broadcast back (crossJoin of a 1-row frame), so segment assignment is
+    pure codegen. Boundary compares are FP-stable across engines because
+    every data value is <= the lower or >= the upper interpolation
+    endpoint of each threshold (see the RFM boundary note in
+    tests/test_oracle_parity.py's methodology)."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last"),
+            F.count(F.lit(1)).alias("freq"),
+            _dsum2(_dec("o_totalprice")).alias("mon"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last").alias("rec_days"),
+            "freq",
+            "mon",
+        )
+    )
+    th = per.agg(
+        F.expr("percentile(rec_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(mon, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+    j = per.crossJoin(F.broadcast(th))
+
+    def _quart(col, th_col, invert):
+        gt = sum(
+            (F.col(col) > F.element_at(F.col(th_col), i)).cast("int") for i in (1, 2, 3)
+        )
+        return (4 - gt) if invert else (1 + gt)
+
+    seg = (
+        _quart("rec_days", "rq", invert=False) * 100
+        + _quart("freq", "fq", invert=True) * 10
+        + _quart("mon", "mq", invert=True)
+    )
+    return (
+        j.select(seg.cast("long").alias("segment"), "mon")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum2(_dec("mon")).alias("total_monetary"),
+        )
+    )
+
+
+@query(
+    "q112_acf",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, {EPOCH_SQL.format(c='ts')} // 60 AS bucket, avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+             lag(v, 5) OVER w AS l5
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+    lagged AS (
+      SELECT event_type, lag, v, lv FROM (
+        SELECT event_type, v,
+               unnest([1, 2, 3, 4, 5]) AS lag,
+               unnest([l1, l2, l3, l4, l5]) AS lv
+        FROM l)
+      WHERE lv IS NOT NULL)
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           round(corr(v, lv), 6) AS acf, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lagged GROUP BY 1, 2
+    """,
+)
+def q112_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-5) of each event type's minutely
+    mean-value series — the stationarity/seasonality diagnostic that
+    feeds AR-order selection (the PACF path in models.workload uses the
+    same primitive).
+
+    Scale notes: one shuffle to the minutely rollup; ONE window sort per
+    event_type computes all 5 lags (Spark reuses the partitionBy/orderBy
+    sort across the lag columns), then posexplode fans the (lag, pair)
+    rows out without touching the raw events again. corr() is a
+    single-pass JVM aggregate."""
+    e = _t(spark, sf_dir, "events")
+    b = (
+        e.select("event_type", (_epoch() / F.lit(60)).cast("long").alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lags = b.select(
+        "event_type",
+        "v",
+        F.array(*[F.lag("v", k).over(w) for k in (1, 2, 3, 4, 5)]).alias("lvs"),
+    )
+    pairs = lags.select(
+        "event_type", "v", F.posexplode("lvs").alias("pos", "lv")
+    ).filter(F.col("lv").isNotNull())
+    return (
+        pairs.groupBy("event_type", (F.col("pos") + 1).cast("long").alias("lag"))
+        .agg(
+            F.round(F.corr("v", "lv"), 6).alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+@query(
+    "q113_seasonality",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ({EPOCH_SQL.format(c='ts')} // 3600) % 24 AS hod,
+             (({EPOCH_SQL.format(c='ts')} // 86400) + 4) % 7 AS dow, value
+      FROM events),
+    cell AS (
+      SELECT event_type, hod, dow, count(*) AS n, avg(value) AS cell_avg
+      FROM e GROUP BY 1, 2, 3),
+    base AS (
+      SELECT event_type,
+             sum(n * cell_avg) / sum(n) AS overall
+      FROM cell GROUP BY event_type)
+    SELECT cell.event_type, CAST(hod AS BIGINT) AS hod, CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n, round(cell_avg, 6) AS cell_avg,
+           round(cell_avg - overall, 6) AS deviation
+    FROM cell JOIN base ON cell.event_type = base.event_type
+    """,
+)
+def q113_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week seasonality profile per event type:
+    cell mean and its deviation from the type's overall mean — the
+    weekly-seasonality fingerprint behind the reference's sinus workload
+    modeling (`analytics/app/workload/models.py` fits exactly this shape).
+
+    Scale notes: hod/dow are integer epoch math (no timezone functions —
+    portable and codegen); one groupBy to the 24x7xtypes cells, then the
+    per-type overall mean is recovered from the CELL rollup (weighted
+    mean, no second scan of raw events) and joined back broadcast-size.
+    Overall mean is computed as sum(n*avg)/sum(n) in BOTH engines so the
+    FP summation shape matches."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((_epoch() / F.lit(3600)).cast("long") % 24).alias("hod"),
+        ((((_epoch() / F.lit(86400)).cast("long")) + 4) % 7).alias("dow"),
+        "value",
+    )
+    cell = e.groupBy("event_type", "hod", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("cell_avg")
+    )
+    base = cell.groupBy("event_type").agg(
+        (F.sum(F.col("n") * F.col("cell_avg")) / F.sum("n")).alias("overall")
+    )
+    return cell.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        F.col("hod").cast("long").alias("hod"),
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n").cast("long").alias("n"),
+        F.round("cell_avg", 6).alias("cell_avg"),
+        F.round(F.col("cell_avg") - F.col("overall"), 6).alias("deviation"),
+    )
+
+
+@query(
+    "q114_discount_bands",
+    oracle="""
+    SELECT CAST(round(l_discount * 100) AS BIGINT) AS band_pct,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS discount_given,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem GROUP BY band_pct
+    """,
+)
+def q114_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band pricing report: items, net revenue, total discount
+    given away, and mean quantity per integer discount percentage band.
+
+    Scale notes: single scan, two-column ReadSchema, map-side-combined
+    groupBy on a ~12-value key; money sums go through DECIMAL(18,4) so
+    partial-aggregation order cannot move the result."""
+    li = _t(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.groupBy(band.alias("band_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum2(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("revenue"),
+            _dsum2(_dec("l_extendedprice") * _dec("l_discount")).alias("discount_given"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+    )
+
+
+@query(
+    "q115_bigram_pmi",
+    oracle=r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''),
+    uni AS (
+      SELECT unnest(toks) AS tok FROM t),
+    ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2),
+    bcnt AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY bg),
+    tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+                   (SELECT count(*) FROM bi) AS n_bi),
+    pmi AS (
+      SELECT bg, c_ab,
+             round(ln(c_ab) + ln(n_uni) + ln(n_uni) - ln(n_bi)
+                   - ln(ua.c) - ln(ub.c), 6) AS pmi
+      FROM bcnt CROSS JOIN tot
+      JOIN ucnt ua ON ua.tok = split_part(bg, ' ', 1)
+      JOIN ucnt ub ON ub.tok = split_part(bg, ' ', 2)
+      WHERE c_ab >= 20)
+    SELECT bg, CAST(c_ab AS BIGINT) AS c_ab, pmi FROM (
+      SELECT bg, c_ab, pmi,
+             row_number() OVER (ORDER BY pmi DESC, bg ASC) AS rn FROM pmi)
+    WHERE rn <= 20
+    """,
+)
+def q115_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    (min count 20) — the collocation mining step behind phrase-aware
+    tokenizer vocab construction (word2vec-style phrase detection,
+    Mikolov et al. 2013, public).
+
+    Scale notes: bigrams are built inside the token array (zip_with on
+    two slices — codegen, no self-join); unigram and bigram counts are
+    two map-side-combined groupBys; the PMI join is vocabulary-sized,
+    and ln() terms are ordered identically in both engines so the
+    rounded doubles match bit-for-bit. The final top-20 window runs
+    over the >=50-count survivors only (tiny). At 100x, the count
+    frames stay vocabulary-bounded; nothing is corpus-quadratic."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = d.select(text.tokens(F.col("text")).alias("toks"))
+    uni = t.select(F.explode("toks").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.size("toks")
+    bi = t.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg")
+    )
+    bcnt = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    ua = ucnt.select(F.col("tok").alias("_ta"), F.col("c").alias("ca"))
+    ub = ucnt.select(F.col("tok").alias("_tb"), F.col("c").alias("cb"))
+    pmi_col = F.round(
+        F.log("c_ab") + F.log("n_uni") + F.log("n_uni") - F.log("n_bi")
+        - F.log("ca") - F.log("cb"),
+        6,
+    )
+    pmi = (
+        bcnt.filter(F.col("c_ab") >= 20)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_ta", F.split("bg", " ").getItem(0))
+        .withColumn("_tb", F.split("bg", " ").getItem(1))
+        .join(F.broadcast(ua), "_ta")
+        .join(F.broadcast(ub), "_tb")
+        .select("bg", "c_ab", pmi_col.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
+    return (
+        pmi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bg", "c_ab", "pmi")
+    )
