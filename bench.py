@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "q113_seasonality",
     "q114_discount_bands",
     "q115_bigram_pmi",
+    "q116_cardinality_gate",
+    "q117_quantile_gate",
+    "q118_dup_pagerank",
+    "q119_multires_rollup",
 ]
 
 

@@ -4511,3 +4511,216 @@ def q115_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("bg", "c_ab", "pmi")
     )
+
+
+@query(
+    "q116_cardinality_gate",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> '')
+    SELECT source,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+           TRUE AS sketch_within_5pct
+    FROM t GROUP BY source
+    """,
+)
+def q116_cardinality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per source, with an HLL sketch
+    acceptance gate: the q35-style boolean-oracle pattern for
+    approximate operators — the oracle asserts the exact count and that
+    Spark's approx_count_distinct (rsd=0.02) landed within 5% of it.
+
+    Scale notes: this is the sketch the 100 TB path actually uses —
+    approx_count_distinct is a fixed-size HLL merged map-side (O(1)
+    state per group), while exact COUNT(DISTINCT) expands to an EXPAND +
+    two-level aggregate. Running both here certifies the sketch against
+    the exact answer on the same scan."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = d.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return t.groupBy("source").agg(
+        F.count_distinct("tok").alias("n_exact"),
+        F.approx_count_distinct("tok", rsd=0.02).alias("_approx"),
+    ).select(
+        "source",
+        "n_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("sketch_within_5pct"),
+    )
+
+
+@query(
+    "q117_quantile_gate",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.9), 6) AS p90_exact,
+           TRUE AS sketch_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q117_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of event values per type, plus an acceptance gate
+    for the approximate-quantile sketch: the rank of
+    approx_percentile's answer must sit within +-2 percentage points of
+    the target rank (the sketch's own accuracy contract, checked
+    against the data rather than trusted).
+
+    Scale notes: exact `percentile` needs the full value multiset per
+    group (fine per-type; the 100 TB path uses the sketch); the gate
+    re-ranks the sketch output with one extra aggregate over the same
+    scan, both map-side combined. The boolean-oracle pattern makes a
+    non-reproducible sketch driver-checkable (precedent: q35/q116)."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_p50"),
+        F.expr("percentile(value, 0.9)").alias("_p90"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("_a90"),
+    )
+    ranked = (
+        e.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("_a50")).cast("double")).alias("_r50"),
+            F.avg((F.col("value") <= F.col("_a90")).cast("double")).alias("_r90"),
+            F.first("_p50").alias("_p50"),
+            F.first("_p90").alias("_p90"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        F.round("_p50", 6).alias("p50_exact"),
+        F.round("_p90", 6).alias("p90_exact"),
+        (
+            (F.abs(F.col("_r50") - 0.5) <= 0.02) & (F.abs(F.col("_r90") - 0.9) <= 0.02)
+        ).alias("sketch_rank_ok"),
+    )
+
+
+@query(
+    "q118_dup_pagerank",
+    oracle=f"""
+    WITH {_CHUNK_PAIRS_SQL},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (SELECT src AS node, 1.0 / n AS pr FROM deg CROSS JOIN nn),
+    p1 AS (SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(p0.pr / deg.d) AS pr
+           FROM edges e JOIN p0 ON p0.node = e.src JOIN deg ON deg.src = e.src
+           CROSS JOIN nn GROUP BY e.dst),
+    p2 AS (SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(p1.pr / deg.d) AS pr
+           FROM edges e JOIN p1 ON p1.node = e.src JOIN deg ON deg.src = e.src
+           CROSS JOIN nn GROUP BY e.dst),
+    p3 AS (SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(p2.pr / deg.d) AS pr
+           FROM edges e JOIN p2 ON p2.node = e.src JOIN deg ON deg.src = e.src
+           CROSS JOIN nn GROUP BY e.dst)
+    SELECT node AS doc_id, round(pr, 6) AS pagerank FROM p3
+    """,
+)
+def q118_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the undirected
+    chunk-sharing near-dup graph: high-rank documents are template/
+    boilerplate HUBS — the docs whose removal collapses the most
+    duplication (a centrality-guided curation target the plain component
+    view cannot rank).
+
+    Scale notes: the classic iterative join-agg pattern — each iteration
+    is ONE shuffle join (rank frame x edges on src, rank/deg weighted)
+    plus ONE groupBy(dst) sum, exactly the GraphX/Pregel dataflow
+    expressed relationally. Iteration count is FIXED (3), so the lineage
+    stays bounded without checkpointing; the edge and degree frames are
+    reused across iterations (cached by reference in one job). Every
+    node in the pair graph has degree >= 1 so no dangling-mass term is
+    needed."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.chunk_pairs(d, chunk_words=8, max_docs_per_chunk=100)
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    # The edge list enters every iteration's lineage: checkpoint it once
+    # so the chunk-pair generator runs once, not once per iteration (the
+    # q53 components pattern).
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("d")).alias("c"))
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("pr"),
+            )
+        )
+    return pr.select(F.col("node").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
+
+
+@query(
+    "q119_multires_rollup",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, {EPOCH_SQL.format(c='ts')} // 60 AS m,
+             {EPOCH_SQL.format(c='ts')} // 3600 AS h,
+             {EPOCH_SQL.format(c='ts')} // 86400 AS d, value
+      FROM events)
+    SELECT event_type,
+           CASE WHEN grouping(m) = 0 THEN 'minute'
+                WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+           coalesce(m, h, d) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, m), (event_type, h), (event_type, d))
+    """,
+)
+def q119_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute/hour/day rollups of
+    each event type materialized in ONE pass via GROUPING SETS — the
+    multi-resolution downsampling a time-series store keeps hot
+    (TimescaleDB continuous aggregates; the reference's TimeSeries
+    binning A9 generalized to a resolution hierarchy).
+
+    Scale notes: GROUPING SETS plans as a single scan + EXPAND(3) +
+    map-side-combined aggregate — one shuffle for all three resolutions
+    vs three scans for three separate groupBys; grouping() flags
+    recover which set each output row came from. Buckets are integer
+    epoch divisions (codegen, TZ-free)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (_epoch() / F.lit(60)).cast("long").alias("m"),
+        (_epoch() / F.lit(3600)).cast("long").alias("h"),
+        (_epoch() / F.lit(86400)).cast("long").alias("d"),
+        "value",
+    )
+    g = e.groupingSets(
+        [["event_type", "m"], ["event_type", "h"], ["event_type", "d"]],
+        "event_type", "m", "h", "d",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.grouping("m").alias("_gm"),
+        F.grouping("h").alias("_gh"),
+    )
+    return g.select(
+        "event_type",
+        F.when(F.col("_gm") == 0, "minute")
+        .when(F.col("_gh") == 0, "hour")
+        .otherwise("day")
+        .alias("resolution"),
+        F.coalesce("m", "h", "d").alias("bucket"),
+        "n",
+        "avg_value",
+    )

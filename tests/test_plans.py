@@ -243,3 +243,95 @@ def test_q98_pivot_no_distinct_values_job(spark, sf_dir):
 def test_q97_weighted_sample_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q97_weighted_sample")
     assert "TakeOrderedAndProject" in plan  # never a global sort to one partition
+
+
+def test_q110_topk_no_global_sort(spark, sf_dir):
+    """Top-k tokens: one corpus scan, map-side partial agg, and the rank
+    window partitioned by lang (never a single-partition global sort)."""
+    plan = _plan(spark, sf_dir, "q110_token_topk")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "HashAggregate") >= 2  # partial + final token counts
+    assert _ops(plan, "Window") - _ops(plan, "WindowGroupLimit") == 1
+    # rank<=5 pushed below the window: per-partition top-k pre-prune, so
+    # the rank state never holds the full vocabulary
+    assert _ops(plan, "WindowGroupLimit") >= 1
+
+
+def test_q111_rfm_no_ntile_window(spark, sf_dir):
+    """RFM quartiles come from broadcast percentile thresholds — there
+    must be NO window operator (an NTILE plan would single-partition
+    sort all customers) and no shuffle join."""
+    plan = _plan(spark, sf_dir, "q111_rfm_segments")
+    assert _ops(plan, "Window") == 0
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q112_acf_single_window_pass(spark, sf_dir):
+    """All five lags share one per-type window sort over the minutely
+    rollup; raw events are scanned once."""
+    plan = _plan(spark, sf_dir, "q112_acf")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Window") == 1
+    assert _ops(plan, "Generate") == 1  # posexplode of the lag array
+
+
+def test_q113_seasonality_broadcast_base(spark, sf_dir):
+    """The per-type overall mean joins back broadcast — no shuffle join
+    for a types-sized frame."""
+    plan = _plan(spark, sf_dir, "q113_seasonality")
+    assert _ops(plan, "BroadcastHashJoin") == 1
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q114_discount_bands_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q114_discount_bands")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "HashAggregate") == 2  # partial + final
+    # projection pruned to the three touched columns
+    assert "l_orderkey" not in plan and "l_shipdate" not in plan
+
+
+def test_q115_pmi_broadcast_vocab_joins(spark, sf_dir):
+    """PMI joins are vocabulary-sized and must broadcast; the corpus is
+    never in a shuffle join, and nothing is cartesian except the two
+    1-row total frames."""
+    plan = _plan(spark, sf_dir, "q115_bigram_pmi")
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "CartesianProduct") == 0
+    assert _ops(plan, "BroadcastHashJoin") >= 2  # unigram count joins
+
+
+def test_q116_sketch_and_exact_share_scan(spark, sf_dir):
+    """HLL sketch and exact distinct run over ONE scan: the single
+    distinct rewrites to a two-level aggregate (partial on (source, tok)
+    then final on source) — no second pass over the corpus."""
+    plan = _plan(spark, sf_dir, "q116_cardinality_gate")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "HashAggregate") == 4
+    assert _ops(plan, "Exchange") == 2
+
+
+def test_q117_rank_gate_broadcasts(spark, sf_dir):
+    """The per-type percentile frame joins back broadcast for the rank
+    re-check — no shuffle join of the raw events."""
+    plan = _plan(spark, sf_dir, "q117_quantile_gate")
+    assert _ops(plan, "BroadcastHashJoin") == 1
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q118_pagerank_bounded_lineage(spark, sf_dir):
+    """Fixed-iteration PageRank: the chunk-pair generator must NOT be
+    re-derived per iteration — edges/degrees are checkpointed, so the
+    final plan contains no parquet scan at all (and no cartesian)."""
+    plan = _plan(spark, sf_dir, "q118_dup_pagerank")
+    assert _ops(plan, "Scan parquet") == 0  # lineage cut at the checkpoint
+    assert _ops(plan, "CartesianProduct") == 0
+
+
+def test_q119_grouping_sets_one_expand_pass(spark, sf_dir):
+    """All three resolutions come from one scan + one Expand + one
+    shuffle — never three separate rollup jobs."""
+    plan = _plan(spark, sf_dir, "q119_multires_rollup")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Expand") == 1
+    assert _ops(plan, "HashAggregate") == 2  # partial + final
