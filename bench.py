@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "q117_quantile_gate",
     "q118_dup_pagerank",
     "q119_multires_rollup",
+    "q120_cluster_purity",
+    "q121_minhash_calibration",
+    "q122_source_overlap",
+    "q123_dedup_yield_curve",
 ]
 
 

@@ -4724,3 +4724,278 @@ def q119_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "avg_value",
     )
+
+
+@query(
+    "q120_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE {_CHUNK_PAIRS_SQL},
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(doc, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc = e.d),
+    comp AS (SELECT doc, min(lbl) AS component FROM reach GROUP BY doc),
+    j AS (SELECT comp.component, dd.source
+          FROM comp JOIN documents dd ON dd.doc_id = comp.doc)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           (count(DISTINCT source) > 1) AS cross_source
+    FROM j GROUP BY component
+    """,
+)
+def q120_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of each near-dup cluster: member count, distinct
+    feeds, and a cross-source flag — the contamination view that tells a
+    curation team whether duplication is WITHIN a feed (crawl artifact,
+    fix the feed) or ACROSS feeds (syndication, needs corpus-level
+    dedup). Components come from the same iterative min-label
+    propagation as q53, checked here against the recursive-CTE fixpoint
+    on the chunk-pair graph; the source join is components-sized, the
+    rollup per-component."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.chunk_pairs(d, chunk_words=8, max_docs_per_chunk=100)
+    comp = dedup.dedup_components(pairs, id_col_a="id_a", id_col_b="id_b")
+    j = comp.join(d.select(F.col("doc_id").alias("doc"), "source"), "doc")
+    return j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count_distinct("source") > 1).alias("cross_source"),
+    )
+
+
+@query(
+    "q121_minhash_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS grams
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    hp AS (
+      SELECT doc_id,
+             {_MD5H_SQL.format(x='g')} % 2147483647 AS h1,
+             CAST(('0x' || substring(md5(g), 17, 15)) AS BIGINT) % 2147483646 + 1 AS h2
+      FROM post
+    ),
+    mh AS (
+      SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS h
+      FROM hp CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) seeds
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, s, b,
+             array_to_string(list_transform(s[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ',') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      FROM banded a JOIN banded b ON a.b = b.b AND a.bucket = b.bucket
+                                 AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT cand.doc_a, cand.doc_b,
+             list_sum(list_transform(generate_series(1, 32),
+                   k -> CASE WHEN sa[k] = sb[k] THEN 1 ELSE 0 END)) / 32.0 AS est,
+             len(list_intersect(ga.grams, gb.grams)) * 1.0
+               / (len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams))) AS tru
+      FROM cand JOIN sh ga ON ga.doc_id = cand.doc_a
+                JOIN sh gb ON gb.doc_id = cand.doc_b
+    )
+    SELECT CAST(floor(est * 10) AS BIGINT) AS est_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(est), 6) AS avg_est,
+           round(avg(tru), 6) AS avg_true,
+           round(avg(abs(est - tru)), 6) AS mae
+    FROM scored GROUP BY est_decile
+    """,
+)
+def q121_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration report: on every LSH candidate pair, the
+    32-hash signature ESTIMATE of Jaccard vs the TRUE shingle-set
+    Jaccard, binned by estimate decile with mean absolute error — the
+    certification that tells you whether the sketch's band/row config is
+    honest enough to act on (the q116/q117 gate idea applied pairwise).
+
+    Scale notes: truth is only ever computed on the CANDIDATE set (LSH
+    output), never all pairs; the gram arrays join back by doc id
+    (broadcast-able), and intersections are array_intersect on
+    already-distinct arrays. est = k/32 is exact binary, so the decile
+    binning cannot straddle engines."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3, hash_fn="md5")
+    grams = d.filter(
+        (F.trim("text") != "") & (F.size(text.tokens(F.col("text"))) >= 3)
+    ).select(F.col("doc_id"), dedup.word_shingles(F.col("text"), 3).alias("grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    tru = inter * 1.0 / (F.size("_ga") + F.size("_gb") - inter)
+    scored = (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.col("est_jaccard").alias("est"), tru.alias("tru"))
+    )
+    return scored.groupBy(
+        F.floor(F.col("est") * 10).cast("long").alias("est_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("est"), 6).alias("avg_est"),
+        F.round(F.avg("tru"), 6).alias("avg_true"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("tru"))), 6).alias("mae"),
+    )
+
+
+@query(
+    "q122_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+               WHERE trim(text) <> ''),
+    ch AS (SELECT DISTINCT source, chunk FROM (
+       SELECT source,
+              unnest(list_transform(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT)-1),
+                     c -> array_to_string(toks[c*8+1 : c*8+8], ' '))) AS chunk
+       FROM t)),
+    per AS (SELECT source, count(*) AS c FROM ch GROUP BY source),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+              FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(i AS BIGINT) AS n_shared,
+           round(i * 1.0 / (pa.c + pb.c - i), 6) AS jaccard
+    FROM inter JOIN per pa ON pa.source = inter.source_a
+               JOIN per pb ON pb.source = inter.source_b
+    """,
+)
+def q122_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources: Jaccard of each feed
+    pair's distinct 8-word-chunk sets — the syndication matrix that
+    tells a mixture designer which feeds are near-copies of each other
+    (and should not be double-weighted).
+
+    Scale notes: ONE distinct (source, chunk) projection feeds both the
+    per-source sizes and the intersection self-join; the join key is the
+    chunk, so pair expansion per chunk is bounded by the (small) number
+    of sources carrying it, never by document count. Only pairs sharing
+    at least one chunk appear (identical in both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    ch = (
+        dedup.doc_chunks(d, "doc_id", "text", 8)
+        .join(d.select(F.col("doc_id").alias("doc"), "source"), "doc")
+        .select("source", "chunk")
+        .distinct()
+        # three consumers (sizes + both self-join sides): materialize the
+        # distinct projection once instead of re-scanning the corpus 3x
+        .localCheckpoint(eager=True)
+    )
+    per = ch.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    a = ch.select(F.col("source").alias("source_a"), "chunk")
+    b = ch.select(F.col("source").alias("source_b"), "chunk")
+    inter = (
+        a.join(b, "chunk")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("i").alias("n_shared"),
+            F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@query(
+    "q123_dedup_yield_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 5
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                          i -> array_to_string(t[i:i+4], ' '))) AS grams
+      FROM toks
+    ),
+    posting AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    capped AS (
+      SELECT * FROM (
+        SELECT p.*, count(*) OVER (PARTITION BY g) AS df FROM posting p
+      ) WHERE df <= 1000
+    ),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS size_a, b.sz AS size_b,
+             count(*) AS inter
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    jac AS (
+      SELECT doc_a, doc_b, inter * 1.0 / (size_a + size_b - inter) AS j
+      FROM pr WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.2
+    ),
+    sweep AS (
+      SELECT th, doc_a, doc_b FROM jac
+      CROSS JOIN (SELECT CAST(unnest([0.2, 0.35, 0.5, 0.65, 0.8]) AS DOUBLE) AS th)
+      WHERE j >= th
+    ),
+    docs AS (
+      SELECT th, doc FROM (
+        SELECT th, doc_a AS doc FROM sweep
+        UNION ALL SELECT th, doc_b FROM sweep)
+    )
+    SELECT th AS threshold,
+           CAST((SELECT count(*) FROM sweep s WHERE s.th = d.th) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_touched
+    FROM docs d GROUP BY th
+    """,
+)
+def q123_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness sweep: how many near-dup pairs and touched
+    documents survive each Jaccard threshold in {0.2..0.8} — the yield
+    curve that picks the operating point BEFORE running the expensive
+    full dedup at one threshold.
+
+    Scale notes: the pair set (q13's posting-index output) is computed
+    ONCE at the loosest threshold and the five-point sweep is a literal
+    explode over it — five thresholds cost one extra narrow stage, not
+    five pair-generation runs. Pair and touched-doc counts both roll up
+    per threshold with map-side combine."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=5, threshold=0.2, max_shingle_freq=1000)
+    sweep = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.explode(F.array(*[F.lit(t) for t in (0.2, 0.35, 0.5, 0.65, 0.8)])).alias(
+                "th"
+            ),
+        )
+        .filter(F.col("jaccard") >= F.col("th"))
+    )
+    return (
+        sweep.select("th", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("th")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.count_distinct("doc").alias("n_docs_touched"),
+        )
+        .select(F.col("th").alias("threshold"), "n_pairs", "n_docs_touched")
+    )

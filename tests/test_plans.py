@@ -335,3 +335,28 @@ def test_q119_grouping_sets_one_expand_pass(spark, sf_dir):
     assert _ops(plan, "Scan parquet") == 1
     assert _ops(plan, "Expand") == 1
     assert _ops(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_q121_truth_only_on_candidates(spark, sf_dir):
+    """True Jaccard joins gram arrays onto the LSH candidate set — never
+    a corpus self-join (no cartesian anywhere)."""
+    plan = _plan(spark, sf_dir, "q121_minhash_calibration")
+    assert _ops(plan, "CartesianProduct") == 0
+    assert _ops(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_q122_chunk_projection_materialized_once(spark, sf_dir):
+    """The distinct (source, chunk) frame feeds three consumers; the
+    checkpoint cuts the lineage so the corpus is scanned once, not 3x."""
+    plan = _plan(spark, sf_dir, "q122_source_overlap")
+    assert _ops(plan, "Scan parquet") == 0  # lineage cut at the checkpoint
+    assert _ops(plan, "CartesianProduct") == 0
+
+
+def test_q123_sweep_reuses_one_pair_generation(spark, sf_dir):
+    """The 5-threshold sweep is an explode over ONE pair frame — the
+    posting-index subtree (one parquet scan) is not replicated per
+    threshold."""
+    plan = _plan(spark, sf_dir, "q123_dedup_yield_curve")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "CartesianProduct") == 0
