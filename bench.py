@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "q121_minhash_calibration",
     "q122_source_overlap",
     "q123_dedup_yield_curve",
+    "q124_sole_late_supplier",
+    "q125_supplier_share",
+    "q126_set_ops",
+    "q127_value_rank_profile",
+    "q128_keyed_ntile",
 ]
 
 

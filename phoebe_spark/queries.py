@@ -1063,7 +1063,9 @@ def q32_response_finalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = rev.select(
         (F.row_number().over(w) + 1).alias("scale_out"),
         (F.col("revenue") / F.lit(1000000.0)).alias("value"),
-    )
+    # candidate-grid-sized (~25 rows) but derived from the 4-table join:
+    # materialize once so downstream consumers don't re-run the join
+    ).localCheckpoint(eager=True)
     restriction = cand.agg(F.expr("percentile(value, 0.5)").alias("restriction"))
     v = cand.crossJoin(F.broadcast(restriction)).select(
         "scale_out",
@@ -4254,6 +4256,9 @@ def q111_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "mon",
         )
+        # customer-sized rollup feeds thresholds AND segment assignment:
+        # materialize once so orders is scanned once, not per consumer
+        .localCheckpoint(eager=True)
     )
     th = per.agg(
         F.expr("percentile(rec_days, array(0.25, 0.5, 0.75))").alias("rq"),
@@ -4382,7 +4387,7 @@ def q113_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = e.groupBy("event_type", "hod", "dow").agg(
         F.count(F.lit(1)).alias("n"), F.avg("value").alias("cell_avg")
-    )
+    ).localCheckpoint(eager=True)  # 24x7xtypes rows; feeds base + the join
     base = cell.groupBy("event_type").agg(
         (F.sum(F.col("n") * F.col("cell_avg")) / F.sum("n")).alias("overall")
     )
@@ -4464,30 +4469,46 @@ def q115_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer vocab construction (word2vec-style phrase detection,
     Mikolov et al. 2013, public).
 
-    Scale notes: bigrams are built inside the token array (zip_with on
-    two slices — codegen, no self-join); unigram and bigram counts are
-    two map-side-combined groupBys; the PMI join is vocabulary-sized,
-    and ln() terms are ordered identically in both engines so the
-    rounded doubles match bit-for-bit. The final top-20 window runs
-    over the >=50-count survivors only (tiny). At 100x, the count
-    frames stay vocabulary-bounded; nothing is corpus-quadratic."""
+    Scale notes: ONE corpus pass — unigrams and bigrams explode
+    together as a tagged gram stream (bigrams built by zip_with inside
+    the token array: codegen, no self-join) into ONE map-side-combined
+    groupBy; the resulting vocabulary-sized count frame is materialized
+    once and serves the unigram side, the bigram side, AND the totals
+    (sums over the counts), so the corpus is never re-scanned. The PMI
+    join is vocabulary-sized, ln() terms are ordered identically in both
+    engines so the rounded doubles match bit-for-bit, and the final
+    top-20 window runs over the >=20-count survivors only (tiny). At
+    100x, the count frames stay vocabulary-bounded; nothing is
+    corpus-quadratic."""
     d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
     t = d.select(text.tokens(F.col("text")).alias("toks"))
-    uni = t.select(F.explode("toks").alias("tok"))
-    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n = F.size("toks")
-    bi = t.filter(n >= 2).select(
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = t.select(
         F.explode(
-            F.zip_with(
-                F.slice("toks", 1, n - 1),
-                F.slice("toks", 2, n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+            F.concat(
+                F.transform("toks", lambda x: F.struct(F.lit(0).alias("k"), x.alias("g"))),
+                F.transform(bigrams, lambda x: F.struct(F.lit(1).alias("k"), x.alias("g"))),
             )
-        ).alias("bg")
+        ).alias("e")
+    ).select(F.col("e.k").alias("k"), F.col("e.g").alias("g"))
+    cnt = (
+        tagged.groupBy("k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # vocabulary-sized; feeds 3 consumers
     )
-    bcnt = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
-        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    ucnt = cnt.filter(F.col("k") == 0).select(F.col("g").alias("tok"), "c")
+    bcnt = cnt.filter(F.col("k") == 1).select(F.col("g").alias("bg"), F.col("c").alias("c_ab"))
+    tot = cnt.groupBy().agg(
+        F.sum(F.when(F.col("k") == 0, F.col("c"))).alias("n_uni"),
+        F.sum(F.when(F.col("k") == 1, F.col("c"))).alias("n_bi"),
     )
     ua = ucnt.select(F.col("tok").alias("_ta"), F.col("c").alias("ca"))
     ub = ucnt.select(F.col("tok").alias("_tb"), F.col("c").alias("cb"))
@@ -4998,4 +5019,207 @@ def q123_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("doc").alias("n_docs_touched"),
         )
         .select(F.col("th").alias("threshold"), "n_pairs", "n_docs_touched")
+    )
+
+
+@query(
+    "q124_sole_late_supplier",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    per AS (
+      SELECT ok,
+             count(DISTINCT sk) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN sk END) AS n_late,
+             max(CASE WHEN late THEN sk END) AS late_supp
+      FROM j GROUP BY ok)
+    SELECT late_supp AS l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+    FROM per WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY late_supp
+    """,
+)
+def q124_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's business question on this schema: suppliers who were
+    the ONLY late shipper (ship > order date + 60d) on multi-supplier
+    orders — the classic blame report.
+
+    Scale notes: the textbook form is lineitem EXISTS lineitem / NOT
+    EXISTS lineitem — two extra fact-fact self-joins. Here the whole
+    predicate collapses into ONE groupBy(orderkey) (distinct suppliers,
+    distinct late suppliers, the argmax late supplier), so the plan is
+    one fact-fact equi-join + one aggregation; the oracle uses the same
+    rollup, and n_late = 1 makes max() over late suppliers exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per = j.groupBy("ok").agg(
+        F.count_distinct("sk").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("sk"))).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("sk"))).alias("late_supp"),
+    )
+    return (
+        per.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_supp").alias("l_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q125_supplier_share",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT CAST(round(sum(CAST(revenue AS DECIMAL(18,4))), 2) AS DOUBLE) AS t FROM rev)
+    SELECT l_suppkey, revenue, round(revenue / t, 6) AS share
+    FROM rev CROSS JOIN tot
+    WHERE revenue > 0.002 * t
+    """,
+)
+def q125_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: suppliers whose revenue exceeds 0.2% of the
+    corpus total, with their share — the HAVING-against-a-scalar-subquery
+    pattern.
+
+    Scale notes: the total arrives as a 1-row broadcast re-aggregated
+    FROM the per-supplier rollup (no second lineitem scan), and the
+    threshold filter is codegen after the broadcast — the whole query is
+    one shuffle on l_suppkey. Both revenue and the total go through
+    DECIMAL so the share is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum2(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("revenue")
+    # the rollup feeds both the output and the total: materialize the
+    # supplier-sized frame so lineitem is scanned once, not twice
+    ).localCheckpoint(eager=True)
+    tot = rev.agg(_dsum2(_dec("revenue")).alias("t"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("revenue") > 0.002 * F.col("t"))
+        .select("l_suppkey", "revenue", F.round(F.col("revenue") / F.col("t"), 6).alias("share"))
+    )
+
+
+@query(
+    "q126_set_ops",
+    oracle="""
+    WITH both_prio AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+    never_f AS (
+      SELECT o_custkey FROM both_prio
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT CAST(count(*) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM never_f) AS BIGINT) AS n_both_never_f
+    FROM both_prio
+    """,
+)
+def q126_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operators: customers who placed BOTH an urgent and
+    a low-priority order (INTERSECT), and of those, the ones with no
+    completed order (EXCEPT) — U3's distinct-union sibling coverage.
+
+    Scale notes: Spark plans INTERSECT as a left-semi aggregate join and
+    EXCEPT as left-anti — both hash joins on the key, no sort, and the
+    priority filters push to the parquet scan. The two counts aggregate
+    frames that are customer-sized, not order-sized."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low).localCheckpoint(eager=True)
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    never_f = both.exceptAll(f.distinct())
+    return both.agg(F.count(F.lit(1)).alias("n_both")).crossJoin(
+        F.broadcast(never_f.agg(F.count(F.lit(1)).alias("n_both_never_f")))
+    )
+
+
+@query(
+    "q127_value_rank_profile",
+    oracle=f"""
+    WITH e AS (SELECT event_type, event_id, value FROM events),
+    r AS (
+      SELECT event_type, event_id, value,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN pr >= 0.99 THEN value END), 6) AS avg_top1pct,
+           round(max(CASE WHEN cd <= 0.5 THEN value END), 6) AS median_by_cd
+    FROM r GROUP BY event_type
+    """,
+)
+def q127_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank functions over keyed partitions: percent_rank /
+    cume_dist of each event's value within its type, rolled up to the
+    top-1% mean and the cume_dist median — SQL-analytics parity for the
+    rank family (rank/row_number are exercised elsewhere).
+
+    Scale notes: ONE window sort per event_type computes both rank
+    functions (shared partitioning/ordering), then a map-side-combined
+    rollup; ranks are exact rationals of row counts so the cross-engine
+    comparison is FP-safe. Tie order pinned by (value, event_id)."""
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.when(F.col("pr") >= 0.99, F.col("value"))), 6).alias(
+            "avg_top1pct"
+        ),
+        F.round(F.max(F.when(F.col("cd") <= 0.5, F.col("value"))), 6).alias(
+            "median_by_cd"
+        ),
+    )
+
+
+@query(
+    "q128_keyed_ntile",
+    oracle=f"""
+    WITH e AS (SELECT event_type, event_id, value FROM events),
+    q AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+      FROM e)
+    SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM q GROUP BY event_type, quartile
+    """,
+)
+def q128_keyed_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed NTILE quartiles: each event type's value distribution cut
+    into four equal-count buckets with their boundaries — the scalable
+    NTILE (partitioned per key, so each sort is per-group; contrast with
+    q111, which deliberately avoids the GLOBAL unkeyed NTILE).
+
+    Scale notes: one window sort per event_type, deterministic ties via
+    (value, event_id); the rollup shares the window's partitioning."""
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    q = e.select(
+        "event_type", "value", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return q.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
     )

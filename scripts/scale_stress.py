@@ -116,6 +116,19 @@ def run_scale(spark, scale: int) -> dict:
         "chunk_pairs_verify",
         dedup.edit_distance_verify(docs, dedup.chunk_pairs(docs), min_sim=0.5),
     )
+    t(
+        "dedup_components",
+        dedup.dedup_components(dedup.chunk_pairs(docs), id_col_a="id_a", id_col_b="id_b"),
+    )
+    t(
+        "hamming_pairs",
+        dedup.hamming_pairs(
+            docs.select("doc_id", F.xxhash64("text").alias("hash64")),
+            id_col="doc_id",
+            hash_col="hash64",
+            max_hamming=6,
+        ),
+    )
     t("bm25", text.bm25_scores(docs, terms=("spark", "hash", "key")))
     t("token_entropy", text.token_entropy(docs))
     t(

@@ -360,3 +360,40 @@ def test_q123_sweep_reuses_one_pair_generation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q123_dedup_yield_curve")
     assert _ops(plan, "Scan parquet") == 1
     assert _ops(plan, "CartesianProduct") == 0
+
+
+def test_q124_no_fact_self_joins(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS collapse into one groupBy(orderkey):
+    exactly one fact-fact join (lineitem x orders), no lineitem
+    self-joins, both fact sides pruned to the touched columns."""
+    plan = _plan(spark, sf_dir, "q124_sole_late_supplier")
+    assert _ops(plan, "Scan parquet") == 2  # lineitem + orders, once each
+    assert _ops(plan, "CartesianProduct") == 0
+    assert "l_quantity" not in plan and "o_totalprice" not in plan  # pruned
+
+
+def test_q125_total_from_rollup_not_second_scan(spark, sf_dir):
+    """The revenue total re-aggregates the per-supplier rollup, which is
+    materialized once — the final plan's lineage is cut at the
+    checkpoint, so lineitem is scanned exactly once (during the
+    checkpoint), never twice."""
+    plan = _plan(spark, sf_dir, "q125_supplier_share")
+    assert _ops(plan, "Scan parquet") == 0  # lineage cut at the checkpoint
+    assert _ops(plan, "BroadcastNestedLoopJoin") == 1  # 1-row total
+
+
+def test_q127_one_window_for_both_ranks(spark, sf_dir):
+    """percent_rank and cume_dist share one window sort per key."""
+    plan = _plan(spark, sf_dir, "q127_value_rank_profile")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Window") == 1
+
+
+def test_q126_set_ops_pushed_filters(spark, sf_dir):
+    """INTERSECT/EXCEPT resolve to hash joins with the priority/status
+    filters pushed to the scans — no sort-based set operators."""
+    plan = _plan(spark, sf_dir, "q126_set_ops")
+    # the INTERSECT side is materialized (ExistingRDD); the EXCEPT side's
+    # status filter must reach its parquet scan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert _ops(plan, "CartesianProduct") == 0
