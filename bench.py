@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q126_set_ops",
     "q127_value_rank_profile",
     "q128_keyed_ntile",
+    "q129_scd2_islands",
 ]
 
 

@@ -5223,3 +5223,70 @@ def q128_keyed_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@query(
+    "q129_scd2_islands",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {EPOCH_SQL.format(c='ts')} AS es, event_id
+               FROM events),
+    m AS (
+      SELECT user_id, event_type, es, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    isl AS (
+      SELECT user_id, event_type, es,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY es, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    runs AS (
+      SELECT user_id, island, min(event_type) AS state,
+             min(es) AS valid_from, max(es) AS last_seen, count(*) AS n_events
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, island) AS valid_to,
+           last_seen, CAST(n_events AS BIGINT) AS n_events
+    FROM runs
+    """,
+)
+def q129_scd2_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (gaps-and-islands): each
+    user's consecutive same-event-type runs collapse into validity
+    intervals [valid_from, valid_to) with the next run's start as the
+    expiry (NULL = current) — the warehouse pattern for turning an event
+    stream into queryable history, distinct from q46's TIME-gap
+    sessionization (islands break on VALUE change).
+
+    Scale notes: ONE user_id shuffle serves the change-detect lag, the
+    island running sum, the per-run rollup, and the expiry lead (all
+    same-key window/group operations — Spark reuses the partitioning);
+    no self-joins. Ties pinned by (second, event_id) in both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch().alias("es"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    m = e.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    isl = m.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("es").alias("valid_from"),
+        F.max("es").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "island")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "last_seen",
+        "n_events",
+    )

@@ -1,0 +1,108 @@
+"""Mathematical invariants of the round-3 analytics operators — checks
+independent of the DuckDB oracle (which proves engine parity, not that
+the math means what it claims)."""
+
+from __future__ import annotations
+
+import pytest
+
+from phoebe_spark.queries import QUERIES
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """PageRank is a probability distribution: masses sum to ~1 and every
+    node's rank is >= the damping floor."""
+    rows = QUERIES["q118_dup_pagerank"](spark, sf_dir).collect()
+    assert rows, "pair graph must be non-empty at this SF"
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3  # rounded to 6dp per node
+    assert min(r["pagerank"] for r in rows) > 0
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    """Every customer lands in exactly one segment; digits stay in 1..4."""
+    seg = QUERIES["q111_rfm_segments"](spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in seg) == n_cust
+    for r in seg:
+        s = r["segment"]
+        assert 1 <= s // 100 <= 4 and 1 <= (s // 10) % 10 <= 4 and 1 <= s % 10 <= 4
+
+
+def test_acf_bounded(spark, sf_dir):
+    """Autocorrelation estimates live in [-1, 1]."""
+    for r in QUERIES["q112_acf"](spark, sf_dir).collect():
+        if r["acf"] is not None:
+            assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+
+
+def test_seasonality_deviations_weighted_zero(spark, sf_dir):
+    """Cell deviations from the per-type mean, weighted by cell counts,
+    cancel out."""
+    rows = QUERIES["q113_seasonality"](spark, sf_dir).collect()
+    by_type: dict[str, float] = {}
+    wt: dict[str, int] = {}
+    for r in rows:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0.0) + r["n"] * r["deviation"]
+        wt[r["event_type"]] = wt.get(r["event_type"], 0) + r["n"]
+    for t, s in by_type.items():
+        assert abs(s / wt[t]) < 1e-5  # deviations rounded to 6dp per cell
+
+
+def test_ntile_buckets_balanced(spark, sf_dir):
+    """NTILE(4) bucket sizes within a key differ by at most one."""
+    rows = QUERIES["q128_keyed_ntile"](spark, sf_dir).collect()
+    sizes: dict[str, list[int]] = {}
+    for r in rows:
+        sizes.setdefault(r["event_type"], []).append(r["n"])
+    for t, ns in sizes.items():
+        assert len(ns) == 4
+        assert max(ns) - min(ns) <= 1, f"{t}: {ns}"
+
+
+def test_calibration_mae_small_at_high_similarity(spark, sf_dir):
+    """MinHash with 32 hashes: on the highest-estimate decile the sketch
+    should track true Jaccard within a loose statistical bound."""
+    rows = QUERIES["q121_minhash_calibration"](spark, sf_dir).collect()
+    if not rows:
+        pytest.skip("no LSH candidates at this SF")
+    top = max(rows, key=lambda r: r["est_decile"])
+    assert top["mae"] < 0.25  # 1/sqrt(32) ~ 0.18 expected sampling error
+
+
+def test_yield_curve_monotone(spark, sf_dir):
+    """Raising the dedup threshold can only shrink pairs and touched docs."""
+    rows = sorted(
+        QUERIES["q123_dedup_yield_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_docs_touched"] <= a["n_docs_touched"]
+
+
+def test_source_overlap_jaccard_bounds(spark, sf_dir):
+    """Pairwise source Jaccard is in (0, 1] and symmetric-by-construction
+    (each unordered pair appears once)."""
+    rows = QUERIES["q122_source_overlap"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1
+        key = (r["source_a"], r["source_b"])
+        assert r["source_a"] < r["source_b"]
+        assert key not in seen
+        seen.add(key)
+
+
+def test_multires_rollup_consistent(spark, sf_dir):
+    """Each type's minute/hour/day bucket counts all sum to the same
+    event total."""
+    rows = QUERIES["q119_multires_rollup"](spark, sf_dir).collect()
+    tot: dict[tuple, int] = {}
+    for r in rows:
+        tot[(r["event_type"], r["resolution"])] = (
+            tot.get((r["event_type"], r["resolution"]), 0) + r["n"]
+        )
+    types = {k[0] for k in tot}
+    for t in types:
+        assert tot[(t, "minute")] == tot[(t, "hour")] == tot[(t, "day")]

@@ -397,3 +397,12 @@ def test_q126_set_ops_pushed_filters(spark, sf_dir):
     # status filter must reach its parquet scan
     assert "EqualTo(o_orderstatus,F)" in plan
     assert _ops(plan, "CartesianProduct") == 0
+
+
+def test_q129_single_key_shuffle(spark, sf_dir):
+    """SCD2 islands: change-detect, island numbering, run rollup, and the
+    expiry lead all ride ONE user_id partitioning — no self-joins."""
+    plan = _plan(spark, sf_dir, "q129_scd2_islands")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "SortMergeJoin") == 0 and _ops(plan, "BroadcastHashJoin") == 0
+    assert _ops(plan, "Exchange") == 1  # the single user_id shuffle
