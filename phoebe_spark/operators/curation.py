@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from phoebe_spark.operators.text import tokens
@@ -282,3 +282,39 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.expr(f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"),
         F.col("_n").alias("n_rows"),
     )
+
+
+def observed_quality_gate(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+):
+    """Attach an inline QA observation to a pipeline frame: the named
+    aggregate metrics are collected DURING whatever action consumes the
+    returned frame (the write/count the pipeline runs anyway), so the
+    gate costs zero extra scans — vs the usual ``df.agg(...)`` sidecar,
+    which re-reads the whole source a second time.
+
+    Returns ``(observed_df, observation)``; after the first action on
+    ``observed_df``, ``observation.get`` holds the metric dict. Compose
+    with :func:`check_gate` for threshold enforcement. This is the
+    Spark-idiomatic form of the reference's post-hoc sanity asserts
+    (`analytics/app/test/api_test.py` checks row counts after the fact):
+    at 100 TB the second pass IS the cost, so the gate must ride the
+    production action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [col.alias(alias) for alias, col in metrics.items()]
+    return df.observe(obs, *named), obs
+
+
+def check_gate(observation, rules: dict[str, tuple[float, float]]) -> list[str]:
+    """Evaluate (lo, hi) inclusive bounds against a completed
+    observation; returns the list of violation messages (empty = gate
+    passes). Call only after an action ran on the observed frame."""
+    got = observation.get
+    violations = []
+    for metric, (lo, hi) in rules.items():
+        v = got.get(metric)
+        if v is None or not (lo <= v <= hi):
+            violations.append(f"{metric}={v} outside [{lo}, {hi}]")
+    return violations
