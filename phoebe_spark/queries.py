@@ -4236,10 +4236,12 @@ def q111_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition sort, a scale-killer at 100x. Here the per-customer
     rollup is one shuffle; the 9 thresholds are a 1-row aggregate
     broadcast back (crossJoin of a 1-row frame), so segment assignment is
-    pure codegen. Boundary compares are FP-stable across engines because
-    every data value is <= the lower or >= the upper interpolation
-    endpoint of each threshold (see the RFM boundary note in
-    tests/test_oracle_parity.py's methodology)."""
+    pure codegen. Boundary compares are FP-stable across engines even
+    though Spark computes (1-g)*a + g*b and DuckDB a + (b-a)*g (ulp-
+    different when a != b): each threshold then lies strictly BETWEEN
+    its two interpolation endpoints in both engines, and every data
+    value is <= a or >= b by rank, so no value can sit inside the ulp
+    gap; when a == b both formulas yield exactly a."""
     o = _t(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("maxd"))
     per = (
