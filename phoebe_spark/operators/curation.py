@@ -310,7 +310,26 @@ def observed_quality_gate(
 def check_gate(observation, rules: dict[str, tuple[float, float]]) -> list[str]:
     """Evaluate (lo, hi) inclusive bounds against a completed
     observation; returns the list of violation messages (empty = gate
-    passes). Call only after an action ran on the observed frame."""
+    passes). Must be called after an action ran on the observed frame —
+    probed via the JVM's non-blocking ``getOrEmpty`` so a mis-ordered
+    pipeline raises immediately instead of deadlocking on
+    ``Observation.get`` (which waits forever for a first action)."""
+    jo = getattr(observation, "_jo", None)
+    if jo is not None:
+        not_ready = False
+        try:
+            not_ready = jo.getOrEmpty().isEmpty()
+        except Exception as e:
+            # Spark 4.x: getOrEmpty NPEs before the first action completes
+            # (internal schema still null) — that IS the not-ready signal.
+            # A py4j 'method does not exist' (API drift) falls through to
+            # the blocking .get instead.
+            not_ready = type(e).__name__ == "Py4JJavaError"
+        if not_ready:
+            raise RuntimeError(
+                "check_gate called before any action ran on the observed "
+                "frame - run the pipeline's write/count first"
+            )
     got = observation.get
     violations = []
     for metric, (lo, hi) in rules.items():

@@ -607,7 +607,7 @@ def hamming_pairs(
     hash_col: str = "hash64",
     max_hamming: int = 8,
     bands: int = 16,
-    max_group: int = 100,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column (perceptual image
     ahash, audio fingerprint, simhash-as-long) by Hamming distance, with
@@ -624,12 +624,17 @@ def hamming_pairs(
     instead of k rows pairing quadratically in every band. Member pairs expand back afterwards:
     intra-cluster pairs (distance 0) via the grouped i<j expansion, and
     cross-cluster pairs from the distinct-hash candidates. ``max_group``
-    deterministically truncates a fingerprint cluster to its smallest
-    ``max_group`` doc ids before expansion (same df-cap contract as
-    ``max_docs_per_chunk``): a hotter cluster is exact-dup territory —
-    enumerate it linearly with :func:`exact_dedup` on the hash, not as
-    O(k^2) pairs. Combined with the combo-subset keys below, the 10x
-    stress case (50k docs, planted dup clusters) fell 165 s -> 6 s.
+    (default None = exact, all pairs) optionally truncates a fingerprint
+    cluster to its smallest ``max_group`` doc ids before expansion (same
+    df-cap contract as ``max_docs_per_chunk``) for adversarial corpora
+    where a mega-cluster's O(k^2) pair output itself is the problem —
+    docs beyond the cap then appear in no pair, so run
+    :func:`exact_dedup` on the hash alongside. Output is one row per
+    unordered (doc_a < doc_b) pair with the MINIMUM distance across the
+    docs' fingerprints, so inputs carrying several fingerprints per doc
+    (multi-modality frames) cannot emit self-pairs or duplicates.
+    Combined with the combo-subset keys below, the 10x stress case
+    (50k docs, planted dup clusters) fell 165 s -> 6 s.
 
     The multimodal dedup composition: PNG/WAV bytes -> feature hash
     (image_features.ahash) -> hamming_pairs -> dedup_components."""
@@ -637,26 +642,20 @@ def hamming_pairs(
         raise ValueError("pigeonhole requires max_hamming < bands")
     width = 64 // bands
     mask = (1 << width) - 1
+    members = F.array_sort(F.collect_set("doc"))
+    if max_group is not None:
+        members = F.slice(members, 1, max_group)
     grp = (
         df.select(F.col(id_col).alias("doc"), F.col(hash_col).cast("long").alias("h"))
         .groupBy("h")
-        .agg(F.slice(F.array_sort(F.collect_set("doc")), 1, max_group).alias("ds"))
+        .agg(members.alias("ds"))
         .localCheckpoint(eager=True)
     )
     ds = F.col("ds")
     # intra-cluster pairs: identical fingerprints, distance 0, i<j expansion
-    intra_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     intra = (
         grp.filter(F.size(ds) >= 2)
-        .select(F.explode(intra_structs).alias("p"))
+        .select(F.explode(_ordered_pair_structs(ds, "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b", F.lit(0).cast("integer").alias("hamming"))
     )
     # cross-cluster candidates over distinct fingerprints only. Generalized
@@ -703,8 +702,16 @@ def hamming_pairs(
             F.greatest("da", "db").alias("doc_b"),
             F.col("hamming").cast("integer").alias("hamming"),
         )
+        # a doc carrying several distinct fingerprints is a member of
+        # several clusters: drop the resulting self-pairs and keep one row
+        # per unordered pair at its closest fingerprint distance
+        .filter(F.col("doc_a") != F.col("doc_b"))
     )
-    return intra.unionByName(cross)
+    return (
+        intra.unionByName(cross)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").cast("integer").alias("hamming"))
+    )
 
 
 def chunk_dedup_stats(
@@ -750,6 +757,22 @@ def chunk_dedup_stats(
             F.round(
                 F.sum((F.col("cnt") > 1).cast("long")) / F.count(F.lit(1)), 6
             ).alias("dup_ratio"),
+        )
+    )
+
+
+def _ordered_pair_structs(ds, a_name: str, b_name: str):
+    """i<j pair expansion over a SORTED id array: nested transform+slice
+    emitting struct(a_name, b_name) combinations JVM-side. Shared by the
+    chunk-pair and identical-fingerprint expansions — the slice index
+    arithmetic is subtle enough to keep in exactly one place."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
         )
     )
 
@@ -811,17 +834,8 @@ def chunk_pairs(
         .select(F.array_sort("ds").alias("ds"))
     )
     ds = F.col("ds")
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(_ordered_pair_structs(ds, "id_a", "id_b")).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -891,15 +905,18 @@ def edit_distance_verify(
     la, lb = F.length("_ta"), F.length("_tb")
     bound_sim = 1.0 - F.abs(la - lb) / F.greatest(la, lb)
     j = j.filter(bound_sim >= min_sim)
-    # Banded DP: sim >= min_sim  <=>  lev <= floor((1-min_sim)*maxlen), so
-    # running Levenshtein with that per-row threshold (Spark >= 3.5,
-    # Ukkonen band of width 2*threshold+1) turns O(len^2) into
-    # O(len * threshold) and returns -1 for pairs over the bound. The -1
-    # rows are exactly the pairs the old full-DP filter dropped; survivors
-    # carry the exact distance, so results are identical.
+    # Banded DP: sim >= min_sim  <=>  lev <= (1-min_sim)*maxlen, so running
+    # Levenshtein with a per-row threshold (Spark >= 3.5, Ukkonen band of
+    # width 2*threshold+1) turns O(len^2) into O(len * threshold) and
+    # returns -1 for pairs over the bound. The threshold is padded by +1
+    # because (1-min_sim) is a binary double that may round BELOW the true
+    # rational (1-0.8 = 0.79999...96), and floor() of that would drop
+    # exact-boundary pairs (sim == min_sim). The pad makes the banded pass
+    # a strict SUPERSET prefilter; the exact `sim >= min_sim` filter below
+    # re-establishes the precise boundary, so results match the full DP.
     max_len = F.greatest(la, lb)
     lev = F.expr(
-        "levenshtein(_ta, _tb, cast(floor({b} * greatest(length(_ta), length(_tb))) as int))".format(
+        "levenshtein(_ta, _tb, cast(floor({b} * greatest(length(_ta), length(_tb))) as int) + 1)".format(
             b=1.0 - min_sim
         )
     )

@@ -127,9 +127,9 @@ def run_scale(spark, scale: int) -> dict:
         "dedup_components",
         lambda: dedup.dedup_components(dedup.chunk_pairs(docs), id_col_a="id_a", id_col_b="id_b"),
     )
-    t(
-        "hamming_pairs",
-        dedup.hamming_pairs(
+    t_build(
+        "hamming_pairs",  # eager fingerprint-grouping checkpoint at construction
+        lambda: dedup.hamming_pairs(
             docs.select("doc_id", F.xxhash64("text").alias("hash64")),
             id_col="doc_id",
             hash_col="hash64",

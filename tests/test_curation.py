@@ -181,3 +181,20 @@ def test_observed_quality_gate_single_pass(spark, sf_dir):
     assert check_gate(obs, {"n_rows": (1, 10**12), "empty_frac": (0.0, 0.5)}) == []
     bad = check_gate(obs, {"null_lang": (1, 5)})
     assert bad and "null_lang" in bad[0]
+
+
+def test_check_gate_before_action_raises(spark, sf_dir):
+    """Calling check_gate before the observed frame's first action must
+    raise immediately, not deadlock on Observation.get."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators.curation import check_gate, observed_quality_gate
+    from phoebe_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    _observed_unused, obs = observed_quality_gate(
+        d, "premature_gate", {"n_rows": F.count(F.lit(1))}
+    )
+    with pytest.raises(RuntimeError, match="before any action"):
+        check_gate(obs, {"n_rows": (1, 10**12)})

@@ -194,3 +194,36 @@ def test_hamming_pairs_match_brute_force(spark):
         .collect()
     }
     assert got == brute and len(got) > 1000  # the planted cluster dominates
+
+
+def test_edit_distance_verify_exact_boundary(spark):
+    """sim == min_sim pairs must survive the banded prefilter: 1-0.8
+    rounds DOWN in binary FP, so an unpadded floor() threshold would
+    silently drop the exact-boundary pair (confirmed regression)."""
+    from phoebe_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcdX")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = edit_distance_verify(docs, pairs, min_sim=0.8).collect()
+    assert len(rows) == 1
+    assert rows[0]["lev"] == 1 and rows[0]["sim"] == 0.8
+
+
+def test_hamming_pairs_multi_fingerprint_doc(spark):
+    """A doc carrying several fingerprints (multi-modality frame) must
+    not produce self-pairs, and each unordered pair appears once at its
+    MINIMUM distance."""
+    from phoebe_spark.operators.dedup import hamming_pairs
+
+    # doc 1 has two fingerprints 1 bit apart; doc 2 matches one of them
+    # exactly and the other at distance 1
+    df = spark.createDataFrame(
+        [(1, 0b1000), (1, 0b1001), (2, 0b1001)], "doc_id long, hash64 long"
+    )
+    rows = hamming_pairs(df, max_hamming=6, bands=8).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in rows)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["hamming"]) == (1, 2, 0)  # min over combos
