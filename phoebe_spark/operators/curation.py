@@ -273,11 +273,18 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     drift signal tolerates HLL error; the exact form is what an
     independent engine can reproduce."""
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+    for i, c in enumerate(cols):
+        # positional internal aliases + backtick-quoted source refs: the
+        # user's column names never enter generated SQL as bare
+        # identifiers, so names with spaces / dots / quotes cannot break
+        # the agg resolution or the stack() parse (display names appear
+        # only as escaped string literals)
+        ref = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.sum(ref.isNull().cast("long")).alias(f"_null_{i}"))
+        aggs.append(F.countDistinct(ref).alias(f"_dist_{i}"))
     row = df.agg(*aggs)
-    stack = ", ".join(f"'{c}', _null_{c}, _dist_{c}" for c in cols)
+    lit = lambda s: "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    stack = ", ".join(f"{lit(c)}, _null_{i}, _dist_{i}" for i, c in enumerate(cols))
     return row.select(
         F.expr(f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"),
         F.col("_n").alias("n_rows"),

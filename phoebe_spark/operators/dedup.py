@@ -543,6 +543,7 @@ def contamination_flags_bloom(
     n: int = 5,
     n_hashes: int = 5,
     bits_per_item: int = 12,
+    max_literal_words: int = 262144,
 ) -> DataFrame:
     """:func:`contamination_flags` with a Bloom-filter prefilter — the
     probabilistic-prune + exact-confirm pattern, result-identical to the
@@ -561,6 +562,16 @@ def contamination_flags_bloom(
     hash through Spark's own ``xxhash64`` (so probe hashing matches
     bit-for-bit) and the set bits come back to the driver once — bounded
     by the benchmark size, never the corpus.
+
+    Applicability bound: the bit array is embedded as a PLAN LITERAL
+    (one 64-bit word per ``F.lit``), which is what keeps the probe in
+    whole-stage codegen — but plan size grows with the words, so the
+    operator guards at ``max_literal_words`` (default 256k words = 2 MiB
+    literal = ~1.4M registry shingles at 12 bits). Beyond that, plan
+    construction itself becomes the bottleneck (millions of driver-side
+    Column objects, the literal serialized into every task): use
+    :func:`contamination_flags` (broadcast semi-join) or raise
+    ``max_literal_words`` deliberately.
     """
     import numpy as np
 
@@ -575,6 +586,13 @@ def contamination_flags_bloom(
     ).collect()
     n_items = max(len(hash_rows), 1)
     m = ((n_items * bits_per_item + 63) // 64) * 64  # bit count, word-aligned
+    if m // 64 > max_literal_words:
+        raise ValueError(
+            f"contamination_flags_bloom: registry needs {m // 64} filter words, "
+            f"over the plan-literal budget ({max_literal_words}). Use "
+            "contamination_flags (broadcast semi-join) for registries this "
+            "large, or raise max_literal_words deliberately."
+        )
     words = np.zeros(m // 64, dtype=np.uint64)
     for row in hash_rows:
         for i in range(n_hashes):
@@ -720,6 +738,7 @@ def chunk_dedup_stats(
     text_col: str = "text",
     chunk_words: int = 8,
     checkpoint: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Line/chunk-level exact dedup statistics (the RefinedWeb / CCNet
     "repeated lines across documents" signal, adapted to newline-free
@@ -728,7 +747,10 @@ def chunk_dedup_stats(
     across the whole corpus, and report per document how many of its
     chunks are duplicated (corpus-wide occurrence > 1).
 
-    Returns ``(id_col, n_chunks, n_dup_chunks, dup_ratio)``.
+    Returns ``(id_col, n_chunks, n_dup_chunks, dup_ratio)`` — or, with
+    ``group_col``, the same census rolled up per group (q108's
+    per-source duplication pressure) instead of per document; the
+    corpus-wide counts are identical either way.
 
     Scale notes: chunk assembly is EXCHANGE-FREE — a codegen
     ``transform(sequence(...), c -> array_join(slice(...)))`` per row, no
@@ -745,12 +767,17 @@ def chunk_dedup_stats(
     # assembly is cheaper than materializing the chunk table. Checkpoint
     # only when the upstream is expensive (pass checkpoint=True).
     chunks = _doc_chunks(df, id_col, text_col, chunk_words)
+    if group_col is not None:
+        chunks = chunks.join(
+            df.select(F.col(id_col).alias("doc"), group_col), "doc"
+        )
     if checkpoint:
         chunks = chunks.localCheckpoint(eager=True)
     counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    key = F.col(group_col) if group_col is not None else F.col("doc").alias(id_col)
     return (
         chunks.join(counts, "chunk")
-        .groupBy(F.col("doc").alias(id_col))
+        .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_chunks"),
@@ -904,7 +931,9 @@ def edit_distance_verify(
     # a true lower bound); measured 7.5s -> ~2s on the sf0.1 bench.
     la, lb = F.length("_ta"), F.length("_tb")
     bound_sim = 1.0 - F.abs(la - lb) / F.greatest(la, lb)
-    j = j.filter(bound_sim >= min_sim)
+    # slack matches the final round(sim, 6) filter: a pair whose TRUE
+    # bound rounds up to exactly min_sim at 6dp must survive the prune
+    j = j.filter(bound_sim >= min_sim - 5e-7)
     # Banded DP: sim >= min_sim  <=>  lev <= (1-min_sim)*maxlen, so running
     # Levenshtein with a per-row threshold (Spark >= 3.5, Ukkonen band of
     # width 2*threshold+1) turns O(len^2) into O(len * threshold) and

@@ -305,9 +305,12 @@ def ivf_topk(
             Q = np.array([list(v) for v in pdf["q_vec"]], dtype=np.float64)
             Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
             sims = Qn @ C.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            # n_probe can exceed the centroid count (tiny indexes /
+            # pretrained pivot matrices): probe every cell, don't crash
+            eff_probe = min(n_probe, C.shape[0])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :eff_probe]
             n = len(pdf)
-            idx = np.repeat(np.arange(n), n_probe)
+            idx = np.repeat(np.arange(n), eff_probe)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy()[idx],
@@ -442,7 +445,13 @@ def random_projection(
     import numpy as np
 
     if in_dim is None:
-        in_dim = len(df.select(vec_col).head()[0])
+        head = df.select(vec_col).head()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "random_projection: cannot infer in_dim from an empty frame "
+                "or a null first vector - pass in_dim explicitly"
+            )
+        in_dim = len(head[0])
     R = jl_matrix(in_dim, out_dim, seed)
     projs = [
         F.aggregate(

@@ -1235,6 +1235,10 @@ def q35_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         order_col="t",
         tiebreak_cols=["event_id"],
+        # every event_type has thousands of points at all SFs, so the
+        # sub-window Python fallback can never fire: pin the plan to the
+        # 100%-JVM form (asserted in tests/test_plans.py)
+        short_series="null",
     )
     return out.select(
         "event_type", "event_id", F.round("smoothed", 6).alias("smoothed")
@@ -4103,18 +4107,7 @@ def q108_source_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     which feeds get the aggressive dedup treatment. Same exchange-free
     chunk assembly; corpus-wide counts join back on the chunk key."""
     d = _t(spark, sf_dir, "documents")
-    ch = dedup.doc_chunks(d, "doc_id", "text", 8).join(
-        d.select(F.col("doc_id").alias("doc"), "source"), "doc"
-    )
-    cnt = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
-    j = ch.join(cnt, "chunk")
-    return j.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_chunks"),
-        F.round(F.sum((F.col("c") > 1).cast("long")) / F.count(F.lit(1)), 6).alias(
-            "dup_ratio"
-        ),
-    )
+    return dedup.chunk_dedup_stats(d, group_col="source")
 
 
 @query(

@@ -102,9 +102,14 @@ def keyed_cusum(
             s, n = state.get
         else:
             s, n = 0.0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for v in pdf[value_col]:
+        # pdfs is an ITERATOR of Arrow chunks of one key's micro-batch
+        # (a >maxRecordsPerBatch group arrives split): the CUSUM recursion
+        # is order-sensitive, so sort the whole batch once — a per-chunk
+        # sort would fold values in chunk order, not event-time order.
+        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(ts_col)
+            for v in batch[value_col]:
                 s = max(0.0, s + float(v) - k)
                 n += 1
         state.update((s, n))

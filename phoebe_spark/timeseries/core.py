@@ -393,6 +393,7 @@ def savgol_smooth(
     tiebreak_cols: Sequence[str] = (),
     out_col: str = "smoothed",
     assume_bounded: bool = False,
+    short_series: str = "python",
 ) -> DataFrame:
     """W5 Savitzky-Golay smoothing per series, ALL-JVM (the reference's
     scipy savgol with mode='interp' edges, ``workload/models.py:55-62``).
@@ -407,9 +408,17 @@ def savgol_smooth(
     first/last ``window`` values (per-series scalars, broadcast-joined
     back). No Python anywhere in the plan, so work distributes WITHIN a
     series — a 10^9-row series is just more window partitions, never one
-    executor's pandas frame. Assumes each series has >= ``window`` rows
-    (shorter series would need the reduced-window fallback the Python
-    kernel applies; the oracle-checked registry shares this domain).
+    executor's pandas frame.
+
+    Series SHORTER than ``window`` need the reduced-window fallback the
+    Python kernel applies: with ``short_series='python'`` (default) those
+    series — bounded at < ``window`` rows each by definition — route
+    through a grouped Arrow fallback running
+    :func:`phoebe_spark.functions.numeric.savgol_filter`, and long
+    series stay on the JVM path. ``short_series='null'`` keeps the plan
+    100% Python-free for callers whose domain guarantees long series
+    (the oracle-checked q35 path); their sub-window series emit NULL
+    smoothed values.
     """
     import numpy as np
 
@@ -470,6 +479,9 @@ def savgol_smooth(
     if not keys:
         base = base.withColumn("_g", F.lit(1))
     wnd = F.collect_list(v).over(w_ord.rowsBetween(-half, half))
+    if short_series == "python":
+        shorts = base.filter(F.col("_cnt") < window)
+        base = base.filter(F.col("_cnt") >= window)
     out = (
         base.join(F.broadcast(firstw), join_keys)
         .join(F.broadcast(lastw), join_keys)
@@ -486,4 +498,34 @@ def savgol_smooth(
             .otherwise(_dotl(CC, wnd)),
         )
     )
-    return out.drop("_rn", "_cnt", "_first_w", "_last_w", "_g")
+    result = out.drop("_rn", "_cnt", "_first_w", "_last_w", "_g")
+    if short_series != "python":
+        return result
+    # Arrow fallback for sub-window series: each group is < window rows
+    # by construction, so the pandas work per task is bounded by the
+    # filter width, not the data — the one place the reduced-window
+    # kernel is genuinely needed.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from phoebe_spark.functions.numeric import savgol_filter as _sg
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, DoubleType())]
+    )
+    sort_cols = [order_col, *tiebreak_cols]
+    in_cols = [f.name for f in df.schema.fields]
+
+    def _short(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        sm = _sg(pdf[value_col].astype(float).to_numpy(), window, polyorder)
+        res = pdf[in_cols].copy()
+        res[out_col] = sm
+        return res
+
+    grp_cols = keys if keys else ["_g"]
+    if not keys:
+        shorts = shorts.withColumn("_g", F.lit(1))
+    short_out = shorts.groupBy(*grp_cols).applyInPandas(_short, out_schema).select(
+        *result.columns
+    )
+    return result.unionByName(short_out)

@@ -198,3 +198,14 @@ def test_check_gate_before_action_raises(spark, sf_dir):
     )
     with pytest.raises(RuntimeError, match="before any action"):
         check_gate(obs, {"n_rows": (1, 10**12)})
+
+
+def test_column_profile_odd_names(spark):
+    """Column names with spaces, dots, and quotes must not break the
+    generated aggregation or the stack() unpivot."""
+    from phoebe_spark.operators.curation import column_profile
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["my col", "o'brien.x"])
+    rows = column_profile(df, ["my col", "o'brien.x"]).collect()
+    got = {r["col_name"]: (r["n_nulls"], r["n_distinct"], r["n_rows"]) for r in rows}
+    assert got == {"my col": (0, 2, 2), "o'brien.x": (1, 1, 2)}

@@ -200,3 +200,30 @@ def test_savgol_smooth_matches_numpy_kernel(spark):
         exp = savgol_filter(y, 21, 3)
         for i, e in enumerate(exp):
             assert got[(k, i)] == pytest.approx(e, abs=1e-9), (k, i)
+
+
+def test_savgol_short_series_python_fallback(spark):
+    """Series shorter than `window` must get real reduced-window values
+    (the numpy kernel's fallback), not silent NULLs; long series in the
+    same frame stay on the JVM path and match the kernel too."""
+    import numpy as np
+
+    from phoebe_spark.functions.numeric import savgol_filter
+    from phoebe_spark.timeseries.core import savgol_smooth
+
+    rows = [("short", i, float(i * i % 7)) for i in range(9)]
+    rows += [("long", i, float((i * 13) % 23)) for i in range(80)]
+    df = spark.createDataFrame(rows, "k string, timestamp long, value double")
+    out = savgol_smooth(df, window=51, polyorder=3, keys=["k"]).collect()
+    got_short = {r["timestamp"]: r["smoothed"] for r in out if r["k"] == "short"}
+    got_long = {r["timestamp"]: r["smoothed"] for r in out if r["k"] == "long"}
+    assert None not in got_short.values()
+    exp_short = savgol_filter(np.array([i * i % 7 for i in range(9)], float), 51, 3)
+    for i, e in enumerate(exp_short):
+        assert abs(got_short[i] - e) < 1e-9
+    exp_long = savgol_filter(np.array([(i * 13) % 23 for i in range(80)], float), 51, 3)
+    for i, e in enumerate(exp_long):
+        assert abs(got_long[i] - e) < 1e-9
+    # the 'null' mode keeps sub-window series NULL (documented contract)
+    out2 = savgol_smooth(df, window=51, polyorder=3, keys=["k"], short_series="null").collect()
+    assert all(r["smoothed"] is None for r in out2 if r["k"] == "short")
