@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "q127_value_rank_profile",
     "q128_keyed_ntile",
     "q129_scd2_islands",
+    "q130_transition_matrix",
+    "q131_zipf_slope",
 ]
 
 

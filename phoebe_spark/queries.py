@@ -5285,3 +5285,97 @@ def q129_scd2_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_seen",
         "n_events",
     )
+
+
+@query(
+    "q130_transition_matrix",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {EPOCH_SQL.format(c='ts')} AS es, event_id
+               FROM events),
+    nxt AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id) AS dst,
+             CASE WHEN lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+                       - es <= 1800 THEN 1 ELSE 0 END AS in_session
+      FROM e),
+    t AS (SELECT src, dst, count(*) AS n FROM nxt
+          WHERE dst IS NOT NULL AND in_session = 1 GROUP BY src, dst),
+    tot AS (SELECT src, sum(n) AS tn FROM t GROUP BY src)
+    SELECT t.src, t.dst, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / tn, 6) AS p
+    FROM t JOIN tot ON t.src = tot.src
+    """,
+)
+def q130_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (event_type -> next event_type) step within a 30-minute session
+    horizon, the count and conditional probability P(next | current) —
+    the behavioral model behind next-action prediction and funnel
+    drop-off diagnosis.
+
+    Scale notes: ONE user_id shuffle computes the lead pair per event;
+    transition counts are a map-side-combined groupBy on the 25-cell
+    (src, dst) key; row-normalization joins the 5-row totals broadcast.
+    Ties pinned by (second, event_id)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch().alias("es"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        ((F.lead("es").over(w) - F.col("es")) <= 1800).alias("in_session"),
+    )
+    t = (
+        nxt.filter(F.col("dst").isNotNull() & F.col("in_session"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # 25-cell frame feeding totals AND the normalization join:
+        # materialize once so the lead-window subtree runs once
+        .localCheckpoint(eager=True)
+    )
+    tot = t.groupBy("src").agg(F.sum("n").alias("tn"))
+    return t.join(F.broadcast(tot), "src").select(
+        "src", "dst", "n", F.round(F.col("n") / F.col("tn"), 6).alias("p")
+    )
+
+
+@query(
+    "q131_zipf_slope",
+    oracle=r"""
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''),
+    c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rank)), 6) AS r2
+    FROM r
+    """,
+)
+def q131_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: OLS slope of
+    ln(frequency) on ln(rank) with R² — natural text sits near -1;
+    templated/synthetic corpora deviate sharply, making this a one-row
+    corpus-authenticity fingerprint (Zipf 1949, public).
+
+    Scale notes: token counts are the only corpus-scale shuffle
+    (map-side combined); the rank window and the regression run over the
+    VOCABULARY (orders of magnitude smaller). regr_slope/regr_r2 are
+    single-pass JVM aggregates with identical semantics in DuckDB; ln()
+    of identical integer counts/ranks matches bit-for-bit, and the
+    1-row result rounds at 6dp."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    c = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    r = c.select("n", F.row_number().over(w).alias("rank"))
+    return r.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.expr("regr_slope(ln(n), ln(rank))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(n), ln(rank))"), 6).alias("r2"),
+    )

@@ -406,3 +406,18 @@ def test_q129_single_key_shuffle(spark, sf_dir):
     assert _ops(plan, "Scan parquet") == 1
     assert _ops(plan, "SortMergeJoin") == 0 and _ops(plan, "BroadcastHashJoin") == 0
     assert _ops(plan, "Exchange") == 1  # the single user_id shuffle
+
+
+def test_q130_single_user_shuffle(spark, sf_dir):
+    """Transition pairs come from one lead window — no event self-join."""
+    plan = _plan(spark, sf_dir, "q130_transition_matrix")
+    assert _ops(plan, "Scan parquet") == 0  # lineage cut at the checkpoint
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q131_regression_on_vocabulary(spark, sf_dir):
+    """The corpus is scanned once; the rank window and regression run on
+    the vocabulary-sized count frame."""
+    plan = _plan(spark, sf_dir, "q131_zipf_slope")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "HashAggregate") >= 2  # map-side-combined token counts
