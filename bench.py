@@ -108,6 +108,12 @@ BENCH_QUERIES = [
     "q129_scd2_islands",
     "q130_transition_matrix",
     "q131_zipf_slope",
+    "q132_zorder_locality",
+    "q133_top_unshipped",
+    "q134_promo_share",
+    "q135_disjunctive_pred",
+    "q136_ngram_diversity",
+    "q137_importance_weights",
 ]
 
 

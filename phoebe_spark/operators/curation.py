@@ -314,6 +314,71 @@ def observed_quality_gate(
     return df.observe(obs, *named), obs
 
 
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    arXiv 2302.03169 "Data Selection for Language Models via Importance
+    Resampling" — public): score every document by
+    ``sum_t log(P_target(t) / P_raw(t))`` under two add-k-smoothed unigram
+    LMs, one fit on the ``target`` subset (the distribution you want more
+    of) and one on the whole corpus. High-weight documents look like the
+    target domain; resampling by these weights steers the mixture without
+    a trained classifier.
+
+    Smoothing uses the SHARED corpus vocabulary (V = distinct corpus
+    terms) for both models, so every corpus token has non-zero target
+    probability and the log-ratio is total — no OOV special-casing to
+    drift between engines.
+
+    Scale notes: one explode feeds BOTH LM fits — the corpus-wide term
+    counts and the conditional target counts ride the same
+    map-side-combining ``groupBy(term)`` (``count + sum(CASE WHEN
+    target)``), so the corpus shuffles on terms exactly once for fitting.
+    The two totals and |V| come from one 1-row aggregate of that
+    (vocabulary-sized) frame, broadcast back. Scoring re-explodes and
+    equi-joins terms against the fitted frame (broadcastable when the
+    vocabulary is bounded), then one ``groupBy(doc_id)``. No Python, no
+    driver data.
+    """
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), target.alias("__is_target"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("n_tgt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("n_raw").alias("tot_raw"),
+        F.sum("n_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    k = float(smoothing)
+    lm = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.log((F.col("n_tgt") + k) / (F.col("tot_tgt") + k * F.col("vocab")))
+            - F.log((F.col("n_raw") + k) / (F.col("tot_raw") + k * F.col("vocab")))
+        ).alias("log_ratio"),
+    )
+    return (
+        toks.join(lm, "term")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("log_ratio").alias("log_importance"),
+        )
+    )
+
+
 def check_gate(observation, rules: dict[str, tuple[float, float]]) -> list[str]:
     """Evaluate (lo, hi) inclusive bounds against a completed
     observation; returns the list of violation messages (empty = gate

@@ -5379,3 +5379,338 @@ def q131_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(n), ln(rank))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(n), ln(rank))"), 6).alias("r2"),
     )
+
+
+def _zorder_oracle() -> str:
+    """DuckDB oracle for q132: the IDENTICAL literal Morton interleave
+    (shared generator :func:`layout.morton_expr`, div spelled ``//``) over
+    the same equal-width quantization, bucketed into 16 z-ranges."""
+    from phoebe_spark.operators.layout import morton_expr, quantize_expr
+
+    xq = quantize_expr("l_partkey", "xmin", "xmax", 256, "//")
+    yq = quantize_expr("l_suppkey", "ymin", "ymax", 256, "//")
+    z = morton_expr("xq", "yq", 8, "//")
+    return f"""
+    WITH mm AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+                       min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+                FROM lineitem),
+    q AS (SELECT l_partkey, l_suppkey, {xq} AS xq, {yq} AS yq
+          FROM lineitem, mm),
+    z AS (SELECT l_partkey, l_suppkey, {z} AS zv FROM q)
+    SELECT CAST(zv // 4096 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_partkey) AS BIGINT) AS part_lo,
+           CAST(max(l_partkey) AS BIGINT) AS part_hi,
+           CAST(min(l_suppkey) AS BIGINT) AS supp_lo,
+           CAST(max(l_suppkey) AS BIGINT) AS supp_hi
+    FROM z GROUP BY bucket
+    """
+
+
+@query("q132_zorder_locality", oracle=_zorder_oracle())
+def q132_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout profile: interleave the bits of the
+    quantized ``(l_partkey, l_suppkey)`` pair into one sort key, then
+    report per z-range row counts and BOTH columns' min/max spans — the
+    evidence that sorting by the z-value keeps every contiguous range
+    narrow in both dimensions at once, which is what makes parquet
+    row-group min/max stats prune two-column predicates after a
+    ``ZORDER``-style rewrite (:func:`layout.zorder_layout` is the write
+    path: ``repartitionByRange(__z) + sortWithinPartitions``).
+
+    Scale notes: one tiny min/max aggregate broadcast back as four
+    scalars; the interleave is literal div/mod integer arithmetic —
+    whole-stage codegen, no shuffle besides the 16-group rollup. The
+    identical literal expression runs in DuckDB (generator shared,
+    savgol-oracle pattern)."""
+    from phoebe_spark.operators.layout import morton_expr, quantize_expr
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mm = li.agg(
+        F.min("l_partkey").alias("xmin"),
+        F.max("l_partkey").alias("xmax"),
+        F.min("l_suppkey").alias("ymin"),
+        F.max("l_suppkey").alias("ymax"),
+    )
+    q = li.crossJoin(F.broadcast(mm)).selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        f"{quantize_expr('l_partkey', 'xmin', 'xmax', 256, 'div')} AS xq",
+        f"{quantize_expr('l_suppkey', 'ymin', 'ymax', 256, 'div')} AS yq",
+    )
+    z = q.selectExpr(
+        "l_partkey", "l_suppkey", f"{morton_expr('xq', 'yq', 8, 'div')} AS zv"
+    )
+    return z.groupBy((F.expr("zv div 4096")).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_partkey").cast("long").alias("part_lo"),
+        F.max("l_partkey").cast("long").alias("part_hi"),
+        F.min("l_suppkey").cast("long").alias("supp_lo"),
+        F.max("l_suppkey").cast("long").alias("supp_hi"),
+    )
+
+
+@query(
+    "q133_top_unshipped",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(date_diff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT) AS order_day,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q133_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-10): revenue still unshipped
+    at the cutoff for one market segment — an ordered-limit over a
+    fact-fact join that Catalyst executes as a TakeOrderedAndProject
+    (per-partition top-10 heaps, only 10 rows per task reach the driver
+    stage — no global sort materialization at any scale).
+
+    Scale notes: both date filters push into the parquet scans; the
+    segment filter shrinks customer before it broadcasts; the single real
+    shuffle is lineitem join orders on orderkey. Ties are pinned by
+    (revenue DESC, orderkey ASC) so LIMIT 10 is deterministic."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum2(rev).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("order_day"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q134_promo_share",
+    oracle="""
+    SELECT
+      CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+      CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue,
+      round(100.0 * CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+               / CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE), 6) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-03-01'
+    """,
+)
+def q134_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the revenue share of PROMO-type
+    parts in a two-month ship window — conditional aggregation over a
+    broadcast dimension join, the canonical "rate inside one scan"
+    pattern (no second scan, no self-join for the denominator).
+
+    Scale notes: the ship-date range pushes into the lineitem scan; part
+    broadcasts (only p_partkey + p_type survive pruning); both sums ride
+    one map-side-combined aggregate. Money stays DECIMAL until the final
+    rounded doubles, so partial-aggregation order can't wiggle cents."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 2)
+        .cast("double")
+        .alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+@query(
+    "q135_disjunctive_pred",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q135_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs predicate that mixes columns from BOTH join sides — the
+    classic case where a naive engine evaluates the whole disjunction
+    post-join. Catalyst extracts the common join key AND pushes the
+    per-side residuals (brand/size prefilter into the part scan via
+    constraint propagation of the OR's part-only projection is not free,
+    so the broadcast stays small by column pruning instead).
+
+    Scale notes: part broadcasts (3 columns after pruning); the
+    disjunction runs as one codegen stage on the joined row; one
+    map-side-combined global aggregate returns a single row."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum2(rev).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q136_ngram_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (SELECT lang, unnest(t) AS g FROM toks),
+    bi AS (
+      SELECT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT u.lang,
+           u.n_tokens, u.distinct_tokens, round(u.ttr, 6) AS ttr,
+           b.n_bigrams, b.distinct_bigrams, round(b.bttr, 6) AS bigram_ttr
+    FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT g) AS BIGINT) AS distinct_tokens,
+                 count(DISTINCT g) * 1.0 / count(*) AS ttr
+          FROM uni GROUP BY lang) u
+    JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams,
+                 count(DISTINCT g) * 1.0 / count(*) AS bttr
+          FROM bi GROUP BY lang) b USING (lang)
+    """,
+)
+def q136_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity fingerprint per language: type-token ratio at the
+    unigram and bigram level — templated or over-deduplicated corpora
+    collapse to low TTR, synthetic word soup approaches 1.0; pipelines
+    track both to catch generation/curation regressions.
+
+    Scale notes: one tagged explode per n-gram order feeding
+    ``count(DISTINCT)`` aggregates that Spark executes as two-stage
+    partial-distinct (expand + map-side dedup on (lang, gram)) — the
+    corpus shuffles distinct grams only, never raw token streams; bigrams
+    come from a zip-with-next array transform inside the scan, no window,
+    no self-join."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = d.select("lang", text.tokens(F.col("text")).alias("t"))
+    uni = t.select("lang", F.explode("t").alias("g"))
+    bi = t.filter(F.size("t") >= 2).select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("g"),
+    )
+    u = uni.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("g").alias("distinct_tokens"),
+    )
+    b = bi.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("distinct_bigrams"),
+    )
+    return (
+        u.join(b, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "distinct_tokens",
+            F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+            "n_bigrams",
+            "distinct_bigrams",
+            F.round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias("bigram_ttr"),
+        )
+    )
+
+
+@query(
+    "q137_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t, unnest({_TOKS_SQL}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (
+      SELECT term, count(*) AS n_raw,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt
+      FROM toks GROUP BY term
+    ),
+    tot AS (SELECT sum(n_raw) AS tr, sum(n_tgt) AS tt, count(*) AS v FROM counts),
+    lm AS (
+      SELECT term, ln((n_tgt + 1.0) / (tt + 1.0 * v))
+                   - ln((n_raw + 1.0) / (tr + 1.0 * v)) AS lr
+      FROM counts, tot
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr), 6) AS log_importance
+    FROM toks t JOIN lm USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def q137_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (:func:`curation.importance_weights`,
+    Xie et al. 2023): per-doc ``sum log(P_en(t)/P_corpus(t))`` under two
+    add-1-smoothed unigram LMs sharing the corpus vocabulary — the
+    hashed-n-gram importance-resampling signal that steers a 100 TB raw
+    crawl toward a target domain without training a classifier.
+
+    Scale notes: one explode feeds both LM fits (corpus + conditional
+    target counts in the SAME map-side-combined groupBy(term)); totals and
+    |V| broadcast from a 1-row aggregate of the vocabulary frame; scoring
+    is explode -> term equi-join -> per-doc sum. Log-ratio sums round at
+    6dp, far above double reassociation error for ~1e2-token docs."""
+    from phoebe_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    out = curation.importance_weights(d, target=F.col("lang") == "en")
+    return out.select(
+        "doc_id", "n_tokens", F.round("log_importance", 6).alias("log_importance")
+    )

@@ -209,3 +209,43 @@ def test_column_profile_odd_names(spark):
     rows = column_profile(df, ["my col", "o'brien.x"]).collect()
     got = {r["col_name"]: (r["n_nulls"], r["n_distinct"], r["n_rows"]) for r in rows}
     assert got == {"my col": (0, 2, 2), "o'brien.x": (1, 1, 2)}
+
+
+def test_importance_weights_direction_and_totals(spark):
+    """Docs made of target-only vocabulary must score higher than docs of
+    off-target vocabulary; weights must match a hand-computed add-1 model."""
+    import math
+
+    rows = [
+        (1, "en", "alpha alpha beta"),
+        (2, "en", "alpha beta beta"),
+        (3, "de", "gamma gamma delta"),
+        (4, "de", "gamma delta delta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curation.importance_weights(d, F.col("lang") == "en").collect()
+    }
+    assert all(out[i]["n_tokens"] == 3 for i in (1, 2, 3, 4))
+    # target (en) docs must out-rank the off-target (de) docs
+    assert min(out[1]["log_importance"], out[2]["log_importance"]) > max(
+        out[3]["log_importance"], out[4]["log_importance"]
+    )
+    # hand check doc 1: corpus totals 12 tokens, vocab 4; en totals 6.
+    # alpha: n_raw=3 n_tgt=3; beta: n_raw=3 n_tgt=3
+    lr = (math.log((3 + 1) / (6 + 4)) - math.log((3 + 1) / (12 + 4)))
+    assert abs(out[1]["log_importance"] - 3 * lr) < 1e-9
+
+
+def test_importance_weights_smoothing_covers_oov_target(spark):
+    """A token absent from the target subset still gets finite weight."""
+    import math
+
+    rows = [(1, "en", "alpha"), (2, "de", "omega omega")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r["log_importance"]
+        for r in curation.importance_weights(d, F.col("lang") == "en").collect()
+    }
+    assert all(math.isfinite(v) for v in out.values())

@@ -421,3 +421,61 @@ def test_q131_regression_on_vocabulary(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q131_zipf_slope")
     assert _ops(plan, "Scan parquet") == 1
     assert _ops(plan, "HashAggregate") >= 2  # map-side-combined token counts
+
+
+def test_q132_codegen_interleave(spark, sf_dir):
+    """Morton interleave is pure codegen arithmetic over a broadcast
+    min/max scalar frame — no Python, no sort, one 16-group rollup."""
+    plan = _plan(spark, sf_dir, "q132_zorder_locality")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _ops(plan, "BroadcastNestedLoopJoin") == 1  # 1-row min/max frame
+    assert _ops(plan, "Sort") == 0
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_q133_take_ordered(spark, sf_dir):
+    """Top-10 runs as TakeOrderedAndProject (per-partition heaps), never a
+    global sort; date filters reach the scans; customer broadcasts."""
+    plan = _plan(spark, sf_dir, "q133_top_unshipped")
+    assert _ops(plan, "TakeOrderedAndProject") == 1
+    assert "IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 1
+
+
+def test_q134_single_scan_conditional_agg(spark, sf_dir):
+    """Numerator and denominator ride ONE scan + one broadcast join —
+    no second pass for the rate."""
+    plan = _plan(spark, sf_dir, "q134_promo_share")
+    assert _ops(plan, "Scan parquet") == 2  # lineitem + part, once each
+    assert _ops(plan, "BroadcastHashJoin") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range at the scan
+
+
+def test_q135_pruned_broadcast(spark, sf_dir):
+    """Disjunctive predicate: part broadcasts with only 3 columns; the
+    OR runs post-join in codegen, not as a union of scans."""
+    plan = _plan(spark, sf_dir, "q135_disjunctive_pred")
+    assert _ops(plan, "Scan parquet") == 2
+    assert _ops(plan, "BroadcastHashJoin") == 1
+    assert "ReadSchema: struct<p_partkey:bigint,p_brand:string,p_size:int>" in plan
+
+
+def test_q136_no_token_stream_selfjoin(spark, sf_dir):
+    """TTR at two n-gram orders: each order is one explode; distinct
+    counts run as partial-distinct aggregates, no self-joins of the
+    token stream."""
+    plan = _plan(spark, sf_dir, "q136_ngram_diversity")
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 1  # 5-row final join only
+    assert _ops(plan, "Generate") == 2  # one explode per order
+
+
+def test_q137_single_fit_shuffle(spark, sf_dir):
+    """Both LMs (corpus + target-conditional) fit in the SAME groupBy —
+    the corpus shuffles on terms once for fitting; lineage cut at the
+    vocabulary checkpoint keeps the scoring join's build side bounded."""
+    plan = _plan(spark, sf_dir, "q137_importance_weights")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scoring side: explode + term join + doc rollup; fit side is behind
+    # the checkpoint (scan appears once for the scoring explode)
+    assert _ops(plan, "Scan parquet") <= 2
