@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "q135_disjunctive_pred",
     "q136_ngram_diversity",
     "q137_importance_weights",
+    "q138_prefix_ssjoin",
+    "q139_jsonl_roundtrip",
 ]
 
 

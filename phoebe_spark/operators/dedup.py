@@ -788,6 +788,102 @@ def chunk_dedup_stats(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin family:
+    Chaudhuri et al. ICDE'06 SSJoin, Xiao et al. WWW'08 — public
+    algorithms): every pair of documents whose n-gram-shingle Jaccard is
+    >= ``threshold``, with ZERO recall loss — the exactness alternative to
+    probabilistic MinHash-LSH (q24) and to :func:`ngram_jaccard_pairs`'s
+    df-capped lower bound (q13).
+
+    The filter: order each document's shingles by GLOBAL rarity (document
+    frequency asc, shingle asc — any total order shared by all docs
+    works), and keep only the first ``|s| - ceil(t*|s|) + 1`` as the
+    document's *prefix*. Two sets with Jaccard >= t MUST share at least
+    one prefix element (if A's prefix misses B entirely, the intersection
+    fits in A's suffix of ceil(t|A|)-1 elements < t|A| <= |A∩B|), so
+    equi-joining prefixes loses nothing. Because prefixes are the RAREST
+    shingles, posting groups stay tiny without any frequency cap — the
+    hot-stopword quadratic that forces q13's cap never materializes.
+
+    Plan (6 bounded shuffles, no cross join, no driver data):
+      1. per-doc distinct shingle sets (shingling window's doc partition)
+      2. groupBy(shingle) document frequencies
+      3. postings join df -> per-doc rarity-sorted array, slice prefix
+      4. groupBy(prefix shingle): i<j pair expansion with the size filter
+         ``min_sz >= t * max_sz`` (Jaccard <= min/max)
+      5-6. candidates join full sets (by doc) twice; exact verification
+         ``|A∩B| / (|A|+|B|-|A∩B|) >= t`` via array_intersect.
+    ``ceil(t*sz)`` is computed with a 1e-9 slack so float rounding can
+    only LENGTHEN a prefix (extra candidates die in verification) — never
+    shorten it (which would silently drop true pairs).
+    """
+    post = shingle_postings(df, id_col, text_col, n, distinct=False)
+    sets_ = (
+        post.groupBy("doc")
+        .agg(F.collect_set("shingle").alias("set"))
+        .withColumn("sz", F.size("set"))
+        .localCheckpoint(eager=True)  # feeds df-counts, prefixes, AND verify
+    )
+    sized = sets_.select("doc", "sz", F.explode("set").alias("shingle"))
+    dfc = sized.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    t = float(threshold)
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * t - 1e-9).cast("int") + 1
+    pref = (
+        sized.join(dfc, "shingle")
+        .groupBy("doc", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("os"))
+        .select(
+            "doc",
+            "sz",
+            F.explode(F.slice("os", 1, F.greatest(prefix_len, F.lit(1)))).alias("p"),
+        )
+        .select("doc", "sz", F.col("p.shingle").alias("shingle"))
+    )
+    grouped = pref.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("doc"), F.col("sz"))).alias("ds")
+    )
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(x["doc"], y["doc"]).alias("doc_a"),
+                    F.greatest(x["doc"], y["doc"]).alias("doc_b"),
+                    F.least(x["sz"], y["sz"]).alias("min_sz"),
+                    F.greatest(x["sz"], y["sz"]).alias("max_sz"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.min_sz") * 1.0 >= F.col("p.max_sz") * t - 1e-9)
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sets_.select(F.col("doc").alias("doc_a"), F.col("set").alias("_sa"), F.col("sz").alias("_za"))
+    sb = sets_.select(F.col("doc").alias("doc_b"), F.col("set").alias("_sb"), F.col("sz").alias("_zb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("jaccard", F.col("inter") / (F.col("_za") + F.col("_zb") - F.col("inter")))
+        .withColumn("containment", F.col("inter") / F.least("_za", "_zb"))
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard", "containment")
+    )
+
+
 def _ordered_pair_structs(ds, a_name: str, b_name: str):
     """i<j pair expansion over a SORTED id array: nested transform+slice
     emitting struct(a_name, b_name) combinations JVM-side. Shared by the

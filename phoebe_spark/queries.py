@@ -5714,3 +5714,100 @@ def q137_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", F.round("log_importance", 6).alias("log_importance")
     )
+
+
+@query(
+    "q138_prefix_ssjoin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 5
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                          i -> array_to_string(t[i:i+4], ' '))) AS grams
+      FROM toks
+    ),
+    posting AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS size_a, b.sz AS size_b,
+             count(*) AS inter
+      FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (size_a + size_b - inter), 6) AS jaccard,
+           round(inter * 1.0 / least(size_a, size_b), 6) AS containment
+    FROM pairs WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5
+    """,
+)
+def q138_prefix_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering
+    (:func:`dedup.prefix_filter_jaccard_pairs`, PPJoin family — Chaudhuri
+    ICDE'06 / Xiao WWW'08): all pairs with 5-gram Jaccard >= 0.5, zero
+    recall loss, plus the asymmetric CONTAINMENT score
+    (``inter/min(sz)``) that flags near-subset duplication symmetric
+    Jaccard under-rates. Candidate generation touches only each doc's
+    rarest-shingle prefix, so hot-stopword posting groups never pair up —
+    the exactness alternative to q24's probabilistic LSH and q13's
+    df-capped lower bound. The oracle is the brute-force inverted-index
+    join over ALL postings: matching it certifies the prefix filter
+    dropped nothing.
+
+    Scale notes: prefixes shrink pair generation by design (rarity-sorted
+    df ordering); every shuffle is bounded (doc- or shingle-keyed); the
+    full-set verify joins only the candidate pairs. No cap, no
+    cross-join, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.prefix_filter_jaccard_pairs(d, n=5, threshold=0.5)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+@query(
+    "q139_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(length(text)) AS BIGINT) AS text_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q139_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip (:mod:`phoebe_spark.sources.jsonl`):
+    export the corpus as newline-delimited JSON, re-ingest it with an
+    explicit schema (no inference pass), and aggregate per language —
+    matching the oracle computed on the ORIGINAL parquet certifies the
+    round-trip is lossless down to every text byte (sum of text lengths
+    rides the check).
+
+    Scale notes: JSONL part-files split on line boundaries (full read
+    parallelism at any corpus size); the explicit schema keeps re-ingest
+    one pass with field pruning inside the JSON parser; writes stream
+    partition-parallel, nothing through the driver."""
+    import os
+
+    from phoebe_spark.sources import jsonl
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/phoebe_jsonl_{tag}"
+    jsonl.write_jsonl(d, path)
+    back = jsonl.read_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.length("text")).alias("text_chars"),
+    )

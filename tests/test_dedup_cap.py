@@ -227,3 +227,67 @@ def test_hamming_pairs_multi_fingerprint_doc(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["doc_a"], r["doc_b"], r["hamming"]) == (1, 2, 0)  # min over combos
+
+
+def test_prefix_filter_matches_brute_force(spark):
+    """The prefix filter must be EXACT: identical pair set + scores to a
+    brute-force all-pairs Jaccard, including threshold-boundary pairs and
+    near-subset (containment) cases."""
+    import itertools
+
+    from phoebe_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        (1, base),                                  # identical pair (J=1)
+        (2, base),
+        (3, base + " x0 x1"),                       # near-dup of 1/2
+        (4, "w5 w6 w7 w8 w9 y0 y1 y2 y3 y4"),       # overlaps tail
+        (5, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"),       # disjoint
+        (6, "w0 w1 w2 w3 w4"),                      # strict subset prefix (containment=1 vs 1)
+        (7, "a b"),                                 # tiny (below n -> empty set)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r["doc_a"], r["doc_b"]): (round(r["jaccard"], 9), round(r["containment"], 9))
+        for r in prefix_filter_jaccard_pairs(df, n=3, threshold=t).collect()
+    }
+
+    def shingles(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+
+    want = {}
+    sets = {i: shingles(tx) for i, tx in rows}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= t:
+            want[(a, b)] = (round(j, 9), round(inter / min(len(sa), len(sb)), 9))
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == (1.0, 1.0)
+    # doc6 is a strict subset (containment 1.0) but J = 3/8 < t: the
+    # operator filters on JACCARD, so the brute-force dict correctly
+    # excludes it — containment-only pairs are a reporting column, not a
+    # keep criterion.
+    assert (1, 6) not in got
+
+
+def test_prefix_filter_boundary_threshold(spark):
+    """A pair sitting EXACTLY at the threshold must be kept (>=, and the
+    ceil slack may only widen the candidate prefix, never narrow it)."""
+    from phoebe_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    # two docs, 1-gram sets {a,b,c,d} and {c,d,e,f}: inter=2, union=6,
+    # J = 1/3 exactly
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f")], "doc_id long, text string"
+    )
+    got = prefix_filter_jaccard_pairs(df, n=1, threshold=1 / 3).collect()
+    assert len(got) == 1 and abs(got[0]["jaccard"] - 1 / 3) < 1e-12

@@ -470,6 +470,15 @@ def test_q136_no_token_stream_selfjoin(spark, sf_dir):
     assert _ops(plan, "Generate") == 2  # one explode per order
 
 
+def test_q138_no_cartesian_no_python(spark, sf_dir):
+    """Prefix-filter SSJoin: candidate generation is grouped pair
+    expansion (no cross join anywhere in the plan), verification is an
+    equi-join of candidates against the set frame, all JVM."""
+    plan = _plan(spark, sf_dir, "q138_prefix_ssjoin")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q137_single_fit_shuffle(spark, sf_dir):
     """Both LMs (corpus + target-conditional) fit in the SAME groupBy —
     the corpus shuffles on terms once for fitting; lineage cut at the

@@ -86,3 +86,31 @@ def test_predictions_store_roundtrip(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS profiles")
     spark.sql("DROP TABLE IF EXISTS predictions")
+
+
+def test_jsonl_roundtrip_and_malformed(spark, tmp_path):
+    """JSONL write/read round-trip preserves values and types; malformed
+    lines surface as all-null rows in PERMISSIVE mode instead of failing
+    the read."""
+    from phoebe_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, 'quote " and \\ backslash', 3.5), (2, "unicode é中", -1.0)],
+        "id long, s string, v double",
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "id long, s string, v double")
+    assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+        (1, 'quote " and \\ backslash', 3.5),
+        (2, "unicode é中", -1.0),
+    ]
+
+    # add a new part-file containing a malformed line (appending to an
+    # existing part would trip Spark's cached file-size metadata)
+    with open(os.path.join(path, "part-99999-manual.json"), "w") as f:
+        f.write("{not json at all\n")
+    spark.catalog.refreshByPath(path)
+    rows = read_jsonl(spark, path, "id long, s string, v double").collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r["id"] is None and r["s"] is None) == 1
