@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "q137_importance_weights",
     "q138_prefix_ssjoin",
     "q139_jsonl_roundtrip",
+    "q140_bpe_pair_stats",
 ]
 
 

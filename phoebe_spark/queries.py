@@ -5811,3 +5811,57 @@ def q139_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.sum(F.length("text")).alias("text_chars"),
     )
+
+
+@query(
+    "q140_bpe_pair_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS w FROM documents WHERE trim(text) <> ''
+    ),
+    pairs AS (
+      SELECT w[i] || w[i+1] AS pair
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2)
+    ),
+    counted AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+    tot AS (SELECT sum(n) AS t FROM counted)
+    SELECT pair, CAST(n AS BIGINT) AS n, round(n * 1.0 / t, 6) AS share
+    FROM counted, tot
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def q140_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer training at corpus scale (Sennrich et
+    al. 2016, arXiv 1508.07909 — public): the frequency of every adjacent
+    symbol pair inside words, top-20 with corpus share — the statistic a
+    byte-pair-encoding trainer recomputes per merge; at 100 TB this
+    aggregation IS the tokenizer-training bottleneck, so it must run as a
+    distributed map-side-combined count, never a driver-side vocabulary
+    walk.
+
+    Scale notes: two nested codegen explodes (words, then in-word
+    character pairs via ``transform(sequence)`` + ``substring``) feed one
+    groupBy(pair) whose key space is bounded (alphabet²); the top-20 is a
+    TakeOrderedAndProject over the tiny pair frame; the corpus-total
+    share denominator broadcasts from a 1-row aggregate. Ties pinned by
+    (n DESC, pair ASC)."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = d.select(F.explode(text.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    tot = counted.agg(F.sum("n").alias("t"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select("pair", "n", F.round(F.col("n") / F.col("t"), 6).alias("share"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -137,6 +137,10 @@ def run_scale(spark, scale: int) -> dict:
             bands=8,  # combo-2 pigeonhole: 28 x 16-bit keys, ~2^-16 collisions
         ),
     )
+    t(
+        "prefix_ssjoin",
+        dedup.prefix_filter_jaccard_pairs(docs, n=5, threshold=0.5),
+    )
     t("bm25", text.bm25_scores(docs, terms=("spark", "hash", "key")))
     t("token_entropy", text.token_entropy(docs))
     t(
