@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q138_prefix_ssjoin",
     "q139_jsonl_roundtrip",
     "q140_bpe_pair_stats",
+    "q141_cms_gate",
 ]
 
 
@@ -140,6 +141,11 @@ def main() -> None:
     spark.range(64).repartition(8).groupBy(F.col("id") % 8).applyInPandas(
         lambda pdf: pd.DataFrame({"n": [len(pdf)]}), "n long"
     ).collect()
+    # first broadcast-exchange init costs ~2 s once per JVM — warm it so
+    # it doesn't land on whichever query first broadcasts
+    spark.range(1000).join(
+        F.broadcast(spark.createDataFrame([(1, "x")], "id long, s string")), "id"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -2633,44 +2633,35 @@ def q71_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     view -> click -> purchase with strictly increasing timestamps — the
     sequence-matching operator class (funnel / user-path analytics).
 
-    Spark shape: ONE shuffle on user_id. Each user's (sec, type) events
-    collect into a sorted array, and a single ``aggregate`` walk over it
-    resolves the dependent step times (t1 = first view, t2 = first click
-    after t1, t3 = first purchase after t2) as a 3-slot state machine in
-    codegen. Per-user state is bounded by that user's event count. No
-    self-joins on the event table, no per-step shuffles — the shape that
-    survives 100 TB of events (the oracle uses the textbook
-    three-self-join form, which would be three fact-fact shuffles here)."""
+    Spark shape: ONE shuffle on user_id. The dependent step times reduce
+    to chained minima — t1 = min view sec, t2 = min click sec > t1,
+    t3 = min purchase sec > t2 (with time-sorted events, "first X after
+    Y" IS the minimum over the qualifying set) — so the whole funnel is
+    one groupBy(user) emitting t1 plus two per-type second arrays, and
+    two ``array_min(filter(...))`` expressions. No sort, no self-joins,
+    no per-step shuffles — the shape that survives 100 TB of events (the
+    oracle uses the textbook three-self-join form, which would be three
+    fact-fact shuffles here). An earlier version resolved the steps with
+    a 3-slot ``aggregate`` state walk over the sorted event array —
+    equivalent output, but the generated code was large enough to cost
+    ~3 s of one-time codegen compilation; the min form is a few lines of
+    bytecode."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "purchase")
     ).select("user_id", "event_type", _epoch("ts").alias("sec"))
+    # collect_list skips the when()'s null branch, so each array holds
+    # exactly that type's seconds; per-user state stays bounded by the
+    # user's event count, as before
     per_user = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("sec", "event_type"))).alias("evs")
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias("t1"),
+        F.collect_list(F.when(F.col("event_type") == "click", F.col("sec"))).alias("clicks"),
+        F.collect_list(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias("buys"),
     )
-    # single aggregate walk over the ordered per-user events: a 3-slot
-    # state (t1, t2, t3) updated left-to-right entirely in codegen
-    init = F.struct(
-        F.lit(None).cast("long").alias("t1"),
-        F.lit(None).cast("long").alias("t2"),
-        F.lit(None).cast("long").alias("t3"),
-    )
-    def step(acc, e):
-        is_view = e["event_type"] == "view"
-        is_click = e["event_type"] == "click"
-        is_buy = e["event_type"] == "purchase"
-        t1 = F.when(acc["t1"].isNull() & is_view, e["sec"]).otherwise(acc["t1"])
-        t2 = F.when(
-            acc["t2"].isNull() & is_click & acc["t1"].isNotNull() & (e["sec"] > acc["t1"]),
-            e["sec"],
-        ).otherwise(acc["t2"])
-        t3 = F.when(
-            acc["t3"].isNull() & is_buy & acc["t2"].isNotNull() & (e["sec"] > acc["t2"]),
-            e["sec"],
-        ).otherwise(acc["t3"])
-        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
-    walked = per_user.select(F.aggregate("evs", init, step).alias("st"))
-    counts = walked.agg(
-        F.count("st.t1").alias("n1"), F.count("st.t2").alias("n2"), F.count("st.t3").alias("n3")
+    stepped = per_user.withColumn(
+        "t2", F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
+    ).withColumn("t3", F.array_min(F.filter("buys", lambda b: b > F.col("t2"))))
+    counts = stepped.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
     )
     steps = spark.createDataFrame(
         [(1, "view"), (2, "click"), (3, "purchase")], "step INT, event_type STRING"
@@ -5864,4 +5855,84 @@ def q140_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "n", F.round(F.col("n") / F.col("t"), 6).alias("share"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
+    )
+
+
+@query(
+    "q141_cms_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents WHERE trim(text) <> ''
+    ),
+    exact AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    probes AS (SELECT tok, n FROM exact ORDER BY n DESC, tok ASC LIMIT 20),
+    seeded AS (
+      SELECT t.tok, s.s,
+             {_MD5H_SQL.format(x="t.tok || '|' || s.s")} % 256 AS bucket
+      FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+    ),
+    counters AS (SELECT s, bucket, count(*) AS c FROM seeded GROUP BY s, bucket),
+    est AS (
+      SELECT p.tok, min(c.c) AS cms_est
+      FROM probes p
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+      JOIN counters c ON c.s = s.s
+                     AND c.bucket = {_MD5H_SQL.format(x="p.tok || '|' || s.s")} % 256
+      GROUP BY p.tok
+    )
+    SELECT p.tok, CAST(p.n AS BIGINT) AS exact_n,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - p.n AS BIGINT) AS overcount
+    FROM probes p JOIN est e USING (tok)
+    """,
+)
+def q141_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch certification (Cormode & Muthukrishnan 2005 —
+    public): build a depth-4 x width-256 CMS over the corpus token stream
+    with the oracle-portable md5 hash family, then report, for the top-20
+    true heavy hitters, the exact count beside the sketch estimate and
+    its overcount — completing the sketch-gate family (q116 HLL
+    cardinality, q117 quantile sketch) with the counting sketch. The CMS
+    never undercounts (est = min over rows of a counter that includes
+    every occurrence), and the overcount column is the measured collision
+    mass the width bounds in expectation by N/256 per row.
+
+    Scale notes: the sketch build is a groupBy on (seed, bucket) — 1,024
+    cells of map-side-combined state regardless of vocabulary size (the
+    whole point: per-key state O(d*w), not O(|domain|)); probes broadcast
+    into the cell frame; exact counts come from one vocabulary-sized
+    groupBy reused for probe selection (checkpointed, scanned once)."""
+    from phoebe_spark.operators.dedup import md5_hash64
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("tok")).localCheckpoint(
+        eager=True
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    probes = exact.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s")
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("tok"), F.lit("|"), F.col("s").cast("string"))),
+        F.lit(256),
+    )
+    counters = (
+        toks.select("tok", seeds)
+        .select("s", bucket.alias("bucket"))
+        .groupBy("s", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        probes.select("tok", "n", seeds)
+        .select("tok", "n", "s", bucket.alias("bucket"))
+        .join(counters, ["s", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").alias("exact_n"),
+        "cms_est",
+        (F.col("cms_est") - F.col("n")).alias("overcount"),
     )

@@ -128,3 +128,72 @@ def keyed_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HH_OUTPUT_SCHEMA = "key STRING, item STRING, count_lb LONG, n_total LONG"
+HH_STATE_SCHEMA = "items ARRAY<STRING>, counts ARRAY<LONG>, n_total LONG"
+
+
+def keyed_heavy_hitters(
+    stream: DataFrame,
+    k: int = 16,
+    key_col: str = "key",
+    item_col: str = "item",
+) -> DataFrame:
+    """Per-key STREAMING heavy hitters via Misra-Gries summaries (Misra &
+    Gries 1982, "Finding repeated elements" — public): each key carries at
+    most ``k`` (item, counter) pairs in the state store; every item whose
+    true frequency exceeds ``n_total / k`` is guaranteed tracked, and each
+    reported counter is a lower bound within ``n_total / k`` of the true
+    count. The streaming analogue of the batch top-k census (q79/q110)
+    when the item domain is unbounded and a full groupBy state would grow
+    without limit — O(k) state per key, checkpointed, rescale-safe.
+
+    Emits the current summary (one row per tracked item) each micro-batch
+    in update mode; downstream can filter ``count_lb >= n_total * phi``
+    for a support threshold phi > 1/k.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, n_total = state.get
+            counters = dict(zip(list(items), list(counts)))
+        else:
+            counters, n_total = {}, 0
+        for pdf in pdfs:
+            for x in pdf[item_col]:
+                x = str(x)
+                n_total += 1
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:
+                    # decrement-all: the O(1)-amortized dict form
+                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        items = sorted(counters)
+        state.update((items, [int(counters[i]) for i in items], int(n_total)))
+        out = sorted(counters.items(), key=lambda ic: (-ic[1], ic[0]))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(out),
+                "item": [i for i, _ in out],
+                "count_lb": [c for _, c in out],
+                "n_total": [n_total] * len(out),
+            }
+        )
+
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(item_col).cast("string").alias(item_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

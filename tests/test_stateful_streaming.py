@@ -151,3 +151,69 @@ def test_keyed_cusum_matches_batch(spark, tmp_path):
         assert r.alarm == bmap[r.key].alarm
     # the drifted key should actually be alarming
     assert bmap["b"].alarm
+
+
+def test_keyed_heavy_hitters_misra_gries_guarantee(spark, tmp_path):
+    """Streaming Misra-Gries across 3 micro-batches: every item with true
+    frequency > n/k must be tracked, every reported counter must be a
+    lower bound within n/k of the true count, and state must be capped
+    at k entries."""
+    import collections
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    from phoebe_spark.streaming.stateful import keyed_heavy_hitters
+
+    # skewed item stream: 'hot0'..'hot2' dominate, 60 unique tail items
+    rows = []
+    seq = 0
+    for rep, batchno in ((0, 0), (1, 1), (2, 2)):
+        for i in range(100):
+            item = f"hot{i % 3}" if i % 2 == 0 else f"tail{batchno}_{i}"
+            rows.append((batchno, seq, "s", item))
+            seq += 1
+    df = spark.createDataFrame(rows, "b LONG, seq LONG, key STRING, item STRING")
+
+    src = str(tmp_path / "hh_src")
+    for b in (0, 1, 2):
+        df.filter(F.col("b") == b).coalesce(1).sortWithinPartitions("seq").select(
+            "key", "item"
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("key STRING, item STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    k = 8
+    out = keyed_heavy_hitters(stream, k=k)
+    q = run_to_sink(out, str(tmp_path / "hh_ck"), output_mode="update", queryName="hh_q")
+    q.awaitTermination(120)
+    q.stop()
+
+    final = (
+        spark.sql("SELECT * FROM hh_q")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("key", "item").orderBy(F.col("n_total").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .collect()
+    )
+    # keep only the rows from the LAST summary (max n_total)
+    n = max(r["n_total"] for r in final)
+    summary = {r["item"]: r["count_lb"] for r in final if r["n_total"] == n}
+    true = collections.Counter(item for _, _, _, item in rows)
+    assert n == len(rows)
+    assert len(summary) <= k
+    thresh = n / k
+    for item, cnt in true.items():
+        if cnt > thresh:
+            assert item in summary, f"frequent item {item} lost"
+    for item, lb in summary.items():
+        assert lb <= true[item]
+        assert lb >= true[item] - thresh
