@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "q139_jsonl_roundtrip",
     "q140_bpe_pair_stats",
     "q141_cms_gate",
+    "q142_partition_pruning",
+    "q143_orc_roundtrip",
+    "q144_skyline_users",
+    "q145_bpe_train",
 ]
 
 

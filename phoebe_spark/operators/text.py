@@ -341,3 +341,77 @@ def source_kl(df: DataFrame, group_col: str = "source", text_col: str = "text") 
             F.max("n").alias("n_tokens"),
         )
     )
+
+
+BPE_SEP = "\x1f"  # unit separator: never appears in whitespace-split tokens
+
+
+def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tuple]:
+    """Iterative BPE merge learning at corpus scale (Sennrich et al. 2016,
+    arXiv 1508.07909 — public): run ``rounds`` merge rounds over a corpus
+    of words, each round (1) counting every adjacent symbol pair with a
+    distributed map-side-combined groupBy, (2) picking the most frequent
+    pair (ties broken (count DESC, left ASC, right ASC) so the learned
+    vocabulary is deterministic), and (3) applying the merge greedily
+    left-to-right to every word. Returns the learned merge table
+    ``[(round, left, right, merged, count), ...]`` — the artifact a BPE
+    tokenizer trainer ships.
+
+    Representation trick that keeps the merge step in pure codegen: each
+    word is a single string of sentinel-prefixed symbols
+    (``\\x1f + sym`` per symbol), so the greedy leftmost non-overlapping
+    merge of pair (a, b) IS literal string ``replace(w, SEP+a+SEP+b,
+    SEP+a+b)`` — both engines' ``replace`` scans left-to-right and
+    continues after each replacement, which is exactly BPE's application
+    order. No per-row Python, no array rebuilds.
+
+    Scale notes: the per-round pair count is the q140 aggregation
+    (bounded key space, map-side combine); the 1-row argmax collect is a
+    model parameter fetch, not a data collect; words are re-checkpointed
+    each round so lineage stays O(1) across rounds (the q53/q118
+    iterative-algorithm discipline).
+    """
+    w = F.col(word_col)
+    cur = words.select(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.concat(F.lit(BPE_SEP), F.substring(w, i, F.lit(1))),
+            ),
+            "",
+        ).alias("w")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        syms = F.filter(F.split(F.col("w"), BPE_SEP), lambda x: x != "")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l_sym"),
+                    F.element_at(syms, i + 1).alias("r_sym"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l_sym:string,r_sym:string>>"))
+        best = (
+            cur.select(F.explode(prs).alias("p"))
+            .groupBy(F.col("p.l_sym").alias("l_sym"), F.col("p.r_sym").alias("r_sym"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("l_sym"), F.asc("r_sym"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l_sym, r_sym, n = best[0]["l_sym"], best[0]["r_sym"], best[0]["n"]
+        merges.append((rnd, l_sym, r_sym, l_sym + r_sym, int(n)))
+        cur = cur.select(
+            F.replace(
+                F.col("w"),
+                F.lit(BPE_SEP + l_sym + BPE_SEP + r_sym),
+                F.lit(BPE_SEP + l_sym + r_sym),
+            ).alias("w")
+        ).localCheckpoint(eager=True)
+    return merges

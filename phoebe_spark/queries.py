@@ -5936,3 +5936,215 @@ def q141_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("n")).alias("overcount"),
     )
+
+
+@query(
+    "q142_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+           CAST(min(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_sec,
+           CAST(max(epoch_ns(ts) // 1000000000) AS BIGINT) AS last_sec
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q142_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned table layout + directory-pruned read
+    (:mod:`phoebe_spark.sources.layout`): persist the event fact table
+    partitioned by ``event_type``, then answer a two-type slice question
+    from the partitioned copy — matching the oracle computed on the
+    ORIGINAL parquet certifies the partitioned round-trip (counts,
+    distinct users, money sums, and epoch-second extrema all survive).
+    The reference keeps one SQLite table per experiment id for the same
+    access pattern (dos-group/phoebe analytics/app/common/db.py:21-38 —
+    partition-per-key, single-node edition).
+
+    Scale notes: the IN-filter lands in the scan's ``PartitionFilters``
+    (plan-asserted in tests/test_plans.py), so non-matching partition
+    DIRECTORIES are skipped at planning time — at 100 TB that's the
+    difference between scanning 2/5 of the table and all of it. The write
+    repartitions on the partition column first (one writer per value, no
+    tasks x partitions small-file explosion). Aggregation is a single
+    map-side-combined groupBy on the partition key."""
+    import os
+
+    from phoebe_spark.sources import layout
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/phoebe_part_{tag}"
+    layout.write_partitioned(ev, path, ["event_type"])
+    back = layout.read_partitioned(spark, path)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum2(_dec("value")).alias("total_value"),
+            F.min(_epoch("ts")).alias("first_sec"),
+            F.max(_epoch("ts")).alias("last_sec"),
+        )
+    )
+
+
+@query(
+    "q143_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q143_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round-trip (:mod:`phoebe_spark.sources.orc`):
+    export lineitem as ORC — Spark's second built-in columnar format,
+    the one Hive/Trino warehouses commonly standardize on — re-read it
+    (schema from the ORC footer, self-describing, no inference scan), and
+    aggregate a shipdate slice per (returnflag, linestatus). Matching the
+    oracle computed on the ORIGINAL parquet certifies the ORC writer/
+    reader preserve decimals, dates, and row multiplicity exactly.
+
+    Scale notes: ORC splits on stripe boundaries (full read parallelism
+    at any size); the shipdate predicate pushes into ORC stripe min/max
+    indexes (``spark.sql.orc.filterPushdown``, default on) and column
+    projection reads only the five referenced streams; decoding stays in
+    the JVM vectorized reader. One map-side-combined groupBy after the
+    pruned scan."""
+    import os
+
+    from phoebe_spark.sources import orc as orc_src
+
+    li = _t(spark, sf_dir, "lineitem")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/phoebe_orc_{tag}"
+    orc_src.write_orc(li, path)
+    back = orc_src.read_orc(spark, path)
+    return (
+        back.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum2(_dec("l_quantity")).alias("sum_qty"),
+            _dsum2(_dec("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q144_skyline_users",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_events, a.cents
+    FROM u a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM u b
+      WHERE b.n_events >= a.n_events AND b.cents >= a.cents
+        AND (b.n_events > a.n_events OR b.cents > a.cents)
+    )
+    """,
+)
+def q144_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier preference query
+    (:func:`skyline.skyline_2d`, Borzsony ICDE'01): the users no other
+    user beats on BOTH event count and total spend — the multi-objective
+    selection primitive (the reference's profiling loop filters its
+    scaleOut-vs-throughput profiles to the same usable frontier before
+    fitting, analytics/app/latency/preprocessing.py:21-38). The oracle is
+    the textbook quadratic NOT EXISTS self-join; matching it certifies
+    the two-phase distributed plan is exact, including duplicate-point
+    ties (twins never dominate each other, so both survive).
+
+    Scale notes: the NOT EXISTS form is O(n²) comparisons and
+    un-pushdownable — the operator instead hash-buckets users (one
+    shuffle), drops locally dominated points with an O(n log n)
+    sort-based value-range-window dominance test (no self-join), and runs
+    the same test once more over the tiny survivor set. Spend is summed
+    in DECIMAL cents so the frontier compares exact integers, never
+    float-reordered doubles."""
+    from phoebe_spark.operators import skyline
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("cents"),
+    )
+    return skyline.skyline_2d(u, x="n_events", y="cents", id_cols=["user_id"])
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Generated CTE chain mirroring ``text.bpe_train``: round r counts
+    adjacent symbol pairs, picks the (count DESC, left ASC, right ASC)
+    argmax, and applies it with the same sentinel-string ``replace``."""
+    cte = f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS t FROM documents WHERE trim(text) <> ''
+    ),
+    words0 AS (
+      SELECT array_to_string(list_transform(generate_series(1, length(t)),
+                                            i -> chr(31) || t[i]), '') AS w
+      FROM toks WHERE length(t) >= 1
+    )"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        cte += f""",
+    sy{r} AS (SELECT list_filter(string_split(w, chr(31)), x -> x <> '') AS s
+              FROM words{p}),
+    pr{r} AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym
+              FROM (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i
+                    FROM sy{r} WHERE len(s) >= 2)),
+    best{r} AS (SELECT {r} AS rnd, l_sym, r_sym, count(*) AS n FROM pr{r}
+                GROUP BY l_sym, r_sym ORDER BY n DESC, l_sym ASC, r_sym ASC
+                LIMIT 1),
+    words{r} AS (SELECT replace(w, chr(31) || b.l_sym || chr(31) || b.r_sym,
+                                chr(31) || b.l_sym || b.r_sym) AS w
+                 FROM words{p}, best{r} b)"""
+    union = " UNION ALL ".join(f"SELECT * FROM best{r}" for r in range(1, rounds + 1))
+    return (
+        cte
+        + f"""
+    SELECT rnd, l_sym, r_sym, l_sym || r_sym AS merged, CAST(n AS BIGINT) AS n
+    FROM ({union}) ORDER BY rnd"""
+    )
+
+
+@query("q145_bpe_train", oracle=_bpe_oracle(5))
+def q145_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training, 5 merge rounds
+    (:func:`text.bpe_train`, Sennrich et al. 2016 arXiv 1508.07909):
+    learn the first 5 merges over the whole corpus and return the merge
+    table — round, pair, merged symbol, and the pair's corpus frequency
+    at selection time. q140 is one round of the pair statistic; this is
+    the full training loop, the iterative-algorithm class (q118 PageRank,
+    q53 components) applied to tokenizer learning. The oracle replays all
+    5 rounds as a generated CTE chain — digit-for-digit agreement
+    certifies pair counting, deterministic argmax tie-breaks, AND the
+    greedy leftmost merge application each round.
+
+    Scale notes: each round is the q140 map-side-combined pair count
+    (bounded key space) plus a 1-row argmax fetch (a model parameter, not
+    a data collect) and a pure-codegen string ``replace`` merge — the
+    sentinel-prefixed symbol encoding makes greedy BPE application
+    exactly literal replace, no per-row Python, no array rebuilds; words
+    re-checkpoint per round so lineage stays O(1) (q53/q118 discipline)."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = d.select(F.explode(text.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    merges = text.bpe_train(words, rounds=5, word_col="w")
+    return spark.createDataFrame(
+        merges, "rnd INT, l_sym STRING, r_sym STRING, merged STRING, n BIGINT"
+    ).orderBy("rnd")

@@ -106,3 +106,34 @@ def test_multires_rollup_consistent(spark, sf_dir):
     types = {k[0] for k in tot}
     for t in types:
         assert tot[(t, "minute")] == tot[(t, "hour")] == tot[(t, "day")]
+
+
+def test_bpe_train_textbook_corpus(spark):
+    """bpe_train reproduces the classic Sennrich toy-corpus merges with
+    deterministic tie-breaks, and greedy leftmost application handles the
+    overlapping-pair case ('aaaa' + (a,a) -> aa,aa not aa,a,a)."""
+    from phoebe_spark.operators.text import BPE_SEP, bpe_train
+
+    words = spark.createDataFrame(
+        [("low",)] * 2 + [("lower",)] + [("newest",)] * 3 + [("widest",)],
+        "w string",
+    )
+    merges = bpe_train(words, rounds=4)
+    assert merges == [
+        (1, "e", "s", "es", 4),
+        (2, "es", "t", "est", 4),
+        (3, "e", "w", "ew", 3),
+        (4, "ew", "est", "ewest", 3),
+    ]
+
+    # overlap: greedy leftmost on runs
+    runs = spark.createDataFrame([("aaaa",), ("aaa",)], "w string")
+    m2 = bpe_train(runs, rounds=1)
+    assert m2 == [(1, "a", "a", "aa", 5)]  # 3 + 2 adjacent pairs
+
+    # and the merged words after round 1 would be aa|aa and aa|a: verify
+    # via a second round — best pair is now (aa, aa) from 'aaaa' (1) vs
+    # (aa, a) from 'aaa' (1); tie broken left ASC -> ('aa','a')
+    m3 = bpe_train(runs, rounds=2)
+    assert m3[1] == (2, "aa", "a", "aaa", 1)
+    assert BPE_SEP not in m3[1][3]

@@ -488,3 +488,62 @@ def test_q137_single_fit_shuffle(spark, sf_dir):
     # scoring side: explode + term join + doc rollup; fit side is behind
     # the checkpoint (scan appears once for the scoring explode)
     assert _ops(plan, "Scan parquet") <= 2
+
+
+def test_q142_partition_pruning(spark, sf_dir):
+    """The partitioned-layout read must prune at the DIRECTORY level: the
+    event_type IN-filter lands in the scan's PartitionFilters, and the
+    partition count proves non-matching directories were skipped."""
+    from phoebe_spark.queries import QUERIES
+
+    df = QUERIES[name := "q142_partition_pruning"](spark, sf_dir)
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert name  # keep flake quiet about the walrus
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1) and "IN" in m.group(1), plan
+    # event_type is restored from the directory names, never decoded from
+    # file bytes — its absence from ReadSchema is the pruning signal
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "event_type" not in m.group(1), plan
+    assert _ops(plan, "Scan parquet") == 1
+    # and the pruning is real: only the 2 selected directories are read
+    # at EXECUTION time (inputFiles() lists pre-pruning, so ask the
+    # executed scan which files actually fed rows)
+    import glob
+
+    from pyspark.sql import functions as F
+    from phoebe_spark.sources import layout
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    back = layout.read_partitioned(spark, f"/tmp/phoebe_part_{tag}")
+    files = [
+        r[0]
+        for r in back.filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    kinds = {re.search(r"event_type=([^/]+)/", f).group(1) for f in files}
+    all_kinds = {
+        re.search(r"event_type=([^/]+)$", d).group(1)
+        for d in glob.glob("/tmp/phoebe_part_*/event_type=*")
+    }
+    assert kinds == {"click", "purchase"}, kinds
+    assert len(all_kinds) > 2, all_kinds  # the others exist on disk
+
+
+def test_q143_orc_pushdown(spark, sf_dir):
+    """The ORC re-read must push the shipdate predicate into the ORC scan
+    and prune to the five referenced columns."""
+    from phoebe_spark.queries import QUERIES
+
+    df = QUERIES["q143_orc_roundtrip"](spark, sf_dir)
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert _ops(plan, "Scan orc") == 1
+    assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
+    # column projection: untouched wide columns never decoded
+    assert "l_comment" not in plan and "l_orderkey" not in plan

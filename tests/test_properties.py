@@ -232,3 +232,39 @@ def test_unigram_logprob_matches_reference_computation(spark, texts):
         exp_score = sum(-m.log(counts[w] / total) for w in ws) / exp_n
         assert got[i][0] == exp_n
         assert abs(got[i][1] - exp_score) < 1e-9
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(pts=points_strategy)
+def test_skyline_matches_bruteforce(spark, pts):
+    """skyline_2d must equal the quadratic NOT EXISTS definition on
+    arbitrary point sets — small ranges force heavy duplicate/tie cases,
+    and hypothesis shrinks toward anti-correlated sets where the skyline
+    is large and every bucket contributes survivors."""
+    from phoebe_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "pid LONG, x LONG, y LONG"
+    )
+    got = sorted(
+        (r.pid, r.x, r.y)
+        for r in skyline_2d(df, "x", "y", n_buckets=4, id_cols=["pid"]).collect()
+    )
+    want = sorted(
+        (i, x, y)
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for bx, by in pts
+        )
+    )
+    assert got == want
