@@ -365,22 +365,34 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
     continues after each replacement, which is exactly BPE's application
     order. No per-row Python, no array rebuilds.
 
-    Scale notes: the per-round pair count is the q140 aggregation
-    (bounded key space, map-side combine); the 1-row argmax collect is a
-    model parameter fetch, not a data collect; words are re-checkpointed
-    each round so lineage stays O(1) across rounds (the q53/q118
+    Scale notes — the trainer runs on the DISTINCT-WORD FREQUENCY TABLE,
+    not the token stream (Sennrich's own implementation does the same):
+    one corpus-scale map-side-combined groupBy collapses the stream to
+    (word, freq) — vocabulary-sized, bounded by the language, not the
+    corpus — and every round after that explodes/counts/merges only the
+    vocab frame with pair counts weighted by freq. Corpus size affects
+    the initial collapse ONLY; at 100 TB each merge round still touches
+    ~100k rows. The 1-row argmax collect per round is a model parameter
+    fetch, not a data collect; the vocab re-aggregates after each merge
+    (distinct pre-merge words can collide into one post-merge spelling)
+    and re-checkpoints so lineage stays O(1) across rounds (the q53/q118
     iterative-algorithm discipline).
     """
     w = F.col(word_col)
-    cur = words.select(
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: F.concat(F.lit(BPE_SEP), F.substring(w, i, F.lit(1))),
-            ),
-            "",
-        ).alias("w")
-    ).localCheckpoint(eager=True)
+    cur = (
+        words.select(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: F.concat(F.lit(BPE_SEP), F.substring(w, i, F.lit(1))),
+                ),
+                "",
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
 
     merges: list[tuple] = []
     for rnd in range(1, rounds + 1):
@@ -396,9 +408,9 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
             ),
         ).otherwise(F.array().cast("array<struct<l_sym:string,r_sym:string>>"))
         best = (
-            cur.select(F.explode(prs).alias("p"))
+            cur.select(F.explode(prs).alias("p"), "freq")
             .groupBy(F.col("p.l_sym").alias("l_sym"), F.col("p.r_sym").alias("r_sym"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("l_sym"), F.asc("r_sym"))
             .limit(1)
             .collect()
@@ -407,11 +419,17 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
             break
         l_sym, r_sym, n = best[0]["l_sym"], best[0]["r_sym"], best[0]["n"]
         merges.append((rnd, l_sym, r_sym, l_sym + r_sym, int(n)))
-        cur = cur.select(
-            F.replace(
-                F.col("w"),
-                F.lit(BPE_SEP + l_sym + BPE_SEP + r_sym),
-                F.lit(BPE_SEP + l_sym + r_sym),
-            ).alias("w")
-        ).localCheckpoint(eager=True)
+        cur = (
+            cur.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(BPE_SEP + l_sym + BPE_SEP + r_sym),
+                    F.lit(BPE_SEP + l_sym + r_sym),
+                ).alias("w"),
+                "freq",
+            )
+            .groupBy("w")
+            .agg(F.sum("freq").alias("freq"))
+            .localCheckpoint(eager=True)
+        )
     return merges
