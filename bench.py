@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q143_orc_roundtrip",
     "q144_skyline_users",
     "q145_bpe_train",
+    "q146_max_coverage",
 ]
 
 

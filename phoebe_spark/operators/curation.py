@@ -409,3 +409,64 @@ def check_gate(observation, rules: dict[str, tuple[float, float]]) -> list[str]:
         if v is None or not (lo <= v <= hi):
             violations.append(f"{metric}={v} outside [{lo}, {hi}]")
     return violations
+
+
+def greedy_max_coverage(
+    df: DataFrame,
+    rounds: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple]:
+    """Greedy maximum-coverage subset selection (submodular data
+    selection, Nemhauser 1978 (1-1/e) guarantee; the MapReduce greedy of
+    Chierichetti et al. WWW'10 — public): pick ``rounds`` documents, each
+    round choosing the doc adding the most NOT-yet-covered distinct
+    bigrams (count DESC, id ASC tie-break). The coverage-maximizing
+    pruning primitive for training corpora — "which k docs buy the most
+    lexical diversity" — complementing q136's per-language diversity
+    census with an actual selection loop. Returns
+    ``[(round, doc_id, marginal_gain), ...]``.
+
+    Scale notes: the exploded (doc, bigram) posting frame is computed
+    ONCE and checkpointed; each round anti-joins it against the covered
+    set — which is BROADCAST (bounded by rounds x max-doc-bigrams, never
+    corpus-sized) so the corpus never reshuffles — then one
+    map-side-combined groupBy(doc) and a 1-row argmax fetch. O(rounds)
+    passes is the textbook distributed greedy; swap in stochastic/lazy
+    greedy off this same frame when rounds grows large.
+    """
+    w = tokens(F.col(text_col))
+    pairs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+    )
+    posting = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(F.size(w) >= 2)
+        .select(F.col(id_col).alias("doc"), F.explode(pairs).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    covered = spark.createDataFrame([], "t STRING")
+    picks: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        best = (
+            posting.join(F.broadcast(covered), "t", "left_anti")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        doc, gain = best[0]["doc"], int(best[0]["gain"])
+        picks.append((rnd, doc, gain))
+        covered = (
+            covered.union(posting.filter(F.col("doc") == doc).select("t"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return picks

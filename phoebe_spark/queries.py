@@ -6148,3 +6148,66 @@ def q145_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rnd INT, l_sym STRING, r_sym STRING, merged STRING, n BIGINT"
     ).orderBy("rnd")
+
+
+def _maxcover_oracle(rounds: int) -> str:
+    """Generated CTE chain replaying ``curation.greedy_max_coverage``:
+    round r scores every doc's uncovered-bigram gain, takes the
+    (gain DESC, doc_id ASC) argmax among gain > 0 (the operator's
+    exhaustion break), and folds the winner's bigrams into the covered
+    set."""
+    cte = f"""
+    WITH docsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1])) AS toks
+      FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+            WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 2)
+    ),
+    cov0 AS (SELECT CAST([] AS VARCHAR[]) AS c)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        cte += f""",
+    gain{r} AS (
+      SELECT d.doc_id,
+             len(list_filter(d.toks, t -> NOT list_contains(c.c, t))) AS gain
+      FROM docsets d, cov{p} c
+    ),
+    best{r} AS (SELECT {r} AS rnd, doc_id, gain FROM gain{r} WHERE gain > 0
+                ORDER BY gain DESC, doc_id ASC LIMIT 1),
+    cov{r} AS (
+      SELECT list_distinct(list_concat(c.c, d.toks)) AS c
+      FROM cov{p} c, best{r} b JOIN docsets d ON d.doc_id = b.doc_id
+    )"""
+    union = " UNION ALL ".join(f"SELECT * FROM best{r}" for r in range(1, rounds + 1))
+    return (
+        cte
+        + f"""
+    SELECT rnd, doc_id, CAST(gain AS BIGINT) AS gain FROM ({union}) ORDER BY rnd"""
+    )
+
+
+@query("q146_max_coverage", oracle=_maxcover_oracle(5))
+def q146_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection, 5 rounds
+    (:func:`curation.greedy_max_coverage`, Nemhauser 1978 / distributed
+    greedy a la Chierichetti WWW'10): the 5 documents that together cover
+    the most distinct bigrams, picked greedily with deterministic
+    tie-breaks — submodular data selection, the "which k docs buy the
+    most diversity" pruning loop. The oracle replays all 5 rounds as a
+    generated CTE chain (the q145 pattern applied to set coverage);
+    digit-for-digit agreement certifies gain scoring, argmax tie-breaks,
+    and the covered-set fold.
+
+    Scale notes: one corpus-scale explode to the (doc, bigram) posting
+    frame, checkpointed and reused by all rounds; the covered set stays
+    bounded (rounds x max-doc-bigrams) and BROADCASTS into a left-anti
+    join, so the corpus never reshuffles per round; each round is one
+    map-side-combined groupBy(doc) plus a 1-row argmax fetch."""
+    from phoebe_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    picks = curation.greedy_max_coverage(d, rounds=5)
+    return spark.createDataFrame(picks, "rnd INT, doc_id LONG, gain BIGINT").orderBy(
+        "rnd"
+    )

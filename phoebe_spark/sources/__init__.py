@@ -1,3 +1,4 @@
+from phoebe_spark.sources import jsonl, layout, orc, prometheus, testdata  # noqa: F401
 from phoebe_spark.sources.csv import read_timeseries_csv, write_timeseries_csv
 from phoebe_spark.sources.tables import (
     PROFILES_SCHEMA,

@@ -154,6 +154,29 @@ def run_scale(spark, scale: int) -> dict:
             h=500.0,
         ),
     )
+    # skyline over per-user event summaries: the local prune must keep the
+    # global pass survivor-set-sized regardless of user count
+    from phoebe_spark.operators.skyline import skyline_2d
+
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    t("skyline", skyline_2d(users, x="n_events", y="cents", id_cols=["user_id"]))
+
+    # BPE trainer: rounds run on the distinct-word vocab, so time should be
+    # dominated by the initial corpus collapse and grow ~O(scale) only there
+    def _bpe():
+        words = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w")).filter(
+            F.length("w") >= 1
+        )
+        text.bpe_train(words, rounds=3)
+        return docs.limit(1)  # merges already materialized by the collects
+
+    t_build("bpe_train_3r", _bpe)
+
     t(
         "savgol_jvm",
         savgol_smooth(

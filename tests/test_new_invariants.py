@@ -137,3 +137,36 @@ def test_bpe_train_textbook_corpus(spark):
     m3 = bpe_train(runs, rounds=2)
     assert m3[1] == (2, "aa", "a", "aaa", 1)
     assert BPE_SEP not in m3[1][3]
+
+
+def test_max_coverage_greedy_invariants(spark, sf_dir):
+    """Greedy max-coverage: marginal gains are non-increasing (coverage
+    is submodular), picked docs are distinct, and the union of the
+    winners' bigram sets has exactly sum(gains) elements."""
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators.curation import greedy_max_coverage
+    from phoebe_spark.operators.text import tokens
+    from phoebe_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    picks = greedy_max_coverage(d, rounds=4)
+    gains = [g for _, _, g in picks]
+    assert gains == sorted(gains, reverse=True)
+    ids = [doc for _, doc, _ in picks]
+    assert len(set(ids)) == len(ids)
+
+    w = tokens(F.col("text"))
+    pairs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+    )
+    n_union = (
+        d.filter(F.col("doc_id").isin(ids))
+        .select(F.explode(pairs).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert n_union == sum(gains)
