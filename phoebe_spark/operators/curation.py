@@ -427,35 +427,49 @@ def greedy_max_coverage(
     census with an actual selection loop. Returns
     ``[(round, doc_id, marginal_gain), ...]``.
 
-    Scale notes: the exploded (doc, bigram) posting frame is computed
-    ONCE and checkpointed; each round anti-joins it against the covered
-    set — which is BROADCAST (bounded by rounds x max-doc-bigrams, never
-    corpus-sized) so the corpus never reshuffles — then one
-    map-side-combined groupBy(doc) and a 1-row argmax fetch. O(rounds)
-    passes is the textbook distributed greedy; swap in stochastic/lazy
-    greedy off this same frame when rounds grows large.
+    Scale notes: the per-doc DISTINCT-bigram-set frame is computed once
+    (no explode — bigrams stay as one array per doc) and checkpointed;
+    the covered set is driver-held model state BOUNDED by rounds x
+    max-doc-bigrams (never corpus-sized) and ships each round as a single
+    array LITERAL, so a round is one shuffle-free ``size(array_except(
+    toks, covered))`` scan with a TakeOrdered argmax plus a 1-row fetch
+    of the winner's set — no joins, no per-round shuffles, no growing
+    lineage. For rounds large enough that the covered set stops being
+    comfortably literal-sized (~10k+ entries), switch to the broadcast
+    anti-join form over the exploded posting frame; at the small k
+    typical of "pick k exemplars" this form is strictly cheaper.
     """
     w = tokens(F.col(text_col))
+    # bigrams via zip_with over two slices, NOT transform+element_at: the
+    # token split is an expression here, and an element_at lambda would
+    # re-evaluate it per element (O(len²) regex splits per doc — measured
+    # 8.3s -> 0.9s at sf0.1 for this one change); zip_with evaluates each
+    # slice argument once per row
     pairs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
     )
-    posting = (
+    sc = df.sparkSession.sparkContext
+    docsets = (
         df.filter(F.trim(F.col(text_col)) != "")
         .filter(F.size(w) >= 2)
-        .select(F.col(id_col).alias("doc"), F.explode(pairs).alias("t"))
+        .select(F.col(id_col).alias("doc"), pairs.alias("toks"))
+        .repartition(sc.defaultParallelism)  # split the build across cores
         .localCheckpoint(eager=True)
     )
-    spark = df.sparkSession
-    covered = spark.createDataFrame([], "t STRING")
+    covered: set[str] = set()
     picks: list[tuple] = []
     for rnd in range(1, rounds + 1):
+        cov_lit = F.lit(sorted(covered)).cast("array<string>")
+        # the argmax row carries the winner's uncovered set, so each round
+        # is ONE TakeOrdered job — no second fetch
         best = (
-            posting.join(F.broadcast(covered), "t", "left_anti")
-            .groupBy("doc")
-            .agg(F.count(F.lit(1)).alias("gain"))
+            docsets.select("doc", F.array_except("toks", cov_lit).alias("new"))
+            .select("doc", F.size("new").alias("gain"), "new")
+            .filter(F.col("gain") > 0)
             .orderBy(F.desc("gain"), F.asc("doc"))
             .limit(1)
             .collect()
@@ -464,9 +478,5 @@ def greedy_max_coverage(
             break
         doc, gain = best[0]["doc"], int(best[0]["gain"])
         picks.append((rnd, doc, gain))
-        covered = (
-            covered.union(posting.filter(F.col("doc") == doc).select("t"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        covered.update(best[0]["new"])
     return picks
