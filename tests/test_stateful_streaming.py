@@ -217,3 +217,70 @@ def test_keyed_heavy_hitters_misra_gries_guarantee(spark, tmp_path):
     for item, lb in summary.items():
         assert lb <= true[item]
         assert lb >= true[item] - thresh
+
+
+def test_keyed_heavy_hitters_rescale_restart(spark, tmp_path):
+    """The Misra-Gries state must survive a checkpoint restart at a
+    DIFFERENT shuffle parallelism (the rescale-by-restart contract): the
+    summary after batch-2-under-4-partitions must equal what a single
+    uninterrupted run over both batches produces."""
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    from phoebe_spark.streaming.stateful import keyed_heavy_hitters
+
+    rows = []
+    for batch in (0, 1):
+        for i in range(120):
+            item = f"hot{i % 2}" if i % 3 != 2 else f"tail{batch}_{i}"
+            rows.append((batch, "s", item))
+    df = spark.createDataFrame(rows, "b LONG, key STRING, item STRING")
+
+    def _summary(src_dir, ck, out_dir, batches, parts):
+        for bi, b in enumerate(batches):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts[bi]))
+            df.filter(F.col("b") == b).coalesce(1).select("key", "item").write.mode(
+                "append"
+            ).parquet(src_dir)
+            stream = (
+                spark.readStream.schema("key STRING, item STRING")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            out = keyed_heavy_hitters(stream, k=6)
+            # memory sink cannot recover from a checkpoint; foreachBatch can
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+            _time.sleep(0.2)
+        final = (
+            spark.read.parquet(out_dir)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("key", "item").orderBy(F.col("n_total").desc())
+                ),
+            )
+            .filter("_rn = 1")
+            .collect()
+        )
+        n = max(r["n_total"] for r in final)
+        return n, {r["item"]: r["count_lb"] for r in final if r["n_total"] == n}
+
+    # run A: batch 0 at 8 partitions, stop, batch 1 restarted at 4
+    n_a, sum_a = _summary(str(tmp_path / "srcA"), str(tmp_path / "ckA"), str(tmp_path / "outA"), [0, 1], [8, 4])
+    # run B: both batches in one go at 8 partitions
+    n_b, sum_b = _summary(str(tmp_path / "srcB"), str(tmp_path / "ckB"), str(tmp_path / "outB"), [0, 1], [8, 8])
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    assert n_a == n_b == len(rows)
+    assert sum_a == sum_b, (sum_a, sum_b)
