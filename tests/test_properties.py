@@ -268,3 +268,88 @@ def test_skyline_matches_bruteforce(spark, pts):
         )
     )
     assert got == want
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_bpe(words, rounds):
+    """Reference BPE: greedy leftmost merge application, (count DESC,
+    left ASC, right ASC) argmax."""
+    from collections import Counter
+
+    seqs = [[ch for ch in w] for w in words]
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, n))
+        out = []
+        for s in seqs:
+            t, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    t.append(l + r)
+                    i += 2
+                else:
+                    t.append(s[i])
+                    i += 1
+            out.append(t)
+        seqs = out
+    return merges
+
+
+@SLOW
+@given(words=words_strategy, rounds=st.integers(min_value=1, max_value=3))
+def test_bpe_train_matches_python_reference(spark, words, rounds):
+    """bpe_train == the classic per-sequence greedy implementation on
+    arbitrary small-alphabet corpora (small alphabets force heavy merge
+    collisions, ties, and single-char words)."""
+    from phoebe_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    assert bpe_train(df, rounds=rounds) == _py_bpe(words, rounds)
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=24),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SLOW
+@given(texts=docs_strategy, rounds=st.integers(min_value=1, max_value=3))
+def test_max_coverage_matches_python_reference(spark, texts, rounds):
+    """greedy_max_coverage == the sequential greedy on arbitrary tiny
+    corpora (whitespace-heavy strings force empty-token and short-doc
+    edge cases)."""
+    from phoebe_spark.operators.curation import greedy_max_coverage
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = greedy_max_coverage(df, rounds=rounds)
+
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) >= 2:
+            sets[i] = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+    covered, want = set(), []
+    for rnd in range(1, rounds + 1):
+        gains = {i: len(s - covered) for i, s in sets.items()}
+        gains = {i: g for i, g in gains.items() if g > 0}
+        if not gains:
+            break
+        doc = min(gains, key=lambda i: (-gains[i], i))
+        want.append((rnd, doc, gains[doc]))
+        covered |= sets[doc]
+    assert got == want
