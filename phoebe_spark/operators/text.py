@@ -396,17 +396,17 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
 
     merges: list[tuple] = []
     for rnd in range(1, rounds + 1):
+        # adjacent pairs via zip_with over two slices: syms is an
+        # EXPRESSION (split + filter), and an element_at lambda would
+        # re-evaluate it per element — O(len²) splits per word (the q146
+        # higher-order-function trap); zip_with evaluates each slice
+        # argument once per row
         syms = F.filter(F.split(F.col("w"), BPE_SEP), lambda x: x != "")
-        prs = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("l_sym"),
-                    F.element_at(syms, i + 1).alias("r_sym"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<l_sym:string,r_sym:string>>"))
+        prs = F.zip_with(
+            F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l_sym"), b.alias("r_sym")),
+        )
         best = (
             cur.select(F.explode(prs).alias("p"), "freq")
             .groupBy(F.col("p.l_sym").alias("l_sym"), F.col("p.r_sym").alias("r_sym"))
