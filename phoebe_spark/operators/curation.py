@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from phoebe_spark.operators.text import tokens
+from phoebe_spark.operators.text import adjacent_bigrams, tokens
 
 _STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -440,18 +440,7 @@ def greedy_max_coverage(
     typical of "pick k exemplars" this form is strictly cheaper.
     """
     w = tokens(F.col(text_col))
-    # bigrams via zip_with over two slices, NOT transform+element_at: the
-    # token split is an expression here, and an element_at lambda would
-    # re-evaluate it per element (O(len²) regex splits per doc — measured
-    # 8.3s -> 0.9s at sf0.1 for this one change); zip_with evaluates each
-    # slice argument once per row
-    pairs = F.array_distinct(
-        F.zip_with(
-            F.slice(w, 1, F.size(w) - 1),
-            F.slice(w, 2, F.size(w) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    )
+    pairs = adjacent_bigrams(w)
     sc = df.sparkSession.sparkContext
     docsets = (
         df.filter(F.trim(F.col(text_col)) != "")

@@ -26,6 +26,23 @@ def tokens(text: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+def adjacent_bigrams(toks: Column, distinct: bool = True) -> Column:
+    """Space-joined adjacent token pairs from a token-array column.
+
+    Built as ``zip_with`` over two slices, NOT ``transform`` +
+    ``element_at``: when ``toks`` is an expression (e.g. the regex split
+    from :func:`tokens`), an ``element_at`` lambda re-evaluates it per
+    element — O(len²) splits per document (measured 8.3s -> 0.9s at
+    sf0.1 on the q146 corpus for this one change). ``zip_with``
+    evaluates each slice argument once per row."""
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token count, char count, average token length, and
     punctuation ratio — the quality-signal primitives."""
@@ -343,7 +360,14 @@ def source_kl(df: DataFrame, group_col: str = "source", text_col: str = "text") 
     )
 
 
-BPE_SEP = "\x1f"  # unit separator: never appears in whitespace-split tokens
+# Symbol enclosure sentinels: every symbol is stored as SEP_L + sym + SEP_R,
+# so a merge pattern carries BOTH symbol boundaries. (A prefix-only sentinel
+# is subtly wrong: pattern SEP+l+SEP+r also fires when the next symbol merely
+# STARTS with r — e.g. applying merge (ab, a) to symbols [ab, ab, a] would
+# corrupt the first two symbols into "abab".) Control chars never appear in
+# whitespace-split tokens.
+BPE_SEP = "\x1f"  # left boundary (unit separator)
+BPE_END = "\x1e"  # right boundary (record separator)
 
 
 def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tuple]:
@@ -358,12 +382,15 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
     tokenizer trainer ships.
 
     Representation trick that keeps the merge step in pure codegen: each
-    word is a single string of sentinel-prefixed symbols
-    (``\\x1f + sym`` per symbol), so the greedy leftmost non-overlapping
-    merge of pair (a, b) IS literal string ``replace(w, SEP+a+SEP+b,
-    SEP+a+b)`` — both engines' ``replace`` scans left-to-right and
-    continues after each replacement, which is exactly BPE's application
-    order. No per-row Python, no array rebuilds.
+    word is a single string of sentinel-ENCLOSED symbols
+    (``\\x1f + sym + \\x1e`` per symbol), so the greedy leftmost
+    non-overlapping merge of pair (a, b) IS literal string
+    ``replace(w, L+a+R+L+b+R, L+ab+R)`` — both engines' ``replace``
+    scans left-to-right and continues after each replacement, which is
+    exactly BPE's application order, and the enclosing boundaries make
+    the pattern match whole symbols only (prefix-sharing symbols like
+    "a" vs "ab" cannot false-match). No per-row Python, no array
+    rebuilds.
 
     Scale notes — the trainer runs on the DISTINCT-WORD FREQUENCY TABLE,
     not the token stream (Sennrich's own implementation does the same):
@@ -384,7 +411,9 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
             F.array_join(
                 F.transform(
                     F.sequence(F.lit(1), F.length(w)),
-                    lambda i: F.concat(F.lit(BPE_SEP), F.substring(w, i, F.lit(1))),
+                    lambda i: F.concat(
+                        F.lit(BPE_SEP), F.substring(w, i, F.lit(1)), F.lit(BPE_END)
+                    ),
                 ),
                 "",
             ).alias("w")
@@ -401,7 +430,10 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
         # re-evaluate it per element — O(len²) splits per word (the q146
         # higher-order-function trap); zip_with evaluates each slice
         # argument once per row
-        syms = F.filter(F.split(F.col("w"), BPE_SEP), lambda x: x != "")
+        syms = F.transform(
+            F.filter(F.split(F.col("w"), BPE_END), lambda x: x != ""),
+            lambda x: F.translate(x, BPE_SEP, ""),
+        )
         prs = F.zip_with(
             F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
             F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
@@ -423,8 +455,8 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
             cur.select(
                 F.replace(
                     F.col("w"),
-                    F.lit(BPE_SEP + l_sym + BPE_SEP + r_sym),
-                    F.lit(BPE_SEP + l_sym + r_sym),
+                    F.lit(BPE_SEP + l_sym + BPE_END + BPE_SEP + r_sym + BPE_END),
+                    F.lit(BPE_SEP + l_sym + r_sym + BPE_END),
                 ).alias("w"),
                 "freq",
             )

@@ -6089,19 +6089,24 @@ def _bpe_oracle(rounds: int) -> str:
     """Generated CTE chain mirroring ``text.bpe_train``: round r counts
     adjacent symbol pairs, picks the (count DESC, left ASC, right ASC)
     argmax, and applies it with the same sentinel-string ``replace``."""
+    # symbols are ENCLOSED chr(31)+sym+chr(30) so the merge pattern carries
+    # both symbol boundaries (a prefix-only sentinel false-matches when the
+    # next symbol merely starts with r_sym) — mirrors text.BPE_SEP/BPE_END
     cte = f"""
     WITH toks AS (
       SELECT unnest({_TOKS_SQL}) AS t FROM documents WHERE trim(text) <> ''
     ),
     words0 AS (
       SELECT array_to_string(list_transform(generate_series(1, length(t)),
-                                            i -> chr(31) || t[i]), '') AS w
+                                            i -> chr(31) || t[i] || chr(30)), '') AS w
       FROM toks WHERE length(t) >= 1
     )"""
     for r in range(1, rounds + 1):
         p = r - 1
         cte += f""",
-    sy{r} AS (SELECT list_filter(string_split(w, chr(31)), x -> x <> '') AS s
+    sy{r} AS (SELECT list_transform(
+                       list_filter(string_split(w, chr(30)), x -> x <> ''),
+                       x -> replace(x, chr(31), '')) AS s
               FROM words{p}),
     pr{r} AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym
               FROM (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i
@@ -6109,8 +6114,8 @@ def _bpe_oracle(rounds: int) -> str:
     best{r} AS (SELECT {r} AS rnd, l_sym, r_sym, count(*) AS n FROM pr{r}
                 GROUP BY l_sym, r_sym ORDER BY n DESC, l_sym ASC, r_sym ASC
                 LIMIT 1),
-    words{r} AS (SELECT replace(w, chr(31) || b.l_sym || chr(31) || b.r_sym,
-                                chr(31) || b.l_sym || b.r_sym) AS w
+    words{r} AS (SELECT replace(w, chr(31) || b.l_sym || chr(30) || chr(31) || b.r_sym || chr(30),
+                                chr(31) || b.l_sym || b.r_sym || chr(30)) AS w
                  FROM words{p}, best{r} b)"""
     union = " UNION ALL ".join(f"SELECT * FROM best{r}" for r in range(1, rounds + 1))
     return (
@@ -6199,11 +6204,14 @@ def q146_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit-for-digit agreement certifies gain scoring, argmax tie-breaks,
     and the covered-set fold.
 
-    Scale notes: one corpus-scale explode to the (doc, bigram) posting
-    frame, checkpointed and reused by all rounds; the covered set stays
-    bounded (rounds x max-doc-bigrams) and BROADCASTS into a left-anti
-    join, so the corpus never reshuffles per round; each round is one
-    map-side-combined groupBy(doc) plus a 1-row argmax fetch."""
+    Scale notes: one pass builds the per-doc DISTINCT-bigram-set frame
+    (zip_with over token-array slices — no explode, no per-element
+    re-split), checkpointed and reused by all rounds; the covered set
+    stays bounded (rounds x max-doc-bigrams, model state, never
+    corpus-sized) and ships as an array LITERAL into a shuffle-free
+    ``size(array_except(toks, covered))`` scan, so each round is a single
+    TakeOrdered argmax job whose 1-row result carries the winner's
+    uncovered set — no joins, no per-round shuffles."""
     from phoebe_spark.operators import curation
 
     d = _t(spark, sf_dir, "documents")

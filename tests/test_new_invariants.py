@@ -146,7 +146,7 @@ def test_max_coverage_greedy_invariants(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from phoebe_spark.operators.curation import greedy_max_coverage
-    from phoebe_spark.operators.text import tokens
+    from phoebe_spark.operators.text import adjacent_bigrams, tokens
     from phoebe_spark.sources.testdata import load_table
 
     d = load_table(spark, sf_dir, "documents")
@@ -156,13 +156,7 @@ def test_max_coverage_greedy_invariants(spark, sf_dir):
     ids = [doc for _, doc, _ in picks]
     assert len(set(ids)) == len(ids)
 
-    w = tokens(F.col("text"))
-    pairs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        )
-    )
+    pairs = adjacent_bigrams(tokens(F.col("text")))
     n_union = (
         d.filter(F.col("doc_id").isin(ids))
         .select(F.explode(pairs).alias("t"))
