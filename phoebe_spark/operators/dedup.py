@@ -1026,7 +1026,9 @@ def edit_distance_verify(
     # without computing Levenshtein. Results are identical (the bound is
     # a true lower bound); measured 7.5s -> ~2s on the sf0.1 bench.
     la, lb = F.length("_ta"), F.length("_tb")
-    bound_sim = 1.0 - F.abs(la - lb) / F.greatest(la, lb)
+    # greatest(..., 1) guards the two-empty-strings pair (identical, so
+    # lev = 0 and sim must be 1.0, not a division by zero)
+    bound_sim = 1.0 - F.abs(la - lb) / F.greatest(la, lb, F.lit(1))
     # slack matches the final round(sim, 6) filter: a pair whose TRUE
     # bound rounds up to exactly min_sim at 6dp must survive the prune
     j = j.filter(bound_sim >= min_sim - 5e-7)
@@ -1039,7 +1041,7 @@ def edit_distance_verify(
     # exact-boundary pairs (sim == min_sim). The pad makes the banded pass
     # a strict SUPERSET prefilter; the exact `sim >= min_sim` filter below
     # re-establishes the precise boundary, so results match the full DP.
-    max_len = F.greatest(la, lb)
+    max_len = F.greatest(la, lb, F.lit(1))
     lev = F.expr(
         "levenshtein(_ta, _tb, cast(floor({b} * greatest(length(_ta), length(_tb))) as int) + 1)".format(
             b=1.0 - min_sim

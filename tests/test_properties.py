@@ -353,3 +353,53 @@ def test_max_coverage_matches_python_reference(spark, texts, rounds):
         want.append((rnd, doc, gains[doc]))
         covered |= sets[doc]
     assert got == want
+
+
+str_pairs_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abc ", min_size=0, max_size=20),
+        st.text(alphabet="abc ", min_size=0, max_size=20),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SLOW
+@given(pairs=str_pairs_strategy, min_sim=st.sampled_from([0.3, 0.6, 0.9]))
+def test_edit_distance_verify_matches_full_dp(spark, pairs, min_sim):
+    """The banded-DP certifier must agree with the full O(nm) DP: every
+    returned pair carries the exact Levenshtein distance, and every
+    dropped pair is truly below min_sim (the band may only prune pairs
+    that cannot reach the threshold)."""
+    from phoebe_spark.operators.dedup import edit_distance_verify
+
+    docs = []
+    for i, (a, b) in enumerate(pairs):
+        docs += [(2 * i, a), (2 * i + 1, b)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    pdf = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(len(pairs))], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in edit_distance_verify(ddf, pdf, min_sim=min_sim).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        d = _lev(a, b)
+        sim = 1.0 - d / max(len(a), len(b), 1)
+        key = (2 * i, 2 * i + 1)
+        if sim >= min_sim:
+            assert got.get(key) == d, (a, b, d, got.get(key))
+        else:
+            assert key not in got, (a, b, d)
