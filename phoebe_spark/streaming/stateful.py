@@ -134,6 +134,27 @@ HH_OUTPUT_SCHEMA = "key STRING, item STRING, count_lb LONG, n_total LONG"
 HH_STATE_SCHEMA = "items ARRAY<STRING>, counts ARRAY<LONG>, n_total LONG"
 
 
+def mg_update(counters: dict, n_total: int, items, k: int) -> tuple[dict, int]:
+    """One Misra-Gries fold over ``items`` (pure function, extracted so
+    the summary algebra is unit/property-testable without a streaming
+    engine). Invariants (Misra & Gries 1982): at most ``k`` counters;
+    every counter is a lower bound on the item's true count; the
+    undercount is at most ``n_total / (k + 1)`` (each decrement event
+    retires k+1 occurrences), so any item with true frequency above that
+    is guaranteed tracked."""
+    for x in items:
+        x = str(x)
+        n_total += 1
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < k:
+            counters[x] = 1
+        else:
+            # decrement-all: the O(1)-amortized dict form
+            counters = {i: c - 1 for i, c in counters.items() if c > 1}
+    return counters, n_total
+
+
 def keyed_heavy_hitters(
     stream: DataFrame,
     k: int = 16,
@@ -161,16 +182,7 @@ def keyed_heavy_hitters(
         else:
             counters, n_total = {}, 0
         for pdf in pdfs:
-            for x in pdf[item_col]:
-                x = str(x)
-                n_total += 1
-                if x in counters:
-                    counters[x] += 1
-                elif len(counters) < k:
-                    counters[x] = 1
-                else:
-                    # decrement-all: the O(1)-amortized dict form
-                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+            counters, n_total = mg_update(counters, n_total, pdf[item_col], k)
         items = sorted(counters)
         state.update((items, [int(counters[i]) for i in items], int(n_total)))
         out = sorted(counters.items(), key=lambda ic: (-ic[1], ic[0]))

@@ -403,3 +403,42 @@ def test_edit_distance_verify_matches_full_dp(spark, pairs, min_sim):
             assert got.get(key) == d, (a, b, d, got.get(key))
         else:
             assert key not in got, (a, b, d)
+
+
+@SLOW
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=300),
+    k=st.integers(min_value=2, max_value=8),
+    n_chunks=st.integers(min_value=1, max_value=4),
+)
+def test_misra_gries_invariants(stream, k, n_chunks):
+    """The pure Misra-Gries fold (mg_update) must satisfy the 1982
+    guarantees on arbitrary streams, regardless of how the stream is cut
+    into micro-batches: <= k counters, every counter a lower bound, the
+    undercount <= n/(k+1), and every item with true frequency above
+    n/(k+1) tracked. Chunking invariance is exactly what the streaming
+    state hand-off relies on."""
+    from collections import Counter
+
+    from phoebe_spark.streaming.stateful import mg_update
+
+    items = [str(x) for x in stream]
+    # fold in one go
+    whole, n_whole = mg_update({}, 0, items, k)
+    # fold in chunks (micro-batch boundaries must not change the result)
+    chunked, n_chunked = {}, 0
+    step = max(1, len(items) // n_chunks)
+    for i in range(0, len(items), step):
+        chunked, n_chunked = mg_update(chunked, n_chunked, items[i : i + step], k)
+    assert (whole, n_whole) == (chunked, n_chunked)
+
+    n = len(items)
+    true = Counter(items)
+    assert n_whole == n
+    assert len(whole) <= k
+    for item, lb in whole.items():
+        assert 0 < lb <= true[item]
+        assert true[item] - lb <= n / (k + 1)
+    for item, cnt in true.items():
+        if cnt > n / (k + 1):
+            assert item in whole, (item, cnt, n, k)
