@@ -154,19 +154,14 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         grouped = grouped.filter(F.size("ds") <= max_shingle_freq)
     ds = F.col("ds")
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    F.least(x["doc"], y["doc"]).alias("doc_a"),
-                    F.greatest(x["doc"], y["doc"]).alias("doc_b"),
-                    F.when(x["doc"] < y["doc"], x["size"]).otherwise(y["size"]).alias("size_a"),
-                    F.when(x["doc"] < y["doc"], y["size"]).otherwise(x["size"]).alias("size_b"),
-                ),
-            ),
-        )
+    pair_structs = _ordered_pair_structs(
+        ds,
+        build=lambda x, y: F.struct(
+            F.least(x["doc"], y["doc"]).alias("doc_a"),
+            F.greatest(x["doc"], y["doc"]).alias("doc_b"),
+            F.when(x["doc"] < y["doc"], x["size"]).otherwise(y["size"]).alias("size_a"),
+            F.when(x["doc"] < y["doc"], y["size"]).otherwise(x["size"]).alias("size_b"),
+        ),
     )
     pairs = (
         grouped.select(F.explode(pair_structs).alias("p"))
@@ -262,6 +257,15 @@ def minhash_lsh_pairs(
     ReusedExchange), doubling the dominant cost. Signatures are tiny
     relative to the corpus (num_hashes longs per doc), so this is the
     write-once-join-twice shape you'd use at 100 TB anyway."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make rows_per_band 0 (every doc hashes
+        # the empty band string -> one global bucket -> silent O(n²) cross
+        # join); a non-divisor would silently drop the trailing signature
+        # positions from candidate generation
+        raise ValueError(
+            f"bands must divide num_hashes with 1 <= bands <= num_hashes "
+            f"(got bands={bands}, num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, hash_fn
@@ -341,22 +345,53 @@ def simhash_hamming_pairs(
     trick: split the 64-bit fingerprint into ``bands`` blocks — any pair
     within ``max_hamming < bands`` distance must agree on at least one full
     block (pigeonhole), so candidate pairs come from an equi-join on
-    (block_idx, block_bits) instead of a cross join. Fingerprints are
-    materialized once before the self-join (see
-    :func:`minhash_lsh_pairs` — same double-evaluation trap)."""
+    (block_idx, block_bits) instead of a cross join.
+
+    The join runs over DISTINCT fingerprints (the :func:`hamming_pairs`
+    collapse): an exact-dup mega-cluster — k copies of one boilerplate doc,
+    or k empty texts sharing the all-zeros simhash — would otherwise
+    contribute k rows to every band group and emit O(k²) join rows PER
+    BAND. After the collapse it is one fingerprint row per band; the
+    member expansion emits each doc pair exactly once (intra-fingerprint
+    pairs at Hamming 0, cross-fingerprint pairs through the one
+    fingerprint pair that covers them). Fingerprint groups are
+    materialized once before the self-join (see :func:`minhash_lsh_pairs`
+    — same double-evaluation trap)."""
+    if not (0 <= max_hamming < bands):
+        # the pigeonhole only holds for max_hamming < bands: a pair with
+        # one differing bit in every block agrees on no block and would be
+        # silently missing from the candidates (same guard as
+        # :func:`hamming_pairs`)
+        raise ValueError(
+            f"pigeonhole requires 0 <= max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64 (got bands={bands})")
     width = 64 // bands
-    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=True)
-    blocks = sigs.select(
-        "doc",
+    groups = (
+        simhash(df, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .localCheckpoint(eager=True)
+    )
+    # intra-fingerprint: identical docs pair at Hamming 0
+    intra = (
+        groups.filter(F.size("docs") >= 2)
+        .select(F.explode(_ordered_pair_structs(F.col("docs"), "doc_a", "doc_b")).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(0).alias("hamming"))
+    )
+    blocks = groups.select(
         "simhash",
+        "docs",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("block"),
     ).withColumn("block_bits", F.substring(F.col("simhash"), F.col("block") * width + 1, width))
-    a = blocks.select("block", "block_bits", F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = blocks.select("block", "block_bits", F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    a = blocks.select("block", "block_bits", F.col("simhash").alias("sig_a"), F.col("docs").alias("docs_a"))
+    b = blocks.select("block", "block_bits", F.col("simhash").alias("sig_b"), F.col("docs").alias("docs_b"))
     cand = (
         a.join(b, ["block", "block_bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .dropDuplicates(["sig_a", "sig_b"])
     )
     hamming = F.size(
         F.filter(
@@ -364,9 +399,22 @@ def simhash_hamming_pairs(
             lambda m: m,
         )
     )
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    # expand fingerprint pairs to doc pairs: each doc has ONE fingerprint,
+    # so a doc pair appears through exactly one fingerprint pair
+    cross = (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.explode("docs_a").alias("da"), F.col("docs_b"), "hamming")
+        .select(
+            "da", F.explode("docs_b").alias("db"), "hamming"
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
+    return intra.union(cross)
 
 
 def winnow_fingerprints(
@@ -492,6 +540,20 @@ def dedup_components(
         labels = new_labels.select("doc", "lbl")
         if changed == 0:
             break
+    else:
+        # exiting via max_iter with labels still moving means the returned
+        # components are WRONG (a > max_iter-diameter chain is still
+        # multiple labels) — surface it instead of silently under-merging
+        if changed != 0:
+            import warnings
+
+            warnings.warn(
+                f"dedup_components did not converge within max_iter={max_iter} "
+                "rounds; returned labels under-merge at least one component. "
+                "Raise max_iter or switch to the large-star/small-star form.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels.select("doc", F.col("lbl").alias("component"))
 
 
@@ -576,10 +638,15 @@ def contamination_flags_bloom(
     import numpy as np
 
     c = shingle_postings(corpus, id_col, text_col, n)
+    # materialized once: both the filter fit (collect below) and the exact
+    # confirm join read this frame — without the checkpoint the whole
+    # benchmark shingling subtree evaluates twice (module-wide trap, see
+    # minhash_lsh_pairs)
     b = (
         shingle_postings(benchmark, id_col, text_col, n, distinct=False)
         .select("shingle")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hash_rows = b.select(
         *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
@@ -658,6 +725,11 @@ def hamming_pairs(
     (image_features.ahash) -> hamming_pairs -> dedup_components."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole requires max_hamming < bands")
+    if not 2 <= bands <= 64 or 64 % bands != 0:
+        # bands=1 would need the 64-bit all-ones mask literal, which Spark
+        # parses as DECIMAL(20,0) and rejects in BitwiseAnd — and a 1-band
+        # pigeonhole is just an exact-equality join (use exact_dedup)
+        raise ValueError(f"bands must divide 64 with 2 <= bands <= 64 (got {bands})")
     width = 64 // bands
     mask = (1 << width) - 1
     members = F.array_sort(F.collect_set("doc"))
@@ -850,19 +922,14 @@ def prefix_filter_jaccard_pairs(
         F.collect_list(F.struct(F.col("doc"), F.col("sz"))).alias("ds")
     )
     ds = F.col("ds")
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    F.least(x["doc"], y["doc"]).alias("doc_a"),
-                    F.greatest(x["doc"], y["doc"]).alias("doc_b"),
-                    F.least(x["sz"], y["sz"]).alias("min_sz"),
-                    F.greatest(x["sz"], y["sz"]).alias("max_sz"),
-                ),
-            ),
-        )
+    pair_structs = _ordered_pair_structs(
+        ds,
+        build=lambda x, y: F.struct(
+            F.least(x["doc"], y["doc"]).alias("doc_a"),
+            F.greatest(x["doc"], y["doc"]).alias("doc_b"),
+            F.least(x["sz"], y["sz"]).alias("min_sz"),
+            F.greatest(x["sz"], y["sz"]).alias("max_sz"),
+        ),
     )
     cand = (
         grouped.select(F.explode(pair_structs).alias("p"))
@@ -884,17 +951,22 @@ def prefix_filter_jaccard_pairs(
     )
 
 
-def _ordered_pair_structs(ds, a_name: str, b_name: str):
-    """i<j pair expansion over a SORTED id array: nested transform+slice
-    emitting struct(a_name, b_name) combinations JVM-side. Shared by the
-    chunk-pair and identical-fingerprint expansions — the slice index
-    arithmetic is subtle enough to keep in exactly one place."""
+def _ordered_pair_structs(ds, a_name: str | None = None, b_name: str | None = None, build=None):
+    """i<j pair expansion over an id array: nested transform+slice emitting
+    one struct per combination JVM-side. ``build(x, y)`` customizes the
+    struct payload (default: struct(a_name, b_name)). Shared by the
+    chunk-pair, identical-fingerprint, jaccard-posting, and prefix-filter
+    expansions — the slice index arithmetic is subtle enough to keep in
+    exactly one place."""
+    mk = build if build is not None else (
+        lambda x, y: F.struct(x.alias(a_name), y.alias(b_name))
+    )
     return F.flatten(
         F.transform(
             ds,
             lambda x, i: F.transform(
                 F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+                lambda y: mk(x, y),
             ),
         )
     )
@@ -907,7 +979,6 @@ def _doc_chunks(
     chunks per document. Exchange-free — chunk assembly is a codegen
     ``transform(sequence(...), c -> array_join(slice(...)))`` inside the
     scan stage, never a posexplode + re-assembly groupBy."""
-    from phoebe_spark.operators.text import tokens
 
     toks = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
@@ -982,7 +1053,6 @@ def keep_best_per_component(
     j = components.join(
         docs.select(F.col(id_col).alias("doc"), F.col(quality_col).alias("_q")), "doc"
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col("doc").asc())
     return (

@@ -167,12 +167,17 @@ def all_pairs_cosine(
     left = _side(lmap)
     right = _side(rmap)
 
+    # id dtype follows the input column (string doc ids work too, matching
+    # the dedup operators) — only the vector math is forced to float64
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim DOUBLE"
+
     def _gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         if len(lpdf) == 0 or len(rpdf) == 0:
             return empty
-        a_ids = lpdf["_id"].to_numpy(dtype=np.int64)
-        b_ids = rpdf["_id"].to_numpy(dtype=np.int64)
+        a_ids = lpdf["_id"].to_numpy()
+        b_ids = rpdf["_id"].to_numpy()
         # Arrow hands array<float> cells over as ndarrays: stack, don't
         # per-row list() (pure-Python, ~10x slower on wide blocks)
         A = np.stack(lpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
@@ -199,7 +204,7 @@ def all_pairs_cosine(
     return (
         left.groupBy("pair")
         .cogroup(right.groupBy("pair"))
-        .applyInPandas(_gemm, "id_a LONG, id_b LONG, cos_sim DOUBLE")
+        .applyInPandas(_gemm, out_schema)
     )
 
 
@@ -268,7 +273,13 @@ def ivf_topk(
         sample = corpus.select(vec_col)
         if n > fit_sample_size:
             sample = sample.sample(fraction=min(1.0, 1.2 * fit_sample_size / n), seed=seed)
-        X = np.array([list(r[0]) for r in sample.limit(fit_sample_size).collect()], dtype=np.float64)
+        rows = sample.limit(fit_sample_size).collect()
+        if not rows:
+            raise ValueError(
+                "ivf_topk: cannot fit centroids on an empty corpus "
+                "(pass pretrained `centroids=` or supply data)"
+            )
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
         C = _spherical_kmeans(X, n_centroids, max_iter, seed)
 
     id_field = corpus.schema[id_col]
@@ -442,7 +453,6 @@ def random_projection(
     replays the identical literal matrix. Output: one row per
     (id, dim 0..out_dim-1, value).
     """
-    import numpy as np
 
     if in_dim is None:
         head = df.select(vec_col).head()
@@ -472,7 +482,6 @@ def random_projection(
 
 def jl_matrix(in_dim: int, out_dim: int, seed: int = 7):
     """Seeded Rademacher projection matrix, shared with the q74 oracle."""
-    import numpy as np
 
     rng = np.random.default_rng(seed)
     return (rng.integers(0, 2, size=(out_dim, in_dim)) * 2 - 1) / np.sqrt(out_dim)
@@ -500,7 +509,6 @@ def rrf_fusion(
     per-ranker top-N (each produced by :func:`brute_force_topk` /
     :func:`ivf_ann`) instead of the full frame — RRF only needs ranks of
     candidates."""
-    from pyspark.sql import Window
 
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
     s = (
