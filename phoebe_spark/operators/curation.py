@@ -92,10 +92,15 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
+    keep_short: bool = False,
 ) -> DataFrame:
     """Within-document repetition signals (Gopher §A1.1): duplicate-token
     fraction and the fraction of n-gram occurrences taken by the single
     most frequent n-gram.
+
+    Documents with fewer than ``n`` tokens have no n-grams and are OMITTED
+    by default (the q61 oracle contract). Pass ``keep_short=True`` to keep
+    them with their ``dup_token_frac`` and a null ``top_gram_frac``.
 
     The unigram stat is a pure array expression. The n-gram stat needs
     per-(doc, gram) counts: explode -> two keyed aggregations. Both
@@ -131,18 +136,25 @@ def repetition_stats(
         F.sum("gram_count").alias("total_grams"),
         F.max("gram_count").alias("top_gram_count"),
     )
-    return per_doc.select(
+    dup_frac = F.round(
+        F.when(
+            F.col("n_tokens") > 0,
+            1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    ).alias("dup_token_frac")
+    out = per_doc.select(
         id_col,
         "n_tokens",
-        F.round(
-            F.when(
-                F.col("n_tokens") > 0,
-                1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_token_frac"),
+        dup_frac,
         F.round(F.col("top_gram_count") / F.col("total_grams"), 6).alias("top_gram_frac"),
     )
+    if not keep_short:
+        return out
+    shorts = base.filter(F.col("n_tokens") < n).select(
+        id_col, "n_tokens", dup_frac, F.lit(None).cast("double").alias("top_gram_frac")
+    )
+    return out.unionByName(shorts)
 
 
 def pack_sequences(

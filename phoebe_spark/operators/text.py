@@ -83,9 +83,12 @@ def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = _EN_STOPWORDS)
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite quality score in [0, 1]: rewards mid-length documents with
-    a healthy stopword ratio and low punctuation density. Deterministic
-    arithmetic only — oracle-checkable."""
+    """Composite quality score in [-0.25, 1] (the punctuation penalty can
+    push punctuation-only text below zero; the q10 oracle reproduces the
+    raw arithmetic, so no clamp here — clamp downstream if a [0, 1] range
+    is required): rewards mid-length documents with a healthy stopword
+    ratio and low punctuation density. Deterministic arithmetic only —
+    oracle-checkable."""
     s = token_stats(df, text_col)
     sw = stopword_ratio(F.col(text_col))
     len_score = F.least(F.col("token_count") / F.lit(100.0), F.lit(1.0))
@@ -150,6 +153,7 @@ def unigram_logprob_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_lm: bool = False,
+    oov_logp: float = -20.0,
 ) -> DataFrame:
     """CCNet-style unigram language-model scoring (Wenzek et al. 2020,
     arXiv 1911.00359): each document's quality signal is the mean negative
@@ -183,12 +187,19 @@ def unigram_logprob_scores(
             "term", F.log(F.col("cnt") / F.col("tot")).alias("logp")
         )
     probe = F.broadcast(lm) if broadcast_lm else lm
+    # LEFT join: with a provided LM, out-of-vocabulary tokens are exactly
+    # the gibberish signal this operator exists to flag — an inner join
+    # would silently skip them (and drop all-OOV documents entirely).
+    # Misses score at the ``oov_logp`` floor; self-fit LMs have no OOV, so
+    # the default path is unaffected.
     return (
-        toks.join(probe, "term")
+        toks.join(probe, "term", "left")
         .groupBy(F.col(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(-F.col("logp")).alias("avg_neg_logprob"),
+            F.avg(-F.coalesce(F.col("logp"), F.lit(float(oov_logp)))).alias(
+                "avg_neg_logprob"
+            ),
         )
     )
 
@@ -406,6 +417,10 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
     iterative-algorithm discipline).
     """
     w = F.col(word_col)
+    # empty words must be excluded: sequence(1, 0) DESCENDS to [1, 0] in
+    # Spark, so '' would encode as two phantom empty symbols and inject
+    # bogus ('','') pairs into the merge statistics
+    words = words.filter(F.length(w) >= 1)
     cur = (
         words.select(
             F.array_join(

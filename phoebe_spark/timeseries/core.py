@@ -88,7 +88,6 @@ def densify(
     """
     _check_unkeyed("densify", keys, assume_bounded)
     keys = list(keys or [])
-    spark = df.sparkSession
     lo = F.lit(start) if start is not None else F.min(TS)
     hi = F.lit(end) if end is not None else F.max(TS)
     if keys:
@@ -172,7 +171,6 @@ def merge_overwrite(*dfs: DataFrame, assume_bounded: bool = False) -> DataFrame:
     warned unless ``assume_bounded`` asserts the merged span is bounded.
     """
     _check_unkeyed("merge_overwrite", None, assume_bounded)
-    spark = dfs[0].sparkSession
     tagged = None
     for i, d in enumerate(dfs):
         t = d.select(TS, VAL).withColumn("_series", F.lit(i))
@@ -254,12 +252,16 @@ def binned_mean(
     bin_count: int,
     keys: Sequence[str] | None = None,
     value_col: str = VAL,
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Equal-width binned means (``subsample``,
     ``analytics/app/recoverytime/models.py:33-39``): split the ordered
     series into ``bin_count`` equal-width position bins and average each.
     Returns one row per (keys, bin) with columns ``bin`` and ``value``.
+    Unkeyed input runs as a single-partition global sort and raises
+    :class:`UnkeyedGlobalWindowWarning` like the other unkeyed kernels.
     """
+    _check_unkeyed("binned_mean", keys, assume_bounded)
     keys = list(keys or [])
     w = _keyed_window(keys)
     counts = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
@@ -289,14 +291,20 @@ def asof_join(
     the reference's series alignment, ``workload/models.py:138-147``).
 
     Union-tag implementation — the scalable as-of shape: tag right rows 0
-    and left rows 1, order by (time, tag) per key, carry the right values
-    forward with ``last(..., ignorenulls)`` over an unbounded-preceding
-    frame, keep the left rows. ONE shuffle on the ``by`` key, no range
-    cross-product, no per-row probe; ties (right at exactly the left
-    timestamp) are included. ``tolerance`` (same unit as ``on``) nulls out
-    matches older than ``on - tolerance``. Unkeyed input runs as a global
-    sort and raises :class:`UnkeyedGlobalWindowWarning` like the other
-    unkeyed kernels (pass ``assume_bounded=True`` to assert boundedness).
+    and left rows 1, order by (time, tag) per key, carry the latest right
+    ROW forward as one struct with ``last(..., ignorenulls)`` over an
+    unbounded-preceding frame, keep the left rows. The struct is non-null
+    for every right row even when its VALUE columns are null, so a null
+    observation correctly shadows older ones (pandas ``merge_asof``
+    matches the row and returns NaN — carrying values individually would
+    skip past it to a stale older value, and with several value_cols
+    could mix values from different right rows). ONE shuffle on the
+    ``by`` key, no range cross-product, no per-row probe; ties (right at
+    exactly the left timestamp) are included. ``tolerance`` (same unit as
+    ``on``) nulls out matches older than ``on - tolerance``. Unkeyed
+    input runs as a global sort and raises
+    :class:`UnkeyedGlobalWindowWarning` like the other unkeyed kernels
+    (pass ``assume_bounded=True`` to assert boundedness).
 
     Right value columns land as ``<col><suffix>``.
     """
@@ -316,17 +324,28 @@ def asof_join(
     else:
         w = Window.orderBy(F.col(on), F.col("_tag"))
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # one whole-row struct, non-null exactly on right rows
+    row_struct = F.when(
+        F.col("_tag") == 0,
+        F.struct(
+            F.col("_r_ts").alias("ts"),
+            *[F.col(out_names[c]).alias(f"v{i}") for i, c in enumerate(vals)],
+        ),
+    )
     carried = merged.select(
-        "*",
-        *[F.last(out_names[c], ignorenulls=True).over(w).alias(f"_c{i}") for i, c in enumerate(vals)],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+        "*", F.last(row_struct, ignorenulls=True).over(w).alias("_c")
     ).filter(F.col("_tag") == 1)
-    keep = F.lit(True)
+    keep = F.col("_c").isNotNull()
     if tolerance is not None:
-        keep = F.col("_c_ts") >= F.col(on).cast("long") - F.lit(int(tolerance))
+        keep = keep & (
+            F.col("_c")["ts"] >= F.col(on).cast("long") - F.lit(int(tolerance))
+        )
     return carried.select(
         *left.columns,
-        *[F.when(keep, F.col(f"_c{i}")).alias(out_names[c]) for i, c in enumerate(vals)],
+        *[
+            F.when(keep, F.col("_c")[f"v{i}"]).alias(out_names[c])
+            for i, c in enumerate(vals)
+        ],
     )
 
 
@@ -482,9 +501,23 @@ def savgol_smooth(
     if short_series == "python":
         shorts = base.filter(F.col("_cnt") < window)
         base = base.filter(F.col("_cnt") >= window)
+    # null-safe key join: groupBy keeps a NULL-key series but a plain
+    # equi-join would silently drop all its rows — join on <=> instead
+    def _nsjoin(l_df, r_df):
+        r_df = r_df.select(
+            *[F.col(k).alias(f"_rk_{k}") for k in join_keys],
+            *[c for c in r_df.columns if c not in join_keys],
+        )
+        cond = None
+        for k in join_keys:
+            c = F.col(k).eqNullSafe(F.col(f"_rk_{k}"))
+            cond = c if cond is None else cond & c
+        return l_df.join(F.broadcast(r_df), cond).drop(
+            *[f"_rk_{k}" for k in join_keys]
+        )
+
     out = (
-        base.join(F.broadcast(firstw), join_keys)
-        .join(F.broadcast(lastw), join_keys)
+        _nsjoin(_nsjoin(base, firstw), lastw)
         .withColumn(
             out_col,
             F.when(F.col("_rn") <= half, _dotl(F.element_at(HH, F.col("_rn")), F.col("_first_w")))

@@ -131,9 +131,11 @@ asof_sides = st.tuples(
         st.tuples(st.integers(0, 2), st.integers(0, 100)),
         min_size=1, max_size=20, unique=True,
     ),
-    st.lists(  # right: (key, ts, value) unique on (key, ts)
+    st.lists(  # right: (key, ts, value) unique on (key, ts); null values
+        # included — a null observation must SHADOW older non-null ones
+        # (merge_asof matches the row and returns NaN)
         st.tuples(st.integers(0, 2), st.integers(0, 100),
-                  st.floats(-1e6, 1e6, allow_nan=False)),
+                  st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False))),
         min_size=1, max_size=20, unique_by=lambda r: (r[0], r[1]),
     ),
 )
@@ -151,7 +153,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, sides):
         [(k, t) for k, t in left_rows], "k INT, timestamp LONG"
     )
     right = spark.createDataFrame(
-        [(k, t, v) for k, t, v in right_rows], "k INT, timestamp LONG, rv DOUBLE"
+        [(k, t, None if v is None else float(v)) for k, t, v in right_rows],
+        "k INT, timestamp LONG, rv DOUBLE",
     )
     from phoebe_spark.timeseries.core import asof_join
 
