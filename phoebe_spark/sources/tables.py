@@ -58,6 +58,24 @@ TESTDATA_TABLES = (
 ).split()
 
 
+def _ident(gen_type: str) -> str:
+    """Validate a genType partition value before SQL interpolation: the
+    reference's generator names are simple identifiers (SINE, CARS...);
+    anything else (quotes, spaces) would break or inject into the
+    statement text."""
+    if not gen_type.replace("_", "").replace("-", "").isalnum():
+        raise ValueError(f"invalid genType for SQL literal: {gen_type!r}")
+    return gen_type
+
+
+def _in_list(exp_ids: list[int]) -> str:
+    """Render an IN (...) list; empty input would otherwise produce the
+    invalid SQL `IN ()`."""
+    if not exp_ids:
+        raise ValueError("exp_ids must be non-empty (empty IN () is invalid SQL)")
+    return ", ".join(str(int(i)) for i in exp_ids)
+
+
 def create_profile_store(spark: SparkSession, path: str | None = None) -> None:
     """CREATE TABLE IF NOT EXISTS for profiles/predictions
     (``DataManager.java:148-160, 218-228``), partitioned by the delete/
@@ -93,6 +111,7 @@ def delete_profiles(
     (``DataManager.java:162-167`` without isBckPres, ``:210-214`` with) as a
     partition-level clear: static-partition INSERT OVERWRITE with empty
     input swaps out exactly the matching directories."""
+    gen_type = _ident(gen_type)
     flags = [0, 1] if is_bck_pres is None else [int(is_bck_pres)]
     for flag in flags:
         spark.sql(
@@ -107,10 +126,10 @@ def select_profiles(spark: SparkSession, exp_ids: list[int], gen_type: str) -> D
     """``SELECT … WHERE expId IN (…) AND genType = ? ORDER BY scaleOut ASC,
     stopTs ASC`` (``DataManager.java:185-208``). Partition-pruned by
     layout."""
-    ids = ", ".join(str(int(i)) for i in exp_ids)
+    ids = _in_list(exp_ids)
     cols = ", ".join(PROFILE_COLS)
     return spark.sql(
-        f"SELECT {cols} FROM profiles WHERE expId IN ({ids}) AND genType = '{gen_type}' "
+        f"SELECT {cols} FROM profiles WHERE expId IN ({ids}) AND genType = '{_ident(gen_type)}' "
         "ORDER BY scaleOut ASC, stopTs ASC"
     )
 
@@ -140,7 +159,7 @@ def delete_predictions(spark: SparkSession, exp_id: int, gen_type: str) -> None:
     """``initPredictions(removePrevious=true)`` (``DataManager.java:230``)."""
     spark.sql(
         "INSERT OVERWRITE TABLE predictions "
-        f"PARTITION (expId={int(exp_id)}, genType='{gen_type}') "
+        f"PARTITION (expId={int(exp_id)}, genType='{_ident(gen_type)}') "
         "SELECT CAST(NULL AS LONG), CAST(NULL AS INT), CAST(NULL AS DOUBLE), "
         "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) WHERE 1 = 0"
     )
@@ -149,7 +168,7 @@ def delete_predictions(spark: SparkSession, exp_id: int, gen_type: str) -> None:
 def select_predictions(spark: SparkSession, exp_ids: list[int]) -> DataFrame:
     """``SELECT … WHERE expId IN (…) ORDER BY expId ASC, timestamp ASC``
     (``DataManager.java:244-266``)."""
-    ids = ", ".join(str(int(i)) for i in exp_ids)
+    ids = _in_list(exp_ids)
     cols = ", ".join(PREDICTION_COLS)
     return spark.sql(
         f"SELECT {cols} FROM predictions WHERE expId IN ({ids}) "

@@ -63,6 +63,10 @@ def dataset_replay_source(
     broadcast join per micro-batch — no stream state, no shuffle of the
     stream. Columns: (event_time TIMESTAMP, key LONG, value DOUBLE)."""
     n = series.count()
+    if n == 0:
+        # pmod(t, 0) is NULL, so the join would match nothing and the
+        # stream would run forever silently emitting zero rows
+        raise ValueError("dataset_replay_source: the recorded trace is empty")
     w = Window.orderBy("timestamp")
     indexed = series.select(
         (F.row_number().over(w) - 1).alias("_idx"),
@@ -248,6 +252,11 @@ def run_to_sink(
     the reference's ``--chkInterval`` / savepoint-restore mechanism maps to
     the checkpoint directory here; rescaling = stop + restart the same
     checkpoint with a different ``spark.sql.shuffle.partitions``)."""
+    if fmt == "memory" and not queryName:
+        raise ValueError(
+            "run_to_sink: the memory sink requires queryName (it names the "
+            "in-memory table)"
+        )
     w = (
         result.writeStream.outputMode(output_mode)
         .format(fmt)
@@ -304,4 +313,10 @@ def stream_stream_interval_join(
         & (F.col(rt) >= F.col(lt))
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, how).drop("_rkey")
+    joined = l.join(r, cond, how)
+    # outer variants: an unmatched right row has NULL in the left-side key
+    # column — restore it from the right key before dropping the alias, so
+    # right_outer/full_outer rows stay attributable
+    return joined.withColumn(key_col, F.coalesce(F.col(key_col), F.col("_rkey"))).drop(
+        "_rkey"
+    )

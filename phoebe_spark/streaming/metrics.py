@@ -13,6 +13,7 @@ loop the Java control FSM implements (execution/phoebe/Graph.java:215-284).
 from __future__ import annotations
 
 import json
+import math
 import threading
 
 from pyspark.sql.streaming import StreamingQueryListener
@@ -41,6 +42,7 @@ class ProgressMetricsListener(StreamingQueryListener):
 
     def __init__(self):
         self.rows: list[tuple[int, str, float]] = []
+        self._run_of_row: list[str] = []  # parallel to rows: source runId
         self._lock = threading.Lock()
 
     def onQueryStarted(self, event):
@@ -64,9 +66,20 @@ class ProgressMetricsListener(StreamingQueryListener):
             d = json.loads(p.json)
         except Exception:
             d = {}
-        dur = float((d.get("durationMs") or {}).get("triggerExecution", 0.0))
-        thr = float(p.inputRowsPerSecond or 0.0)
-        proc = float(p.processedRowsPerSecond or 0.0)
+        def _finite(v):
+            # Spark reports NaN rates on the first trigger; NaN is truthy
+            # (so `or 0.0` keeps it) and compares GREATER than any number
+            # in Spark SQL, which would mark healthy batches as behind
+            try:
+                f = float(v if v is not None else 0.0)
+            except (TypeError, ValueError):
+                return 0.0
+            return f if math.isfinite(f) else 0.0
+
+        dur = _finite((d.get("durationMs") or {}).get("triggerExecution", 0.0))
+        thr = _finite(p.inputRowsPerSecond)
+        proc = _finite(p.processedRowsPerSecond)
+        run_id = str(getattr(p, "runId", "") or "")
         rows = [
             (ts, "thrRate", thr),
             (ts, "procRate", proc),
@@ -102,6 +115,7 @@ class ProgressMetricsListener(StreamingQueryListener):
             rows.append((ts, "lagMax", max(0.0, (thr - proc) * dur / 1000.0)))
         with self._lock:
             self.rows.extend(rows)
+            self._run_of_row.extend([run_id] * len(rows))
 
     def onQueryTerminated(self, event):
         pass
@@ -109,12 +123,24 @@ class ProgressMetricsListener(StreamingQueryListener):
     def onQueryIdle(self, event):
         pass
 
-    def to_df(self, spark):
+    def to_df(self, spark, run_id: str | None = None):
+        """Collected series as a (timestamp, series_key, value) frame.
+
+        A session-level listener hears EVERY query on the session; batch
+        ordinals from different queries/restarts would collide in the
+        pivot, so when more than one runId was recorded this returns only
+        the most recent one (pass ``run_id`` to pick another). No
+        progress yet -> an EMPTY frame (no fabricated sentinel row)."""
         with self._lock:
             rows = list(self.rows)
-        return spark.createDataFrame(
+            runs = list(self._run_of_row)
+        if rows and len(set(runs)) > 1:
+            pick = run_id if run_id is not None else runs[-1]
+            rows = [r for r, rid in zip(rows, runs) if rid == pick]
+        df = spark.createDataFrame(
             rows or [(0, "empty", 0.0)], "timestamp LONG, series_key STRING, value DOUBLE"
         )
+        return df if rows else df.limit(0)
 
 
 def detect_backpressure(
@@ -141,16 +167,23 @@ def detect_backpressure(
     )
     x = F.col("timestamp").cast("double")
     behind = F.when(F.col("procRate") < F.col("thrRate"), 1.0).otherwise(0.0)
-    lag = F.coalesce(F.col("watermarkLagMs"), F.col("lagMax"))
 
     def slope(y):
         # try_divide: fewer than two batches has var 0 - undefined, not an error
         return F.try_divide(F.covar_pop(x, y), F.var_pop(x))
 
+    # lag slope must come from ONE unit, never a per-row coalesce across
+    # units: early batches with an uninitialized watermark report lagMax
+    # (a row count) while later ones report watermarkLagMs (milliseconds),
+    # and mixing them fabricates a slope. Prefer the watermark series when
+    # it has enough points to fit; else fall back to the backlog series.
+    wm = F.col("watermarkLagMs")
     agg = wide.filter(F.col("thrRate").isNotNull()).agg(
         F.avg(behind).alias("bck_pres_per"),
         slope(F.col("batchDur")).alias("lat_slope"),
-        slope(lag).alias("lag_slope"),
+        F.when(F.count(wm) >= 2, slope(wm))
+        .otherwise(slope(F.col("lagMax")))
+        .alias("lag_slope"),
     )
     return agg.select(
         "bck_pres_per",

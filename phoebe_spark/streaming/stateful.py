@@ -47,9 +47,14 @@ def keyed_ewma(
         else:
             ewma, n = None, 0
         last_ts = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for v, ts in zip(pdf[value_col], pdf[ts_col]):
+        # pdfs is an ITERATOR of Arrow chunks (a >maxRecordsPerBatch group
+        # arrives split): the EWMA recursion is order-sensitive, so sort
+        # the whole batch once — a per-chunk sort would fold values in
+        # chunk order, not event-time order (same fix as keyed_cusum).
+        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(ts_col)
+            for v, ts in zip(batch[value_col], batch[ts_col]):
                 ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
                 n += 1
                 last_ts = ts
