@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q144_skyline_users",
     "q145_bpe_train",
     "q146_max_coverage",
+    "q147_shard_layout",
+    "q148_length_buckets",
 ]
 
 

@@ -6219,3 +6219,129 @@ def q146_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(picks, "rnd INT, doc_id LONG, gain BIGINT").orderBy(
         "rnd"
     )
+
+
+@query(
+    "q147_shard_layout",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|shard'), 1, 15)) AS BIGINT)
+               % 16 AS shard_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|order'), 1, 15)) AS BIGINT)
+               AS okey
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, okey) AS first_doc,
+           arg_max(doc_id, okey) AS last_doc,
+           min(okey) AS min_okey
+    FROM b GROUP BY shard_id
+    """,
+)
+def q147_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: the dataloader-facing write of
+    a curated corpus as N shards, each with a stable pseudo-random
+    internal order (the "global shuffle" step before tokenized-sample
+    serving). Shard assignment and intra-shard order key are both salted
+    md5 hashes of ``doc_id`` (:func:`sampling.hash_bucket` /
+    :func:`dedup.md5_hash64`) — reproducible across runs, partitionings,
+    and engines, unlike ``rand()``-based shuffles which re-roll under AQE
+    re-planning and task retries. Result is the per-shard manifest
+    (counts, bytes, first/last doc in shard order); sensitive to every
+    row's shard AND order via arg_min/arg_max/min-key columns.
+
+    Scale notes: at 100 TB this is ``repartition(N, shard_id)`` +
+    ``sortWithinPartitions(okey)`` + parquet write — exactly one shuffle,
+    no global sort (the order is per-shard by construction, which is all
+    a dataloader that samples shards round-robin needs). The manifest
+    here is the same plan minus the write: one scan, codegen hash exprs,
+    map-side-combining groupBy on a 16-value key."""
+    from phoebe_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    okey = dedup.md5_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|order"))
+    )
+    s = d.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        sampling.hash_bucket(F.col("doc_id"), salt="shard", buckets=16).alias(
+            "shard_id"
+        ),
+        okey.alias("okey"),
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.min_by("doc_id", "okey").alias("first_doc"),
+        F.max_by("doc_id", "okey").alias("last_doc"),
+        F.min("okey").alias("min_okey"),
+    )
+
+
+@query(
+    "q148_length_buckets",
+    oracle=r"""
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT toks,
+             greatest(16, CAST(pow(2, length(bin(greatest(toks, 1) - 1))) AS BIGINT))
+               AS bucket_cap
+      FROM t
+    )
+    SELECT bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           round(1 - CAST(sum(toks) AS BIGINT) / (bucket_cap * CAST(count(*) AS BIGINT)), 6)
+             AS padding_frac
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def q148_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report: assign every document to the
+    smallest power-of-two token bucket (floor 16) and report the padding
+    waste if batches pad to the bucket cap — the standard pre-tokenization
+    question "what do length-grouped batches cost us vs dynamic batching".
+    Token count is the q52 whitespace tokenizer, so the two reports share
+    a vocabulary of terms.
+
+    The bucket cap is computed with integer bit-length arithmetic
+    (``2 ^ length(bin(toks - 1))``), not ``ceil(log2(x))`` — float log2
+    at exact powers of two is where engines disagree; ``bin`` is exact
+    and bit-identical in Spark and DuckDB.
+
+    Scale notes: one scan, pure codegen exprs, map-side-combining groupBy
+    on a ~10-value key — shuffle is O(buckets). This is the profile you
+    run BEFORE choosing fixed context-window packing (q62) vs bucketed
+    batching at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(text.tokens(F.col("text")))
+    s = d.select(toks.alias("toks"))
+    bits = F.length(F.bin(F.greatest(F.col("toks"), F.lit(1)) - 1))
+    cap = F.greatest(
+        F.lit(16).cast("long"), F.pow(F.lit(2.0), bits).cast("long")
+    )
+    g = (
+        s.withColumn("bucket_cap", cap)
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("sum_tokens"),
+        )
+    )
+    return g.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        F.round(
+            F.lit(1) - F.col("sum_tokens") / (F.col("bucket_cap") * F.col("n_docs")),
+            6,
+        ).alias("padding_frac"),
+    )

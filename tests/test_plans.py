@@ -547,3 +547,28 @@ def test_q143_orc_pushdown(spark, sf_dir):
     assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
     # column projection: untouched wide columns never decoded
     assert "l_comment" not in plan and "l_orderkey" not in plan
+
+
+def test_q147_single_scan_single_exchange(spark, sf_dir):
+    """Shard manifest: one documents scan with only (doc_id, text) read,
+    codegen hash exprs, ONE map-side-combining exchange on the 16-value
+    shard key — the manifest plan must match the write plan's single
+    shuffle."""
+    plan = _plan(spark, sf_dir, "q147_shard_layout")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Exchange") == 1
+    assert _ops(plan, "HashAggregate") == 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "source" not in plan.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_q148_single_scan_single_exchange(spark, sf_dir):
+    """Length-bucket profile: one scan reading ONLY text, bit-length
+    bucket expr in codegen, one exchange on the ~10-value bucket key."""
+    plan = _plan(spark, sf_dir, "q148_length_buckets")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Exchange") == 1
+    assert _ops(plan, "HashAggregate") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # projection pruned to the text column only
+    assert "doc_id" not in plan.split("ReadSchema")[-1].split("\n")[0]
