@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q146_max_coverage",
     "q147_shard_layout",
     "q148_length_buckets",
+    "q149_pq_ann",
 ]
 
 

@@ -433,6 +433,77 @@ def quantize_embeddings(
     return df.select(F.col(id_col), scale, codes.alias("qvec"))
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al., PAMI 2011 —
+    the FAISS ``IndexPQ`` shape): split each d-dim vector into M
+    subvectors, encode each against a per-subspace codebook by nearest-L2
+    codeword (ties -> smallest code), then score queries against CODES
+    ONLY via asymmetric distance computation (ADC): approx_dot(q, x) =
+    sum_m dot(q_m, codeword[m][code_m(x)]).
+
+    ``codebooks`` is ``[M][K]`` of subvector lists (train-once/assign-many
+    — fit offline or pass pivot subvectors for a deterministic quantizer,
+    the q44 oracle pattern). Real deployments use K=256 (1 byte/code);
+    K is a parameter here.
+
+    100 TB shape: the corpus is read ONCE to encode (no shuffle — argmin
+    over K literal codewords per subspace, pure codegen array exprs) and
+    thereafter lives as M small ints per row — at d=64/M=4 that is 64x
+    smaller than the float32 vectors, the difference between an index
+    that fits executor memory and one that doesn't. Queries broadcast;
+    ADC reads codes + literal codebooks, never the original vectors; only
+    (query, k) result rows shuffle for the per-query top-k window."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    v = F.col(vec_col)
+
+    codes = []
+    for j in range(m):
+        sl = F.slice(v, j * d_sub + 1, d_sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sl,
+                        F.array(*[F.lit(float(x)) for x in cw]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cw in codebooks[j]
+            ]
+        )
+        # first-min position = smallest code on ties, matching the
+        # oracle's ORDER BY dist, code
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{j}"))
+    enc = corpus.select(F.col(id_col).alias("neighbor_id"), *codes)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    score = None
+    for j in range(m):
+        qsl = F.slice(F.col("q_vec"), j * d_sub + 1, d_sub)
+        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[j]])
+        cw = F.element_at(cb, F.col(f"code{j}") + 1)
+        part = F.aggregate(
+            F.zip_with(qsl, cw, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = part if score is None else score + part
+
+    scored = enc.join(F.broadcast(q)).select("query_id", "neighbor_id", score.alias("adc_dot"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dot").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int = 8,

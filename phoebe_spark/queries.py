@@ -6345,3 +6345,85 @@ def q148_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("padding_frac"),
     )
+
+
+@query(
+    "q149_pq_ann",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+    sub AS (
+      SELECT vec_id, m, v[(m * 16 + 1):((m + 1) * 16)] AS sv FROM n, ms
+    ),
+    cb AS (
+      SELECT m, CAST(vec_id - 20 AS INT) AS code, sv AS cw
+      FROM sub WHERE vec_id BETWEEN 20 AND 27
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(generate_series(1, 16),
+                            i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))),
+                          cb.code) AS rk
+        FROM sub s JOIN cb USING (m)) WHERE rk = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, m, sv AS qv
+      FROM sub WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    contrib AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.m,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> q.qv[i] * cb.cw[i])) AS part
+      FROM enc e
+      JOIN cb ON cb.m = e.m AND cb.code = e.code
+      JOIN qsub q ON q.m = e.m
+    ),
+    scores AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list(part ORDER BY m)) AS adc_dot
+      FROM contrib GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(adc_dot, 6) AS adc_dot
+    FROM (SELECT query_id, neighbor_id, adc_dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dot DESC, neighbor_id) AS rank
+          FROM scores)
+    WHERE rank <= 5
+    """,
+)
+def q149_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 via asymmetric distance
+    (:func:`similarity.pq_topk`, Jégou 2011 / FAISS IndexPQ) with a
+    PRETRAINED pivot codebook: M=4 subspaces of 16 dims, K=8 codewords
+    per subspace taken from corpus vectors 20-27 (the q44 deterministic
+    train-once/assign-many pattern), so encoding, the ADC lookup, and the
+    top-5 are all exactly reproducible — the oracle replays subvector
+    slicing, nearest-codeword argmin (ties -> smallest code), per-subspace
+    LUT dots, and the fixed-order m=0..3 score sum digit-for-digit.
+
+    Completes the ANN ladder: q23 exact brute force, q42/q74 LSH
+    projections, q44 IVF cell probing, q69 int8 storage compression —
+    this is the codes-only memory path (M ints per corpus row, 64x
+    smaller than float32 at d=64/M=4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pivots = (
+        emb.filter(F.col("vec_id").between(20, 27)).orderBy("vec_id").collect()
+    )
+    codebooks = [
+        [list(r["embedding"])[j * 16 : (j + 1) * 16] for r in pivots]
+        for j in range(4)
+    ]
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    out = similarity.pq_topk(emb, queries, codebooks, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("adc_dot", 6).alias("adc_dot"),
+    )

@@ -572,3 +572,14 @@ def test_q148_single_scan_single_exchange(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # projection pruned to the text column only
     assert "doc_id" not in plan.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_q149_codes_only_no_python(spark, sf_dir):
+    """PQ ADC: encode + score are pure codegen array exprs (no Python
+    eval), the query side broadcasts, and the only real exchange is the
+    per-query top-k window — the corpus never shuffles on data."""
+    plan = _plan(spark, sf_dir, "q149_pq_ann")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _ops(plan, "BroadcastNestedLoopJoin") == 1  # 5-row query side
+    # one shuffle: the rank window on (query_id); encode side exchange-free
+    assert _ops(plan, "Exchange") == 1

@@ -119,3 +119,43 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         deq = np.array(r["qvec"], dtype=np.float64) * r["scale"]
         assert np.abs(deq - v).max() <= r["scale"] / 2 + 1e-12
         assert max(abs(c) for c in r["qvec"]) <= 127
+
+
+def test_pq_adc_lossless_on_codeword_grid(spark):
+    """PQ/ADC invariant: when every corpus vector lies exactly on the
+    codeword grid (each subvector IS a codeword), encoding is lossless, so
+    the asymmetric-distance score equals the exact dot product and the
+    top-k equals exact-dot brute force. This certifies encode argmin, LUT
+    lookup, and the score sum independently of data clusterability (on
+    structureless random vectors recall is legitimately poor — PQ assumes
+    cluster structure; the q149 oracle certifies mechanics digit-for-digit)."""
+    from phoebe_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(11)
+    M, K, ds = 2, 4, 4
+    codebooks = [[list(map(float, rng.randn(ds) * (m + 1))) for _ in range(K)] for m in range(M)]
+    # corpus = all K^M codeword combinations
+    vecs = []
+    for a in range(K):
+        for b in range(K):
+            vecs.append(codebooks[0][a] + codebooks[1][b])
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, list(map(float, rng.randn(M * ds)))) for i in range(3)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = pq_topk(corpus, queries, codebooks, k=4).collect()
+
+    X = np.array(vecs)
+    qrows = {r["vec_id"]: np.array(r["embedding"]) for r in queries.collect()}
+    for qid, q in qrows.items():
+        got = sorted(
+            [(r["rank"], r["neighbor_id"], r["adc_dot"]) for r in out if r["query_id"] == qid]
+        )
+        dots = X @ q
+        order = np.lexsort((np.arange(len(X)), -dots))[:4]
+        for (rk, nb, adc), want_nb in zip(got, order):
+            assert nb == want_nb, (qid, rk, nb, want_nb)
+            assert adc == pytest.approx(dots[want_nb], rel=1e-9)
