@@ -115,6 +115,19 @@ def run_scale(spark, scale: int) -> dict:
         ),
     )
     t("ivf_topk", similarity.ivf_topk(emb, emb.limit(64), k=10, n_centroids=max(16, scale * 4), n_probe=4))
+
+    # PQ/ADC: codebook size is FIXED (model state), so encode+score cost
+    # must grow ~linearly with the corpus and the window shuffle with
+    # queries x corpus — codes-only scoring never re-reads the vectors
+    def _pq():
+        pivots = emb.filter(F.col("vec_id").between(20, 27)).orderBy("vec_id").collect()
+        cbs = [
+            [list(r["embedding"])[j * 16 : (j + 1) * 16] for r in pivots]
+            for j in range(4)
+        ]
+        return similarity.pq_topk(emb, emb.limit(16), cbs, k=10)
+
+    t_build("pq_adc_topk", _pq)
     t("asof_join", asof_join(ev.select("event_id", "ts", "user_id"), quotes, on="ts", by=["user_id"]))
     t("bloom_decontaminate", dedup.contamination_flags_bloom(docs, docs.limit(200), n=5))
     t("unigram_lm", text.unigram_logprob_scores(docs))
