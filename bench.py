@@ -183,15 +183,35 @@ def main() -> None:
     timings["m2_forecast_600s"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full line first (compact separators keep it as small as possible),
+    # with the scalar fields BEFORE the big `queries` map so a truncated
+    # capture still shows the total; then a short summary-only line last so
+    # any tail-capture window always contains one fully parseable JSON line.
     print(
         json.dumps(
             {
                 "metric": "bench_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "sf": sf_val,
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
+        )
+    )
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "entries": len(timings),
+                "queries": top5,
+            },
+            separators=(",", ":"),
         )
     )
 

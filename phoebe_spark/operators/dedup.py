@@ -185,9 +185,16 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for hash seed i, the minimum
     ``hash(shingle, i)`` over the document's shingles.
+
+    ``postings``: a precomputed ``(doc, shingle)`` frame (the
+    :func:`shingle_postings` shape, duplicates allowed) to use instead of
+    re-shingling ``df`` — pass this when a pipeline already tokenized the
+    corpus (e.g. it also needs true-Jaccard gram sets) so the dominant
+    scan+shingle pass runs once, not once per consumer.
 
     Implemented as explode(shingles) -> ``num_hashes`` plain ``min(hash(g,
     i))`` aggregates -> array. Plain hash columns stay inside
@@ -202,9 +209,11 @@ def minhash_signatures(
     # distinct=False: min() is duplicate-insensitive, and skipping the set
     # collapse drops a whole shuffle — the groupBy(doc) below reuses the
     # shingling window's doc partitioning (~2x end-to-end, measured).
-    sh = shingle_postings(df, id_col, text_col, shingle_n, distinct=False).withColumnRenamed(
-        "shingle", "g"
-    )
+    sh = (
+        postings
+        if postings is not None
+        else shingle_postings(df, id_col, text_col, shingle_n, distinct=False)
+    ).withColumnRenamed("shingle", "g")
     if hash_fn == "md5":
         # Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields
         # (h1, h2); hash family i is (h1 + i*h2) mod p. Same minhash
@@ -239,6 +248,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: split each signature into
     ``bands`` rows of ``num_hashes/bands`` values, hash each band to a
@@ -268,7 +278,7 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, hash_fn
+        df, id_col, text_col, num_hashes, shingle_n, hash_fn, postings=postings
     ).localCheckpoint(eager=True)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     band_str = F.concat_ws(",", F.transform(

@@ -11,12 +11,17 @@ bucket keeps per-task byte volume even (big-blob skew is the common failure
 mode at scale).
 
 Codec status: the audio (:func:`wav_decode`, stdlib ``wave``) and image
-(:func:`png_decode`, stdlib ``zlib`` + numpy unfiltering) paths are REAL
-decoders with zero external dependencies. JPEG/video decode (PIL/ffmpeg
-not in this container) remain deterministic fakes behind the same
-``decoder=`` hooks (clearly marked; swap in real decoders in production).
-Everything around them — schemas, UDF signatures, batching, partitioning —
-is real and tested either way.
+(:func:`png_decode`, stdlib ``zlib`` + numpy unfiltering;
+:func:`jpeg_decode`, stdlib ``struct`` + numpy Huffman/IDCT for baseline
+JFIF) paths are REAL decoders with zero external dependencies. The
+default decoder is :func:`auto_decode_image` / :func:`auto_decode_audio`,
+which sniffs magic bytes and dispatches PNG/JPEG/WAV to the real decoder
+— unknown formats RAISE rather than silently producing fake features.
+Video frame decode (ffmpeg not in this container) remains a deterministic
+fake behind the same ``decoder=`` hook (clearly marked; swap in a real
+decoder in production). The ``_fake_decode_*`` stubs remain available as
+explicit opt-in test doubles. Everything around the codecs — schemas, UDF
+signatures, batching, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -107,7 +112,7 @@ def image_features(
     perceptual-ish 64-bit average-hash. mapInPandas so decode runs
     executor-side per Arrow batch; ``batch_limit`` re-chunks outsized
     batches defensively (blob-size skew)."""
-    decoder = decoder or _fake_decode_image
+    decoder = decoder or auto_decode_image
 
     def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -146,7 +151,7 @@ def image_resize(
     """Decode -> nearest-neighbor resize -> re-encode (zlib of raw pixels as
     the stand-in codec). Output keeps the binary-column convention so
     stages compose: resize |> features |> dedup."""
-    decoder = decoder or _fake_decode_image
+    decoder = decoder or auto_decode_image
     th, tw = target
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,7 +183,7 @@ def audio_features(
 ) -> DataFrame:
     """Decode audio -> RMS energy, zero-crossing rate, spectral-centroid
     stand-in (FFT-free: mean abs diff ratio)."""
-    decoder = decoder or _fake_decode_audio
+    decoder = decoder or auto_decode_audio
 
     def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -301,3 +306,312 @@ def png_decode(content: bytes, width: int = -1, height: int = -1) -> np.ndarray:
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     return np.ascontiguousarray(px[..., :3])
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decode (stdlib struct + numpy — no PIL/turbojpeg needed)
+# ---------------------------------------------------------------------------
+
+# zigzag index -> raster index (ITU T.81 Figure 5)
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis: spatial = C.T @ coef @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)) * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _idct_8x8(coef: np.ndarray) -> np.ndarray:
+    """2-D inverse DCT of one 8x8 coefficient block (orthonormal scaling —
+    matches the T.81 normalization when quant tables carry no extra scale)."""
+    return _DCT_C.T @ coef @ _DCT_C
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00 byte
+    de-stuffing and restart-marker resync (T.81 §B.1.1.5, §E.2.4)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.cur = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.d[self.p]
+            if byte == 0xFF:
+                nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.p += 2
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy stream")
+            else:
+                self.p += 1
+            self.cur = byte
+            self.n = 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        self.n = 0  # discard pad bits to the byte boundary
+        if self.p + 1 >= len(self.d) or self.d[self.p] != 0xFF or not (
+            0xD0 <= self.d[self.p + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.p += 2
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    # T.81 F.2.2.1 EXTEND: map the t-bit magnitude to its signed value
+    return v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_block(
+    bits: _JpegBits,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int32)
+    t = _jpeg_huff_decode(bits, dc_tab)
+    diff = _jpeg_extend(bits.receive(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(bits, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: skip 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _jpeg_extend(bits.receive(s), s)
+        k += 1
+    return zz, pred
+
+
+def jpeg_decode(content: bytes, width: int = -1, height: int = -1) -> np.ndarray:
+    """REAL decoder for baseline sequential JFIF (SOF0) via stdlib
+    ``struct`` + numpy — Huffman entropy decode, dequantize, un-zigzag,
+    orthonormal IDCT, chroma upsample (nearest, any Hi/Vi sampling incl.
+    4:2:0), BT.601 YCbCr->RGB. Grayscale (1 component) and YCbCr (3
+    components) streams; restart intervals (DRI/RSTn) supported.
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise.
+    Returns ``HxWx3 uint8`` (grey replicated) — the ``decoder=`` hook
+    contract of :func:`image_features` / :func:`image_resize`;
+    ``width``/``height`` arguments are ignored (SOF0 is authoritative)."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG byte stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    scan_comps: dict[int, tuple[int, int]] = {}
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        (seg_len,) = struct.unpack(">H", content[pos : pos + 2])
+        seg = content[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                counts = seg[i : i + 16]
+                i += 16
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = seg[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision: {prec}")
+            comps = []
+            for ci in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type: SOF marker 0x{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            for si in range(seg[0]):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan_comps[cs] = (tdta >> 4, tdta & 0x0F)
+            break
+        # APPn / COM: skipped
+    if frame is None or not scan_comps:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.uint8) for c in comps
+    }
+    preds = {c["id"]: 0 for c in comps}
+    bits = _JpegBits(content, pos)
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bits.sync_restart()
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_tab = huff[(0, scan_comps[c["id"]][0])]
+                ac_tab = huff[(1, scan_comps[c["id"]][1])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz, preds[c["id"]] = _jpeg_decode_block(bits, dc_tab, ac_tab, preds[c["id"]])
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_JPEG_ZIGZAG] = (zz * qt[c["tq"]]).astype(np.float64)
+                        spatial = _idct_8x8(blk.reshape(8, 8)) + 128.0
+                        px = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_idx += 1
+
+    # upsample each component to full resolution (nearest / replicate) + crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w].astype(np.float64))
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count: {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Magic-byte decoder dispatch — the default for the feature/resize stages
+# ---------------------------------------------------------------------------
+
+
+def sniff_mime(content: bytes) -> str:
+    """Python mirror of :func:`attach_media_metadata`'s column-expression
+    magic-byte sniff, for executor-side dispatch inside decode UDFs."""
+    if content[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if content[:4] == b"\x89PNG":
+        return "image/png"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "audio/wav"
+    return "application/octet-stream"
+
+
+def auto_decode_image(content: bytes, width: int = -1, height: int = -1) -> np.ndarray:
+    """Default image decoder: sniff magic bytes and dispatch to the real
+    codec — PNG -> :func:`png_decode`, JPEG -> :func:`jpeg_decode`, and the
+    ``image/raw+zlib`` stand-in container :func:`image_resize` emits (zlib
+    stream whose payload is exactly width*height*3 raw pixels). Unknown
+    bytes RAISE rather than silently producing hash-noise features; pass
+    ``decoder=`` explicitly to override (e.g. ``_fake_decode_image`` as a
+    test double)."""
+    mime = sniff_mime(content)
+    if mime == "image/png":
+        return png_decode(content, width, height)
+    if mime == "image/jpeg":
+        return jpeg_decode(content, width, height)
+    if len(content) >= 2 and content[0] == 0x78 and width > 0 and height > 0:
+        try:
+            raw = zlib.decompress(bytes(content))
+        except zlib.error:
+            raw = None
+        if raw is not None and len(raw) == width * height * 3:
+            return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    raise ValueError(
+        f"auto_decode_image: unrecognized image bytes (sniffed {mime}); "
+        "supported: PNG, baseline JPEG, raw+zlib. Pass decoder= to override."
+    )
+
+
+def auto_decode_audio(content: bytes, n_samples: int = -1) -> np.ndarray:
+    """Default audio decoder: RIFF/WAVE -> :func:`wav_decode`; anything
+    else raises (pass ``decoder=`` to override)."""
+    if sniff_mime(content) == "audio/wav":
+        return wav_decode(content, n_samples)
+    raise ValueError(
+        "auto_decode_audio: unrecognized audio bytes; supported: RIFF/WAVE PCM. "
+        "Pass decoder= to override."
+    )

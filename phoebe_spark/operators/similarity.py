@@ -96,9 +96,18 @@ def all_pairs_cosine(
     vec_col: str = "embedding",
     n_blocks: int | None = None,
     target_block_rows: int = 4096,
+    max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """All-pairs cosine similarity above a threshold via 2D-blocked GEMM,
     fully distributed — the corpus is never collected to the driver.
+
+    EXACT and therefore quadratic by contract: pair work is n^2/2 dot
+    products no matter how evenly it's sharded. ``max_rows`` (default 1M,
+    ~5e11 dot products — hours on a large fleet, a wall beyond it) refuses
+    larger inputs with a pointer to the candidate-generate-then-verify
+    path: :func:`lsh_bucketed_pairs` / ``dedup.minhash_lsh_pairs`` to
+    produce candidates, then exact cosine on candidates only. Pass
+    ``max_rows=None`` to override for a deliberately-sized diagnostic.
 
     Each vector hashes into one of ``n_blocks`` blocks; every unordered
     block pair (bi <= bj) becomes one cogroup task that computes
@@ -123,6 +132,17 @@ def all_pairs_cosine(
     dominated at small scale and bought nothing at large scale.
     """
     spark = df.sparkSession
+    n_guard: int | None = None
+    if max_rows is not None:
+        n_guard = df.count()
+        if n_guard > max_rows:
+            raise ValueError(
+                f"all_pairs_cosine is exact all-pairs (quadratic): {n_guard} rows "
+                f"exceeds max_rows={max_rows} (~{n_guard * n_guard / 2:.1e} dot "
+                "products). Generate candidates with lsh_bucketed_pairs or "
+                "dedup.minhash_lsh_pairs and verify exact cosine on candidates "
+                "only, or pass max_rows=None for a deliberately-sized diagnostic."
+            )
     if n_blocks is None:
         # two constraints: blocks small enough to bound per-task memory
         # (~target_block_rows vectors per block; replication ~n_blocks
@@ -131,7 +151,7 @@ def all_pairs_cosine(
         # ~2 tasks per core via nb ~= 2*sqrt(parallelism). Tiny corpora
         # cap at 64-row blocks so tasks aren't pure overhead. count() is
         # a cheap metadata-mostly job on columnar sources.
-        n = df.count()
+        n = n_guard if n_guard is not None else df.count()
         par = spark.sparkContext.defaultParallelism
         nb_mem = -(-n // target_block_rows)
         # parallelism wants ~2 tasks/core (nb*(nb+1)/2 pairs), but never
@@ -455,14 +475,38 @@ def pq_topk(
 
     100 TB shape: the corpus is read ONCE to encode (no shuffle — argmin
     over K literal codewords per subspace, pure codegen array exprs) and
-    thereafter lives as M small ints per row — at d=64/M=4 that is 64x
-    smaller than the float32 vectors, the difference between an index
-    that fits executor memory and one that doesn't. Queries broadcast;
-    ADC reads codes + literal codebooks, never the original vectors; only
-    (query, k) result rows shuffle for the per-query top-k window."""
+    thereafter lives as M small codes per row: codes are cast to TINYINT
+    when K <= 128 (SMALLINT up to 32768), so at d=64/M=4/K<=128 the index
+    is 4 bytes/row vs 256 bytes of float32 — 64x smaller, the difference
+    between an index that fits executor memory and one that doesn't (16x
+    if K forces 4-byte codes). Queries broadcast; ADC reads codes +
+    literal codebooks, never the original vectors; only (query, k) result
+    rows shuffle for the per-query top-k window."""
     m = len(codebooks)
+    if m == 0 or not codebooks[0]:
+        raise ValueError("codebooks must be a non-empty [M][K] structure")
     d_sub = len(codebooks[0][0])
+    n_codes = len(codebooks[0])
+    for j, cb_j in enumerate(codebooks):
+        if len(cb_j) != n_codes:
+            raise ValueError(
+                f"codebooks[{j}] has {len(cb_j)} codewords, expected {n_codes} "
+                "(all subspaces must share K)"
+            )
+        for i, cw in enumerate(cb_j):
+            if len(cw) != d_sub:
+                raise ValueError(
+                    f"codebooks[{j}][{i}] has dim {len(cw)}, expected d_sub={d_sub}"
+                )
+    code_type = "tinyint" if n_codes <= 128 else ("smallint" if n_codes <= 32768 else "int")
     v = F.col(vec_col)
+    dim_ok = F.size(v) == F.lit(m * d_sub)
+    dim_err = F.raise_error(
+        F.concat(
+            F.lit(f"pq_topk: vector dim must be M*d_sub={m * d_sub}, got "),
+            F.size(v).cast("string"),
+        )
+    )
 
     codes = []
     for j in range(m):
@@ -483,7 +527,12 @@ def pq_topk(
         )
         # first-min position = smallest code on ties, matching the
         # oracle's ORDER BY dist, code
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{j}"))
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast(code_type)
+        if j == 0:
+            # per-row dim guard rides the first code expr so pruning can't
+            # drop it: mismatched vectors raise instead of null-padding
+            code = F.when(dim_ok, code).otherwise(dim_err.cast(code_type))
+        codes.append(code.alias(f"code{j}"))
     enc = corpus.select(F.col(id_col).alias("neighbor_id"), *codes)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -497,6 +546,15 @@ def pq_topk(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        if j == 0:
+            q_ok = F.size(F.col("q_vec")) == F.lit(m * d_sub)
+            q_err = F.raise_error(
+                F.concat(
+                    F.lit(f"pq_topk: query dim must be M*d_sub={m * d_sub}, got "),
+                    F.size(F.col("q_vec")).cast("string"),
+                )
+            )
+            part = F.when(q_ok, part).otherwise(q_err.cast("double"))
         score = part if score is None else score + part
 
     scored = enc.join(F.broadcast(q)).select("query_id", "neighbor_id", score.alias("adc_dot"))

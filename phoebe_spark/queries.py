@@ -4688,7 +4688,7 @@ def q118_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
            coalesce(m, h, d) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 6) AS avg_value
+           round(CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) / count(*), 6) AS avg_value
     FROM e
     GROUP BY GROUPING SETS ((event_type, m), (event_type, h), (event_type, d))
     """,
@@ -4717,7 +4717,14 @@ def q119_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "m", "h", "d",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        # decimal sum -> round -> double -> divide: order-independent and
+        # engine-exact (q01 money policy) — plain double avg() diverged
+        # from the oracle in the 6th decimal on one 32-row group at sf0.1
+        F.round(
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 6).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
         F.grouping("m").alias("_gm"),
         F.grouping("h").alias("_gh"),
     )
@@ -4837,14 +4844,25 @@ def q121_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     output), never all pairs; the gram arrays join back by doc id
     (broadcast-able), and intersections are array_intersect on
     already-distinct arrays. est = k/32 is exact binary, so the decile
-    binning cannot straddle engines."""
+    binning cannot straddle engines. The corpus is tokenized + shingled
+    exactly ONCE: the posting pass is materialized and feeds both the
+    minhash signatures (via ``postings=``) and the true-Jaccard gram sets
+    (collect_set over the same frame) — previously three full
+    scan+shingle subtrees (signatures + both gram-join sides)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3, hash_fn="md5")
-    grams = d.filter(
-        (F.trim("text") != "") & (F.size(text.tokens(F.col("text"))) >= 3)
-    ).select(F.col("doc_id"), dedup.word_shingles(F.col("text"), 3).alias("grams"))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    post = dedup.shingle_postings(d, "doc_id", "text", 3, distinct=False).localCheckpoint(
+        eager=True
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, shingle_n=3, hash_fn="md5", postings=post
+    )
+    grams = (
+        post.groupBy("doc")
+        .agg(F.collect_set("shingle").alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    ga = grams.select(F.col("doc").alias("doc_a"), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col("doc").alias("doc_b"), F.col("grams").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb"))
     tru = inter * 1.0 / (F.size("_ga") + F.size("_gb") - inter)
     scored = (

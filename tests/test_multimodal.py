@@ -1,9 +1,14 @@
-"""Multimodal-column plumbing tests: binary columns + typed metadata through
-Arrow-batched mapInPandas stages (decode is a deterministic stub; schema,
-batching, partitioning, and composition are the product under test)."""
+"""Multimodal-column tests: binary columns + typed metadata through
+Arrow-batched mapInPandas stages. The decode paths are REAL (stdlib
+PNG/JPEG/WAV decoders with magic-byte dispatch); the in-test baseline-JPEG
+encoder below exists only to synthesize genuine byte streams with known
+expected reconstructions."""
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 import zlib
 
 import numpy as np
@@ -23,15 +28,271 @@ JPEG_MAGIC = bytes([0xFF, 0xD8, 0xFF]) + b"fakejpegbytes"
 PNG_MAGIC = b"\x89PNG\r\n" + b"fakepngbytes"
 WAV_MAGIC = b"RIFF" + b"fakewavbytes"
 
+# --- in-test baseline JPEG encoder (independent of the product decoder:
+# its own DCT matrix, zigzag table, Huffman assignment, and bit writer) ---
+
+_ZIG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_mat():
+    C = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            C[k, n] = (np.sqrt(1 / 8) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16)
+    return C
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad_to_byte(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _mag_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _fixed_huff(symbols):
+    """Canonical table with every symbol at one code length (capacity
+    2^L - 1 keeps the all-ones code unused, as T.81 recommends)."""
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    codes = {s: (L, i) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+
+def _encode_jpeg(img: np.ndarray, samp=(1, 1), q: int = 1, restart_interval: int = 0):
+    """Encode uint8 gray (HxW) or RGB (HxWx3) as baseline JFIF. Returns
+    (jpeg_bytes, expected_rgb) where expected_rgb is the mathematically
+    implied reconstruction (quantize -> dequantize -> IDCT -> clip ->
+    upsample -> color-convert) computed with THIS module's independent
+    numerics, for exact-match assertions against the product decoder."""
+    C = _dct_mat()
+    gray = img.ndim == 2
+    H, W = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        R, G, B = (img[..., i].astype(np.float64) for i in range(3))
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+        Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+        sh, sv = samp
+
+        def _ds(p):
+            if sh == 1 and sv == 1:
+                return p
+            hh, ww = -(-H // sv) * sv, -(-W // sh) * sh
+            pp = np.pad(p, ((0, hh - H), (0, ww - W)), mode="edge")
+            return pp.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+
+        planes = [Y, _ds(Cb), _ds(Cr)]
+        samps = [samp, (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-W // (8 * hmax)), -(-H // (8 * vmax))
+    qtab = np.full(64, q, dtype=np.int64)  # uniform, so zigzag order is moot
+
+    # FDCT + quantize every block; keep coefficients for the bitstream and
+    # build the expected reconstruction per plane
+    comp_coeffs = []  # [comp][(by, bx)] -> 64 quantized zigzag coeffs
+    recon_planes = []
+    for p, (sh_, sv_) in zip(planes, samps):
+        ph, pw = mcuy * 8 * sv_, mcux * 8 * sh_
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        coeffs = {}
+        rec = np.zeros((ph, pw))
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = C @ blk @ C.T
+                zz = np.round(coef.flatten()[_ZIG] / qtab).astype(np.int64)
+                coeffs[(by, bx)] = zz
+                rast = np.zeros(64)
+                rast[_ZIG] = (zz * qtab).astype(np.float64)
+                spatial = C.T @ rast.reshape(8, 8) @ C + 128.0
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(spatial), 0, 255
+                )
+        comp_coeffs.append(coeffs)
+        recon_planes.append(rec)
+
+    # expected final RGB: upsample reconstructed planes, crop, color-convert
+    ups = []
+    for rec, (sh_, sv_) in zip(recon_planes, samps):
+        u = np.repeat(np.repeat(rec, vmax // sv_, axis=0), hmax // sh_, axis=1)
+        ups.append(u[:H, :W])
+    if gray:
+        expected = np.repeat(
+            np.clip(np.round(ups[0]), 0, 255).astype(np.uint8)[..., None], 3, axis=2
+        )
+    else:
+        y, cb, cr = ups
+        er = y + 1.402 * (cr - 128.0)
+        eg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        eb = y + 1.772 * (cb - 128.0)
+        expected = np.clip(np.round(np.stack([er, eg, eb], axis=2)), 0, 255).astype(np.uint8)
+
+    # gather Huffman symbols (pass 1), then emit (pass 2)
+    def _blocks_in_mcu_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh_, sv_) in enumerate(samps):
+                    for by in range(sv_):
+                        for bx in range(sh_):
+                            yield ci, comp_coeffs[ci][(my * sv_ + by, mx * sh_ + bx)]
+
+    def _block_symbols(zz, pred):
+        dc_syms, ac_syms = [], []
+        diff = int(zz[0]) - pred
+        dc_syms.append(_category(diff))
+        k, run = 1, 0
+        while k < 64:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+            else:
+                while run > 15:
+                    ac_syms.append(0xF0)
+                    run -= 16
+                ac_syms.append((run << 4) | _category(v))
+                run = 0
+            k += 1
+        if run:
+            ac_syms.append(0x00)
+        return dc_syms, ac_syms, int(zz[0])
+
+    all_dc, all_ac = [], []
+    preds = [0] * len(planes)
+    for ci, zz in _blocks_in_mcu_order():
+        d, a, new_pred = _block_symbols(zz, preds[ci])
+        preds[ci] = new_pred
+        all_dc += d
+        all_ac += a
+    all_ac.append(0x00)  # ensure EOB is always in the table
+    dc_counts, dc_syms, dc_codes = _fixed_huff(all_dc)
+    ac_counts, ac_syms, ac_codes = _fixed_huff(all_ac)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_idx = 0
+    rst = 0
+    blocks = list(_blocks_in_mcu_order())
+    per_mcu = sum(sh_ * sv_ for sh_, sv_ in samps)
+    for bi, (ci, zz) in enumerate(blocks):
+        if bi % per_mcu == 0:  # MCU boundary
+            mcu_idx = bi // per_mcu
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * len(planes)
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        t = _category(diff)
+        ln, code = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(_mag_bits(diff, t), t)
+        k, run = 1, 0
+        while k < 64:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+            else:
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                ln, code = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(_mag_bits(v, s), s)
+                run = 0
+            k += 1
+        if run:
+            ln, code = ac_codes[0x00]
+            bw.write(code, ln)
+    bw.pad_to_byte()
+
+    def _seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def _dht(tc, counts, syms):
+        return _seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(syms))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtab))
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([ncomp])
+    for ci, (sh_, sv_) in enumerate(samps):
+        sof += bytes([ci + 1, (sh_ << 4) | sv_, 0])
+    out += _seg(0xC0, sof)
+    out += _dht(0, dc_counts, dc_syms)
+    out += _dht(1, ac_counts, ac_syms)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+def _encode_wav(pcm_f32: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(pcm_f32, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
 
 @pytest.fixture(scope="module")
 def images(spark):
+    """REAL baseline-JPEG byte streams (in-test encoder) — the default
+    auto_decode_image dispatch must decode these with no decoder= arg."""
     rng = np.random.default_rng(42)
-    rows = [
-        (i, "image/jpeg", 32 + int(rng.integers(0, 32)), 24 + int(rng.integers(0, 24)),
-         0, JPEG_MAGIC + bytes(rng.integers(0, 256, 200).astype(np.uint8)))
-        for i in range(20)
-    ]
+    rows = []
+    for i in range(20):
+        w, h = 16 + int(rng.integers(0, 16)), 16 + int(rng.integers(0, 12))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        jpg, _ = _encode_jpeg(img, samp=(1, 1), q=4)
+        rows.append((i, "image/jpeg", w, h, len(jpg), bytearray(jpg)))
     return spark.createDataFrame(
         rows, "media_id LONG, mime STRING, width INT, height INT, n_bytes LONG, content BINARY"
     )
@@ -39,11 +300,16 @@ def images(spark):
 
 @pytest.fixture(scope="module")
 def audio(spark):
+    """REAL RIFF/WAVE byte streams — default auto_decode_audio dispatch."""
     rng = np.random.default_rng(7)
-    rows = [
-        (i, "audio/wav", 16000, 16000 * 2, 0, WAV_MAGIC + bytes(rng.integers(0, 256, 100).astype(np.uint8)))
-        for i in range(10)
-    ]
+    sr = 16000
+    rows = []
+    for i in range(10):
+        freq = 100.0 + 50.0 * i
+        t = np.arange(sr * 2) / sr
+        pcm = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        wav = _encode_wav(pcm, sr)
+        rows.append((i, "audio/wav", sr, sr * 2, len(wav), bytearray(wav)))
     return spark.createDataFrame(
         rows, "media_id LONG, mime STRING, sample_rate INT, n_samples LONG, n_bytes LONG, content BINARY"
     )
@@ -61,9 +327,11 @@ def test_metadata_sniff(spark, images):
 
 
 def test_image_features_deterministic(images):
+    # no decoder= argument: the default magic-byte dispatch must route the
+    # real JPEG bytes to jpeg_decode
     a = {r["media_id"]: r["ahash"] for r in image_features(images).collect()}
     b = {r["media_id"]: r["ahash"] for r in image_features(images).collect()}
-    assert a == b  # decode stub + features are deterministic
+    assert a == b
     rows = image_features(images).collect()
     assert len(rows) == 20
     for r in rows:
@@ -76,22 +344,19 @@ def test_image_resize_composes_with_features(images):
     rows = resized.collect()
     assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
     assert all(len(zlib.decompress(bytes(r["content"]))) == 16 * 16 * 3 for r in rows)
-    # composition: resized output feeds the feature stage unchanged
-    feats = image_features(
-        resized,
-        decoder=lambda content, w, h: np.frombuffer(
-            zlib.decompress(content), dtype=np.uint8
-        ).reshape(h, w, 3),
-    ).collect()
+    # composition with NO decoder= anywhere: auto dispatch recognizes the
+    # raw+zlib container image_resize emits (zlib stream, exact w*h*3 payload)
+    feats = image_features(resized).collect()
     assert len(feats) == 20
 
 
 def test_audio_features(audio):
+    # no decoder= argument: RIFF/WAVE dispatches to the real wav_decode
     rows = audio_features(audio).collect()
     assert len(rows) == 10
     for r in rows:
         assert r["duration_s"] == pytest.approx(2.0)
-        assert 0.9 < r["rms"] < 1.1  # standard-normal stub PCM
+        assert r["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)  # sine, amp 0.5
         assert 0 < r["zero_crossing_rate"] < 1
 
 
@@ -302,3 +567,170 @@ def test_image_neardup_via_ahash_hamming(spark):
     }
     assert (0, 6) in pairs and pairs[(0, 6)] <= 8
     assert all(p == (0, 6) for p in pairs), f"false pairs: {pairs}"
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decoder — exact-match tests against the in-test encoder
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_idct_matches_naive_cosine_sum():
+    """Module IDCT (matrix form) vs a literal T.81 A.3.3 double cosine sum."""
+    from phoebe_spark.operators.multimodal import _idct_8x8
+
+    rng = np.random.default_rng(3)
+    coef = rng.normal(0, 50, size=(8, 8))
+    naive = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(1 / 8) if u == 0 else 0.5
+                    cv = np.sqrt(1 / 8) if v == 0 else 0.5
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            naive[y, x] = s
+    assert np.allclose(_idct_8x8(coef), naive, atol=1e-9)
+    # DC-only block decodes to a constant
+    dc = np.zeros((8, 8))
+    dc[0, 0] = 80.0
+    assert np.allclose(_idct_8x8(dc), 10.0)
+
+
+def test_jpeg_decode_grayscale_exact():
+    """Grayscale baseline JFIF: decode must equal the encoder's implied
+    reconstruction pixel-for-pixel (validates marker parsing, Huffman
+    decode, EXTEND, dequant, un-zigzag, IDCT, clipping, edge-block crop)."""
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(21, 13), dtype=np.uint8)  # non-multiple of 8
+    jpg, expected = _encode_jpeg(img, q=1)
+    got = jpeg_decode(jpg)
+    assert got.shape == (21, 13, 3)
+    assert np.array_equal(got, expected)
+    # coarser quantization still matches exactly (dequant path)
+    jpg_q, expected_q = _encode_jpeg(img, q=16)
+    assert np.array_equal(jpeg_decode(jpg_q), expected_q)
+
+
+def test_jpeg_decode_color_444_exact():
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(18, 10, 3), dtype=np.uint8)
+    jpg, expected = _encode_jpeg(img, samp=(1, 1), q=2)
+    got = jpeg_decode(jpg)
+    assert got.shape == img.shape
+    assert np.array_equal(got, expected)
+
+
+def test_jpeg_decode_color_420_exact():
+    """4:2:0 chroma subsampling: MCU interleave (4 Y blocks + Cb + Cr),
+    nearest-neighbor upsample, odd dimensions."""
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    jpg, expected = _encode_jpeg(img, samp=(2, 2), q=4)
+    got = jpeg_decode(jpg)
+    assert got.shape == img.shape
+    assert np.array_equal(got, expected)
+
+
+def test_jpeg_decode_restart_markers():
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)  # 15 MCUs
+    jpg, expected = _encode_jpeg(img, q=2, restart_interval=4)
+    assert b"\xff\xd0" in jpg or b"\xff\xd1" in jpg  # RSTn actually present
+    assert np.array_equal(jpeg_decode(jpg), expected)
+
+
+def test_jpeg_decode_smooth_image_close_to_source():
+    """Sanity beyond bit-exactness: a smooth gradient at q=1 must decode
+    to within 1 intensity level of the source (DCT roundoff only)."""
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = ((yy * 8 + xx * 4) % 256).astype(np.uint8)
+    jpg, _ = _encode_jpeg(img, q=1)
+    got = jpeg_decode(jpg)
+    assert np.max(np.abs(got[..., 0].astype(int) - img.astype(int))) <= 1
+
+
+def test_jpeg_decode_rejects_progressive_and_garbage():
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    jpg, _ = _encode_jpeg(img)
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)  # masquerade as SOF2
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg_decode(prog)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"garbage")
+
+
+# ---------------------------------------------------------------------------
+# Magic-byte dispatch (auto_decode_image / auto_decode_audio defaults)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_dispatch_mixed_png_jpeg_column(spark):
+    """One binary column holding PNG and JPEG bytes side by side: the
+    DEFAULT image_features path must produce the correct real features for
+    both formats with no decoder= argument."""
+    rng = np.random.default_rng(31)
+    png_img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    png = _encode_png(png_img, filters=[0, 1, 2, 3, 4])
+    jpg_img = rng.integers(0, 256, size=(11, 14, 3), dtype=np.uint8)
+    jpg, jpg_expected = _encode_jpeg(jpg_img, q=2)
+    df = spark.createDataFrame(
+        [
+            (1, "image/png", 9, 12, len(png), bytearray(png)),
+            (2, "image/jpeg", 14, 11, len(jpg), bytearray(jpg)),
+        ],
+        "media_id LONG, mime STRING, width INT, height INT, n_bytes LONG, content BINARY",
+    )
+    feats = {r["media_id"]: r for r in image_features(df).collect()}
+    assert feats[1]["mean_r"] == pytest.approx(float(png_img[..., 0].mean()))
+    assert feats[2]["mean_r"] == pytest.approx(float(jpg_expected[..., 0].mean()))
+
+
+def test_auto_dispatch_unknown_bytes_raise(spark):
+    from phoebe_spark.operators.multimodal import auto_decode_audio, auto_decode_image
+
+    with pytest.raises(ValueError, match="unrecognized image bytes"):
+        auto_decode_image(b"\x00\x01\x02 definitely not an image", 4, 4)
+    with pytest.raises(ValueError, match="unrecognized audio bytes"):
+        auto_decode_audio(b"mp3?-no", 100)
+    # and through the Spark pipeline: the task must fail, not fake features
+    df = spark.createDataFrame(
+        [(1, "application/octet-stream", 4, 4, 7, bytearray(b"garbage"))],
+        "media_id LONG, mime STRING, width INT, height INT, n_bytes LONG, content BINARY",
+    )
+    with pytest.raises(Exception, match="unrecognized image bytes"):
+        image_features(df).collect()
+
+
+def test_sniff_mime_python_matches_sql_sniff(spark):
+    """The executor-side sniff must agree with attach_media_metadata's
+    column-expression sniff on every format class."""
+    from phoebe_spark.operators.multimodal import sniff_mime
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    jpg, _ = _encode_jpeg(img)
+    png = _encode_png(img, filters=[0])
+    wavb = _encode_wav(np.zeros(16, dtype=np.float32), 8000)
+    samples = [(1, bytearray(jpg)), (2, bytearray(png)), (3, bytearray(wavb)), (4, bytearray(b"xx"))]
+    df = spark.createDataFrame(samples, "media_id LONG, content BINARY")
+    sql_sniff = {r["media_id"]: r["sniffed_mime"] for r in attach_media_metadata(df).collect()}
+    py_sniff = {i: sniff_mime(bytes(c)) for i, c in samples}
+    assert sql_sniff == py_sniff

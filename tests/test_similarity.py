@@ -159,3 +159,56 @@ def test_pq_adc_lossless_on_codeword_grid(spark):
         for (rk, nb, adc), want_nb in zip(got, order):
             assert nb == want_nb, (qid, rk, nb, want_nb)
             assert adc == pytest.approx(dots[want_nb], rel=1e-9)
+
+
+def test_all_pairs_cosine_size_guard(spark, emb):
+    """Exact all-pairs is quadratic by contract: the max_rows guard must
+    refuse oversized inputs with a pointer to the candidate-generator
+    path, and max_rows=None must restore the diagnostic override."""
+    with pytest.raises(ValueError, match="lsh_bucketed_pairs"):
+        all_pairs_cosine(emb, threshold=0.45, max_rows=10)
+    # under the threshold (and the None override) the operator still plans
+    assert all_pairs_cosine(emb.limit(5), threshold=0.45, max_rows=10).count() >= 0
+    df = all_pairs_cosine(emb.limit(5), threshold=0.45, max_rows=None)
+    assert df.count() >= 0
+
+
+def test_pq_topk_validates_codebooks_and_dims(spark):
+    from pyspark.sql.utils import PythonException
+
+    from phoebe_spark.operators.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    good = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 1.0], [2.0, 2.0]]]
+    # ragged codeword dim
+    bad_dim = [[[1.0, 0.0], [0.0]], [[1.0, 1.0], [2.0, 2.0]]]
+    with pytest.raises(ValueError, match="d_sub"):
+        pq_topk(corpus, corpus, bad_dim)
+    # mismatched K across subspaces
+    bad_k = [[[1.0, 0.0]], [[1.0, 1.0], [2.0, 2.0]]]
+    with pytest.raises(ValueError, match="share K"):
+        pq_topk(corpus, corpus, bad_k)
+    # runtime: corpus vector whose dim != M*d_sub raises instead of
+    # silently null-padding the ADC score
+    short = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(Exception, match="pq_topk: vector dim"):
+        pq_topk(short, corpus, good, k=1).collect()
+    with pytest.raises(Exception, match="pq_topk: query dim"):
+        pq_topk(corpus, short, good, k=1).collect()
+    # happy path still returns exact ADC on the grid
+    assert pq_topk(corpus, corpus, good, k=1).count() == 1
+
+
+def test_pq_codes_use_narrow_integer_type(spark):
+    """K<=128 codebooks must encode to TINYINT codes (the 64x memory claim
+    at d=64/M=4) — checked on the encode subplan's schema."""
+    from phoebe_spark.operators.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    good = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 1.0], [2.0, 2.0]]]
+    plan = pq_topk(corpus, corpus, good, k=1)._jdf.queryExecution().analyzed().toString()
+    assert "tinyint" in plan.lower()
