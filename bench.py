@@ -126,6 +126,13 @@ BENCH_QUERIES = [
     "q147_shard_layout",
     "q148_length_buckets",
     "q149_pq_ann",
+    # round-4 additions
+    "q150_dup_substring_ratio",
+    "q151_cheapest_supplier",
+    "q152_big_orders",
+    "q153_idle_rich_customers",
+    "q154_kmv_distinct",
+    "q155_mixture_resample",
 ]
 
 

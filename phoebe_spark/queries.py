@@ -6445,3 +6445,368 @@ def q149_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         F.round("adc_dot", 6).alias("adc_dot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 extensions: substring-dup diagnostics, classic warehouse shapes,
+# KMV distinct sketching, mixture resampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_dup_substring_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 7),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    gc AS (SELECT g, count(*) AS c FROM pos GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+    FROM pos JOIN gc USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q150_dup_substring_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring ratio: the fraction of a doc's
+    8-word-gram POSITIONS whose gram occurs anywhere else in the corpus
+    (including elsewhere in the same doc) — the scan that motivates
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): docs dominated by
+    corpus-duplicated spans are boilerplate/syndication candidates even
+    when no whole-doc fingerprint matches.
+
+    Scale notes: the posting pass (posexplode + window lead, codegen) is
+    the same single-scan shingler the minhash path uses; the global gram
+    census is one map-side-combined groupBy on the gram key, and the
+    postings->census join is an equi-join on that same key — no
+    all-pairs anything, and the gram census (distinct 8-grams) is the
+    natural partition-pruned build side at 100 TB. Positions, not
+    distinct grams, are scored, so a doc repeating one spammy sentence
+    50 times scores 50 duplicated positions."""
+    d = _t(spark, sf_dir, "documents")
+    # two consumers (census build + per-doc scoring join): materialize the
+    # posting pass once — otherwise the scan + window-lead shingler runs
+    # twice (verified: 2 FileScans without the checkpoint)
+    post = dedup.shingle_postings(d, "doc_id", "text", 8, distinct=False).localCheckpoint(
+        eager=True
+    )
+    gcnt = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        post.join(gcnt, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_positions"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_positions",
+            "n_dup_positions",
+            F.round(F.col("n_dup_positions") / F.col("n_positions"), 6).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "q151_cheapest_supplier",
+    oracle=f"""
+    WITH costs AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+             CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size <= 5 AND l.l_quantity > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                   ORDER BY unit_cost, s_suppkey) AS rk
+      FROM costs
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+           round(unit_cost, 6) AS unit_cost
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q151_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on the observed schema: for every small part
+    (p_size <= 5) shipped from a EUROPE supplier, the supplier offering
+    the minimum observed unit price (extendedprice/quantity; ties ->
+    smallest suppkey). The classic correlated MIN subquery re-expressed
+    as one window argmin — a single pass instead of the textbook
+    re-join against a per-part aggregate.
+
+    Scale notes: region/nation/supplier/part are dimension tables —
+    Catalyst broadcasts all of them (only lineitem shuffles, and only
+    for the per-part window); the p_size and r_name predicates prune
+    the build sides before broadcast. unit_cost is a per-row double op
+    (identical IEEE in both engines), never aggregated."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    costs = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            (F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias("unit_cost"),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("unit_cost").asc(), F.col("s_suppkey").asc())
+    return (
+        costs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q152_big_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100
+                + day(o.o_orderdate) AS INT) AS orderdate_ymd,
+           o.o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q152_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): orders whose total line quantity
+    exceeds 250, joined back to customer — the HAVING-subquery-IN shape
+    as a plain aggregate-then-join.
+
+    Scale notes: the lineitem rollup is one map-side-combined groupBy on
+    orderkey; the HAVING filter collapses it to a tiny frame (p99 of
+    order quantity is ~262 here), which then BROADCASTS into orders —
+    the fact-fact join never happens, only fact x filtered-aggregate.
+    Quantity totals ride the DECIMAL money policy."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum2(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    ymd = (
+        F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100 + F.dayofmonth("o_orderdate")
+    ).cast("int")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            ymd.alias("orderdate_ymd"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+@query(
+    "q153_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def q153_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with an above-average (positive-balance
+    average) account balance and NO orders since 2000-01-01 (lapsed
+    high-value accounts), rolled up by nation — the anti-join +
+    scalar-subquery pattern.
+
+    Scale notes: the scalar average is a 1-row broadcast (decimal-sum
+    policy so the threshold double is engine-exact); the no-orders test
+    is a LEFT ANTI join on custkey (no NOT IN null traps, no
+    correlated re-scan); the nation rollup is a broadcast dim join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum(_dec("c_acctbal")), 2).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, "c_custkey", "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dsum2(_dec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q154_kmv_distinct",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             {_MD5H_SQL.format(x='CAST(user_id AS VARCHAR)')} / 1152921504606846976.0 AS frac
+      FROM du
+    ),
+    ranked AS (
+      SELECT event_type, frac,
+             row_number() OVER (PARTITION BY event_type ORDER BY frac, user_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM h
+    )
+    SELECT event_type,
+           CAST(max(n_exact) AS BIGINT) AS n_exact,
+           round(CASE WHEN max(n_exact) < 32 THEN max(n_exact)
+                      ELSE 31.0 / max(CASE WHEN rk = 32 THEN frac END) END, 6) AS kmv_est,
+           round(abs(CASE WHEN max(n_exact) < 32 THEN max(n_exact)
+                          ELSE 31.0 / max(CASE WHEN rk = 32 THEN frac END) END
+                     - max(n_exact)) / max(n_exact), 6) AS rel_err
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q154_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=32, per event
+    type over user ids (Bar-Yossef et al. 2002 — the bottom-k sketch
+    behind theta sketches): estimate = (k-1) / r_k where r_k is the
+    k-th smallest normalized hash of the distinct values; groups with
+    fewer than k distinct values fall back to the exact count. Reported
+    against the exact distinct count with relative error — the
+    mergeable-sketch alternative to approx_count_distinct whose state
+    is k doubles per group and whose union is a k-smallest merge.
+
+    Scale notes: one distinct-collapse shuffle (map-side combining on
+    (type, user)), then a per-group bottom-k window — at 100 TB you'd
+    keep only the running k-minimum per partition (the sketch property);
+    here the window form keeps the whole computation one oracle-exact
+    pass. The md5-derived hash is engine-portable, so the estimate is
+    digit-for-digit reproducible, not a property test."""
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    frac = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    h = e.select("event_type", "user_id", frac.alias("frac"))
+    w = Window.partitionBy("event_type").orderBy(F.col("frac").asc(), F.col("user_id").asc())
+    cnt = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "frac",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(cnt).alias("n_exact"),
+    )
+    est = F.when(
+        F.max("n_exact") < 32, F.max("n_exact").cast("double")
+    ).otherwise(F.lit(31.0) / F.max(F.when(F.col("rk") == 32, F.col("frac"))))
+    return ranked.groupBy("event_type").agg(
+        F.max("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 6).alias("kmv_est"),
+        F.round(F.abs(est - F.max("n_exact")) / F.max("n_exact"), 6).alias("rel_err"),
+    )
+
+
+@query(
+    "q155_mixture_resample",
+    oracle=f"""
+    WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n, count(*) AS s FROM per),
+    fac AS (
+      SELECT source, n_docs,
+             CAST(tot.n AS DOUBLE) / (tot.s * n_docs) AS factor
+      FROM per CROSS JOIN tot
+    ),
+    rep AS (
+      SELECT d.doc_id, d.source, fac.factor,
+             CAST(floor(fac.factor) AS BIGINT)
+             + CASE WHEN {_MD5H_SQL.format(x='CAST(d.doc_id AS VARCHAR)')} / 1152921504606846976.0
+                         < fac.factor - floor(fac.factor)
+                    THEN 1 ELSE 0 END AS n_repeats
+      FROM documents d JOIN fac ON fac.source = d.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(max(factor), 6) AS factor,
+           CAST(sum(n_repeats) AS BIGINT) AS n_emitted
+    FROM rep GROUP BY source
+    """,
+)
+def q155_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling plan: to hit a uniform
+    per-source target mixture, each source gets a sampling factor
+    N/(S*n_src); every doc is emitted floor(factor) times plus one more
+    when its salted hash falls under the fractional part — the
+    upsample/downsample executor for the mixture WEIGHTS q67 designs
+    (DoReMi/SlimPajama-style mixture execution). Reported per source:
+    factor and the number of training copies emitted.
+
+    Scale notes: the per-source census is one tiny groupBy broadcast
+    back onto the corpus scan; the repeat decision is a pure column
+    expression on the content-stable md5 hash (no RNG — retries and
+    AQE replans cannot change the sample), and the downstream explode
+    would be sequence(1, n_repeats) — fan-out without a shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("_n"), F.count(F.lit(1)).alias("_s")
+    )
+    fac = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.col("_n").cast("double") / (F.col("_s") * F.col("n_docs"))).alias("factor"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    rep = d.join(F.broadcast(fac), "source").select(
+        "source",
+        "factor",
+        (
+            F.floor("factor").cast("long")
+            + F.when(frac < F.col("factor") - F.floor("factor"), 1).otherwise(0)
+        ).alias("n_repeats"),
+    )
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.max("factor"), 6).alias("factor"),
+        F.sum("n_repeats").cast("long").alias("n_emitted"),
+    )

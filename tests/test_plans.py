@@ -583,3 +583,69 @@ def test_q149_codes_only_no_python(spark, sf_dir):
     assert _ops(plan, "BroadcastNestedLoopJoin") == 1  # 5-row query side
     # one shuffle: the rank window on (query_id); encode side exchange-free
     assert _ops(plan, "Exchange") == 1
+
+
+def test_q150_single_posting_pass_no_smj(spark, sf_dir):
+    """Dup-substring ratio: the posting pass is materialized once (no
+    duplicate scan+window shingler subtree) and the census join never
+    degrades to a fact-fact sort-merge join at test scale."""
+    plan = _plan(spark, sf_dir, "q150_dup_substring_ratio")
+    # the only parquet scans allowed are zero: both consumers read the
+    # checkpointed posting RDD, not the documents file again
+    assert _ops(plan, "Scan parquet") == 0, plan
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q151_dims_broadcast_one_fact_pass(spark, sf_dir):
+    """Cheapest supplier (TPC-H Q2 shape): all four dimension tables
+    broadcast (lineitem is the only shuffling side) and the size/region
+    predicates reach the dimension scans."""
+    plan = _plan(spark, sf_dir, "q151_cheapest_supplier")
+    assert _ops(plan, "BroadcastHashJoin") == 4
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert "LessThanOrEqual(p_size,5)" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+    # exactly one data shuffle: the per-part argmin window (broadcast
+    # exchanges are a different operator and don't count here)
+    assert _ops(plan, "Exchange") == 1
+
+
+def test_q152_aggregate_broadcasts_no_fact_fact_join(spark, sf_dir):
+    """Large-volume orders (TPC-H Q18 shape): the HAVING-filtered lineitem
+    rollup broadcasts into orders — no order-key sort-merge join."""
+    plan = _plan(spark, sf_dir, "q152_big_orders")
+    assert _ops(plan, "BroadcastHashJoin") == 2
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "HashAggregate") == 2  # partial + final rollup
+
+
+def test_q153_anti_join_shape(spark, sf_dir):
+    """Lapsed high-balance customers (TPC-H Q22 shape): the recency
+    predicate reaches the orders scan, the no-recent-orders test is a
+    broadcast anti join, and the scalar average is a 1-row broadcast."""
+    plan = _plan(spark, sf_dir, "q153_idle_rich_customers")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LeftAnti" in plan
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row avg_bal scalar
+
+
+def test_q154_single_distinct_then_window(spark, sf_dir):
+    """KMV sketch: one events scan reading only (event_type, user_id),
+    distinct-collapse with map-side combining, then the bottom-k window."""
+    plan = _plan(spark, sf_dir, "q154_kmv_distinct")
+    assert _ops(plan, "Scan parquet") == 1
+    assert "value" not in plan.split("ReadSchema")[-1].split("\n")[0]
+    # two exchanges total: the distinct collapse and the per-type window
+    # (rank + exact-count windows share the second one)
+    assert _ops(plan, "Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q155_census_broadcasts_onto_scan(spark, sf_dir):
+    """Mixture resample: the per-source factor table broadcasts back onto
+    the corpus scan; the repeat decision is pure codegen (no Python)."""
+    plan = _plan(spark, sf_dir, "q155_mixture_resample")
+    assert _ops(plan, "BroadcastHashJoin") >= 1
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
