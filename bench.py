@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "q153_idle_rich_customers",
     "q154_kmv_distinct",
     "q155_mixture_resample",
+    "q156_ivf_recall_curve",
+    "q157_referential_integrity",
 ]
 
 

@@ -6810,3 +6810,187 @@ def q155_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("factor"), 6).alias("factor"),
         F.sum("n_repeats").cast("long").alias("n_emitted"),
     )
+
+
+@query(
+    "q156_ivf_recall_curve",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    piv AS (
+      SELECT CAST(vec_id - 10 AS INT) AS cell, v AS pv, nrm AS pnrm
+      FROM n WHERE vec_id BETWEEN 10 AND 17
+    ),
+    ad AS (
+      SELECT n.vec_id, n.v, n.nrm, piv.cell,
+             list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * piv.pv[i])) / (n.nrm * piv.pnrm) AS cs
+      FROM n CROSS JOIN piv
+    ),
+    cells AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT vec_id, v, nrm, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rk
+        FROM ad) WHERE rk = 1
+    ),
+    qc AS (
+      SELECT query_id, qv, qnrm, cell, rk FROM (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rk
+        FROM ad WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rk <= 4
+    ),
+    probes AS (SELECT unnest([1, 2, 4]) AS n_probe),
+    cand AS (
+      SELECT p.n_probe, qc.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(c.v)),
+                      i -> c.v[i] * qc.qv[i])) / (c.nrm * qc.qnrm) AS cs
+      FROM probes p, qc, cells c
+      WHERE qc.rk <= p.n_probe AND c.cell = qc.cell
+    ),
+    approx AS (
+      SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT n_probe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY n_probe, query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rnk
+        FROM cand) WHERE rnk <= 10
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(e.v)),
+                          i -> e.v[i] * q.qv[i])) / (e.nrm * q.qnrm) DESC,
+                 e.vec_id) AS rnk
+        FROM n e, q) WHERE rnk <= 10
+    )
+    SELECT a.query_id, CAST(a.n_probe AS INT) AS n_probe,
+           CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(e.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM approx a
+    LEFT JOIN ex e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY a.query_id, a.n_probe
+    """,
+)
+def q156_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN acceptance certification: recall@10 of the IVF index against
+    the exact brute-force top-10, per query, at probe depths 1/2/4 of 8
+    cells — the recall-vs-cost curve an index operator publishes before
+    anyone is allowed to swap brute force out (the q121 sketch-
+    calibration idea applied to ANN; deterministic pivot quantizer as in
+    q44, so the whole curve is oracle-exact, not a threshold test).
+
+    Scale notes: exact truth is computed only for the FIXED query panel
+    (broadcast top-k scan — one corpus pass), not per corpus row; each
+    probe depth reuses the same deterministic cell assignment; the
+    recall join runs on (panel x k)-sized frames."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pivots = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").between(10, 17)).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    parts = []
+    for p in (1, 2, 4):
+        a = similarity.ivf_topk(
+            emb, queries, k=10, n_centroids=8, n_probe=p, centroids=pivots
+        )
+        parts.append(
+            a.select("query_id", "neighbor_id", F.lit(p).cast("int").alias("n_probe"))
+        )
+    approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hits = approx.join(
+        exact.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return hits.groupBy("query_id", "n_probe").agg(
+        F.count("_hit").alias("n_hits"),
+        F.round(F.count("_hit") / F.lit(10.0), 6).alias("recall_at_10"),
+    )
+
+
+@query(
+    "q157_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS constraint,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           (sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0) AS ok
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q157_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema referential-integrity audit: for every foreign-key
+    edge, the child row count and the number of orphans (child keys with
+    no parent) — the ingest acceptance gate that runs before any join
+    in this file is trusted (an orphaned key silently DROPS rows from
+    every inner join downstream).
+
+    Scale notes: each edge is one left join against a DISTINCT-key
+    parent; parents here are dimensions (broadcast), and the fact-fact
+    edge (lineitem->orders) aggregates to two counters per edge — the
+    shuffle carries key + null-flag only. At 100 TB you'd run all six
+    edges in one pass over each child with `observe` counters; the
+    per-edge form keeps each constraint independently attributable."""
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in checks:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("_k"))
+        par = _t(spark, sf_dir, parent).select(F.col(pk).alias("_k"), F.lit(1).alias("_p"))
+        j = c.join(F.broadcast(par), "_k", "left")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("constraint"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).cast("long").alias("n_orphans"),
+                (F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)) == 0).alias("ok"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
