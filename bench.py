@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "q155_mixture_resample",
     "q156_ivf_recall_curve",
     "q157_referential_integrity",
+    "q158_compaction_plan",
+    "q159_token_budget_curve",
+    "q160_bpe_encode",
 ]
 
 

@@ -5918,14 +5918,15 @@ def q141_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: the sketch build is a groupBy on (seed, bucket) — 1,024
     cells of map-side-combined state regardless of vocabulary size (the
     whole point: per-key state O(d*w), not O(|domain|)); probes broadcast
-    into the cell frame; exact counts come from one vocabulary-sized
-    groupBy reused for probe selection (checkpointed, scanned once)."""
+    into the cell frame. The cell counters are built from the
+    VOCABULARY-sized exact-count frame (sum of per-token counts per
+    bucket == count of raw occurrences), not by re-exploding the token
+    stream 4x — one corpus scan feeds everything, and nothing
+    token-stream-sized is ever materialized or reshuffled."""
     from phoebe_spark.operators.dedup import md5_hash64
 
     d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("tok")).localCheckpoint(
-        eager=True
-    )
+    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
         eager=True
     )
@@ -5936,10 +5937,10 @@ def q141_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(256),
     )
     counters = (
-        toks.select("tok", seeds)
-        .select("s", bucket.alias("bucket"))
+        exact.select("tok", "n", seeds)
+        .select("s", bucket.alias("bucket"), "n")
         .groupBy("s", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
     est = (
         probes.select("tok", "n", seeds)
@@ -6994,3 +6995,235 @@ def q157_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "q158_compaction_plan",
+    oracle="""
+    WITH per AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS part_bytes
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, part_bytes,
+           CAST(greatest(1, ceil(part_bytes / 65536.0)) AS BIGINT) AS target_files,
+           round(part_bytes / (greatest(1, ceil(part_bytes / 65536.0)) * 65536.0), 6)
+             AS fill_ratio,
+           (part_bytes < 32768) AS undersized
+    FROM per
+    """,
+)
+def q158_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: per (lang, source) partition, the
+    byte volume (n_chars as the proxy), the target file count at a 64 KiB
+    unit (stand-in for the production 128 MB-1 GB row-group target), the
+    fill ratio those files would have, and an undersized flag for
+    partitions worth merging INTO a sibling — the table-maintenance pass
+    every long-lived lakehouse table needs before reads degrade into
+    footer-fetch storms.
+
+    Scale notes: pure single-pass groupBy census (map-side combined,
+    partition-count-sized output); the plan itself is what a compaction
+    job consumes as its `repartition(target_files)` argument — the same
+    shape q147's shard manifest uses for the write side."""
+    d = _t(spark, sf_dir, "documents")
+    unit = 65536.0
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("part_bytes"),
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("part_bytes") / F.lit(unit))).cast("long")
+    return per.select(
+        "lang", "source", "n_docs", "part_bytes",
+        target.alias("target_files"),
+        F.round(F.col("part_bytes") / (target * F.lit(unit)), 6).alias("fill_ratio"),
+        (F.col("part_bytes") < 32768).alias("undersized"),
+    )
+
+
+@query(
+    "q159_token_budget_curve",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END AS pr,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END AS sw
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, tok,
+             0.5 * least(tok / 100.0, 1.0) + 0.5 * least(sw * 5.0, 1.0)
+             - 0.25 * least(pr * 5.0, 1.0) AS quality
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, tok, quality,
+             row_number() OVER (ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM q
+    ),
+    c AS (
+      SELECT quality, tok,
+             CAST(floor((rk - 1) * 10 / n) AS INT) AS decile,
+             sum(tok) OVER (ORDER BY rk) AS cum_tokens
+      FROM r
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(cum_tokens) AS BIGINT) AS cum_tokens,
+           round(min(quality), 6) AS cutoff_quality
+    FROM c GROUP BY decile
+    """,
+)
+def q159_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curriculum curve: rank the corpus by quality score
+    (best first) and report, per rank decile, the CUMULATIVE token count
+    and the quality cutoff at the decile boundary — the planning table
+    that answers "to fill a 10B-token budget with the best documents,
+    where do I set the quality threshold, and how much does the tail
+    cost?" (the quality-vs-volume tradeoff behind FineWeb/DCLM-style
+    filtered mixes).
+
+    Scale notes: this report form uses one global rank window (10-row
+    output, fine for a planning artifact); at 100 TB the same curve
+    comes from approx-quantiles of the quality column + one conditional
+    aggregation per threshold — noted here because the global sort is
+    the report's cost, not the curve's. Quality is per-row arithmetic
+    (identical IEEE both engines), cumulative sums are integer-exact."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "token_count", "quality_score")
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    r = q.select(
+        "doc_id",
+        "token_count",
+        "quality_score",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    c = r.select(
+        "quality_score",
+        "token_count",
+        F.floor((F.col("rk") - 1) * 10 / F.col("n")).cast("int").alias("decile"),
+        F.sum("token_count").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_tokens"),
+    )
+    return c.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_tokens").cast("long").alias("cum_tokens"),
+        F.round(F.min("quality_score"), 6).alias("cutoff_quality"),
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Generated oracle for q160: re-learn the ``rounds`` merges with the
+    q145 CTE chain, then REPLAY them over every (lang, word) occurrence
+    and aggregate per-language token/char totals."""
+    cte = f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS t FROM documents WHERE trim(text) <> ''
+    ),
+    words0 AS (
+      SELECT array_to_string(list_transform(generate_series(1, length(t)),
+                                            i -> chr(31) || t[i] || chr(30)), '') AS w
+      FROM toks WHERE length(t) >= 1
+    )"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        cte += f""",
+    sy{r} AS (SELECT list_transform(
+                       list_filter(string_split(w, chr(30)), x -> x <> ''),
+                       x -> replace(x, chr(31), '')) AS s
+              FROM words{p}),
+    pr{r} AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym
+              FROM (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i
+                    FROM sy{r} WHERE len(s) >= 2)),
+    best{r} AS (SELECT l_sym, r_sym, count(*) AS n FROM pr{r}
+                GROUP BY l_sym, r_sym ORDER BY n DESC, l_sym ASC, r_sym ASC
+                LIMIT 1),
+    words{r} AS (SELECT replace(w, chr(31) || b.l_sym || chr(30) || chr(31) || b.r_sym || chr(30),
+                                chr(31) || b.l_sym || b.r_sym || chr(30)) AS w
+                 FROM words{p}, best{r} b)"""
+    cte += """,
+    wl0 AS (
+      SELECT lang,
+             array_to_string(list_transform(generate_series(1, length(t)),
+                                            i -> chr(31) || t[i] || chr(30)), '') AS e,
+             length(t) AS ch
+      FROM toks WHERE length(t) >= 1
+    )"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        cte += f""",
+    wl{r} AS (SELECT lang,
+                     replace(e, chr(31) || b.l_sym || chr(30) || chr(31) || b.r_sym || chr(30),
+                             chr(31) || b.l_sym || b.r_sym || chr(30)) AS e, ch
+              FROM wl{p}, best{r} b)"""
+    return (
+        cte
+        + f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ch) AS BIGINT) AS n_chars,
+           CAST(sum(len(list_filter(string_split(e, chr(30)), x -> x <> ''))) AS BIGINT)
+             AS n_tokens,
+           round(sum(len(list_filter(string_split(e, chr(30)), x -> x <> ''))) * 1.0
+                 / count(*), 6) AS tokens_per_word,
+           round(sum(ch) * 1.0
+                 / sum(len(list_filter(string_split(e, chr(30)), x -> x <> ''))), 6)
+             AS chars_per_token
+    FROM wl{rounds} GROUP BY lang"""
+    )
+
+
+@query("q160_bpe_encode", oracle=_bpe_encode_oracle(5))
+def q160_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of the q145 trainer: learn 5 merges on
+    the corpus, replay them over every word occurrence, and report
+    per-language tokenizer-efficiency stats (tokens/word and chars/token
+    — the fertility and compression numbers that decide whether a
+    tokenizer is paying for itself on each language). Completes the
+    tokenizer lifecycle: q140 pair stats -> q145 training -> q160
+    encoding; the oracle re-learns AND re-applies every merge, so both
+    halves are certified digit-for-digit.
+
+    Scale notes: the merge table is model state (5 rows, collected like
+    q145); encoding is a chain of 5 literal string ``replace`` exprs in
+    ONE codegen scan pass — per-token cost is independent of corpus
+    size, no shuffle until the ~languages-sized rollup."""
+    from phoebe_spark.operators.text import BPE_END, BPE_SEP
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    corpus_words = d.select(F.explode(text.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    merges = text.bpe_train(corpus_words, rounds=5)
+
+    wl = d.select("lang", F.explode(text.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    enc = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.concat(F.lit(BPE_SEP), F.substring(F.col("w"), i, F.lit(1)), F.lit(BPE_END)),
+        ),
+        "",
+    )
+    for _, l_sym, r_sym, merged, _n in merges:
+        enc = F.replace(
+            enc,
+            F.lit(BPE_SEP + l_sym + BPE_END + BPE_SEP + r_sym + BPE_END),
+            F.lit(BPE_SEP + merged + BPE_END),
+        )
+    n_tok = F.size(F.filter(F.split(enc, BPE_END), lambda x: x != ""))
+    per = wl.select("lang", F.length("w").alias("ch"), n_tok.alias("nt"))
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("ch").cast("long").alias("n_chars"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(F.sum("nt") / F.count(F.lit(1)), 6).alias("tokens_per_word"),
+        F.round(F.sum("ch") / F.sum("nt"), 6).alias("chars_per_token"),
+    )

@@ -164,3 +164,31 @@ def test_max_coverage_greedy_invariants(spark, sf_dir):
         .count()
     )
     assert n_union == sum(gains)
+
+
+def test_registry_rotation_covers_everything_over_rounds():
+    """The round-aware rotation must (a) keep every query + oracle present
+    every round, (b) front a different 50-slice per round, and (c) give
+    every query a front-window slot within ceil(N/50) + 3 rounds."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    names = sorted(mod.queries().keys(), key=mod._qnum)
+    n = len(names)
+    seen_in_window = set()
+    rounds_needed = -(-n // 50) + 3
+    for rnd in range(1, rounds_needed + 1):
+        offset = (max(0, rnd - 3) * 50) % n
+        rotated = names[offset:] + names[:offset]
+        assert sorted(rotated) == sorted(names)  # nothing dropped
+        seen_in_window.update(rotated[:50])
+    assert seen_in_window == set(names), (
+        f"{len(set(names) - seen_in_window)} queries never reach the driver window"
+    )
+    # the live module agrees with the formula for the current round
+    live = list(mod.queries())
+    offset = (max(0, mod._round_number() - 3) * 50) % n
+    assert live == names[offset:] + names[:offset]
