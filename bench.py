@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "q158_compaction_plan",
     "q159_token_budget_curve",
     "q160_bpe_encode",
+    "q161_source_data_card",
+    "q162_bilateral_trade",
+    "q163_market_share",
 ]
 
 

@@ -1142,3 +1142,43 @@ def edit_distance_verify(
 # public alias: chunk construction is useful on its own (q108 groups the
 # census by source; external callers shouldn't reach for the underscore)
 doc_chunks = _doc_chunks
+
+
+def dup_substring_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Per-document duplicated-substring ratio (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array substring-dedup signal as a scan-friendly diagnostic):
+    the fraction of a document's n-word-gram POSITIONS whose gram occurs
+    anywhere else in the corpus, including elsewhere in the same
+    document. Documents dominated by corpus-duplicated spans are
+    boilerplate/syndication candidates even when no whole-document
+    fingerprint matches. Returns (doc_id, n_positions, n_dup_positions,
+    dup_ratio); documents with fewer than ``n`` tokens drop out.
+
+    Scale shape: ONE materialized posting pass (:func:`shingle_postings`,
+    codegen posexplode + window lead) feeds both the global gram census
+    (map-side-combined groupBy on the gram key) and the postings->census
+    scoring equi-join — no all-pairs anything; the distinct-gram census
+    is the natural build side at 100 TB. Positions, not distinct grams,
+    are scored, so a doc repeating one spammy sentence 50 times scores
+    50 duplicated positions."""
+    post = shingle_postings(df, id_col, text_col, n, distinct=False).localCheckpoint(
+        eager=True
+    )
+    gcnt = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        post.join(gcnt, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_positions"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_positions",
+            "n_dup_positions",
+            F.round(F.col("n_dup_positions") / F.col("n_positions"), 6).alias("dup_ratio"),
+        )
+    )

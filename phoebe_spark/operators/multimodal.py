@@ -456,6 +456,9 @@ def jpeg_decode(content: bytes, width: int = -1, height: int = -1) -> np.ndarray
             raise ValueError(f"bad JPEG marker alignment at byte {pos}")
         marker = content[pos + 1]
         pos += 2
+        if marker == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos -= 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone

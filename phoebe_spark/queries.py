@@ -6493,27 +6493,7 @@ def q150_dup_substring_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct grams, are scored, so a doc repeating one spammy sentence
     50 times scores 50 duplicated positions."""
     d = _t(spark, sf_dir, "documents")
-    # two consumers (census build + per-doc scoring join): materialize the
-    # posting pass once — otherwise the scan + window-lead shingler runs
-    # twice (verified: 2 FileScans without the checkpoint)
-    post = dedup.shingle_postings(d, "doc_id", "text", 8, distinct=False).localCheckpoint(
-        eager=True
-    )
-    gcnt = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("_c"))
-    return (
-        post.join(gcnt, "shingle")
-        .groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).alias("n_positions"),
-            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_positions"),
-        )
-        .select(
-            F.col("doc").alias("doc_id"),
-            "n_positions",
-            "n_dup_positions",
-            F.round(F.col("n_dup_positions") / F.col("n_positions"), 6).alias("dup_ratio"),
-        )
-    )
+    return dedup.dup_substring_ratio(d, "doc_id", "text", n=8)
 
 
 @query(
@@ -7226,4 +7206,207 @@ def q160_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").cast("long").alias("n_tokens"),
         F.round(F.sum("nt") / F.count(F.lit(1)), 6).alias("tokens_per_word"),
         F.round(F.sum("ch") / F.sum("nt"), 6).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q161_source_data_card",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, lang, n_chars,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END AS pr,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END AS sw,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    q AS (
+      SELECT *,
+             CAST(round(0.5 * least(tok / 100.0, 1.0) + 0.5 * least(sw * 5.0, 1.0)
+                        - 0.25 * least(pr * 5.0, 1.0), 6) AS DECIMAL(18,6)) AS quality
+      FROM s
+    ),
+    fp AS (
+      SELECT source, fp, count(*) AS c FROM q GROUP BY source, fp
+    ),
+    dup AS (
+      SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs FROM fp GROUP BY source
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.tok) AS BIGINT) AS total_tokens,
+           CAST(sum(q.n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT q.lang) AS BIGINT) AS n_langs,
+           round(CAST(sum(q.quality) AS DOUBLE) / count(*), 6) AS mean_quality,
+           CAST(sum(CASE WHEN q.tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           max(dup.n_dup_docs) AS n_dup_docs,
+           round(max(dup.n_dup_docs) * 1.0 / count(*), 6) AS dup_rate
+    FROM q JOIN dup ON dup.source = q.source
+    GROUP BY q.source
+    """,
+)
+def q161_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the one-row-per-feed summary a dataset ships
+    with — volume (docs/tokens/chars), language spread, mean quality
+    score, empty-doc count, and the exact-duplicate rate — composing the
+    quality (q10), fingerprint-dedup (q08), and census primitives into
+    the acceptance sheet reviewed before a source enters the mix.
+
+    Scale notes: ONE corpus scan computes tokens/quality/fingerprint
+    side by side; the dup census is a (source, fingerprint) groupBy that
+    reuses the same scan output; per-row quality is rounded then carried
+    as DECIMAL so the mean is order-independent (the q119 lesson
+    pre-applied). Output is sources-sized."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select(
+        "doc_id", "source", "lang", "n_chars", "token_count",
+        F.round("quality_score", 6).cast("decimal(18,6)").alias("quality"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("fp"),
+    ).localCheckpoint(eager=True)
+    dup = (
+        q.groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("n_dup_docs"))
+    )
+    card = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.sum("quality").cast("double") / F.count(F.lit(1)), 6).alias("mean_quality"),
+        F.sum(F.when(F.col("token_count") == 0, 1).otherwise(0)).cast("long").alias("n_empty"),
+    )
+    return card.join(F.broadcast(dup), "source").select(
+        "source", "n_docs", "total_tokens", "total_chars", "n_langs",
+        "mean_quality", "n_empty", "n_dup_docs",
+        F.round(F.col("n_dup_docs") * 1.0 / F.col("n_docs"), 6).alias("dup_rate"),
+    )
+
+
+@query(
+    "q162_bilateral_trade",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q162_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    specific nations in each direction, by ship year — the
+    two-dimension-chain fact join (lineitem->supplier-nation AND
+    lineitem->orders->customer-nation on the SAME fact row).
+
+    Scale notes: supplier/customer/nation are broadcast dims and the
+    nation filters prune the build sides before broadcast, so the only
+    shuffle is lineitem->orders (fact-fact, both sides pre-filtered by
+    the broadcast semi-effect of the dim joins); money rides the
+    DECIMAL policy; output is 2 x years rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")
+    cn = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(_dsum2(rev).alias("revenue"))
+    )
+
+
+@query(
+    "q163_market_share",
+    oracle="""
+    WITH eur AS (
+      SELECT year(l.l_shipdate) AS yr,
+             CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS rev,
+             (sn.n_name = 'NATION_3') AS is_target
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'EUROPE'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT CAST(yr AS INT) AS ship_year,
+           CAST(round(sum(CASE WHEN is_target THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS target_revenue,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+           round(CAST(round(sum(CASE WHEN is_target THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+                 / CAST(round(sum(rev), 2) AS DOUBLE), 6) AS mkt_share
+    FROM eur GROUP BY yr
+    """,
+)
+def q163_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within the EUROPE customer
+    market, the share of revenue supplied by one nation, per ship year —
+    numerator and denominator in ONE conditional aggregate over a single
+    join tree (no second scan, no self-join; the q134 promo-share
+    pattern generalized across a dim chain).
+
+    Scale notes: all dims broadcast (region filter prunes nation->
+    customer before broadcast); one fact-fact shuffle (lineitem->orders);
+    the share division happens on 2-decimal-rounded DOUBLEs, identical
+    in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("_cnk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    eur = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+        .select(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            rev.alias("rev"),
+            (F.col("supp_nation") == "NATION_3").alias("is_target"),
+        )
+    )
+    tgt = F.round(F.sum(F.when(F.col("is_target"), F.col("rev")).otherwise(zero)), 2).cast("double")
+    tot = F.round(F.sum("rev"), 2).cast("double")
+    return eur.groupBy("ship_year").agg(
+        tgt.alias("target_revenue"),
+        tot.alias("total_revenue"),
+        F.round(tgt / tot, 6).alias("mkt_share"),
     )

@@ -157,21 +157,7 @@ def run_scale(spark, scale: int) -> dict:
 
     # q150 shape: posting pass + gram census + scoring join — all keyed on
     # doc or gram, so cost must track corpus size
-    def _dup_substring():
-        post = dedup.shingle_postings(docs, "doc_id", "text", 8, distinct=False).localCheckpoint(
-            eager=True
-        )
-        gcnt = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("_c"))
-        return (
-            post.join(gcnt, "shingle")
-            .groupBy("doc")
-            .agg(
-                F.count(F.lit(1)).alias("n_positions"),
-                F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_dup"),
-            )
-        )
-
-    t_build("dup_substring", _dup_substring)
+    t_build("dup_substring", lambda: dedup.dup_substring_ratio(docs, "doc_id", "text", n=8))
     t("bm25", text.bm25_scores(docs, terms=("spark", "hash", "key")))
     t("token_entropy", text.token_entropy(docs))
     t(

@@ -734,3 +734,16 @@ def test_sniff_mime_python_matches_sql_sniff(spark):
     sql_sniff = {r["media_id"]: r["sniffed_mime"] for r in attach_media_metadata(df).collect()}
     py_sniff = {i: sniff_mime(bytes(c)) for i, c in samples}
     assert sql_sniff == py_sniff
+
+
+def test_jpeg_decode_tolerates_fill_bytes():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    inject some between header segments and confirm identical decode."""
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    jpg, expected = _encode_jpeg(img, q=2)
+    # insert fill bytes immediately after SOI (before the DQT marker)
+    padded = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
+    assert np.array_equal(jpeg_decode(padded), expected)
