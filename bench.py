@@ -141,6 +141,12 @@ BENCH_QUERIES = [
     "q161_source_data_card",
     "q162_bilateral_trade",
     "q163_market_share",
+    "q164_returned_items",
+    "q165_order_count_distribution",
+    "q166_top_supplier",
+    "q167_small_qty_revenue",
+    "q168_product_profit",
+    "q169_supplier_relationship",
 ]
 
 

@@ -7410,3 +7410,282 @@ def q163_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.alias("total_revenue"),
         F.round(tgt / tot, 6).alias("mkt_share"),
     )
+
+
+@query(
+    "q164_returned_items",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    )
+    SELECT c_custkey, c_name, nation, c_acctbal, revenue
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rn FROM rev)
+    WHERE rn <= 20
+    """,
+)
+def q164_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    generated the most revenue on returned lines in one quarter — the
+    triage list an account team works through.
+
+    Scale notes: returnflag + orderdate predicates push to the scans
+    before the fact-fact shuffle; customer/nation broadcast; the top-20
+    is a rank over the customers-sized aggregate (revenue is
+    decimal-rounded BEFORE ranking and ties break on c_custkey, so the
+    cut line is deterministic in both engines). At 100 TB the rank input
+    is customers-sized, not fact-sized."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation", "c_acctbal")
+        .agg(_dsum2(rev).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", "nation", "c_acctbal", "revenue")
+    )
+
+
+@query(
+    "q165_order_count_distribution",
+    oracle="""
+    WITH oc AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM oc GROUP BY c_count
+    """,
+)
+def q165_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of customers by
+    how many qualifying orders they placed, INCLUDING the zero-order
+    customers the left join preserves — the double-aggregate shape
+    (per-customer count, then count-of-counts).
+
+    Scale notes: the priority filter lands on the orders scan pre-join;
+    the left join shuffles both sides on custkey once; the second
+    aggregate's input is customers-sized and its output is
+    max-order-count-sized (tiny). No broadcast: at 100 TB both sides of
+    the first join are large, which is exactly when the shuffle
+    hash join is the right plan."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q166_top_supplier",
+    oracle="""
+    WITH srev AS (
+      SELECT l_suppkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM srev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM srev)
+    """,
+)
+def q166_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose shipped
+    revenue over one quarter equals the global maximum — the
+    agg-vs-its-own-extreme shape Q15 writes as a view + scalar subquery.
+
+    Scale notes: the quarter filter pushes to the scan; the per-supplier
+    aggregate is map-side combined to a suppliers-sized frame; the global
+    max is a 1-row frame broadcast back (no second fact scan, no window
+    over the whole aggregate); ties are kept, matching the SQL. Revenue
+    is decimal-rounded before the equality so both engines cut
+    identically."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    srev = l.groupBy("l_suppkey").agg(_dsum2(rev).alias("total_revenue"))
+    mx = srev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q167_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.qty_thresh
+    """,
+)
+def q167_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly revenue
+    lost if orders below 20% of a part's average order quantity were not
+    taken — the correlated-average shape (each fact row compared to its
+    own group's aggregate).
+
+    Scale notes: the correlated subquery decorrelates into a parts-sized
+    per-part threshold frame joined back on partkey — broadcastable at
+    any scale since it is one row per part; the brand filter prunes via
+    the broadcast part join before the threshold comparison. The
+    threshold is an exact decimal sum divided by an exact count, so the
+    `<` cut is bit-identical in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    pa = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_thresh")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, l.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / 7.0, 6).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q168_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                          - CAST(p.p_retailprice * 0.5 AS DECIMAL(18,4))
+                            * CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q168_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation,
+    per-order-year profit on one product line. This schema has no
+    partsupp, so unit cost is proxied as half the part's retail price —
+    the join/aggregate shape (fact x 3 dims x orders, name-pattern dim
+    filter) is what Q9 exercises.
+
+    Scale notes: the p_name LIKE filter prunes part BEFORE broadcast and
+    its broadcast join semi-filters the fact scan; supplier/nation
+    broadcast; the only shuffle is lineitem->orders. The cost factor is
+    folded to DECIMAL(18,4) per part row (double halving is exact), so
+    the summed profit is order-independent under the decimal policy."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", (F.col("p_retailprice") * 0.5).cast("decimal(18,4)").alias("_unit_cost"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    ) - F.col("_unit_cost") * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_dsum2(profit).alias("profit"))
+    )
+
+
+@query(
+    "q169_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q169_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers actually shipped parts of each surviving (brand, type,
+    size) combination, excluding deny-listed suppliers (negative account
+    balance stands in for Q16's complaints predicate).
+
+    Scale notes: all three p_* predicates prune part before its
+    broadcast join semi-filters the fact scan; the deny-list is a
+    6-row broadcast ANTI join (never a NOT IN materialization); the
+    distinct-supplier count shuffles once on the group key with
+    partial distinct aggregation map-side."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    deny = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(deny), l.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
