@@ -214,3 +214,267 @@ def keyed_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEDUP_GATE_OUTPUT_SCHEMA = "fp STRING, doc_id STRING, first_seen_ms LONG"
+DEDUP_GATE_STATE_SCHEMA = "doc_id STRING, first_seen_ms LONG"
+
+
+def streaming_dedup_gate(
+    stream: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    ts_col: str = "event_time",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """STREAMING exact-dedup gate over a fingerprint column — the live
+    form of the batch fingerprint dedup (q08) and the incremental-merge
+    dedup (q102): the first document carrying each fingerprint survives,
+    every later copy (same micro-batch or any later one) is dropped at
+    ingest. Append output: downstream sees ONLY survivors, so the gate
+    composes with any batch sink.
+
+    ``ttl_ms`` bounds state by recency — after that much processing time
+    with no re-arm the fingerprint is forgotten and the next copy passes
+    again. "Dedup within the last N days" is the standard contract for a
+    continuously-ingesting training feed; an unbounded fingerprint domain
+    cannot keep state forever. State is one (doc_id, ts) pair per live
+    fingerprint, checkpointed and rescale-safe; within a micro-batch ties
+    break on (event time, doc_id), deterministically.
+
+    Trigger note: with ``ttl_ms`` set, armed processing-time timeouts keep
+    the engine triggering (possibly empty) micro-batches to fire them, so
+    an ``availableNow`` run will NOT self-terminate — use a continuous
+    trigger in production, and stop on a sink condition in drain-style
+    jobs. With ``ttl_ms=None`` the query drains and stops normally."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL expired: forget the fingerprint; the next copy re-enters
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        if state.exists or not len(batch):
+            return  # already gated (TTL, if any, keeps running from first-seen)
+        first = batch.sort_values(["ts_ms", "doc_id"]).iloc[0]
+        state.update((str(first["doc_id"]), int(first["ts_ms"])))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "fp": [str(key[0])],
+                "doc_id": [str(first["doc_id"])],
+                "first_seen_ms": [int(first["ts_ms"])],
+            }
+        )
+
+    rows = stream.select(
+        F.col(fp_col).cast("string").alias("fp"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(f"unix_millis(cast({ts_col} AS TIMESTAMP))").alias("ts_ms"),
+    )
+    return rows.groupBy("fp").applyInPandasWithState(
+        _update,
+        outputStructType=DEDUP_GATE_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+SESSION_FINAL_OUTPUT_SCHEMA = "key STRING, n_events LONG, total_value DOUBLE, closed BOOLEAN"
+SESSION_FINAL_STATE_SCHEMA = "n LONG, total DOUBLE"
+
+
+def idle_session_finalizer(
+    stream: DataFrame,
+    gap_ms: int,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key session aggregate emitted ONLY once the key has been idle
+    for ``gap_ms`` of processing time — the timeout-driven counterpart of
+    watermark-closed event-time sessionization (q46): use this form when
+    the trigger is feed SILENCE (a source going quiet, a crawler
+    finishing a host) rather than event-time gaps inside the data.
+    Every batch that touches a key re-arms its timeout; the timeout
+    firing emits the session row exactly once (append mode) and clears
+    state. State is two scalars per ACTIVE key only.
+
+    Trigger note: timeout firing needs the engine to keep triggering
+    micro-batches, so an ``availableNow`` run will NOT self-terminate
+    while keys are active — use a continuous trigger in production, and
+    stop on a sink condition in drain-style jobs."""
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "n_events": [int(n)],
+                    "total_value": [float(total)],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((int(n), float(total)))
+        state.setTimeoutDuration(gap_ms)
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_FINAL_OUTPUT_SCHEMA,
+        stateStructType=SESSION_FINAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState operators (Spark 4 arbitrary-state v2: typed state
+# variables with per-state native TTL, and explicit per-key timers —
+# capabilities applyInPandasWithState cannot express). The Python side of
+# transformWithState talks to the JVM state server over protobuf, so these
+# EXECUTE only where `google.protobuf` is installed (plan construction works
+# anywhere); this container lacks protobuf, hence the import-gated e2e tests.
+# The applyInPandasWithState forms above carry the same contracts and run
+# everywhere; at cluster scale prefer these: RocksDB-native TTL eviction
+# beats per-key timeout bookkeeping, and multiple typed state variables per
+# key come for free.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+
+class _DedupGateProcessor(StatefulProcessor):
+    """transformWithState form of :func:`streaming_dedup_gate`: ValueState
+    per fingerprint with RocksDB-native TTL — no timeout re-arm dance."""
+
+    def __init__(self, ttl_ms: int | None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", DEDUP_GATE_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        if self._seen.exists():
+            return
+        batch = pd.concat(list(rows))
+        first = batch.sort_values(["ts_ms", "doc_id"]).iloc[0]
+        self._seen.update((str(first["doc_id"]), int(first["ts_ms"])))
+        yield pd.DataFrame(
+            {
+                "fp": [str(key[0])],
+                "doc_id": [str(first["doc_id"])],
+                "first_seen_ms": [int(first["ts_ms"])],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_dedup_gate_tws(
+    stream: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    ts_col: str = "event_time",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """See :func:`streaming_dedup_gate`; same semantics on the Spark 4
+    transformWithState API (requires the RocksDB state store provider and
+    a Python environment with protobuf)."""
+    rows = stream.select(
+        F.col(fp_col).cast("string").alias("fp"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(f"unix_millis(cast({ts_col} AS TIMESTAMP))").alias("ts_ms"),
+    )
+    return rows.groupBy("fp").transformWithStateInPandas(
+        statefulProcessor=_DedupGateProcessor(ttl_ms),
+        outputStructType=DEDUP_GATE_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
+class _IdleSessionProcessor(StatefulProcessor):
+    """transformWithState form of :func:`idle_session_finalizer`: explicit
+    per-key processing-time timers (extended on every touch) instead of
+    the group-timeout re-arm."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", SESSION_FINAL_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        n, total = self._sess.get() or (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._sess.update((int(n), float(total)))
+        # single live timer per key: drop the previous deadline, arm anew
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + self._gap_ms)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
+        state = self._sess.get()
+        if state is None:
+            return
+        n, total = state
+        self._sess.clear()
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_events": [int(n)],
+                "total_value": [float(total)],
+                "closed": [True],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def idle_session_finalizer_tws(
+    stream: DataFrame,
+    gap_ms: int,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """See :func:`idle_session_finalizer`; same semantics on the Spark 4
+    transformWithState API (requires the RocksDB state store provider and
+    a Python environment with protobuf)."""
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return rows.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_IdleSessionProcessor(gap_ms),
+        outputStructType=SESSION_FINAL_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )
