@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q167_small_qty_revenue",
     "q168_product_profit",
     "q169_supplier_relationship",
+    "q170_lsh_neardup_pairs",
 ]
 
 

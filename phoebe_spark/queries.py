@@ -7689,3 +7689,67 @@ def q169_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+def _lsh_planes(k: int = 4, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes, generated once driver-side and
+    embedded as LITERALS in both the Spark plan and the oracle SQL — the
+    two engines must agree bit-for-bit on every plane component or sign
+    decisions near zero diverge."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(k)]
+
+
+def _lsh_oracle_sql() -> str:
+    planes = _lsh_planes()
+    dim = len(planes[0])
+
+    def plane_dot(p: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    pair_dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             {bucket} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({pair_dot} / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {pair_dot} / (a.nrm * b.nrm) >= 0.4
+    """
+
+
+@query("q170_lsh_neardup_pairs", oracle=_lsh_oracle_sql())
+def q170_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs (random-hyperplane signatures,
+    Charikar 2002 SimHash family): vectors landing in the same
+    sign-of-dot-product bucket are the only candidate pairs, and exact
+    cosine runs within buckets only — the sub-quadratic scale path the
+    exact all-pairs scan (q41) refuses above its row guard. The oracle
+    replays the SAME literal planes in SQL, so bucket assignment and the
+    surviving pair set are checked end-to-end, not just recall-sampled.
+
+    Scale notes: one scan computes all k sign bits (codegen aggregate
+    per plane, no Python); ONE shuffle on the ~uniform bucket key; the
+    within-bucket self-join is quadratic only in bucket size, tunable by
+    plane count (2^k buckets). False negatives are the LSH contract —
+    tested recall lives in test_similarity; THIS entry pins determinism
+    and exactness of what the buckets do emit."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_pairs(e, _lsh_planes(), threshold=0.4)
