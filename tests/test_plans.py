@@ -649,3 +649,70 @@ def test_q155_census_broadcasts_onto_scan(spark, sf_dir):
     assert _ops(plan, "BroadcastHashJoin") >= 1
     assert _ops(plan, "SortMergeJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q162_q163_single_fact_fact_shuffle(spark, sf_dir):
+    """TPC-H Q7/Q8 shapes: every dim joins as a broadcast and the ONLY
+    shuffle join is lineitem->orders; dim filters prune before broadcast
+    (nation IN-list / region name visible at the dim scans)."""
+    for name, n_bc in (("q162_bilateral_trade", 4), ("q163_market_share", 4)):
+        plan = _plan(spark, sf_dir, name)
+        assert _ops(plan, "BroadcastHashJoin") >= n_bc, name
+        fact_joins = _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin")
+        assert fact_joins <= 1, name
+    q162 = _plan(spark, sf_dir, "q162_bilateral_trade")
+    assert "In(n_name" in q162  # nation pair filter pushed to the dim scan
+    q163 = _plan(spark, sf_dir, "q163_market_share")
+    assert "EqualTo(r_name,EUROPE)" in q163
+
+
+def test_q164_rank_input_is_customers_sized(spark, sf_dir):
+    """TPC-H Q10 shape: returnflag + orderdate predicates reach the fact
+    scans, the top-20 window runs AFTER the aggregate (rank input is
+    customers-sized, never fact-sized)."""
+    plan = _plan(spark, sf_dir, "q164_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # window over the aggregated frame: the Window's child subtree must
+    # contain the final HashAggregate, i.e. Window appears before (above)
+    # the aggregate in the formatted operator list
+    assert _ops(plan, "Window") == 1
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_q167_threshold_join_no_second_fact_scan_blowup(spark, sf_dir):
+    """TPC-H Q17 shape: the decorrelated per-part threshold joins back on
+    partkey; the brand filter prunes part before its broadcast."""
+    plan = _plan(spark, sf_dir, "q167_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 1
+
+
+def test_q168_dims_broadcast_name_filter_pushed(spark, sf_dir):
+    """TPC-H Q9 shape: p_name LIKE prunes part at its scan; part,
+    supplier, nation all broadcast; single fact-fact shuffle join."""
+    plan = _plan(spark, sf_dir, "q168_product_profit")
+    assert "StringContains(p_name,widget)" in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 3
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") <= 1
+
+
+def test_q169_deny_list_is_broadcast_anti(spark, sf_dir):
+    """TPC-H Q16 shape: the deny-list is a broadcast ANTI join (never a
+    NOT IN materialization), and the distinct count partials map-side."""
+    plan = _plan(spark, sf_dir, "q169_supplier_relationship")
+    assert "LeftAnti" in plan
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "HashAggregate") >= 2
+
+
+def test_q170_single_bucket_shuffle_gemm(spark, sf_dir):
+    """LSH pairs: sign bits are codegen scan-side expressions, ONE
+    exchange on the bucket key feeds the Arrow GEMM group — no self-join,
+    vectors cross the wire once."""
+    plan = _plan(spark, sf_dir, "q170_lsh_neardup_pairs")
+    assert _ops(plan, "Exchange") == 1
+    assert _ops(plan, "Scan parquet") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert _ops(plan, op) == 0, op
+    assert "FlatMapGroupsInPandas" in plan
