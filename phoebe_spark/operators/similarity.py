@@ -193,39 +193,47 @@ def all_pairs_cosine(
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim DOUBLE"
 
     def _gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        if len(lpdf) == 0 or len(rpdf) == 0:
-            return empty
-        a_ids = lpdf["_id"].to_numpy()
-        b_ids = rpdf["_id"].to_numpy()
-        # Arrow hands array<float> cells over as ndarrays: stack, don't
-        # per-row list() (pure-Python, ~10x slower on wide blocks)
-        A = np.stack(lpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(rpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
-        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-        sims = A @ B.T
-        ii, jj = np.nonzero(sims >= threshold)
-        if not len(ii):
-            return empty
-        ia, ib = a_ids[ii], b_ids[jj]
-        if int(lpdf["_blk"].iloc[0]) == int(rpdf["_blk"].iloc[0]):
-            # diagonal block: both GEMM triangles present — keep one
-            keep = ia < ib
-            ia, ib, cs = ia[keep], ib[keep], sims[ii, jj][keep]
-        else:
-            # off-diagonal: each unordered pair appears once; orient it
-            cs = sims[ii, jj]
-            lo = np.minimum(ia, ib)
-            ib = np.maximum(ia, ib)
-            ia = lo
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": cs})
+        return _pairwise_gemm(lpdf, rpdf, threshold)
 
     return (
         left.groupBy("pair")
         .cogroup(right.groupBy("pair"))
         .applyInPandas(_gemm, out_schema)
     )
+
+
+def _pairwise_gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Score one block pair: normalized float64 GEMM over the two sides'
+    (_id, _vec, _blk) frames, emit pairs clearing the threshold oriented
+    id_a < id_b. On a diagonal block pair (same _blk) both GEMM triangles
+    are present and one is kept; off-diagonal pairs appear once."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+    if len(lpdf) == 0 or len(rpdf) == 0:
+        return empty
+    a_ids = lpdf["_id"].to_numpy()
+    b_ids = rpdf["_id"].to_numpy()
+    # Arrow hands array<float> cells over as ndarrays: stack, don't
+    # per-row list() (pure-Python, ~10x slower on wide blocks)
+    A = np.stack(lpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
+    B = np.stack(rpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
+    A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+    B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+    sims = A @ B.T
+    ii, jj = np.nonzero(sims >= threshold)
+    if not len(ii):
+        return empty
+    ia, ib = a_ids[ii], b_ids[jj]
+    if int(lpdf["_blk"].iloc[0]) == int(rpdf["_blk"].iloc[0]):
+        # diagonal block: both GEMM triangles present — keep one
+        keep = ia < ib
+        ia, ib, cs = ia[keep], ib[keep], sims[ii, jj][keep]
+    else:
+        # off-diagonal: each unordered pair appears once; orient it
+        cs = sims[ii, jj]
+        lo = np.minimum(ia, ib)
+        ib = np.maximum(ia, ib)
+        ia = lo
+    return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": cs})
 
 
 def _spherical_kmeans(X, k: int, iters: int, seed: int):
@@ -378,6 +386,7 @@ def lsh_bucketed_pairs(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int | None = 8192,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: bucket by random hyperplanes, exact
     cosine within buckets only — the sub-quadratic candidate path when the
@@ -389,12 +398,33 @@ def lsh_bucketed_pairs(
     than per-pair interpreted higher-order dot products, and the vectors
     shuffle once instead of twice for a self-join's two sides). Pair work
     is quadratic only in bucket size: plane count tunes E[bucket] =
-    n / 2^k. A data-skewed hot bucket = one quadratic task — grow the
-    plane count (or pre-split hot buckets on an id salt and union the
-    cross-salt pairs) before reaching for a bigger executor."""
+    n / 2^k.
+
+    Skew guard: LSH buckets are data-dependent, and one hot bucket is
+    one quadratic task no matter how uniform the hash looks on paper.
+    ``target_bucket_rows`` (None disables) first runs a cheap per-bucket
+    census (one extra scan computing only the sign bits; at most 2^k
+    counter rows reach the driver — model-state sized, not data); any
+    bucket above the target is split into ceil(c/target) id-salted
+    blocks and scored as a per-bucket 2D block-pair schedule (the
+    :func:`all_pairs_cosine` cogroup trick, scoped to the bucket), so a
+    hot bucket's n^2 work lands evenly across ~s^2/2 tasks instead of
+    one straggler. With no hot buckets the single-shuffle group path
+    runs unchanged."""
     b = random_hyperplane_buckets(df, planes, id_col, vec_col)
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim DOUBLE"
+
+    hot: dict[int, int] = {}
+    if target_bucket_rows is not None:
+        nb = {
+            int(r["bucket"]): -(-int(r["c"]) // target_bucket_rows)
+            for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        hot = {bk: s for bk, s in nb.items() if s > 1}
+
+    if hot:
+        return _salted_bucket_pairs(b, hot, threshold, id_col, vec_col, out_schema)
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
@@ -412,6 +442,53 @@ def lsh_bucketed_pairs(
         return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cos_sim": sims[ii, jj]})
 
     return b.groupBy("bucket").applyInPandas(_pairs, out_schema)
+
+
+def _salted_bucket_pairs(
+    b: DataFrame,
+    hot: dict[int, int],
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    out_schema: str,
+) -> DataFrame:
+    """Per-bucket 2D block-pair schedule for skewed LSH buckets: bucket
+    ``bk`` runs as ``s = hot[bk]`` id-salted blocks (1 for cold buckets
+    — they ride the same schedule as its degenerate single-block case).
+    Block pair (bi <= bj) gets pair id ``bi*s + bj``; a row in block i is
+    the LEFT operand of pairs (i, j >= i) — the contiguous id run
+    [i*s+i, i*s+s-1] — and the RIGHT operand of pairs (j <= i, i) — the
+    stride-s run [i, i*s+i]. Both sides are codegen `sequence` explodes;
+    the cogroup key is (bucket, pair)."""
+    s_entries: list = []
+    for bk, s in sorted(hot.items()):
+        s_entries += [F.lit(bk), F.lit(s)]
+    s_col = F.coalesce(F.element_at(F.create_map(*s_entries), F.col("bucket")), F.lit(1))
+
+    def _side(seq_expr):
+        base = b.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.col("bucket"),
+            s_col.alias("_s"),
+            F.pmod(F.xxhash64(F.col(id_col)), s_col).cast("int").alias("_blk"),
+        )
+        return base.select(
+            F.explode(seq_expr(F.col("_blk"), F.col("_s"))).alias("pair"),
+            "bucket", "_id", "_vec", "_blk",
+        )
+
+    left = _side(lambda blk, s: F.sequence(blk * s + blk, blk * s + s - 1))
+    right = _side(lambda blk, s: F.sequence(blk, blk * s + blk, s))
+
+    def _gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        return _pairwise_gemm(lpdf, rpdf, threshold)
+
+    return (
+        left.groupBy("bucket", "pair")
+        .cogroup(right.groupBy("bucket", "pair"))
+        .applyInPandas(_gemm, out_schema)
+    )
 
 
 def label_centroids(

@@ -212,3 +212,40 @@ def test_pq_codes_use_narrow_integer_type(spark):
     good = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 1.0], [2.0, 2.0]]]
     plan = pq_topk(corpus, corpus, good, k=1)._jdf.queryExecution().analyzed().toString()
     assert "tinyint" in plan.lower()
+
+
+def test_lsh_salted_hot_bucket_matches_unsalted(spark, emb):
+    """Skew guard: an empty plane list drops every vector into bucket 0
+    (the worst-case hot bucket); a tiny target forces the per-bucket 2D
+    block-pair schedule. The salted pair set must equal the single-group
+    path's exactly — the salt changes the task layout, never the answer."""
+    unsalted = lsh_bucketed_pairs(emb, planes=[], threshold=0.4, target_bucket_rows=None)
+    salted = lsh_bucketed_pairs(emb, planes=[], threshold=0.4, target_bucket_rows=64)
+    u = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in unsalted.collect()}
+    s = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in salted.collect()}
+    assert set(u) == set(s) and len(u) > 0
+    for k in u:
+        assert s[k] == pytest.approx(u[k], abs=1e-12)
+
+
+def test_lsh_salted_mixed_hot_and_cold_buckets(spark, emb):
+    """One plane -> two buckets; a target between the two bucket sizes
+    makes exactly one of them hot, so the salted schedule must carry
+    cold buckets through its degenerate single-block case unchanged."""
+    rng = np.random.default_rng(3)
+    planes = [rng.standard_normal(64).tolist()]
+    unsalted = lsh_bucketed_pairs(emb, planes, threshold=0.4, target_bucket_rows=None)
+    u = {(r["id_a"], r["id_b"]) for r in unsalted.collect()}
+    # pick a target that splits the larger bucket but not the smaller one
+    from phoebe_spark.operators.similarity import random_hyperplane_buckets
+
+    counts = sorted(
+        r["c"]
+        for r in random_hyperplane_buckets(emb, planes)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert len(counts) == 2
+    target = (counts[0] + counts[1]) // 2
+    assert counts[0] <= target < counts[1], "data must split hot/cold for this test"
+    salted = lsh_bucketed_pairs(emb, planes, threshold=0.4, target_bucket_rows=target)
+    assert {(r["id_a"], r["id_b"]) for r in salted.collect()} == u
