@@ -2139,7 +2139,8 @@ def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              (CASE WHEN doc_id % 5 = 0 THEN '\xFF\xD8\xFF'::BLOB
                    WHEN doc_id % 7 = 0 THEN '\x89PNG'::BLOB
-                   WHEN doc_id % 11 = 0 THEN 'RIFF'::BLOB
+                   WHEN doc_id % 11 = 0 THEN 'RIFF\x00\x00\x00\x00WAVE'::BLOB
+                   WHEN doc_id % 13 = 0 THEN 'RIFF\x00\x00\x00\x00AVI '::BLOB
                    ELSE ''::BLOB END) || encode(text) AS content
       FROM documents
     )
@@ -2147,7 +2148,10 @@ def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(content) AS BIGINT) AS n_bytes,
            CASE WHEN substring(hex(content), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
                 WHEN substring(hex(content), 1, 8) = '89504E47' THEN 'image/png'
-                WHEN substring(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
+                WHEN substring(hex(content), 1, 8) = '52494646'
+                     AND substring(hex(content), 17, 8) = '57415645' THEN 'audio/wav'
+                WHEN substring(hex(content), 1, 8) = '52494646'
+                     AND substring(hex(content), 17, 8) = '41564920' THEN 'video/avi'
                 ELSE 'application/octet-stream' END AS sniffed_mime
     FROM b
     """,
@@ -2156,9 +2160,10 @@ def q59_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata pass (:func:`multimodal.attach_media_metadata`):
     opaque binary columns get byte length + magic-byte mime sniffing as
     pure column expressions — no decode. Binary payloads are synthesized
-    from the text column with planted JPEG/PNG/RIFF magic prefixes so the
-    sniff paths execute; DuckDB mirrors the bytes via encode()+hex
-    prefixes. The real pipeline runs this exact scan shape over media
+    from the text column with planted JPEG/PNG/RIFF-WAVE/RIFF-AVI magic
+    prefixes so every sniff path executes (RIFF alone is ambiguous — the
+    container tag at offset 8 decides audio vs video); DuckDB mirrors the
+    bytes via encode()+hex prefixes. The real pipeline runs this exact scan shape over media
     blobs before routing to decode stages."""
     from phoebe_spark.operators import multimodal
 
@@ -2166,7 +2171,8 @@ def q59_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     magic = (
         F.when(F.col("doc_id") % 5 == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
         .when(F.col("doc_id") % 7 == 0, F.lit(b"\x89PNG"))
-        .when(F.col("doc_id") % 11 == 0, F.lit(b"RIFF"))
+        .when(F.col("doc_id") % 11 == 0, F.lit(b"RIFF\x00\x00\x00\x00WAVE"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(b"RIFF\x00\x00\x00\x00AVI "))
         .otherwise(F.lit(b""))
     )
     blobs = d.select(

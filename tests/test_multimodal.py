@@ -26,7 +26,9 @@ from phoebe_spark.operators.multimodal import (
 
 JPEG_MAGIC = bytes([0xFF, 0xD8, 0xFF]) + b"fakejpegbytes"
 PNG_MAGIC = b"\x89PNG\r\n" + b"fakepngbytes"
-WAV_MAGIC = b"RIFF" + b"fakewavbytes"
+# real RIFF/WAVE layout: 'WAVE' tag at offset 8 (the sniff requires it —
+# a bare 'RIFF' prefix could be AVI or any other RIFF container)
+WAV_MAGIC = b"RIFF" + (20).to_bytes(4, "little") + b"WAVE" + b"fakewavbytes"
 
 # --- in-test baseline JPEG encoder (independent of the product decoder:
 # its own DCT matrix, zigzag table, Huffman assignment, and bit writer) ---
@@ -747,3 +749,72 @@ def test_jpeg_decode_tolerates_fill_bytes():
     # insert fill bytes immediately after SOI (before the DQT marker)
     padded = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
     assert np.array_equal(jpeg_decode(padded), expected)
+
+
+def _encode_avi(jpegs: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI writer: LIST(hdrl) with a zeroed avih header (the
+    demuxer ignores it, real files have it) + LIST(movi) of 00dc frames."""
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return (
+            fourcc + len(data).to_bytes(4, "little") + data
+            + (b"\x00" if len(data) % 2 else b"")
+        )
+
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(56)))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def test_avi_demux_roundtrip():
+    from phoebe_spark.operators.multimodal import avi_mjpeg_frames, sniff_mime
+
+    rng = np.random.default_rng(11)
+    jpegs = []
+    for _ in range(5):
+        img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        jpg, _ = _encode_jpeg(img, q=2)
+        jpegs.append(jpg)
+    avi = _encode_avi(jpegs)
+    assert sniff_mime(avi) == "video/avi"
+    assert avi_mjpeg_frames(avi) == jpegs
+    # odd-sized frame exercises the RIFF even-padding rule
+    odd = jpegs[0] + b"\xff\xd9"[:1]
+    assert avi_mjpeg_frames(_encode_avi([odd, jpegs[1]])) == [odd, jpegs[1]]
+    with pytest.raises(ValueError, match="not a RIFF"):
+        avi_mjpeg_frames(b"\x89PNG....")
+
+
+def test_video_frame_features_real_decode(spark):
+    """video_frame_features must decode the sampled MJPEG frames exactly:
+    mean/std per frame match the encoder's implied reconstruction, frame
+    indices follow every_n/max_frames, and motion is |gray delta| between
+    consecutive SAMPLED frames."""
+    from phoebe_spark.operators.multimodal import video_frame_features
+
+    rng = np.random.default_rng(23)
+    frames, expected = [], []
+    for _ in range(7):
+        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        jpg, exp = _encode_jpeg(img, q=2)
+        frames.append(jpg)
+        expected.append(exp.astype(np.float64))
+    avi = _encode_avi(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id LONG, content BINARY"
+    )
+    got = {
+        r["frame_index"]: r
+        for r in video_frame_features(df, every_n=3, max_frames=2).collect()
+    }
+    assert sorted(got) == [0, 3]
+    for fi in (0, 3):
+        exp_gray = expected[fi] if expected[fi].ndim == 2 else expected[fi].mean(axis=2)
+        assert got[fi]["n_frames"] == 7
+        assert got[fi]["mean_gray"] == pytest.approx(exp_gray.mean(), abs=1e-9)
+        assert got[fi]["std_gray"] == pytest.approx(exp_gray.std(), abs=1e-9)
+    g0 = expected[0] if expected[0].ndim == 2 else expected[0].mean(axis=2)
+    g3 = expected[3] if expected[3].ndim == 2 else expected[3].mean(axis=2)
+    assert got[0]["motion"] == 0.0
+    assert got[3]["motion"] == pytest.approx(np.abs(g3 - g0).mean(), abs=1e-9)
