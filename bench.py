@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "q168_product_profit",
     "q169_supplier_relationship",
     "q170_lsh_neardup_pairs",
+    "q171_measure_profile_unpivot",
+    "q172_grouping_id_rollup",
 ]
 
 

@@ -7759,3 +7759,83 @@ def q170_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exactness of what the buckets do emit."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_pairs(e, _lsh_planes(), threshold=0.4)
+
+
+@query(
+    "q171_measure_profile_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v,
+           CAST(round(sum(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_v,
+           round(CAST(round(sum(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE) / count(*), 6) AS mean_v
+    FROM long GROUP BY measure
+    """,
+)
+def q171_measure_profile_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long measure profile via UNPIVOT (`stack`): the four
+    lineitem measures melt to (measure, value) rows inside the scan
+    projection, then one grouped aggregate profiles each — the
+    data-quality sweep shape that would otherwise be four scans or four
+    ad-hoc agg columns.
+
+    Scale notes: stack is a codegen row-expansion in the scan stage (NO
+    shuffle for the melt; 4x row fan-out but each long row is 2 narrow
+    columns); the profile aggregate map-side combines to a 4-group
+    shuffle. The oracle's UNION ALL is DuckDB's spelling of the same
+    relational algebra."""
+    l = _t(spark, sf_dir, "lineitem")
+    long = l.selectExpr(
+        "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, "
+        "'l_discount', l_discount, 'l_tax', l_tax) AS (measure, v)"
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        _dsum2(_dec("v")).alias("sum_v"),
+        F.round(_dsum2(_dec("v")) / F.count(F.lit(1)), 6).alias("mean_v"),
+    )
+
+
+@query(
+    "q172_grouping_id_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(c.c_mktsegment) = 1 THEN NULL ELSE c.c_mktsegment END AS segment,
+           CASE WHEN GROUPING(o.o_orderpriority) = 1 THEN NULL ELSE o.o_orderpriority END AS priority,
+           CAST(GROUPING(c.c_mktsegment) * 2 + GROUPING(o.o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY ROLLUP (c.c_mktsegment, o.o_orderpriority)
+    """,
+)
+def q172_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id: subtotal rows are tagged by WHICH columns
+    were rolled up, not by NULL-coalescing sentinel strings — the
+    disambiguation q49/q81 sidestep (a real NULL group value and a
+    subtotal row are indistinguishable without GROUPING). gid = 0 detail,
+    1 per-segment subtotal, 3 grand total.
+
+    Scale notes: one pass, grouping-set expansion with map-side partials;
+    customer broadcasts onto the orders scan; output is
+    (segments x priorities)-sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+    return (
+        j.rollup(F.col("c_mktsegment").alias("segment"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum2(_dec("o_totalprice")).alias("revenue"),
+        )
+        .select("segment", "priority", "gid", "n_orders", "revenue")
+    )

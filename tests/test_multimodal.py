@@ -818,3 +818,55 @@ def test_video_frame_features_real_decode(spark):
     g3 = expected[3] if expected[3].ndim == 2 else expected[3].mean(axis=2)
     assert got[0]["motion"] == 0.0
     assert got[3]["motion"] == pytest.approx(np.abs(g3 - g0).mean(), abs=1e-9)
+
+
+# --- property-based demux robustness (hypothesis) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    return (
+        fourcc + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+
+
+_frame_payloads = st.lists(st.binary(min_size=1, max_size=33), min_size=0, max_size=6)
+_junk_fourccs = st.sampled_from([b"idx1", b"JUNK", b"strh", b"vprp"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=_frame_payloads,
+    junk=st.lists(st.tuples(_junk_fourccs, st.binary(max_size=17)), max_size=4),
+    use_rec=st.booleans(),
+    stream_no=st.integers(min_value=0, max_value=3),
+)
+def test_avi_demux_property(frames, junk, use_rec, stream_no):
+    """Whatever junk chunks surround them and however frames are nested
+    ('rec ' interleave lists, arbitrary stream numbers, odd-size padding),
+    the demuxer must return exactly the planted frame payloads in order."""
+    from phoebe_spark.operators.multimodal import avi_mjpeg_frames
+
+    dc = f"{stream_no:02d}dc".encode()
+    frame_chunks = b"".join(_riff_chunk(dc, f) for f in frames)
+    if use_rec:
+        frame_chunks = _riff_chunk(b"LIST", b"rec " + frame_chunks)
+    junk_chunks = b"".join(_riff_chunk(fc, d) for fc, d in junk)
+    movi = _riff_chunk(b"LIST", b"movi" + junk_chunks + frame_chunks)
+    payload = b"AVI " + _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", bytes(56))) + movi
+    avi = b"RIFF" + len(payload).to_bytes(4, "little") + payload
+    assert avi_mjpeg_frames(avi) == frames
+
+
+@settings(max_examples=40, deadline=None)
+@given(garbage=st.binary(max_size=64))
+def test_avi_demux_rejects_non_avi(garbage):
+    from phoebe_spark.operators.multimodal import avi_mjpeg_frames
+
+    if garbage[:4] == b"RIFF" and garbage[8:12] == b"AVI ":
+        return  # astronomically unlikely; not the property under test
+    with pytest.raises(ValueError):
+        avi_mjpeg_frames(garbage)
