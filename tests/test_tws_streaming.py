@@ -205,3 +205,41 @@ def test_tws_forms_e2e_when_protobuf_available(spark, tmp_path, which):
             assert rows.get("k1") == (2, 3.0)
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_dedup_gate_checkpoint_restart(spark, tmp_path):
+    """The seen-fingerprint state must survive a checkpointed
+    stop-and-restart: a fingerprint passed before the stop must NOT be
+    re-emitted when a copy arrives after the restart (the exactly-once
+    survivor contract an ingest gate exists for). ttl_ms=None so the
+    availableNow runs self-terminate (no armed timeouts)."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    schema = DEDUP_BATCHES_SCHEMA
+    batches = [
+        [("A", "doc1", "2026-01-01 00:00:01"), ("B", "doc2", "2026-01-01 00:00:02")],
+        [("A", "doc3", "2026-01-01 00:00:03"), ("C", "doc4", "2026-01-01 00:00:04")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = streaming_dedup_gate(stream, ttl_ms=None)
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        time.sleep(0.2)
+
+    survivors = {r["fp"]: r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert survivors == {"A": "doc1", "B": "doc2", "C": "doc4"}
+    # exactly once: no fp appears twice across the whole output
+    assert spark.read.parquet(out_dir).count() == 3
