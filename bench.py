@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q170_lsh_neardup_pairs",
     "q171_measure_profile_unpivot",
     "q172_grouping_id_rollup",
+    "q173_lang_embedding_coherence",
+    "q174_dup_pair_embedding_audit",
 ]
 
 

@@ -7839,3 +7839,144 @@ def q172_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("segment", "priority", "gid", "n_orders", "revenue")
     )
+
+
+@query(
+    "q173_lang_embedding_coherence",
+    oracle="""
+    WITH e AS (
+      SELECT d.lang, em.vec_id, em.embedding
+      FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+    ),
+    long AS (
+      SELECT lang, vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS val
+      FROM e, generate_series(1, 64) AS i(i)
+    ),
+    cent AS (
+      SELECT lang, pos, sum(val) / count(*) AS c FROM long GROUP BY lang, pos
+    ),
+    pv AS (
+      SELECT l.lang, l.vec_id,
+             sum(l.val * cent.c) AS dot,
+             sum(l.val * l.val) AS v2,
+             sum(cent.c * cent.c) AS c2
+      FROM long l JOIN cent ON cent.lang = l.lang AND cent.pos = l.pos
+      GROUP BY l.lang, l.vec_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(dot / (sqrt(v2) * sqrt(c2))) / count(*), 6) AS mean_coherence
+    FROM pv GROUP BY lang
+    """,
+)
+def q173_lang_embedding_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus diagnostic: per language, the mean cosine of
+    each document's embedding to its language centroid — low coherence
+    flags mislabeled language tags or polluted embedding spaces before a
+    semantic-dedup or clustering stage trusts them. Joins the text table
+    to the embedding table (doc_id = vec_id), i.e. the two modalities a
+    training pipeline must keep aligned.
+
+    Scale notes: vectors fan long-form via posexplode inside the scan
+    stage; the centroid is a (langs x dims)-sized aggregate with map-side
+    partials; the score join re-keys on the composite (lang, dim) —
+    skew-free because dims stripe every language evenly. Float sums are
+    order-sensitive in the last bits (both engines round at 1e-6, ~9
+    orders above the reorder noise)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    long = (
+        d.join(em, d.doc_id == em.vec_id)
+        .select("lang", "vec_id", F.posexplode("embedding").alias("pos", "_v"))
+        .select("lang", "vec_id", "pos", F.col("_v").cast("double").alias("val"))
+    )
+    cent = long.groupBy("lang", "pos").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("c")
+    )
+    pv = (
+        long.join(cent, ["lang", "pos"])
+        .groupBy("lang", "vec_id")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("v2"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+        )
+    )
+    return pv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("dot") / (F.sqrt("v2") * F.sqrt("c2"))) / F.count(F.lit(1)), 6
+        ).alias("mean_coherence"),
+    )
+
+
+@query(
+    "q174_dup_pair_embedding_audit",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 80)) AS fp
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT p.id_a, p.id_b,
+             list_sum(list_transform(generate_series(1, len(ea.embedding)),
+                      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+               / (ea.nrm * eb.nrm) AS cos
+      FROM p JOIN n ea ON ea.vec_id = p.id_a JOIN n eb ON eb.vec_id = p.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(cos) / count(*), 6) AS mean_cos,
+           round(min(cos), 6) AS min_cos
+    FROM c
+    """,
+)
+def q174_dup_pair_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit: every text near-dup CANDIDATE pair
+    (matching 80-char normalized-prefix fingerprint — the prefix-bucket
+    candidate generator) scored by embedding cosine. Textual near-dups
+    whose embeddings disagree flag a broken embed pipeline (stale
+    vectors, misaligned ids) before any embedding-based dedup or
+    retrieval trusts the space; min_cos is the alarm line, mean_cos the
+    health trend.
+
+    Scale notes: the fingerprint self-join touches only dup groups
+    (groups of 1 produce no pairs); pair count is bounded by the planted
+    dup rate, so the two embedding joins are candidate-sized equi-joins —
+    never corpus x corpus; cosine is the same ordered JVM aggregate the
+    q41 oracle proved bit-compatible."""
+    d = _t(spark, sf_dir, "documents")
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", similarity.norm(F.col("embedding")).alias("nrm")
+    )
+    f = d.select(
+        "doc_id",
+        F.md5(
+            F.substring(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
+        ).alias("fp"),
+    )
+    a = f.select(F.col("doc_id").alias("id_a"), "fp")
+    b = f.select(F.col("doc_id").alias("id_b"), "fp")
+    p = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    ea = em.select(F.col("vec_id").alias("_va"), F.col("embedding").alias("_ea"), F.col("nrm").alias("_na"))
+    eb = em.select(F.col("vec_id").alias("_vb"), F.col("embedding").alias("_eb"), F.col("nrm").alias("_nb"))
+    cos = similarity.dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    c = (
+        p.join(ea, p.id_a == F.col("_va"))
+        .join(eb, p.id_b == F.col("_vb"))
+        .select(cos.alias("cos"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("cos") / F.count(F.lit(1)), 6).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+    )
