@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q172_grouping_id_rollup",
     "q173_lang_embedding_coherence",
     "q174_dup_pair_embedding_audit",
+    "q175_trailing_range_window",
 ]
 
 

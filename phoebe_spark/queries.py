@@ -7980,3 +7980,43 @@ def q174_dup_pair_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("cos") / F.count(F.lit(1)), 6).alias("mean_cos"),
         F.round(F.min("cos"), 6).alias("min_cos"),
     )
+
+
+@query(
+    "q175_trailing_range_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, {EPOCH_SQL.format(c='ts')} AS ts_s,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_5min,
+           CAST(round(sum(v) OVER w, 2) AS DOUBLE) AS sum_5min
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q175_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: at every event, the count and value sum
+    of the same user's events in the trailing 300 SECONDS — a frame
+    bounded by the ORDER BY value, not by row counts, so bursts widen the
+    frame and quiet periods shrink it (the per-entity rate/limit signal
+    rowsBetween cannot express when event cadence is irregular).
+
+    Scale notes: one shuffle on user_id; the range frame is evaluated by
+    a sliding scan within each sorted partition (no self-join
+    materialization of the 300 s neighborhood); tied timestamps are frame
+    peers in both engines by the RANGE contract; the value sum rides the
+    DECIMAL policy so the sliding accumulation order cannot show."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", _epoch("ts").alias("ts_s"), _dec("value").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-300, 0)
+    return e.select(
+        "event_id", "user_id", "ts_s",
+        F.count(F.lit(1)).over(w).alias("n_5min"),
+        F.round(F.sum("v").over(w), 2).cast("double").alias("sum_5min"),
+    )
