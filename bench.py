@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "q173_lang_embedding_coherence",
     "q174_dup_pair_embedding_audit",
     "q175_trailing_range_window",
+    "q176_forecast_revenue_change",
+    "q177_local_supplier_volume",
 ]
 
 
