@@ -716,3 +716,27 @@ def test_q170_single_bucket_shuffle_gemm(spark, sf_dir):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert _ops(plan, op) == 0, op
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_q176_all_predicates_at_scan(spark, sf_dir):
+    """TPC-H Q6: all three predicates reach the parquet scan and the
+    aggregate is a map-side partial + 1-row final, no join anywhere."""
+    plan = _plan(spark, sf_dir, "q176_forecast_revenue_change")
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "HashAggregate") == 2
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert _ops(plan, op) == 0, op
+
+
+def test_q177_local_supplier_single_fact_shuffle(spark, sf_dir):
+    """TPC-H Q5: region/nation/customer/supplier all broadcast, the
+    customer-nation = supplier-nation equality costs no extra shuffle,
+    and the date predicate reaches the orders scan."""
+    plan = _plan(spark, sf_dir, "q177_local_supplier_volume")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 3
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") <= 1
