@@ -445,3 +445,38 @@ def test_misra_gries_invariants(stream, k, n_chunks):
     for item, cnt in true.items():
         if cnt > n / (k + 1):
             assert item in whole, (item, cnt, n, k)
+
+
+@SLOW
+@given(texts=doc_corpus, n=st.integers(min_value=1, max_value=3))
+def test_dup_substring_ratio_matches_bruteforce(spark, texts, n):
+    """The distributed duplicated-substring scan must match a direct
+    single-node computation: for every document, count n-word-gram
+    POSITIONS whose gram occurs more than once corpus-wide (including
+    elsewhere in the same document); docs with fewer than n tokens drop
+    out. The tiny 'ab cd' alphabet forces heavy gram collisions."""
+    from collections import Counter
+
+    from phoebe_spark.operators.dedup import dup_substring_ratio
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_positions"], r["n_dup_positions"])
+        for r in dup_substring_ratio(df, "doc_id", "text", n=n).collect()
+    }
+
+    grams_by_doc = {}
+    census = Counter()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        if grams:
+            grams_by_doc[i] = grams
+            census.update(grams)
+    exp = {
+        i: (len(grams), sum(1 for g in grams if census[g] > 1))
+        for i, grams in grams_by_doc.items()
+    }
+    assert got == exp
