@@ -49,6 +49,7 @@ def _wait_for(spark, q, sql, pred, timeout_s=120):
         if pred(rows):
             q.stop()
             return rows
+        _t.sleep(0.5)
     q.stop()
     raise AssertionError(f"condition not reached within {timeout_s}s: {sql}")
 
