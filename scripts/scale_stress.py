@@ -114,6 +114,17 @@ def run_scale(spark, scale: int) -> dict:
             emb, planes=[[((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(64)] for i in range(12)], threshold=0.95
         ),
     )
+
+    # worst-case LSH skew: an empty plane list = ONE bucket holding the
+    # whole corpus; the salt-split census must shard it into a per-bucket
+    # 2D block-pair schedule, so cost tracks total pair work (quadratic in
+    # rows by contract) spread across even tasks instead of one straggler
+    t_build(
+        "lsh_hot_salted",
+        lambda: similarity.lsh_bucketed_pairs(
+            emb, planes=[], threshold=0.95, target_bucket_rows=1024
+        ),
+    )
     t("ivf_topk", similarity.ivf_topk(emb, emb.limit(64), k=10, n_centroids=max(16, scale * 4), n_probe=4))
 
     # PQ/ADC: codebook size is FIXED (model state), so encode+score cost
