@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "q175_trailing_range_window",
     "q176_forecast_revenue_change",
     "q177_local_supplier_volume",
+    "q178_quality_dup_curve",
 ]
 
 

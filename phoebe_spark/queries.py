@@ -8112,3 +8112,77 @@ def q177_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation")
         .agg(_dsum2(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@query(
+    "q178_quality_dup_curve",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END AS pr,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END AS sw,
+             md5(substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 80)) AS fp
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, tok, fp,
+             CAST(round(0.5 * least(tok / 100.0, 1.0) + 0.5 * least(sw * 5.0, 1.0)
+                        - 0.25 * least(pr * 5.0, 1.0), 6) AS DECIMAL(18,6)) AS quality
+      FROM s
+    ),
+    c AS (SELECT fp, count(*) AS cnt FROM q GROUP BY fp),
+    d AS (
+      SELECT q.doc_id, q.tok, q.quality, (c.cnt > 1) AS is_dup,
+             ntile(10) OVER (ORDER BY q.quality, q.doc_id) AS decile
+      FROM q JOIN c ON c.fp = q.fp
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(quality) AS DOUBLE) / count(*), 6) AS mean_quality,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate
+    FROM d GROUP BY decile
+    """,
+)
+def q178_quality_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile duplication curve: split the corpus into quality
+    deciles and report each decile's near-dup-candidate rate (80-char
+    prefix-fingerprint buckets, the q174 signal) — the standard dataset-
+    paper analysis that tells a curation pipeline whether aggressive
+    dedup should run BEFORE or AFTER the quality gate (boilerplate is
+    usually both low-quality and duplicated; if dup_rate concentrates in
+    the bottom deciles, the quality gate removes most dups for free).
+
+    Scale notes: one scan computes quality + fingerprint; the dup census
+    is fingerprint-keyed with map-side combining; deciles use a global
+    rank window ordered by (rounded-decimal quality, doc_id) — report-
+    shaped here; at 100 TB swap the exact ntile for approx-quantile
+    thresholds (the q159 pattern) to avoid the single-partition sort."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select(
+        "doc_id",
+        F.col("token_count").alias("tok"),
+        F.round("quality_score", 6).cast("decimal(18,6)").alias("quality"),
+        F.md5(
+            F.substring(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
+        ).alias("fp"),
+    )
+    c = q.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("quality", "doc_id")
+    dd = q.join(c, "fp").select(
+        "doc_id", "tok", "quality",
+        (F.col("cnt") > 1).alias("is_dup"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+    return dd.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.round(F.sum("quality").cast("double") / F.count(F.lit(1)), 6).alias("mean_quality"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
