@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q176_forecast_revenue_change",
     "q177_local_supplier_volume",
     "q178_quality_dup_curve",
+    "q179_streaming_dedup_drain",
 ]
 
 

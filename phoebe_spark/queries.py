@@ -8186,3 +8186,83 @@ def q178_quality_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "q179_streaming_dedup_drain",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 80)) AS fp
+      FROM documents
+    ),
+    surv AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(surv.doc_id) AS BIGINT) AS n_survivors
+    FROM f LEFT JOIN surv ON surv.fp = f.fp AND surv.doc_id = f.doc_id
+    GROUP BY f.source
+    """,
+)
+def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING operator inside the correctness gate: run the
+    streaming exact-dedup gate (streaming/stateful.py, the
+    applyInPandasWithState first-occurrence filter) over the documents
+    table AS A STREAM, drain it, and report per-source document and
+    survivor counts. The gate's tie-break is (event_time, doc_id) and
+    event_time is held constant here, so the drained survivor set is
+    deterministically min(doc_id) per fingerprint — which is exactly what
+    the batch SQL oracle computes. One operator, two execution models,
+    one answer: the streaming path is held to the same hash-checked
+    standard as every batch query.
+
+    Scale notes: in production the stream is the ingest feed and state is
+    TTL-bounded; here the drain is one availableNow pass (state =
+    distinct fingerprints). The survivor join back to sources is
+    fingerprint-keyed."""
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_dedup_gate
+
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.substring(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
+    )
+    staged = d.select("doc_id", "source", fp.alias("fp"))
+
+    work = tempfile.mkdtemp(prefix="q179_")
+    src_dir = f"{work}/src"
+    # the gate tie-breaks on doc_id as a STRING: zero-pad so string order
+    # equals numeric order and the drained survivor is min(doc_id)
+    staged.select(
+        "fp",
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("doc_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("event_time"),
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "fp STRING, doc_id STRING, event_time TIMESTAMP"
+    ).parquet(src_dir)
+    gate = streaming_dedup_gate(stream)  # ttl_ms=None: drain terminates
+    sink = f"{work}/survivors"
+    q = (
+        gate.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    surv = spark.read.parquet(sink).select(
+        F.col("doc_id").cast("long").alias("_sid")
+    )
+    return (
+        staged.join(F.broadcast(surv), staged.doc_id == F.col("_sid"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_sid").alias("n_survivors"),
+        )
+    )
