@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q177_local_supplier_volume",
     "q178_quality_dup_curve",
     "q179_streaming_dedup_drain",
+    "q180_streaming_window_drain",
 ]
 
 

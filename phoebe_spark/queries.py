@@ -8266,3 +8266,67 @@ def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_sid").alias("n_survivors"),
         )
     )
+
+
+@query(
+    "q180_streaming_window_drain",
+    oracle=f"""
+    SELECT ({EPOCH_SQL.format(c='ts')} // 60) * 60 AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q180_streaming_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowed aggregation inside the hash-checked gate: the
+    events table replayed as a stream through a per-type tumbling
+    1-minute window aggregate (the reference's keyed-window job shape,
+    SURVEY §2.10), drained in complete mode, and compared against the
+    batch GROUP BY on the same minute buckets — the streaming-vs-batch
+    equivalence the unit tests assert, promoted to the oracle gate.
+
+    Scale notes: complete mode is the DRAIN contract only (final state
+    snapshot, foreachBatch overwrite); production uses append + watermark
+    (streaming/jobs.py `windowed_keyed_agg`). The value sum rides the
+    DECIMAL policy so streaming partial-aggregation order matches the
+    batch engines."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q180_")
+    src_dir = f"{work}/src"
+    ev.select(
+        F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+        "event_type",
+        _dec("value").alias("v"),
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "event_time TIMESTAMP, event_type STRING, v DECIMAL(18,4)"
+    ).parquet(src_dir)
+    agg = (
+        stream.groupBy(F.window("event_time", "1 minute"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+        )
+    )
+    sink = f"{work}/windows"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink))
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    return spark.read.parquet(sink).select(
+        F.col("window.start").cast("long").alias("win_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
