@@ -740,3 +740,43 @@ def test_q177_local_supplier_single_fact_shuffle(spark, sf_dir):
     assert "EqualTo(r_name,ASIA)" in plan
     assert _ops(plan, "BroadcastHashJoin") >= 3
     assert _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") <= 1
+
+
+def test_q171_melt_is_single_scan(spark, sf_dir):
+    """UNPIVOT via stack must stay ONE scan with the expansion in the
+    scan stage — the oracle's UNION ALL spelling would be four scans."""
+    plan = _plan(spark, sf_dir, "q171_measure_profile_unpivot")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Generate") == 1  # stack lowers to an inline Generate
+    assert _ops(plan, "HashAggregate") == 2
+
+
+def test_q172_grouping_sets_single_pass(spark, sf_dir):
+    """grouping_id ROLLUP: one orders scan, customer broadcast, one
+    Expand for the grouping sets, partial + final aggregate."""
+    plan = _plan(spark, sf_dir, "q172_grouping_id_rollup")
+    assert _ops(plan, "Scan parquet") == 2  # orders + customer
+    assert _ops(plan, "BroadcastHashJoin") == 1
+    assert _ops(plan, "Expand") == 1
+    assert _ops(plan, "SortMergeJoin") == 0
+
+
+def test_q175_range_frame_single_shuffle(spark, sf_dir):
+    """Time-RANGE window: exactly one exchange (user_id), a RangeFrame
+    window (not RowFrame), and no self-join materialization."""
+    plan = _plan(spark, sf_dir, "q175_trailing_range_window")
+    assert _ops(plan, "Exchange") == 1
+    assert _ops(plan, "Window") == 1
+    assert "RANGE BETWEEN" in plan or "specifiedwindowframe(RangeFrame" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert _ops(plan, op) == 0, op
+
+
+def test_q173_no_cartesian_and_generates_inline(spark, sf_dir):
+    """Cross-modal coherence: the vector fan-out is a Generate
+    (posexplode) in the scan stage and every join is an equi-join —
+    no BroadcastNestedLoop/cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "q173_lang_embedding_coherence")
+    assert _ops(plan, "Generate") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
