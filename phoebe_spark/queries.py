@@ -8220,6 +8220,7 @@ def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     TTL-bounded; here the drain is one availableNow pass (state =
     distinct fingerprints). The survivor join back to sources is
     fingerprint-keyed."""
+    import shutil
     import tempfile
 
     from phoebe_spark.streaming.stateful import streaming_dedup_gate
@@ -8258,7 +8259,7 @@ def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = spark.read.parquet(sink).select(
         F.col("doc_id").cast("long").alias("_sid")
     )
-    return (
+    out = (
         staged.join(F.broadcast(surv), staged.doc_id == F.col("_sid"), "left")
         .groupBy("source")
         .agg(
@@ -8266,6 +8267,11 @@ def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_sid").alias("n_survivors"),
         )
     )
+    # materialize (sources-sized) so the scratch dir can be removed now —
+    # a lazily-returned frame would still be reading from it
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(
@@ -8292,6 +8298,7 @@ def q180_streaming_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/jobs.py `windowed_keyed_agg`). The value sum rides the
     DECIMAL policy so streaming partial-aggregation order matches the
     batch engines."""
+    import shutil
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
@@ -8324,9 +8331,13 @@ def q180_streaming_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
 
-    return spark.read.parquet(sink).select(
+    out = spark.read.parquet(sink).select(
         F.col("window.start").cast("long").alias("win_start"),
         "event_type",
         "n_events",
         "total_value",
     )
+    # materialize (minute-buckets-sized) so the scratch dir can be removed
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
