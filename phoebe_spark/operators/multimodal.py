@@ -640,6 +640,11 @@ def avi_mjpeg_frames(content: bytes) -> list[bytes]:
     path this container can decode end-to-end without ffmpeg."""
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("avi_mjpeg_frames: not a RIFF/'AVI ' container")
+    # honor the RIFF size header: copy tools commonly append metadata or
+    # padding after the declared payload, and players ignore it — walking
+    # to len(content) would misparse those trailing bytes as chunks
+    declared_end = 8 + int.from_bytes(content[4:8], "little")
+    riff_end = min(len(content), declared_end)
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
@@ -656,7 +661,7 @@ def avi_mjpeg_frames(content: bytes) -> list[bytes]:
                 frames.append(content[data_start:data_end])
             pos = data_end + (size & 1)  # RIFF chunks pad to even offsets
 
-    walk(12, len(content))
+    walk(12, riff_end)
     return frames
 
 

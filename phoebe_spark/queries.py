@@ -526,6 +526,19 @@ def q26_ts_binned_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+# 80-char normalized-prefix fingerprint — the near-dup candidate signal
+# shared by q174/q178/q179. ONE definition per engine: a tweak here keeps
+# the three linked queries (and their oracles) in lockstep.
+_PREFIX_FP_SQL = (
+    "md5(substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 80))"
+)
+
+
+def _prefix_fp() -> F.Column:
+    return F.md5(
+        F.substring(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
+    )
 _SW_SQL = f"len(list_filter({_TOKS_SQL}, x -> x IN ('the','a','of','and','to')))"
 
 
@@ -7848,9 +7861,15 @@ def q172_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.lang, em.vec_id, em.embedding
       FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
     ),
+    fan AS (
+      -- dim taken from each row's own list length (select-list unnest is
+      -- lateral): stays correct if the table is regenerated at another
+      -- dimensionality, where a hardcoded series would silently truncate
+      SELECT lang, vec_id, unnest(generate_series(1, len(embedding))) AS pos, embedding
+      FROM e
+    ),
     long AS (
-      SELECT lang, vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS val
-      FROM e, generate_series(1, 64) AS i(i)
+      SELECT lang, vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM fan
     ),
     cent AS (
       SELECT lang, pos, sum(val) / count(*) AS c FROM long GROUP BY lang, pos
@@ -7912,10 +7931,9 @@ def q173_lang_embedding_coherence(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "q174_dup_pair_embedding_audit",
-    oracle=r"""
+    oracle=rf"""
     WITH f AS (
-      SELECT doc_id,
-             md5(substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 80)) AS fp
+      SELECT doc_id, {_PREFIX_FP_SQL} AS fp
       FROM documents
     ),
     p AS (
@@ -7958,12 +7976,7 @@ def q174_dup_pair_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     em = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", similarity.norm(F.col("embedding")).alias("nrm")
     )
-    f = d.select(
-        "doc_id",
-        F.md5(
-            F.substring(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
-        ).alias("fp"),
-    )
+    f = d.select("doc_id", _prefix_fp().alias("fp"))
     a = f.select(F.col("doc_id").alias("id_a"), "fp")
     b = f.select(F.col("doc_id").alias("id_b"), "fp")
     p = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
@@ -8123,7 +8136,7 @@ def q177_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END AS pr,
              CASE WHEN trim(text) = '' THEN 0.0 ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END AS sw,
-             md5(substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 80)) AS fp
+             {_PREFIX_FP_SQL} AS fp
       FROM documents
     ),
     q AS (
@@ -8166,9 +8179,7 @@ def q178_quality_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("token_count").alias("tok"),
         F.round("quality_score", 6).cast("decimal(18,6)").alias("quality"),
-        F.md5(
-            F.substring(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
-        ).alias("fp"),
+        _prefix_fp().alias("fp"),
     )
     c = q.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("quality", "doc_id")
@@ -8190,10 +8201,9 @@ def q178_quality_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q179_streaming_dedup_drain",
-    oracle=r"""
+    oracle=rf"""
     WITH f AS (
-      SELECT doc_id, source,
-             md5(substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 80)) AS fp
+      SELECT doc_id, source, {_PREFIX_FP_SQL} AS fp
       FROM documents
     ),
     surv AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
@@ -8226,52 +8236,58 @@ def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from phoebe_spark.streaming.stateful import streaming_dedup_gate
 
     d = _t(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.substring(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
-    )
-    staged = d.select("doc_id", "source", fp.alias("fp"))
-
     work = tempfile.mkdtemp(prefix="q179_")
     src_dir = f"{work}/src"
-    # the gate tie-breaks on doc_id as a STRING: zero-pad so string order
-    # equals numeric order and the drained survivor is min(doc_id)
-    staged.select(
-        "fp",
-        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("doc_id"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("event_time"),
-    ).write.parquet(src_dir)
+    try:
+        # ONE fingerprint scan, materialized once: the same parquet is the
+        # streaming source (schema-pruned to the gate's 3 columns) AND the
+        # batch side of the final per-source aggregate. The gate tie-breaks
+        # doc_id as a STRING: zero-pad so string order == numeric order and
+        # the drained survivor is min(doc_id).
+        d.select(
+            _prefix_fp().alias("fp"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("doc_id"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("event_time"),
+            "source",
+        ).write.parquet(src_dir)
 
-    stream = spark.readStream.schema(
-        "fp STRING, doc_id STRING, event_time TIMESTAMP"
-    ).parquet(src_dir)
-    gate = streaming_dedup_gate(stream)  # ttl_ms=None: drain terminates
-    sink = f"{work}/survivors"
-    q = (
-        gate.writeStream.outputMode("append")
-        .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-
-    surv = spark.read.parquet(sink).select(
-        F.col("doc_id").cast("long").alias("_sid")
-    )
-    out = (
-        staged.join(F.broadcast(surv), staged.doc_id == F.col("_sid"), "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count("_sid").alias("n_survivors"),
+        stream = spark.readStream.schema(
+            "fp STRING, doc_id STRING, event_time TIMESTAMP"
+        ).parquet(src_dir)
+        gate = streaming_dedup_gate(stream)  # ttl_ms=None: drain terminates
+        sink = f"{work}/survivors"
+        q = (
+            gate.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    # materialize (sources-sized) so the scratch dir can be removed now —
-    # a lazily-returned frame would still be reading from it
-    rows = out.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q179: streaming dedup drain did not finish within 300 s — "
+                "refusing to report a partial survivor set"
+            )
+
+        staged = spark.read.parquet(src_dir)
+        # unhinted join: survivors ~= distinct fingerprints (corpus-sized at
+        # scale) — let the planner pick the strategy
+        surv = spark.read.parquet(sink).select(F.col("doc_id").alias("_sid"))
+        out = (
+            staged.join(surv, staged.doc_id == F.col("_sid"), "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("_sid").alias("n_survivors"),
+            )
+        )
+        # materialize (sources-sized) so the scratch dir can be removed —
+        # a lazily-returned frame would still be reading from it
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -8304,40 +8320,46 @@ def q180_streaming_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="q180_")
     src_dir = f"{work}/src"
-    ev.select(
-        F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
-        "event_type",
-        _dec("value").alias("v"),
-    ).write.parquet(src_dir)
+    try:
+        ev.select(
+            F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+            "event_type",
+            _dec("value").alias("v"),
+        ).write.parquet(src_dir)
 
-    stream = spark.readStream.schema(
-        "event_time TIMESTAMP, event_type STRING, v DECIMAL(18,4)"
-    ).parquet(src_dir)
-    agg = (
-        stream.groupBy(F.window("event_time", "1 minute"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+        stream = spark.readStream.schema(
+            "event_time TIMESTAMP, event_type STRING, v DECIMAL(18,4)"
+        ).parquet(src_dir)
+        agg = (
+            stream.groupBy(F.window("event_time", "1 minute"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+            )
         )
-    )
-    sink = f"{work}/windows"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink))
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        sink = f"{work}/windows"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q180: streaming window drain did not finish within 300 s — "
+                "refusing to report a partial state snapshot"
+            )
 
-    out = spark.read.parquet(sink).select(
-        F.col("window.start").cast("long").alias("win_start"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
-    # materialize (minute-buckets-sized) so the scratch dir can be removed
-    rows = out.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+        out = spark.read.parquet(sink).select(
+            F.col("window.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        # materialize (minute-buckets-sized) so the scratch dir can go
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

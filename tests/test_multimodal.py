@@ -751,18 +751,18 @@ def test_jpeg_decode_tolerates_fill_bytes():
     assert np.array_equal(jpeg_decode(padded), expected)
 
 
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    return (
+        fourcc + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+
+
 def _encode_avi(jpegs: list[bytes]) -> bytes:
     """Minimal RIFF/AVI writer: LIST(hdrl) with a zeroed avih header (the
     demuxer ignores it, real files have it) + LIST(movi) of 00dc frames."""
-
-    def chunk(fourcc: bytes, data: bytes) -> bytes:
-        return (
-            fourcc + len(data).to_bytes(4, "little") + data
-            + (b"\x00" if len(data) % 2 else b"")
-        )
-
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(56)))
-    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", bytes(56)))
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(_riff_chunk(b"00dc", j) for j in jpegs))
     payload = b"AVI " + hdrl + movi
     return b"RIFF" + len(payload).to_bytes(4, "little") + payload
 
@@ -782,6 +782,9 @@ def test_avi_demux_roundtrip():
     # odd-sized frame exercises the RIFF even-padding rule
     odd = jpegs[0] + b"\xff\xd9"[:1]
     assert avi_mjpeg_frames(_encode_avi([odd, jpegs[1]])) == [odd, jpegs[1]]
+    # trailing garbage after the declared RIFF payload must be ignored
+    # (copy tools append metadata/padding; players accept it)
+    assert avi_mjpeg_frames(avi + b"\xde\xad\xbe\xef" * 5) == jpegs
     with pytest.raises(ValueError, match="not a RIFF"):
         avi_mjpeg_frames(b"\x89PNG....")
 
@@ -824,13 +827,6 @@ def test_video_frame_features_real_decode(spark):
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
-
-
-def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
-    return (
-        fourcc + len(data).to_bytes(4, "little") + data
-        + (b"\x00" if len(data) % 2 else b"")
-    )
 
 
 _frame_payloads = st.lists(st.binary(min_size=1, max_size=33), min_size=0, max_size=6)
