@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q178_quality_dup_curve",
     "q179_streaming_dedup_drain",
     "q180_streaming_window_drain",
+    "q181_calendar_gap_audit",
 ]
 
 

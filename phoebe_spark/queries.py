@@ -8363,3 +8363,51 @@ def q180_streaming_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q181_calendar_gap_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(o_orderdate)) AS lo,
+             date_trunc('day', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ),
+    act AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS d FROM orders)
+    SELECT strftime(cal.d, '%Y-%m-%d') AS gap_day, dayname(cal.d) AS dow
+    FROM cal LEFT JOIN act ON act.d = cal.d
+    WHERE act.d IS NULL
+    """,
+)
+def q181_calendar_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap audit: generate the full day calendar between the
+    first and last order date (`sequence` + explode — rows the data does
+    NOT contain) and anti-join the active days away, leaving the days
+    with zero orders — the ingestion-outage / upstream-feed-gap check a
+    daily pipeline runs before trusting day-over-day metrics. A day
+    missing from the fact table is invisible to every GROUP BY; only a
+    generated calendar can surface it.
+
+    Scale notes: the calendar is bounds-derived (two-value aggregate,
+    broadcast back), thousands of rows regardless of fact size; the
+    distinct-day frame collapses the fact table map-side before the
+    anti join, so the join is days x days."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    cal = b.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    act = o.select(F.date_trunc("day", F.col("o_orderdate")).alias("d")).distinct()
+    return (
+        cal.join(act, "d", "left_anti")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("gap_day"),
+            F.date_format("d", "EEEE").alias("dow"),
+        )
+    )
