@@ -5,6 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced to full execution with a count-style noop write
 (``df.write.format('noop')``) so no result ferries to the driver.
+
+The 10 slowest entries are re-run twice more and reported as the MEDIAN of
+3 runs (raw samples in ``rerun_runs``), so slow-tail trends are judgeable
+against the run-to-run spread instead of a single draw.
 """
 
 from __future__ import annotations
@@ -195,6 +199,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # The slow tail dominates round-over-round comparisons, and single-shot
+    # timings at these magnitudes carry a 120-145 s run-to-run spread — so
+    # re-run the 10 slowest entries twice more and report each one's MEDIAN
+    # of 3 runs. `rerun_runs` keeps the raw samples so a regression can be
+    # judged against the observed spread, not a single draw.
+    import statistics
+
+    rerun_runs: dict[str, list[float]] = {}
+    for name in sorted(timings, key=lambda n: -timings[n])[:10]:
+        runs = [timings[name]]
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        rerun_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+
     # Model-pipeline throughput vs the reference (BASELINE.md: the
     # analytics engine processes 6 h of 1 Hz samples, 21,600 points, with a
     # 20-model ensemble): fit + 600 s forecast on the same-sized series.
@@ -229,6 +251,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "queries": timings,
+                "rerun_runs": rerun_runs,
             },
             separators=(",", ":"),
         )
@@ -243,6 +266,7 @@ def main() -> None:
                 "sf": sf_val,
                 "entries": len(timings),
                 "queries": top5,
+                "slow_tail_medians3": {n: timings[n] for n in rerun_runs},
             },
             separators=(",", ":"),
         )

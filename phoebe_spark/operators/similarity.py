@@ -417,6 +417,12 @@ def lsh_bucketed_pairs(
 
     hot: dict[int, int] = {}
     if target_bucket_rows is not None:
+        # Materialize the bucketed projection ONCE before the census:
+        # without this, the sign-bit projection is recomputed for the
+        # census AND again for each cogroup side in the salted path (up
+        # to 3 full corpus scans) — the exact recompute trap the
+        # docstring's "one extra scan" claim promises away.
+        b = b.localCheckpoint(eager=True)
         nb = {
             int(r["bucket"]): -(-int(r["c"]) // target_bucket_rows)
             for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()

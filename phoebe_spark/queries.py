@@ -62,6 +62,32 @@ def _dsum2(col) -> F.Column:
     return F.round(F.sum(col), 2).cast("double")
 
 
+# Size-aware broadcast bound. nation/region and tiny aggregates are hinted
+# unconditionally (bounded cardinality at any scale factor); customer /
+# supplier / orders-derived frames GROW with scale factor, so an
+# unconditional F.broadcast() there overrides AQE's size threshold and
+# becomes an executor-OOM risk at the 100x grading scale. `_dim` hints only
+# when Catalyst's plan-time estimate is under the bound, else returns the
+# frame unchanged and lets AQE pick the join strategy at runtime (it still
+# broadcasts at bench scale, so plans are unchanged there).
+_BROADCAST_BOUND_BYTES = 256 * 1024 * 1024
+
+
+def _dim(df: DataFrame) -> DataFrame:
+    """Hint broadcast only if the plan-time size estimate is under the bound.
+
+    Uses Catalyst's ``optimizedPlan().stats().sizeInBytes`` — a plan-time
+    statistic (no job is triggered). Above the bound the frame is returned
+    un-hinted so AQE's runtime statistics decide; below it the explicit hint
+    keeps the small-dim plans stable and test-assertable.
+    """
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    return F.broadcast(df) if size <= _BROADCAST_BOUND_BYTES else df
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -198,7 +224,7 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(_dsum2(rev).alias("revenue"))
@@ -1063,7 +1089,7 @@ def q32_response_finalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     rev = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -1639,7 +1665,7 @@ def q45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(_dim(dfreq), "term")
         .join(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -2306,7 +2332,7 @@ def q61_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE trim(text) <> ''
     )
     SELECT doc_id, source, token_count,
-           sum(token_count) OVER w - token_count AS pack_off,
+           CAST(sum(token_count) OVER w - token_count AS BIGINT) AS pack_off,
            CAST(floor(CAST(sum(token_count) OVER w - token_count AS DOUBLE) / 512) AS BIGINT) AS pack_id
     FROM toks
     WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2462,7 +2488,7 @@ def q66_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS n_docs FROM documents),
     per AS (
       SELECT p.doc_id, count(*) AS n_grams,
-             sum(CASE WHEN gdf.df_docs >= 0.02 * tot.n_docs THEN 1 ELSE 0 END) AS n_boiler
+             CAST(sum(CASE WHEN gdf.df_docs >= 0.02 * tot.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
       FROM posting p JOIN gdf ON gdf.g = p.g CROSS JOIN tot
       GROUP BY p.doc_id
     )
@@ -3049,7 +3075,7 @@ def q80_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 5).select("p_partkey")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).withColumn(
+    offers = li.join(_dim(p), li.l_partkey == p.p_partkey).withColumn(
         "unit_price", F.col("l_extendedprice") / F.col("l_quantity")
     )
     w = Window.partitionBy("l_partkey").orderBy(
@@ -3060,7 +3086,7 @@ def q80_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(_dim(s), best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -3094,7 +3120,7 @@ def q81_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
     )
@@ -4527,8 +4553,8 @@ def q115_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .withColumn("_ta", F.split("bg", " ").getItem(0))
         .withColumn("_tb", F.split("bg", " ").getItem(1))
-        .join(F.broadcast(ua), "_ta")
-        .join(F.broadcast(ub), "_tb")
+        .join(_dim(ua), "_ta")
+        .join(_dim(ub), "_tb")
         .select("bg", "c_ab", pmi_col.alias("pmi"))
     )
     w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
@@ -5521,7 +5547,7 @@ def q133_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_dsum2(rev).alias("revenue"))
         .select(
@@ -5572,7 +5598,7 @@ def q134_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     zero = F.lit(0).cast("decimal(18,4)")
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    agg = li.join(_dim(p), li.l_partkey == p.p_partkey).agg(
         F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 2)
         .cast("double")
         .alias("promo_revenue"),
@@ -5622,7 +5648,7 @@ def q135_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(_dim(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -6557,10 +6583,10 @@ def q151_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     costs = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(_dim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(_dim(p), l.l_partkey == p.p_partkey)
         .select(
             "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
             (F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias("unit_cost"),
@@ -6617,8 +6643,8 @@ def q152_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100 + F.dayofmonth("o_orderdate")
     ).cast("int")
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_dim(big), o.o_orderkey == big.l_orderkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey",
             ymd.alias("orderdate_ymd"),
@@ -6981,7 +7007,7 @@ def q157_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, child, ck, parent, pk in checks:
         c = _t(spark, sf_dir, child).select(F.col(ck).alias("_k"))
         par = _t(spark, sf_dir, parent).select(F.col(pk).alias("_k"), F.lit(1).alias("_p"))
-        j = c.join(F.broadcast(par), "_k", "left")
+        j = c.join(_dim(par), "_k", "left")
         outs.append(
             j.agg(
                 F.lit(name).alias("constraint"),
@@ -7351,10 +7377,10 @@ def q162_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(_dim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
@@ -7412,9 +7438,9 @@ def q163_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,4)")
     eur = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(_dim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
         .select(
             F.year("l_shipdate").cast("int").alias("ship_year"),
@@ -7474,7 +7500,7 @@ def q164_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     agg = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "nation", "c_acctbal")
         .agg(_dsum2(rev).alias("revenue"))
@@ -7565,7 +7591,7 @@ def q166_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = srev.agg(F.max("total_revenue").alias("_mx"))
     return (
         srev.join(F.broadcast(mx), srev.total_revenue == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -7608,7 +7634,7 @@ def q167_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_thresh")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(_dim(p), l.l_partkey == p.p_partkey)
         .join(pa, l.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
@@ -7661,8 +7687,8 @@ def q168_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
     ) - F.col("_unit_cost") * _dec("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(_dim(p), l.l_partkey == p.p_partkey)
+        .join(_dim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
@@ -7703,8 +7729,8 @@ def q169_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     deny = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(F.broadcast(deny), l.l_suppkey == deny.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(_dim(deny), l.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(_dim(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -7842,7 +7868,7 @@ def q172_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segments x priorities)-sized."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+    j = o.join(_dim(c), c.c_custkey == o.o_custkey)
     return (
         j.rollup(F.col("c_mktsegment").alias("segment"), F.col("o_orderpriority").alias("priority"))
         .agg(
@@ -8118,9 +8144,9 @@ def q177_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(_dim(s), l.l_suppkey == s.s_suppkey)
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .groupBy("nation")
         .agg(_dsum2(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))

@@ -234,11 +234,13 @@ def streaming_dedup_gate(
     ingest. Append output: downstream sees ONLY survivors, so the gate
     composes with any batch sink.
 
-    ``ttl_ms`` bounds state by recency — after that much processing time
-    with no re-arm the fingerprint is forgotten and the next copy passes
-    again. "Dedup within the last N days" is the standard contract for a
-    continuously-ingesting training feed; an unbounded fingerprint domain
-    cannot keep state forever. State is one (doc_id, ts) pair per live
+    ``ttl_ms`` bounds state by age — ``ttl_ms`` of processing time after
+    the fingerprint's FIRST occurrence it is forgotten and the next copy
+    passes again (first-seen TTL: later duplicates do NOT extend the
+    window, so "dedup within N days of first occurrence", not
+    last-seen). An unbounded fingerprint domain cannot keep state
+    forever; first-seen keeps the hot path write-free for duplicates and
+    matches the RocksDB-native TTL of the transformWithState form. State is one (doc_id, ts) pair per live
     fingerprint, checkpointed and rescale-safe; within a micro-batch ties
     break on (event time, doc_id), deterministically.
 
@@ -256,7 +258,8 @@ def streaming_dedup_gate(
             # TTL expired: forget the fingerprint; the next copy re-enters
             state.remove()
             return
-        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
         if state.exists or not len(batch):
             return  # already gated (TTL, if any, keeps running from first-seen)
         first = batch.sort_values(["ts_ms", "doc_id"]).iloc[0]
@@ -408,11 +411,14 @@ def streaming_dedup_gate_tws(
         F.col(id_col).cast("string").alias("doc_id"),
         F.expr(f"unix_millis(cast({ts_col} AS TIMESTAMP))").alias("ts_ms"),
     )
+    # State TTL requires the processing-time clock: Spark 4 raises
+    # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL if a TTL'd
+    # state variable is created under timeMode="None".
     return rows.groupBy("fp").transformWithStateInPandas(
         statefulProcessor=_DedupGateProcessor(ttl_ms),
         outputStructType=DEDUP_GATE_OUTPUT_SCHEMA,
         outputMode="append",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms else "None",
     )
 
 

@@ -780,3 +780,26 @@ def test_q173_no_cartesian_and_generates_inline(spark, sf_dir):
     assert _ops(plan, "Generate") >= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dim_hint_is_size_aware(spark, sf_dir):
+    """_dim broadcasts only under the plan-time size bound: a small dim
+    gets the explicit hint (stable BroadcastHashJoin plans at bench
+    scale), while a frame whose Catalyst size estimate exceeds the bound
+    is returned UNCHANGED so AQE's runtime stats pick the strategy — the
+    guard against OOM-ing a 100x-scale customer/supplier broadcast."""
+    from phoebe_spark.queries import _BROADCAST_BOUND_BYTES, _dim, _t
+
+    small = _t(spark, sf_dir, "nation")
+    hinted = _dim(small)
+    assert hinted is not small  # hint applied -> new frame
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    # spark.range costs 8 bytes/row at plan time — size the frame just
+    # past the bound without materializing anything.
+    huge = spark.range(_BROADCAST_BOUND_BYTES // 8 + 1_000_000)
+    assert _dim(huge) is huge  # declined: AQE decides at runtime
+
+    # And the declined path still yields a valid (non-broadcast-hinted) join.
+    plan = spark.range(10).join(_dim(huge), "id")._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan

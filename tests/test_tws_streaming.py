@@ -162,6 +162,15 @@ def test_tws_forms_build_plans(spark):
     out1 = streaming_dedup_gate_tws(dedup_in, ttl_ms=1000)
     assert [f.name for f in out1.schema.fields] == ["fp", "doc_id", "first_seen_ms"]
     assert out1.isStreaming
+    # TTL'd ValueState REQUIRES the processing-time clock — under
+    # timeMode="None" Spark 4 raises
+    # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL at runtime,
+    # which the protobuf-gated e2e test can't catch in this container.
+    # The chosen time mode is printed in the analyzed plan's
+    # TransformWithStateInPySpark node, so assert it there.
+    assert "ProcessingTime" in out1._jdf.queryExecution().analyzed().toString()
+    out1_nottl = streaming_dedup_gate_tws(dedup_in, ttl_ms=None)
+    assert "NoTime" in out1_nottl._jdf.queryExecution().analyzed().toString()
 
     sess_in = stream.select((F.col("value") % 5).alias("key"), F.col("value").alias("value"))
     out2 = idle_session_finalizer_tws(sess_in, gap_ms=1000)
