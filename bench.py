@@ -163,6 +163,11 @@ BENCH_QUERIES = [
     "q179_streaming_dedup_drain",
     "q180_streaming_window_drain",
     "q181_calendar_gap_audit",
+    # round-5 additions
+    "q182_leakage_safe_split",
+    "q183_source_length_ks",
+    "q184_streaming_profile_drain",
+    "q185_audio_dominant_freq",
 ]
 
 

@@ -28,7 +28,10 @@ UDF signatures, batching, partitioning — is real and tested either way.
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import struct as _struct
+import wave as _wave
 import zlib
 from collections.abc import Callable, Iterator
 
@@ -36,6 +39,45 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _malformed_guard(kind: str):
+    """Decode-error contract for pipeline use: a corrupt blob somewhere in
+    100 TB must produce ONE classifiable exception type (ValueError) a
+    curation stage can count/quarantine on — not whatever internal
+    exception (struct.error, KeyError, IndexError, zlib.error,
+    wave.Error...) the byte-level parser happened to trip over. Decoder
+    bugs on VALID input still surface unchanged (only parse-layer error
+    types are translated)."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except ValueError:
+                raise
+            except (
+                _struct.error,
+                zlib.error,
+                _wave.Error,
+                KeyError,
+                IndexError,
+                EOFError,
+                OverflowError,
+                TypeError,
+                # stdlib wave/chunk raise bare RuntimeError/OSError on
+                # truncated RIFF chunks (chunk.py seek past chunksize)
+                RuntimeError,
+                OSError,
+            ) as ex:
+                raise ValueError(
+                    f"malformed {kind} byte stream: {type(ex).__name__}: {ex}"
+                ) from ex
+
+        return wrapper
+
+    return deco
 
 # Typed metadata schema conventions
 IMAGE_META_SCHEMA = (
@@ -63,6 +105,7 @@ def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
     return rng.standard_normal(n_samples).astype(np.float32)
 
 
+@_malformed_guard("WAV")
 def wav_decode(content: bytes, n_samples: int = -1) -> np.ndarray:
     """REAL decoder for RIFF/WAVE PCM via stdlib ``wave`` — zero external
     dependencies, so this path is fully functional in any environment.
@@ -238,6 +281,7 @@ def partition_by_size(df: DataFrame, num_buckets: int = 64, content_col: str = "
     )
 
 
+@_malformed_guard("PNG")
 def png_decode(content: bytes, width: int = -1, height: int = -1) -> np.ndarray:
     """REAL decoder for PNG via stdlib ``zlib`` + numpy scanline
     unfiltering — zero external codec dependencies, so the image path is
@@ -440,6 +484,7 @@ def _jpeg_decode_block(
     return zz, pred
 
 
+@_malformed_guard("JPEG")
 def jpeg_decode(content: bytes, width: int = -1, height: int = -1) -> np.ndarray:
     """REAL decoder for baseline sequential JFIF (SOF0) via stdlib
     ``struct`` + numpy — Huffman entropy decode, dequantize, un-zigzag,
@@ -526,6 +571,12 @@ def jpeg_decode(content: bytes, width: int = -1, height: int = -1) -> np.ndarray
         raise ValueError("JPEG missing SOF0/SOS")
 
     h, w, comps = frame
+    if h == 0 or w == 0 or not comps:
+        raise ValueError("malformed JPEG: empty SOF0 frame")
+    if int(h) * int(w) > 64_000_000:
+        raise ValueError(f"JPEG dimensions {w}x{h} exceed the 64 MP decode guard")
+    if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+        raise ValueError("malformed JPEG: sampling factors outside 1..4")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -631,6 +682,7 @@ def auto_decode_audio(content: bytes, n_samples: int = -1) -> np.ndarray:
     )
 
 
+@_malformed_guard("AVI")
 def avi_mjpeg_frames(content: bytes) -> list[bytes]:
     """REAL video-container demux, stdlib-only: walk the RIFF/AVI chunk
     tree and return each video-stream frame payload ('##dc'/'##db'
@@ -724,3 +776,51 @@ def video_frame_features(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(_extract, VIDEO_FRAME_SCHEMA)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, int], np.ndarray] | None = None,
+) -> DataFrame:
+    """REAL spectral analysis: decode audio and run an rFFT over the
+    first ``n_samples`` samples — dominant frequency (argmax magnitude
+    bin, DC excluded) and spectral centroid in Hz. Complements
+    :func:`audio_features`' FFT-free time-domain stand-ins with the
+    true frequency-domain features a speech/music router needs.
+
+    Scale shape: Arrow-batched ``mapInPandas`` like every codec kernel
+    here — numpy batches the FFTs, nothing but (media_id, 2 doubles)
+    leaves the worker. Frequencies resolve to bin centers
+    ``k * sample_rate / n_samples``; q185 exploits exactly that to
+    oracle-check the whole encode->decode->FFT loop analytically."""
+    decoder = decoder or auto_decode_audio
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pcm = decoder(bytes(r.content), int(r.n_samples)).astype(np.float64)
+                n = len(pcm)
+                sr = float(max(r.sample_rate, 1))
+                mag = np.abs(np.fft.rfft(pcm))
+                if len(mag) > 1:
+                    k = int(np.argmax(mag[1:])) + 1  # skip DC
+                    dom = k * sr / n
+                    centroid = float(
+                        np.sum(np.arange(len(mag)) * mag) / max(np.sum(mag), 1e-12)
+                    ) * sr / n
+                else:
+                    dom, centroid = 0.0, 0.0
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "dominant_freq_hz": float(dom),
+                        "spectral_centroid_hz": float(centroid),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        _extract,
+        "media_id LONG, dominant_freq_hz DOUBLE, spectral_centroid_hz DOUBLE",
+    )

@@ -133,3 +133,35 @@ def weighted_sample(
         .orderBy(F.col("_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+    salt: str = "v1",
+    buckets: int = 10000,
+    out_col: str = "split",
+    rep_col: str = "group_rep",
+) -> DataFrame:
+    """Group-aware deterministic split: every member of a group (a dup
+    cluster, a fingerprint bin, a domain) receives the split of the
+    group's REPRESENTATIVE (min id), so near-duplicates can never
+    straddle train/test — the train→test contamination path that a
+    row-wise :func:`hash_split` leaves open whenever the corpus still
+    contains near-dups at split time (reference parity: the reference
+    splits at the record level only; this is the scale-out-safe form an
+    LLM pipeline needs).
+
+    Scale shape: one map-side-combining groupBy on ``group_col`` for the
+    representative, the split assignment as a pure column expression on
+    the representative id (no RNG), and one equi-join back on
+    ``group_col`` — group-count-sized right side, AQE broadcasts it when
+    small. Reproducible across runs, partitionings, and engines (md5
+    double-hash base, q55 philosophy)."""
+    rep = df.groupBy(group_col).agg(F.min(id_col).alias(rep_col))
+    rep = hash_split(
+        rep, id_col=rep_col, splits=splits, salt=salt, buckets=buckets, out_col=out_col
+    )
+    return df.join(rep, group_col)

@@ -866,3 +866,105 @@ def test_avi_demux_rejects_non_avi(garbage):
         return  # astronomically unlikely; not the property under test
     with pytest.raises(ValueError):
         avi_mjpeg_frames(garbage)
+
+
+# --- malformed-input decode contract (hypothesis) ---
+#
+# The pipeline contract (multimodal._malformed_guard): a corrupt blob must
+# either decode to a well-formed result or raise ValueError — never leak a
+# parser-internal exception type (struct.error, KeyError, IndexError,
+# zlib.error, wave.Error), because a 100 TB curation stage classifies and
+# quarantines decode failures by exception type.
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    pos=st.integers(min_value=2, max_value=10_000),
+    val=st.integers(min_value=0, max_value=255),
+    n_hits=st.integers(min_value=1, max_value=8),
+)
+def test_jpeg_corruption_decodes_or_valueerror(pos, val, n_hits):
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3) * 7) % 256
+    base = bytearray(_encode_jpeg(img)[0])
+    for i in range(n_hits):
+        base[(pos * (i + 1)) % (len(base) - 2) + 2] = (val + i) % 256
+    try:
+        out = jpeg_decode(bytes(base))
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+    assert out.ndim == 3 and out.shape[2] == 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=200), val=st.integers(0, 255))
+def test_wav_truncation_or_corruption_valueerror(cut, val):
+    from phoebe_spark.operators.multimodal import wav_decode
+
+    pcm = np.sin(np.linspace(0, 20, 400)).astype(np.float32)
+    base = bytearray(_encode_wav(pcm, 8000))
+    corrupted = bytes(base[: max(8, len(base) - cut)])
+    mutated = bytearray(corrupted)
+    if len(mutated) > 20:
+        mutated[(val % 12) + 8] = val
+    for blob in (corrupted, bytes(mutated)):
+        try:
+            out = wav_decode(blob)
+        except ValueError:
+            continue
+        assert isinstance(out, np.ndarray) and out.dtype == np.float32
+
+
+@settings(max_examples=60, deadline=None)
+@given(pos=st.integers(min_value=8, max_value=5_000), val=st.integers(0, 255))
+def test_png_corruption_decodes_or_valueerror(pos, val):
+    from phoebe_spark.operators.multimodal import png_decode
+
+    img = ((np.arange(12 * 9 * 3).reshape(12, 9, 3) * 11) % 256).astype(np.uint8)
+    base = bytearray(_encode_png(img, filters=[0, 1, 2, 3, 4] * 3)[:])
+    base[pos % (len(base) - 8) + 8] = val
+    try:
+        out = png_decode(bytes(base))
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8 and out.shape[2] == 3
+
+
+def test_jpeg_decompression_bomb_guard():
+    """A (corrupt or hostile) SOF0 claiming 60000x60000 must be refused by
+    the 64 MP guard BEFORE plane allocation (~10 GB), with ValueError."""
+    import struct
+
+    from phoebe_spark.operators.multimodal import jpeg_decode
+
+    seg_sof = b"\xff\xc0" + struct.pack(">H", 2 + 1 + 4 + 1 + 3) + bytes([8]) \
+        + struct.pack(">HH", 60000, 60000) + bytes([1, 1, 0x11, 0])
+    seg_sos = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + bytes([1, 1, 0x00, 0, 63, 0])
+    blob = b"\xff\xd8" + seg_sof + seg_sos + b"\x00" * 16 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="64 MP"):
+        jpeg_decode(blob)
+
+
+def test_audio_spectral_features_recovers_planted_bin(spark):
+    """Real WAV encode -> wav_decode -> rFFT recovers the planted sine's
+    exact bin frequency; spectral centroid lands within a bin of it."""
+    from phoebe_spark.operators.multimodal import audio_spectral_features, wav_decode
+
+    sr, n = 8000, 256
+    rows = []
+    for media_id, k in [(1, 8), (2, 32), (3, 64)]:
+        x = 0.4 * np.sin(2 * np.pi * k * np.arange(n) / n).astype(np.float64)
+        rows.append((media_id, _encode_wav(x.astype(np.float32), sr), n, sr))
+    df = spark.createDataFrame(
+        rows, "media_id LONG, content BINARY, n_samples LONG, sample_rate LONG"
+    )
+    out = {
+        r["media_id"]: r
+        for r in audio_spectral_features(df, decoder=wav_decode).collect()
+    }
+    binw = sr / n
+    for media_id, k in [(1, 8), (2, 32), (3, 64)]:
+        assert out[media_id]["dominant_freq_hz"] == pytest.approx(k * binw, abs=1e-9)
+        assert abs(out[media_id]["spectral_centroid_hz"] - k * binw) < binw

@@ -192,3 +192,35 @@ def test_registry_rotation_covers_everything_over_rounds():
     live = list(mod.queries())
     offset = (max(0, mod._round_number() - 3) * 50) % n
     assert live == names[offset:] + names[:offset]
+
+
+def test_leakage_safe_split_groups_atomic(spark, sf_dir):
+    """Every fingerprint group lands WHOLLY in one split (the leakage-safety
+    contract), the group's split equals hash_split of its min-id
+    representative, and every doc keeps exactly one assignment."""
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators import sampling
+    from phoebe_spark.queries import _prefix_fp, _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _prefix_fp().alias("fp"))
+    s = sampling.leakage_safe_split(d, group_col="fp")
+    assert s.count() == d.count()  # join back is 1:1 on fp
+
+    spans = (
+        s.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+
+    reps = s.select("fp", F.col("group_rep").alias("doc_id"), "split").distinct()
+    expected = sampling.hash_split(reps.select("fp", "doc_id"), id_col="doc_id")
+    mismatch = (
+        reps.withColumnRenamed("split", "got")
+        .join(expected.withColumnRenamed("split", "want"), ["fp", "doc_id"])
+        .filter(F.col("got") != F.col("want"))
+        .count()
+    )
+    assert mismatch == 0

@@ -712,7 +712,11 @@ def test_q170_single_bucket_shuffle_gemm(spark, sf_dir):
     vectors cross the wire once."""
     plan = _plan(spark, sf_dir, "q170_lsh_neardup_pairs")
     assert _ops(plan, "Exchange") == 1
-    assert _ops(plan, "Scan parquet") == 1
+    # the bucketed projection is localCheckpoint-materialized before the
+    # skew census (one corpus scan TOTAL, reused by census and pair scan),
+    # so the pair plan reads the checkpoint, not parquet
+    assert _ops(plan, "Scan parquet") == 0
+    assert "ExistingRDD" in plan
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert _ops(plan, op) == 0, op
     assert "FlatMapGroupsInPandas" in plan
@@ -803,3 +807,33 @@ def test_dim_hint_is_size_aware(spark, sf_dir):
     # And the declined path still yields a valid (non-broadcast-hinted) join.
     plan = spark.range(10).join(_dim(huge), "id")._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in plan
+
+
+def test_q182_single_broadcast_selfjoin(spark, sf_dir):
+    """Leakage-safe split: fingerprint groups join back to their rep via
+    ONE broadcast hash join (group-count-sized right side) — no
+    sort-merge, no cartesian."""
+    plan = _plan(spark, sf_dir, "q182_leakage_safe_split")
+    assert _ops(plan, "BroadcastHashJoin") == 1
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q183_census_materialized_once(spark, sf_dir):
+    """KS drift audit: the corpus collapses to the (source x length)
+    census ONCE (localCheckpoint) — the five downstream branches must
+    read the materialized census, never rescan the parquet."""
+    plan = _plan(spark, sf_dir, "q183_source_length_ks")
+    assert _ops(plan, "Scan parquet") == 0  # checkpoint already holds it
+    assert _ops(plan, "Window") == 2  # global cum + per-source cum
+    assert "SortMergeJoin" not in plan
+
+
+def test_q185_arrow_kernels_only(spark, sf_dir):
+    """Audio DSP loop: synth + FFT are two Arrow mapInPandas kernels over
+    a single documents scan; no shuffle is needed at all (fully
+    partition-local)."""
+    plan = _plan(spark, sf_dir, "q185_audio_dominant_freq")
+    assert _ops(plan, "Scan parquet") == 1
+    assert plan.count("MapInPandas") >= 2
+    assert _ops(plan, "Exchange") == 0
