@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "q183_source_length_ks",
     "q184_streaming_profile_drain",
     "q185_audio_dominant_freq",
+    "q186_chunk_scrub_rebuild",
+    "q187_kmeans_embeddings",
 ]
 
 

@@ -1182,3 +1182,69 @@ def dup_substring_ratio(
             F.round(F.col("n_dup_positions") / F.col("n_positions"), 6).alias("dup_ratio"),
         )
     )
+
+
+def chunk_scrub_rebuild(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level chunk REMOVAL with document reassembly — the
+    RefinedWeb / CCNet "drop lines repeated across documents" curation
+    step (Penedo et al. 2023 §3.2), adapted to newline-free corpora by
+    using consecutive non-overlapping ``chunk_words``-word chunks as the
+    line unit. A chunk that occurs in at least ``min_docs`` DISTINCT
+    documents is treated as boilerplate and removed from EVERY document
+    (not deduplicated to one survivor — syndicated spans carry no
+    per-document information); the surviving chunks are re-joined in
+    their original order into ``clean_text``.
+
+    Returns ``(id_col, n_chunks, n_removed, clean_text)`` for every
+    document with at least one token.
+
+    Scale shape: chunk assembly is codegen ``transform + slice`` with a
+    ``posexplode`` fan-out carrying the original position; the corpus-wide
+    document-frequency census is one map-side-combining groupBy on the
+    chunk string, the verdict joins back on the same ~uniform key, and
+    reassembly is ONE groupBy on the document id (``array_sort`` of
+    (pos, chunk) structs restores order without a per-document window
+    sort). No stage is quadratic; the only skew candidates are hot
+    boilerplate chunks, which is exactly what the census measures.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    ch = toks.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t) / {chunk_words}.0) as int) - 1),"
+                f" c -> array_join(slice(t, c * {chunk_words} + 1, {chunk_words}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    census = ch.groupBy("chunk").agg(F.countDistinct("doc").alias("df_docs"))
+    flagged = ch.join(census, "chunk")
+    kept_struct = F.when(
+        F.col("df_docs") < min_docs, F.struct(F.col("pos"), F.col("chunk"))
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("df_docs") >= min_docs, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["chunk"]
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "n_chunks", "n_removed", "clean_text"
+        )
+    )

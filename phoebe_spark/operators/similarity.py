@@ -777,3 +777,93 @@ def rrf_fusion(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def _sq_dist(v: Column, centroid: list[float]) -> Column:
+    """Euclidean distance of an array<double> column to one literal
+    centroid: ordered left fold over dimensions (index order), matching
+    DuckDB's ``list_sum(list_transform(generate_series(...), ...))``
+    accumulation digit for digit."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the cluster
+    step of SemDeDup-style semantic dedup (Abbas et al. 2023) and the
+    cell fit of an IVF ANN index, as a DataFrame plan.
+
+    Fully deterministic (no RNG, no framework kmeans):
+
+    - **init**: centroids are the vectors of the ``k`` lowest ids —
+      the deterministic seeding that lets an external oracle replay the
+      fit exactly;
+    - **assign**: one corpus scan; distances to all k centroids are
+      codegen ordered folds against LITERAL centroid arrays, and the
+      argmin tie-breaks to the lowest centroid id
+      (``array_position(dists, array_min(dists))``);
+    - **update**: per-(centroid, dim) mean via posexplode + ONE
+      map-side-combining groupBy. Components are quantized
+      ``floor(val * 1e9)`` into exact BIGINT sums: order-independent
+      under any partial-aggregation schedule AND free of the
+      decimal-cast tie hazard (a float32 component whose decimal
+      expansion terminates exactly at the rounding scale is rounded
+      HALF_UP by Spark but half-even by DuckDB; ``floor`` has no tie).
+      Centroids are therefore 1e-9-quantized — semantically irrelevant
+      for k-means, and what makes the fit bit-replayable by an external
+      SQL engine. A cluster that empties keeps its previous centroid.
+
+    Returns the final assignment ``(id_col, cid, dist)``.
+
+    Scale shape: per iteration = one corpus scan + one (k x dims)-sized
+    aggregate; exactly ``k*dims`` doubles ever reach the driver (the
+    centroid table — the model state), never data rows. The corpus is
+    never shuffled on data; only the posexplode fan-out shuffles, keyed
+    on (cid, dim) which is uniform by construction.
+    """
+    dv = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    cents = [list(r["v"]) for r in dv.orderBy("vid").limit(k).collect()]
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(*[_sq_dist(F.col("v"), c) for c in cents])
+        return frame.select(
+            "vid",
+            "v",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cid"),
+            F.element_at(dists, F.array_position(dists, F.array_min(dists)).cast("int")).alias("dist"),
+        )
+
+    for _ in range(iters):
+        assigned = _assign(dv)
+        upd = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("val") * 1000000000.0)).cast("double")
+                    / (1000000000.0 * F.count(F.lit(1)))
+                ).alias("cv")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["cv"]).alias("cvec"))
+        )
+        new_cents = {r["cid"]: list(r["cvec"]) for r in upd.collect()}
+        cents = [new_cents.get(i, cents[i]) for i in range(k)]
+
+    return _assign(dv).select(F.col("vid").alias(id_col), "cid", "dist")

@@ -8704,3 +8704,140 @@ def q185_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = multimodal.audio_spectral_features(blobs, decoder=multimodal.wav_decode)
     return feats.select("media_id", F.round("dominant_freq_hz", 2).alias("dominant_freq_hz"))
+
+
+@query(
+    "q186_chunk_scrub_rebuild",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE trim(text) <> ''),
+    ch AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(toks) / 4.0) AS INT) - 1)) AS pos,
+             unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / 4.0) AS INT) - 1),
+                    c -> array_to_string(toks[c*4+1 : c*4+4], ' '))) AS chunk
+      FROM t),
+    census AS (SELECT chunk, count(DISTINCT doc_id) AS df_docs FROM ch GROUP BY chunk)
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN census.df_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(length(coalesce(string_agg(CASE WHEN census.df_docs < 2 THEN ch.chunk END, ' '
+                                           ORDER BY ch.pos), '')) AS BIGINT) AS clean_len,
+           md5(coalesce(string_agg(CASE WHEN census.df_docs < 2 THEN ch.chunk END, ' '
+                                   ORDER BY ch.pos), '')) AS clean_md5
+    FROM ch JOIN census USING (chunk)
+    GROUP BY ch.doc_id
+    """,
+)
+def q186_chunk_scrub_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate REMOVAL with document reassembly
+    (:func:`dedup.chunk_scrub_rebuild`): the RefinedWeb "drop lines
+    repeated across documents" curation step — 4-word chunks occurring in
+    >= 2 distinct documents are scrubbed from every document and the
+    survivors are re-joined in original order. Where q78 only *counts*
+    duplicated chunks, this query certifies the rebuilt text itself: the
+    md5 of every reassembled document must match the oracle's
+    ``string_agg(... ORDER BY pos)`` reconstruction, so a wrong census
+    verdict, a dropped position, or an out-of-order reassembly all fail
+    the hash.
+
+    Scale shape: codegen chunk assembly (transform+slice), one census
+    shuffle on the chunk string, one verdict join back on the same
+    ~uniform key, ONE doc-keyed reassembly groupBy (array_sort of
+    (pos, chunk) structs — no per-document window sort)."""
+    d = _t(spark, sf_dir, "documents")
+    s = dedup.chunk_scrub_rebuild(d, chunk_words=4, min_docs=2)
+    return s.select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@query(
+    "q187_kmeans_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+      FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+    d1 AS (
+      SELECT x.vec_id, x.v, c.cid,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+                                     i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i])))), c.cid) AS rn
+      FROM v x CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, v, cid FROM d1 WHERE rn = 1),
+    u1 AS (
+      SELECT cid, dim,
+             CAST(sum(CAST(floor(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / (1000000000.0 * count(*)) AS cv
+      FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a1)
+      GROUP BY cid, dim),
+    c1 AS (
+      SELECT c0.cid, coalesce(ug.v, c0.v) AS v
+      FROM c0 LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS v FROM u1 GROUP BY cid) ug
+      USING (cid)),
+    d2 AS (
+      SELECT x.vec_id, x.v, c.cid,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+                                     i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i])))), c.cid) AS rn
+      FROM v x CROSS JOIN c1 c),
+    a2 AS (SELECT vec_id, v, cid FROM d2 WHERE rn = 1),
+    u2 AS (
+      SELECT cid, dim,
+             CAST(sum(CAST(floor(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / (1000000000.0 * count(*)) AS cv
+      FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a2)
+      GROUP BY cid, dim),
+    c2 AS (
+      SELECT c1.cid, coalesce(ug.v, c1.v) AS v
+      FROM c1 LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS v FROM u2 GROUP BY cid) ug
+      USING (cid)),
+    d3 AS (
+      SELECT x.vec_id, c.cid,
+             sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+                  i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i])))) AS dist,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+                                     i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i])))), c.cid) AS rn
+      FROM v x CROSS JOIN c2 c),
+    a3 AS (SELECT vec_id, cid, dist FROM d3 WHERE rn = 1)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(dist AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS mean_dist,
+           CAST(min(vec_id) AS BIGINT) AS min_member
+    FROM a3 GROUP BY cid
+    """,
+)
+def q187_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means on the embedding corpus
+    (:func:`similarity.kmeans_lloyd`, k=8, 2 iterations) — the cluster
+    step of SemDeDup semantic dedup and the honest fit behind an IVF
+    index (q44 certifies IVF *search* against pretrained pivots; this
+    certifies the *training* loop itself). Deterministic lowest-id
+    seeding + lowest-cid tie-breaks let the oracle replay BOTH Lloyd
+    iterations as a CTE chain: assignment distances are the same ordered
+    fold DuckDB computes, centroid updates carry DECIMAL(27,12)-exact
+    sums, and an emptied cluster falls back to its previous centroid in
+    both engines. Per-cluster size, decimal-carried mean distance, and
+    min member certify every vector's final assignment.
+
+    Scale shape: per iteration ONE corpus scan (literal-centroid codegen
+    distance folds) + one (k x dims)-sized aggregate; exactly k*dims
+    doubles reach the driver per round — the model state, never data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = similarity.kmeans_lloyd(emb, k=8, iters=2)
+    return fit.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.col("dist").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dist"),
+        F.min("vec_id").cast("long").alias("min_member"),
+    )

@@ -224,3 +224,79 @@ def test_leakage_safe_split_groups_atomic(spark, sf_dir):
         .count()
     )
     assert mismatch == 0
+
+
+def test_chunk_scrub_rebuild_reconstruction(spark):
+    """Scrubbed rebuild equals hand-computed expectation: shared chunks
+    vanish from every doc, unique chunks survive in original order, and a
+    fully-boilerplate doc rebuilds to the empty string."""
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d u1 u2 u3 u4"),   # chunk1 shared with doc 2, chunk2 unique
+        (2, "a b c d v1 v2 v3 v4"),
+        (3, "a b c d"),               # only the shared chunk -> empty rebuild
+        (4, "w1 w2 w3 w4 w5"),        # 5 tokens -> 2 chunks (4+1), both unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_scrub_rebuild(df, chunk_words=4, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "u1 u2 u3 u4"
+    assert (out[1]["n_chunks"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["clean_text"] == "v1 v2 v3 v4"
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_chunks"], out[3]["n_removed"]) == (1, 1)
+    assert out[4]["clean_text"] == "w1 w2 w3 w4 w5"
+    assert out[4]["n_removed"] == 0
+
+
+def test_kmeans_lloyd_converges_on_separated_blobs(spark):
+    """On well-separated blobs, 2 Lloyd iterations recover the planted
+    clustering exactly regardless of the (id-order) seeding, and the
+    assignment is total: every vector gets exactly one cluster."""
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators import similarity
+
+    # two tight blobs far apart; ids interleave the blobs so the lowest-k
+    # seeding starts with one seed in each blob
+    rows = []
+    for i in range(20):
+        blob = i % 2
+        base = [10.0 * blob] * 4
+        rows.append((i, [base[0] + 0.01 * i, base[1], base[2], base[3]], blob))
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    fit = similarity.kmeans_lloyd(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cid"] for r in fit.collect()}
+    assert len(got) == 20
+    # planted blob -> one consistent cid (0/1 may swap with seeding order)
+    blob_cids = {b: {got[i] for i, _, bb in rows if bb == b} for b in (0, 1)}
+    assert all(len(c) == 1 for c in blob_cids.values())
+    assert blob_cids[0] != blob_cids[1]
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
+    """If a cluster empties out (a seed that captures no points after the
+    first update), its centroid carries over instead of NaN-ing: with
+    k=3 on data forming 2 blobs where seed 2 duplicates seed 0, cluster 2
+    captures nothing (ties break to the lower cid) and the fit must still
+    return a total, finite assignment."""
+    from phoebe_spark.operators import similarity
+
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.0, 0.0])] + [
+        (i, [0.1 * (i % 3), 0.0]) for i in range(3, 12)
+    ] + [(i, [10.0 + 0.1 * (i % 3), 10.0]) for i in range(12, 20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fit = similarity.kmeans_lloyd(df, k=3, iters=2).collect()
+    assert len(fit) == 20
+    assert all(r["dist"] == r["dist"] for r in fit)  # no NaN
+    assert all(r["cid"] in (0, 1, 2) for r in fit)
+    # the far blob stays its own cluster throughout
+    far = {r["cid"] for r in fit if r["vec_id"] == 1 or r["vec_id"] >= 12}
+    assert far == {1}

@@ -837,3 +837,27 @@ def test_q185_arrow_kernels_only(spark, sf_dir):
     assert _ops(plan, "Scan parquet") == 1
     assert plan.count("MapInPandas") >= 2
     assert _ops(plan, "Exchange") == 0
+
+
+def test_q186_scrub_rebuild_shuffle_budget(spark, sf_dir):
+    """Chunk scrub + rebuild: codegen chunk fan-out (Generate), census +
+    verdict join + ONE doc-keyed reassembly — equi-joins only, and no
+    per-document Window sort (array_sort restores order inside the agg)."""
+    plan = _plan(spark, sf_dir, "q186_chunk_scrub_rebuild")
+    assert _ops(plan, "Generate") >= 1
+    assert _ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q187_kmeans_final_pass_scan_shape(spark, sf_dir):
+    """k-means final assignment: distances to all k centroids are literal
+    codegen folds in ONE embeddings scan — no join against a centroid
+    table, no Python island; the only exchange is the k-sized rollup."""
+    plan = _plan(spark, sf_dir, "q187_kmeans_embeddings")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "BroadcastHashJoin") == 0
+    assert "InMemoryTableScan" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert _ops(plan, "Exchange") == 1
