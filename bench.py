@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "q185_audio_dominant_freq",
     "q186_chunk_scrub_rebuild",
     "q187_kmeans_embeddings",
+    "q188_streaming_quota_drain",
+    "q189_stitch_audit",
+    "q190_source_quality_cap",
 ]
 
 

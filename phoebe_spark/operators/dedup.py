@@ -1248,3 +1248,59 @@ def chunk_scrub_rebuild(
             F.col("doc").alias(id_col), "n_chunks", "n_removed", "clean_text"
         )
     )
+
+
+def stitch_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int = 64,
+) -> DataFrame:
+    """Split-document reconstruction audit: candidate (a, b) pairs where
+    document a's LAST ``k`` tokens equal document b's FIRST ``k`` tokens —
+    the signal that a shard boundary, a pagination cut, or a crawler
+    truncation split one logical document into two stored rows (the
+    continuation re-states the cut sentence). Documents shorter than
+    ``2k`` tokens are skipped (head and tail would overlap).
+
+    ``max_df`` caps HOT boundary grams on both sides: a gram opening (or
+    closing) more than ``max_df`` documents is a template phrase
+    ("chapter one", a boilerplate footer), and joining through it is a
+    quadratic blowup that identifies nothing — at k=2 on the test corpus
+    the uncapped join is ~30x the k=3 pair count, all template noise.
+    Capped grams are dropped from BOTH sides, so the cap only ever
+    removes template pairs, never reorders real ones.
+
+    Scale shape: one scan builds (head, tail) boundary grams per doc;
+    two gram-keyed censuses bound the join inputs; the tail->head
+    equi-join is candidate-sized. No self-join of the corpus, no
+    cross product.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") >= 2 * k)
+    g = t.select(
+        "doc",
+        F.array_join(F.slice("w", 1, k), " ").alias("head"),
+        F.array_join(F.slice("w", -k, k), " ").alias("tail"),
+    )
+    head_df = g.groupBy(F.col("head").alias("gram")).agg(
+        F.count(F.lit(1)).alias("h_df")
+    )
+    tail_df = g.groupBy(F.col("tail").alias("gram")).agg(
+        F.count(F.lit(1)).alias("t_df")
+    )
+    ok = head_df.join(tail_df, "gram", "full").filter(
+        (F.coalesce("h_df", F.lit(0)) <= max_df)
+        & (F.coalesce("t_df", F.lit(0)) <= max_df)
+    )
+    a = g.select(F.col("doc").alias("a_id"), F.col("tail").alias("gram")).join(
+        ok.select("gram"), "gram"
+    )
+    b = g.select(F.col("doc").alias("b_id"), F.col("head").alias("gram")).join(
+        ok.select("gram"), "gram"
+    )
+    return a.join(b, "gram").filter(F.col("a_id") != F.col("b_id")).select(
+        "a_id", "b_id", "gram"
+    )

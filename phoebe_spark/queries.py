@@ -8841,3 +8841,211 @@ def q187_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_dist"),
         F.min("vec_id").cast("long").alias("min_member"),
     )
+
+
+@query(
+    "q188_streaming_quota_drain",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             epoch_ns(ts) AS ord_ns,
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS sid,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rn
+      FROM events)
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(count(*) AS BIGINT) AS n_admitted,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+           CAST(max(ord_ns) AS BIGINT) AS max_ord
+    FROM r WHERE rn <= 40 GROUP BY user_id
+    """,
+)
+def q188_streaming_quota_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-key admission quota inside the hash-checked gate
+    (:func:`stateful.keyed_quota_gate`, quota=40): the per-source intake
+    cap of a training-data pipeline (one feed cannot flood the mix) run
+    as REAL Structured Streaming — the events table replays as 4
+    sequenced files (disjoint ascending (ts, id) ranges, strictly
+    increasing mtimes, one file per trigger), so arrival order is the
+    global (ts, zero-padded id) order and the admitted set must equal
+    the batch ``row_number() <= quota`` answer the DuckDB oracle
+    computes. Quota 40 with ~49-86 events/user means most keys admit
+    across SEVERAL micro-batches before saturating — the carried counter
+    state, not single-batch truncation, decides the cut.
+
+    Scale shape: state is one monotone counter per key (write-free once
+    saturated); the staging global sort is drain scaffolding only — the
+    production source is a Kafka topic whose per-partition order is the
+    arrival order. Money policy: DECIMAL(18,4) accumulate, round(2),
+    cast DOUBLE."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming import stateful
+
+    work = tempfile.mkdtemp(prefix="q188_")
+    stage, src_dir, sink, ck = (
+        f"{work}/stage",
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ck",
+    )
+    try:
+        os.makedirs(src_dir)
+        e = _t(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("key"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("sid"),
+            F.col("ts").alias("ord_ns"),
+            F.col("value").cast("double").alias("value"),
+        )
+        n_files = 4
+        sliced = e.withColumn(
+            "_slice",
+            F.ntile(n_files).over(Window.orderBy("ord_ns", "sid")),
+        )
+        for i in range(1, n_files + 1):
+            part_dir = f"{stage}/{i}"
+            (
+                sliced.filter(F.col("_slice") == i)
+                .drop("_slice")
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("key STRING, sid STRING, ord_ns LONG, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        admitted = stateful.keyed_quota_gate(
+            stream, quota=40, key_col="key", id_col="sid", ord_col="ord_ns"
+        )
+        q = (
+            admitted.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q188: streaming quota drain did not finish within 300 s — "
+                "refusing to read a partial admitted set"
+            )
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("n_admitted"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("total_value"),
+                F.max("ord").alias("max_ord"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q189_stitch_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 6),
+    g AS (
+      SELECT doc_id,
+             array_to_string(w[1:3], ' ') AS head,
+             array_to_string(w[-3:], ' ') AS tail
+      FROM t),
+    hd AS (SELECT head AS gram, count(*) AS h_df FROM g GROUP BY head),
+    td AS (SELECT tail AS gram, count(*) AS t_df FROM g GROUP BY tail),
+    ok AS (
+      SELECT coalesce(hd.gram, td.gram) AS gram
+      FROM hd FULL JOIN td ON hd.gram = td.gram
+      WHERE coalesce(h_df, 0) <= 64 AND coalesce(t_df, 0) <= 64)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.tail AS gram
+    FROM g a
+    JOIN ok ON ok.gram = a.tail
+    JOIN g b ON b.head = a.tail
+    WHERE a.doc_id <> b.doc_id
+    """,
+)
+def q189_stitch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document reconstruction audit
+    (:func:`dedup.stitch_candidates`, k=3, df-cap 64): documents whose
+    last 3 tokens open another document — the shard-boundary /
+    pagination-cut signal that two stored rows are one logical document.
+    Hot boundary grams (template openings/closings) are df-capped on
+    both sides before the tail->head equi-join, so the join is
+    candidate-sized, never a corpus self-join."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.stitch_candidates(d, k=3, max_df=64)
+
+
+@query(
+    "q190_source_quality_cap",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END AS pr,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END AS sw
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, tok,
+             0.5 * least(tok / 100.0, 1.0) + 0.5 * least(sw * 5.0, 1.0)
+               - 0.25 * least(pr * 5.0, 1.0) AS score
+      FROM s),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM q)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           round(min(score), 6) AS min_kept_score,
+           CAST(sum(tok) AS BIGINT) AS kept_tokens,
+           CAST(min(doc_id) AS BIGINT) AS best_doc
+    FROM r WHERE rn <= 50 GROUP BY source
+    """,
+)
+def q190_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-ranked admission cap: each source contributes at
+    most its 50 highest-quality documents (ties broken by doc_id) to the
+    training mix — the "source capping" curation step that stops one
+    over-crawled feed from dominating, ranked by the oracle-proven q10
+    composite score. The per-source rollup (count, worst admitted score,
+    token yield) certifies the exact admitted set.
+
+    Scale shape: the rank is a PER-SOURCE window (WindowGroupLimit
+    pushes the rn<=50 filter into the sort — each partition keeps a
+    50-row heap, no full per-source sort materializes), and the output
+    is sources-sized. At 100 TB the same query runs with
+    approx-quantile score thresholds per source (q159's pattern) if
+    even the group-limit sort is too hot."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "source", "token_count", "quality_score")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("quality_score"), 6).alias("min_kept_score"),
+            F.sum("token_count").cast("long").alias("kept_tokens"),
+            F.min("doc_id").cast("long").alias("best_doc"),
+        )
+    )

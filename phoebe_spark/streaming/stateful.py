@@ -484,3 +484,72 @@ def idle_session_finalizer_tws(
         outputMode="append",
         timeMode="ProcessingTime",
     )
+
+
+QUOTA_GATE_OUTPUT_SCHEMA = "key STRING, seq_id STRING, ord LONG, value DOUBLE"
+QUOTA_GATE_STATE_SCHEMA = "admitted LONG"
+
+
+def keyed_quota_gate(
+    stream: DataFrame,
+    quota: int,
+    key_col: str = "key",
+    id_col: str = "id",
+    ord_col: str = "ord_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key admission QUOTA at ingest: the first ``quota`` rows of each
+    key (in arrival order; within a micro-batch ties break on
+    ``(ord_col, id_col)``) pass, everything after is dropped — the
+    per-source document cap a training-data intake enforces so one feed
+    cannot flood the mix, and the per-tenant rate cap of a shared
+    ingest endpoint. Append output: downstream sees only admitted rows.
+
+    State is ONE counter per key, monotone up to ``quota`` — bounded by
+    the key domain regardless of stream length, checkpoint-safe, and
+    write-free once a key is saturated (the state stops changing, so
+    RocksDB sees no more puts for that key).
+
+    Determinism contract for drain-style certification: if the source
+    replays files in a fixed order (sequenced mtimes + one file per
+    trigger) and each file holds a disjoint ascending ``ord_col`` range,
+    the admitted set equals the batch answer
+    ``row_number() OVER (PARTITION BY key ORDER BY ord, id) <= quota``.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - no TTL configured
+            state.remove()
+            return
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        used = state.get[0] if state.exists else 0
+        room = quota - used
+        if room <= 0:
+            return
+        batch = batch.sort_values(["ord", "seq_id"]).head(room)
+        state.update((used + len(batch),))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(batch),
+                "seq_id": batch["seq_id"].astype(str).tolist(),
+                "ord": batch["ord"].astype("int64").tolist(),
+                "value": batch["value"].astype(float).tolist(),
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("string").alias("seq_id"),
+        F.col(ord_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=QUOTA_GATE_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -861,3 +861,20 @@ def test_q187_kmeans_final_pass_scan_shape(spark, sf_dir):
     assert "InMemoryTableScan" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert _ops(plan, "Exchange") == 1
+
+
+def test_q189_stitch_no_self_join_blowup(spark, sf_dir):
+    """Stitch audit: tail->head matching is equi-joins through the
+    df-capped gram table — no cartesian, no broadcast nested loop."""
+    plan = _plan(spark, sf_dir, "q189_stitch_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q190_window_group_limit_pushdown(spark, sf_dir):
+    """Source cap: the rn<=50 filter must push into the window sort as a
+    WindowGroupLimit (per-partition 50-row heaps), not materialize a full
+    per-source sort then filter."""
+    plan = _plan(spark, sf_dir, "q190_source_quality_cap")
+    assert "WindowGroupLimit" in plan
+    assert _ops(plan, "Scan parquet") == 1

@@ -297,3 +297,62 @@ def test_keyed_heavy_hitters_checkpoint_restart(spark, tmp_path):
 
     assert n_a == n_b == len(rows)
     assert sum_a == sum_b, (sum_a, sum_b)
+
+
+def test_keyed_quota_gate_cross_batch_counter(spark, tmp_path):
+    """Quota gate: admitted set equals the batch row_number()<=quota
+    answer, with keys that SATURATE mid-stream (the carried counter, not
+    single-batch truncation, decides the cut) and keys that never do."""
+    import os
+
+    src = str(tmp_path / "quota_src")
+    os.makedirs(src)
+    # key 'a': 3 rows/batch x 3 batches = 9 rows, quota 5 -> cut in batch 2
+    # key 'b': 1 row/batch  = 3 rows, never saturates
+    rows_by_batch = [
+        [("a", i, float(i)) for i in range(3)] + [("b", 100, 1.0)],
+        [("a", 10 + i, float(10 + i)) for i in range(3)] + [("b", 101, 2.0)],
+        [("a", 20 + i, float(20 + i)) for i in range(3)] + [("b", 102, 3.0)],
+    ]
+    for bi, rows in enumerate(rows_by_batch):
+        df = spark.createDataFrame(
+            [(k, f"{i:05d}", i, v) for k, i, v in rows],
+            "key string, sid string, ord long, value double",
+        )
+        df.coalesce(1).write.parquet(f"{str(tmp_path)}/stage{bi}")
+        import glob as _glob
+        import shutil as _shutil
+
+        (part,) = _glob.glob(f"{str(tmp_path)}/stage{bi}/part-*.parquet")
+        dst = f"{src}/{bi:03d}.parquet"
+        _shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 10 * bi, 1_000_000_000 + 10 * bi))
+
+    from phoebe_spark.streaming.stateful import keyed_quota_gate
+
+    stream = (
+        spark.readStream.schema("key STRING, sid STRING, ord LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    admitted = keyed_quota_gate(
+        stream, quota=5, key_col="key", id_col="sid", ord_col="ord"
+    )
+    sink, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        (r["key"], r["seq_id"]) for r in spark.read.parquet(sink).collect()
+    }
+    want = {("a", f"{i:05d}") for i in [0, 1, 2, 10, 11]} | {
+        ("b", f"{i:05d}") for i in (100, 101, 102)
+    }
+    assert got == want
