@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "q188_streaming_quota_drain",
     "q189_stitch_audit",
     "q190_source_quality_cap",
+    "q191_seasonal_decompose",
+    "q192_matryoshka_audit",
 ]
 
 

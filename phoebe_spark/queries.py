@@ -9049,3 +9049,166 @@ def q190_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("best_doc"),
         )
     )
+
+
+@query(
+    "q191_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, day, v,
+             avg(v) OVER w AS trend,
+             count(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+    SELECT event_type, CAST(day % 7 AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(CAST(v - trend AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6)
+             AS seasonal
+    FROM tr WHERE wn = 7
+    GROUP BY event_type, CAST(day % 7 AS INT)
+    """,
+)
+def q191_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the per-type daily revenue
+    series: trend = centered 7-day moving average (full windows only, so
+    the profile is never contaminated by edge-shrunken means), seasonal =
+    per day-of-week mean of the detrended series — the metrics-domain
+    operator behind "is Monday really lower or is that the trend"
+    (W3's centered rolling mean composed into a seasonal profile, the
+    step the reference's workload forecaster takes implicitly when it
+    fits sine-modulated rates; cf. analytics/app/workload/models.py).
+    Day-of-week is epoch-day mod 7 — timezone-free and engine-portable.
+
+    Determinism: the daily series carries the DECIMAL(18,4) money
+    policy; the 7-row frame average folds in frame order in both
+    engines; the dow mean is a DECIMAL(27,12)-carried sum.
+
+    Scale shape: one (type, day) shuffle builds the series, one
+    days-sized window sort per type, one 35-key rollup — the fact table
+    never sorts globally."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.expr("ts div 86400000000000").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == 7)
+    return (
+        tr.groupBy("event_type", (F.col("day") % 7).cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum((F.col("v") - F.col("trend")).cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal"),
+        )
+    )
+
+
+@query(
+    "q192_matryoshka_audit",
+    oracle="""
+    WITH p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    b AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    s AS (
+      SELECT p.qid, e.vec_id AS nid, b.d,
+             list_sum(list_transform(generate_series(1, b.d),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, b.d),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, b.d),
+                      i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))))) AS cs
+      FROM embeddings e CROSS JOIN p CROSS JOIN b
+      WHERE e.vec_id <> p.qid),
+    r AS (SELECT qid, nid, d, cs,
+                 row_number() OVER (PARTITION BY qid, d ORDER BY cs DESC, nid) AS rn
+          FROM s),
+    t AS (SELECT qid, d, nid, cs FROM r WHERE rn = 1),
+    fl AS (SELECT qid, nid AS fid FROM t WHERE d = 64)
+    SELECT CAST(t.d AS INT) AS dim_budget,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN t.nid = fl.fid THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           round(CAST(sum(CAST(t.cs AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6)
+             AS mean_top1_cos
+    FROM t JOIN fl USING (qid) WHERE t.d < 64
+    GROUP BY t.d
+    """,
+)
+def q192_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation retrieval audit (Kusupati et al. 2022): for
+    a 10-query panel, does top-1 retrieval under the first 8 / 16 / 32
+    dimensions (re-normalized truncated cosine) agree with full-64-dim
+    top-1? The acceptance gate run before shipping truncated embeddings
+    to a cheaper ANN tier — per budget: agreement count and the
+    decimal-carried mean top-1 truncated cosine. Budget 64 rides the
+    same plan as the ground truth, so one scan scores every budget.
+
+    Scale shape: the query panel broadcasts (q23's pattern); truncated
+    cosines are codegen folds over array slices of the SAME scan row —
+    4 budgets cost 4 expressions, not 4 scans; per-(query, budget)
+    top-1 is a WindowGroupLimit rank; everything after is
+    panel-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    budgets = F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("d")
+    pairs = (
+        emb.join(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "embedding", "qid", "qv", budgets)
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        "d",
+        similarity.cosine(
+            F.slice("embedding", F.lit(1), F.col("d")),
+            F.slice("qv", F.lit(1), F.col("d")),
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("qid", "d").orderBy(F.col("cs").desc(), F.col("nid").asc())
+    # panel-sized (n_queries x budgets): materialize once so the full-dim
+    # branch and the truncated branch don't EACH re-score the corpus
+    top1 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=True)
+    )
+    full = top1.filter(F.col("d") == 64).select("qid", F.col("nid").alias("fid"))
+    return (
+        top1.filter(F.col("d") < 64)
+        .join(full, "qid")
+        .groupBy(F.col("d").cast("int").alias("dim_budget"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.when(F.col("nid") == F.col("fid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+            F.round(
+                F.sum(F.col("cs").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_top1_cos"),
+        )
+    )

@@ -217,6 +217,12 @@ def run_scale(spark, scale: int) -> dict:
         ),
     )
 
+    # round-5 ops: scrub+rebuild is census+join+one doc groupBy; k-means is
+    # iters x (one scan + kxd agg); stitching is two censuses + a capped join
+    t("chunk_scrub", dedup.chunk_scrub_rebuild(docs, chunk_words=4, min_docs=2))
+    t_build("kmeans_2it", lambda: similarity.kmeans_lloyd(emb, k=8, iters=2))
+    t("stitch_audit", dedup.stitch_candidates(docs, k=3, max_df=64))
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 

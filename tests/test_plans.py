@@ -878,3 +878,24 @@ def test_q190_window_group_limit_pushdown(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q190_source_quality_cap")
     assert "WindowGroupLimit" in plan
     assert _ops(plan, "Scan parquet") == 1
+
+
+def test_q191_no_global_sort(spark, sf_dir):
+    """Seasonal decomposition: one (type, day) aggregate, one per-type
+    window sort on the DAYS-sized series, one rollup — the fact scan
+    never globally sorts."""
+    plan = _plan(spark, sf_dir, "q191_seasonal_decompose")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q192_single_scan_all_budgets(spark, sf_dir):
+    """Matryoshka audit: all four dim budgets score in expressions over
+    ONE corpus scan (the panel is a broadcast); the per-(query,budget)
+    top-1 is a rank-1 WindowGroupLimit; the panel-sized top-1 frame is
+    checkpointed so neither final branch re-scores the corpus (no
+    parquet scan survives into the final plan)."""
+    plan = _plan(spark, sf_dir, "q192_matryoshka_audit")
+    assert _ops(plan, "Scan parquet") == 0  # both branches read the checkpoint
+    assert "CartesianProduct" not in plan
