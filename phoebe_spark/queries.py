@@ -8901,19 +8901,19 @@ def q188_streaming_quota_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double").alias("value"),
         )
         n_files = 4
-        sliced = e.withColumn(
-            "_slice",
-            F.ntile(n_files).over(Window.orderBy("ord_ns", "sid")),
+        # ONE sorted pass stages all slices (partitionBy writes each
+        # slice's single file under _slice=i/); the per-slice loop above
+        # re-ran the global sort n_files times
+        (
+            e.withColumn(
+                "_slice", F.ntile(n_files).over(Window.orderBy("ord_ns", "sid"))
+            )
+            .repartition(1)
+            .write.partitionBy("_slice")
+            .parquet(stage)
         )
         for i in range(1, n_files + 1):
-            part_dir = f"{stage}/{i}"
-            (
-                sliced.filter(F.col("_slice") == i)
-                .drop("_slice")
-                .coalesce(1)
-                .write.parquet(part_dir)
-            )
-            (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+            (part,) = glob.glob(f"{stage}/_slice={i}/part-*.parquet")
             dst = f"{src_dir}/{i:03d}.parquet"
             shutil.copyfile(part, dst)
             os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
@@ -8926,20 +8926,29 @@ def q188_streaming_quota_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         admitted = stateful.keyed_quota_gate(
             stream, quota=40, key_col="key", id_col="sid", ord_col="ord_ns"
         )
-        q = (
-            admitted.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q188: streaming quota drain did not finish within 300 s — "
-                "refusing to read a partial admitted set"
+        # ~150 keys don't need the session's shuffle width: the state
+        # store pins its partition count from the first batch, and every
+        # micro-batch pays per-partition state/Python-worker overhead, so
+        # drain with 8 partitions (fresh checkpoint each run) and restore
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                admitted.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q188: streaming quota drain did not finish within 300 s — "
+                    "refusing to read a partial admitted set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         out = (
             spark.read.parquet(sink)
             .groupBy("key")

@@ -51,7 +51,8 @@ def keyed_ewma(
         # arrives split): the EWMA recursion is order-sensitive, so sort
         # the whole batch once — a per-chunk sort would fold values in
         # chunk order, not event-time order (same fix as keyed_cusum).
-        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        frames = list(pdfs) if pdfs is not None else []
+        batch = pd.concat(frames) if frames else pd.DataFrame()
         if len(batch):
             batch = batch.sort_values(ts_col)
             for v, ts in zip(batch[value_col], batch[ts_col]):
@@ -111,7 +112,8 @@ def keyed_cusum(
         # (a >maxRecordsPerBatch group arrives split): the CUSUM recursion
         # is order-sensitive, so sort the whole batch once — a per-chunk
         # sort would fold values in chunk order, not event-time order.
-        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        frames = list(pdfs) if pdfs is not None else []
+        batch = pd.concat(frames) if frames else pd.DataFrame()
         if len(batch):
             batch = batch.sort_values(ts_col)
             for v in batch[value_col]:
@@ -381,7 +383,10 @@ class _DedupGateProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues: TimerValues):
         if self._seen.exists():
             return
-        batch = pd.concat(list(rows))
+        frames = list(rows)
+        if not frames:
+            return
+        batch = pd.concat(frames)
         first = batch.sort_values(["ts_ms", "doc_id"]).iloc[0]
         self._seen.update((str(first["doc_id"]), int(first["ts_ms"])))
         yield pd.DataFrame(
