@@ -175,6 +175,13 @@ BENCH_QUERIES = [
     "q190_source_quality_cap",
     "q191_seasonal_decompose",
     "q192_matryoshka_audit",
+    # round-5 additions: lifecycle / stream-join / drift / overlap coverage
+    "q193_snapshot_diff",
+    "q194_cdc_apply",
+    "q195_normalization_lift",
+    "q197_stream_join_drain",
+    "q198_source_centroid_drift",
+    "q200_source_vocab_overlap",
 ]
 
 

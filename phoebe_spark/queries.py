@@ -9221,3 +9221,597 @@ def q192_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_top1_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 extensions: snapshot/CDC lifecycle, normalization-sensitive dedup,
+# langid evaluation, stream-stream join certification, embedding drift,
+# robust stats, cross-source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 10) ELSE text END) AS h
+      FROM documents WHERE doc_id % 11 <> 3
+    ),
+    cur AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents WHERE doc_id % 13 <> 5
+    ),
+    d AS (
+      SELECT coalesce(cur.source, prev.source) AS source,
+             CASE WHEN prev.doc_id IS NULL THEN 'added'
+                  WHEN cur.doc_id IS NULL THEN 'removed'
+                  WHEN prev.h <> cur.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+    )
+    SELECT source, status, count(*) AS n_docs
+    FROM d GROUP BY source, status
+    """,
+)
+def q193_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diff — the "what changed between crawls" audit
+    every corpus refresh needs before reprocessing: full-outer join two
+    snapshot views of the corpus on the document key, classify each id
+    as added / removed / changed / unchanged by content hash, and
+    census the result per source. The two snapshots are deterministic
+    derivations of the documents table (previous crawl: drops
+    ``doc_id%11==3`` and carries a stale 10-char text for ``%7==0``;
+    current crawl: drops ``doc_id%13==5``) so the oracle replays them
+    exactly.
+
+    Scale shape: ONE equi-join on the id key — both sides shuffle once
+    on doc_id (at 100 TB this is the bucketed-by-id layout's free
+    join); the hash compare is a codegen expression, and the output is
+    source x status (tiny). No content ever moves — only (id, source,
+    16-byte md5)."""
+    d = _t(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        F.col("source").alias("p_source"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.substring("text", 1, 10)
+            ).otherwise(F.col("text"))
+        ).alias("p_h"),
+    )
+    cur = d.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    status = (
+        F.when(F.col("p_h").isNull(), "added")
+        .when(F.col("h").isNull(), "removed")
+        .when(F.col("p_h") != F.col("h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        prev.join(cur, "doc_id", "full_outer")
+        .select(
+            F.coalesce("source", "p_source").alias("source"), status.alias("status")
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q194_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS version, 'I' AS op, o_orderstatus AS status,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,4)) + CAST(10 AS DECIMAL(18,4))
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', o_orderstatus, NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT log.*, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT status,
+           count(*) AS n_live,
+           CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+    FROM last WHERE op <> 'D'
+    GROUP BY status
+    """,
+)
+def q194_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC) apply — collapse an insert/update/delete log into
+    final table state by last-writer-wins, the core of every
+    incremental-materialization sink (Debezium -> lakehouse MERGE). The
+    log is a deterministic derivation of orders (every key inserted at
+    v1; ``%5==0`` updated at v2 with an exact DECIMAL +10 price bump;
+    ``%7==0`` tombstoned at v3), so the oracle rebuilds the identical
+    log and the final-state census per order status is hash-comparable.
+
+    Scale shape: ONE shuffle on the change key for the per-key
+    row_number (in production the log is already key-partitioned by the
+    CDC transport, making this map-side); deletes drop in the same
+    pass — no join against the base table, because v1 carries the base.
+    The DECIMAL policy keeps the surviving-price sum order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    ins = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("price"),
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("version"),
+            F.lit("U").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            (_dec("o_totalprice") + F.lit(10).cast("decimal(18,4)")).alias("price"),
+        )
+    )
+    dele = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).alias("version"),
+            F.lit("D").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(None).cast("decimal(18,4)").alias("price"),
+        )
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy(F.col("version").desc())
+    live = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return live.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "q195_normalization_lift",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             md5(text) AS raw_h,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS norm_h
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT raw_h) AS n_raw_distinct,
+           count(DISTINCT norm_h) AS n_norm_distinct,
+           count(DISTINCT raw_h) - count(DISTINCT norm_h) AS dedup_lift
+    FROM n GROUP BY source
+    """,
+)
+def q195_normalization_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-sensitivity dedup audit: how many extra duplicate
+    groups does aggressive text normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) reveal per source beyond
+    byte-exact hashing? This decides whether a corpus needs the
+    normalized pass before exact dedup (CCNet / RefinedWeb both
+    normalize first) — a per-source lift of 0 means raw hashing
+    suffices.
+
+    Scale shape: both fingerprints are codegen expressions over the
+    SAME scan row; the per-source distinct-count pair is one partial
+    aggregation on (source, hash) — Spark rewrites the multi-distinct
+    with expand, still one shuffle family, no text movement (hashes
+    only)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return (
+        d.select("source", F.md5("text").alias("raw_h"), F.md5(norm).alias("norm_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_h").alias("n_raw_distinct"),
+            F.countDistinct("norm_h").alias("n_norm_distinct"),
+            (F.countDistinct("raw_h") - F.countDistinct("norm_h")).alias("dedup_lift"),
+        )
+    )
+
+
+@query(
+    "q196_langid_confusion",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN (CASE WHEN trim(text) = '' THEN 0.0
+                             ELSE {_SW_SQL} * 1.0 / len({_TOKS_SQL}) END) > 0.03
+                  THEN 'en' ELSE 'other' END AS pred_lang
+      FROM documents
+    )
+    SELECT lang, pred_lang,
+           count(*) AS n_docs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6)
+             AS share_of_lang
+    FROM s GROUP BY lang, pred_lang
+    """,
+)
+def q196_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the stopword-heuristic classifier
+    (q11, text.predict_language) evaluated against the corpus's stored
+    ``lang`` labels — per (true, predicted) cell the count and its share
+    within the true language. The acceptance sheet run before trusting
+    a cheap classifier to route documents at ingest: an 'en' recall row
+    below target means the 3% stopword threshold needs retuning.
+
+    Scale shape: classification is a codegen expression on the scan;
+    the matrix is one groupBy on a (langs x 2)-sized key; the per-lang
+    share is a window over the already-tiny matrix, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    p = text.predict_language(d).select("lang", "pred_lang")
+    w = Window.partitionBy("lang")
+    return (
+        p.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "share_of_lang",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
+        )
+    )
+
+
+@query(
+    "q197_stream_join_drain",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, value FROM events
+    ),
+    j AS (
+      SELECT a.user_id,
+             CAST(b.value AS DECIMAL(18,4)) AS bv,
+             {EPOCH_SQL.format(c='b.ts')} - {EPOCH_SQL.format(c='a.ts')} AS lag_s
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           count(*) AS n_pairs,
+           CAST(round(sum(bv), 2) AS DOUBLE) AS total_value,
+           CAST(max(lag_s) AS BIGINT) AS max_lag_s
+    FROM j GROUP BY user_id
+    """,
+)
+def q197_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join inside the hash-checked gate: the
+    events table split into two live streams (even event_ids as the
+    trigger stream, odd as the response stream), joined per user on a
+    [0, 30 min] event-time range, drained with availableNow, and the
+    per-user pair census compared against the batch interval-join
+    oracle. This promotes the last big Structured Streaming operator
+    family (stream-stream joins, SURVEY §2.10's transport composed with
+    §2.3's interval join) to the same oracle standard as the stateful
+    gates (q179/q188) and windowed aggs (q180) — one operator, two
+    execution models, one answer.
+
+    Scale notes: both sides carry watermarks and the join condition is
+    time-bounded, so state eviction is exactly the production contract
+    (Spark drops buffered rows older than watermark + 30 min); the
+    drained join output is aggregated before leaving the executors.
+    ~75 keys don't need the session's shuffle width, so the drain runs
+    with a narrow state store (same rationale as q188) and a fresh
+    checkpoint per run."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q197_")
+    try:
+        staged = ev.select(
+            "event_id",
+            "user_id",
+            F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+            _dec("value").alias("v"),
+        )
+        staged.filter(F.col("event_id") % 2 == 0).write.parquet(f"{work}/left")
+        staged.filter(F.col("event_id") % 2 == 1).write.parquet(f"{work}/right")
+
+        schema = "event_id LONG, user_id LONG, event_time TIMESTAMP, v DECIMAL(18,4)"
+        left = (
+            spark.readStream.schema(schema)
+            .parquet(f"{work}/left")
+            .withWatermark("event_time", "0 seconds")
+            .select("user_id", F.col("event_time").alias("a_time"))
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .parquet(f"{work}/right")
+            .withWatermark("event_time", "0 seconds")
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("event_time").alias("b_time"),
+                "v",
+            )
+        )
+        joined = left.join(
+            right,
+            F.expr(
+                "user_id = r_user AND b_time >= a_time "
+                "AND b_time <= a_time + INTERVAL 30 MINUTES"
+            ),
+        ).select(
+            "user_id",
+            "v",
+            (F.col("b_time").cast("long") - F.col("a_time").cast("long")).alias(
+                "lag_s"
+            ),
+        )
+        sink = f"{work}/pairs"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q197: stream-stream join drain did not finish within "
+                    "300 s — refusing to report a partial pair set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+                F.max("lag_s").alias("max_lag_s"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q198_source_centroid_drift",
+    oracle="""
+    WITH joined AS (
+      SELECT d.source, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    flat AS (
+      SELECT source, unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM joined
+    ),
+    sc AS (
+      SELECT source, dim, avg(v) AS c, count(*) AS n
+      FROM flat GROUP BY source, dim
+    ),
+    gc AS (
+      SELECT dim, sum(c * n) / sum(n) AS g FROM sc GROUP BY dim
+    )
+    SELECT sc.source,
+           CAST(max(sc.n) AS BIGINT) AS n_vecs,
+           round(sum(sc.c * gc.g)
+                 / (sqrt(sum(sc.c * sc.c)) * sqrt(sum(gc.g * gc.g))), 6)
+             AS centroid_cos
+    FROM sc JOIN gc ON gc.dim = sc.dim
+    GROUP BY sc.source
+    """,
+)
+def q198_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding drift: cosine between each source's mean
+    embedding and the corpus-wide mean. The cross-modal health check a
+    mixture pipeline runs per crawl — a source whose centroid swings
+    away from the corpus centroid changed its content distribution
+    (new spam template, language shift) even when its volume and
+    quality metrics look flat. Global centroid is derived FROM the
+    per-source partials (weighted by count), so both engines fold the
+    same per-(source,dim) means and the comparison is exact at 6dp.
+
+    Scale shape: posexplode inside the scan, ONE map-side-combining
+    groupBy on the (source, dim) key — the shuffle carries
+    O(sources x dims) partials per task, never vectors; everything
+    after (global centroid, cosine) is sources x dims sized."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = emb.join(d, emb.vec_id == d.doc_id).select(
+        "source", F.posexplode("embedding").alias("pos", "v")
+    )
+    sc = joined.groupBy("source", (F.col("pos") + 1).alias("dim")).agg(
+        F.avg(F.col("v").cast("double")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gc = sc.groupBy("dim").agg(
+        (F.sum(F.col("c") * F.col("n")) / F.sum("n")).alias("g")
+    )
+    # sources x dims — broadcast-sized by construction at any corpus scale
+    return (
+        sc.join(F.broadcast(gc), "dim")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("c") * F.col("g"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+@query(
+    "q199_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             percentile_cont(0.10) WITHIN GROUP (ORDER BY n_chars) AS p10,
+             percentile_cont(0.90) WITHIN GROUP (ORDER BY n_chars) AS p90
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(q.p10, 6) AS p10,
+           round(q.p90, 6) AS p90,
+           round(avg(least(greatest(d.n_chars, q.p10), q.p90)), 6)
+             AS winsorized_mean,
+           round(avg(d.n_chars), 6) AS raw_mean
+    FROM documents d JOIN q ON q.source = d.source
+    GROUP BY d.source, q.p10, q.p90
+    """,
+)
+def q199_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per source: clamp document lengths to
+    the source's [p10, p90] band before averaging, next to the raw mean.
+    The outlier-robust size profile mixture planning reads — one
+    pathological 100 MB document shifts a raw mean for a month, but
+    moves the winsorized mean by one part in n. Exact interpolating
+    percentiles (Spark ``percentile`` == DuckDB ``percentile_cont``)
+    over integer lengths, so the clamp bounds match digit-for-digit.
+
+    Scale shape: two passes over the (source, n_chars) projection —
+    one percentile aggregation (exact percentile needs the values; at
+    100 TB swap in approx_percentile with a bounded error and the same
+    clamp shape) and one clamped re-aggregation against the
+    broadcast-sized per-source bounds table."""
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    q = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.10)").alias("p10"),
+        F.expr("percentile(n_chars, 0.90)").alias("p90"),
+    )
+    clamped = d.join(F.broadcast(q), "source").select(
+        "source",
+        "p10",
+        "p90",
+        "n_chars",
+        F.least(F.greatest(F.col("n_chars").cast("double"), "p10"), "p90").alias("w"),
+    )
+    return clamped.groupBy("source", "p10", "p90").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 6).alias("winsorized_mean"),
+        F.round(F.avg("n_chars"), 6).alias("raw_mean"),
+    ).select(
+        "source",
+        "n_docs",
+        F.round("p10", 6).alias("p10"),
+        F.round("p90", 6).alias("p90"),
+        "winsorized_mean",
+        "raw_mean",
+    )
+
+
+@query(
+    "q200_source_vocab_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    grams AS (
+      SELECT DISTINCT source, g
+      FROM (
+        SELECT source,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks
+      )
+    ),
+    sz AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_shared,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS vocab_jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = source_a
+    JOIN sz sb ON sb.source = source_b
+    WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.05
+    """,
+)
+def q200_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix: Jaccard similarity
+    between sources' distinct token-trigram vocabularies, reported for
+    pairs above 5%. The syndication / shared-template detector at the
+    SOURCE granularity (q13/q121 find document pairs; this finds feed
+    pairs) — two crawl feeds with 80% trigram overlap are mirrors and
+    one should be dropped before dedup even runs.
+
+    Scale shape: the classic inverted-index set-similarity plan with
+    the corpus collapsed to (source, gram) DISTINCT pairs first —
+    postings per gram are bounded by the number of sources (not
+    documents), so the self-join fan-out is at most sources² per gram
+    and the output is a sources x sources matrix. One shuffle to
+    distinct, one on the gram key."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    grams = (
+        d.filter((F.trim("text") != "") & (F.size(toks) >= 3))
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+                    F.zip_with(
+                        F.slice(toks, 2, F.greatest(F.size(toks) - 2, F.lit(0))),
+                        F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+                        lambda b, c: F.concat_ws(" ", b, c),
+                    ),
+                    lambda a, bc: F.concat_ws(" ", a, bc),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sz = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        grams.join(b, (grams.g == b.g) & (grams.source < b.source_b))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .withColumn(
+            "vocab_jaccard",
+            F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6),
+        )
+    )
+    return jac.filter(
+        F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")) >= 0.05
+    ).select("source_a", "source_b", "n_shared", "vocab_jaccard")
