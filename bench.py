@@ -182,6 +182,10 @@ BENCH_QUERIES = [
     "q197_stream_join_drain",
     "q198_source_centroid_drift",
     "q200_source_vocab_overlap",
+    "q201_tpch_q4_semi",
+    "q202_kmv_set_ops",
+    "q203_session_window_drain",
+    "q204_image_ahash_gate",
 ]
 
 

@@ -9815,3 +9815,379 @@ def q200_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(
         F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")) >= 0.05
     ).select("source_a", "source_b", "n_shared", "vocab_jaccard")
+
+
+@query(
+    "q201_tpch_q4_semi",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q201_tpch_q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter with
+    at least one LATE line item, counted per priority. The reference
+    corpus has no l_commitdate/l_receiptdate, so lateness is the
+    disclosed proxy ``l_shipdate > o_orderdate + 90 days`` (same policy
+    as the Q9 cost proxy) — the SHAPE under test is the decorrelated
+    EXISTS: a LEFT SEMI join, never a count-then-filter materialization.
+
+    Scale shape: the quarter filter prunes orders at the scan
+    (PushedFilters); the semi join shuffles on orderkey and short-
+    circuits per probe row — no lineitem aggregation state, no
+    duplicate-elimination afterthought. Catalyst plans EXISTS exactly
+    this way, which is why the DataFrame side writes left_semi
+    explicitly."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q202_kmv_set_ops",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source,
+             CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976 AS u
+      FROM documents
+    ),
+    sk AS (
+      SELECT source, u
+      FROM (SELECT source, u,
+                   row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+            FROM h)
+      WHERE rn <= 32
+    ),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM (SELECT DISTINCT source FROM sk) a
+              JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+    merged AS (
+      SELECT p.source_a, p.source_b, s.u,
+             max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY p.source_a, p.source_b, s.u
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source_a, source_b ORDER BY u) AS rn
+      FROM merged
+    ),
+    kset AS (SELECT * FROM ranked WHERE rn <= 32),
+    agg AS (
+      SELECT source_a, source_b,
+             count(*) AS m,
+             max(u) AS u_k,
+             sum(in_a * in_b) AS n_both
+      FROM kset GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           round(CASE WHEN m < 32 THEN m * 1.0 ELSE (32 - 1) / u_k END, 6)
+             AS union_est,
+           round(n_both * 1.0 / m, 6) AS jaccard_est
+    FROM agg
+    """,
+)
+def q202_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch SET OPERATIONS between sources: estimate
+    pairwise union cardinality and Jaccard overlap from 32-value
+    bottom-k sketches of each source's document-hash set — the
+    mergeable-sketch algebra (Beyer et al. 2007) that lets a 100 TB
+    corpus answer "how much does crawl A overlap crawl B" from
+    kilobytes of state. Hashes map to the unit interval via the first
+    60 bits of md5 (2^60 divides exactly, so the double scaling is
+    lossless); under-filled sketches (|merged| < k) fall back to the
+    exact count, so the small-SF fixtures exercise the exact path and
+    sf0.1 the estimator path — both engines replay both branches
+    digit-for-digit.
+
+    Scale shape: per-source sketches are a rank-k window over the
+    distinct (source, hash) projection (k rows per source survive);
+    the pair algebra runs on sources x k rows — corpus size never
+    appears after the first aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").cast("double")
+            / F.lit(1152921504606846976)
+        ).alias("u"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("u")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 32).drop("rn")
+    srcs = sk.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("source_a")).join(
+        srcs.select(F.col("source").alias("source_b")),
+        F.col("source_a") < F.col("source_b"),
+    )
+    # sketches are sources x k rows — broadcast both sides of the algebra
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            F.broadcast(sk),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "u")
+        .agg(
+            F.max(F.when(F.col("source") == F.col("source_a"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("source") == F.col("source_b"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    wk = Window.partitionBy("source_a", "source_b").orderBy("u")
+    kset = merged.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= 32)
+    agg = kset.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("u").alias("u_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(
+            F.when(F.col("m") < 32, F.col("m").cast("double")).otherwise(
+                F.lit(31.0) / F.col("u_k")
+            ),
+            6,
+        ).alias("union_est"),
+        F.round(F.col("n_both") / F.col("m"), 6).alias("jaccard_est"),
+    )
+
+
+@query(
+    "q203_session_window_drain",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, {EPOCH_SQL.format(c='ts')} AS es FROM events
+    ),
+    marked AS (
+      SELECT user_id, es,
+             CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                       OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, es,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY es
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, count(*) AS ev, max(es) - min(es) AS dur
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(ev) AS BIGINT) AS n_events,
+           round(avg(ev), 6) AS avg_session_events,
+           round(avg(dur), 6) AS avg_session_dur_s
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q203_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows inside the hash-checked gate: the events
+    table replayed as a stream through ``session_window(event_time,
+    '30 minutes')`` — Spark's native merging-session-state operator —
+    drained in complete mode and summarized per user exactly like the
+    BATCH gaps-and-islands sessionization (q46). The two
+    implementations share nothing (stateful window merge vs lag/window
+    SQL) and must produce identical session counts, sizes, and
+    durations; ``session_window.end`` is last-event + gap, so duration
+    subtracts the 30-minute tail before comparing.
+
+    Scale notes: complete mode is the DRAIN contract only; production
+    session aggregation runs append + watermark so closed sessions emit
+    and state stays bounded by open sessions per key. ~150 keys drain
+    with a narrow state store (q188's rationale)."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q203_")
+    try:
+        ev.select(
+            "user_id", F.expr("timestamp_micros(ts div 1000)").alias("event_time")
+        ).write.parquet(f"{work}/src")
+
+        stream = spark.readStream.schema("user_id LONG, event_time TIMESTAMP").parquet(
+            f"{work}/src"
+        )
+        sessions = stream.groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("sw")
+        ).agg(F.count(F.lit(1)).alias("ev"))
+        sink = f"{work}/sessions"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                sessions.writeStream.outputMode("complete")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q203: session-window drain did not finish within 300 s — "
+                    "refusing to report a partial session snapshot"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        out = (
+            spark.read.parquet(sink)
+            .select(
+                "user_id",
+                "ev",
+                (
+                    F.col("sw.end").cast("long")
+                    - F.col("sw.start").cast("long")
+                    - F.lit(1800)
+                ).alias("dur"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("ev").cast("long").alias("n_events"),
+                F.round(F.avg("ev"), 6).alias("avg_session_events"),
+                F.round(F.avg("dur"), 6).alias("avg_session_dur_s"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q204_image_ahash_gate",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, unnest(generate_series(0, 63)) AS i,
+             (doc_id * 31 + unnest(generate_series(0, 63)) * 7) % 256 AS p
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             CASE WHEN p * 64 > sum(p) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS b
+      FROM px
+    ),
+    halves AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (63 - i)) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(b) AS BIGINT) AS n_on
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST((hi - 2147483648) * 4294967296 + lo AS BIGINT) AS ahash,
+           n_on
+    FROM halves
+    """,
+)
+def q204_image_ahash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE pipeline certification in the hash-checked gate:
+    every doc synthesizes a REAL 8x8 PNG (zlib-deflated, filter-0
+    scanlines) whose gray pixel ``i`` is the closed form
+    ``(doc_id*31 + i*7) % 256``, runs the real decoder
+    (:func:`multimodal.png_decode`) and the real perceptual average-hash
+    (:func:`multimodal.image_features`), and the oracle predicts the
+    final 64-bit hash ANALYTICALLY from the pixel formula — no image
+    library on either side. Any defect in PNG framing, filter handling,
+    channel order, the 8x8 downsample stride, or the bit packing flips
+    a bit and fails the hash (the audio twin is q185). The mean
+    threshold compares ``p*64 > sum(p)`` so both engines decide each
+    bit in exact integer arithmetic, and the signed-int64 packing goes
+    through 32-bit halves so the oracle never overflows BIGINT.
+
+    Scale shape: generation, decode, and hashing are Arrow-batched
+    mapInPandas kernels; blobs never leave the executor — the gate
+    moves only (doc_id, 8-byte hash)."""
+    from phoebe_spark.operators import multimodal
+
+    def _gen(it):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def _png(gray: np.ndarray) -> bytes:
+            h, w = gray.shape
+            raw = b"".join(
+                b"\x00" + bytes(np.repeat(gray[r], 3).astype(np.uint8))
+                for r in range(h)
+            )
+            def chunk(tag: bytes, body: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(body))
+                    + tag
+                    + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+                )
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(64, dtype=np.int64)
+                gray = ((int(doc_id) * 31 + i * 7) % 256).reshape(8, 8)
+                png = _png(gray.astype(np.uint8))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": png,
+                        "width": 8,
+                        "height": 8,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.mapInPandas(
+        _gen, "media_id LONG, content BINARY, width INT, height INT"
+    )
+    feats = multimodal.image_features(blobs, decoder=multimodal.png_decode)
+    # ahash is the unsigned 64-bit hash re-biased into signed int64 by
+    # subtracting 2^63 (= flipping the top bit of the two's-complement
+    # pattern), so flipping it back with XOR min-long recovers the raw
+    # bit pattern and its popcount
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "ahash",
+        F.bit_count(F.col("ahash").bitwiseXOR(F.lit(-9223372036854775808)))
+        .cast("long")
+        .alias("n_on"),
+    )
