@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "q202_kmv_set_ops",
     "q203_session_window_drain",
     "q204_image_ahash_gate",
+    "q205_watermark_drop_audit",
 ]
 
 

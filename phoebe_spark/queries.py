@@ -10191,3 +10191,122 @@ def q204_image_ahash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_on"),
     )
+
+
+@query(
+    "q205_watermark_drop_audit",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_ns(ts) // 1000 AS us, (event_id % 4) + 1 AS b
+      FROM events
+    ),
+    fm AS (SELECT b, max(us) AS mx FROM e GROUP BY b),
+    cm AS (SELECT b, max(mx) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS m
+           FROM fm),
+    kept AS (
+      SELECT e.event_type, (e.us // 3600000000) * 3600 AS ws
+      FROM e LEFT JOIN cm ON cm.b = e.b - 2
+      WHERE cm.m IS NULL
+         OR ((e.us // 3600000000) * 3600 + 3600) * 1000000 > cm.m - 3600000000
+    ),
+    fin AS (SELECT max(us) - 3600000000 AS we FROM e)
+    SELECT event_type, ws AS win_start, count(*) AS n_events
+    FROM kept, fin
+    WHERE (ws + 3600) * 1000000 <= fin.we
+    GROUP BY event_type, ws
+    """,
+)
+def q205_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA SEMANTICS inside the hash-checked gate: the
+    events table is sliced into 4 interleaved files (``event_id % 4``,
+    so every micro-batch spans the full time range and later batches
+    carry genuinely late rows), replayed one file per micro-batch
+    (``maxFilesPerTrigger=1``, mtime-ordered), and run through an
+    append-mode 1-hour tumbling window with a 1-hour watermark. The
+    oracle replays Spark's micro-batch watermark mechanics EXACTLY,
+    validated empirically against this engine (Spark 4.x):
+
+    - the late-row filter of batch *i* uses the watermark planned
+      before the batch ran: ``M(i-2) - delay`` where ``M(j)`` is the
+      cumulative max event time through batch *j* — one batch MORE
+      lagged than the end-of-batch eviction watermark;
+    - a row is dropped iff its window end <= that watermark
+      (boundary inclusive — verified with an exact-equality probe);
+    - availableNow runs one final empty batch, so the emitted set is
+      every window with end <= M(n) - delay (also inclusive), counting
+      only rows that survived their batch's filter.
+
+    Counts are integers, so the certification is exact — any future
+    engine change to watermark lag, drop inclusivity, or the final
+    finalization batch flips a count and fails the hash.
+
+    Scale notes: this IS the production late-data contract (state
+    evicted at the watermark, bounded by in-flight windows x keys);
+    the drain's slice staging is one sorted write (q188's pattern)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q205_")
+    src_dir = f"{work}/src"
+    os.makedirs(src_dir)
+    try:
+        stage = f"{work}/stage"
+        (
+            ev.select(
+                F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+                "event_type",
+                (F.col("event_id") % 4 + 1).alias("_slice"),
+            )
+            .repartition(1)
+            .write.partitionBy("_slice")
+            .parquet(stage)
+        )
+        for i in range(1, 5):
+            (part,) = glob.glob(f"{stage}/_slice={i}/part-*.parquet")
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("event_time TIMESTAMP, event_type STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("event_time", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.window("event_time", "1 hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        sink = f"{work}/windows"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q205: watermark drain did not finish within 300 s — "
+                    "refusing to report a partial window set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        out = spark.read.parquet(sink).select(
+            "event_type",
+            F.col("window.start").cast("long").alias("win_start"),
+            "n_events",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
