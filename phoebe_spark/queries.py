@@ -9646,6 +9646,9 @@ def q198_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("v").cast("double")).alias("c"),
         F.count(F.lit(1)).alias("n"),
     )
+    # sources x dims — materialize once so the global-centroid branch and
+    # the per-source branch don't EACH re-run the corpus join + explode
+    sc = sc.localCheckpoint(eager=True)
     gc = sc.groupBy("dim").agg(
         (F.sum(F.col("c") * F.col("n")) / F.sum("n")).alias("g")
     )

@@ -899,3 +899,67 @@ def test_q192_single_scan_all_budgets(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q192_matryoshka_audit")
     assert _ops(plan, "Scan parquet") == 0  # both branches read the checkpoint
     assert "CartesianProduct" not in plan
+
+
+def test_q193_single_id_join_no_text_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q193_snapshot_diff")
+    # one full-outer equi-join on doc_id; the text column is hashed at the
+    # scan and never crosses the exchange
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    # hash computed pre-shuffle: no raw `text` in any Exchange's output
+    for m in re.finditer(r"\(\d+\) Exchange[\s\S]*?Arguments", plan):
+        assert "text#" not in m.group(0)
+
+
+def test_q194_cdc_single_key_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q194_cdc_apply")
+    # union of three scans -> ONE shuffle on the change key for the
+    # row_number (with the rank-1 filter pushed as WindowGroupLimit on
+    # both sides of the exchange), plus the final tiny status aggregate
+    assert _ops(plan, "WindowGroupLimit") >= 1
+    assert _ops(plan, "Exchange") <= 2
+    assert _ops(plan, "CartesianProduct") == 0
+
+
+def test_q198_partials_before_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q198_source_centroid_drift")
+    # the (source, dim) aggregation happens BEFORE the centroid join —
+    # the join operates on partials, never vectors; the partials frame is
+    # checkpointed so the corpus join + explode runs ONCE
+    assert _ops(plan, "BroadcastHashJoin") >= 1
+    assert _ops(plan, "Generate") == 0  # partials come from the checkpoint
+    assert _ops(plan, "Scan parquet") == 0
+
+
+def test_q200_distinct_before_selfjoin(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q200_source_vocab_overlap")
+    # the gram self-join consumes the (source, gram) DISTINCT projection —
+    # postings are source-bounded, so no pair blow-up and no cartesian
+    assert "CartesianProduct" not in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 2  # the two size lookups
+
+
+def test_q201_semi_join_with_pushed_quarter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q201_tpch_q4_semi")
+    # EXISTS planned as LEFT SEMI; the quarter filter reaches the scan
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "l_quantity" not in plan  # lineitem pruned to key+date
+
+
+def test_q202_sketch_algebra_broadcast_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q202_kmv_set_ops")
+    # after the rank-k window, everything is sources x k sized and the
+    # pair algebra must be broadcast joins, never a shuffled join
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "BroadcastNestedLoopJoin") <= 2  # source_a < source_b pairing
+    assert "CartesianProduct" not in plan
+
+
+def test_q204_arrow_kernels_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q204_image_ahash_gate")
+    # synth + decode + hash are Arrow-batched python stages; no
+    # row-at-a-time BatchEvalPython anywhere
+    assert "BatchEvalPython" not in plan
+    assert _ops(plan, "MapInPandas") == 2  # generator + feature extractor
