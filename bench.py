@@ -187,6 +187,14 @@ BENCH_QUERIES = [
     "q203_session_window_drain",
     "q204_image_ahash_gate",
     "q205_watermark_drop_audit",
+    "q206_naive_bayes_source",
+    "q207_blocking_er_join",
+    "q208_image_phash_gate",
+    "q209_streaming_cusum_drain",
+    "q210_streaming_topk_drain",
+    "q211_dominant_supplier",
+    "q212_benford_audit",
+    "q213_ushaped_attribution",
 ]
 
 

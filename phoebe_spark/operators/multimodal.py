@@ -824,3 +824,72 @@ def audio_spectral_features(
         _extract,
         "media_id LONG, dominant_freq_hz DOUBLE, spectral_centroid_hz DOUBLE",
     )
+
+
+# --- DCT perceptual hash (pHash) -------------------------------------------
+
+DCT_PHASH_Q = 10000
+
+
+@functools.lru_cache(maxsize=None)
+def dct_basis_q(n: int = 8, q: int = DCT_PHASH_Q) -> tuple[tuple[int, ...], ...]:
+    """Integer-quantized DCT-II basis: ``Tq[u][x] = round(q * cos(pi *
+    (2x+1) * u / (2n)))``. The orthonormal scaling constants are dropped
+    on purpose — pHash bits compare coefficients against their own mean,
+    which is invariant under any positive per-hash scale — so with an
+    integer basis every coefficient is an EXACT integer sum and the bit
+    decisions cannot drift with float accumulation order. The same table
+    is embedded as literals in the q208 oracle, making the hash
+    engine-replayable down to the last bit."""
+    import math
+
+    return tuple(
+        tuple(int(round(q * math.cos(math.pi * (2 * x + 1) * u / (2 * n)))) for x in range(n))
+        for u in range(n)
+    )
+
+
+def image_dct_phash(
+    df: DataFrame,
+    decoder: Callable[[bytes, int, int], np.ndarray] | None = None,
+    batch_limit: int = 256,
+) -> DataFrame:
+    """DCT perceptual hash: decode, integer-subsample to 8x8, integer
+    2D DCT (quantized basis, see :func:`dct_basis_q`), then one bit per
+    low-frequency coefficient (the 4x4 block minus DC): ``1`` iff
+    ``15*C[u,v] > sum`` of the 15 — the classic pHash mean threshold in
+    exact integer arithmetic. The grey plane is the RGB channel SUM
+    (integer; the mean compare is scale-invariant, so the factor of 3
+    never matters). Returns (media_id, phash LONG, n_on LONG).
+
+    Like :func:`image_features`, a mapInPandas Arrow kernel: blobs never
+    leave the executor; only 15-bit hashes cross the wire."""
+    decoder = decoder or auto_decode_image
+    t = np.array(dct_basis_q(8), dtype=np.int64)
+
+    def _hash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for lo in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[lo : lo + batch_limit]
+                rows = []
+                for r in chunk.itertuples(index=False):
+                    img = decoder(bytes(r.content), int(r.width), int(r.height))
+                    small = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
+                    g = small.sum(axis=2, dtype=np.int64)
+                    coef = t @ g @ t.T
+                    low = coef[:4, :4].flatten()[1:]  # row-major, DC dropped
+                    tot = int(low.sum())
+                    bits = [1 if 15 * int(c) > tot else 0 for c in low]
+                    phash = 0
+                    for b in bits:
+                        phash = (phash << 1) | b
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "phash": np.int64(phash),
+                            "n_on": np.int64(sum(bits)),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_hash, "media_id LONG, phash LONG, n_on LONG")

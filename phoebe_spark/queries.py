@@ -10313,3 +10313,929 @@ def q205_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q206_naive_bayes_source",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, source, text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source, bucket < 9000 AS is_train, w
+      FROM split, unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT w FROM tok WHERE is_train GROUP BY w HAVING count(*) >= 5
+    ),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    cls AS (
+      SELECT source AS c, count(*) AS n_docs
+      FROM split WHERE bucket < 9000 GROUP BY source
+    ),
+    ntrain AS (SELECT sum(n_docs) AS n FROM cls),
+    wc AS (
+      SELECT t.w, t.source AS c, count(*) AS n
+      FROM tok t JOIN vocab v USING (w)
+      WHERE t.is_train GROUP BY t.w, t.source
+    ),
+    ctot AS (SELECT c, sum(n) AS t FROM wc GROUP BY c),
+    model AS (
+      SELECT wc.w, wc.c,
+             CAST(floor(1e6 * ln((wc.n + 1.0) / (ctot.t + vsize.v))) AS BIGINT) AS l
+      FROM wc JOIN ctot USING (c), vsize
+    ),
+    clsinfo AS (
+      SELECT cls.c,
+             CAST(floor(1e6 * ln(cls.n_docs * 1.0 / ntrain.n)) AS BIGINT) AS prior,
+             CAST(floor(1e6 * ln(1.0 / (ctot.t + vsize.v))) AS BIGINT) AS l0
+      FROM cls JOIN ctot ON ctot.c = cls.c, ntrain, vsize
+    ),
+    testtok AS (
+      SELECT t.doc_id, t.source, t.w
+      FROM tok t JOIN vocab USING (w) WHERE NOT t.is_train
+    ),
+    doctot AS (SELECT doc_id, source, count(*) AS m FROM testtok GROUP BY 1, 2),
+    delta AS (
+      SELECT tt.doc_id, m.c, sum(m.l - ci.l0) AS d
+      FROM testtok tt JOIN model m USING (w) JOIN clsinfo ci ON ci.c = m.c
+      GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT dt.doc_id, dt.source AS true_source, ci.c AS cand,
+             ci.prior + dt.m * ci.l0 + coalesce(d.d, 0) AS score
+      FROM doctot dt CROSS JOIN clsinfo ci
+      LEFT JOIN delta d ON d.doc_id = dt.doc_id AND d.c = ci.c
+    ),
+    pred AS (
+      SELECT doc_id, true_source, cand AS pred_source,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand ASC) AS rn
+      FROM scores
+    )
+    SELECT true_source, pred_source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q206_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained IN-ENGINE and certified exactly:
+    fit on the deterministic md5 train split (add-one smoothing over a
+    min-count-5 vocabulary), score the held-out docs, emit the
+    source-vs-predicted confusion matrix. Every log-probability is
+    floor-quantized to an integer (``floor(1e6 * ln(p))``) BEFORE any
+    summation, so scores are exact integer sums in both engines and the
+    argmax (ties broken by class name) cannot drift with float
+    accumulation order — the fasttext-style quality/source classifier
+    step of a curation pipeline as two shuffles plus broadcast joins.
+
+    Scale shape: the fit is one map-side-combining groupBy(word, class)
+    over the train token stream (vocabulary-bounded output); the model,
+    class table, and vocab are broadcast to the scoring side, which is
+    one groupBy(doc, class) over test tokens. The corpus shuffles on
+    doc_id once; no all-pairs anything."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bucket = sampling.hash_bucket(F.col("doc_id"), "v1", 10000)
+    tok = (
+        d.withColumn("is_train", bucket < 9000)
+        .select(
+            "doc_id",
+            "source",
+            "is_train",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    train = tok.filter("is_train")
+    vocab = train.groupBy("w").count().filter("count >= 5").select("w")
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    cls = (
+        d.withColumn("bucket", bucket)
+        .filter("bucket < 9000")
+        .groupBy(F.col("source").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ntrain = cls.agg(F.sum("n_docs").alias("n"))
+    wc = (
+        train.join(F.broadcast(vocab), "w")
+        .groupBy("w", F.col("source").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ctot = wc.groupBy("c").agg(F.sum("n").alias("t"))
+    model = (
+        wc.join(F.broadcast(ctot), "c")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w",
+            "c",
+            F.floor(1e6 * F.log((F.col("n") + 1.0) / (F.col("t") + F.col("v"))))
+            .cast("long")
+            .alias("l"),
+        )
+    )
+    clsinfo = (
+        cls.join(F.broadcast(ctot), "c")
+        .crossJoin(F.broadcast(ntrain))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "c",
+            F.floor(1e6 * F.log(F.col("n_docs") * 1.0 / F.col("n")))
+            .cast("long")
+            .alias("prior"),
+            F.floor(1e6 * F.log(1.0 / (F.col("t") + F.col("v"))))
+            .cast("long")
+            .alias("l0"),
+        )
+    )
+    testtok = tok.filter(~F.col("is_train")).join(F.broadcast(vocab), "w")
+    doctot = testtok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    delta = (
+        testtok.join(F.broadcast(model), "w")
+        .join(F.broadcast(clsinfo), "c")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("l") - F.col("l0")).alias("d"))
+    )
+    scores = (
+        doctot.crossJoin(F.broadcast(clsinfo))
+        .join(delta, ["doc_id", "c"], "left")
+        .select(
+            "doc_id",
+            F.col("source").alias("true_source"),
+            F.col("c").alias("cand"),
+            (
+                F.col("prior")
+                + F.col("m") * F.col("l0")
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = scores.withColumn("rn", F.row_number().over(w_rank)).filter("rn = 1")
+    return pred.groupBy(
+        "true_source", F.col("cand").alias("pred_source")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q207_blocking_er_join",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT p_name, n_parts, split_part(p_name, ' ', 2) AS blk
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q207_blocking_er_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking join: canonicalize part names to their
+    DISTINCT spellings first (the pigeonhole move — candidate generation
+    runs over entities, not rows), block on the head-noun token so the
+    self-join is an equi-join within bounded blocks, then verify only
+    the candidates with exact Levenshtein <= 3. Emits matched name
+    pairs with their edit distance and per-spelling row support.
+
+    Scale shape: the O(n^2) edit-distance verify never sees the fact
+    table — it runs on distinct spellings within a block (block count
+    grows with the name vocabulary, block size with spellings per noun);
+    the only full-table work is the distinct+count groupBy. The same
+    generate-then-verify contract as the chunk dedup path
+    (operators/dedup.py)."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.split("p_name", " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        "blk",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        "blk",
+    )
+    pairs = a.join(_dim(b), "blk").filter(F.col("name_a") < F.col("name_b"))
+    return (
+        pairs.withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter("lev <= 3")
+        .select("name_a", "name_b", "lev", "n_a", "n_b")
+    )
+
+
+def _q208_oracle() -> str:
+    # Embed the u<4 rows of the quantized DCT basis as literals so DuckDB
+    # replays the integer DCT exactly (same table the engine kernel uses).
+    from phoebe_spark.operators.multimodal import dct_basis_q
+
+    t = dct_basis_q(8)
+    vals = ", ".join(
+        f"({u}, {x}, {t[u][x]})" for u in range(4) for x in range(8)
+    )
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 63)) // 8 AS r,
+             unnest(generate_series(0, 63)) % 8 AS c,
+             (doc_id * 37 + unnest(generate_series(0, 63)) * 11) % 256 AS p
+      FROM documents
+    ),
+    tq(u, x, cv) AS (VALUES {vals}),
+    coef AS (
+      SELECT px.doc_id, t1.u AS u, t2.u AS v,
+             sum(px.p * t1.cv * t2.cv) AS cval
+      FROM px
+      JOIN tq t1 ON t1.x = px.r
+      JOIN tq t2 ON t2.x = px.c
+      GROUP BY 1, 2, 3
+    ),
+    low AS (SELECT doc_id, u, v, cval FROM coef WHERE NOT (u = 0 AND v = 0)),
+    tot AS (SELECT doc_id, sum(cval) AS s FROM low GROUP BY 1),
+    bits AS (
+      SELECT l.doc_id, l.u, l.v,
+             CASE WHEN 15 * l.cval > t.s THEN 1 ELSE 0 END AS b
+      FROM low l JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(sum(b * (CAST(1 AS BIGINT) << (14 - (u * 4 + v - 1)))) AS BIGINT)
+             AS phash,
+           CAST(sum(b) AS BIGINT) AS n_on
+    FROM bits GROUP BY doc_id
+    """
+
+
+@query("q208_image_phash_gate", oracle=_q208_oracle())
+def q208_image_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash certification — the frequency-domain sibling
+    of q204's average-hash: every doc synthesizes a REAL 8x8 PNG whose
+    gray pixel at (row r, col c) is ``(doc_id*37 + (r*8+c)*11) % 256``,
+    runs the real PNG decoder and :func:`multimodal.image_dct_phash`
+    (integer-quantized DCT basis, mean-threshold bits over the 4x4
+    low-frequency block minus DC), and the oracle recomputes the SAME
+    integer DCT analytically from the pixel formula with the basis
+    embedded as literals. Every coefficient is an exact integer in both
+    engines, so any defect in decode, the subsample, the basis, or the
+    bit packing flips the 15-bit hash. pHash survives brightness shifts
+    that break ahash — together they certify the two standard
+    image-dedup fingerprints.
+
+    Scale shape: Arrow mapInPandas kernels end-to-end; only (doc_id,
+    15-bit hash) leaves the executors."""
+    from phoebe_spark.operators import multimodal
+
+    def _gen(it):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def _png(gray: np.ndarray) -> bytes:
+            h, w = gray.shape
+            raw = b"".join(
+                b"\x00" + bytes(np.repeat(gray[r], 3).astype(np.uint8))
+                for r in range(h)
+            )
+
+            def chunk(tag: bytes, body: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(body))
+                    + tag
+                    + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(64, dtype=np.int64)
+                gray = ((int(doc_id) * 37 + i * 11) % 256).reshape(8, 8)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": _png(gray.astype(np.uint8)),
+                        "width": 8,
+                        "height": 8,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.mapInPandas(
+        _gen, "media_id LONG, content BINARY, width INT, height INT"
+    )
+    out = multimodal.image_dct_phash(blobs, decoder=multimodal.png_decode)
+    return out.select(F.col("media_id").alias("doc_id"), "phash", "n_on")
+
+
+@query(
+    "q209_streaming_cusum_drain",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value, {EPOCH_SQL.format(c='ts')} * 1000000000
+               + (epoch_ns(ts) % 1000000000) AS tsn, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000.0) AS BIGINT) - 50000000 AS dev,
+             row_number() OVER (ORDER BY tsn, event_id) AS ord,
+             ntile(4) OVER (ORDER BY tsn, event_id) AS slice
+      FROM e
+    ),
+    p AS (
+      SELECT event_type, ord, slice,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY ord) AS psum,
+             row_number() OVER (PARTITION BY event_type ORDER BY ord) AS rn
+      FROM o
+    ),
+    s AS (
+      SELECT event_type, ord, slice, rn,
+             psum - least(CAST(0 AS HUGEINT),
+                          min(psum) OVER (PARTITION BY event_type ORDER BY ord))
+               AS s
+      FROM p
+    ),
+    be AS (SELECT event_type, slice, max(ord) AS mo FROM o GROUP BY 1, 2),
+    bs AS (
+      SELECT s.event_type, s.slice, s.rn, s.s
+      FROM s JOIN be ON be.event_type = s.event_type AND be.mo = s.ord
+    )
+    SELECT event_type,
+           CAST(arg_max(s, slice) AS BIGINT) AS final_stat,
+           CAST(max(rn) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN s > 200000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_batches
+    FROM bs GROUP BY event_type
+    """,
+)
+def q209_streaming_cusum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM drift detector inside the hash-checked gate
+    (:func:`stateful.keyed_cusum`): per-event-type deviations stream
+    through 4 sequenced micro-batches and fold ``s = max(0, s + dev)``
+    in the state store; the oracle replays the recursion CLOSED-FORM —
+    ``S_n = P_n - min(0, min_j P_j)`` over prefix sums — at every
+    micro-batch boundary. Deviations are floor-quantized to integers
+    BEFORE streaming (``floor(1e6*value) - 50e6``), so the float state
+    variable only ever holds exact integers (< 2^53) and the drain is
+    bit-reproducible: the 4 batch-end probes per key certify the carried
+    state, the observation counter, and the ``s > 200e6`` alarm line.
+
+    The staging global sort is drain scaffolding (the production source
+    is a Kafka topic, arrival order = partition order); state is two
+    scalars per key. The closed form is also WHY the offline/online
+    split is safe at 100 TB: thresholds tuned on the batch prefix-sum
+    window plan transfer unchanged to the streaming fold."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming import stateful
+
+    work = tempfile.mkdtemp(prefix="q209_")
+    stage, src_dir, sink, ck = (
+        f"{work}/stage",
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ck",
+    )
+    try:
+        os.makedirs(src_dir)
+        e = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                F.col("event_type").alias("key"),
+                (F.floor(F.col("value") * 1e6).cast("long") - 50000000)
+                .cast("double")
+                .alias("dev"),
+                "ts",
+                "event_id",
+            )
+        )
+        w_ord = Window.orderBy("ts", "event_id")
+        staged = e.select(
+            "key",
+            "dev",
+            F.row_number().over(w_ord).alias("ord"),
+            F.ntile(4).over(w_ord).alias("_slice"),
+        )
+        staged.repartition(1).write.partitionBy("_slice").parquet(stage)
+        for i in range(1, 5):
+            (part,) = glob.glob(f"{stage}/_slice={i}/part-*.parquet")
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("key STRING, dev DOUBLE, ord LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        monitored = stateful.keyed_cusum(
+            stream,
+            k=0.0,
+            h=200_000_000.0,
+            key_col="key",
+            ts_col="ord",
+            value_col="dev",
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                monitored.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q209: streaming CUSUM drain did not finish within 300 s — "
+                    "refusing to report a partial monitor history"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        out = (
+            spark.read.parquet(sink)
+            .groupBy(F.col("key").alias("event_type"))
+            .agg(
+                F.max_by("stat", "n_obs").cast("long").alias("final_stat"),
+                F.max("n_obs").alias("n_obs"),
+                F.sum(F.col("alarm").cast("long")).alias("n_alarm_batches"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q210_streaming_topk_drain",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS within_k, TRUE AS mass_exact, TRUE AS lower_ok,
+           TRUE AS bound_ok, TRUE AS hh_tracked
+    FROM events GROUP BY event_type
+    """,
+)
+def q210_streaming_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Misra-Gries heavy hitters inside the hash-checked gate
+    (:func:`stateful.keyed_heavy_hitters`, k=10): per event type, user
+    activity streams through 4 sequenced micro-batches into an O(k)
+    summary, then the drained FINAL summary is audited against the exact
+    batch counts with the Misra-Gries guarantees as EXACT integer
+    checks (boolean-oracle treatment, like the q116/q117 sketch gates —
+    summary content is fold-order-dependent, the invariants are not):
+
+    - ``within_k``: at most k tracked items per key;
+    - ``mass_exact``: (n_total - sum of counters) is divisible by k+1 —
+      every decrement event retires exactly k+1 occurrences, so the
+      retired mass is an exact multiple (a sharp algebra check on the
+      carried state, not just an inequality);
+    - ``lower_ok``: every counter is a lower bound on its true count;
+    - ``bound_ok``: every undercount (and every untracked item's true
+      count) is at most D = retired/(k+1);
+    - ``hh_tracked``: every item with true count > D is tracked.
+
+    Scale shape: O(k) state per key vs the unbounded groupBy a naive
+    top-k would carry; the exact-count audit side is sf-test scaffolding
+    (at 100 TB you'd audit a sampled key subset)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming import stateful
+
+    K = 10
+    work = tempfile.mkdtemp(prefix="q210_")
+    stage, src_dir, sink, ck = (
+        f"{work}/stage",
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ck",
+    )
+    try:
+        os.makedirs(src_dir)
+        ev = _t(spark, sf_dir, "events")
+        e = ev.select(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+            "ts",
+            "event_id",
+        )
+        w_ord = Window.orderBy("ts", "event_id")
+        staged = e.select(
+            "key", "item", F.ntile(4).over(w_ord).alias("_slice")
+        )
+        staged.repartition(1).write.partitionBy("_slice").parquet(stage)
+        for i in range(1, 5):
+            (part,) = glob.glob(f"{stage}/_slice={i}/part-*.parquet")
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("key STRING, item STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        hh = stateful.keyed_heavy_hitters(stream, k=K)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                hh.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q210: streaming top-k drain did not finish within 300 s — "
+                    "refusing to audit a partial summary"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        emitted = spark.read.parquet(sink)
+        w_last = Window.partitionBy("key")
+        final = emitted.withColumn(
+            "max_nt", F.max("n_total").over(w_last)
+        ).filter("n_total = max_nt")
+        exact = ev.groupBy(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+        ).agg(F.count(F.lit(1)).alias("exact"))
+        j = exact.join(final.select("key", "item", "count_lb", "n_total"),
+                       ["key", "item"], "left")
+        per_key = j.groupBy("key").agg(
+            F.sum("exact").alias("nt_exact"),
+            F.sum(F.when(F.col("count_lb").isNotNull(), 1).otherwise(0))
+            .alias("n_tracked"),
+            F.sum(F.coalesce(F.col("count_lb"), F.lit(0))).alias("mass"),
+            F.min(
+                F.when(F.col("count_lb").isNotNull(),
+                       (F.col("count_lb") <= F.col("exact")).cast("int"))
+            ).alias("lower_min"),
+            F.max(F.col("n_total")).alias("nt_emitted"),
+        )
+        audit = (
+            j.join(per_key.select(
+                "key", "nt_exact", "n_tracked", "mass", "lower_min"
+            ), "key")
+            .withColumn("d", ((F.col("nt_exact") - F.col("mass")) / (K + 1))
+                        .cast("long"))
+            .groupBy("key")
+            .agg(
+                F.max("nt_exact").alias("n_total"),
+                (F.max("n_tracked") <= K).alias("within_k"),
+                (F.max((F.col("nt_exact") - F.col("mass")) % (K + 1)) == 0)
+                .alias("mass_exact"),
+                (F.max("lower_min") == 1).alias("lower_ok"),
+                F.min(
+                    F.when(
+                        F.col("count_lb").isNotNull(),
+                        (F.col("exact") - F.col("count_lb") <= F.col("d"))
+                        .cast("int"),
+                    ).otherwise((F.col("exact") <= F.col("d")).cast("int"))
+                ).cast("boolean").alias("bound_ok"),
+                F.min(
+                    F.when(
+                        F.col("exact") * (K + 1) > F.col("nt_exact"),
+                        F.col("count_lb").isNotNull().cast("int"),
+                    ).otherwise(F.lit(1))
+                ).cast("boolean").alias("hh_tracked"),
+            )
+            .withColumnRenamed("key", "event_type")
+        )
+        rows = audit.collect()
+        return spark.createDataFrame(rows, audit.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q211_dominant_supplier",
+    oracle="""
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small %'
+    ),
+    sp AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN small_parts ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, sum(qty) AS tq, count(*) AS ns FROM sp GROUP BY 1),
+    dom AS (
+      SELECT sp.l_suppkey, sp.l_partkey, sp.qty
+      FROM sp JOIN tot USING (l_partkey)
+      WHERE sp.qty * tot.ns > 2 * tot.tq
+    )
+    SELECT s.s_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_dominant_parts,
+           CAST(sum(dom.qty) AS BIGINT) AS dominated_qty
+    FROM dom
+    JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q211_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers) on this corpus — closes
+    the Q2-Q22 ladder modulo data limits. DISCLOSED PROXY: there is no
+    partsupp table (no ps_availqty), so 'supplier holding more than half
+    the forecast demand' becomes 'supplier who SHIPPED more than half of
+    a small-part's total quantity' — the identical plan shape (filtered
+    part semi-join, two-level quantity rollup, threshold compare,
+    supplier/nation lookup) with 'ships more than TWICE the part's
+    fair per-supplier share' as the dominance test (absolute-majority
+    thresholds are vacuous on this corpus: small-part supply is spread
+    near-uniformly across suppliers). Quantities are small integers, so double sums are
+    exact and the BIGINT casts are lossless in both engines.
+
+    Scale shape: the part filter prunes the lineitem join via broadcast;
+    the (part, supplier) rollup is one map-side-combining shuffle; the
+    part-total is a second, strictly smaller rollup joined back
+    broadcast; nation/supplier lookups are bounded-dim broadcasts."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small "))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    sp = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        # parts x suppliers sized; checkpoint so the lineitem scan+rollup
+        # subtree is not recomputed for the per-part total branch
+        .localCheckpoint(eager=True)
+    )
+    tot = sp.groupBy("l_partkey").agg(
+        F.sum("qty").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    dom = sp.join(_dim(tot), "l_partkey").filter(
+        F.col("qty") * F.col("ns") > 2 * F.col("tq")
+    )
+    s = _dim(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        dom.join(s, dom.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominant_parts"),
+            F.sum("qty").alias("dominated_qty"),
+        )
+    )
+
+
+# Benford first-digit expectations, quantized once in Python and embedded
+# as literals on BOTH sides — no runtime transcendentals to drift.
+_BENFORD_MILLI = {d: round(1_000_000 * __import__("math").log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def _q212_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_MILLI.items()
+    )
+    return f"""
+    WITH m AS (
+      SELECT 'o_totalprice' AS measure,
+             CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+      UNION ALL
+      SELECT 'l_extendedprice' AS measure,
+             CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    obs AS (
+      SELECT measure, digit, CAST(count(*) AS BIGINT) AS n_obs
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (SELECT measure, sum(n_obs) AS n FROM obs GROUP BY 1)
+    SELECT obs.measure, obs.digit, obs.n_obs,
+           CAST(tot.n * (CASE obs.digit {cases} END) AS BIGINT) AS exp_milli,
+           CAST(obs.n_obs * 1000000 - tot.n * (CASE obs.digit {cases} END) AS BIGINT)
+             AS dev_milli
+    FROM obs JOIN tot USING (measure)
+    """
+
+
+@query("q212_benford_audit", oracle=_q212_oracle())
+def q212_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit data-quality audit over the two money columns:
+    observed leading-digit counts vs the Benford expectation, with the
+    expected probabilities quantized to millionths ONCE in Python and
+    embedded as literals in both engines (no runtime log10 to drift).
+    Deviations are exact integers (obs*1e6 - n*p_milli) — synthetic or
+    fabricated financial columns jump out as large |dev_milli| mass.
+    The leading digit is taken from the DECIMAL(18,4) rendering so both
+    engines agree on formatting (no scientific notation).
+
+    Scale shape: pure column expressions into a 9-digit-per-measure
+    groupBy — one scan per measure, vocabulary-bounded output."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter("o_totalprice > 0")
+        .select(
+            F.lit("o_totalprice").alias("measure"),
+            F.substring(F.col("o_totalprice").cast("decimal(18,4)").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_extendedprice > 0")
+        .select(
+            F.lit("l_extendedprice").alias("measure"),
+            F.substring(F.col("l_extendedprice").cast("decimal(18,4)").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+    )
+    obs = o.unionByName(li).groupBy("measure", "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    p = F.create_map(
+        *[F.lit(x) for d, pm in _BENFORD_MILLI.items() for x in (d, pm)]
+    )
+    # per-measure total as a window over the 18-row aggregate — the scans
+    # run ONCE (a groupBy+join-back would duplicate both subtrees)
+    return (
+        obs.withColumn("n", F.sum("n_obs").over(Window.partitionBy("measure")))
+        .withColumn("p_milli", p[F.col("digit")])
+        .select(
+            "measure",
+            "digit",
+            "n_obs",
+            (F.col("n") * F.col("p_milli")).alias("exp_milli"),
+            (F.col("n_obs") * 1_000_000 - F.col("n") * F.col("p_milli"))
+            .alias("dev_milli"),
+        )
+    )
+
+
+@query(
+    "q213_ushaped_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_ns(ts) // 1000000000 AS sec,
+             CAST(floor(coalesce(value, 0) * 1000000.0) AS BIGINT) AS val_milli
+      FROM events
+    ),
+    nxt AS (
+      SELECT user_id, event_type, event_id, sec,
+             last_value(CASE WHEN event_type = 'purchase' THEN sec END IGNORE NULLS)
+               OVER w AS psec,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER w AS pid,
+             last_value(CASE WHEN event_type = 'purchase' THEN val_milli END IGNORE NULLS)
+               OVER w AS pval
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    touches AS (
+      SELECT user_id, event_type, event_id, sec, pid, pval
+      FROM nxt
+      WHERE event_type IN ('view', 'click')
+        AND pid IS NOT NULL AND psec - sec <= 86400
+    ),
+    ranked AS (
+      SELECT event_type, pid, pval,
+             row_number() OVER (PARTITION BY user_id, pid ORDER BY sec, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, pid) AS n
+      FROM touches
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 'only'
+                  WHEN rn = 1 THEN 'first'
+                  WHEN rn = n THEN 'last'
+                  ELSE 'middle' END AS position_class,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN rn = 1 OR rn = n THEN 400000
+                  ELSE 200000 // (n - 2) END AS w_milli,
+             pval
+      FROM ranked
+    )
+    SELECT event_type AS touch_type, position_class,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(w_milli * pval) AS BIGINT) AS credit_micro2
+    FROM credited GROUP BY 1, 2
+    """,
+)
+def q213_ushaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    multi-touch sibling of q103's last-touch: each view/click within the
+    24 h before a user's NEXT purchase earns credit by journey position
+    (only: 100%, first/last: 40% each — 50/50 for 2-touch journeys —
+    middles: floor-split of the remaining 20%). The next-purchase
+    binding is an IGNORE-NULLS carried window over the descending
+    (sec, id) order — one user_id shuffle, no event-table self-join,
+    however many purchases. Purchase values and position weights are
+    floor-quantized to integer millionths BEFORE multiplication, so
+    every credit is an exact integer product and the per-(channel,
+    position) rollup is order-independent in both engines.
+
+    Scale shape: two windows over one user_id partitioning (Catalyst
+    reuses the exchange), then a tiny groupBy; state per user is a
+    3-scalar carry, never a journey buffer."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        _epoch().alias("sec"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6)
+        .cast("long")
+        .alias("val_milli"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    nxt = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "sec",
+        F.last(F.when(is_p, F.col("sec")), ignorenulls=True).over(w).alias("psec"),
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w).alias("pid"),
+        F.last(F.when(is_p, F.col("val_milli")), ignorenulls=True).over(w).alias("pval"),
+    )
+    touches = nxt.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("pid").isNotNull()
+        & (F.col("psec") - F.col("sec") <= 86400)
+    )
+    w_j = Window.partitionBy("user_id", "pid").orderBy("sec", "event_id")
+    w_n = Window.partitionBy("user_id", "pid")
+    ranked = touches.select(
+        "event_type",
+        "pid",
+        "pval",
+        F.row_number().over(w_j).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credited = ranked.select(
+        "event_type",
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n"), "last")
+        .otherwise("middle")
+        .alias("position_class"),
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400000)
+        .otherwise(F.floor(200000 / (F.col("n") - 2)).cast("long"))
+        .alias("w_milli"),
+        "pval",
+    )
+    return credited.groupBy(
+        F.col("event_type").alias("touch_type"), "position_class"
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.col("w_milli") * F.col("pval")).alias("credit_micro2"),
+    )

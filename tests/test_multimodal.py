@@ -968,3 +968,53 @@ def test_audio_spectral_features_recovers_planted_bin(spark):
     for media_id, k in [(1, 8), (2, 32), (3, 64)]:
         assert out[media_id]["dominant_freq_hz"] == pytest.approx(k * binw, abs=1e-9)
         assert abs(out[media_id]["spectral_centroid_hz"] - k * binw) < binw
+
+
+def test_image_dct_phash_matches_reference_dct(spark, images):
+    """The integer-DCT pHash must equal an independent float DCT-II
+    computed with numpy on the same decoded pixels (quantization of the
+    basis must not flip any bit on these images), and a constant image
+    must hash to all-zero bits (no AC energy)."""
+    import numpy as np
+
+    from phoebe_spark.operators.multimodal import (
+        auto_decode_image,
+        dct_basis_q,
+        image_dct_phash,
+    )
+
+    rows = {r["media_id"]: r for r in image_dct_phash(images).collect()}
+    assert len(rows) == 20
+    src = {r["media_id"]: bytes(r["content"]) for r in images.collect()}
+    t = np.array(dct_basis_q(8), dtype=np.int64)
+    for mid, blob in src.items():
+        img = auto_decode_image(blob, -1, -1)
+        small = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
+        g = small.sum(axis=2, dtype=np.int64)
+        low = (t @ g @ t.T)[:4, :4].flatten()[1:]
+        tot = int(low.sum())
+        bits = [1 if 15 * int(c) > tot else 0 for c in low]
+        expect = 0
+        for b in bits:
+            expect = (expect << 1) | b
+        assert rows[mid]["phash"] == expect
+        assert rows[mid]["n_on"] == sum(bits)
+    # constant image: every AC coefficient is exactly 0, mean is 0 -> no bit set
+    flat = np.full((8, 8), 77, dtype=np.uint8)
+    import struct
+    import zlib as _z
+
+    raw = b"".join(b"\x00" + bytes(np.repeat(flat[r], 3)) for r in range(8))
+    def _chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", _z.crc32(tag + body) & 0xFFFFFFFF
+        )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, png, 8, 8)], "media_id LONG, content BINARY, width INT, height INT")
+    (r,) = image_dct_phash(df).collect()
+    assert r["phash"] == 0 and r["n_on"] == 0

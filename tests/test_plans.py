@@ -963,3 +963,68 @@ def test_q204_arrow_kernels_only(spark, sf_dir):
     # row-at-a-time BatchEvalPython anywhere
     assert "BatchEvalPython" not in plan
     assert _ops(plan, "MapInPandas") == 2  # generator + feature extractor
+
+
+def test_q206_model_broadcast_scoring(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q206_naive_bayes_source")
+    # the NB model / vocab / class tables reach the scoring side as
+    # broadcasts; token-stream shuffles are the fit and per-doc score
+    # aggregations only, and nothing is a cartesian blow-up
+    assert "CartesianProduct" not in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 4
+    # integer-quantized scores: the argmax is a rank-1 window, pushed as
+    # a group-limit so only each doc's top row crosses the final agg
+    assert _ops(plan, "WindowGroupLimit") >= 1
+
+
+def test_q207_verify_on_distinct_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q207_blocking_er_join")
+    # levenshtein verify runs AFTER the distinct-spelling groupBy and
+    # inside an equi-join on the block key — never a cartesian product,
+    # never on raw part rows
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()
+    # the block join consumes the aggregated (distinct-name) side
+    assert _ops(plan, "HashAggregate") >= 2
+
+
+def test_q208_arrow_kernels_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q208_image_phash_gate")
+    # synth + decode + integer-DCT hash are Arrow-batched python stages;
+    # no row-at-a-time BatchEvalPython anywhere
+    assert "BatchEvalPython" not in plan
+    assert _ops(plan, "MapInPandas") == 2  # generator + pHash kernel
+
+
+def test_q211_broadcast_prune_and_rollups(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q211_dominant_supplier")
+    # the (part, supplier) rollup is checkpointed, so the final plan
+    # joins the cached partials (ExistingRDD) — lineitem is scanned
+    # exactly once (inside the checkpoint), and the only parquet scans
+    # left are the bounded supplier/nation dims, all broadcast
+    assert "Scan ExistingRDD" in plan
+    assert _ops(plan, "Scan parquet") == 2
+    assert _ops(plan, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q212_two_scans_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q212_benford_audit")
+    # one scan per money column (per-measure total via window, no
+    # join-back re-scan), digit extracted scan-side, and the ReadSchema
+    # carries ONLY the measure column
+    assert _ops(plan, "Scan parquet") == 2
+    assert _ops(plan, "BroadcastHashJoin") == 0
+    import re as _re
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = m.group(1)
+        assert cols in ("o_totalprice:double", "l_extendedprice:double")
+
+
+def test_q213_single_user_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q213_ushaped_attribution")
+    # the purchase-binding window and the journey-position windows hang
+    # off user_id partitionings; no self-join of the event table
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") == 0
+    assert "CartesianProduct" not in plan
