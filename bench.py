@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "q211_dominant_supplier",
     "q212_benford_audit",
     "q213_ushaped_attribution",
+    "q214_unigram_lm_tokenizer",
+    "q215_wordpiece_encode",
+    "q216_quality_signal_agreement",
 ]
 
 

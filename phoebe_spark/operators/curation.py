@@ -481,3 +481,61 @@ def greedy_max_coverage(
         picks.append((rnd, doc, gain))
         covered.update(best[0]["new"])
     return picks
+
+
+def quality_signal_agreement(
+    docs: DataFrame,
+    group_col: str = "source",
+    x_col: Column | None = None,
+    y_col: Column | None = None,
+) -> DataFrame:
+    """Per-source Spearman rank correlation between two quality signals —
+    the curation sanity check that independent quality scorers agree
+    before their thresholds gate a corpus (disagreement per source flags
+    a scorer that's broken for that slice).
+
+    Engine-exact: average ranks with standard tie handling are carried as
+    INTEGER doubled-ranks (``2*avg_rank = 2*rank() + ties - 1``), all
+    five correlation sums run as BIGINT (exact), and only the final
+    Pearson-on-ranks division happens in double — so Spark and the
+    DuckDB oracle agree digit-for-digit instead of to-an-ulp.
+
+    Scale shape: two rank windows per source partition plus ONE grouped
+    sum — no joins, no global sort; at 100 TB each source's ranking is a
+    single per-key sort inside its shuffle partition (salt a pathological
+    mega-source upstream if one source dominates the corpus)."""
+    from pyspark.sql import Window
+
+    x = x_col if x_col is not None else F.length("text")
+    y = y_col if y_col is not None else F.size(F.split(F.trim("text"), r"\s+"))
+    d = docs.select(F.col(group_col).alias("g"), x.alias("x"), y.alias("y"))
+
+    def _r2(col: str) -> Column:
+        w = Window.partitionBy("g").orderBy(col)
+        cnt = Window.partitionBy("g", col)
+        return (2 * F.rank().over(w) + F.count(F.lit(1)).over(cnt) - 1).cast("long")
+
+    r = d.select("g", _r2("x").alias("rx"), _r2("y").alias("ry"))
+    s = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    # combine the exact BIGINT sums in DOUBLE (each sum is exactly
+    # representable below 2^53; n*sxy would overflow BIGINT at large n,
+    # and both engines round identical IEEE products identically)
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_docs"),
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        ).alias("spearman_rho"),
+    )

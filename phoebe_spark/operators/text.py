@@ -480,3 +480,248 @@ def bpe_train(words: DataFrame, rounds: int = 5, word_col: str = "w") -> list[tu
             .localCheckpoint(eager=True)
         )
     return merges
+
+
+def unigram_lm_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    max_word_len: int = 8,
+) -> DataFrame:
+    """One EM round of a SentencePiece-style UNIGRAM-LM tokenizer
+    (Kudo 2018, "Subword Regularization" — public), engine-exact:
+
+    - candidate pieces = every substring of length 1..``max_piece_len``
+      of the distinct words, seeded with occurrence-weighted counts;
+    - E-step = Viterbi segmentation of each distinct word under
+      floor-quantized integer log-probs (``floor(1e6*ln(c/total))``),
+      ties broken by (score desc, split position asc — i.e. longest
+      last piece), so the DP is bit-deterministic;
+    - M-step = re-count pieces from the Viterbi segmentations weighted
+      by word frequency, emit smoothed re-scored pieces.
+
+    Returns (piece, n1, n_words, l1_milli): the surviving piece table.
+    Completes the tokenizer ladder next to :func:`bpe_train` — BPE grows
+    greedily bottom-up, unigram prunes top-down from all substrings.
+
+    Scale shape: the corpus contributes ONE map-side-combining word
+    count; everything after runs on the distinct-word frame (vocabulary-
+    bounded, like the BPE merge table). The whole Viterbi DP runs INSIDE
+    one codegen ``aggregate`` higher-order expression per word — pieces
+    are collected per word (≤ ``max_word_len * max_piece_len`` structs)
+    and the position loop folds over them JVM-side, so the E-step is a
+    single shuffle with no iterative job chain. At each position the
+    winner is ``array_max`` over candidate structs ordered
+    ``(score, -prev_pos, …)`` — exactly the (score desc, split asc)
+    tie-break, and since each candidate at a position comes from a
+    distinct split the key is strict. Words longer than ``max_word_len``
+    are truncated-out (disclosed; raise the bound for natural-language
+    corpora)."""
+    tok = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    words = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .withColumn("wlen", F.length("w"))
+        .filter(F.col("wlen") <= max_word_len)
+        .localCheckpoint(eager=True)
+    )
+    # all (word, start j, stop i) piece occurrences, 1-based substring
+    occ = (
+        words.select(
+            "w",
+            "cw",
+            "wlen",
+            F.explode(F.sequence(F.lit(0), F.col("wlen") - 1)).alias("j"),
+        )
+        .select(
+            "w",
+            "cw",
+            "wlen",
+            "j",
+            F.explode(
+                F.sequence(
+                    F.col("j") + 1,
+                    F.least(F.col("j") + max_piece_len, F.col("wlen")),
+                )
+            ).alias("i"),
+        )
+        .withColumn(
+            "piece", F.expr("substring(w, j + 1, i - j)")
+        )
+    )
+    c0 = occ.groupBy("piece").agg(F.sum("cw").alias("c"))
+    t0 = c0.agg(F.sum("c").alias("t"))
+    l0 = c0.crossJoin(F.broadcast(t0)).select(
+        "piece",
+        F.floor(1e6 * F.log(F.col("c") * 1.0 / F.col("t")))
+        .cast("long")
+        .alias("l"),
+    )
+    so = occ.join(F.broadcast(l0), "piece").select("w", "j", "i", "piece", "l")
+
+    # One collect per word, then the entire position-by-position DP as a
+    # codegen fold: acc is the best (score, -split, seg) per prefix
+    # position; array_max over the candidates ending at each position IS
+    # the (score desc, split asc) winner rule of the stepwise DP.
+    per_word = so.groupBy("w").agg(
+        F.collect_list(F.struct("j", "i", "l", "piece")).alias("ps")
+    )
+    dp = F.expr(
+        """
+        aggregate(
+          sequence(1, wlen),
+          array(named_struct(
+            'score', CAST(0 AS BIGINT),
+            'negj', CAST(0 AS BIGINT),
+            'seg', CAST(array() AS array<string>))),
+          (acc, i) -> array_append(acc,
+            array_max(transform(
+              filter(ps, p -> p.i = i),
+              p -> named_struct(
+                'score', element_at(acc, p.j + 1).score + p.l,
+                'negj', -CAST(p.j AS BIGINT),
+                'seg', array_append(element_at(acc, p.j + 1).seg, p.piece))))),
+          acc -> element_at(acc, wlen + 1).seg
+        )
+        """
+    )
+    fin = per_word.join(words, "w").select("w", "cw", dp.alias("seg"))
+    rc = fin.select("w", "cw", F.explode("seg").alias("piece"))
+    n1 = rc.groupBy("piece").agg(
+        F.sum("cw").alias("n1"),
+        F.countDistinct("w").alias("n_words"),
+    )
+    tot1 = n1.agg(
+        F.sum("n1").alias("t"), F.count(F.lit(1)).alias("p")
+    )
+    return n1.crossJoin(F.broadcast(tot1)).select(
+        "piece",
+        "n1",
+        "n_words",
+        F.floor(1e6 * F.log((F.col("n1") + 1.0) / (F.col("t") + F.col("p"))))
+        .cast("long")
+        .alias("l1_milli"),
+    )
+
+
+def wordpiece_encode_census(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 4,
+    max_word_len: int = 8,
+) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding census (Wu et al.
+    2016, public; the BERT tokenizer's inference rule), engine-exact:
+
+    - vocab = the ``vocab_size`` most frequent marked substrings of the
+      distinct words (continuation pieces carry the ``##`` prefix, start
+      pieces don't; ties broken (count desc, piece asc)) PLUS every
+      single-character piece, so greedy matching can never dead-end and
+      no [UNK] token is needed;
+    - encoding = per word, repeatedly take the LONGEST vocab piece
+      matching at the cursor (longest-match-first, the WordPiece rule —
+      unlike BPE's merge-order replay or unigram's Viterbi argmax);
+    - output = the piece usage census over the corpus:
+      (piece, n_uses, n_words), occurrence-weighted.
+
+    Completes the tokenizer ladder: BPE (bottom-up merge replay,
+    :func:`bpe_train`), unigram-LM (top-down Viterbi,
+    :func:`unigram_lm_fit`), WordPiece (greedy longest-match).
+
+    A word that itself starts with ``##`` collides with a continuation
+    piece in the count table — the stock WordPiece ambiguity, kept
+    as-is (disclosed; both this and the oracle share it).
+
+    Scale shape: ONE map-side-combining word count over the corpus; the
+    vocab is bounded (``vocab_size`` + alphabet) and rides along as a
+    broadcast single-row map; the greedy loop folds inside one codegen
+    ``aggregate`` HOF per word (each tick advances >= 1 char, so
+    ``max_word_len`` ticks suffice) — no iterative job chain, no UDF."""
+    tok = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    words = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .withColumn("wlen", F.length("w"))
+        .filter(F.col("wlen") <= max_word_len)
+        .localCheckpoint(eager=True)
+    )
+    occ = (
+        words.select(
+            "w",
+            "cw",
+            "wlen",
+            F.explode(F.sequence(F.lit(0), F.col("wlen") - 1)).alias("j"),
+        )
+        .select(
+            "w",
+            "cw",
+            "wlen",
+            "j",
+            F.explode(
+                F.sequence(
+                    F.col("j") + 1,
+                    F.least(F.col("j") + max_piece_len, F.col("wlen")),
+                )
+            ).alias("i"),
+        )
+        .withColumn(
+            "piece",
+            F.when(
+                F.col("j") == 0, F.expr("substring(w, j + 1, i - j)")
+            ).otherwise(F.concat(F.lit("##"), F.expr("substring(w, j + 1, i - j)"))),
+        )
+    )
+    pc = occ.groupBy("piece").agg(F.sum("cw").alias("cnt"))
+    topv = (
+        pc.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(vocab_size)
+        .select("piece")
+    )
+    singles = occ.filter(F.col("i") - F.col("j") == 1).select("piece").distinct()
+    vocab = topv.unionByName(singles).distinct()
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.lit(True)))
+        ).alias("vmap")
+    )
+
+    def _mk(length: int) -> str:
+        s = f"substring(w, acc.pos + 1, {length})"
+        return f"CASE WHEN acc.pos = 0 THEN {s} ELSE '##' || {s} END"
+
+    def _hit(length: int) -> str:
+        return (
+            f"acc.pos + {length} <= wlen AND "
+            f"try_element_at(vmap, {_mk(length)}) IS NOT NULL"
+        )
+
+    pick = "CASE " + " ".join(
+        f"WHEN {_hit(l)} THEN {_mk(l)}"
+        for l in range(max_piece_len, 1, -1)
+    ) + f" ELSE {_mk(1)} END"
+    dp = F.expr(
+        f"""
+        aggregate(
+          sequence(1, wlen),
+          named_struct('pos', 0, 'seg', CAST(array() AS array<string>)),
+          (acc, t) -> CASE WHEN acc.pos >= wlen THEN acc ELSE
+            named_struct(
+              'pos', acc.pos + length({pick})
+                       - CASE WHEN acc.pos > 0 THEN 2 ELSE 0 END,
+              'seg', array_append(acc.seg, {pick}))
+            END,
+          acc -> acc.seg
+        )
+        """
+    )
+    enc = words.crossJoin(F.broadcast(vmap)).select("w", "cw", dp.alias("seg"))
+    rc = enc.select("w", "cw", F.explode("seg").alias("piece"))
+    return rc.groupBy("piece").agg(
+        F.sum("cw").alias("n_uses"),
+        F.countDistinct("w").alias("n_words"),
+    )

@@ -11239,3 +11239,224 @@ def q213_ushaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.sum(F.col("w_milli") * F.col("pval")).alias("credit_micro2"),
     )
+
+
+def _q214_oracle(max_piece_len: int = 4, max_word_len: int = 8) -> str:
+    # Generated CTE chain replaying the Viterbi DP step by step — the
+    # same treatment as the BPE-trainer oracles (q145/q160): the oracle
+    # RE-RUNS the algorithm, it doesn't trust the engine's answer.
+    steps = []
+    prev_ub = "ub0"
+    for i in range(1, max_word_len + 1):
+        steps.append(f"""
+    best{i} AS (
+      SELECT w, pos, score, seg FROM (
+        SELECT b.w, {i} AS pos, b.score + s.l AS score,
+               list_append(b.seg, s.piece) AS seg,
+               row_number() OVER (PARTITION BY b.w
+                                  ORDER BY b.score + s.l DESC, b.pos ASC) AS rn
+        FROM {prev_ub} b JOIN so s ON s.w = b.w AND s.j = b.pos AND s.i = {i}
+      ) WHERE rn = 1
+    ),
+    ub{i} AS (SELECT * FROM {prev_ub} UNION ALL SELECT * FROM best{i})""")
+        prev_ub = f"ub{i}"
+    chain = ",".join(steps)
+    return f"""
+    WITH tok AS (
+      SELECT w FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''
+    ),
+    words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cw, length(w) AS wlen
+      FROM tok GROUP BY 1 HAVING length(w) <= {max_word_len}
+    ),
+    occ AS (
+      SELECT w, cw, wlen, j, i, substring(w, j + 1, i - j) AS piece
+      FROM words,
+           generate_series(0, {max_word_len} - 1) AS g1(j),
+           generate_series(1, {max_word_len}) AS g2(i)
+      WHERE j < i AND i <= wlen AND i - j <= {max_piece_len}
+    ),
+    c0 AS (SELECT piece, sum(cw) AS c FROM occ GROUP BY 1),
+    t0 AS (SELECT sum(c) AS t FROM c0),
+    l0 AS (
+      SELECT piece, CAST(floor(1e6 * ln(c * 1.0 / t)) AS BIGINT) AS l
+      FROM c0, t0
+    ),
+    so AS (
+      SELECT occ.w, occ.j, occ.i, occ.piece, l0.l
+      FROM occ JOIN l0 USING (piece)
+    ),
+    ub0 AS (
+      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score,
+             CAST([] AS VARCHAR[]) AS seg
+      FROM words
+    ),{chain},
+    fin AS (
+      SELECT u.w, u.seg, wd.cw
+      FROM {prev_ub} u JOIN words wd ON wd.w = u.w AND u.pos = wd.wlen
+    ),
+    rc AS (SELECT piece, cw, w FROM fin, unnest(seg) AS s(piece)),
+    n1 AS (
+      SELECT piece, CAST(sum(cw) AS BIGINT) AS n1,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_words
+      FROM rc GROUP BY 1
+    ),
+    tot1 AS (SELECT sum(n1) AS t, count(*) AS p FROM n1)
+    SELECT piece, n1, n_words,
+           CAST(floor(1e6 * ln((n1 + 1.0) / (t + p))) AS BIGINT) AS l1_milli
+    FROM n1, tot1
+    """
+
+
+@query("q214_unigram_lm_tokenizer", oracle=_q214_oracle())
+def q214_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style UNIGRAM-LM tokenizer EM round
+    (:func:`text.unigram_lm_fit`) certified digit-for-digit: all-substring
+    seeding, integer-quantized Viterbi segmentation of every distinct
+    word (ties broken (score desc, split asc)), and the weighted M-step
+    recount — the oracle REPLAYS the whole DP as a generated CTE chain,
+    one step per word position, exactly like the q145/q160 BPE oracles.
+    Together with BPE train/encode this completes the tokenizer ladder:
+    greedy bottom-up merges AND top-down likelihood pruning.
+
+    Scale shape: one map-side-combining word count over the corpus; the
+    EM machinery runs entirely on the distinct-word frame (vocabulary-
+    bounded), and the whole Viterbi DP folds inside ONE codegen
+    ``aggregate`` higher-order expression per word — a single shuffle,
+    no iterative job chain."""
+    return text.unigram_lm_fit(_t(spark, sf_dir, "documents"))
+
+
+def _q215_oracle(vocab_size: int = 200, max_piece_len: int = 4, max_word_len: int = 8) -> str:
+    # Generated step chain replaying the greedy longest-match loop, one
+    # CTE per cursor tick — the q145/q160/q214 oracle treatment: DuckDB
+    # re-learns the vocab and re-applies the matching rule itself.
+    def mk(length: int) -> str:
+        s = f"substring(w, pos + 1, {length})"
+        return f"CASE WHEN pos = 0 THEN {s} ELSE '##' || {s} END"
+
+    arms = " ".join(
+        f"WHEN pos + {l} <= wlen AND {mk(l)} IN (SELECT piece FROM vocab) THEN {mk(l)}"
+        for l in range(max_piece_len, 1, -1)
+    )
+    pick = f"CASE {arms} ELSE {mk(1)} END"
+    steps = []
+    prev = "st0"
+    for t in range(1, max_word_len + 1):
+        steps.append(f"""
+    st{t} AS (
+      SELECT w, cw, wlen,
+        CASE WHEN pos >= wlen THEN pos
+             ELSE pos + length(pick) - CASE WHEN pos > 0 THEN 2 ELSE 0 END
+        END AS pos,
+        CASE WHEN pos >= wlen THEN seg ELSE list_append(seg, pick) END AS seg
+      FROM (SELECT *, {pick} AS pick FROM {prev})
+    )""")
+        prev = f"st{t}"
+    chain = ",".join(steps)
+    return f"""
+    WITH tok AS (
+      SELECT w FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''
+    ),
+    words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cw, length(w) AS wlen
+      FROM tok GROUP BY 1 HAVING length(w) <= {max_word_len}
+    ),
+    occ AS (
+      SELECT w, cw, wlen, j, i,
+             CASE WHEN j = 0 THEN substring(w, j + 1, i - j)
+                  ELSE '##' || substring(w, j + 1, i - j) END AS piece
+      FROM words,
+           generate_series(0, {max_word_len} - 1) AS g1(j),
+           generate_series(1, {max_word_len}) AS g2(i)
+      WHERE j < i AND i <= wlen AND i - j <= {max_piece_len}
+    ),
+    pc AS (SELECT piece, sum(cw) AS cnt FROM occ GROUP BY 1),
+    topv AS (
+      SELECT piece FROM (
+        SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM pc
+      ) WHERE rn <= {vocab_size}
+    ),
+    singles AS (SELECT DISTINCT piece FROM occ WHERE i - j = 1),
+    vocab AS (SELECT piece FROM topv UNION SELECT piece FROM singles),
+    st0 AS (
+      SELECT w, cw, wlen, 0 AS pos, CAST([] AS VARCHAR[]) AS seg FROM words
+    ),{chain},
+    rc AS (SELECT piece, cw, w FROM {prev}, unnest(seg) AS s(piece))
+    SELECT piece, CAST(sum(cw) AS BIGINT) AS n_uses,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words
+    FROM rc GROUP BY 1
+    """
+
+
+@query("q215_wordpiece_encode", oracle=_q215_oracle())
+def q215_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding census
+    (:func:`text.wordpiece_encode_census`) certified digit-for-digit:
+    the top-200 marked substrings (continuations carry ``##``) plus the
+    full single-char alphabet form the vocab, and every distinct word is
+    encoded by the BERT-tokenizer rule — repeatedly take the longest
+    matching vocab piece at the cursor. The oracle RE-LEARNS the vocab
+    and RE-APPLIES the greedy loop as a generated CTE chain, one tick
+    per cursor step — the q145/q160/q214 treatment. Completes the
+    tokenizer ladder: BPE merge replay, unigram-LM Viterbi, WordPiece
+    greedy longest-match.
+
+    Scale shape: one map-side-combining word count; bounded vocab rides
+    as a broadcast one-row map; the greedy loop folds inside ONE codegen
+    ``aggregate`` HOF per word — a single shuffle, no job chain."""
+    return text.wordpiece_encode_census(_t(spark, sf_dir, "documents"))
+
+
+_Q216_ORACLE = r"""
+    WITH d AS (
+      SELECT source AS g, length(text) AS x,
+             len(regexp_split_to_array(trim(text), '\s+')) AS y
+      FROM documents
+    ),
+    r AS (
+      SELECT g,
+        CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+             + count(*) OVER (PARTITION BY g, x) - 1 AS BIGINT) AS rx,
+        CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+             + count(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS ry
+      FROM d
+    ),
+    s AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy
+      FROM r GROUP BY 1
+    )
+    SELECT g AS source, n AS n_docs,
+      round(CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+        THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        ELSE 0.0 END, 6) AS spearman_rho
+    FROM s
+"""
+
+
+@query("q216_quality_signal_agreement", oracle=_Q216_ORACLE)
+def q216_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank agreement between two quality signals
+    (:func:`curation.quality_signal_agreement`): char length vs
+    whitespace token count. The curation sanity check that independent
+    scorers agree before their thresholds gate a corpus. Average ranks
+    with standard tie handling are carried as INTEGER doubled-ranks and
+    all correlation sums as exact BIGINTs; only the final Pearson-on-
+    ranks combination runs in (identically-ordered) double — so the
+    oracle matches digit-for-digit, not to-an-ulp.
+
+    Scale shape: two per-source rank windows + one grouped sum; no
+    joins, no global sort."""
+    from phoebe_spark.operators import curation
+
+    return curation.quality_signal_agreement(_t(spark, sf_dir, "documents"))

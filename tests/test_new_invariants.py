@@ -300,3 +300,74 @@ def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
     # the far blob stays its own cluster throughout
     far = {r["cid"] for r in fit if r["vec_id"] == 1 or r["vec_id"] >= 12}
     assert far == {1}
+
+
+def test_unigram_lm_hand_checked_corpus(spark):
+    """A 3x-repeated word must survive whole ('ab' beats 'a'+'b' since
+    ln(1/3) > 2*ln(1/3)); counts and smoothed re-scores are hand-computed."""
+    from phoebe_spark.operators.text import unigram_lm_fit
+
+    df = spark.createDataFrame([("ab ab ab",)], "text string")
+    rows = {r["piece"]: r for r in unigram_lm_fit(df).collect()}
+    assert set(rows) == {"ab"}
+    r = rows["ab"]
+    # n1 = 3 occurrences, 1 distinct word; l1 = floor(1e6*ln((3+1)/(3+1))) = 0
+    assert (r["n1"], r["n_words"], r["l1_milli"]) == (3, 1, 0)
+
+
+def test_unigram_lm_tie_breaks_to_earliest_split(spark):
+    """With max_piece_len=2 the word 'abc' ties exactly between
+    'ab'+'c' and 'a'+'bc' (all substrings count 1); the (score desc,
+    split asc) rule must pick the EARLIER split, i.e. ['a','bc']."""
+    from phoebe_spark.operators.text import unigram_lm_fit
+
+    df = spark.createDataFrame([("abc",)], "text string")
+    rows = {r["piece"]: r for r in unigram_lm_fit(df, max_piece_len=2).collect()}
+    assert set(rows) == {"a", "bc"}
+    # t = 2, p = 2 -> l1 = floor(1e6 * ln(2/4)) = -693148 for both
+    assert rows["a"]["l1_milli"] == -693148
+    assert rows["bc"]["l1_milli"] == -693148
+
+
+def test_wordpiece_whole_word_wins(spark):
+    """Greedy longest-match must take a full-word vocab piece in one
+    bite: 'abab' x3 puts 'abab' itself in the vocab."""
+    from phoebe_spark.operators.text import wordpiece_encode_census
+
+    df = spark.createDataFrame([("abab abab abab",)], "text string")
+    rows = {r["piece"]: r for r in wordpiece_encode_census(df).collect()}
+    assert set(rows) == {"abab"}
+    assert (rows["abab"]["n_uses"], rows["abab"]["n_words"]) == (3, 1)
+
+
+def test_wordpiece_single_char_fallback_marks_continuations(spark):
+    """With vocab_size=0 only the forced single-char alphabet remains:
+    every word decomposes into chars, continuations marked '##'."""
+    from phoebe_spark.operators.text import wordpiece_encode_census
+
+    df = spark.createDataFrame([("abcd",)], "text string")
+    rows = {r["piece"]: (r["n_uses"], r["n_words"])
+            for r in wordpiece_encode_census(df, vocab_size=0).collect()}
+    assert rows == {"a": (1, 1), "##b": (1, 1), "##c": (1, 1), "##d": (1, 1)}
+
+
+def test_spearman_rho_bounds_and_perfect_agreement(spark):
+    """rho must be exactly 1.0 when one signal is a monotone function of
+    the other, and -1.0 when reversed (integer doubled-rank arithmetic
+    makes these exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators.curation import quality_signal_agreement
+
+    df = spark.createDataFrame(
+        [("a", i, "x" * (i + 1)) for i in range(10)]
+        + [("b", i, "x" * (20 - i)) for i in range(10)],
+        "source string, k int, text string",
+    )
+    rows = {
+        r["source"]: r["spearman_rho"]
+        for r in quality_signal_agreement(
+            df, x_col=F.col("k"), y_col=F.length("text")
+        ).collect()
+    }
+    assert rows == {"a": 1.0, "b": -1.0}

@@ -1028,3 +1028,30 @@ def test_q213_single_user_exchange(spark, sf_dir):
     assert _ops(plan, "Scan parquet") == 1
     assert _ops(plan, "SortMergeJoin") + _ops(plan, "ShuffledHashJoin") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_q214_single_pass_viterbi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q214_unigram_lm_tokenizer")
+    # the whole Viterbi DP folds inside one HOF aggregate over the
+    # per-word piece list: no iterative join chain, no row_number
+    # windows, and the piece-score table broadcasts onto the occurrences
+    assert _ops(plan, "Window") == 0
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 2  # l0 onto occ; totals onto n1
+
+
+def test_q215_single_pass_greedy(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q215_wordpiece_encode")
+    # bounded vocab rides as a broadcast map; the greedy loop folds in
+    # one HOF aggregate — no iterative join chain, no cartesian blowup
+    assert "CartesianProduct" not in plan
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "BroadcastNestedLoopJoin") <= 1  # the 1-row vmap ride-along
+
+
+def test_q216_no_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q216_quality_signal_agreement")
+    # rank windows + one grouped sum; the documents table never joins
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
