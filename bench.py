@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "q214_unigram_lm_tokenizer",
     "q215_wordpiece_encode",
     "q216_quality_signal_agreement",
+    "q217_neardup_decontamination",
 ]
 
 

@@ -1304,3 +1304,94 @@ def stitch_candidates(
     return a.join(b, "gram").filter(F.col("a_id") != F.col("b_id")).select(
         "a_id", "b_id", "gram"
     )
+
+
+def neardup_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """NEAR-duplicate train/eval decontamination: flag corpus documents
+    whose n-gram Jaccard with any benchmark document clears ``threshold``,
+    generated by cross-corpus banded-MinHash LSH and verified with the
+    exact Jaccard — the missing rung between exact-match decontamination
+    (:func:`contamination_flags`) and rewritten/paraphrased leakage that
+    exact n-gram probes miss (the GPT-3 appendix-C / Lee et al. 2022
+    near-dup contamination protocol, both public).
+
+    Plan shape (the 100 TB story):
+      1. each side shingles + minhash-signs independently — the corpus
+         contributes its ONE groupBy(doc) signature shuffle;
+      2. band buckets equi-join with the BENCHMARK side broadcast (eval
+         suites are ~1e3–1e6 rows; the corpus never reshuffles for the
+         probe and never self-joins);
+      3. exact-Jaccard verification runs only on gram-overlapping pairs,
+         again via a broadcast of the benchmark posting list.
+    Returns (corpus_doc, bench_doc, jaccard >= threshold), candidates
+    gated by BOTH the LSH recall stage and the exact precision stage.
+
+    ``hash_fn='md5'`` keeps every hash reproducible in the DuckDB oracle
+    (q217); pass 'xxhash64' for production speed."""
+    rows_per_band = num_hashes // bands
+    # The posting pass feeds BOTH the signature aggregate and the
+    # exact-Jaccard verify set. Deliberately NOT checkpointed: the
+    # occurrence-level posting list is the biggest frame in the pipeline
+    # (every gram occurrence), and materializing it costs more than the
+    # second shingle-window evaluation (measured 4.1 s -> 7.0 s at
+    # sf0.1). At 100 TB persist the DISTINCT posting set to storage
+    # instead if the corpus scan dominates.
+    post_c = shingle_postings(corpus, id_col, text_col, shingle_n, distinct=False)
+    post_b = shingle_postings(bench, id_col, text_col, shingle_n, distinct=False)
+    sig_c = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n, hash_fn, postings=post_c
+    )
+    sig_b = minhash_signatures(
+        bench, id_col, text_col, num_hashes, shingle_n, hash_fn, postings=post_b
+    )
+
+    def _banded(sigs: DataFrame, side: str) -> DataFrame:
+        band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+        band_str = F.concat_ws(",", F.transform(
+            F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string"),
+        ))
+        b = sigs.select(F.col("doc").alias(side), band_idx, "signature")
+        return b.withColumn(
+            "bucket", band_str if hash_fn == "md5" else F.xxhash64(band_str)
+        ).drop("signature")
+
+    cand = (
+        _banded(sig_c, "corpus_doc")
+        .join(F.broadcast(_banded(sig_b, "bench_doc")), ["band", "bucket"])
+        .select("corpus_doc", "bench_doc")
+        .distinct()
+    )
+
+    pc = post_c.select(F.col("doc").alias("corpus_doc"), "shingle").distinct()
+    pb = post_b.select(F.col("doc").alias("bench_doc"), "shingle").distinct()
+    nc = pc.groupBy("corpus_doc").agg(F.count(F.lit(1)).alias("n_c"))
+    nb = pb.groupBy("bench_doc").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        pc.join(F.broadcast(pb), "shingle")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    jacc = (
+        cand.join(inter, ["corpus_doc", "bench_doc"])
+        .join(nc, "corpus_doc")
+        .join(F.broadcast(nb), "bench_doc")
+        .select(
+            "corpus_doc",
+            "bench_doc",
+            F.round(
+                F.col("n_i") / (F.col("n_c") + F.col("n_b") - F.col("n_i")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return jacc.filter(F.col("jaccard") >= threshold)

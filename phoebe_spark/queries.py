@@ -8286,19 +8286,28 @@ def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(src_dir)
         gate = streaming_dedup_gate(stream)  # ttl_ms=None: drain terminates
         sink = f"{work}/survivors"
-        q = (
-            gate.writeStream.outputMode("append")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q179: streaming dedup drain did not finish within 300 s — "
-                "refusing to report a partial survivor set"
+        # fingerprint state doesn't need the session's shuffle width: the
+        # state store pins its partition count from the first batch and
+        # every micro-batch pays per-partition state/Python-worker
+        # overhead — drain narrow (fresh checkpoint each run) and restore
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                gate.writeStream.outputMode("append")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q179: streaming dedup drain did not finish within 300 s — "
+                    "refusing to report a partial survivor set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         staged = spark.read.parquet(src_dir)
         # unhinted join: survivors ~= distinct fingerprints (corpus-sized at
@@ -8368,19 +8377,26 @@ def q180_streaming_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sink = f"{work}/windows"
-        q = (
-            agg.writeStream.outputMode("complete")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q180: streaming window drain did not finish within 300 s — "
-                "refusing to report a partial state snapshot"
+        # minute-bucket state doesn't need the session's shuffle width —
+        # drain narrow (fresh checkpoint each run) and restore
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q180: streaming window drain did not finish within 300 s — "
+                    "refusing to report a partial state snapshot"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         out = spark.read.parquet(sink).select(
             F.col("window.start").cast("long").alias("win_start"),
@@ -8613,19 +8629,26 @@ def q184_streaming_profile_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _append_version(bdf, bid: int) -> None:
             bdf.withColumn("_ver", F.lit(bid)).write.mode("append").parquet(sink)
 
-        q = (
-            prof.writeStream.outputMode("update")
-            .foreachBatch(_append_version)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q184: streaming profile drain did not finish within 300 s — "
-                "refusing to read a partial profile store"
+        # per-event-type state doesn't need the session's shuffle width —
+        # drain narrow (fresh checkpoint each run) and restore
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                prof.writeStream.outputMode("update")
+                .foreachBatch(_append_version)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q184: streaming profile drain did not finish within 300 s — "
+                    "refusing to read a partial profile store"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         store = spark.read.parquet(sink)
         latest = Window.partitionBy("event_type").orderBy(F.desc("_ver"))
@@ -8901,19 +8924,38 @@ def q188_streaming_quota_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double").alias("value"),
         )
         n_files = 4
-        # ONE sorted pass stages all slices (partitionBy writes each
-        # slice's single file under _slice=i/); the per-slice loop above
-        # re-ran the global sort n_files times
-        (
-            e.withColumn(
-                "_slice", F.ntile(n_files).over(Window.orderBy("ord_ns", "sid"))
-            )
-            .repartition(1)
-            .write.partitionBy("_slice")
-            .parquet(stage)
+        # Staging in ONE pruned pass. Two facts make this cheap without
+        # touching the answer:
+        #   1. The admitted set only needs the files to hold DISJOINT
+        #      ASCENDING ord_ns ranges — the gate canonically re-sorts
+        #      every micro-batch by (ord, sid), so the exact boundary
+        #      placement is irrelevant. Approximate quantile boundaries
+        #      (3 scalars to the driver) therefore slice as well as an
+        #      exact global ntile sort did, minus the single-task sort.
+        #   2. Map-side pre-prune — the scalable quota-gate ingest
+        #      shape: a row ranked > quota per key WITHIN ITS OWN SLICE
+        #      can never be admitted (>= quota same-key rows precede it
+        #      in the same micro-batch and the counter is monotone), so
+        #      the per-(slice, key) row_number <= quota filter provably
+        #      leaves the admitted set unchanged while keeping ~70-97%
+        #      of the stream away from the Python stateful operator.
+        #      Cross-batch counter state still decides the cut: a key
+        #      can stage quota rows per file but only quota TOTAL pass.
+        qs = e.stat.approxQuantile("ord_ns", [0.25, 0.5, 0.75], 0.001)
+        slice_expr = (
+            1
+            + sum((F.col("ord_ns") > F.lit(b)).cast("int") for b in qs)
+        ).alias("_slice")
+        w_slice = Window.partitionBy("_slice", "key").orderBy("ord_ns", "sid")
+        pruned = (
+            e.select("key", "sid", "ord_ns", "value", slice_expr)
+            .withColumn("_rn", F.row_number().over(w_slice))
+            .filter(F.col("_rn") <= 40)
+            .drop("_rn")
         )
-        for i in range(1, n_files + 1):
-            (part,) = glob.glob(f"{stage}/_slice={i}/part-*.parquet")
+        pruned.repartition(1).write.partitionBy("_slice").parquet(stage)
+        parts = sorted(glob.glob(f"{stage}/_slice=*/part-*.parquet"))
+        for i, part in enumerate(parts, start=1):
             dst = f"{src_dir}/{i:03d}.parquet"
             shutil.copyfile(part, dst)
             os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
@@ -11460,3 +11502,74 @@ def q216_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     from phoebe_spark.operators import curation
 
     return curation.quality_signal_agreement(_t(spark, sf_dir, "documents"))
+
+
+_Q217_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, (doc_id % 7 = 0) AS is_bench, {_TOKS_SQL} AS t
+      FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    post AS (
+      SELECT doc_id, is_bench,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' ')))) AS g
+      FROM toks
+    ),
+    hp AS (
+      SELECT doc_id, is_bench,
+             {_MD5H_SQL.format(x='g')} % 2147483647 AS h1,
+             CAST(('0x' || substring(md5(g), 17, 15)) AS BIGINT) % 2147483646 + 1 AS h2
+      FROM post
+    ),
+    mh AS (
+      SELECT doc_id, is_bench, i, min((h1 + i * h2) % 2147483647) AS h
+      FROM hp CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) seeds
+      GROUP BY 1, 2, 3
+    ),
+    sig AS (SELECT doc_id, is_bench, list(h ORDER BY i) AS s FROM mh GROUP BY 1, 2),
+    banded AS (
+      SELECT doc_id, is_bench, b,
+             array_to_string(list_transform(s[b*4+1:b*4+4],
+                                            x -> CAST(x AS VARCHAR)), ',') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bands
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_doc, e.doc_id AS bench_doc
+      FROM banded c JOIN banded e ON c.b = e.b AND c.bucket = e.bucket
+      WHERE NOT c.is_bench AND e.is_bench
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
+    inter AS (
+      SELECT c.doc_id AS corpus_doc, e.doc_id AS bench_doc, count(*) AS n_i
+      FROM post c JOIN post e USING (g)
+      WHERE NOT c.is_bench AND e.is_bench
+      GROUP BY 1, 2
+    )
+    SELECT corpus_doc, bench_doc,
+           round(n_i * 1.0 / (sc.n + se.n - n_i), 6) AS jaccard
+    FROM cand
+    JOIN inter USING (corpus_doc, bench_doc)
+    JOIN sizes sc ON sc.doc_id = corpus_doc
+    JOIN sizes se ON se.doc_id = bench_doc
+    WHERE round(n_i * 1.0 / (sc.n + se.n - n_i), 6) >= 0.2
+"""
+
+
+@query("q217_neardup_decontamination", oracle=_Q217_ORACLE)
+def q217_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate train/eval decontamination
+    (:func:`dedup.neardup_decontaminate`): documents with
+    ``doc_id % 7 = 0`` stand in as the benchmark suite; cross-corpus
+    banded MinHash-LSH (md5 double hashing, 32 hashes / 8 bands)
+    generates candidates with the benchmark side BROADCAST, and the
+    exact 3-gram Jaccard verifies them — the paraphrase-leakage rung the
+    exact/Bloom decontamination passes (q58/q73) can't catch. The oracle
+    replays every hash, band, and the verify join in SQL.
+
+    Scale shape: the corpus contributes one signature shuffle and never
+    self-joins; both probe joins broadcast the eval side."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    return dedup.neardup_decontaminate(corpus, bench, threshold=0.2)

@@ -371,3 +371,25 @@ def test_spearman_rho_bounds_and_perfect_agreement(spark):
         ).collect()
     }
     assert rows == {"a": 1.0, "b": -1.0}
+
+
+def test_neardup_decontaminate_catches_paraphrase(spark):
+    """A corpus doc sharing most 3-grams with a benchmark doc must be
+    flagged with the exact Jaccard; an unrelated doc must not."""
+    from phoebe_spark.operators.dedup import neardup_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = neardup_decontaminate(corpus, bench, threshold=0.2).collect()
+    assert [(r["corpus_doc"], r["bench_doc"]) for r in rows] == [(1, 100)]
+    # 8 grams each, 7 shared -> J = 7/9
+    assert abs(rows[0]["jaccard"] - 7 / 9) < 1e-6

@@ -1055,3 +1055,11 @@ def test_q216_no_joins(spark, sf_dir):
     # rank windows + one grouped sum; the documents table never joins
     assert _ops(plan, "Scan parquet") == 1
     assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_q217_bench_side_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q217_neardup_decontamination")
+    # the eval suite broadcasts into both the band probe and the verify
+    # joins; the corpus never self-joins and nothing goes cartesian
+    assert "CartesianProduct" not in plan
+    assert _ops(plan, "BroadcastHashJoin") >= 2
