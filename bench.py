@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "q215_wordpiece_encode",
     "q216_quality_signal_agreement",
     "q217_neardup_decontamination",
+    "q218_stream_outer_join_drain",
 ]
 
 

@@ -11573,3 +11573,151 @@ def q217_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 7 == 0)
     corpus = d.filter(F.col("doc_id") % 7 != 0)
     return dedup.neardup_decontaminate(corpus, bench, threshold=0.2)
+
+
+@query(
+    "q218_stream_outer_join_drain",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, ts, epoch_ns(ts) // 1000 AS lt_us
+      FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+      SELECT user_id, ts, epoch_ns(ts) // 1000 AS rt_us,
+             CAST(value AS DECIMAL(18,4)) AS rv
+      FROM events WHERE event_id % 2 = 1
+    ),
+    wm AS (
+      SELECT least((SELECT max(lt_us) FROM l), (SELECT max(rt_us) FROM r)) AS w
+    ),
+    pairs AS (
+      SELECT l.user_id, r.rv
+      FROM l JOIN r ON l.user_id = r.user_id
+        AND r.rt_us >= l.lt_us AND r.rt_us <= l.lt_us + 1800000000
+    ),
+    expired AS (
+      -- unmatched lefts whose join window closed STRICTLY below the
+      -- final watermark emit one null row in the finalization batch
+      -- (boundary empirically pinned: lt + 30min = wm does NOT emit)
+      SELECT l.user_id
+      FROM l, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r WHERE r.user_id = l.user_id
+          AND r.rt_us >= l.lt_us AND r.rt_us <= l.lt_us + 1800000000
+      ) AND l.lt_us + 1800000000 < wm.w
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(round(sum(rv), 2) AS DOUBLE) AS matched_value,
+             CAST(0 AS BIGINT) AS n_expired_null
+      FROM pairs GROUP BY user_id
+      UNION ALL
+      SELECT user_id, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+             CAST(count(*) AS BIGINT)
+      FROM expired GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(round(sum(CAST(matched_value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS matched_value,
+           CAST(sum(n_expired_null) AS BIGINT) AS n_expired_null
+    FROM per_user GROUP BY user_id
+    """,
+)
+def q218_stream_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time LEFT OUTER interval join drained inside
+    the hash-checked gate — certifying the subtlest streaming semantics
+    in the join family: NULL-side emission at watermark expiry. The
+    events table splits into a left (even event_ids) and right (odd)
+    stream, joined per user on a [0, 30 min] event-time range with
+    0-second watermarks. Matched pairs emit in the data micro-batch;
+    an unmatched left emits exactly one null-matched row in the
+    availableNow FINALIZATION batch iff its join window closed STRICTLY
+    below the final watermark ``min(max(left_time), max(right_time))``
+    — boundary behavior empirically pinned (a window closing exactly AT
+    the watermark is withheld, and never emits in an availableNow
+    drain). The oracle replays the matched pairs as a batch interval
+    join and the null set by that exact watermark rule.
+
+    Scale notes: both sides are watermarked so join state is
+    eviction-bounded exactly as in production; per-user aggregation
+    happens before anything leaves the executors; narrow state store
+    for the drain (q188 rationale), fresh checkpoint per run."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q218_")
+    try:
+        staged = ev.select(
+            "event_id",
+            "user_id",
+            F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+            _dec("value").alias("v"),
+        )
+        staged.filter(F.col("event_id") % 2 == 0).write.parquet(f"{work}/left")
+        staged.filter(F.col("event_id") % 2 == 1).write.parquet(f"{work}/right")
+
+        schema = "event_id LONG, user_id LONG, event_time TIMESTAMP, v DECIMAL(18,4)"
+        left = (
+            spark.readStream.schema(schema)
+            .parquet(f"{work}/left")
+            .withWatermark("event_time", "0 seconds")
+            .select("user_id", F.col("event_time").alias("a_time"))
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .parquet(f"{work}/right")
+            .withWatermark("event_time", "0 seconds")
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("event_time").alias("b_time"),
+                "v",
+            )
+        )
+        joined = left.join(
+            right,
+            F.expr(
+                "user_id = r_user AND b_time >= a_time "
+                "AND b_time <= a_time + INTERVAL 30 MINUTES"
+            ),
+            "leftOuter",
+        ).select("user_id", "v", F.col("r_user").isNotNull().alias("matched"))
+        sink = f"{work}/rows"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q218: stream outer-join drain did not finish within "
+                    "300 s — refusing to report a partial row set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.when(F.col("matched"), 1)).alias("n_pairs"),
+                F.round(F.sum(F.when(F.col("matched"), F.col("v")).otherwise(F.lit(0).cast("decimal(18,4)"))), 2)
+                .cast("double")
+                .alias("matched_value"),
+                F.count(F.when(~F.col("matched"), 1)).alias("n_expired_null"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1063,3 +1063,20 @@ def test_q217_bench_side_broadcasts(spark, sf_dir):
     # joins; the corpus never self-joins and nothing goes cartesian
     assert "CartesianProduct" not in plan
     assert _ops(plan, "BroadcastHashJoin") >= 2
+
+
+def test_q218_oracle_null_path_nonvacuous(spark, sf_dir):
+    # the LEFT OUTER certification is only meaningful if some lefts
+    # actually expire unmatched below the final watermark at this SF
+    import duckdb
+
+    from phoebe_spark.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    total_nulls = con.execute(
+        f"SELECT sum(n_expired_null) FROM ({ORACLE['q218_stream_outer_join_drain']})"
+    ).fetchone()[0]
+    assert total_nulls and total_nulls > 0
