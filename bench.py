@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "q216_quality_signal_agreement",
     "q217_neardup_decontamination",
     "q218_stream_outer_join_drain",
+    "q219_pca_power_iteration",
+    "q220_dedup_within_watermark_drain",
 ]
 
 

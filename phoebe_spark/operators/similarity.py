@@ -867,3 +867,82 @@ def kmeans_lloyd(
         cents = [new_cents.get(i, cents[i]) for i in range(k)]
 
     return _assign(dv).select(F.col("vid").alias(id_col), "cid", "dist")
+
+
+def dominant_direction(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Dominant singular direction of the embedding matrix (PCA without
+    centering) by POWER ITERATION on the Gram matrix G = X^T X —
+    engine-exact and replayable:
+
+    - values quantize once scan-side (``floor(1e6 * v)`` BIGINT), so the
+      Gram entries are exact integer sums (order-independent, unlike a
+      double sum);
+    - each iteration is ``w = (G // 1e6) v`` then an integer
+      renormalization ``v' = w / (max|w| // 1e6)`` — all divisions are
+      SIGN-SPLIT TRUNCATING (``sign * (abs // d)``) because Spark's
+      ``div`` truncates while a naive ``//`` replay might floor, and the
+      two differ on negatives;
+    - v0 = the all-ones vector at unit scale.
+
+    Returns (dim, v_milli): the 1-based dimension index and the
+    iterated direction in 1e6 units (max-normalized, not L2 — the
+    deterministic integer choice).
+
+    Scale shape: ONE self-join shuffle builds G (dims² rows — 4096 for
+    64-dim embeddings — regardless of corpus size; the corpus
+    contributes a single map-side-combining aggregate), then the
+    iterations run on dims-sized frames with broadcast joins. The
+    textbook distributed-PCA layout: never materialize X, only G."""
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * scale).cast("long").alias("q"),
+    )
+    a = flat.select("vec_id", F.col("dim").alias("i"), F.col("q").alias("qa"))
+    b = flat.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qb"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("g"))
+    )
+
+    # Pre-scale G once (sign-split INTEGER trunc division — `div`, not
+    # float division, which loses bits above 2^53) so w never overflows
+    # BIGINT
+    g2 = gram.select(
+        "i",
+        "j",
+        F.expr(
+            f"CASE WHEN g < 0 THEN -(abs(g) div {scale}L) "
+            f"ELSE g div {scale}L END"
+        ).alias("g2"),
+    ).localCheckpoint(eager=True)
+
+    dims = g2.select(F.col("i").alias("dim")).distinct()
+    v = dims.select("dim", F.lit(scale).cast("long").alias("v"))
+    for _ in range(iterations):
+        w = (
+            g2.join(F.broadcast(v.withColumnRenamed("dim", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g2") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.expr(f"max(abs(w)) div {scale}L").alias("d"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("dim"),
+                F.expr(
+                    "CASE WHEN w < 0 THEN -(abs(w) div d) ELSE w div d END"
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select("dim", F.col("v").alias("v_milli"))

@@ -11721,3 +11721,225 @@ def q218_stream_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _q219_oracle(iterations: int = 2, scale: int = 1_000_000) -> str:
+    # Generated CTE chain replaying the integer power iteration, one
+    # (w, m, v) triple per iteration — the q187 k-means treatment.
+    steps = []
+    prev = "v0"
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+    w{k} AS (
+      SELECT g.i, CAST(sum(g.g2 * v.v) AS BIGINT) AS w
+      FROM g2 g JOIN {prev} v ON v.dim = g.j GROUP BY 1
+    ),
+    m{k} AS (SELECT CAST(max(abs(w)) // {scale} AS BIGINT) AS d FROM w{k}),
+    v{k} AS (
+      SELECT i AS dim,
+             CAST(CASE WHEN w < 0 THEN -(abs(w) // d) ELSE w // d END AS BIGINT) AS v
+      FROM w{k}, m{k}
+    )""")
+        prev = f"v{k}"
+    chain = ",".join(steps)
+    return f"""
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))) AS q
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+      FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2
+    ),
+    g2 AS (
+      SELECT i, j,
+             CAST(CASE WHEN g < 0 THEN -(abs(g) // {scale})
+                       ELSE g // {scale} END AS BIGINT) AS g2
+      FROM gram
+    ),
+    v0 AS (SELECT DISTINCT i AS dim, CAST({scale} AS BIGINT) AS v FROM g2),{chain}
+    SELECT dim, v AS v_milli FROM {prev}
+    """
+
+
+@query("q219_pca_power_iteration", oracle=_q219_oracle())
+def q219_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant singular direction of the embedding corpus
+    (:func:`similarity.dominant_direction`): 2 rounds of power iteration
+    on the Gram matrix, every step integer-quantized (scan-side
+    floor(1e6*v), exact BIGINT Gram sums, sign-split TRUNCATING
+    divisions — pinned because Spark's ``div`` truncates on negatives)
+    and replayed by a generated CTE chain, one (multiply, max-norm,
+    renormalize) triple per iteration — the q187 k-means treatment
+    applied to spectral structure. The curation use: the top principal
+    direction of an embedding table is the first thing an
+    embedding-health audit inspects (a runaway dominant direction means
+    collapsed representations).
+
+    Scale shape: the corpus contributes ONE map-side-combining
+    Gram aggregate (dims² = 4096 cells regardless of row count); the
+    iterations run on dims-sized frames with broadcast joins — X is
+    never materialized."""
+    from phoebe_spark.operators import similarity as sim
+
+    return sim.dominant_direction(_t(spark, sf_dir, "embeddings"))
+
+
+def _q220_oracle(n_slices: int = 4, delay_s: int = 61) -> str:
+    # Replay the engine's exact cross-batch dedup-within-watermark state
+    # machine, one CTE per micro-batch. Mechanics pinned with boundary
+    # probes (see the query docstring): no late-row filter; a state
+    # entry from batch i blocks a duplicate in batch k iff it survived
+    # every end-of-batch eviction, i.e. iff t_i + delay >= wm_{k-1}
+    # where wm_j = max(event seconds of batches < j) - delay; the
+    # minute grid + 61 s delay make expiry == watermark impossible, so
+    # boundary strictness never engages.
+    steps = ["e1 AS (SELECT DISTINCT fp, tsec FROM rows WHERE slice = 0)"]
+    for k in range(2, n_slices + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT fp, tsec FROM e{j}" for j in range(1, k)
+        )
+        # the blocking test for batch k uses wm_{k-1} = max(tsec of
+        # batches < k-1, i.e. slices < k-2) - delay; coalesce(-inf)
+        # because wm_1 is unset (every prior entry is alive for batch 2)
+        steps.append(f"""
+    e{k} AS (
+      SELECT DISTINCT r.fp, r.tsec
+      FROM rows r
+      WHERE r.slice = {k - 1}
+        AND NOT EXISTS (
+          SELECT 1 FROM ({prior}) p
+          WHERE p.fp = r.fp
+            AND p.tsec + {delay_s} >=
+                coalesce((SELECT max(tsec) FROM rows WHERE slice < {k - 2}),
+                         -922337203685477) - {delay_s}
+        )
+    )""")
+    admits = " UNION ALL ".join(
+        f"SELECT fp FROM e{j}" for j in range(1, n_slices + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {_PREFIX_FP_SQL} AS fp, doc_id % {n_slices} AS slice
+      FROM documents
+    ),
+    rows AS (
+      SELECT fp, slice,
+             ((CAST(('0x' || substring(md5(fp), 1, 4)) AS BIGINT) % 50)
+              + slice * 37) * 60 AS tsec
+      FROM base
+    ),
+    {",".join(steps)},
+    admits AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_admits FROM ({admits}) GROUP BY 1),
+    copies AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies FROM base GROUP BY 1)
+    SELECT c.fp, coalesce(a.n_admits, 0) AS n_admits,
+           c.n_copies - coalesce(a.n_admits, 0) AS n_dropped
+    FROM copies c LEFT JOIN admits a USING (fp)
+    """
+
+
+@query("q220_dedup_within_watermark_drain", oracle=_q220_oracle())
+def q220_dedup_within_watermark_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``dropDuplicatesWithinWatermark`` inside the
+    hash-checked gate — the built-in TTL dedup operator's exact
+    cross-batch state machine certified against a replaying oracle. The
+    documents table replays as 4 sequenced files (slice = doc_id % 4,
+    one file per trigger); each fingerprint's event time is a stable
+    function of (fp, slice) so the state content is deterministic.
+
+    Mechanics empirically pinned with boundary probes (this is the
+    entire value of the entry — none of this is in the docs):
+      - there is NO late-row filter: a row below the watermark is still
+        admitted if its key is absent from state;
+      - a dropped duplicate does NOT re-arm the state expiry (expiry
+        stays first-emission time + delay);
+      - eviction happens at END of each batch with that batch's
+        watermark, so a duplicate in batch k is blocked iff the prior
+        emission survived through wm_{k-1} = max(event time of batches
+        < k-1) - delay — re-admission of a key AFTER its state expired
+        is real and exercised (dup groups straddle non-adjacent slices);
+      - the minute event-time grid with a 61 s delay makes expiry ==
+        watermark unrepresentable, so boundary strictness is moot by
+        construction.
+
+    Scale: state is per-fingerprint with watermark-bounded TTL — the
+    production ingest-dedup shape; per-fp aggregation before output."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="q220_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        base = d.select(
+            _prefix_fp().alias("fp"),
+            (F.col("doc_id") % 4).alias("slice"),
+        )
+        rows = base.select(
+            "fp",
+            "slice",
+            F.expr(
+                "timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, "
+                "((CAST(conv(substring(md5(fp), 1, 4), 16, 10) AS BIGINT) % 50)"
+                " + slice * 37) * 60)"
+            ).alias("event_time"),
+        )
+        rows.repartition(1).write.partitionBy("slice").parquet(f"{work}/stage")
+        for i in range(4):
+            (part,) = glob.glob(f"{work}/stage/slice={i}/part-*.parquet")
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("fp STRING, event_time TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("event_time", "61 seconds")
+            .dropDuplicatesWithinWatermark(["fp"])
+        )
+        sink = f"{work}/admitted"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q220: dedup-within-watermark drain did not finish within "
+                    "300 s — refusing to report a partial admitted set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        admits = (
+            spark.read.parquet(sink)
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_admits"))
+        )
+        copies = base.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+        out = copies.join(admits, "fp", "left").select(
+            "fp",
+            F.coalesce("n_admits", F.lit(0)).alias("n_admits"),
+            (F.col("n_copies") - F.coalesce("n_admits", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+        rows_out = out.collect()
+        return spark.createDataFrame(rows_out, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -393,3 +393,16 @@ def test_neardup_decontaminate_catches_paraphrase(spark):
     assert [(r["corpus_doc"], r["bench_doc"]) for r in rows] == [(1, 100)]
     # 8 grams each, 7 shared -> J = 7/9
     assert abs(rows[0]["jaccard"] - 7 / 9) < 1e-6
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """On vectors lying exactly along axis 2 (plus a tiny axis-1
+    component), two power iterations must concentrate on dim 2 at max
+    scale and keep every other dim small."""
+    from phoebe_spark.operators.similarity import dominant_direction
+
+    rows = [(i, [0.001, 1.0, 0.0, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = {r["dim"]: r["v_milli"] for r in dominant_direction(df).collect()}
+    assert v[2] == 1_000_000  # the max-normalized dominant axis
+    assert abs(v[1]) < 10_000 and v[3] == 0 and v[4] == 0

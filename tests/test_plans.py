@@ -1080,3 +1080,29 @@ def test_q218_oracle_null_path_nonvacuous(spark, sf_dir):
         f"SELECT sum(n_expired_null) FROM ({ORACLE['q218_stream_outer_join_drain']})"
     ).fetchone()[0]
     assert total_nulls and total_nulls > 0
+
+
+def test_q219_gram_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q219_pca_power_iteration")
+    # iterations run on dims-sized frames: every v-join broadcasts, no
+    # sort-merge join anywhere, nothing cartesian except the 1-row norm
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q220_state_machine_paths_nonvacuous(spark, sf_dir):
+    # the certification is only meaningful if the fixture exercises BOTH
+    # duplicate drops AND post-eviction re-admissions at this SF
+    import duckdb
+
+    from phoebe_spark.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    dropped, readmitted = con.execute(
+        "SELECT sum(n_dropped), sum(CASE WHEN n_admits >= 2 THEN 1 ELSE 0 END) "
+        f"FROM ({ORACLE['q220_dedup_within_watermark_drain']})"
+    ).fetchone()
+    assert dropped > 0 and readmitted > 0
