@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "q218_stream_outer_join_drain",
     "q219_pca_power_iteration",
     "q220_dedup_within_watermark_drain",
+    "q221_contamination_closure_bfs",
 ]
 
 

@@ -1395,3 +1395,74 @@ def neardup_decontaminate(
         )
     )
     return jacc.filter(F.col("jaccard") >= threshold)
+
+
+def lsh_cobucket_bfs(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    rounds: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Transitive contamination closure over the LSH CO-BUCKET graph:
+    BFS from a seed document set through the bipartite doc <-> (band,
+    bucket) graph, ``rounds`` co-bucket hops deep. "Everything within
+    two near-dup hops of a known-contaminated document" is the
+    transitive cleanup a decontamination pass runs after q217 flags the
+    direct hits — near-dups of near-dups syndicate leakage that direct
+    LSH probing misses.
+
+    The bipartite walk IS the scale trick: expanding doc -> bucket ->
+    doc through hub nodes keeps every step an equi-join linear in the
+    edge table (8 bands x docs), never materializing the quadratic
+    co-bucket pair set a hot bucket would explode into.
+
+    Returns (doc, dist): minimum co-bucket distance from the seed set in
+    DOC hops (0 = seed, 1 = shares a band bucket with a seed, ...),
+    docs within ``rounds`` hops only.
+
+    ``hash_fn='md5'`` keeps the banding reproducible in the DuckDB
+    oracle (q221); 'xxhash64' is the production path."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, hash_fn
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    band_str = F.concat_ws(",", F.transform(
+        F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
+        lambda x: x.cast("string"),
+    ))
+    edges = (
+        sigs.select("doc", band_idx, "signature")
+        .select(
+            "doc",
+            F.concat_ws(":", F.col("band").cast("string"), band_str).alias("bkey"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    dd = seeds.select(F.col(id_col).alias("doc"), F.lit(0).alias("dist"))
+    for _ in range(rounds):
+        bd = (
+            edges.join(dd, "doc")
+            .groupBy("bkey")
+            .agg((F.min("dist") + 1).alias("bdist"))
+        )
+        reached = (
+            edges.join(bd, "bkey")
+            .groupBy("doc")
+            .agg((F.min("bdist") + 1).alias("dist"))
+        )
+        dd = (
+            dd.unionByName(reached)
+            .groupBy("doc")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    # distances count DOC hops: bucket hops are internal (0,2,4,... user
+    # facing as 0,1,2)
+    return dd.select("doc", (F.col("dist") / 2).cast("long").alias("dist"))

@@ -11943,3 +11943,83 @@ def q220_dedup_within_watermark_drain(spark: SparkSession, sf_dir: str) -> DataF
         return spark.createDataFrame(rows_out, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _q221_oracle(seed_mod: int = 11, rounds: int = 2, num_hashes: int = 8, bands: int = 8) -> str:
+    rpb = num_hashes // bands
+    steps = []
+    prev = "d0"
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+    b{k} AS (
+      SELECT e.bkey, CAST(min(d.dist) + 1 AS BIGINT) AS bdist
+      FROM edges e JOIN {prev} d USING (doc) GROUP BY 1
+    ),
+    r{k} AS (
+      SELECT e.doc, CAST(min(b.bdist) + 1 AS BIGINT) AS dist
+      FROM edges e JOIN b{k} b USING (bkey) GROUP BY 1
+    ),
+    d{k} AS (
+      SELECT doc, CAST(min(dist) AS BIGINT) AS dist
+      FROM (SELECT * FROM {prev} UNION ALL SELECT * FROM r{k}) GROUP BY 1
+    )""")
+        prev = f"d{k}"
+    chain = ",".join(steps)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS grams
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    hp AS (
+      SELECT doc_id,
+             {_MD5H_SQL.format(x='g')} % 2147483647 AS h1,
+             CAST(('0x' || substring(md5(g), 17, 15)) AS BIGINT) % 2147483646 + 1 AS h2
+      FROM post
+    ),
+    mh AS (
+      SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS h
+      FROM hp CROSS JOIN (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) seeds
+      GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY 1),
+    edges AS (
+      SELECT doc_id AS doc,
+             CAST(b AS VARCHAR) || ':' ||
+             array_to_string(list_transform(s[b*{rpb}+1:b*{rpb}+{rpb}],
+                                            x -> CAST(x AS VARCHAR)), ',') AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) bands
+    ),
+    d0 AS (
+      SELECT doc_id AS doc, CAST(0 AS BIGINT) AS dist FROM documents
+      WHERE doc_id % {seed_mod} = 0
+    ),{chain}
+    SELECT doc, dist // 2 AS dist FROM {prev}
+    """
+
+
+@query("q221_contamination_closure_bfs", oracle=_q221_oracle())
+def q221_contamination_closure_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive contamination closure (:func:`dedup.lsh_cobucket_bfs`):
+    BFS from seed documents (doc_id % 11 = 0) through the LSH doc <->
+    (band, bucket) BIPARTITE graph (SINGLE-minhash bands — the
+    recall-heavy banding a transitive sweep wants: loose candidate
+    edges, verification downstream), two co-bucket hops deep — "every
+    document within two near-dup hops of a known-contaminated seed",
+    the cleanup sweep that catches syndicated near-dups-of-near-dups
+    direct probing (q217) misses. The oracle replays the md5 banding
+    (the q24 machinery) and each BFS expansion as a CTE chain.
+
+    Scale shape: hub expansion keeps every step an equi-join LINEAR in
+    the edge table (8 bands x docs) — the co-bucket PAIR set, quadratic
+    in a hot bucket, is never materialized. Distances are min-combined
+    per round, checkpointed like the connected-components loop."""
+    d = _t(spark, sf_dir, "documents")
+    seeds = d.filter(F.col("doc_id") % 11 == 0)
+    return dedup.lsh_cobucket_bfs(d, seeds, num_hashes=8, bands=8)

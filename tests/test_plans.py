@@ -1106,3 +1106,27 @@ def test_q220_state_machine_paths_nonvacuous(spark, sf_dir):
         f"FROM ({ORACLE['q220_dedup_within_watermark_drain']})"
     ).fetchone()
     assert dropped > 0 and readmitted > 0
+
+
+def test_q221_bfs_expands_and_stays_linear(spark, sf_dir):
+    import duckdb
+
+    from phoebe_spark.queries import ORACLE, QUERIES
+
+    # non-vacuity: both expansion rounds must actually reach new docs
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d1, d2 = con.execute(
+        "SELECT sum(CASE WHEN dist=1 THEN 1 ELSE 0 END),"
+        "       sum(CASE WHEN dist=2 THEN 1 ELSE 0 END) "
+        f"FROM ({ORACLE['q221_contamination_closure_bfs']})"
+    ).fetchone()
+    assert d1 > 0 and d2 > 0
+    # plan: hub expansion is equi-joins only — no cartesian pair blowup
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        QUERIES["q221_contamination_closure_bfs"](spark, sf_dir)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "CartesianProduct" not in plan
