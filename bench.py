@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "q219_pca_power_iteration",
     "q220_dedup_within_watermark_drain",
     "q221_contamination_closure_bfs",
+    "q222_csv_roundtrip",
+    "q223_schema_evolution_read",
 ]
 
 

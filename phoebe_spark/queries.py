@@ -12023,3 +12023,112 @@ def q221_contamination_closure_bfs(spark: SparkSession, sf_dir: str) -> DataFram
     d = _t(spark, sf_dir, "documents")
     seeds = d.filter(F.col("doc_id") % 11 == 0)
     return dedup.lsh_cobucket_bfs(d, seeds, num_hashes=8, bands=8)
+
+
+@query(
+    "q222_csv_roundtrip",
+    oracle=r"""
+    SELECT doc_id,
+           md5('pre,"fix' || chr(10) || text || chr(9) || 'suf\fix,"')
+             AS content_md5
+    FROM documents
+    """,
+)
+def q222_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless CSV round-trip under ADVERSARIAL content — each document
+    is wrapped with embedded quotes, commas, a newline, a tab, and a
+    backslash before being written to CSV and read back (multiLine +
+    matching quote/escape). The oracle hashes the constructed payload
+    directly: the only way the engine matches is if the CSV writer's
+    quoting and the reader's parse are exact inverses, byte for byte.
+    Completes the sink/format ladder next to the JSONL (q139) and ORC
+    (q143) round-trips with the format that actually breaks pipelines.
+
+    Scale notes: CSV is a line-oriented splittable format only WITHOUT
+    embedded newlines; multiLine forces single-file parsing per file, so
+    the production guidance (docstring contract) is: quote-heavy text
+    columns belong in parquet, CSV is an interchange edge — which is
+    exactly what this entry demonstrates by needing multiLine."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('pre,"fix\n'), F.col("text"), F.lit('\tsuf\\fix,"')
+    )
+    work = tempfile.mkdtemp(prefix="q222_")
+    try:
+        (
+            d.select("doc_id", payload.alias("content"))
+            .write.option("header", True)
+            .option("quoteAll", True)
+            .csv(f"{work}/csv")
+        )
+        back = (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("inferSchema", False)
+            .schema("doc_id LONG, content STRING")
+            .csv(f"{work}/csv")
+        )
+        out = back.select("doc_id", F.md5("content").alias("content_md5"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q223_schema_evolution_read",
+    oracle="""
+    WITH unioned AS (
+      SELECT source, NULL::BIGINT AS quality FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT source, n_chars AS quality FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_quality,
+           CAST(coalesce(sum(quality), 0) AS BIGINT) AS quality_total
+    FROM unioned GROUP BY source
+    """,
+)
+def q223_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old snapshot (doc_id % 3 != 0, no
+    ``quality`` column) and a new snapshot (doc_id % 3 = 0, with it)
+    live side by side in one dataset directory; ``mergeSchema=true``
+    reconciles the footers and old rows surface NULL quality — the
+    data-lake migration read every long-lived table eventually needs.
+    The per-source census (rows / with / missing / total) is the audit a
+    pipeline runs before trusting the evolved column. The oracle builds
+    the same union with explicit NULLs.
+
+    Scale notes: schema merge is a FOOTER-level operation (per-file, no
+    data scan); the census itself is one map-side-combining groupBy.
+    Guidance encoded here: evolved columns must be added nullable-only —
+    exactly what parquet merge enforces."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="q223_")
+    try:
+        d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "source").write.parquet(
+            f"{work}/data/v=1"
+        )
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", "source", F.col("n_chars").alias("quality")
+        ).write.parquet(f"{work}/data/v=2")
+        merged = spark.read.option("mergeSchema", True).parquet(f"{work}/data")
+        out = merged.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("quality").alias("n_with_quality"),
+            F.count(F.when(F.col("quality").isNull(), 1)).alias("n_missing_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias("quality_total"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
