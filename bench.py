@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "q221_contamination_closure_bfs",
     "q222_csv_roundtrip",
     "q223_schema_evolution_read",
+    "q224_quantile_normalize",
 ]
 
 

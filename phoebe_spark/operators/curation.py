@@ -539,3 +539,79 @@ def quality_signal_agreement(
             F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
         ).alias("spearman_rho"),
     )
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: Column | None = None,
+) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION of a per-document score: each
+    document's score is replaced by the GLOBAL score distribution's value
+    at the document's within-source quantile — the calibration step that
+    makes per-source quality scores comparable before one threshold
+    gates a mixed corpus (source A's "0.8" and source B's "0.8" rarely
+    mean the same thing).
+
+    Engine-exact nearest-rank arithmetic, no interpolation floats:
+      - within-source quantile = (k-1)/(n_s-1) via row_number with a
+        doc-id tie-break;
+      - target global rank t = 1 + round_half_up((N-1)(k-1)/(n_s-1)),
+        computed as ``(2a + b) div (2b)`` in BIGINTs (b = 0 i.e. a
+        single-doc source maps to the median rank);
+      - the global value at rank t comes from a VALUE HISTOGRAM
+        (distinct score -> cumulative count), carried as one broadcast
+        sorted-array row and probed with a codegen ``filter``/``size``
+        bisect — the global sort a naive rank lookup would need is never
+        run, and the histogram is value-domain-bounded, not row-bounded.
+
+    Returns (doc_id, source, score, norm_score), all BIGINT."""
+    from pyspark.sql import Window
+
+    score = score_col if score_col is not None else F.length("text")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("g"),
+        score.cast("long").alias("score"),
+    )
+    w = Window.partitionBy("g").orderBy("score", "doc_id")
+    r = d.select(
+        "doc_id",
+        "g",
+        "score",
+        F.row_number().over(w).alias("k"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("ns"),
+    )
+    # value histogram: distinct score -> cumulative count, one sorted row
+    vh = (
+        d.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )),
+        )
+    )
+    arrs = vh.agg(
+        F.array_sort(F.collect_list(F.struct("score", "cum"))).alias("_vc"),
+        F.sum("c").alias("n_total"),
+    ).select(
+        F.transform("_vc", lambda s: s["score"]).alias("scores"),
+        F.transform("_vc", lambda s: s["cum"]).alias("cums"),
+        "n_total",
+    )
+    t = F.expr(
+        "CASE WHEN ns = 1 THEN 1 + ((2 * (n_total - 1) + 2) div 4) "
+        "ELSE 1 + ((2 * (n_total - 1) * (k - 1) + (ns - 1)) div (2 * (ns - 1))) END"
+    )
+    probe = r.crossJoin(F.broadcast(arrs)).withColumn("t", t)
+    return probe.select(
+        "doc_id",
+        F.col("g").alias(group_col),
+        "score",
+        F.expr(
+            "element_at(scores, CAST(size(filter(cums, c -> c < t)) + 1 AS INT))"
+        ).alias("norm_score"),
+    )

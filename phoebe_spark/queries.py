@@ -12132,3 +12132,54 @@ def q223_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q224_quantile_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source AS g, CAST(length(text) AS BIGINT) AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, g, score,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY score, doc_id)
+                  AS BIGINT) AS k,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ns,
+             CAST(count(*) OVER () AS BIGINT) AS n_total
+      FROM d
+    ),
+    vh AS (
+      SELECT score, CAST(sum(count(*)) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM d GROUP BY score
+    ),
+    t AS (
+      SELECT doc_id, g, score,
+             CASE WHEN ns = 1 THEN 1 + ((2 * (n_total - 1) + 2) // 4)
+                  ELSE 1 + ((2 * (n_total - 1) * (k - 1) + (ns - 1))
+                            // (2 * (ns - 1))) END AS t
+      FROM r
+    )
+    SELECT doc_id, g AS source, score,
+           (SELECT min(vh.score) FROM vh WHERE vh.cum >= t.t) AS norm_score
+    FROM t
+    """,
+)
+def q224_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization
+    (:func:`curation.quantile_normalize`): every document's length score
+    is replaced by the GLOBAL distribution's value at the document's
+    within-source quantile — the calibration that makes per-source
+    quality thresholds comparable before one cut gates a mixed corpus.
+    Exact nearest-rank integer arithmetic (round-half-up rank mapping in
+    BIGINTs, single-doc sources map to the median) — no interpolation
+    floats, so the oracle matches digit-for-digit.
+
+    Scale shape: one rank window per source + a value-domain-bounded
+    histogram carried as a single broadcast sorted-array row, probed
+    with a codegen filter/size bisect — no global row sort, no
+    per-row correlated lookup shuffle."""
+    from phoebe_spark.operators import curation
+
+    return curation.quantile_normalize(_t(spark, sf_dir, "documents"))

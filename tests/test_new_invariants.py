@@ -406,3 +406,31 @@ def test_power_iteration_finds_planted_direction(spark):
     v = {r["dim"]: r["v_milli"] for r in dominant_direction(df).collect()}
     assert v[2] == 1_000_000  # the max-normalized dominant axis
     assert abs(v[1]) < 10_000 and v[3] == 0 and v[4] == 0
+
+
+def test_quantile_normalize_properties(spark):
+    """Rank-1 maps to the global min, rank-n to the global max; a
+    single-doc source maps to the global median value; normalized
+    scores are always values from the global score set."""
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators.curation import quantile_normalize
+
+    rows = (
+        [(i, "a", "x" * (10 + i)) for i in range(9)]       # lengths 10..18
+        + [(100, "b", "x" * 5)]                            # global min, single-doc source? no: source b
+        + [(101, "b", "x" * 99)]                           # global max
+        + [(200, "c", "x" * 50)]                           # single-doc source
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in quantile_normalize(df).collect()}
+    all_scores = sorted(len(t) for _, _, t in rows)
+    # source a's lowest/highest docs hit the global extremes
+    assert out[0]["norm_score"] == all_scores[0] == 5
+    assert out[8]["norm_score"] == all_scores[-1] == 99
+    # single-doc source c maps to the median rank value
+    n = len(all_scores)
+    t = 1 + ((2 * (n - 1) + 2) // 4)
+    assert out[200]["norm_score"] == all_scores[t - 1]
+    # closure: every normalized value is an observed global value
+    assert {r["norm_score"] for r in out.values()} <= set(all_scores)
