@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "q222_csv_roundtrip",
     "q223_schema_evolution_read",
     "q224_quantile_normalize",
+    "q225_market_basket",
+    "q226_delta_encoding_audit",
 ]
 
 

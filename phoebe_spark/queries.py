@@ -12183,3 +12183,186 @@ def q224_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from phoebe_spark.operators import curation
 
     return curation.quantile_normalize(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q225_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY 1
+    ),
+    n_orders AS (SELECT CAST(count(*) AS BIGINT) AS n FROM baskets),
+    pairs AS (
+      SELECT l_orderkey, a, b
+      FROM baskets,
+           unnest(parts) AS ua(a),
+           unnest(parts) AS ub(b)
+      WHERE a < b
+    ),
+    pair_cnt AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM pairs GROUP BY 1, 2
+    ),
+    part_cnt AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_p FROM (
+        SELECT l_orderkey, unnest(parts) AS part FROM baskets
+      ) GROUP BY 1
+    )
+    SELECT p.a AS part_a, p.b AS part_b, p.n_ab, ca.n_p AS n_a, cb.n_p AS n_b,
+           round(CAST(p.n_ab AS DOUBLE) * n_orders.n / ca.n_p / cb.n_p, 6)
+             AS lift
+    FROM pair_cnt p
+    JOIN part_cnt ca ON ca.part = p.a
+    JOIN part_cnt cb ON cb.part = p.b
+    CROSS JOIN n_orders
+    WHERE p.n_ab >= 3
+    """,
+)
+def q225_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order baskets: co-occurrence
+    counts and LIFT for every part pair appearing in >= 3 orders — the
+    association-rule primitive (Agrawal & Srikant 1994, public) that in
+    a training-data pipeline doubles as a co-occurrence prior for
+    document-bundle dedup. Pair expansion happens INSIDE each basket
+    (combinations of a <= 13-line order, never a part-keyed self-join),
+    so the shuffle is one groupBy(order) + one groupBy(pair) — bounded
+    by sum(basket²), not corpus². Lift's float division is written with
+    the identical operation order in both engines; every count is
+    BIGINT.
+
+    Scale shape: the classic a-priori first pass as two skew-free
+    shuffles; a part-keyed self-join (the naive shape) would explode on
+    popular parts — baskets bound it instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    # basket frame materialized once: three consumers (pair expansion,
+    # part counts, order total) would otherwise each re-run the
+    # scan+groupBy(order) subtree (verified: 4 FileScans without this)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("parts"),
+                            i + 2,
+                            F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_cnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    part_cnt = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    ca = part_cnt.select(F.col("part").alias("a"), F.col("n_p").alias("n_a"))
+    cb = part_cnt.select(F.col("part").alias("b"), F.col("n_p").alias("n_b"))
+    return (
+        pair_cnt.filter(F.col("n_ab") >= 3)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n") / F.col("n_a") / F.col("n_b"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q226_delta_encoding_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, {EPOCH_SQL.format(c='ts')} AS t,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k,
+             lag({EPOCH_SQL.format(c='ts')}, 1) OVER w AS t1,
+             lag({EPOCH_SQL.format(c='ts')}, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    bits AS (
+      SELECT user_id,
+             CASE WHEN k = 1 THEN 64
+                  WHEN k = 2 THEN 14
+                  ELSE (
+                    CASE WHEN (t - t1) - (t1 - t2) = 0 THEN 1
+                         WHEN (t - t1) - (t1 - t2) BETWEEN -63 AND 64 THEN 9
+                         WHEN (t - t1) - (t1 - t2) BETWEEN -255 AND 256 THEN 12
+                         WHEN (t - t1) - (t1 - t2) BETWEEN -2047 AND 2048 THEN 16
+                         ELSE 36 END)
+             END AS b
+      FROM s
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(b) AS BIGINT) AS bits_total,
+           CAST((sum(b) * 1000) // count(*) AS BIGINT) AS bits_per_sample_milli,
+           CAST((sum(b) * 1000) // (64 * count(*)) AS BIGINT)
+             AS compression_ratio_milli
+    FROM bits GROUP BY user_id
+    """,
+)
+def q226_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style timestamp delta-of-delta compressibility audit
+    (Pelkonen et al. 2015 "Gorilla", VLDB — public, §4.1): per user
+    series ordered by (ts, event_id), second differences of the epoch
+    seconds are bucketed into the Gorilla bit classes (0 -> 1 bit,
+    ±63/64 -> 9, ±255/256 -> 12, ±2047/2048 -> 16, else 36; first
+    sample 64, first delta 14) and summed into per-series storage
+    estimates — the "should this series be delta-encoded" decision a
+    time-series store makes at ingest, and the cadence-regularity
+    fingerprint of an event feed. Pure integer arithmetic end to end.
+
+    Scale shape: two lags over one per-user window (uniform key), one
+    grouped sum; nothing leaves codegen."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("t"),
+        F.row_number().over(w).alias("k"),
+        F.lag(F.expr("ts div 1000000000"), 1).over(w).alias("t1"),
+        F.lag(F.expr("ts div 1000000000"), 2).over(w).alias("t2"),
+    )
+    dod = (F.col("t") - F.col("t1")) - (F.col("t1") - F.col("t2"))
+    b = (
+        F.when(F.col("k") == 1, 64)
+        .when(F.col("k") == 2, 14)
+        .when(dod == 0, 1)
+        .when(dod.between(-63, 64), 9)
+        .when(dod.between(-255, 256), 12)
+        .when(dod.between(-2047, 2048), 16)
+        .otherwise(36)
+    )
+    return (
+        s.select("user_id", b.alias("b"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("b").alias("bits_total"),
+            F.expr("(sum(b) * 1000) div count(*)").alias("bits_per_sample_milli"),
+            F.expr("(sum(b) * 1000) div (64 * count(*))").alias(
+                "compression_ratio_milli"
+            ),
+        )
+    )

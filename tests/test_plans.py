@@ -1130,3 +1130,18 @@ def test_q221_bfs_expands_and_stays_linear(spark, sf_dir):
         "formatted",
     )
     assert "CartesianProduct" not in plan
+
+
+def test_q225_no_part_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q225_market_basket")
+    # pair expansion happens inside baskets (array combinatorics), part
+    # counts ride as broadcasts — no part-keyed sort-merge self-join
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "Scan parquet") == 0  # basket frame checkpointed once
+
+
+def test_q226_single_window_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q226_delta_encoding_audit")
+    assert _ops(plan, "Scan parquet") == 1
+    assert _ops(plan, "Window") == 1  # both lags + row_number share one window
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
