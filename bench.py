@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q224_quantile_normalize",
     "q225_market_basket",
     "q226_delta_encoding_audit",
+    "q227_token_waterfill",
 ]
 
 

@@ -12366,3 +12366,109 @@ def q226_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q227_token_waterfill",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    ordered AS (
+      SELECT source, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM src
+    ),
+    scal AS (
+      SELECT CAST(max(cum) AS BIGINT) AS total,
+             CAST(max(cum) / 2 AS BIGINT) AS b,
+             CAST(max(m) AS BIGINT) AS m
+      FROM ordered
+    ),
+    -- i0 = largest fully-taken prefix: cum_i + (m-i)*n_i <= budget
+    pick AS (
+      SELECT coalesce(max(o.i), 0) AS i0
+      FROM ordered o, scal
+      WHERE o.cum + (scal.m - o.i) * o.n_tokens <= scal.b
+    ),
+    tau AS (
+      SELECT CASE WHEN scal.total <= scal.b THEN NULL
+                  ELSE (scal.b - coalesce(
+                          (SELECT cum FROM ordered WHERE i = pick.i0), 0))
+                       // (scal.m - pick.i0)
+             END AS tau
+      FROM pick, scal
+    )
+    SELECT o.source, o.n_tokens,
+           CAST(CASE WHEN tau.tau IS NULL THEN o.n_tokens
+                     ELSE least(o.n_tokens, tau.tau) END AS BIGINT) AS alloc
+    FROM ordered o, tau
+    """,
+)
+def q227_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget WATERFILL allocation across sources: with a budget
+    of half the corpus, cap every source at the common level tau such
+    that sum(min(n_tokens_s, tau)) fills the budget — small sources are
+    taken whole, large ones cut to tau (max-min fairness, the classic
+    water-filling rule, applied to mixture balancing when one feed
+    dwarfs the rest). Exact integers: i0 = the largest prefix with
+    ``cum_i + (m-i)*n_i <= budget``; ``tau = (budget - cum_i0) div
+    (m - i0)``; floor(tau) >= every prefix size, so ``min(n, tau)``
+    needs no prefix special-case (proved in the docstring test).
+
+    Scale shape: ONE map-side-combining token count over the corpus;
+    the waterfill solve is two windows over the sources-sized frame."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ordered = src.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    ).localCheckpoint(eager=True)
+    scal = ordered.agg(
+        F.max("cum").alias("total"),
+        (F.max("cum") / 2).cast("long").alias("b"),
+        F.max("m").alias("ms"),
+    )
+    pick = (
+        ordered.drop("m").crossJoin(F.broadcast(scal))
+        .filter(F.col("cum") + (F.col("ms") - F.col("i")) * F.col("n_tokens") <= F.col("b"))
+        .agg(F.coalesce(F.max("i"), F.lit(0)).alias("i0"))
+    )
+    cum_i0 = (
+        ordered.join(F.broadcast(pick), F.col("i") == F.col("i0"))
+        .agg(F.coalesce(F.max("cum"), F.lit(0)).alias("cum0"))
+    )
+    tau = (
+        scal.crossJoin(F.broadcast(pick))
+        .crossJoin(F.broadcast(cum_i0))
+        .select(
+            F.when(F.col("total") <= F.col("b"), F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(b - cum0) div (ms - i0)")
+            )
+            .alias("tau")
+        )
+    )
+    return ordered.crossJoin(F.broadcast(tau)).select(
+        "source",
+        "n_tokens",
+        F.when(F.col("tau").isNull(), F.col("n_tokens"))
+        .otherwise(F.least(F.col("n_tokens"), F.col("tau")))
+        .alias("alloc"),
+    )

@@ -223,6 +223,37 @@ def run_scale(spark, scale: int) -> dict:
     t_build("kmeans_2it", lambda: similarity.kmeans_lloyd(emb, k=8, iters=2))
     t("stitch_audit", dedup.stitch_candidates(docs, k=3, max_df=64))
 
+    # tokenizer ladder: both fold the whole per-word loop into one HOF
+    # aggregate, so beyond the corpus word count (linear) the EM/greedy
+    # machinery runs on the distinct-word vocab (flat here by design —
+    # the synthetic vocab is fixed)
+    t("unigram_lm_fit", text.unigram_lm_fit(docs))
+    t("wordpiece_census", text.wordpiece_encode_census(docs))
+    # cross-corpus LSH decontamination: corpus side is one signature
+    # shuffle, both probe joins broadcast the fixed-size bench slice
+    t(
+        "neardup_decon",
+        dedup.neardup_decontaminate(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 7 == 0).limit(200),
+            threshold=0.2,
+        ),
+    )
+    # Gram power iteration: dims^2 aggregate regardless of row count
+    t("pca_power", similarity.dominant_direction(emb))
+    # bipartite BFS: every hop an equi-join linear in the 8x-docs edges
+    t_build(
+        "cobucket_bfs",
+        lambda: dedup.lsh_cobucket_bfs(
+            docs, docs.filter(F.col("doc_id") % 11 == 0),
+            num_hashes=8, bands=8, hash_fn="xxhash64",
+        ),
+    )
+    # rank windows + value-domain-bounded histogram broadcast
+    t("quantile_norm", curation.quantile_normalize(
+        docs.withColumn("source", F.pmod("doc_id", F.lit(8)).cast("string"))
+    ))
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 

@@ -434,3 +434,24 @@ def test_quantile_normalize_properties(spark):
     assert out[200]["norm_score"] == all_scores[t - 1]
     # closure: every normalized value is an observed global value
     assert {r["norm_score"] for r in out.values()} <= set(all_scores)
+
+
+def test_waterfill_fills_budget_with_floor_slack(spark):
+    """sum(alloc) must land within m of the budget (floor slack only),
+    small sources are taken whole, large ones cut to a common level."""
+    from phoebe_spark.queries import QUERIES
+
+    out = QUERIES["q227_token_waterfill"](spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n_tokens"] for r in out)
+    b = total // 2
+    got = sum(r["alloc"] for r in out)
+    m = len(out)
+    assert b - m < got <= b
+    cut = [r for r in out if r["alloc"] < r["n_tokens"]]
+    whole = [r for r in out if r["alloc"] == r["n_tokens"]]
+    assert cut, "budget < total must force cuts"
+    # every cut source is capped at the same tau
+    assert len({r["alloc"] for r in cut}) == 1
+    # max-min fairness: every whole source is <= the cap level
+    tau = cut[0]["alloc"]
+    assert all(r["n_tokens"] <= tau for r in whole)
