@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "q225_market_basket",
     "q226_delta_encoding_audit",
     "q227_token_waterfill",
+    "q228_interleaved_epoch_order",
 ]
 
 

@@ -12472,3 +12472,60 @@ def q227_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.least(F.col("n_tokens"), F.col("tau")))
         .alias("alloc"),
     )
+
+
+@query(
+    "q228_interleaved_epoch_order",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS r
+      FROM documents
+    )
+    SELECT doc_id, source, r,
+           CAST(row_number() OVER (ORDER BY r, source, doc_id) - 1 AS BIGINT)
+             AS pos
+    FROM r
+    """,
+)
+def q228_interleaved_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ROUND-ROBIN INTERLEAVED dataloader order: documents
+    are shuffled within source (md5 hash order) and sources interleaved
+    round-robin — the epoch order a mixture dataloader feeds the trainer
+    so no source clumps. The engine computes each document's global
+    position with a CLOSED FORM instead of a global sort:
+
+        pos(s, r) = sum_s' min(n_s', r-1) + |{s' < s : n_s' >= r}|
+
+    (everything strictly earlier in round-robin order), evaluated as a
+    codegen HOF over the broadcast per-source count table. The ORACLE
+    computes the actual global ``row_number() OVER (ORDER BY r, source)``
+    — so the hash match PROVES the closed form equals the real global
+    rank at every row. Within-source ranking is the only shuffle; the
+    interleave itself costs nothing at any scale (this is why real
+    dataloaders use rank arithmetic, not sorts).
+
+    Money/typing: all BIGINT."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("r")
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    arrs = counts.agg(
+        F.array_sort(F.collect_list(F.struct("source", "n"))).alias("sn")
+    )
+    pos = F.expr(
+        """
+        aggregate(sn, CAST(0 AS BIGINT),
+          (acc, e) -> acc
+            + least(e.n, r - 1)
+            + CASE WHEN e.source < source AND e.n >= r THEN 1 ELSE 0 END)
+        """
+    )
+    return r.crossJoin(F.broadcast(arrs)).select(
+        "doc_id", "source", "r", pos.alias("pos")
+    )

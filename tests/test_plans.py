@@ -1145,3 +1145,12 @@ def test_q226_single_window_codegen(spark, sf_dir):
     assert _ops(plan, "Scan parquet") == 1
     assert _ops(plan, "Window") == 1  # both lags + row_number share one window
     assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_q228_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q228_interleaved_epoch_order")
+    # within-source rank is the only sort; the interleave position is
+    # closed-form HOF arithmetic over a broadcast count table — a global
+    # ORDER BY would show a rangepartitioning Exchange
+    assert "rangepartitioning" not in plan.lower()
+    assert _ops(plan, "Window") == 1
