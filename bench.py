@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q226_delta_encoding_audit",
     "q227_token_waterfill",
     "q228_interleaved_epoch_order",
+    "q229_event_timer_sessions_drain",
 ]
 
 

@@ -12529,3 +12529,133 @@ def q228_interleaved_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(arrs)).select(
         "doc_id", "source", "r", pos.alias("pos")
     )
+
+
+_Q229_GAP_MS = 50_000_001  # ODD, against the even synthetic-ms grid
+
+
+@query(
+    "q229_event_timer_sessions_drain",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id AS key,
+             2 * (({EPOCH_SQL.format(c='ts')}) * 1000 + event_id % 1000) AS tm
+      FROM events
+    ),
+    s AS (
+      SELECT key, tm,
+             CASE WHEN lag(tm) OVER w IS NULL
+                       OR tm - lag(tm) OVER w > {_Q229_GAP_MS} THEN 1
+                  ELSE 0 END AS brk
+      FROM t WINDOW w AS (PARTITION BY key ORDER BY tm)
+    ),
+    g AS (
+      SELECT key, tm,
+             sum(brk) OVER (PARTITION BY key ORDER BY tm
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT key, sid,
+             CAST(min(tm) AS BIGINT) AS session_start,
+             CAST(max(tm) AS BIGINT) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(tm) AS w FROM t),
+    last AS (SELECT key, max(sid) AS ls FROM sess GROUP BY 1)
+    SELECT CAST(sess.key AS VARCHAR) AS key, session_start, session_end, n_events
+    FROM sess JOIN last USING (key), wm
+    WHERE sid < ls OR session_end + {_Q229_GAP_MS} < wm.w
+    """,
+)
+def q229_event_timer_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom sessionization with EVENT-TIME TIMERS drained
+    inside the hash-checked gate (:func:`stateful.session_close_event_time`):
+    the applyInPandasWithState timer path (``EventTimeTimeout`` +
+    ``setTimeoutTimestamp`` + ``hasTimedOut``) certified end to end —
+    sessions close by in-batch gap splits when the next same-key event
+    arrives, or by WATERMARK-driven timer firings (including the
+    availableNow finalization batch, which is what lets the drain
+    self-terminate — unlike processing-time timers, documented at
+    :func:`stateful.streaming_session_finalizer`).
+
+    The fixture makes every divergence class unrepresentable:
+      - synthetic EVEN-millisecond event times ``2*(epoch_s*1000 +
+        event_id%1000)`` keep range-staged slices value-monotone (ties
+        may straddle files, but an equal-time same-key arrival always
+        merges in-handler, and the odd gap keeps the timer threshold off
+        every tie), so a timer-vs-data race in one batch is
+        emission-equivalent either way;
+      - the ODD gap keeps ``session_end + gap`` off the even watermark
+        grid, so fire-boundary strictness never engages.
+    The oracle is the batch gaps-and-islands sessionization minus each
+    key's final session unless its close passed the final watermark —
+    all three paths (splits, merges, withheld lasts) are exercised at
+    every SF (asserted in tests).
+
+    Scale: state is three scalars per OPEN session; emission is
+    exactly-once append."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import session_close_event_time
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q229_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        staged = ev.select(
+            F.col("user_id"),
+            F.expr(
+                "timestamp_millis(2 * ((ts div 1000000000) * 1000 + event_id % 1000))"
+            ).alias("event_time"),
+        )
+        staged.repartitionByRange(4, "event_time").write.parquet(f"{work}/stage")
+        parts = sorted(glob.glob(f"{work}/stage/part-*.parquet"))
+        for i, part in enumerate(parts, start=1):
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("user_id LONG, event_time TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("event_time", "0 seconds")
+        )
+        sessions = session_close_event_time(
+            stream, gap_ms=_Q229_GAP_MS, key_col="user_id"
+        )
+        sink = f"{work}/sessions"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                sessions.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q229: event-timer session drain did not finish within "
+                    "300 s — refusing to report a partial session set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        out = spark.read.parquet(sink).select(
+            "key", "session_start", "session_end", "n_events"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -558,3 +558,84 @@ def keyed_quota_gate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_ETT_OUTPUT_SCHEMA = (
+    "key STRING, session_start LONG, session_end LONG, n_events LONG"
+)
+SESSION_ETT_STATE_SCHEMA = "s LONG, e LONG, n LONG"
+
+
+def session_close_event_time(
+    stream: DataFrame,
+    gap_ms: int,
+    key_col: str = "key",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME timers
+    (``GroupStateTimeout.EventTimeTimeout``): per key, the open session
+    (start, end, count) is buffered in state; a session closes and emits
+    either when a same-key event more than ``gap_ms`` later arrives
+    (in-handler gap split — a single micro-batch may close several), or
+    when the WATERMARK passes ``end + gap_ms`` and the timer fires
+    (``hasTimedOut`` invocation, state removed). This is the
+    applyInPandasWithState twin of the built-in session window (q203)
+    with the timer path exercised — and unlike the processing-time
+    finalizer (:func:`streaming_session_finalizer`), event-time timers
+    fire on watermark advance, so an ``availableNow`` drain terminates
+    on its own (the finalization batch fires every expired timer).
+
+    State: three scalars per OPEN session only. Emission is exactly-once
+    per closed session (append mode)."""
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "session_start": [int(s)],
+                    "session_end": [int(e)],
+                    "n_events": [int(n)],
+                }
+            )
+            return
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        ts = sorted(int(t.timestamp() * 1000) for t in batch[time_col])
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > gap_ms:
+                closed.append(tuple(cur))
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        state.update((int(cur[0]), int(cur[1]), int(cur[2])))
+        state.setTimeoutTimestamp(int(cur[1]) + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"), F.col(time_col)
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_ETT_OUTPUT_SCHEMA,
+        stateStructType=SESSION_ETT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1154,3 +1154,37 @@ def test_q228_no_global_sort(spark, sf_dir):
     # ORDER BY would show a rangepartitioning Exchange
     assert "rangepartitioning" not in plan.lower()
     assert _ops(plan, "Window") == 1
+
+
+def test_q229_all_three_paths_nonvacuous(spark, sf_dir):
+    # gap splits, multi-event merges, AND withheld last sessions must
+    # all occur at this SF or the timer certification proves nothing
+    import duckdb
+
+    from phoebe_spark.queries import _Q229_GAP_MS, ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    emitted, multi = con.execute(
+        "SELECT count(*), sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) "
+        f"FROM ({ORACLE['q229_event_timer_sessions_drain']})"
+    ).fetchone()
+    total_sessions = con.execute(
+        f"""
+        WITH t AS (SELECT user_id AS key,
+                   2*((epoch_ns(ts)//1000000000)*1000 + event_id % 1000) AS tm
+                   FROM events),
+        s AS (SELECT key, tm, CASE WHEN lag(tm) OVER w IS NULL
+                   OR tm - lag(tm) OVER w > {_Q229_GAP_MS} THEN 1 ELSE 0 END AS brk
+              FROM t WINDOW w AS (PARTITION BY key ORDER BY tm)),
+        g AS (SELECT key, sum(brk) OVER (PARTITION BY key ORDER BY tm
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        SELECT count(*) FROM (SELECT DISTINCT key, sid FROM g)
+        """
+    ).fetchone()[0]
+    assert emitted > 0 and multi > 0
+    # withheld lasts: the drain must emit strictly fewer sessions than
+    # the batch sessionization finds (the final-watermark rule bites)
+    assert emitted < total_sessions
