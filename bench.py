@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q227_token_waterfill",
     "q228_interleaved_epoch_order",
     "q229_event_timer_sessions_drain",
+    "q230_weighted_median",
 ]
 
 

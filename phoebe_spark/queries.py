@@ -12659,3 +12659,64 @@ def q229_event_timer_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q230_weighted_median",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(length(text) AS BIGINT) AS v,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w,
+             doc_id
+      FROM documents
+    ),
+    c AS (
+      SELECT source, v, w,
+             CAST(sum(w) OVER (PARTITION BY source ORDER BY v, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cw,
+             CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+      FROM d
+    )
+    SELECT source,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+             AS weighted_median,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY source
+    """,
+)
+def q230_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source WEIGHTED median: the smallest value whose
+    cumulative weight reaches half the total (weights = token counts, so
+    this is "the document length at which half the source's TOKENS sit
+    in shorter docs" — the length cut a token-budgeted sampler actually
+    cares about, where the unweighted median answers the wrong
+    question). Lower-weighted-median convention, pure BIGINT cumulative
+    arithmetic with a doc_id tie-break — digit-exact against the oracle.
+    Completes the robust-stats ladder: median/MAD (q77), winsorized
+    (q199-family), weighted median.
+
+    Scale shape: one per-source cumulative window + one grouped min —
+    no joins, no value-domain assumptions."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.length("text").cast("long").alias("v"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("w"),
+        "doc_id",
+    )
+    wcum = Window.partitionBy("source").orderBy("v", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = base.select(
+        "source",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("source")).alias("tw"),
+    )
+    return c.groupBy("source").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+            "weighted_median"
+        ),
+        F.max("tw").alias("total_weight"),
+    )
