@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "q228_interleaved_epoch_order",
     "q229_event_timer_sessions_drain",
     "q230_weighted_median",
+    "q231_eval_apportionment",
 ]
 
 

@@ -12720,3 +12720,68 @@ def q230_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("tw").alias("total_weight"),
     )
+
+
+@query(
+    "q231_eval_apportionment",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(200 AS BIGINT) AS b FROM src),
+    q AS (
+      SELECT source, n,
+             CAST((tot.b * n) // tot.nt AS BIGINT) AS fl,
+             CAST((tot.b * n) % tot.nt AS BIGINT) AS rem
+      FROM src, tot
+    ),
+    ranked AS (
+      SELECT source, n, fl, rem,
+             CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr,
+             CAST((SELECT b FROM tot) - sum(fl) OVER () AS BIGINT) AS leftover
+      FROM q
+    )
+    SELECT source, n AS n_docs, fl + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+             AS quota
+    FROM ranked
+    """,
+)
+def q231_eval_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) APPORTIONMENT of a fixed eval budget
+    (200 docs) across sources: floor quotas ``(b*n_s) div N`` plus one
+    extra seat to the largest remainders until the budget is exact —
+    the standard way an eval set is cut proportionally without
+    fractional documents (and the method whose paradoxes are
+    disclosed textbook material — public classic). Pure BIGINT: floors,
+    modular remainders, a remainder rank with a source tie-break.
+    Sums exactly to the budget by construction (invariant-tested).
+    Pairs with the waterfill allocator (q227): waterfill caps dominant
+    sources, Hamilton splits a fixed budget proportionally.
+
+    Scale shape: one map-side-combining count; the apportionment runs
+    on the sources-sized frame."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = src.agg(F.sum("n").alias("nt"), F.lit(200).cast("long").alias("b"))
+    q = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr("(b * n) div nt").alias("fl"),
+        F.expr("(b * n) % nt").alias("rem"),
+        "b",
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    ranked = q.select(
+        "source",
+        "n",
+        "fl",
+        F.row_number().over(w).cast("long").alias("rr"),
+        (F.col("b") - F.sum("fl").over(Window.partitionBy())).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (F.col("fl") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)).alias(
+            "quota"
+        ),
+    )

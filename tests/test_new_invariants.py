@@ -455,3 +455,16 @@ def test_waterfill_fills_budget_with_floor_slack(spark):
     # max-min fairness: every whole source is <= the cap level
     tau = cut[0]["alloc"]
     assert all(r["n_tokens"] <= tau for r in whole)
+
+
+def test_apportionment_sums_to_budget_and_near_proportional(spark):
+    """Hamilton quotas must sum exactly to the budget and differ from
+    exact proportionality by less than 1 per source (quota property)."""
+    from phoebe_spark.queries import QUERIES
+
+    out = QUERIES["q231_eval_apportionment"](spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n_docs"] for r in out)
+    assert sum(r["quota"] for r in out) == 200
+    for r in out:
+        exact = 200 * r["n_docs"] / total
+        assert abs(r["quota"] - exact) < 1
