@@ -12785,3 +12785,772 @@ def q231_eval_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quota"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: graph analytics, semantic dedup, RAG prep, batch packing
+# ---------------------------------------------------------------------------
+
+# Part co-occurrence graph shared by q232/q233: undirected edge between two
+# parts that appear together in >= 2 distinct orders. TPC-H bounds lines per
+# order (<= 7), so the pair fan-out per order is O(1) and the edge build is
+# LINEAR in lineitem at any scale factor — the graph never densifies into
+# an all-pairs blow-up the way a naive similarity graph would.
+_COGRAPH_SQL = """
+    os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS s1, b.l_partkey AS s2
+      FROM os a JOIN os b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+"""
+
+
+def _cograph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (s1 < s2) co-occurrence edges; see _COGRAPH_SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_partkey").distinct()
+    a = os_.alias("a")
+    b = os_.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2")
+        )
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("s1", "s2")
+    )
+
+
+@query(
+    "q232_part_pagerank",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    edges AS (SELECT s1 AS src, s2 AS dst FROM co
+              UNION ALL SELECT s2, s1 FROM co),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM deg),
+    we AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w
+           FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT cnt FROM n) AS r FROM deg),
+    r1 AS (SELECT we.dst AS node,
+                  0.15 / (SELECT cnt FROM n) + 0.85 * sum(we.w * r0.r) AS r
+           FROM we JOIN r0 ON we.src = r0.node GROUP BY 1),
+    r2 AS (SELECT we.dst AS node,
+                  0.15 / (SELECT cnt FROM n) + 0.85 * sum(we.w * r1.r) AS r
+           FROM we JOIN r1 ON we.src = r1.node GROUP BY 1),
+    r3 AS (SELECT we.dst AS node,
+                  0.15 / (SELECT cnt FROM n) + 0.85 * sum(we.w * r2.r) AS r
+           FROM we JOIN r2 ON we.src = r2.node GROUP BY 1),
+    r4 AS (SELECT we.dst AS node,
+                  0.15 / (SELECT cnt FROM n) + 0.85 * sum(we.w * r3.r) AS r
+           FROM we JOIN r3 ON we.src = r3.node GROUP BY 1),
+    r5 AS (SELECT we.dst AS node,
+                  0.15 / (SELECT cnt FROM n) + 0.85 * sum(we.w * r4.r) AS r
+           FROM we JOIN r4 ON we.src = r4.node GROUP BY 1)
+    SELECT node AS part, round(r * (SELECT cnt FROM n), 6) AS pr_scaled
+    FROM r5
+    """,
+)
+def q232_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 iterations, uniform start) over the part
+    co-occurrence graph — "which parts sit at the center of the purchase
+    graph". The iterative-join shape is the canonical Spark graph recipe:
+    contributions = edges ⋈ ranks, grouped on dst; `localCheckpoint` per
+    iteration truncates the lineage so the plan does not grow 5 joins deep
+    (and a retry cannot recompute the whole chain). The graph is
+    symmetrized, so every node has in-edges and there is no dangling-mass
+    term. Output is rank × N (O(1) magnitude), rounded to 6dp.
+
+    100 TB story: edge build is linear (bounded lines/order); each
+    iteration is one shuffle on dst, sized by edges, not nodes²; ranks and
+    degrees co-partition on the join key across iterations.
+    """
+    co = _cograph_edges(spark, sf_dir)
+    edges = co.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
+        co.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wedges = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = float(deg.count())
+    ranks = wedges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+    )
+    for _ in range(5):
+        ranks = (
+            wedges.join(ranks, wedges.src == ranks.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.sum(F.col("w") * F.col("r"))).alias("r2")
+            )
+            .select(F.col("node2").alias("node"), F.col("r2").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("part"),
+        F.round(F.col("r") * F.lit(n_nodes), 6).alias("pr_scaled"),
+    )
+
+
+@query(
+    "q233_triangle_census",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM co e1
+      JOIN co e2 ON e1.s2 = e2.s1
+      JOIN co e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    nodes AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT part, count(*) AS n_triangles
+    FROM nodes GROUP BY 1
+    """,
+)
+def q233_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation on the part co-occurrence graph —
+    the clustering-structure audit behind community detection and
+    link-spam checks. Uses the oriented-edge (a<b<c) enumeration: every
+    triangle is generated exactly once from its canonical vertex order, so
+    there is no /6 correction and no duplicate work.
+
+    100 TB story: two equi-joins on edge endpoints; with edges canonically
+    oriented toward the higher-degree endpoint the join fan-out is bounded
+    by arboricity (here the co-count >= 2 threshold already bounds degree).
+    No node ever materializes its full neighborhood cross-product outside
+    the join.
+    """
+    co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = co.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = co.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = co.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return nodes.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# Pairwise cosine between two aliased embedding rows (a / b), all-DOUBLE.
+_PAIR_COS_SQL = """
+      list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "q234_semdedup_prune",
+    oracle=f"""
+    WITH pr AS (
+      SELECT a.label, b.vec_id AS pruned
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round({_PAIR_COS_SQL}, 6) >= 0.3
+      GROUP BY 1, 2
+    )
+    SELECT e.label,
+           count(*) AS n_vecs,
+           CAST(count(pr.pruned) AS BIGINT) AS n_pruned,
+           CAST(count(*) - count(pr.pruned) AS BIGINT) AS n_kept
+    FROM embeddings e
+    LEFT JOIN pr ON pr.label = e.label AND pr.pruned = e.vec_id
+    GROUP BY 1
+    """,
+)
+def q234_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): inside each
+    cluster, drop every vector that has a LOWER-id neighbor with cosine
+    >= tau — keeping exactly one representative per near-duplicate chain
+    head. The `label` column plays the cluster role (the real pipeline
+    would feed k-means assignments, q187). Cosine is rounded to 6dp BEFORE
+    the threshold so the boundary predicate is engine-stable.
+
+    100 TB story: the self-join is CLUSTER-LOCAL (equi-join on label), so
+    pair count is sum over clusters of |c|^2, not corpus^2 — the whole
+    point of clustering before the pairwise pass; one shuffle on label.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(
+                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            )
+            >= 0.3
+        )
+        .select(F.col("a.label").alias("label"), F.col("b.vec_id").alias("pruned"))
+        .distinct()
+    )
+    return (
+        e.join(
+            pruned,
+            (pruned.label == e.label) & (pruned.pruned == e.vec_id),
+            "left",
+        )
+        .groupBy(e.label)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("pruned")).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "q235_rag_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ch AS (
+      SELECT doc_id, n, t,
+             unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS i
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(least(32, n - i * 24) AS BIGINT) AS n_tok_chunk,
+           array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def q235_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion chunking: overlapping token windows (W=32, stride=24,
+    8-token overlap) with stable (doc_id, chunk_id) keys — the standard
+    retrieval-corpus prep step. Chunk count per doc is closed-form
+    (1 + ceil((n-W)/S)), the window is materialized by exploding a
+    `sequence`, and the text is re-joined with single spaces (both engines
+    slice the same whitespace token array, so the text matches exactly).
+
+    100 TB story: pure per-row narrow ops — no shuffle at all; output
+    size is input x (1 + overlap fraction), and the generated chunk_id is
+    deterministic so re-runs upsert cleanly.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("t"),
+    ).withColumn("n", F.size("t"))
+    ch = toks.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("n") <= 32, F.lit(0)).otherwise(
+                    F.expr("CAST((n - 32 + 23) div 24 AS INT)")
+                ),
+            )
+        ).alias("i"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.least(F.lit(32), F.col("n") - F.col("i") * 24)
+        .cast("long")
+        .alias("n_tok_chunk"),
+        F.array_join(F.slice("t", F.col("i") * 24 + 1, 32), " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "q236_length_bucket_batches",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+      FROM lens
+    )
+    SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+           count(*) AS n_docs,
+           max(n_tok) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste,
+           round(1.0 - sum(n_tok) * 1.0 / (count(*) * max(n_tok)), 6)
+             AS pad_frac
+    FROM ranked GROUP BY 1
+    """,
+)
+def q236_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: sort docs by token count (desc,
+    doc_id tie-break), cut into fixed batches of 32, and report the padding
+    waste each batch pays (batch tensor is n x max_len; waste = padding
+    cells). Sorting before batching is THE standard trick that turns
+    ~50% padding into a few percent — this query quantifies it per batch.
+
+    100 TB story: a global sort by a scalar (Spark range-partitions it —
+    no single-reducer bottleneck), then a batch-local aggregate; row_number
+    over the global order is the one sequential construct, and at scale the
+    same assembly is done per-partition (interleaved epoch order, q228).
+    """
+    d = _t(spark, sf_dir, "documents")
+    lens = d.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = Window.orderBy(F.col("n_tok").desc(), "doc_id")
+    ranked = lens.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(((F.col("rn") - 1) / 32).cast("long").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "max_tok",
+            "sum_tok",
+            (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")).alias("pad_waste"),
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tok") / (F.col("n_docs") * F.col("max_tok")),
+                6,
+            ).alias("pad_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: time-series diagnostics and audits on the events stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q237_hourly_acf",
+    oracle=f"""
+    WITH hc AS (
+      SELECT {EPOCH_SQL.format(c='ts')} // 3600 AS hr,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+    j AS (
+      SELECT l.lag, a.c AS ca, b.c AS cb
+      FROM lags l
+      JOIN hc a ON true
+      JOIN hc b ON b.hr = a.hr + l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(ca, cb), 6) AS acf
+    FROM j GROUP BY 1
+    """,
+)
+def q237_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1..10 —
+    the seasonality probe that tells a forecaster (reference workload
+    models, SURVEY §2.8) which AR terms matter. Sample ACF here is the
+    Pearson correlation over observed (t, t+lag) pairs, so hour gaps are
+    skipped rather than zero-filled. Counts are integers, so both engines
+    correlate IDENTICAL doubles; only corr's internal sums differ, well
+    under the 6dp rounding.
+
+    100 TB story: the hourly rollup is a map-side-combining groupBy
+    (O(hours) rows out); the lag join replicates that TINY series 10x and
+    self-joins on hr+lag — all post-aggregation, never on raw events.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = (
+        e.groupBy((_epoch() / 3600).cast("long").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(1, 11).select(F.col("id").alias("lag"))
+    a = hc.select(F.col("hr").alias("ha"), F.col("c").alias("ca")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = hc.select(F.col("hr").alias("hb"), F.col("c").alias("cb"))
+    j = a.join(b, a.ha + a.lag == b.hb)
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("ca", "cb"), 6).alias("acf"),
+    )
+
+
+@query(
+    "q238_changepoint",
+    oracle=f"""
+    WITH hc AS (
+      SELECT {EPOCH_SQL.format(c='ts')} // 3600 AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT hr, c,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(c) OVER w AS BIGINT) AS s,
+             CAST(sum(c * c) OVER w AS BIGINT) AS s2,
+             CAST(count(*) OVER () AS BIGINT) AS nn,
+             CAST(sum(c) OVER () AS BIGINT) AS st,
+             CAST(sum(c * c) OVER () AS BIGINT) AS s2t
+      FROM hc
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sse AS (
+      SELECT hr, i, nn, st, s2t,
+             round((s2 - s * s / CAST(i AS DOUBLE))
+                 + ((s2t - s2) - (st - s) * (st - s) / CAST(nn - i AS DOUBLE)), 6)
+               AS sse_split,
+             round(s / CAST(i AS DOUBLE), 6) AS mean_left,
+             round((st - s) / CAST(nn - i AS DOUBLE), 6) AS mean_right
+      FROM pre WHERE i < nn
+    )
+    SELECT hr AS split_hour, sse_split, mean_left, mean_right,
+           round(s2t - st * st / CAST(nn AS DOUBLE), 6) AS sse_nosplit
+    FROM sse
+    QUALIFY row_number() OVER (ORDER BY sse_split, hr) = 1
+    """,
+)
+def q238_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the hourly event-count series:
+    the split minimizing total within-segment SSE (the first step of
+    binary segmentation / PELT). All moments are EXACT BIGINT prefix sums
+    of integer counts — the only floats are the final divisions, so both
+    engines compute bit-identical SSE values and the argmin cannot flip
+    on float noise; ties break on earliest hour.
+
+    100 TB story: counts are a map-side-combining rollup; the prefix
+    sums run over the O(hours) series, not raw events. The argmin is a
+    window-min over that same tiny frame.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy((_epoch() / 3600).cast("long").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    pre = hc.select(
+        "hr",
+        F.row_number().over(Window.orderBy("hr")).cast("long").alias("i"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(wall).alias("nn"),
+        F.sum("c").over(wall).alias("st"),
+        F.sum(F.col("c") * F.col("c")).over(wall).alias("s2t"),
+    )
+    sse = pre.filter(F.col("i") < F.col("nn")).select(
+        "hr",
+        F.round(
+            (F.col("s2") - F.col("s") * F.col("s") / F.col("i").cast("double"))
+            + (
+                (F.col("s2t") - F.col("s2"))
+                - (F.col("st") - F.col("s"))
+                * (F.col("st") - F.col("s"))
+                / (F.col("nn") - F.col("i")).cast("double")
+            ),
+            6,
+        ).alias("sse_split"),
+        F.round(F.col("s") / F.col("i").cast("double"), 6).alias("mean_left"),
+        F.round(
+            (F.col("st") - F.col("s")) / (F.col("nn") - F.col("i")).cast("double"), 6
+        ).alias("mean_right"),
+        F.round(
+            F.col("s2t") - F.col("st") * F.col("st") / F.col("nn").cast("double"), 6
+        ).alias("sse_nosplit"),
+    )
+    best = sse.withColumn(
+        "rk", F.row_number().over(Window.orderBy("sse_split", "hr"))
+    )
+    return best.filter(F.col("rk") == 1).select(
+        F.col("hr").alias("split_hour"),
+        "sse_split",
+        "mean_left",
+        "mean_right",
+        "sse_nosplit",
+    )
+
+
+@query(
+    "q239_k_anonymity",
+    oracle="""
+    SELECT source, lang,
+           CAST(n_chars // 500 AS BIGINT) AS len_band,
+           count(*) AS group_size,
+           CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+)
+def q239_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (source, lang,
+    length band): any equivalence class smaller than k=5 re-identifies its
+    members — the privacy screen a training corpus runs before release.
+    Generalization (banding n_chars to 500-char buckets) is part of the
+    audit: the band IS the generalized QI.
+
+    100 TB story: one map-side-combining groupBy on a low-cardinality
+    composite key; no joins, no skew (bands are bounded).
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "source",
+        "lang",
+        F.expr("n_chars div 500").alias("len_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.when(F.count(F.lit(1)) < 5, 1).otherwise(0).cast("int").alias("at_risk"),
+    )
+
+
+@query(
+    "q240_time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_ns(ts) AS tns,
+             lead(epoch_ns(ts)) OVER w AS next_tns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT user_id,
+           CAST(count(next_tns) AS BIGINT) AS n_intervals,
+           CAST(sum(next_tns - tns) AS BIGINT) AS span_ns,
+           round(sum(value * (next_tns - tns) / 1e9)
+                 / (sum(next_tns - tns) / 1e9), 6) AS twa
+    FROM seq WHERE next_tns IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q240_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of `value` under last-observation-
+    carried-forward weighting (TimescaleDB's `time_weight('LOCF')`): each
+    observation holds until the next one, so its weight is the interval
+    length — the honest mean for irregularly sampled gauges, where the
+    plain avg over-counts bursts. Span accounting stays exact BIGINT
+    nanos; only the final weighted mean is float (rounded 6dp). Same-ts
+    duplicates contribute zero weight regardless of intra-tie order, so
+    the (ts, event_id) ordering is fully deterministic.
+
+    100 TB story: one shuffle on user_id (the window), then a grouped
+    agg on the same key — Spark reuses the partitioning; no join.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("tns"),
+        F.lead("ts").over(w).alias("next_tns"),
+    ).filter(F.col("next_tns").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("next_tns") - F.col("tns")).alias("span_ns"),
+        F.round(
+            F.sum(F.col("value") * (F.col("next_tns") - F.col("tns")) / F.lit(1e9))
+            / (F.sum(F.col("next_tns") - F.col("tns")) / F.lit(1e9)),
+            6,
+        ).alias("twa"),
+    )
+
+
+@query(
+    "q241_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('micro',    0,  50000),
+             ('small',    50000, 150000),
+             ('mid',     150000, 300000),
+             ('large',   300000, 600000)
+    )
+    SELECT b.band,
+           count(o.o_orderkey) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+    """,
+)
+def q241_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join rewritten as an equi-join: each NON-UNIFORM price
+    band is exploded into the fixed-width 50k buckets it covers, facts map
+    to their bucket with one arithmetic expression, and the join becomes
+    `fact.bucket = band.bucket` plus a residual BETWEEN check. The oracle
+    states the declarative BETWEEN join; this plan is the scalable shape.
+
+    100 TB story: a naive theta-join (BETWEEN) forces
+    broadcast-nested-loop — O(rows x bands) comparisons; the bucketed
+    rewrite is a broadcast HASH join: one probe per row. The residual
+    predicate keeps semantics exact for bands that don't align to bucket
+    edges, and the bucket explosion is bounded by band width / bucket
+    width (here <= 6 rows per band).
+    """
+    bands = [
+        ("micro", 0, 50_000),
+        ("small", 50_000, 150_000),
+        ("mid", 150_000, 300_000),
+        ("large", 300_000, 600_000),
+    ]
+    bucket_w = 50_000
+    rows = []
+    for name, lo, hi in bands:
+        for bkt in range(lo // bucket_w, (hi - 1) // bucket_w + 1):
+            rows.append((name, lo, hi, bkt))
+    band_df = spark.createDataFrame(rows, "band string, lo long, hi long, bkt long")
+    o = _t(spark, sf_dir, "orders")
+    fact = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / bucket_w).cast("long").alias("bkt"),
+    )
+    j = fact.join(F.broadcast(band_df), "bkt").filter(
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum2(_dec("o_totalprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "q242_ndcg_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qemb, label AS qlabel
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, q.qlabel, b.vec_id AS neighbor_id, b.label,
+             round(
+               list_sum(list_transform(generate_series(1, len(b.embedding)),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cs
+      FROM q JOIN embeddings b ON b.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    rel_total AS (
+      SELECT q.query_id,
+             least(10, count(*) FILTER (WHERE b.label = q.qlabel)) AS r_tot
+      FROM q JOIN embeddings b ON b.vec_id <> q.query_id
+      GROUP BY 1
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(count(*) FILTER (WHERE label = qlabel) AS BIGINT) AS n_rel_at10,
+             sum(CASE WHEN label = qlabel
+                      THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg10
+      FROM ranked WHERE rank <= 10 GROUP BY 1
+    ),
+    idcg_rows AS (
+      SELECT query_id, unnest(generate_series(1, r_tot)) AS k
+      FROM rel_total WHERE r_tot > 0
+    ),
+    idcg AS (
+      SELECT query_id, sum(1.0 / log2(k + 1)) AS idcg10
+      FROM idcg_rows GROUP BY 1
+    )
+    SELECT d.query_id, d.n_rel_at10,
+           round(d.dcg10, 6) AS dcg10,
+           round(coalesce(i.idcg10, 0), 6) AS idcg10,
+           round(CASE WHEN coalesce(i.idcg10, 0) > 0
+                      THEN d.dcg10 / i.idcg10 ELSE 0 END, 6) AS ndcg10
+    FROM dcg d LEFT JOIN idcg i USING (query_id)
+    """,
+)
+def q242_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: NDCG@10 for the first 10 vectors as queries
+    against the rest of the corpus, binary relevance = label match (the
+    standard recall-proxy when embeddings carry class labels). Ranking
+    ties break on 6dp-rounded cosine then neighbor_id, so rank order is
+    engine-stable. IDCG uses min(total relevant, 10) — the full-corpus
+    ideal, not top-10-local — so NDCG is comparable across queries.
+
+    100 TB story: the query set broadcasts (it's tiny by construction);
+    the corpus is scanned once per eval; per-query top-k is a window over
+    k-bounded groups. This is the eval harness for the IVF/PQ indexes
+    (q44/q149/q156) — same contract, exact baseline.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = e.join(F.broadcast(q), e.vec_id != q.query_id).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round(similarity.cosine(F.col("embedding"), F.col("qemb")), 6).alias("cs"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cs").desc(), "neighbor_id"
+            )
+        ),
+    )
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    dcg = (
+        ranked.filter(F.col("rank") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.sum(rel).cast("long").alias("n_rel_at10"),
+            F.sum(rel / F.log2(F.col("rank") + 1)).alias("dcg10_raw"),
+        )
+    )
+    r_tot = scored.groupBy("query_id").agg(
+        F.least(F.lit(10), F.sum(rel)).cast("int").alias("r_tot")
+    )
+    idcg = (
+        r_tot.filter(F.col("r_tot") > 0)
+        .select(
+            "query_id", F.explode(F.sequence(F.lit(1), F.col("r_tot"))).alias("k")
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("k") + 1)).alias("idcg10_raw"))
+    )
+    return (
+        dcg.join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel_at10",
+            F.round("dcg10_raw", 6).alias("dcg10"),
+            F.round(F.coalesce("idcg10_raw", F.lit(0.0)), 6).alias("idcg10"),
+            F.round(
+                F.when(
+                    F.coalesce("idcg10_raw", F.lit(0.0)) > 0,
+                    F.col("dcg10_raw") / F.col("idcg10_raw"),
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg10"),
+        )
+    )
