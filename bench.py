@@ -213,6 +213,17 @@ BENCH_QUERIES = [
     "q229_event_timer_sessions_drain",
     "q230_weighted_median",
     "q231_eval_apportionment",
+    "q232_part_pagerank",
+    "q233_triangle_census",
+    "q234_semdedup_prune",
+    "q235_rag_chunks",
+    "q236_length_bucket_batches",
+    "q237_hourly_acf",
+    "q238_changepoint",
+    "q239_k_anonymity",
+    "q240_time_weighted_avg",
+    "q241_band_join",
+    "q242_ndcg_eval",
 ]
 
 

@@ -1188,3 +1188,61 @@ def test_q229_all_three_paths_nonvacuous(spark, sf_dir):
     # withheld lasts: the drain must emit strictly fewer sessions than
     # the batch sessionization finds (the final-watermark rule bites)
     assert emitted < total_sessions
+
+
+def test_q232_lineage_truncated(spark, sf_dir):
+    # 5 pagerank iterations must NOT stack 5 joins in the final plan:
+    # each iteration localCheckpoints, so the returned frame's plan is a
+    # projection over the checkpoint RDD — no parquet rescan, no join.
+    plan = _plan(spark, sf_dir, "q232_part_pagerank")
+    assert "Scan parquet" not in plan
+    assert _ops(plan, "SortMergeJoin") == 0 and _ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_q233_single_pass_vertex_emit(spark, sf_dir):
+    # the 3 triangle vertices come from ONE explode over the join output,
+    # not a 3-way union that would re-execute both joins per branch
+    plan = _plan(spark, sf_dir, "q233_triangle_census")
+    assert _ops(plan, "Union") == 0
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") <= 2
+    assert "Scan parquet" not in plan  # edge frame is checkpointed
+
+
+def test_q234_cluster_local_pairs(spark, sf_dir):
+    # the pair join is an EQUI-join on label (+ residual vec_id<):
+    # never a cartesian / nested-loop over the corpus
+    plan = _plan(spark, sf_dir, "q234_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q235_no_shuffle(spark, sf_dir):
+    # chunking is pure narrow work: scan -> filter -> explode -> project
+    plan = _plan(spark, sf_dir, "q235_rag_chunks")
+    assert _ops(plan, "Exchange") == 0
+    assert _ops(plan, "Generate") == 1
+    assert _ops(plan, "Scan parquet") == 1
+
+
+def test_q240_single_shuffle(spark, sf_dir):
+    # the lead() window and the grouped agg share the user_id
+    # partitioning: exactly one Exchange in the whole plan
+    plan = _plan(spark, sf_dir, "q240_time_weighted_avg")
+    assert _ops(plan, "Exchange") == 1
+
+
+def test_q241_hash_join_not_nested_loop(spark, sf_dir):
+    # THE point of the bucketed band-join rewrite: a BETWEEN theta-join
+    # would plan as BroadcastNestedLoopJoin; the bucket equi-key makes it
+    # a BroadcastHashJoin with the residual as a post-filter
+    plan = _plan(spark, sf_dir, "q241_band_join")
+    assert _ops(plan, "BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q242_topk_group_limit(spark, sf_dir):
+    # rank<=10 over the per-query window must plan as WindowGroupLimit
+    # (partial top-k before the exchange), not a full sort of all scores
+    plan = _plan(spark, sf_dir, "q242_ndcg_eval")
+    assert _ops(plan, "WindowGroupLimit") >= 1
