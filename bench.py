@@ -224,6 +224,9 @@ BENCH_QUERIES = [
     "q240_time_weighted_avg",
     "q241_band_join",
     "q242_ndcg_eval",
+    "q243_label_propagation",
+    "q244_minhash_merge_cert",
+    "q245_key_skew_gini",
 ]
 
 

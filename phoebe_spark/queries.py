@@ -13555,3 +13555,292 @@ def q242_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg10"),
         )
     )
+
+
+@query(
+    "q243_label_propagation",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    edges AS (SELECT s1 AS src, s2 AS dst FROM co
+              UNION ALL SELECT s2, s1 FROM co),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (
+      SELECT n.node, p.p_brand AS label
+      FROM nodes n JOIN part p ON p.p_partkey = n.node
+      WHERE n.node % 10 = 0
+    ),
+    lab0 AS (
+      SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s USING (node)
+    ),
+    v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM edges e JOIN lab0 l ON e.src = l.node
+           WHERE l.label IS NOT NULL GROUP BY 1, 2),
+    m1 AS (SELECT node, label FROM v1
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1),
+    lab1 AS (SELECT n.node, coalesce(s.label, m.label, p.label) AS label
+             FROM nodes n LEFT JOIN seeds s USING (node)
+             LEFT JOIN m1 m USING (node) LEFT JOIN lab0 p USING (node)),
+    v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM edges e JOIN lab1 l ON e.src = l.node
+           WHERE l.label IS NOT NULL GROUP BY 1, 2),
+    m2 AS (SELECT node, label FROM v2
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1),
+    lab2 AS (SELECT n.node, coalesce(s.label, m.label, p.label) AS label
+             FROM nodes n LEFT JOIN seeds s USING (node)
+             LEFT JOIN m2 m USING (node) LEFT JOIN lab1 p USING (node)),
+    v3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM edges e JOIN lab2 l ON e.src = l.node
+           WHERE l.label IS NOT NULL GROUP BY 1, 2),
+    m3 AS (SELECT node, label FROM v3
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1),
+    lab3 AS (SELECT n.node, coalesce(s.label, m.label, p.label) AS label
+             FROM nodes n LEFT JOIN seeds s USING (node)
+             LEFT JOIN m3 m USING (node) LEFT JOIN lab2 p USING (node))
+    SELECT l.node AS part, l.label,
+           CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_seed
+    FROM lab3 l LEFT JOIN seeds s USING (node)
+    WHERE l.label IS NOT NULL
+    """,
+)
+def q243_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the part co-occurrence
+    graph: 10% of nodes are seeded with their brand, then 3 SYNCHRONOUS
+    rounds of neighbor majority vote (count desc, label asc tie-break)
+    spread labels to unseeded nodes; seeds stay clamped, and a node with
+    no labeled neighbor carries its previous label. Distinct from
+    connected components (q53): CC converges to a set min, LP takes a
+    VOTE — it can assign different labels inside one component.
+
+    100 TB story: each round is one edges-to-labels equi-join + one
+    grouped argmax, all partitioned on node id; `localCheckpoint` per
+    round truncates lineage exactly like q232. Votes shuffle O(edges),
+    never O(nodes x labels).
+    """
+    co = _cograph_edges(spark, sf_dir)
+    edges = (
+        co.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .unionAll(co.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    part = _t(spark, sf_dir, "part")
+    seeds = (
+        nodes.filter(F.col("node") % 10 == 0)
+        .join(part, nodes.node == part.p_partkey)
+        .select("node", F.col("p_brand").alias("slabel"))
+        .localCheckpoint(eager=True)
+    )
+    lab = nodes.join(seeds, "node", "left").select(
+        "node", F.col("slabel").alias("label")
+    )
+    for _ in range(3):
+        votes = (
+            edges.join(
+                lab.filter(F.col("label").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        maj = (
+            votes.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("label").alias("mlabel"))
+        )
+        lab = (
+            nodes.join(seeds, "node", "left")
+            .join(maj, "node", "left")
+            .join(lab.withColumnRenamed("label", "plabel"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("slabel", "mlabel", "plabel").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        lab.filter(F.col("label").isNotNull())
+        .join(seeds, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "label",
+            F.when(F.col("slabel").isNotNull(), 1).otherwise(0).cast("int").alias("is_seed"),
+        )
+    )
+
+
+@query(
+    "q244_minhash_merge_cert",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    sh AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks
+    ),
+    hp AS (
+      SELECT source,
+             {_MD5H_SQL.format(x='g')} % 2147483647 AS h1,
+             CAST(('0x' || substring(md5(g), 17, 15)) AS BIGINT) % 2147483646 + 1 AS h2
+      FROM sh
+    )
+    SELECT source, CAST(i AS BIGINT) AS slot,
+           min((h1 + i * h2) % 2147483647) AS sig,
+           CAST(1 AS INT) AS merge_ok
+    FROM hp CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) seeds
+    GROUP BY 1, 2
+    """,
+)
+def q244_minhash_merge_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-MERGEABILITY certificate for per-source MinHash signatures:
+    computes each source's 16-slot signature TWICE — directly over all its
+    documents, and as an elementwise-min MERGE of two half-corpus partial
+    signatures (split on doc_id parity) — and emits ``merge_ok`` per slot.
+    The oracle replays only the direct path and expects merge_ok=1, so a
+    broken merge (any non-distributive step sneaking into the sketch)
+    hash-fails the gate.
+
+    Why it matters at 100 TB: mergeability is THE property that lets a
+    sketch run as map-side partial aggregation and combine across
+    executors/days/snapshots without touching raw text twice — this query
+    pins it as a tested contract, not an assumption.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, id_col="doc_id", text_col="text", num_hashes=16, shingle_n=3,
+        hash_fn="md5",
+    )
+    src = d.select(F.col("doc_id").alias("doc"), "source", (F.col("doc_id") % 2).alias("half"))
+    # Materialize the per-doc signatures once: BOTH the direct and the
+    # half-merge paths consume this frame, and without the checkpoint each
+    # would re-run the whole shingle+hash subtree (the module-wide
+    # recompute trap — see minhash_lsh_pairs).
+    per_doc = sigs.join(src, "doc").localCheckpoint(eager=True)
+    slot_cols = [F.col("signature")[i].alias(f"s{i}") for i in range(16)]
+    direct = (
+        per_doc.select("source", *slot_cols)
+        .groupBy("source")
+        .agg(*[F.min(f"s{i}").alias(f"d{i}") for i in range(16)])
+    )
+    halves = (
+        per_doc.select("source", "half", *slot_cols)
+        .groupBy("source", "half")
+        .agg(*[F.min(f"s{i}").alias(f"h{i}") for i in range(16)])
+    )
+    merged = halves.groupBy("source").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(16)]
+    )
+    j = direct.join(merged, "source")
+    long_form = j.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("slot"),
+                        F.col(f"d{i}").alias("sig"),
+                        F.when(F.col(f"d{i}") == F.col(f"m{i}"), 1)
+                        .otherwise(0)
+                        .cast("int")
+                        .alias("merge_ok"),
+                    )
+                    for i in range(16)
+                ]
+            )
+        ).alias("e"),
+    )
+    return long_form.select("source", "e.slot", "e.sig", "e.merge_ok")
+
+
+@query(
+    "q245_key_skew_gini",
+    oracle="""
+    WITH audits AS (
+      SELECT 'lineitem.l_partkey' AS key_name, l_partkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', user_id FROM events
+    ),
+    cnts AS (
+      SELECT key_name, k, CAST(count(*) AS BIGINT) AS c
+      FROM audits GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT key_name, c,
+             CAST(row_number() OVER (PARTITION BY key_name ORDER BY c, k)
+               AS BIGINT) AS i
+      FROM cnts
+    )
+    SELECT key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS top1_cnt,
+           round(2.0 * sum(i * c) / (count(*) * sum(c))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY 1
+    """,
+)
+def q245_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: per join/groupBy key column, the Gini
+    coefficient of the per-key row-count distribution plus the hottest
+    key's count — the numbers that decide whether a key needs salting
+    (operators/skew.py) BEFORE the job OOMs. Gini uses the exact sorted
+    cumulative formula (2*sum(i*c_i)/(n*sum c) - (n+1)/n); all moments are
+    BIGINT, only the final ratio is float. Ties in c are order-insensitive
+    for the formula, so the (c, k) sort is engine-stable.
+
+    100 TB story: one map-side-combining count per audited key, then the
+    per-key-name window over the (much smaller) distinct-key frame; audits
+    union BEFORE aggregation so the whole report is one job.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    # Both lineitem keys come out of ONE scan via an explode — a union of
+    # two selects would read the fact table twice (the plan test pins it).
+    audits = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_partkey").alias("key_name"),
+                    F.col("l_partkey").alias("k"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_suppkey").alias("key_name"),
+                    F.col("l_suppkey").alias("k"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.key_name", "e.k").unionAll(
+        ev.select(F.lit("events.user_id").alias("key_name"), F.col("user_id").alias("k"))
+    )
+    cnts = audits.groupBy("key_name", "k").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnts.select(
+        "key_name",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("key_name").orderBy("c", "k"))
+        .cast("long")
+        .alias("i"),
+    )
+    return ranked.groupBy("key_name").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("top1_cnt"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("c"))
+            / (F.count(F.lit(1)) * F.sum("c"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -1246,3 +1246,24 @@ def test_q242_topk_group_limit(spark, sf_dir):
     # (partial top-k before the exchange), not a full sort of all scores
     plan = _plan(spark, sf_dir, "q242_ndcg_eval")
     assert _ops(plan, "WindowGroupLimit") >= 1
+
+
+def test_q243_lineage_truncated(spark, sf_dir):
+    # 3 label-propagation rounds checkpoint per round: the returned plan
+    # joins checkpointed frames, never re-derives the graph from parquet
+    plan = _plan(spark, sf_dir, "q243_label_propagation")
+    assert "Scan parquet" not in plan
+
+
+def test_q244_signature_subtree_not_duplicated(spark, sf_dir):
+    # direct + half-merge both read the checkpointed per-doc signatures:
+    # the shingle+hash subtree must not appear twice (no parquet rescans,
+    # no Generate/explode of shingles in the final plan)
+    plan = _plan(spark, sf_dir, "q244_minhash_merge_cert")
+    assert "Scan parquet" not in plan
+
+
+def test_q245_one_fact_scan(spark, sf_dir):
+    # both lineitem keys audit from ONE scan (explode), not a self-union
+    plan = _plan(spark, sf_dir, "q245_key_skew_gini")
+    assert _ops(plan, "Scan parquet") == 2  # lineitem once + events once
