@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "q243_label_propagation",
     "q244_minhash_merge_cert",
     "q245_key_skew_gini",
+    "q246_stream_first_match_drain",
 ]
 
 

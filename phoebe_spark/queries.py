@@ -13844,3 +13844,113 @@ def q245_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_Q246_WINDOW_MS = 21_600_000  # 6 h pattern window
+
+
+@query(
+    "q246_stream_first_match_drain",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_type,
+             ({EPOCH_SQL.format(c='ts')}) * 1000 + event_id % 1000 AS tm
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    wm AS (SELECT max(tm) AS w FROM t),
+    a AS (SELECT DISTINCT user_id, tm FROM t WHERE event_type = 'view'),
+    b AS (SELECT user_id, tm FROM t WHERE event_type = 'purchase'),
+    m AS (
+      SELECT a.user_id, a.tm AS a_time, CAST(min(b.tm) AS BIGINT) AS b_time
+      FROM a JOIN b ON b.user_id = a.user_id
+                   AND b.tm >= a.tm AND b.tm <= a.tm + {_Q246_WINDOW_MS}
+      GROUP BY 1, 2
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(a_time AS BIGINT) AS a_time, b_time,
+           CAST(b_time - a_time AS BIGINT) AS lag_ms
+    FROM m, wm WHERE a_time + {_Q246_WINDOW_MS} < wm.w
+    """,
+)
+def q246_stream_first_match_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP first-match drained inside the hash-checked gate:
+    'view followed by purchase within 6 h' per user, each view matched to
+    the EARLIEST qualifying purchase (:func:`stateful.first_match_within`
+    — applyInPandasWithState, event-time timers, watermark-pruned A/B
+    buffers). The oracle is the batch min-join; views whose window has
+    not closed at the final watermark are withheld by BOTH sides (the
+    q229 last-session rule, applied per pattern window), so the drain's
+    event-time finalization logic — not just its join math — is what the
+    hash certifies.
+
+    Scale: state per user is the live-window event times only (watermark
+    pruned both sides); one shuffle on the key; exactly-once append.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import first_match_within
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q246_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        staged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.expr(
+                "timestamp_millis((ts div 1000000000) * 1000 + event_id % 1000)"
+            ).alias("event_time"),
+        )
+        staged.repartitionByRange(4, "event_time").write.parquet(f"{work}/stage")
+        parts = sorted(glob.glob(f"{work}/stage/part-*.parquet"))
+        for i, part in enumerate(parts, start=1):
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema(
+                "user_id LONG, event_type STRING, event_time TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("event_time", "0 seconds")
+        )
+        matches = first_match_within(
+            stream,
+            window_ms=_Q246_WINDOW_MS,
+            a_type="view",
+            b_type="purchase",
+            key_col="user_id",
+        )
+        sink = f"{work}/matches"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                matches.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q246: first-match drain did not finish within 300 s — "
+                    "refusing to report a partial match set"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        out = spark.read.parquet(sink).select("key", "a_time", "b_time", "lag_ms")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

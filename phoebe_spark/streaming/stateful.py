@@ -639,3 +639,102 @@ def session_close_event_time(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+FIRST_MATCH_OUTPUT_SCHEMA = (
+    "key STRING, a_time LONG, b_time LONG, lag_ms LONG"
+)
+FIRST_MATCH_STATE_SCHEMA = "a_times ARRAY<LONG>, b_times ARRAY<LONG>"
+
+
+def first_match_within(
+    stream: DataFrame,
+    window_ms: int,
+    a_type: str,
+    b_type: str,
+    key_col: str = "key",
+    time_col: str = "event_time",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming FIRST-MATCH pattern detection (the core CEP primitive,
+    'A followed by B within T'): per key, each ``a_type`` event at time
+    ``a`` emits exactly one row with the EARLIEST ``b_type`` event in
+    ``[a, a + window_ms]`` — or nothing if none arrives. Event-time
+    correct under out-of-order arrival: an A is finalized only once the
+    WATERMARK has passed ``a + window_ms`` (no earlier B can still
+    arrive), using ``getCurrentWatermarkMs`` so one timer firing
+    finalizes every eligible A, not just the earliest.
+
+    State per key: the pending A times (deduplicated — identical-time
+    As are one logical match, mirroring the batch oracle's GROUP BY)
+    and the B times still inside any live window. Both prune against
+    the watermark every invocation: A leaves when finalized, B when
+    ``wm > b + window_ms`` (no pending or future A can reach back that
+    far, since future As carry ``a >= wm``). The re-armed timeout is
+    always strictly above the current watermark by construction
+    (pending As have ``a + T >= wm``; kept Bs have ``b + T >= wm``).
+
+    Scale: state is O(live window occupancy) per key, watermark-bounded;
+    emission is exactly-once append (an A is emitted in the single
+    invocation that finalizes it, then leaves state).
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            sa, sb = state.get
+            a_times = list(sa or [])
+            b_times = list(sb or [])
+        else:
+            a_times, b_times = [], []
+        if not state.hasTimedOut:
+            frames = list(pdfs)
+            batch = pd.concat(frames) if frames else pd.DataFrame()
+            if len(batch):
+                for t, et in zip(batch[time_col], batch[type_col]):
+                    tm = int(t.timestamp() * 1000)
+                    if et == a_type:
+                        a_times.append(tm)
+                    elif et == b_type:
+                        b_times.append(tm)
+        out = []
+        keep_a = []
+        for a in sorted(set(a_times)):
+            if a + window_ms < wm:
+                cand = [b for b in b_times if a <= b <= a + window_ms]
+                if cand:
+                    out.append((a, min(cand)))
+            else:
+                keep_a.append(a)
+        keep_b = sorted({b for b in b_times if b + window_ms >= wm})
+        if not keep_a and not keep_b:
+            state.remove()
+        else:
+            state.update((keep_a, keep_b))
+            if keep_a:
+                nxt = min(a + window_ms for a in keep_a) + 1
+            else:
+                nxt = max(keep_b) + window_ms + 1
+            state.setTimeoutTimestamp(int(nxt))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(out),
+                    "a_time": [a for a, _ in out],
+                    "b_time": [b for _, b in out],
+                    "lag_ms": [b - a for a, b in out],
+                }
+            )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(time_col),
+        F.col(type_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=FIRST_MATCH_OUTPUT_SCHEMA,
+        stateStructType=FIRST_MATCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

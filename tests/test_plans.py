@@ -1267,3 +1267,54 @@ def test_q245_one_fact_scan(spark, sf_dir):
     # both lineitem keys audit from ONE scan (explode), not a self-union
     plan = _plan(spark, sf_dir, "q245_key_skew_gini")
     assert _ops(plan, "Scan parquet") == 2  # lineitem once + events once
+
+
+def test_q246_pattern_paths_nonvacuous(spark, sf_dir):
+    # the first-match certification needs: matched views, UNmatched
+    # views (finalized silently), multi-candidate windows (earliest-B
+    # selection actually chooses), and withheld views at the tail
+    import duckdb
+
+    from phoebe_spark.queries import _Q246_WINDOW_MS, ORACLE
+
+    # the multi-candidate path needs event density: check at the gate's
+    # own SF (0.01), not the unit-test default 0.001
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+    )
+    emitted = con.execute(
+        f"SELECT count(*) FROM ({ORACLE['q246_stream_first_match_drain']})"
+    ).fetchone()[0]
+    base = f"""
+    WITH t AS (SELECT user_id, event_type,
+               (epoch_ns(ts)//1000000000)*1000 + event_id % 1000 AS tm
+               FROM events WHERE event_type IN ('view','purchase')),
+    wm AS (SELECT max(tm) AS w FROM t),
+    a AS (SELECT DISTINCT user_id, tm FROM t WHERE event_type='view'),
+    b AS (SELECT user_id, tm FROM t WHERE event_type='purchase')
+    """
+    closed_views, unmatched, multi = con.execute(
+        base
+        + f"""
+        SELECT count(*),
+               sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN nb >= 2 THEN 1 ELSE 0 END)
+        FROM (
+          SELECT a.user_id, a.tm,
+                 (SELECT count(*) FROM b WHERE b.user_id = a.user_id
+                    AND b.tm >= a.tm AND b.tm <= a.tm + {_Q246_WINDOW_MS}) AS nb
+          FROM a, wm WHERE a.tm + {_Q246_WINDOW_MS} < wm.w
+        )
+        """
+    ).fetchone()
+    withheld = con.execute(
+        base
+        + f"SELECT count(*) FROM a, wm WHERE a.tm + {_Q246_WINDOW_MS} >= wm.w"
+    ).fetchone()[0]
+    assert emitted > 0
+    assert unmatched > 0  # silent finalization path runs
+    assert multi > 0  # earliest-B selection actually selects
+    assert withheld > 0  # final-watermark withholding bites
+    assert emitted == closed_views - unmatched
