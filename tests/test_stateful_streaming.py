@@ -356,3 +356,72 @@ def test_keyed_quota_gate_cross_batch_counter(spark, tmp_path):
         ("b", f"{i:05d}") for i in (100, 101, 102)
     }
     assert got == want
+
+
+def test_first_match_within_out_of_order(spark, tmp_path):
+    """CEP first-match under genuine OUT-OF-ORDER arrival: a
+    within-watermark late B (earlier event time, later file) must BEAT an
+    already-buffered later B; duplicate-time As collapse to one match;
+    unmatched As finalize silently; a tail A whose window has not closed
+    at the final watermark is withheld."""
+    import os as _os
+    import time as _time
+
+    from phoebe_spark.streaming.stateful import first_match_within
+
+    # window 1000 ms, watermark delay 2000 ms
+    files = [
+        [("u", "view", 1000), ("u", "purchase", 1800)],
+        [("u", "purchase", 1500), ("u", "view", 5000)],  # late-but-valid B
+        [
+            ("u", "view", 10000),
+            ("u", "view", 10000),  # duplicate-time A
+            ("u", "purchase", 10400),
+            ("u", "view", 50000),  # withheld: window open at final wm
+        ],
+    ]
+    src = str(tmp_path / "fm_src")
+    _os.makedirs(src)
+    for i, rows in enumerate(files, start=1):
+        df = spark.createDataFrame(
+            rows, "user_id STRING, event_type STRING, ms LONG"
+        ).select(
+            "user_id", "event_type", F.expr("timestamp_millis(ms)").alias("event_time")
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / f"fm_stage{i}"))
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(str(tmp_path / f"fm_stage{i}" / "part-*.parquet"))[0]
+        dst = f"{src}/{i:03d}.parquet"
+        _shutil.copyfile(part, dst)
+        _os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id STRING, event_type STRING, event_time TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("event_time", "2 seconds")
+    )
+    out = first_match_within(
+        stream, window_ms=1000, a_type="view", b_type="purchase",
+        key_col="user_id",
+    )
+    sink = str(tmp_path / "fm_sink")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+        .option("checkpointLocation", str(tmp_path / "fm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r.a_time, r.b_time, r.lag_ms)
+        for r in spark.read.parquet(sink).collect()
+    )
+    # A@1000 matches the LATE B@1500 (not the earlier-arrived B@1800);
+    # A@5000 unmatched; duplicate A@10000 emits once; A@50000 withheld.
+    assert got == [(1000, 1500, 500), (10000, 10400, 400)]
