@@ -1,0 +1,131 @@
+"""Distributed graph analytics as iterative DataFrame plans.
+
+Reference parity note: the reference (dos-group/phoebe) has no graph
+operators — these are §2.11 extension operators for the training-data
+pipeline (dedup-cluster analysis, co-occurrence structure, semi-supervised
+label spread), built on the same iterative-join recipe as
+``dedup.dedup_components`` (min-label propagation).
+
+Scale contract shared by every loop here: one equi-join + one grouped
+aggregate per round, always shuffled on the node id; `localCheckpoint`
+per round truncates lineage so plans stay round-count-independent and a
+task retry never recomputes the whole chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def symmetrize(canon_edges: DataFrame, src: str = "s1", dst: str = "s2") -> DataFrame:
+    """Canonical (a<b) undirected edge list -> both-direction directed list
+    with columns (src, dst)."""
+    return canon_edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).unionAll(canon_edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list where every node has >=1
+    out-edge (true for symmetrized graphs — no dangling-mass term).
+    Returns (node, r). Uniform start; out-degree weights are precomputed
+    once so each iteration is exactly one join + one groupBy.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wedges = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = float(deg.count())
+    ranks = wedges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+    )
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        ranks = (
+            wedges.join(ranks, wedges.src == ranks.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg((F.lit(base) + F.lit(damping) * F.sum(F.col("w") * F.col("r"))).alias("r2"))
+            .select(F.col("node2").alias("node"), F.col("r2").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_counts(
+    canon_edges: DataFrame, src: str = "s1", dst: str = "s2"
+) -> DataFrame:
+    """Per-node triangle participation from a CANONICAL (a<b) undirected
+    edge list via oriented enumeration (a<b<c: each triangle generated
+    once, no /6 correction). Returns (part, n_triangles). The 3 vertices
+    are emitted by ONE explode over the join output — a union of selects
+    would re-execute both joins per branch.
+    """
+    co = canon_edges.select(F.col(src).alias("s1"), F.col(dst).alias("s2"))
+    e1 = co.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = co.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = co.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+    return nodes.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "slabel",
+) -> DataFrame:
+    """Synchronous clamped-seed label propagation: each round every node
+    takes the majority label of its labeled in-neighbors (count desc,
+    label asc tie-break); seeds never change; a node with no labeled
+    neighbor carries its previous label. Returns (node, label) with label
+    possibly null for unreached nodes.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    sds = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("slabel")
+    ).localCheckpoint(eager=True)
+    lab = nodes.join(sds, "node", "left").select(
+        "node", F.col("slabel").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(
+                lab.filter(F.col("label").isNotNull()).withColumnRenamed("node", "src"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        maj = (
+            votes.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("label").alias("mlabel"))
+        )
+        lab = (
+            nodes.join(sds, "node", "left")
+            .join(maj, "node", "left")
+            .join(lab.withColumnRenamed("label", "plabel"), "node", "left")
+            .select("node", F.coalesce("slabel", "mlabel", "plabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return lab

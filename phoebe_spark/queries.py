@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from phoebe_spark.operators import dedup, sampling, similarity, text
+from phoebe_spark.operators import dedup, graph, sampling, similarity, text
 from phoebe_spark.sources.testdata import load_table
 from phoebe_spark.timeseries import aggregates as ts_agg
 from phoebe_spark.timeseries import anomaly as ts_anom
@@ -12870,29 +12870,9 @@ def q232_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees co-partition on the join key across iterations.
     """
     co = _cograph_edges(spark, sf_dir)
-    edges = co.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
-        co.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    wedges = (
-        edges.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = float(deg.count())
-    ranks = wedges.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
-    )
-    for _ in range(5):
-        ranks = (
-            wedges.join(ranks, wedges.src == ranks.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(
-                (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.sum(F.col("w") * F.col("r"))).alias("r2")
-            )
-            .select(F.col("node2").alias("node"), F.col("r2").alias("r"))
-            .localCheckpoint(eager=True)
-        )
+    edges = graph.symmetrize(co)
+    n_nodes = float(edges.select("src").distinct().count())
+    ranks = graph.pagerank(edges, iters=5, damping=0.85)
     return ranks.select(
         F.col("node").alias("part"),
         F.round(F.col("r") * F.lit(n_nodes), 6).alias("pr_scaled"),
@@ -12932,17 +12912,7 @@ def q233_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join.
     """
     co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
-    e1 = co.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    e2 = co.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = co.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    # One explode instead of a 3-way union of selects over `tri`: a union
-    # would re-execute BOTH joins once per branch (6 SortMergeJoins in the
-    # plan); the array explode emits the 3 vertices from a single pass.
-    nodes = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("part")
-    )
-    return nodes.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return graph.triangle_counts(co)
 
 
 # Pairwise cosine between two aliased embedding rows (a / b), all-DOUBLE.
@@ -12986,8 +12956,16 @@ def q234_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of clustering before the pairwise pass; one shuffle on label.
     """
     e = _t(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    # Precompute each row's norm ONCE before the self-join: the naive
+    # cosine(a.emb, b.emb) re-folds BOTH norms per pair (2 x dim extra ops
+    # on every pair) — this was the slowest bench entry until hoisted.
+    # dot/(nrm_a*nrm_b) is the oracle's exact expression tree, so the 6dp
+    # threshold stays engine-stable.
+    en = e.select(
+        "vec_id", "label", "embedding", similarity.norm(F.col("embedding")).alias("nrm")
+    )
+    a = en.alias("a")
+    b = en.alias("b")
     pruned = (
         a.join(
             b,
@@ -12996,7 +12974,9 @@ def q234_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             F.round(
-                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+                similarity.dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
             )
             >= 0.3
         )
@@ -13617,11 +13597,7 @@ def q243_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(nodes x labels).
     """
     co = _cograph_edges(spark, sf_dir)
-    edges = (
-        co.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
-        .unionAll(co.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = graph.symmetrize(co).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     part = _t(spark, sf_dir, "part")
     seeds = (
@@ -13630,40 +13606,7 @@ def q243_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("p_brand").alias("slabel"))
         .localCheckpoint(eager=True)
     )
-    lab = nodes.join(seeds, "node", "left").select(
-        "node", F.col("slabel").alias("label")
-    )
-    for _ in range(3):
-        votes = (
-            edges.join(
-                lab.filter(F.col("label").isNotNull()).withColumnRenamed(
-                    "node", "src"
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        maj = (
-            votes.withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
-                ),
-            )
-            .filter(F.col("rk") == 1)
-            .select("node", F.col("label").alias("mlabel"))
-        )
-        lab = (
-            nodes.join(seeds, "node", "left")
-            .join(maj, "node", "left")
-            .join(lab.withColumnRenamed("label", "plabel"), "node", "left")
-            .select(
-                "node",
-                F.coalesce("slabel", "mlabel", "plabel").alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    lab = graph.label_propagation(edges, seeds, rounds=3)
     return (
         lab.filter(F.col("label").isNotNull())
         .join(seeds, "node", "left")

@@ -254,6 +254,49 @@ def run_scale(spark, scale: int) -> dict:
         docs.withColumn("source", F.pmod("doc_id", F.lit(8)).cast("string"))
     ))
 
+    # round-6 graph ops on a synthetic bounded-degree graph (linear in
+    # scale): every iteration is one edge-sized join, so time must track
+    # edge count, not node-pair count
+    from phoebe_spark.operators import graph
+
+    n_nodes = 2000 * scale
+    canon = (
+        spark.range(n_nodes * 6)
+        .select(
+            (F.col("id") % n_nodes).alias("s1"),
+            F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("s2"),
+        )
+        .filter(F.col("s1") < F.col("s2"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = graph.symmetrize(canon).localCheckpoint(eager=True)
+    t_build("pagerank_5it", lambda: graph.pagerank(edges, iters=5))
+    t("triangles", graph.triangle_counts(canon))
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 10 == 0
+    ).select("node", F.pmod("node", F.lit(7)).cast("string").alias("slabel"))
+    t_build("label_prop_3r", lambda: graph.label_propagation(edges, seeds, rounds=3))
+
+    # round-6 cluster-local semantic pruning: label cardinality grows with
+    # the corpus, so within-cluster pair work stays ~linear by design
+    n_labels = max(16, n_emb // 125)
+    emb_lab = emb.withColumn("label", F.pmod("vec_id", F.lit(n_labels)))
+    a, b = emb_lab.alias("a"), emb_lab.alias("b")
+    t(
+        "semdedup_pairs",
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.label").alias("label"),
+            F.round(
+                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cs"),
+        ),
+    )
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 
