@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "q244_minhash_merge_cert",
     "q245_key_skew_gini",
     "q246_stream_first_match_drain",
+    "q247_partition_overwrite",
+    "q248_bucketed_join",
 ]
 
 

@@ -13897,3 +13897,133 @@ def q246_stream_first_match_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q247_partition_overwrite",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST({EPOCH_SQL.format(c='ts')} // 86400 AS BIGINT) AS day,
+             value
+      FROM events
+    ),
+    final AS (
+      SELECT day,
+             CASE WHEN day % 10 = 3 THEN value * 2.0 ELSE value END AS value
+      FROM base
+    )
+    SELECT day, count(*) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS day_sum
+    FROM final GROUP BY 1
+    """,
+)
+def q247_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite lifecycle: a day-partitioned fact table
+    receives a restatement batch covering only the days with day%10==3
+    (values doubled), written with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — so ONLY the
+    restated day directories are replaced and every other partition's
+    files are untouched (verified by reading the final table back; the
+    oracle states the expected post-restatement content). This is the
+    idempotent-backfill primitive every batch pipeline needs: re-running a
+    day's job replaces that day, never truncates the table.
+
+    100 TB story: the overwrite is partition-granular — a 1-day backfill
+    into a 3-year table rewrites 1/1000th of the data; STATIC mode (the
+    default!) would drop every partition first, which is the
+    footgun this query pins the guard against.
+    """
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        (F.expr("ts div 1000000000") / 86400).cast("long").alias("day"),
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="q247_")
+    tbl = f"{work}/facts"
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        base.write.partitionBy("day").parquet(tbl)
+        restate = base.filter(F.col("day") % 10 == 3).select(
+            "day", (F.col("value") * 2.0).alias("value")
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restate.write.mode("overwrite").partitionBy("day").parquet(tbl)
+        out = (
+            spark.read.parquet(tbl)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _dsum2(_dec("value")).alias("day_sum"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q248_bucketed_join",
+    oracle="""
+    SELECT c.c_nationkey AS nation,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q248_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED co-located join: orders and customer are both written as
+    bucketed tables (8 buckets on the join key), so the sort-merge join
+    reads bucket i against bucket i directly — ZERO Exchange in the plan
+    (asserted in tests). The ``merge`` hint pins SMJ so the demonstration
+    doesn't silently degrade to a broadcast at bench scale.
+
+    100 TB story: bucketing is THE amortization for repeated fact-fact
+    joins — the shuffle is paid once at write time and every subsequent
+    join on the key is shuffle-free; at 1000 executors that removes the
+    single largest network cost of the pipeline. (Bucket count is a
+    layout decision: 8 here for the test corpus; production picks
+    buckets ~ cluster cores so every bucket pair is one task.)
+    """
+    import uuid
+
+    e_orders = _t(spark, sf_dir, "orders")
+    e_cust = _t(spark, sf_dir, "customer")
+    suffix = uuid.uuid4().hex[:8]
+    t_o, t_c = f"q248_orders_{suffix}", f"q248_cust_{suffix}"
+    try:
+        (
+            e_orders.select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(t_o)
+        )
+        (
+            e_cust.select("c_custkey", "c_nationkey")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(t_c)
+        )
+        o = spark.table(t_o)
+        c = spark.table(t_c).hint("merge")
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _dsum2(_dec("o_totalprice")).alias("revenue"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")

@@ -1318,3 +1318,67 @@ def test_q246_pattern_paths_nonvacuous(spark, sf_dir):
     assert multi > 0  # earliest-B selection actually selects
     assert withheld > 0  # final-watermark withholding bites
     assert emitted == closed_views - unmatched
+
+
+def test_q248_bucketed_join_is_shuffle_free(spark, sf_dir):
+    # the whole point of bucketing: both sides pre-bucketed on the join
+    # key -> SortMergeJoin with ZERO Exchange in the plan
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.queries import _t
+
+    suffix = uuid.uuid4().hex[:8]
+    t_o, t_c = f"t248_orders_{suffix}", f"t248_cust_{suffix}"
+    try:
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable(t_o)
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        ).write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable(t_c)
+        o = spark.table(t_o)
+        c = spark.table(t_c).hint("merge")
+        j = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_nationkey").count()
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert _ops(plan, "SortMergeJoin") == 1
+        # the ONLY exchange in the whole plan is the post-join aggregate
+        # shuffle; an unbucketed join would add one per join input
+        assert _ops(plan, "Exchange") == 1
+        assert j.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_q247_dynamic_mode_preserves_other_partitions(spark, sf_dir, tmp_path):
+    # the static-mode footgun the query guards against: a partial
+    # restatement under STATIC overwrite drops every other partition;
+    # under dynamic it must preserve them
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.queries import _t
+
+    base = _t(spark, sf_dir, "events").select(
+        (F.expr("ts div 1000000000") / 86400).cast("long").alias("day"), "value"
+    )
+    tbl = str(tmp_path / "facts")
+    base.write.partitionBy("day").parquet(tbl)
+    n_days = spark.read.parquet(tbl).select("day").distinct().count()
+    restate = base.filter(F.col("day") % 10 == 3)
+    n_restate_days = restate.select("day").distinct().count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restate.write.mode("overwrite").partitionBy("day").parquet(tbl)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert spark.read.parquet(tbl).select("day").distinct().count() == n_days
+    assert n_restate_days < n_days  # the restatement is genuinely partial
