@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "q246_stream_first_match_drain",
     "q247_partition_overwrite",
     "q248_bucketed_join",
+    "q249_streaming_cdc_upsert_drain",
 ]
 
 

@@ -14027,3 +14027,123 @@ def q248_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def _q249_oracle() -> str:
+    # identical final-state census to q194: the streaming upsert loop must
+    # converge to the same table state as the batch CDC collapse
+    return ORACLE["q194_cdc_apply"]
+
+
+@query("q249_streaming_cdc_upsert_drain", oracle=_q249_oracle())
+def q249_streaming_cdc_upsert_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental CDC upsert drained in the hash-checked gate:
+    q194's exact changelog (I at v1, U at v2 for %5==0, D tombstones at
+    v3 for %7==0) replayed one VERSION per micro-batch through a
+    ``foreachBatch`` merge loop that maintains a versioned parquet store —
+    each batch reads the previous snapshot, last-writer-wins-merges the
+    change set, and writes snapshot N+1 (never overwriting the snapshot it
+    is reading — the self-overwrite trap). The final snapshot's census
+    must hash-match the batch CDC apply oracle: one operator, two
+    execution models, one answer (the q180 principle applied to table
+    maintenance).
+
+    100 TB story: the merge is one window over store+delta keyed on the
+    change key (in production a partitioned MERGE touching only impacted
+    partitions); tombstones ride in-band so no base-table join ever
+    happens; snapshot versioning gives exactly-once semantics under batch
+    replay (a re-run of batch N deterministically rewrites snapshot N+1).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    log_parts = [
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("version"),
+            F.lit("I").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            _dec("o_totalprice").alias("price"),
+        ),
+        o.filter(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("version"),
+            F.lit("U").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            # re-cast: decimal addition widens to (19,4), and the staged
+            # files must all carry the stream schema's exact (18,4)
+            (_dec("o_totalprice") + F.lit(10).cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("price"),
+        ),
+        o.filter(F.col("o_orderkey") % 7 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).alias("version"),
+            F.lit("D").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(None).cast("decimal(18,4)").alias("price"),
+        ),
+    ]
+    work = tempfile.mkdtemp(prefix="q249_")
+    src_dir = f"{work}/src"
+    store = f"{work}/store"
+    try:
+        os.makedirs(src_dir)
+        for v, part in enumerate(log_parts, start=1):
+            part.coalesce(1).write.parquet(f"{work}/stage{v}")
+            pf = glob.glob(f"{work}/stage{v}/part-*.parquet")[0]
+            dst = f"{src_dir}/{v:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * v, 1_000_000_000 + 10 * v))
+
+        def _merge(batch_df, batch_id: int) -> None:
+            snaps = sorted(glob.glob(f"{store}/v*"))
+            if snaps:
+                cur = batch_df.sparkSession.read.parquet(snaps[-1])
+                merged_src = cur.unionByName(batch_df)
+            else:
+                merged_src = batch_df
+            w = Window.partitionBy("k").orderBy(F.col("version").desc())
+            merged = (
+                merged_src.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            merged.write.mode("overwrite").parquet(f"{store}/v{batch_id:05d}")
+
+        stream = (
+            spark.readStream.schema(
+                "k LONG, version INT, op STRING, status STRING, price DECIMAL(18,4)"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q249: CDC upsert drain did not finish within 300 s — "
+                "refusing to report a partial store state"
+            )
+        snaps = sorted(glob.glob(f"{store}/v*"))
+        final = spark.read.parquet(snaps[-1])
+        out = (
+            final.filter(F.col("op") != "D")
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
