@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "q247_partition_overwrite",
     "q248_bucketed_join",
     "q249_streaming_cdc_upsert_drain",
+    "q250_scd2_pit_join",
+    "q251_rank_biased_overlap",
 ]
 
 

@@ -14147,3 +14147,190 @@ def q249_streaming_cdc_upsert_drain(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q250_scd2_pit_join",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {EPOCH_SQL.format(c='ts')} AS es,
+                      event_id, value
+               FROM events),
+    dsrc AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+    m AS (
+      SELECT user_id, event_type, es, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM dsrc WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    isl AS (
+      SELECT user_id, event_type, es,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY es, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    runs AS (
+      SELECT user_id, island, min(event_type) AS state, min(es) AS valid_from
+      FROM isl GROUP BY 1, 2),
+    dim AS (
+      SELECT user_id, valid_from, state FROM runs
+      QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+                                 ORDER BY island DESC) = 1),
+    f AS (SELECT user_id, es, event_id, value FROM e
+          WHERE event_type = 'purchase'),
+    pit AS (
+      SELECT f.user_id, f.value, d.state
+      FROM f JOIN dim d ON d.user_id = f.user_id AND d.valid_from <= f.es
+      QUALIFY row_number() OVER (PARTITION BY f.user_id, f.es, f.event_id
+                                 ORDER BY d.valid_from DESC) = 1)
+    SELECT state,
+           count(*) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM pit GROUP BY 1
+    """,
+)
+def q250_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 POINT-IN-TIME join — the warehouse op q129 builds toward:
+    every purchase fact joins the dimension version VALID AT ITS TIME
+    (the user's state run active when the purchase happened). Because
+    SCD2 intervals are gapless by construction (valid_to = next
+    valid_from), PIT is exactly a backward AS-OF join on valid_from —
+    so this runs through :func:`ts_core.asof_join` (union-tag carry,
+    ONE shuffle on user_id, no interval cross-product), with same-second
+    dimension flips pre-collapsed to the latest island so the carry is
+    deterministic.
+
+    100 TB story: the naive BETWEEN join is a range theta-join
+    (nested-loop per user); the as-of carry is one sort per key —
+    the same machinery as q54, now certified on the SCD2 shape.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch().alias("es"), "event_id", "value"
+    )
+    dsrc = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    m = dsrc.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"), F.min("es").alias("valid_from")
+    )
+    dim = (
+        runs.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id", "valid_from").orderBy(
+                    F.col("island").desc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("valid_from").alias("es"), "state")
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "es", "event_id", "value"
+    )
+    pit = ts_core.asof_join(facts, dim, on="es", by=["user_id"], value_cols=["state"])
+    return (
+        pit.filter(F.col("state_asof").isNotNull())
+        .groupBy(F.col("state_asof").alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum2(_dec("value")).alias("total_value"),
+        )
+    )
+
+
+# RBO depth weights (1-p)*p^(d-1), p=0.9, k=20 — computed ONCE in Python
+# and embedded as identical double literals in both engines, so no pow()
+# libm divergence can enter the comparison.
+_RBO_W = [(d, (1 - 0.9) * 0.9 ** (d - 1)) for d in range(1, 21)]
+_RBO_W_SQL = ", ".join(f"({d}, {w!r})" for d, w in _RBO_W)
+
+
+@query(
+    "q251_rank_biased_overlap",
+    oracle=f"""
+    WITH lens AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok,
+             n_chars
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tok DESC, doc_id) AS ra,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rb
+      FROM lens
+    ),
+    mx AS (
+      SELECT source, greatest(ra, rb) AS m FROM ranked
+      WHERE greatest(ra, rb) <= 20
+    ),
+    w(d, wt) AS (VALUES {_RBO_W_SQL}),
+    ov AS (
+      SELECT mx.source, w.d, w.wt, CAST(count(*) AS BIGINT) AS overlap_d
+      FROM mx JOIN w ON mx.m <= w.d
+      GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           max(CASE WHEN d = 20 THEN overlap_d ELSE 0 END) AS overlap_at_20,
+           round(sum(wt * overlap_d / d), 6) AS rbo
+    FROM ov GROUP BY 1
+    """,
+)
+def q251_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010, truncated at k=20,
+    p=0.9) between two per-source document rankings — token-count vs
+    char-count — the top-weighted agreement measure for "do two quality
+    signals pick the same heads?", where Spearman (q216) weighs the whole
+    list equally. The depth-d overlap needs no per-depth set
+    intersection: a doc is in both prefixes iff max(rank_a, rank_b) <= d,
+    so overlap_d is one bounded join of the (source, m<=20) survivors
+    against the 20-row depth/weight dim.
+
+    100 TB story: two windows on the same source partitioning, then the
+    survivor set is at most 20 rows per source — everything after the
+    ranking is dimension-sized.
+    """
+    d = _t(spark, sf_dir, "documents")
+    lens = d.filter(F.trim("text") != "").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+        "n_chars",
+    )
+    ranked = lens.select(
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("n_tok").desc(), "doc_id"))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rb"),
+    )
+    mx = ranked.select(
+        "source", F.greatest("ra", "rb").alias("m")
+    ).filter(F.col("m") <= 20)
+    wdim = spark.createDataFrame(_RBO_W, "d int, wt double")
+    ov = (
+        mx.join(F.broadcast(wdim), mx.m <= wdim.d)
+        .groupBy("source", "d", "wt")
+        .agg(F.count(F.lit(1)).alias("overlap_d"))
+    )
+    return ov.groupBy("source").agg(
+        F.max(F.when(F.col("d") == 20, F.col("overlap_d")).otherwise(0)).alias(
+            "overlap_at_20"
+        ),
+        F.round(F.sum(F.col("wt") * F.col("overlap_d") / F.col("d")), 6).alias("rbo"),
+    )
