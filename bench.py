@@ -233,6 +233,9 @@ BENCH_QUERIES = [
     "q249_streaming_cdc_upsert_drain",
     "q250_scd2_pit_join",
     "q251_rank_biased_overlap",
+    "q252_asof_tolerance",
+    "q253_session_paths",
+    "q254_fano_burstiness",
 ]
 
 

@@ -14334,3 +14334,195 @@ def q251_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(F.col("wt") * F.col("overlap_d") / F.col("d")), 6).alias("rbo"),
     )
+
+
+@query(
+    "q252_asof_tolerance",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor({EPOCH_SQL.format(c='ts')} / 60) AS BIGINT) AS minute,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, minute, v FROM m WHERE minute % 60 = 0),
+    j AS (
+      SELECT l.event_type, l.minute, l.v AS minute_sum,
+             r.v AS cp_v, r.minute AS cp_minute
+      FROM m l ASOF LEFT JOIN r
+        ON l.event_type = r.event_type AND l.minute >= r.minute
+    )
+    SELECT event_type, minute, minute_sum,
+           CASE WHEN cp_minute >= minute - 15 THEN cp_v END
+             AS checkpoint_sum_asof
+    FROM j
+    """,
+)
+def q252_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(...,
+    tolerance=...)``): per-minute sums pick up the most recent HOURLY
+    checkpoint, but only if it is at most 15 minutes old — a stale match
+    must surface as null, not silently carry an hour-old value (the
+    staleness contract every metrics/feature-store lookup needs). q54
+    certifies the unbounded carry; this pins the tolerance path of the
+    same operator — most minutes fall OUTSIDE the window, so the nulling
+    logic is exercised non-vacuously.
+
+    Scale: same union-tag single-shuffle plan; tolerance is a post-carry
+    column predicate, not a join-condition change.
+    """
+    e = _t(spark, sf_dir, "events")
+    m = (
+        e.withColumn("minute", F.floor(_epoch() / 60).cast("long"))
+        .groupBy("event_type", "minute")
+        .agg(F.round(F.sum("value"), 6).alias("minute_sum"))
+    )
+    r = m.filter(F.col("minute") % 60 == 0).select(
+        "event_type", "minute", F.col("minute_sum").alias("checkpoint_sum")
+    )
+    out = ts_core.asof_join(
+        m, r, on="minute", by=["event_type"], value_cols=["checkpoint_sum"],
+        tolerance=15,
+    )
+    return out.select("event_type", "minute", "minute_sum", "checkpoint_sum_asof")
+
+
+@query(
+    "q253_session_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, {EPOCH_SQL.format(c='ts')} AS es, event_id
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type, es, event_id,
+             CASE WHEN es - lag(es) OVER w > 1800 OR lag(es) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    g AS (
+      SELECT user_id, event_type, es, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    rn AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY es, event_id) AS step
+      FROM g
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM rn WHERE step <= 3 GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def q253_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry-path mining: sessionize on a 30-minute gap, take each
+    session's first 3 event types as an ordered path string, and count
+    paths with support >= 5 — the navigation-pattern report product teams
+    run daily, and the path-level complement of the Markov transition
+    matrix (q130: pairwise, memoryless; this: ordered prefixes). Path
+    assembly is deterministic: (second, event_id) ordering, positional
+    concat.
+
+    100 TB story: sessionization + step-ranking + path-concat all share
+    ONE user_id shuffle (same-key windows), then one path-keyed count
+    whose cardinality is bounded by |event_types|^3.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch().alias("es"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    s = e.withColumn(
+        "brk",
+        F.when(
+            (F.col("es") - F.lag("es").over(w) > 1800)
+            | F.lag("es").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    g = s.withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    rn = g.withColumn(
+        "step",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("es", "event_id")
+        ),
+    )
+    paths = (
+        rn.filter(F.col("step") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ).getField("event_type"),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
+@query(
+    "q254_fano_burstiness",
+    oracle=f"""
+    WITH hc AS (
+      SELECT user_id,
+             CAST({EPOCH_SQL.format(c='ts')} // 3600 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_active_hours,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(max(c) AS BIGINT) AS peak_hour,
+           round((sum(c * c) - sum(c) * sum(c) * 1.0 / count(*))
+                 / sum(c), 6) AS fano
+    FROM hc GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def q254_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness via the Fano factor of ACTIVE-hour event
+    counts (variance-to-mean over hours with >=1 event; ~1 = Poisson-like
+    arrivals, >>1 = bursty — the signal a rate limiter or capacity planner
+    keys on). All moments are exact BIGINT sums of integer counts; the
+    two divisions are the only floats, so the 6dp rounding is
+    engine-stable. Biased (population) variance, disclosed.
+
+    100 TB story: two stacked map-side-combining groupBys
+    (user x hour, then user) — no window, no join, no skew beyond the
+    natural per-user row counts.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "user_id", (_epoch() / 3600).cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hc.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.sum("c").alias("n_events"),
+            F.max("c").alias("peak_hour"),
+            F.round(
+                (
+                    F.sum(F.col("c") * F.col("c"))
+                    - F.sum("c") * F.sum("c") * F.lit(1.0) / F.count(F.lit(1))
+                )
+                / F.sum("c"),
+                6,
+            ).alias("fano"),
+        )
+        .filter(F.col("n_active_hours") >= 5)
+    )
