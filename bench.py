@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "q252_asof_tolerance",
     "q253_session_paths",
     "q254_fano_burstiness",
+    "q255_hopping_window",
+    "q256_token_lorenz",
+    "q257_date_dim_rollup",
 ]
 
 

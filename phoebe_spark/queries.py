@@ -14526,3 +14526,194 @@ def q254_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_active_hours") >= 5)
     )
+
+
+@query(
+    "q255_hopping_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT {EPOCH_SQL.format(c='ts')} AS es, value FROM events
+    ),
+    contrib AS (
+      SELECT unnest(generate_series(
+               (es // 60 - 4) * 60, (es // 60) * 60, 60)) AS win_start,
+             value
+      FROM e
+    )
+    SELECT CAST(win_start AS BIGINT) AS win_start,
+           CAST(win_start + 300 AS BIGINT) AS win_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS win_sum
+    FROM contrib
+    WHERE win_start >= 0
+    GROUP BY 1, 2
+    """,
+)
+def q255_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window aggregate — 5-minute windows every 1
+    minute via Spark's native ``F.window(ts, '5 minutes', '1 minute')``:
+    each event lands in 5 overlapping windows, the smoothing rollup
+    dashboards want where tumbling windows (q14) jitter. The oracle
+    replicates the window-assignment rule itself (every minute-aligned
+    start in (es-300, es]), so what's certified is Spark's hop semantics,
+    not just the sums.
+
+    100 TB story: window explosion is exactly size/slide = 5x — bounded
+    and declared; the aggregate stays map-side-combining on the window
+    key. (Counter-pattern: a per-second slide would be a 300x blow-up —
+    the slide ratio IS the cost knob.)
+    """
+    e = _t(spark, sf_dir, "events")
+    w = e.select(
+        F.window(
+            F.expr("timestamp_seconds(ts div 1000000000)"), "5 minutes", "1 minute"
+        ).alias("w"),
+        "value",
+    )
+    return (
+        w.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum2(_dec("value")).alias("win_sum"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            F.col("w.end").cast("long").alias("win_end"),
+            "n_events",
+            "win_sum",
+        )
+    )
+
+
+@query(
+    "q256_token_lorenz",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ranked AS (
+      SELECT n_tok,
+             ntile(10) OVER (ORDER BY n_tok, doc_id) AS decile
+      FROM lens
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM ranked)
+    SELECT CAST(decile AS INT) AS decile,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS decile_tokens,
+           round(sum(n_tok) * 1.0 / (SELECT t FROM tot), 6) AS token_share,
+           round(sum(sum(n_tok)) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / (SELECT t FROM tot), 6) AS cum_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def q256_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-concentration (Lorenz) curve: docs in length deciles,
+    each decile's share of TOTAL tokens and the cumulative share — "how
+    much of the training signal lives in the longest 10% of documents",
+    the long-tail audit that decides truncation and packing policy
+    (complements q245's key-skew Gini: that measures shuffle keys, this
+    measures the data itself). NTILE with a doc_id tie-break is
+    deterministic; shares are exact-integer sums with two final floats.
+
+    100 TB story: one global sort by a scalar (range-partitioned), one
+    grouped rollup on 10 keys, one 10-row cumulative window.
+    """
+    d = _t(spark, sf_dir, "documents")
+    lens = d.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    ranked = lens.select(
+        "n_tok",
+        F.ntile(10).over(Window.orderBy("n_tok", "doc_id")).alias("decile"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("decile_tokens"),
+    )
+    tot = F.sum("decile_tokens").over(Window.partitionBy())
+    cum = F.sum("decile_tokens").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        "decile_tokens",
+        F.round(F.col("decile_tokens") / tot, 6).alias("token_share"),
+        F.round(cum / tot, 6).alias("cum_share"),
+    )
+
+
+@query(
+    "q257_date_dim_rollup",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    dd AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    dim AS (
+      SELECT d,
+             CAST(isodow(d) AS INT) AS dow,
+             CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS INT)
+               AS is_weekend,
+             CAST(strftime(d, '%Y-%m') AS VARCHAR) AS month
+      FROM dd
+    )
+    SELECT dim.month, dim.is_weekend,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM dim LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = dim.d
+    GROUP BY 1, 2
+    HAVING count(o.o_orderkey) > 0
+    """,
+)
+def q257_date_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated DATE DIMENSION + calendar-attribute rollup: the date dim
+    is derived in-engine (``sequence(min, max, interval 1 day)`` +
+    calendar functions — no external table), then orders roll up by
+    month x weekend flag through a broadcast join against it. This is the
+    warehouse date-spine pattern: deriving calendar attributes ONCE in a
+    dimension beats re-computing `dayofweek` per fact row in every query,
+    and the spine also exposes zero-activity days (q181's gap audit rides
+    the same spine).
+
+    100 TB story: the dim is O(days) — broadcast always; the fact side
+    aggregates map-side on (month, flag).
+    """
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.select(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    dim = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    ).select(
+        "d",
+        F.expr("CAST(((dayofweek(d) + 5) % 7) + 1 AS INT)").alias("dow"),
+        F.when(F.expr("((dayofweek(d) + 5) % 7) + 1") >= 6, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_weekend"),
+        F.date_format("d", "yyyy-MM").alias("month"),
+    )
+    facts = o.select(F.to_date("o_orderdate").alias("d"), "o_orderkey", "o_totalprice")
+    j = F.broadcast(dim).join(facts, "d", "left")
+    return (
+        j.groupBy("month", "is_weekend")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dsum2(_dec("o_totalprice")).alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
