@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "q255_hopping_window",
     "q256_token_lorenz",
     "q257_date_dim_rollup",
+    "q258_containment_pairs",
 ]
 
 

@@ -178,6 +178,65 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by MAX-CONTAINMENT — inter / min(|A|, |B|) —
+    the asymmetric score that catches PARTIAL copies Jaccard misses: a
+    short doc fully embedded in a long one has containment 1.0 but
+    Jaccard ~ |short|/|long| (arbitrarily small). This is the
+    quote/excerpt/boilerplate-inclusion rung of the dedup ladder
+    (Broder's containment, the same C(A,B) CDC pipelines use).
+
+    Same inverted-index census as :func:`ngram_jaccard_pairs` (one
+    posting pass, df-capped pair expansion, no cross join); only the
+    final score differs, and both scores are emitted so consumers can
+    split "mutual near-dup" from "one-way inclusion".
+    """
+    post = shingle_postings(df, id_col, text_col, n, distinct=False)
+    sized = (
+        post.groupBy("doc")
+        .agg(F.collect_set("shingle").alias("_set"))
+        .select("doc", F.size("_set").alias("size"), F.explode("_set").alias("shingle"))
+    )
+    grouped = sized.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("doc"), F.col("size"))).alias("ds")
+    )
+    if max_shingle_freq is not None:
+        grouped = grouped.filter(F.size("ds") <= max_shingle_freq)
+    ds = F.col("ds")
+    pair_structs = _ordered_pair_structs(
+        ds,
+        build=lambda x, y: F.struct(
+            F.least(x["doc"], y["doc"]).alias("doc_a"),
+            F.greatest(x["doc"], y["doc"]).alias("doc_b"),
+            F.when(x["doc"] < y["doc"], x["size"]).otherwise(y["size"]).alias("size_a"),
+            F.when(x["doc"] < y["doc"], y["size"]).otherwise(x["size"]).alias("size_b"),
+        ),
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.size_a", "p.size_b")
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("size_a"), F.col("size_b")),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

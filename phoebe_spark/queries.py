@@ -14717,3 +14717,57 @@ def q257_date_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@query(
+    "q258_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS grams
+      FROM toks
+    ),
+    posting AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    capped AS (
+      SELECT * FROM (
+        SELECT p.*, count(*) OVER (PARTITION BY g) AS df FROM posting p
+      ) WHERE df <= 1000
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS size_a, b.sz AS size_b,
+             count(*) AS inter
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / least(size_a, size_b), 6) AS containment,
+           round(inter * 1.0 / (size_a + size_b - inter), 6) AS jaccard
+    FROM pairs WHERE inter * 1.0 / least(size_a, size_b) >= 0.2
+    """,
+)
+def q258_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-CONTAINMENT near-dup pairs (:func:`dedup.containment_pairs`,
+    3-gram shingles, threshold 0.2): the asymmetric inclusion score that
+    catches a short document embedded in a long one — containment 1.0
+    where Jaccard is arbitrarily small — the quote/excerpt rung of the
+    dedup ladder. Emits both scores, and the threshold sits where the
+    gate certifies genuine divergence: the surviving set contains pairs
+    at containment ~0.25 whose Jaccard is ~0.03 (one-way inclusion), next
+    to mutual near-dups at ~1.0/~0.97.
+
+    100 TB story: identical single-posting-pass inverted-index shape as
+    q13 — only the final arithmetic differs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(d, n=3, threshold=0.2, max_shingle_freq=1000)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )

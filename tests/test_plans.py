@@ -1382,3 +1382,22 @@ def test_q247_dynamic_mode_preserves_other_partitions(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     assert spark.read.parquet(tbl).select("day").distinct().count() == n_days
     assert n_restate_days < n_days  # the restatement is genuinely partial
+
+
+def test_q258_asymmetric_divergence_nonvacuous(spark, sf_dir):
+    # the containment operator must survive on pairs Jaccard would MISS:
+    # at the gate SF the result needs both one-way inclusions (containment
+    # >= 0.2, jaccard < 0.1) and mutual near-dups (jaccard >= 0.9)
+    import duckdb
+
+    from phoebe_spark.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    rows = con.execute(ORACLE["q258_containment_pairs"]).fetchall()
+    one_way = [r for r in rows if r[2] >= 0.2 and r[3] < 0.1]
+    mutual = [r for r in rows if r[3] >= 0.9]
+    assert len(one_way) > 0 and len(mutual) > 0
