@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "q256_token_lorenz",
     "q257_date_dim_rollup",
     "q258_containment_pairs",
+    "q259_variant_shred",
+    "q260_expectations_suite",
 ]
 
 

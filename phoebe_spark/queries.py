@@ -14771,3 +14771,160 @@ def q258_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+@query(
+    "q259_variant_shred",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_band,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS k_max
+    FROM events GROUP BY 1
+    """,
+)
+def q259_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured OPEN-SCHEMA path via Spark 4's VARIANT type:
+    ``parse_json`` keeps the whole document queryable without declaring a
+    schema, ``variant_get`` shreds typed fields on demand — the
+    schema-on-read complement of q37's closed-schema ``from_json`` (which
+    silently nulls fields the struct didn't declare). Variant's binary
+    encoding makes repeated field extraction cheap vs re-parsing JSON
+    text per access.
+
+    100 TB story: variant columns store parsed-once binary; field
+    extraction is a columnar kernel, and the group key lands map-side —
+    this is the pattern for telemetry/props columns whose schema drifts
+    faster than the pipeline's release cycle.
+    """
+    e = _t(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("vp"))
+    shred = v.select(
+        F.expr("variant_get(vp, '$.k', 'int')").alias("k")
+    )
+    return shred.groupBy((F.col("k") % 10).alias("k_band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("int").alias("k_min"),
+        F.max("k").cast("int").alias("k_max"),
+    )
+
+
+@query(
+    "q260_expectations_suite",
+    oracle="""
+    WITH fk AS (
+      SELECT count(*) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             count(o_custkey) AS n_custkey,
+             count(DISTINCT o_orderkey) AS n_distinct_pk,
+             sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS n_neg_price,
+             sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+               AS n_bad_status
+      FROM orders
+    )
+    SELECT c.name AS constraint_name, c.metric, c.passed FROM (
+      SELECT 'completeness(o_custkey)' AS name,
+             round(n_custkey * 1.0 / n, 6) AS metric,
+             CAST(CASE WHEN n_custkey = n THEN 1 ELSE 0 END AS INT) AS passed
+      FROM m
+      UNION ALL
+      SELECT 'uniqueness(o_orderkey)',
+             round(n_distinct_pk * 1.0 / n, 6),
+             CAST(CASE WHEN n_distinct_pk = n THEN 1 ELSE 0 END AS INT)
+      FROM m
+      UNION ALL
+      SELECT 'non_negative(o_totalprice)',
+             CAST(n_neg_price AS DOUBLE),
+             CAST(CASE WHEN n_neg_price = 0 THEN 1 ELSE 0 END AS INT)
+      FROM m
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             CAST(n_bad_status AS DOUBLE),
+             CAST(CASE WHEN n_bad_status = 0 THEN 1 ELSE 0 END AS INT)
+      FROM m
+      UNION ALL
+      SELECT 'fk_containment(o_custkey->customer)',
+             CAST(n_orphans AS DOUBLE),
+             CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INT)
+      FROM fk
+    ) c
+    """,
+)
+def q260_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality EXPECTATIONS suite as one report:
+    completeness, primary-key uniqueness, value-bound, domain-set, and
+    FK-containment constraints each emit (name, metric, passed) — the
+    contract gate a table must clear before a pipeline consumes it. All
+    single-table metrics come from ONE aggregate pass (one scan, five
+    counters); only the FK probe adds a broadcast anti-join. Extends the
+    per-FK orphan audit (q157) into the named-constraint report shape.
+
+    100 TB story: constraint evaluation is O(1) extra state per
+    constraint inside an existing scan — the same observe-metrics
+    principle as curation.py's inline QA gate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_distinct_pk"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("n_neg_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("n_bad_status"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    rows = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("completeness(o_custkey)").alias("constraint_name"),
+                    F.round(F.col("n_custkey") / F.col("n"), 6).alias("metric"),
+                    F.when(F.col("n_custkey") == F.col("n"), 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("passed"),
+                ),
+                F.struct(
+                    F.lit("uniqueness(o_orderkey)").alias("constraint_name"),
+                    F.round(F.col("n_distinct_pk") / F.col("n"), 6).alias("metric"),
+                    F.when(F.col("n_distinct_pk") == F.col("n"), 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("passed"),
+                ),
+                F.struct(
+                    F.lit("non_negative(o_totalprice)").alias("constraint_name"),
+                    F.col("n_neg_price").cast("double").alias("metric"),
+                    F.when(F.col("n_neg_price") == 0, 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("passed"),
+                ),
+                F.struct(
+                    F.lit("in_set(o_orderstatus)").alias("constraint_name"),
+                    F.col("n_bad_status").cast("double").alias("metric"),
+                    F.when(F.col("n_bad_status") == 0, 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("passed"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.constraint_name", "e.metric", "e.passed")
+    fk_row = orphans.select(
+        F.lit("fk_containment(o_custkey->customer)").alias("constraint_name"),
+        F.col("n_orphans").cast("double").alias("metric"),
+        F.when(F.col("n_orphans") == 0, 1).otherwise(0).cast("int").alias("passed"),
+    )
+    return rows.unionByName(fk_row)
