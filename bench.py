@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "q258_containment_pairs",
     "q259_variant_shred",
     "q260_expectations_suite",
+    "q261_incremental_agg_maintenance",
 ]
 
 

@@ -14928,3 +14928,80 @@ def q260_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_orphans") == 0, 1).otherwise(0).cast("int").alias("passed"),
     )
     return rows.unionByName(fk_row)
+
+
+@query(
+    "q261_incremental_agg_maintenance",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST({EPOCH_SQL.format(c='ts')} // 86400 AS BIGINT) AS day,
+             event_type, value
+      FROM events
+    )
+    SELECT day, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS day_sum,
+           CAST(1 AS INT) AS ivm_ok
+    FROM base GROUP BY 1, 2
+    """,
+)
+def q261_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance certificate: the daily
+    (day x event_type) aggregate is built TWICE — full recompute, and
+    incrementally (the first 25 days' aggregate merged with the remaining
+    days' delta by re-aggregating partials, the IVM step a daily pipeline
+    runs at midnight) — and every row carries ``ivm_ok``. The oracle
+    expects 1, so any non-self-maintainable step (a non-decomposable
+    aggregate, a lost partial) hash-fails the gate. COUNT and DECIMAL SUM
+    are self-maintainable aggregates; the decimal carry makes the merged
+    sum bit-equal to the recompute, not just close — which is exactly why
+    the money policy (README) mandates DECIMAL partials.
+
+    100 TB story: the nightly delta touches one day's partition; the
+    merge is partials-sized (days x types), never a fact rescan — IVM is
+    the difference between O(delta) and O(history) daily cost.
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("(ts div 1000000000) div 86400").cast("long").alias("day"),
+        "event_type",
+        "value",
+    )
+    min_day = base.agg(F.min("day")).head()[0]
+    cut = (min_day or 0) + 25
+
+    def _partial(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("sum_dec"),
+        )
+
+    history = _partial(base.filter(F.col("day") < cut))
+    delta = _partial(base.filter(F.col("day") >= cut))
+    merged = (
+        history.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    full = _partial(base).withColumnRenamed("n_events", "n_full").withColumnRenamed(
+        "sum_dec", "sum_full"
+    )
+    j = merged.join(full, ["day", "event_type"])
+    return j.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_dec"), 2).cast("double").alias("day_sum"),
+        F.when(
+            (F.col("n_events") == F.col("n_full"))
+            & (F.col("sum_dec") == F.col("sum_full")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("ivm_ok"),
+    )
