@@ -34,20 +34,21 @@ def _qnum(name: str) -> int:
         return 10_000
 
 
-def _round_number() -> int:
-    """Infer the current build round from the driver's own artifacts:
-    CORRECTNESS_r{N}.json exists for every COMPLETED round, so the round
-    in progress is max(N) + 1 (1 if none are present)."""
+def _certified_rounds() -> int:
+    """COUNT the driver's CORRECTNESS_r*.json artifacts rather than taking
+    max(N)+1: a round whose artifacts never landed (round 5 produced no
+    file) must not make the rotation SKIP a 50-query window — the window
+    should advance once per actually-certified round, whatever the file
+    numbers say."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = []
-    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", p)
-        if m:
-            rounds.append(int(m.group(1)))
-    return max(rounds) + 1 if rounds else 1
+    return sum(
+        1
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if re.search(r"_r(\d+)\.json$", p)
+    )
 
 
 def _rotated(names: list[str]) -> list[str]:
@@ -58,7 +59,11 @@ def _rotated(names: list[str]) -> list[str]:
     q51, round 5 at q101, and so on (wrapping). Order within the
     rotation is ascending query number."""
     ordered = sorted(names, key=_qnum)
-    offset = (max(0, _round_number() - 3) * 50) % max(1, len(ordered))
+    # rounds 1-3 all certified the first window (artifacts r1-r3 exist for
+    # it); each LATER certified round advanced the window by 50. Counting
+    # files (not max round number) keeps the sequence gap-free even when a
+    # round's artifacts never landed.
+    offset = (max(0, _certified_rounds() - 2) * 50) % max(1, len(ordered))
     return ordered[offset:] + ordered[:offset]
 
 
