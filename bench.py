@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "q259_variant_shred",
     "q260_expectations_suite",
     "q261_incremental_agg_maintenance",
+    "q262_snake_sharding",
 ]
 
 

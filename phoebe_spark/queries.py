@@ -15005,3 +15005,81 @@ def q261_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("int")
         .alias("ivm_ok"),
     )
+
+
+@query(
+    "q262_snake_sharding",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS BIGINT)
+               AS r
+      FROM lens
+    ),
+    assigned AS (
+      SELECT n_tok,
+             CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END
+               AS shard
+      FROM ranked
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM assigned)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS token_sum,
+           round(sum(n_tok) * 8.0 / (SELECT t FROM tot) - 1.0, 6)
+             AS imbalance
+    FROM assigned GROUP BY 1
+    """,
+)
+def q262_snake_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance-OPTIMIZED training-shard assignment by SNAKE
+    (boustrophedon) order: sort docs by token count desc, deal them across
+    8 shards alternating direction each pass — the closed-form
+    ``shard = f(rank)`` stand-in for greedy LPT bin packing (which is
+    inherently sequential and cannot run as a plan). Snake order pairs a
+    heavy pick in one pass with a light pick in the return pass, so
+    per-shard token sums land within a fraction of a percent of ideal —
+    the ``imbalance`` column measures it exactly. Complements q147's
+    salted-hash sharding (random, content-addressed) with the
+    skew-minimizing variant a token-budgeted trainer wants.
+
+    100 TB story: one range-partitioned sort + a rank formula — no
+    sequential state, no driver loop; re-runs reproduce the same shards.
+    """
+    d = _t(spark, sf_dir, "documents")
+    lens = d.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    ranked = lens.select(
+        "n_tok",
+        (
+            F.row_number().over(Window.orderBy(F.col("n_tok").desc(), "doc_id")) - 1
+        ).cast("long").alias("r"),
+    )
+    assigned = ranked.select(
+        "n_tok",
+        F.when(F.expr("r div 8") % 2 == 0, F.col("r") % 8)
+        .otherwise(7 - F.col("r") % 8)
+        .alias("shard"),
+    )
+    tot = F.sum("token_sum").over(Window.partitionBy())
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("token_sum"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "token_sum",
+            F.round(F.col("token_sum") * 8.0 / tot - 1.0, 6).alias("imbalance"),
+        )
+    )
