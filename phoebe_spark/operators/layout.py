@@ -82,3 +82,52 @@ def zorder_layout(
     )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return with_z.repartitionByRange(n, "__z").sortWithinPartitions("__z")
+
+
+def global_rank_by_value(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    descending: bool = True,
+    out_col: str = "r",
+) -> DataFrame:
+    """EXACT global row_number over (value_col [desc], tie_col asc) WITHOUT
+    a single-reducer global window — the scale trap of
+    ``row_number().over(Window.orderBy(...))``, which moves every row into
+    one partition.
+
+    Two-phase value-bucketed rank (the q224/q228 family trick applied to a
+    continuous sort key): per-VALUE counts (domain-bounded — token counts,
+    prices, sizes) roll up map-side; their cumulative offsets are a window
+    over the tiny distinct-value frame only; each row's rank is its
+    value's offset plus a row_number over the value PARTITION (distributed
+    — the window key is the value itself, so no partition ever holds more
+    than one value's rows). Bit-identical to the naive global window, so
+    oracles stay unchanged.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__n"))
+    order = v.desc() if descending else v.asc()
+    offs = vals.select(
+        value_col,
+        (
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy(order).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("__off"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy(value_col).orderBy(F.col(tie_col).asc())
+    )
+    return (
+        df.join(F.broadcast(offs), value_col)
+        .withColumn(out_col, (F.col("__off") + within).cast("long"))
+        .drop("__off")
+    )

@@ -13092,15 +13092,17 @@ def q236_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the global order is the one sequential construct, and at scale the
     same assembly is done per-partition (interleaved epoch order, q228).
     """
+    from phoebe_spark.operators.layout import global_rank_by_value
+
     d = _t(spark, sf_dir, "documents")
     lens = d.filter(F.trim("text") != "").select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
     )
-    w = Window.orderBy(F.col("n_tok").desc(), "doc_id")
-    ranked = lens.withColumn("rn", F.row_number().over(w))
+    # value-bucketed two-phase rank: no single-reducer global window
+    ranked = global_rank_by_value(lens, "n_tok", "doc_id", out_col="rn")
     return (
-        ranked.groupBy(((F.col("rn") - 1) / 32).cast("long").alias("batch_id"))
+        ranked.groupBy(F.expr("(rn - 1) div 32").alias("batch_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.max("n_tok").alias("max_tok"),
@@ -14623,14 +14625,30 @@ def q256_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB story: one global sort by a scalar (range-partitioned), one
     grouped rollup on 10 keys, one 10-row cumulative window.
     """
+    from phoebe_spark.operators.layout import global_rank_by_value
+
     d = _t(spark, sf_dir, "documents")
     lens = d.filter(F.trim("text") != "").select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
     )
-    ranked = lens.select(
+    # two-phase rank + exact NTILE arithmetic: bit-identical to
+    # ntile(10) OVER (ORDER BY n_tok, doc_id) without the single-reducer
+    # global window (first n%10 buckets get ceil(n/10) rows)
+    r = global_rank_by_value(lens, "n_tok", "doc_id", descending=False)
+    n1 = lens.agg(F.count(F.lit(1)).cast("long").alias("__nn"))
+    ranked = r.crossJoin(F.broadcast(n1)).select(
         "n_tok",
-        F.ntile(10).over(Window.orderBy("n_tok", "doc_id")).alias("decile"),
+        F.expr(
+            """
+            CASE WHEN r <= (__nn % 10) * (__nn div 10 + 1)
+                 THEN (r - 1) div (__nn div 10 + 1) + 1
+                 ELSE (__nn % 10)
+                      + (r - (__nn % 10) * (__nn div 10 + 1) - 1)
+                        div (__nn div 10) + 1
+            END
+            """
+        ).cast("int").alias("decile"),
     )
     dec = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -15057,11 +15075,10 @@ def q262_snake_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
     )
-    ranked = lens.select(
-        "n_tok",
-        (
-            F.row_number().over(Window.orderBy(F.col("n_tok").desc(), "doc_id")) - 1
-        ).cast("long").alias("r"),
+    from phoebe_spark.operators.layout import global_rank_by_value
+
+    ranked = global_rank_by_value(lens, "n_tok", "doc_id").select(
+        "n_tok", (F.col("r") - 1).alias("r")
     )
     assigned = ranked.select(
         "n_tok",

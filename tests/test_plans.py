@@ -1401,3 +1401,46 @@ def test_q258_asymmetric_divergence_nonvacuous(spark, sf_dir):
     one_way = [r for r in rows if r[2] >= 0.2 and r[3] < 0.1]
     mutual = [r for r in rows if r[3] >= 0.9]
     assert len(one_way) > 0 and len(mutual) > 0
+
+
+def test_two_phase_rank_no_global_window(spark, sf_dir):
+    # q236/q256/q262 rank via value-bucketed offsets: the ONLY
+    # single-partition exchange allowed is the cumulative-offset window
+    # over the tiny distinct-VALUE frame — so every SinglePartition in the
+    # plan must be fed by a HashAggregate (the per-value counts), never by
+    # raw rows (the naive global row_number shape).
+    for name in (
+        "q236_length_bucket_batches",
+        "q262_snake_sharding",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        ids = re.findall(r"\((\d+)\) Exchange\nArguments: SinglePartition", plan)
+        assert len(ids) <= 1, name
+        for i in ids:
+            feeder = int(i) - 1
+            assert f"({feeder}) HashAggregate" in plan, (name, i)
+
+
+def test_global_rank_matches_naive_window(spark):
+    # the helper must be BIT-identical to row_number over the global sort
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators.layout import global_rank_by_value
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.pmod(F.xxhash64("id"), F.lit(40)).alias("v")
+    )
+    fast = global_rank_by_value(df, "v", "doc_id", descending=True)
+    naive = df.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("v").desc(), F.col("doc_id")))
+    )
+    j = fast.join(naive, "doc_id")
+    assert j.filter(F.col("r") != F.col("rn")).count() == 0
+    asc = global_rank_by_value(df, "v", "doc_id", descending=False)
+    naive_asc = df.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("v").asc(), F.col("doc_id")))
+    )
+    assert (
+        asc.join(naive_asc, "doc_id").filter(F.col("r") != F.col("rn")).count() == 0
+    )
