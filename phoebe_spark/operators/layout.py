@@ -90,6 +90,7 @@ def global_rank_by_value(
     tie_col: str,
     descending: bool = True,
     out_col: str = "r",
+    bucket=None,
 ) -> DataFrame:
     """EXACT global row_number over (value_col [desc], tie_col asc) WITHOUT
     a single-reducer global window — the scale trap of
@@ -97,21 +98,30 @@ def global_rank_by_value(
     one partition.
 
     Two-phase value-bucketed rank (the q224/q228 family trick applied to a
-    continuous sort key): per-VALUE counts (domain-bounded — token counts,
-    prices, sizes) roll up map-side; their cumulative offsets are a window
-    over the tiny distinct-value frame only; each row's rank is its
-    value's offset plus a row_number over the value PARTITION (distributed
-    — the window key is the value itself, so no partition ever holds more
-    than one value's rows). Bit-identical to the naive global window, so
-    oracles stay unchanged.
+    continuous sort key): per-BUCKET counts (domain-bounded) roll up
+    map-side; their cumulative offsets are a window over the tiny
+    distinct-bucket frame only; each row's rank is its bucket's offset
+    plus a row_number over the bucket PARTITION ordered by (value, tie) —
+    distributed, since the window key is the bucket. Bit-identical to the
+    naive global window, so oracles stay unchanged.
+
+    ``bucket``: optional Column that MONOTONICALLY coarsens a continuous
+    value (e.g. ``F.floor(F.col("price"))``, ``F.round("quality", 2)``) so
+    the offsets frame is bounded by the value RANGE, not the row count.
+    Defaults to the value itself — right for integer-domain keys (token
+    counts, sizes). Monotonicity is what keeps bucket-major order
+    consistent with value order; within a bucket the exact value still
+    sorts first.
     """
     from pyspark.sql import Window
 
     v = F.col(value_col)
-    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__n"))
-    order = v.desc() if descending else v.asc()
+    b = (bucket if bucket is not None else v).alias("__bkt")
+    dfb = df.withColumn("__bkt", bucket if bucket is not None else v)
+    vals = dfb.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    order = F.col("__bkt").desc() if descending else F.col("__bkt").asc()
     offs = vals.select(
-        value_col,
+        "__bkt",
         (
             F.coalesce(
                 F.sum("__n").over(
@@ -123,11 +133,30 @@ def global_rank_by_value(
             )
         ).cast("long").alias("__off"),
     )
+    vorder = v.desc() if descending else v.asc()
     within = F.row_number().over(
-        Window.partitionBy(value_col).orderBy(F.col(tie_col).asc())
+        Window.partitionBy("__bkt").orderBy(vorder, F.col(tie_col).asc())
     )
     return (
-        df.join(F.broadcast(offs), value_col)
+        dfb.join(F.broadcast(offs), "__bkt")
         .withColumn(out_col, (F.col("__off") + within).cast("long"))
-        .drop("__off")
+        .drop("__off", "__bkt")
+    )
+
+
+def exact_ntile_expr(rank_col: str, n_col: str, k: int):
+    """The exact NTILE(k) bucket for a 1-based global rank, replicating
+    Spark/DuckDB semantics (first n%k buckets get ceil(n/k) rows) — pairs
+    with :func:`global_rank_by_value` to bucket without a global window.
+    """
+    r, n = rank_col, n_col
+    return F.expr(
+        f"""
+        CASE WHEN {r} <= ({n} % {k}) * ({n} div {k} + 1)
+             THEN ({r} - 1) div ({n} div {k} + 1) + 1
+             ELSE ({n} % {k})
+                  + ({r} - ({n} % {k}) * ({n} div {k} + 1) - 1)
+                    div ({n} div {k}) + 1
+        END
+        """
     )

@@ -3155,14 +3155,21 @@ def q81_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q82_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer account-balance deciles via ntile over a total order
     (tie-break on custkey makes bucket boundaries deterministic).
-    Unkeyed ntile needs a global sort — correct and fine for a 10-row
-    report over a dimension table; for decile-bucketing a 100 TB FACT
-    table use approx-quantile boundaries + a codegen CASE instead (the
-    q65 stratified-sample pattern)."""
+    Runs WITHOUT a global sort: the two-phase bucketed rank
+    (layout.global_rank_by_value, buckets = floor(balance) — offsets
+    frame bounded by the money RANGE, not the row count) plus exact
+    NTILE arithmetic reproduces ntile(10) OVER (ORDER BY ...) bit for
+    bit at any scale."""
+    from phoebe_spark.operators.layout import exact_ntile_expr, global_rank_by_value
+
     cst = _t(spark, sf_dir, "customer")
-    d = cst.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())),
+    rk = global_rank_by_value(
+        cst, "c_acctbal", "c_custkey", descending=False,
+        bucket=F.floor(F.col("c_acctbal")),
+    )
+    n1 = cst.agg(F.count(F.lit(1)).cast("long").alias("__nn"))
+    d = rk.crossJoin(F.broadcast(n1)).withColumn(
+        "decile", exact_ntile_expr("r", "__nn", 10).cast("int")
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -7116,34 +7123,45 @@ def q159_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost?" (the quality-vs-volume tradeoff behind FineWeb/DCLM-style
     filtered mixes).
 
-    Scale notes: this report form uses one global rank window (10-row
-    output, fine for a planning artifact); at 100 TB the same curve
-    comes from approx-quantiles of the quality column + one conditional
-    aggregation per threshold — noted here because the global sort is
-    the report's cost, not the curve's. Quality is per-row arithmetic
+    Scale notes: the rank is the two-phase bucketed form
+    (layout.global_rank_by_value, buckets = quality rounded to 2dp — a
+    monotone coarsening, offsets bounded by the score range) — no
+    single-partition sort anywhere; quality is per-row arithmetic
     (identical IEEE both engines), cumulative sums are integer-exact."""
+    from phoebe_spark.operators.layout import global_rank_by_value
+
     d = _t(spark, sf_dir, "documents")
     q = text.quality_score(d).select("doc_id", "token_count", "quality_score")
-    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
-    r = q.select(
-        "doc_id",
-        "token_count",
-        "quality_score",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    rk = global_rank_by_value(
+        q, "quality_score", "doc_id", descending=True,
+        bucket=F.round(F.col("quality_score"), 2), out_col="rk",
+    )
+    n1 = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = rk.crossJoin(F.broadcast(n1)).select(
+        "doc_id", "token_count", "quality_score", "rk", "n"
     )
     c = r.select(
         "quality_score",
         "token_count",
         F.floor((F.col("rk") - 1) * 10 / F.col("n")).cast("int").alias("decile"),
-        F.sum("token_count").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_tokens"),
+        F.col("token_count"),
     )
-    return c.groupBy("decile").agg(
+    # cumulative tokens at each decile BOUNDARY == running sum of the
+    # per-decile totals (a 10-row window), so the per-row cumulative-sum
+    # global window is unnecessary
+    dec = c.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.max("cum_tokens").cast("long").alias("cum_tokens"),
+        F.sum("token_count").alias("dec_tokens"),
         F.round(F.min("quality_score"), 6).alias("cutoff_quality"),
+    )
+    cum = F.sum("dec_tokens").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dec.select(
+        "decile",
+        "n_docs",
+        cum.cast("long").alias("cum_tokens"),
+        "cutoff_quality",
     )
 
 
@@ -8200,10 +8218,11 @@ def q178_quality_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bottom deciles, the quality gate removes most dups for free).
 
     Scale notes: one scan computes quality + fingerprint; the dup census
-    is fingerprint-keyed with map-side combining; deciles use a global
-    rank window ordered by (rounded-decimal quality, doc_id) — report-
-    shaped here; at 100 TB swap the exact ntile for approx-quantile
-    thresholds (the q159 pattern) to avoid the single-partition sort."""
+    is fingerprint-keyed with map-side combining; deciles come from the
+    two-phase bucketed rank + exact NTILE arithmetic (buckets = quality
+    rounded to 2dp) — no single-partition sort anywhere in the plan."""
+    from phoebe_spark.operators.layout import exact_ntile_expr, global_rank_by_value
+
     d = _t(spark, sf_dir, "documents")
     q = text.quality_score(d).select(
         "doc_id",
@@ -8212,11 +8231,19 @@ def q178_quality_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prefix_fp().alias("fp"),
     )
     c = q.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("quality", "doc_id")
-    dd = q.join(c, "fp").select(
-        "doc_id", "tok", "quality",
-        (F.col("cnt") > 1).alias("is_dup"),
-        F.ntile(10).over(w).cast("int").alias("decile"),
+    rk = global_rank_by_value(
+        q, "quality", "doc_id", descending=False,
+        bucket=F.round(F.col("quality"), 2),
+    )
+    n1 = q.agg(F.count(F.lit(1)).cast("long").alias("__nn"))
+    dd = (
+        rk.crossJoin(F.broadcast(n1))
+        .join(c, "fp")
+        .select(
+            "doc_id", "tok", "quality",
+            (F.col("cnt") > 1).alias("is_dup"),
+            exact_ntile_expr("r", "__nn", 10).cast("int").alias("decile"),
+        )
     )
     return dd.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),

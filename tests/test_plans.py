@@ -1410,6 +1410,9 @@ def test_two_phase_rank_no_global_window(spark, sf_dir):
     # plan must be fed by a HashAggregate (the per-value counts), never by
     # raw rows (the naive global row_number shape).
     for name in (
+        "q82_acctbal_deciles",
+        "q159_token_budget_curve",
+        "q178_quality_dup_curve",
         "q236_length_bucket_batches",
         "q262_snake_sharding",
     ):
