@@ -12983,31 +12983,9 @@ def q234_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of clustering before the pairwise pass; one shuffle on label.
     """
     e = _t(spark, sf_dir, "embeddings")
-    # Precompute each row's norm ONCE before the self-join: the naive
-    # cosine(a.emb, b.emb) re-folds BOTH norms per pair (2 x dim extra ops
-    # on every pair) — this was the slowest bench entry until hoisted.
-    # dot/(nrm_a*nrm_b) is the oracle's exact expression tree, so the 6dp
-    # threshold stays engine-stable.
-    en = e.select(
-        "vec_id", "label", "embedding", similarity.norm(F.col("embedding")).alias("nrm")
-    )
-    a = en.alias("a")
-    b = en.alias("b")
     pruned = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            F.round(
-                similarity.dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            )
-            >= 0.3
-        )
-        .select(F.col("a.label").alias("label"), F.col("b.vec_id").alias("pruned"))
+        similarity.cluster_local_pairs(e, threshold=0.3)
+        .select("label", F.col("id_b").alias("pruned"))
         .distinct()
     )
     return (

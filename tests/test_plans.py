@@ -1447,3 +1447,20 @@ def test_global_rank_matches_naive_window(spark):
     assert (
         asc.join(naive_asc, "doc_id").filter(F.col("r") != F.col("rn")).count() == 0
     )
+
+
+def test_cluster_local_pairs_guard_refuses_hot_cluster(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.operators.similarity import cluster_local_pairs
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),  # ONE cluster holding everything
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        cluster_local_pairs(df, max_cluster_rows=50)
+    # under the bound it runs
+    assert cluster_local_pairs(df, max_cluster_rows=10_000).count() > 0
