@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "q260_expectations_suite",
     "q261_incremental_agg_maintenance",
     "q262_snake_sharding",
+    "q263_golden_record",
 ]
 
 

@@ -15105,3 +15105,59 @@ def q262_snake_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("token_sum") * 8.0 / tot - 1.0, 6).alias("imbalance"),
         )
     )
+
+
+@query(
+    "q263_golden_record",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                           1, 80)) AS fp
+      FROM documents WHERE trim(text) <> ''
+    ),
+    clusters AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(*) >= 2
+    )
+    SELECT f.fp AS cluster_fp,
+           CAST(min(f.doc_id) AS BIGINT) AS golden_doc_id,
+           count(*) AS n_members,
+           CAST(count(DISTINCT f.source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT f.source, ',' ORDER BY f.source) AS sources,
+           CAST(max(f.n_chars) AS BIGINT) AS max_chars
+    FROM fp f JOIN clusters USING (fp)
+    GROUP BY 1
+    """,
+)
+def q263_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP: for every exact-duplicate cluster
+    (normalized-prefix fingerprint, the q08/q178 family), MERGE a golden
+    record by policy — lowest doc_id as the canonical key, member and
+    distinct-source census, the sorted source list (provenance a data
+    card needs), and the longest variant's length. Complements q88's
+    keep-best (which PICKS one row) with the attribute-merge shape a
+    master-data pipeline emits.
+
+    100 TB story: one fingerprint shuffle; every survivorship rule is an
+    ordinary aggregate (min/max/count/sort_array of collect_set) — no
+    per-cluster iteration, no skew beyond natural cluster sizes.
+    """
+    d = _t(spark, sf_dir, "documents")
+    f = d.filter(F.trim("text") != "").select(
+        "doc_id", "source", "n_chars", _prefix_fp().alias("fp")
+    )
+    g = f.groupBy("fp").agg(
+        F.min("doc_id").alias("golden_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("source").alias("n_sources"),
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return g.filter(F.col("n_members") >= 2).select(
+        F.col("fp").alias("cluster_fp"),
+        "golden_doc_id",
+        "n_members",
+        "n_sources",
+        "sources",
+        "max_chars",
+    )
