@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "q261_incremental_agg_maintenance",
     "q262_snake_sharding",
     "q263_golden_record",
+    "q264_determinism_cert",
 ]
 
 

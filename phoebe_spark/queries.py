@@ -15161,3 +15161,62 @@ def q263_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sources",
         "max_chars",
     )
+
+
+@query(
+    "q264_determinism_cert",
+    oracle="""
+    WITH kept AS (
+      SELECT source, doc_id
+      FROM documents
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 15))
+                 AS BIGINT) % 10000 < 3000
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(1 AS INT) AS stable_ok
+    FROM kept GROUP BY 1
+    """,
+)
+def q264_determinism_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISM certificate for the sampling family: the salted-hash
+    30% sample is drawn TWICE under adversarially different physical
+    layouts (7-partition round-robin vs 13-partition range-by-text) and
+    ``stable_ok`` asserts the two draws picked IDENTICAL rows per source.
+    This is the contract the whole no-RNG design rides on — `Bernoulli
+    sample()` changes membership under retries/AQE re-partitioning,
+    salted-hash membership cannot — here it stops being a docstring claim
+    and becomes a hash-checked gate row (the oracle expects 1, so any
+    layout-sensitivity in the scan-side expression fails the round).
+
+    100 TB story: both draws are scan-side codegen predicates (no
+    shuffle); the certificate join is sample-sized on the id.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = sampling.hash_sample(d.repartition(7), 0.30, id_col="doc_id", salt="v1")
+    b = sampling.hash_sample(
+        d.repartitionByRange(13, "doc_id"), 0.30, id_col="doc_id", salt="v1"
+    )
+    both = a.select("doc_id", "source").join(
+        b.select(F.col("doc_id").alias("doc_id_b")),
+        F.col("doc_id") == F.col("doc_id_b"),
+        "full",
+    )
+    return (
+        both.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.min(
+                F.when(
+                    F.col("doc_id").isNotNull() & F.col("doc_id_b").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("stable_ok"),
+        )
+        .filter(F.col("source").isNotNull())
+    )
