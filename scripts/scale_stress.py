@@ -297,6 +297,20 @@ def run_scale(spark, scale: int) -> dict:
         ),
     )
 
+    # round-6: containment shares q13's single-posting-pass census; the
+    # two-phase rank must track rows (offsets frame is value-bounded)
+    t(
+        "containment_pairs",
+        dedup.containment_pairs(docs, n=5, threshold=0.3, max_shingle_freq=1000),
+    )
+    from phoebe_spark.operators.layout import global_rank_by_value
+
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    t("two_phase_rank", global_rank_by_value(lens, "n_tok", "doc_id"))
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 
