@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q262_snake_sharding",
     "q263_golden_record",
     "q264_determinism_cert",
+    "q265_order_integrity",
 ]
 
 

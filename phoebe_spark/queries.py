@@ -15220,3 +15220,59 @@ def q264_determinism_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("source").isNotNull())
     )
+
+
+@query(
+    "q265_order_integrity",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             {EPOCH_SQL.format(c='ts')} AS es,
+             lag({EPOCH_SQL.format(c='ts')}) OVER w AS prev_es
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id,
+           CAST(count(prev_es) AS BIGINT) AS n_steps,
+           CAST(sum(CASE WHEN es < prev_es THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(max(CASE WHEN es < prev_es THEN prev_es - es ELSE 0 END)
+                AS BIGINT) AS max_backstep_s,
+           round(sum(CASE WHEN es < prev_es THEN 1 ELSE 0 END) * 1.0
+                 / count(prev_es), 6) AS disorder_rate
+    FROM seq WHERE prev_es IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q265_order_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INTEGRITY certificate: per key, does event time ever step
+    BACKWARD along arrival order (the event_id sequence)? Every streaming
+    drain in this engine stages with a 0-SECOND watermark — which is only
+    correct because ingestion order preserves event time; this query
+    turns that assumption into a hash-checked gate row (n_inversions and
+    max_backstep_s expected 0 on this corpus — if the fixture ever gains
+    disorder, the row fails loudly and the watermark-delay choice must be
+    revisited; the same report, run on a disordered feed, IS the
+    watermark-tuning measurement — max backstep bounds the delay from
+    below, q205 certifies what a too-small delay drops).
+
+    100 TB story: one shuffle on the key for the lag window, then a
+    grouped rollup on the same key — Spark reuses the partitioning.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "user_id",
+        _epoch().alias("es"),
+        F.lag(_epoch()).over(w).alias("prev_es"),
+    ).filter(F.col("prev_es").isNotNull())
+    inv = F.when(F.col("es") < F.col("prev_es"), 1).otherwise(0)
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum(inv).alias("n_inversions"),
+        F.max(
+            F.when(F.col("es") < F.col("prev_es"), F.col("prev_es") - F.col("es"))
+            .otherwise(0)
+        ).alias("max_backstep_s"),
+        F.round(F.sum(inv) / F.count(F.lit(1)), 6).alias("disorder_rate"),
+    )
