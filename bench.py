@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "q263_golden_record",
     "q264_determinism_cert",
     "q265_order_integrity",
+    "q266_reconciliation",
 ]
 
 

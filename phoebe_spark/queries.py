@@ -15276,3 +15276,84 @@ def q265_order_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_backstep_s"),
         F.round(F.sum(inv) / F.count(F.lit(1)), 6).alias("disorder_rate"),
     )
+
+
+@query(
+    "q266_reconciliation",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))), 2)
+                  AS DOUBLE) AS line_total
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, l.line_total,
+             CASE
+               WHEN l.line_total IS NULL THEN 'missing_lines'
+               WHEN abs(o.o_totalprice - l.line_total) / o.o_totalprice < 0.01
+                 THEN 'tie_1pct'
+               WHEN abs(o.o_totalprice - l.line_total) / o.o_totalprice < 0.10
+                 THEN 'drift_1_10pct'
+               ELSE 'drift_over_10pct'
+             END AS band
+      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT band,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(abs(o_totalprice - coalesce(line_total, 0))
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS abs_delta_sum
+    FROM j GROUP BY 1
+    """,
+)
+def q266_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FINANCIAL RECONCILIATION: does the order header total
+    tie out against the sum of its line extensions (price x (1-disc) x
+    (1+tax))? Orders band into tie (<1%), drift (1-10%), material
+    mismatch (>10%), and headers with NO lines — the controls report
+    every warehouse runs between fact tables that are supposed to agree.
+    On this corpus the invariant deliberately does NOT hold, so every
+    band is populated (asserted non-vacuous by the gate row counts); line
+    sums carry DECIMAL so banding never moves on partial-agg order.
+
+    100 TB story: one map-side-combining rollup on the line side, one
+    key join, one 4-group aggregate — reconciliation cost is one scan of
+    each table regardless of mismatch rate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    l = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+                * (F.lit(1).cast("decimal(18,4)") + _dec("l_tax"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("line_total")
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left")
+    rel = F.abs(F.col("o_totalprice") - F.col("line_total")) / F.col("o_totalprice")
+    band = (
+        F.when(F.col("line_total").isNull(), "missing_lines")
+        .when(rel < 0.01, "tie_1pct")
+        .when(rel < 0.10, "drift_1_10pct")
+        .otherwise("drift_over_10pct")
+    )
+    return (
+        j.select(
+            band.alias("band"),
+            F.abs(
+                F.col("o_totalprice") - F.coalesce("line_total", F.lit(0.0))
+            ).alias("d"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("d")), 2).cast("double").alias("abs_delta_sum"),
+        )
+    )
