@@ -179,18 +179,27 @@ def test_registry_rotation_covers_everything_over_rounds():
     names = sorted(mod.queries().keys(), key=mod._qnum)
     n = len(names)
     seen_in_window = set()
-    rounds_needed = -(-n // 50) + 3
-    for rnd in range(1, rounds_needed + 1):
-        offset = (max(0, rnd - 3) * 50) % n
+    # the offset now advances once per CERTIFIED round (count of
+    # CORRECTNESS files), so a driver round whose artifacts never land
+    # cannot skip a window; simulate certified counts 0, 1, 2, ...
+    counts_needed = -(-n // 50) + 3
+    for certified in range(0, counts_needed + 1):
+        offset = (max(0, certified - 2) * 50) % n
         rotated = names[offset:] + names[:offset]
         assert sorted(rotated) == sorted(names)  # nothing dropped
         seen_in_window.update(rotated[:50])
     assert seen_in_window == set(names), (
         f"{len(set(names) - seen_in_window)} queries never reach the driver window"
     )
-    # the live module agrees with the formula for the current round
+    # consecutive certified counts advance the window by exactly 50
+    # (gap-free), beyond the warm-up plateau
+    for certified in range(2, counts_needed):
+        o1 = (max(0, certified - 2) * 50) % n
+        o2 = (max(0, certified - 1) * 50) % n
+        assert (o2 - o1) % n == 50
+    # the live module agrees with the formula for the current state
     live = list(mod.queries())
-    offset = (max(0, mod._round_number() - 3) * 50) % n
+    offset = (max(0, mod._certified_rounds() - 2) * 50) % n
     assert live == names[offset:] + names[:offset]
 
 
