@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "q264_determinism_cert",
     "q265_order_integrity",
     "q266_reconciliation",
+    "q267_ts_similarity_search",
 ]
 
 

@@ -15357,3 +15357,97 @@ def q266_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("d")), 2).cast("double").alias("abs_delta_sum"),
         )
     )
+
+
+@query(
+    "q267_ts_similarity_search",
+    oracle=f"""
+    WITH hc AS (
+      SELECT user_id,
+             CAST(({EPOCH_SQL.format(c='ts')} // 3600) % 24 AS INT) AS hod,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT unnest(generate_series(0, 23)) AS hod),
+    dense AS (
+      SELECT u.user_id, g.hod, coalesce(hc.c, 0.0) AS c
+      FROM (SELECT DISTINCT user_id FROM hc) u
+      CROSS JOIN grid g
+      LEFT JOIN hc ON hc.user_id = u.user_id AND hc.hod = g.hod
+    ),
+    stats AS (
+      SELECT user_id, avg(c) AS mu,
+             sqrt(avg(c * c) - avg(c) * avg(c)) AS sd
+      FROM dense GROUP BY 1 HAVING sqrt(avg(c * c) - avg(c) * avg(c)) > 0
+    ),
+    z AS (
+      SELECT d.user_id, d.hod, (d.c - s.mu) / s.sd AS z
+      FROM dense d JOIN stats s USING (user_id)
+    ),
+    q AS (SELECT hod, z AS qz FROM z WHERE user_id = 0),
+    dist AS (
+      SELECT z.user_id, sqrt(sum((z.z - q.qz) * (z.z - q.qz))) AS zdist
+      FROM z JOIN q USING (hod)
+      WHERE z.user_id <> 0
+      GROUP BY 1
+    )
+    SELECT user_id, round(zdist, 6) AS zdist,
+           CAST(row_number() OVER (ORDER BY round(zdist, 6), user_id) AS INT)
+             AS rank
+    FROM dist
+    QUALIFY row_number() OVER (ORDER BY round(zdist, 6), user_id) <= 10
+    """,
+)
+def q267_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES similarity search (the distributed-TS-search shape, cf.
+    EDBT'19 streaming TS similarity): each user's 24-hour activity profile
+    is z-NORMALIZED (shape match, not volume match — the UCR-suite
+    convention) and the 10 nearest users to user 0 by Euclidean distance
+    come back ranked. Flat profiles (sd=0) are excluded — z-normalization
+    is undefined there. Rank ties break on 6dp-rounded distance then
+    user_id, so ordering is engine-stable.
+
+    100 TB story: profile build is one map-side-combining rollup to
+    users x 24 rows; the query profile broadcasts (24 rows); distance is
+    a per-user aggregate over 24 aligned dims — the corpus is scanned
+    once and only (user, dist) rows shuffle for the global top-k (which
+    plans as WindowGroupLimit partial top-k). At billions of series the
+    same plan gains an LSH/PAA prefilter exactly like the ANN ladder.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "user_id",
+        F.expr("CAST(((ts div 1000000000) div 3600) % 24 AS INT)").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    grid = spark.range(0, 24).select(F.col("id").cast("int").alias("hod"))
+    users = hc.select("user_id").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(grid))
+        .join(hc, ["user_id", "hod"], "left")
+        .select("user_id", "hod", F.coalesce("c", F.lit(0.0)).alias("c"))
+    )
+    stats = (
+        dense.groupBy("user_id")
+        .agg(
+            F.avg("c").alias("mu"),
+            F.sqrt(F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c")).alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    z = dense.join(stats, "user_id").select(
+        "user_id", "hod", ((F.col("c") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    q = z.filter(F.col("user_id") == 0).select("hod", F.col("z").alias("qz"))
+    dist = (
+        z.filter(F.col("user_id") != 0)
+        .join(F.broadcast(q), "hod")
+        .groupBy("user_id")
+        .agg(F.sqrt(F.sum((F.col("z") - F.col("qz")) * (F.col("z") - F.col("qz")))).alias("zd"))
+    )
+    ranked = dist.select(
+        "user_id", F.round("zd", 6).alias("zdist")
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("zdist", "user_id")).cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 10)
