@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "q265_order_integrity",
     "q266_reconciliation",
     "q267_ts_similarity_search",
+    "q268_paa_prune_audit",
 ]
 
 

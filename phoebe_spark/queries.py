@@ -15451,3 +15451,157 @@ def q267_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("zdist", "user_id")).cast("int"),
     )
     return ranked.filter(F.col("rank") <= 10)
+
+
+# Shared z-normalized 24-hour profile CTE (q267/q268)
+_ZPROF_SQL = f"""
+    hc AS (
+      SELECT user_id,
+             CAST(({EPOCH_SQL.format(c='ts')} // 3600) % 24 AS INT) AS hod,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT unnest(generate_series(0, 23)) AS hod),
+    dense AS (
+      SELECT u.user_id, g.hod, coalesce(hc.c, 0.0) AS c
+      FROM (SELECT DISTINCT user_id FROM hc) u
+      CROSS JOIN grid g
+      LEFT JOIN hc ON hc.user_id = u.user_id AND hc.hod = g.hod
+    ),
+    stats AS (
+      SELECT user_id, avg(c) AS mu,
+             sqrt(avg(c * c) - avg(c) * avg(c)) AS sd
+      FROM dense GROUP BY 1 HAVING sqrt(avg(c * c) - avg(c) * avg(c)) > 0
+    ),
+    z AS (
+      SELECT d.user_id, d.hod, (d.c - s.mu) / s.sd AS z
+      FROM dense d JOIN stats s USING (user_id)
+    )
+"""
+
+
+@query(
+    "q268_paa_prune_audit",
+    oracle=f"""
+    WITH {_ZPROF_SQL},
+    q AS (SELECT hod, z AS qz FROM z WHERE user_id = 0),
+    paa AS (
+      SELECT user_id, hod // 3 AS seg, avg(z) AS zm
+      FROM z GROUP BY 1, 2
+    ),
+    qpaa AS (SELECT hod // 3 AS seg, avg(qz) AS qm FROM q GROUP BY 1),
+    lb AS (
+      SELECT p.user_id,
+             sqrt(3 * sum((p.zm - qp.qm) * (p.zm - qp.qm))) AS lb_paa
+      FROM paa p JOIN qpaa qp USING (seg)
+      WHERE p.user_id <> 0 GROUP BY 1
+    ),
+    dist AS (
+      SELECT z.user_id, sqrt(sum((z.z - q.qz) * (z.z - q.qz))) AS zdist
+      FROM z JOIN q USING (hod) WHERE z.user_id <> 0 GROUP BY 1
+    ),
+    j AS (
+      SELECT d.user_id, d.zdist, l.lb_paa,
+             CAST(CASE WHEN round(l.lb_paa, 9) <= round(d.zdist, 9) + 1e-9
+                       THEN 1 ELSE 0 END AS INT) AS lb_ok
+      FROM dist d JOIN lb l USING (user_id)
+    ),
+    kth AS (
+      SELECT max(zdist) AS k10 FROM (
+        SELECT zdist FROM j ORDER BY zdist, user_id LIMIT 10)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(min(lb_ok) AS INT) AS lb_holds_everywhere,
+           CAST(sum(CASE WHEN j.lb_paa > kth.k10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_prunable,
+           round(sum(CASE WHEN j.lb_paa > kth.k10 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS prune_rate
+    FROM j, kth
+    """,
+)
+def q268_paa_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA LOWER-BOUND pruning audit — the scale path for q267's
+    time-series search, certified: the 8-segment piecewise aggregate
+    approximation of each z-profile gives Keogh's lower bound
+    ``sqrt(w * sum((mean_x - mean_y)^2)) <= Euclid(x, y)`` (w=3), so a
+    series whose LB already exceeds the exact 10th-best distance can be
+    skipped WITHOUT computing its full distance and recall stays 1.0.
+    ``lb_holds_everywhere`` re-proves the lemma on every candidate inside
+    the hash-checked gate (tolerance 1e-9 at 9dp for the one float
+    rounding), and ``prune_rate`` reports how much of the corpus the
+    8-dim prefilter eliminates — the number that says whether the index
+    pays for itself.
+
+    100 TB story: PAA shrinks every series to 8 values (map-side), the
+    LB pass scans those 8-dim sketches only, and the exact pass touches
+    just the unpruned survivors — the ANN generate-then-verify shape
+    (LSH/IVF/PQ ladder) applied to time series.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "user_id",
+        F.expr("CAST(((ts div 1000000000) div 3600) % 24 AS INT)").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    grid = spark.range(0, 24).select(F.col("id").cast("int").alias("hod"))
+    dense = (
+        hc.select("user_id").distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(hc, ["user_id", "hod"], "left")
+        .select("user_id", "hod", F.coalesce("c", F.lit(0.0)).alias("c"))
+    )
+    stats = (
+        dense.groupBy("user_id")
+        .agg(
+            F.avg("c").alias("mu"),
+            F.sqrt(F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c")).alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    z = dense.join(stats, "user_id").select(
+        "user_id", "hod", ((F.col("c") - F.col("mu")) / F.col("sd")).alias("z")
+    ).localCheckpoint(eager=True)
+    q = z.filter(F.col("user_id") == 0).select("hod", F.col("z").alias("qz"))
+    paa = z.groupBy("user_id", F.expr("hod div 3").alias("seg")).agg(
+        F.avg("z").alias("zm")
+    )
+    qpaa = q.groupBy(F.expr("hod div 3").alias("seg")).agg(F.avg("qz").alias("qm"))
+    lb = (
+        paa.filter(F.col("user_id") != 0)
+        .join(F.broadcast(qpaa), "seg")
+        .groupBy("user_id")
+        .agg(
+            F.sqrt(F.lit(3) * F.sum((F.col("zm") - F.col("qm")) ** 2)).alias("lb_paa")
+        )
+    )
+    dist = (
+        z.filter(F.col("user_id") != 0)
+        .join(F.broadcast(q), "hod")
+        .groupBy("user_id")
+        .agg(F.sqrt(F.sum((F.col("z") - F.col("qz")) ** 2)).alias("zdist"))
+    )
+    j = dist.join(lb, "user_id").select(
+        "user_id",
+        "zdist",
+        "lb_paa",
+        F.when(
+            F.round("lb_paa", 9) <= F.round("zdist", 9) + F.lit(1e-9), 1
+        ).otherwise(0).cast("int").alias("lb_ok"),
+    )
+    k10 = (
+        j.select("zdist", "user_id")
+        .withColumn("rk", F.row_number().over(Window.orderBy("zdist", "user_id")))
+        .filter(F.col("rk") <= 10)
+        .agg(F.max("zdist").alias("k10"))
+    )
+    return j.crossJoin(F.broadcast(k10)).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.min("lb_ok").cast("int").alias("lb_holds_everywhere"),
+        F.sum(F.when(F.col("lb_paa") > F.col("k10"), 1).otherwise(0)).alias(
+            "n_prunable"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lb_paa") > F.col("k10"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("prune_rate"),
+    )
