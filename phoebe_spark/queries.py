@@ -12897,7 +12897,10 @@ def q232_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees co-partition on the join key across iterations.
     """
     co = _cograph_edges(spark, sf_dir)
-    edges = graph.symmetrize(co)
+    # materialize the symmetrized edge list ONCE: the node count, the
+    # degree aggregate, and the weighted-edge join would otherwise each
+    # re-run the lineitem self-join that builds the co-graph
+    edges = graph.symmetrize(co).localCheckpoint(eager=True)
     n_nodes = float(edges.select("src").distinct().count())
     ranks = graph.pagerank(edges, iters=5, damping=0.85)
     return ranks.select(
