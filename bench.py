@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "q266_reconciliation",
     "q267_ts_similarity_search",
     "q268_paa_prune_audit",
+    "q269_sax_words",
 ]
 
 

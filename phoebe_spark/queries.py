@@ -15608,3 +15608,92 @@ def q268_paa_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prune_rate"),
     )
+
+
+@query(
+    "q269_sax_words",
+    oracle=f"""
+    WITH {_ZPROF_SQL},
+    paa AS (
+      SELECT user_id, hod // 3 AS seg, avg(z) AS zm
+      FROM z GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT user_id, seg,
+             CASE WHEN zm < -0.6745 THEN 'a'
+                  WHEN zm < 0 THEN 'b'
+                  WHEN zm < 0.6745 THEN 'c'
+                  ELSE 'd' END AS s
+      FROM paa
+    ),
+    words AS (
+      SELECT user_id, string_agg(s, '' ORDER BY seg) AS sax_word
+      FROM sym GROUP BY 1
+    )
+    SELECT sax_word,
+           count(*) AS n_users,
+           CAST(min(user_id) AS BIGINT) AS example_user
+    FROM words GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q269_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): each user's z-normalized
+    24-hour profile reduces to an 8-segment PAA, each segment to one of 4
+    symbols at the standard Gaussian quartile breakpoints (-0.6745, 0,
+    0.6745) — the 8-char "shape word" that makes time series GROUPABLE:
+    users sharing a word have the same activity shape, found by one
+    groupBy instead of any pairwise distance. Completes the TS ladder
+    next to exact search (q267) and PAA pruning (q268); words with >= 2
+    members only, so the output certifies real shape collisions.
+
+    Scale: profiles and PAA are map-side rollups; symbolization is a
+    codegen CASE; the final shuffle is on the 4^8-bounded word key.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "user_id",
+        F.expr("CAST(((ts div 1000000000) div 3600) % 24 AS INT)").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    grid = spark.range(0, 24).select(F.col("id").cast("int").alias("hod"))
+    dense = (
+        hc.select("user_id").distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(hc, ["user_id", "hod"], "left")
+        .select("user_id", "hod", F.coalesce("c", F.lit(0.0)).alias("c"))
+    )
+    stats = (
+        dense.groupBy("user_id")
+        .agg(
+            F.avg("c").alias("mu"),
+            F.sqrt(F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c")).alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    z = dense.join(stats, "user_id").select(
+        "user_id", "hod", ((F.col("c") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    paa = z.groupBy("user_id", F.expr("hod div 3").alias("seg")).agg(
+        F.avg("z").alias("zm")
+    )
+    sym = paa.select(
+        "user_id",
+        "seg",
+        F.when(F.col("zm") < -0.6745, "a")
+        .when(F.col("zm") < 0, "b")
+        .when(F.col("zm") < 0.6745, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    words = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("seg", "s"))).getField("s"), ""
+        ).alias("sax_word")
+    )
+    return (
+        words.groupBy("sax_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").alias("example_user"),
+        )
+        .filter(F.col("n_users") >= 2)
+    )
