@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "q267_ts_similarity_search",
     "q268_paa_prune_audit",
     "q269_sax_words",
+    "q270_seasonal_backtest",
 ]
 
 

@@ -15697,3 +15697,60 @@ def q269_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_users") >= 2)
     )
+
+
+@query(
+    "q270_seasonal_backtest",
+    oracle=f"""
+    WITH hc AS (
+      SELECT {EPOCH_SQL.format(c='ts')} // 86400 AS day,
+             ({EPOCH_SQL.format(c='ts')} // 3600) % 24 AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.day, a.hr, a.c AS actual, f.c AS forecast
+      FROM hc a JOIN hc f ON f.day = a.day - 7 AND f.hr = a.hr
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS abs_err_sum,
+           round(sum(abs(actual - forecast)) * 1.0 / count(*), 6) AS mae,
+           round(sum(abs(actual - forecast) * 1.0 / actual) / count(*), 6)
+             AS mape
+    FROM j WHERE actual > 0
+    GROUP BY 1
+    """,
+)
+def q270_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin BACKTEST of the seasonal-naive forecaster (predict
+    hour h of day d with hour h of day d-7): per-day MAE and MAPE over
+    the hourly event-count series — the baseline every workload
+    forecaster (reference M1-M3; phoebe_spark/models/workload.py) must
+    beat, produced as one batch query so the bar is itself
+    oracle-certified. Errors are exact integers; only the two final
+    ratios are float.
+
+    100 TB story: the hourly rollup is map-side-combining; the
+    forecast join is a self-equi-join on the O(hours) aggregate, never
+    on raw events; per-day scoring reuses the same key partitioning.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+        F.expr("((ts div 1000000000) div 3600) % 24").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = hc.select("day", "hr", F.col("c").alias("actual"))
+    f = hc.select(
+        (F.col("day") + 7).alias("day"), "hr", F.col("c").alias("forecast")
+    )
+    j = a.join(f, ["day", "hr"]).filter(F.col("actual") > 0)
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(err).alias("abs_err_sum"),
+        F.round(F.sum(err) / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(
+            F.sum(err / F.col("actual")) / F.count(F.lit(1)), 6
+        ).alias("mape"),
+    )
