@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "q268_paa_prune_audit",
     "q269_sax_words",
     "q270_seasonal_backtest",
+    "q271_dtw_topk",
 ]
 
 

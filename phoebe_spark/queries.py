@@ -15754,3 +15754,155 @@ def q270_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err / F.col("actual")) / F.count(F.lit(1)), 6
         ).alias("mape"),
     )
+
+
+def _q271_dtw_oracle(n: int = 24, band: int = 2) -> str:
+    """Generated oracle for q271: the banded DTW dynamic program unrolled
+    as one chained-CTE row per DP row (the q145/q214 generated-oracle
+    treatment applied to DTW). Row i carries the 5 in-band cells
+    D(i, i+k), k=-2..2, as lateral-alias columns — DuckDB evaluates the
+    intra-row dependency D(i, j-1) left-to-right, exactly like the
+    engine-side numpy loop, so the float sequence is identical op for op.
+    Virtual row 0 is D(0,0)=0 (others +inf), giving the standard base
+    case without special-casing row 1."""
+    INF = "1e308"
+    ks = list(range(-band, band + 1))
+
+    def nm(k: int) -> str:
+        return f"m{-k}" if k < 0 else f"p{k}" if k > 0 else "0"
+
+    def cell(i: int, k: int) -> str:
+        j = i + k
+        if j < 1 or j > n:
+            return INF
+        p_k1 = f"c{nm(k + 1)}" if k + 1 <= band else INF
+        p_k0 = f"c{nm(k)}"
+        c_km1 = f"n{nm(k - 1)}" if k - 1 >= -band else INF
+        return (
+            f"(x.xs[{i}] - q.qs[{j}]) * (x.xs[{i}] - q.qs[{j}])"
+            f" + least({p_k1}, {p_k0}, {c_km1})"
+        )
+
+    ctes = [
+        "r0 AS (SELECT user_id, "
+        + ", ".join(
+            f"CAST({'0' if k == 0 else INF} AS DOUBLE) AS c{nm(k)}" for k in ks
+        )
+        + " FROM prof WHERE user_id <> 0)"
+    ]
+    for i in range(1, n + 1):
+        cols = ", ".join(f"{cell(i, k)} AS n{nm(k)}" for k in ks)
+        renames = ", ".join(f"n{nm(k)} AS c{nm(k)}" for k in ks)
+        ctes.append(
+            f"r{i}_t AS (SELECT r{i - 1}.user_id, {cols} "
+            f"FROM r{i - 1} JOIN prof x USING (user_id), qrow q)"
+        )
+        ctes.append(f"r{i} AS (SELECT user_id, {renames} FROM r{i}_t)")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_ZPROF_SQL},
+    prof AS (
+      SELECT user_id, list(z ORDER BY hod) AS xs FROM z GROUP BY 1
+    ),
+    qrow AS (SELECT xs AS qs FROM prof WHERE user_id = 0),
+    {chain},
+    dist AS (SELECT user_id, sqrt(c0) AS dtw FROM r{n})
+    SELECT user_id, round(dtw, 6) AS dtw,
+           CAST(row_number() OVER (ORDER BY round(dtw, 6), user_id) AS INT)
+             AS rank
+    FROM dist
+    QUALIFY row_number() OVER (ORDER BY round(dtw, 6), user_id) <= 10
+    """
+
+
+@query("q271_dtw_topk", oracle=_q271_dtw_oracle())
+def q271_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BANDED DTW search — the elastic-distance capstone of the TS
+    ladder (q267 exact Euclidean / q268 PAA prune / q269 SAX): the 10
+    users whose z-normalized 24-hour profiles are closest to user 0 under
+    dynamic time warping with a Sakoe-Chiba band of 2 (shapes may lead or
+    lag by up to 2 hours without penalty — Euclidean calls a 1-hour
+    phase shift 'different', DTW does not). The DP runs as a vectorized
+    numpy loop inside one Arrow batch pass; the oracle replays the SAME
+    DP as a generated 24-row CTE chain with lateral aliases, so every
+    float op happens in the same order and the distance matches to 6dp
+    digit-for-digit.
+
+    100 TB story: profiles are map-side rollups to O(keys) rows of 24
+    doubles; the query profile broadcasts via closure; DTW is O(n*band)
+    per candidate inside mapInPandas (no shuffle); only (user, dist)
+    rows shuffle for the WindowGroupLimit top-k. The q268 PAA bound
+    prunes candidates for DTW exactly as for Euclidean (LB_PAA lower
+    bounds both).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "user_id",
+        F.expr("CAST(((ts div 1000000000) div 3600) % 24 AS INT)").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    grid = spark.range(0, 24).select(F.col("id").cast("int").alias("hod"))
+    dense = (
+        hc.select("user_id").distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(hc, ["user_id", "hod"], "left")
+        .select("user_id", "hod", F.coalesce("c", F.lit(0.0)).alias("c"))
+    )
+    stats = (
+        dense.groupBy("user_id")
+        .agg(
+            F.avg("c").alias("mu"),
+            F.sqrt(F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c")).alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    z = dense.join(stats, "user_id").select(
+        "user_id", "hod", ((F.col("c") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    prof = z.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("hod", "z")))
+        .getField("z")
+        .alias("xs")
+    )
+    qs = np.array(
+        prof.filter(F.col("user_id") == 0).head()["xs"], dtype=np.float64
+    )
+    band = 2
+    n = 24
+    INF = 1e308
+
+    def _dtw(batches):
+        for pdf in batches:
+            out_u, out_d = [], []
+            for uid, xs in zip(pdf["user_id"], pdf["xs"]):
+                x = np.asarray(xs, dtype=np.float64)
+                # prev[k+band] = D(i-1, (i-1)+k); virtual row 0: D(0,0)=0
+                prev = np.full(2 * band + 1, INF)
+                prev[band] = 0.0
+                for i in range(1, n + 1):
+                    cur = np.full(2 * band + 1, INF)
+                    for k in range(-band, band + 1):
+                        j = i + k
+                        if j < 1 or j > n:
+                            continue
+                        p_k1 = prev[k + 1 + band] if k + 1 <= band else INF
+                        p_k0 = prev[k + band]
+                        c_km1 = cur[k - 1 + band] if k - 1 >= -band else INF
+                        cost = (x[i - 1] - qs[j - 1]) * (x[i - 1] - qs[j - 1])
+                        cur[k + band] = cost + min(p_k1, p_k0, c_km1)
+                    prev = cur
+                out_u.append(int(uid))
+                out_d.append(float(np.sqrt(prev[band])))
+            yield pd.DataFrame({"user_id": out_u, "dtw": out_d})
+
+    cand = prof.filter(F.col("user_id") != 0)
+    dist = cand.mapInPandas(_dtw, schema="user_id long, dtw double")
+    ranked = dist.select(
+        "user_id", F.round("dtw", 6).alias("dtw")
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("dtw", "user_id")).cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 10)

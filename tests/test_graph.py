@@ -175,3 +175,34 @@ def test_global_rank_hypothesis_buckets(spark):
         assert j.filter(F.col("r") != F.col("rn")).count() == 0
 
     check()
+
+
+def test_dtw_lower_bounded_by_warping(spark):
+    """Banded DTW can only REDUCE cost vs the diagonal path, which is
+    exactly squared Euclidean — so DTW <= Euclidean for every candidate
+    (the property that makes the q268 PAA bound reusable for DTW)."""
+    import duckdb
+
+    from phoebe_spark.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+    )
+    dtw = dict(
+        con.execute(
+            f"SELECT user_id, dtw FROM ({ORACLE['q271_dtw_topk']})"
+        ).fetchall()
+    )
+    eucl = dict(
+        con.execute(
+            f"SELECT user_id, zdist FROM ({ORACLE['q267_ts_similarity_search']})"
+        ).fetchall()
+    )
+    shared = set(dtw) & set(eucl)
+    assert shared  # the two top-10s overlap at this SF
+    for u in shared:
+        assert dtw[u] <= eucl[u] + 1e-6, u
+    # warping must actually help somewhere (strict inequality exists)
+    assert any(dtw[u] < eucl[u] - 1e-6 for u in shared)
