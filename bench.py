@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "q269_sax_words",
     "q270_seasonal_backtest",
     "q271_dtw_topk",
+    "q272_matrix_profile",
 ]
 
 

@@ -15906,3 +15906,159 @@ def q271_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("dtw", "user_id")).cast("int"),
     )
     return ranked.filter(F.col("rank") <= 10)
+
+
+@query(
+    "q272_matrix_profile",
+    oracle=f"""
+    WITH hc AS (
+      SELECT {EPOCH_SQL.format(c='ts')} // 3600 AS hr,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hc),
+    grid AS (
+      SELECT unnest(generate_series(0, hi - lo)) AS hi2, lo
+      FROM bounds
+    ),
+    dense AS (
+      SELECT g.hi2 AS idx, coalesce(hc.c, 0.0) AS c
+      FROM grid g LEFT JOIN hc ON hc.hr = g.lo + g.hi2
+    ),
+    nsub AS (SELECT max(idx) + 1 - 24 AS last_start FROM dense),
+    starts AS (
+      SELECT unnest(generate_series(0, last_start, 3)) AS s FROM nsub
+    ),
+    sub AS (
+      SELECT st.s, d.idx - st.s AS o, d.c
+      FROM starts st JOIN dense d ON d.idx >= st.s AND d.idx < st.s + 24
+    ),
+    arrs AS (
+      SELECT s, list(c ORDER BY o) AS a FROM sub GROUP BY 1
+    ),
+    zt AS (
+      SELECT s, a,
+             list_sum(a) / 24 AS mu,
+             sqrt(list_sum(list_transform(a, x -> x * x)) / 24
+                  - (list_sum(a) / 24) * (list_sum(a) / 24)) AS sd
+      FROM arrs
+    ),
+    zs AS (
+      SELECT s, list_transform(a, x -> (x - mu) / sd) AS za
+      FROM zt WHERE sd > 0
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             sqrt(list_sum(list_transform(generate_series(1, 24),
+                  i -> (a.za[i] - b.za[i]) * (a.za[i] - b.za[i])))) AS d
+      FROM zs a JOIN zs b ON b.s > a.s AND b.s - a.s >= 12
+    ),
+    sym AS (
+      SELECT s1 AS s, s2 AS partner, d FROM pairs
+      UNION ALL SELECT s2, s1, d FROM pairs
+    ),
+    mp AS (
+      SELECT s, partner, round(d, 6) AS mp_dist
+      FROM sym
+      QUALIFY row_number() OVER (PARTITION BY s ORDER BY round(d, 6), partner) = 1
+    ),
+    ranked AS (
+      SELECT 'motif' AS kind, s, partner, mp_dist,
+             CAST(row_number() OVER (ORDER BY mp_dist, s) AS INT) AS rank
+      FROM mp
+      UNION ALL
+      SELECT 'discord', s, partner, mp_dist,
+             CAST(row_number() OVER (ORDER BY mp_dist DESC, s) AS INT)
+      FROM mp
+    )
+    SELECT kind, CAST(s AS BIGINT) AS s, CAST(partner AS BIGINT) AS partner,
+           mp_dist, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q272_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIDED MATRIX PROFILE over the dense hourly event-count series
+    (Yeh et al., ICDM 2016 — the all-pairs nearest-neighbor profile that
+    yields MOTIFS, the most-repeated shapes, and DISCORDS, the anomalies,
+    from one structure): 24-hour windows at stride 3, z-normalized, an
+    exclusion zone of half a window so trivial self-matches never win,
+    and the top-5 of each kind returned. Missing hours are real zeros
+    (the count of an empty hour), not gaps — the subsequence grid is
+    dense by construction.
+
+    100 TB story: the PROFILE input is the aggregated O(hours) series
+    (one map-side rollup of the raw events), so the quadratic
+    subsequence join is over hours²/stride², never rows — the matrix
+    profile of a year of hourly data is ~3k windows, trivially
+    distributed; stride and exclusion are declared knobs.
+    """
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(F.expr("(ts div 1000000000) div 3600").alias("hr")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    b = hc.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = b.select(
+        F.explode(F.expr("sequence(0, CAST(hi - lo AS INT))")).alias("idx"), "lo"
+    )
+    dense = grid.join(hc, grid.lo + grid.idx == hc.hr, "left").select(
+        "idx", F.coalesce("c", F.lit(0.0)).alias("c")
+    ).localCheckpoint(eager=True)
+    last_start = dense.agg(F.max("idx")).head()[0] + 1 - 24
+    starts = spark.range(0, last_start + 1, 3).select(F.col("id").alias("s"))
+    sub = starts.join(
+        dense, (dense.idx >= starts.s) & (dense.idx < starts.s + 24)
+    ).select("s", (F.col("idx") - F.col("s")).alias("o"), "c")
+    arrs = sub.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("o", "c"))).getField("c").alias("a")
+    )
+    lsum = F.aggregate(F.col("a"), F.lit(0.0), lambda acc, x: acc + x)
+    lsq = F.aggregate(F.col("a"), F.lit(0.0), lambda acc, x: acc + x * x)
+    zt = arrs.select(
+        "s",
+        "a",
+        (lsum / 24).alias("mu"),
+        F.sqrt(lsq / 24 - (lsum / 24) * (lsum / 24)).alias("sd"),
+    )
+    zs = zt.filter(F.col("sd") > 0).select(
+        "s",
+        F.transform("a", lambda x: (x - F.col("mu")) / F.col("sd")).alias("za"),
+    ).localCheckpoint(eager=True)
+    a = zs.alias("a")
+    bb = zs.alias("b")
+    pd_ = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("a.za"), F.col("b.za"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = a.join(
+        bb,
+        (F.col("b.s") > F.col("a.s")) & (F.col("b.s") - F.col("a.s") >= 12),
+    ).select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), pd_.alias("d"))
+    sym = pairs.select(
+        F.col("s1").alias("s"), F.col("s2").alias("partner"), "d"
+    ).unionAll(pairs.select(F.col("s2"), F.col("s1"), "d"))
+    mp = (
+        sym.select("s", "partner", F.round("d", 6).alias("mp_dist"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("s").orderBy("mp_dist", "partner")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    motifs = mp.withColumn(
+        "rank", F.row_number().over(Window.orderBy("mp_dist", "s")).cast("int")
+    ).withColumn("kind", F.lit("motif"))
+    discords = mp.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("mp_dist").desc(), "s")).cast("int"),
+    ).withColumn("kind", F.lit("discord"))
+    return (
+        motifs.unionAll(discords)
+        .filter(F.col("rank") <= 5)
+        .select("kind", "s", "partner", "mp_dist", "rank")
+    )
