@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "q270_seasonal_backtest",
     "q271_dtw_topk",
     "q272_matrix_profile",
+    "q273_holt_linear",
 ]
 
 

@@ -16062,3 +16062,98 @@ def q272_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("kind", "s", "partner", "mp_dist", "rank")
     )
+
+
+def _q273_holt_oracle(T: int = 30, a: float = 0.5, g: float = 0.3) -> str:
+    """Generated oracle for q273: Holt's linear recursion unrolled as one
+    CTE per time step (the DTW/q271 generated-chain treatment applied to
+    exponential smoothing). Level/trend are lateral-alias scalars; the
+    float sequence is identical to the engine-side sequential fold."""
+    ctes = [
+        "h1_r AS (SELECT xs[1] AS l, xs[2] - xs[1] AS b, xs FROM series)"
+    ]
+    for t in range(2, T + 1):
+        ctes.append(
+            f"h{t} AS (SELECT {a} * xs[{t}] + {1 - a} * (l + b) AS nl, "
+            f"{g} * ({a} * xs[{t}] + {1 - a} * (l + b) - l) + {1 - g} * b AS nb, "
+            f"xs FROM h{t - 1}_r)"
+        )
+        ctes.append(f"h{t}_r AS (SELECT nl AS l, nb AS b, xs FROM h{t})")
+    chain = ",\n    ".join(ctes)
+    last = f"h{T}_r"
+    return f"""
+    WITH hc AS (
+      SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo FROM hc),
+    grid AS (SELECT unnest(generate_series(0, {T - 1})) AS d, lo FROM bounds),
+    dense AS (
+      SELECT g.d, coalesce(hc.c, 0.0) AS c
+      FROM grid g LEFT JOIN hc ON hc.day = g.lo + g.d
+    ),
+    series AS (SELECT list(c ORDER BY d) AS xs FROM dense),
+    {chain}
+    SELECT round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + 1 * b, 6) AS f1,
+           round(l + 2 * b, 6) AS f2,
+           round(l + 3 * b, 6) AS f3
+    FROM {last}
+    """
+
+
+@query("q273_holt_linear", oracle=_q273_holt_oracle())
+def q273_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR exponential smoothing (alpha=0.5, gamma=0.3) over the
+    first 30 days of daily event counts, with 1/2/3-step-ahead forecasts —
+    the workload-forecasting family (reference M1-M3) brought INSIDE the
+    hash-checked gate: the sequential level/trend recursion folds in ONE
+    codegen `aggregate` over the day array engine-side, and the oracle
+    replays the identical recursion as a generated 30-step CTE chain, so
+    the smoothed state matches digit-for-digit (same float ops, same
+    order). Complements the seasonal-naive backtest (q270): that scores a
+    baseline, this certifies a real smoother.
+
+    100 TB story: the input is the O(days) aggregate of the fact table
+    (map-side rollup); the fold is a single-row array operation. Per-key
+    smoothing (millions of series) is the same fold grouped by key.
+    """
+    e = _t(spark, sf_dir, "events")
+    T, a, g = 30, 0.5, 0.3
+    hc = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    b = hc.agg(F.min("day").alias("lo"))
+    grid = b.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+    dense = grid.join(hc, grid.lo + grid.d == hc.day, "left").select(
+        "d", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    series = dense.agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs")
+    )
+    # seed on (x1, x2-x1), then fold steps t=2..T over xs[2..T] — the
+    # oracle's h1/h2..h30 chain in one codegen aggregate
+    state = F.aggregate(
+        F.slice("xs", 2, T - 1),
+        F.struct(
+            (F.col("xs")[0]).alias("l"),
+            (F.col("xs")[1] - F.col("xs")[0]).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                F.lit(g)
+                * (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"]) - acc["l"])
+                + F.lit(1 - g) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    out = series.select(state.alias("st"))
+    return out.select(
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 1 * F.col("st.b"), 6).alias("f1"),
+        F.round(F.col("st.l") + 2 * F.col("st.b"), 6).alias("f2"),
+        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("f3"),
+    )
