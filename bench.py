@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "q271_dtw_topk",
     "q272_matrix_profile",
     "q273_holt_linear",
+    "q274_holt_by_key",
 ]
 
 

@@ -16064,23 +16064,50 @@ def q272_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q273_holt_oracle(T: int = 30, a: float = 0.5, g: float = 0.3) -> str:
+def _q273_holt_oracle(T: int = 30, a: float = 0.5, g: float = 0.3, keyed: bool = False) -> str:
     """Generated oracle for q273: Holt's linear recursion unrolled as one
     CTE per time step (the DTW/q271 generated-chain treatment applied to
     exponential smoothing). Level/trend are lateral-alias scalars; the
     float sequence is identical to the engine-side sequential fold."""
+    k = "k, " if keyed else ""
     ctes = [
-        "h1_r AS (SELECT xs[1] AS l, xs[2] - xs[1] AS b, xs FROM series)"
+        f"h1_r AS (SELECT {k}xs[1] AS l, xs[2] - xs[1] AS b, xs FROM series)"
     ]
     for t in range(2, T + 1):
         ctes.append(
-            f"h{t} AS (SELECT {a} * xs[{t}] + {1 - a} * (l + b) AS nl, "
+            f"h{t} AS (SELECT {k}{a} * xs[{t}] + {1 - a} * (l + b) AS nl, "
             f"{g} * ({a} * xs[{t}] + {1 - a} * (l + b) - l) + {1 - g} * b AS nb, "
             f"xs FROM h{t - 1}_r)"
         )
-        ctes.append(f"h{t}_r AS (SELECT nl AS l, nb AS b, xs FROM h{t})")
+        ctes.append(f"h{t}_r AS (SELECT {k}nl AS l, nb AS b, xs FROM h{t})")
     chain = ",\n    ".join(ctes)
     last = f"h{T}_r"
+    if keyed:
+        return f"""
+    WITH hc AS (
+      SELECT event_type AS k,
+             epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo FROM hc),
+    keys AS (SELECT DISTINCT k FROM hc),
+    grid AS (SELECT keys.k, g.d, b.lo
+             FROM keys CROSS JOIN (SELECT unnest(generate_series(0, {T - 1})) AS d) g,
+                  bounds b),
+    dense AS (
+      SELECT g.k, g.d, coalesce(hc.c, 0.0) AS c
+      FROM grid g LEFT JOIN hc ON hc.k = g.k AND hc.day = g.lo + g.d
+    ),
+    series AS (SELECT k, list(c ORDER BY d) AS xs FROM dense GROUP BY 1),
+    {chain}
+    SELECT k AS event_type,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + 1 * b, 6) AS f1,
+           round(l + 2 * b, 6) AS f2,
+           round(l + 3 * b, 6) AS f3
+    FROM {last}
+    """
     return f"""
     WITH hc AS (
       SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
@@ -16151,6 +16178,63 @@ def q273_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = series.select(state.alias("st"))
     return out.select(
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 1 * F.col("st.b"), 6).alias("f1"),
+        F.round(F.col("st.l") + 2 * F.col("st.b"), 6).alias("f2"),
+        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("f3"),
+    )
+
+
+@query("q274_holt_by_key", oracle=_q273_holt_oracle(keyed=True))
+def q274_holt_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q273's Holt smoother GROUPED — one level/trend fold per event_type
+    series, certifying the 'millions of series' claim: the recursion is a
+    per-row array fold, so smoothing N keys is one groupBy + the same
+    codegen aggregate, no per-series driver loop, no iteration joins. The
+    generated oracle chain runs row-wise, so it certifies every key's
+    recursion in the same pass.
+
+    100 TB story: per-key daily rollup (map-side) -> per-key array
+    (one shuffle on the key) -> embarrassingly parallel folds.
+    """
+    e = _t(spark, sf_dir, "events")
+    T, a, g = 30, 0.5, 0.3
+    hc = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lo = hc.agg(F.min("day").alias("lo"))
+    keys = hc.select("k").distinct()
+    grid = keys.crossJoin(
+        F.broadcast(
+            lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+        )
+    )
+    dense = grid.join(
+        hc, (grid.k == hc.k) & (grid.lo + grid.d == hc.day), "left"
+    ).select(grid.k, grid.d, F.coalesce("c", F.lit(0.0)).alias("c"))
+    series = dense.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs")
+    )
+    state = F.aggregate(
+        F.slice("xs", 2, T - 1),
+        F.struct(
+            (F.col("xs")[0]).alias("l"),
+            (F.col("xs")[1] - F.col("xs")[0]).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                F.lit(g)
+                * (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"]) - acc["l"])
+                + F.lit(1 - g) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    out = series.select(F.col("k").alias("event_type"), state.alias("st"))
+    return out.select(
+        "event_type",
         F.round(F.col("st.l"), 6).alias("level"),
         F.round(F.col("st.b"), 6).alias("trend"),
         F.round(F.col("st.l") + 1 * F.col("st.b"), 6).alias("f1"),
