@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "q272_matrix_profile",
     "q273_holt_linear",
     "q274_holt_by_key",
+    "q275_streaming_holt_drain",
 ]
 
 

@@ -16241,3 +16241,99 @@ def q274_holt_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.l") + 2 * F.col("st.b"), 6).alias("f2"),
         F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("f3"),
     )
+
+
+@query("q275_streaming_holt_drain", oracle=_q273_holt_oracle(keyed=True))
+def q275_streaming_holt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Holt smoothing drained in the hash-checked gate — the
+    q273/q274 recursion as a stateful operator
+    (:func:`stateful.streaming_holt`): the per-key daily series arrives
+    as three sequence-ordered micro-batches (days 0-9, 10-19, 20-29), the
+    (level, trend) state folds ACROSS batches, and the final state must
+    match the generated 30-step CTE-chain oracle digit-for-digit. One
+    smoother, three execution forms, one answer: batch array fold (q273),
+    grouped fold (q274), cross-batch stateful stream (this) — the
+    strongest equivalence class in the registry.
+
+    Scale: state is 4 scalars per key; each micro-batch does O(new rows)
+    work — the streaming form is how a million series smooth INCREMENTALLY
+    every day without re-reading history.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_holt
+
+    e = _t(spark, sf_dir, "events")
+    T, a, g = 30, 0.5, 0.3
+    hc = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lo = hc.agg(F.min("day").alias("lo"))
+    keys = hc.select("k").distinct()
+    grid = keys.crossJoin(
+        F.broadcast(
+            lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+        )
+    )
+    dense = grid.join(
+        hc, (grid.k == hc.k) & (grid.lo + grid.d == hc.day), "left"
+    ).select(grid.k, grid.d.cast("int").alias("d"), F.coalesce("c", F.lit(0.0)).alias("c"))
+
+    work = tempfile.mkdtemp(prefix="q275_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        for i, (d_lo, d_hi) in enumerate(((0, 10), (10, 20), (20, 30)), start=1):
+            part = dense.filter((F.col("d") >= d_lo) & (F.col("d") < d_hi))
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("k STRING, d INT, c DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_holt(stream, alpha=a, gamma=g, key_col="k")
+        sink = f"{work}/holt"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q275: streaming Holt drain did not finish within 300 s — "
+                "refusing to report a partial smooth"
+            )
+        states = spark.read.parquet(sink)
+        final = (
+            states.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy(F.col("n").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("key").alias("event_type"),
+                F.round("level", 6).alias("level"),
+                F.round("trend", 6).alias("trend"),
+                F.round(F.col("level") + 1 * F.col("trend"), 6).alias("f1"),
+                F.round(F.col("level") + 2 * F.col("trend"), 6).alias("f2"),
+                F.round(F.col("level") + 3 * F.col("trend"), 6).alias("f3"),
+            )
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -738,3 +738,78 @@ def first_match_within(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+HOLT_OUTPUT_SCHEMA = "key STRING, n LONG, level DOUBLE, trend DOUBLE"
+HOLT_STATE_SCHEMA = "x1 DOUBLE, l DOUBLE, b DOUBLE, n LONG"
+
+
+def streaming_holt(
+    stream: DataFrame,
+    alpha: float,
+    gamma: float,
+    key_col: str = "key",
+    seq_col: str = "d",
+    value_col: str = "c",
+) -> DataFrame:
+    """Holt's linear exponential smoothing as a STREAMING stateful
+    operator: per key, the (level, trend) recursion folds across
+    micro-batches exactly as the batch array fold does — seed on the
+    first two observations (l=x1, b=x2-x1, then the t=2 step consumes
+    x2), every later row one step. Rows are applied in ``seq_col`` order
+    within each invocation; cross-batch order comes from the source (the
+    drain stages sequence-ordered files). Emits the post-batch state per
+    key in update mode — the drain keeps each key's max-n row, which
+    after availableNow equals the full-series smooth.
+
+    State: four scalars per key, O(keys) total — a million series cost a
+    million tiny rows, not a million folds' worth of history.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            x1, l, b, n = state.get
+        else:
+            x1, l, b, n = 0.0, 0.0, 0.0, 0
+        batch = batch.sort_values(seq_col)
+        for x in batch[value_col]:
+            x = float(x)
+            if n == 0:
+                x1 = x
+            elif n == 1:
+                l = x1
+                b = x - x1
+                nl = alpha * x + (1 - alpha) * (l + b)
+                nb = gamma * (nl - l) + (1 - gamma) * b
+                l, b = nl, nb
+            else:
+                nl = alpha * x + (1 - alpha) * (l + b)
+                nb = gamma * (nl - l) + (1 - gamma) * b
+                l, b = nl, nb
+            n += 1
+        state.update((float(x1), float(l), float(b), int(n)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n": [int(n)],
+                "level": [float(l)],
+                "trend": [float(b)],
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col),
+        F.col(value_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
