@@ -425,3 +425,57 @@ def test_first_match_within_out_of_order(spark, tmp_path):
     # A@1000 matches the LATE B@1500 (not the earlier-arrived B@1800);
     # A@5000 unmatched; duplicate A@10000 emits once; A@50000 withheld.
     assert got == [(1000, 1500, 500), (10000, 10400, 400)]
+
+
+def test_streaming_holt_cross_batch_state(spark, tmp_path):
+    """The streaming Holt fold must genuinely carry state ACROSS batches:
+    feed one key's series as 3 files and assert the intermediate update
+    rows show strictly increasing n (10, 20, 30) with the final state
+    equal to a local replay of the recursion."""
+    import os as _os
+
+    from phoebe_spark.streaming.stateful import streaming_holt
+
+    a, g = 0.5, 0.3
+    xs = [float((i * 37) % 11 + 1) for i in range(30)]
+    src = str(tmp_path / "holt_src")
+    _os.makedirs(src)
+    import glob as _glob
+    import shutil as _shutil
+
+    for i, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 30)), start=1):
+        df = spark.createDataFrame(
+            [("k1", d, xs[d]) for d in range(lo, hi)], "k STRING, d INT, c DOUBLE"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / f"st{i}"))
+        part = _glob.glob(str(tmp_path / f"st{i}" / "part-*.parquet"))[0]
+        dst = f"{src}/{i:03d}.parquet"
+        _shutil.copyfile(part, dst)
+        _os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+    stream = (
+        spark.readStream.schema("k STRING, d INT, c DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_holt(stream, alpha=a, gamma=g, key_col="k")
+    sink = str(tmp_path / "holt_sink")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+        .option("checkpointLocation", str(tmp_path / "holt_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = sorted(
+        (r.n, r.level, r.trend) for r in spark.read.parquet(sink).collect()
+    )
+    assert [r[0] for r in rows] == [10, 20, 30]  # one update per batch
+    # local replay
+    l, b = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        nl = a * x + (1 - a) * (l + b)
+        nb = g * (nl - l) + (1 - g) * b
+        l, b = nl, nb
+    assert abs(rows[-1][1] - l) < 1e-12 and abs(rows[-1][2] - b) < 1e-12
