@@ -257,6 +257,10 @@ BENCH_QUERIES = [
     "q273_holt_linear",
     "q274_holt_by_key",
     "q275_streaming_holt_drain",
+    # round-7 additions: QoS/operations analytics
+    "q276_slo_burn_rate",
+    "q277_littles_law_audit",
+    "q278_rescale_replay",
 ]
 
 

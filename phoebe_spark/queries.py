@@ -16337,3 +16337,294 @@ def q275_streaming_holt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+# ---------------------------------------------------------------------------
+# Round 7: QoS / operations analytics (the reference's own domain — QoS-aware
+# stream processing per arXiv 2206.09679 — expressed as oracle-certified
+# batch analytics over the events/orders streams)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q276_slo_burn_rate",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_ns(ts) // 1000000000 // 3600 AS hr,
+             count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT hr, n, errs,
+             (errs * 1.0 / n) / 0.2 AS bs,
+             (sum(errs) OVER w * 1.0 / sum(n) OVER w) / 0.2 AS bl
+      FROM h
+      WINDOW w AS (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr, n, errs,
+           round(bs, 6) AS burn_short,
+           round(bl, 6) AS burn_long,
+           CASE WHEN bs > 1.5 AND bl > 1.1 THEN 1 ELSE 0 END AS page
+    FROM b
+    """,
+)
+def q276_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn rate (Google SRE workbook ch.5)
+    over the events stream — the alerting arithmetic a QoS controller like
+    the reference's (latency-SLO-driven rescaling, phoebe §III) runs on its
+    own metrics. SLO = 80% non-error; burn = error_rate / budget. A page
+    fires only when BOTH the 1 h window burns > 1.5x AND the trailing 6 h
+    window burns > 1.1x — the two-window AND that suppresses blips but
+    catches sustained burns.
+
+    The 6 h window is a RANGE frame over the hour number, so missing hours
+    shorten the window identically in both engines (no dense fill needed).
+
+    100 TB story: one map-side hourly rollup of the fact stream, then a
+    single O(hours-in-span) ordered window — the window input is
+    SF-independent (720 rows per month regardless of event volume).
+    """
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(F.expr("(ts div 1000000000) div 3600").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errs"),
+    )
+    w = Window.orderBy("hr").rangeBetween(-5, 0)
+    b = h.select(
+        "hr",
+        "n",
+        "errs",
+        ((F.col("errs") * 1.0 / F.col("n")) / 0.2).alias("bs"),
+        ((F.sum("errs").over(w) * 1.0 / F.sum("n").over(w)) / 0.2).alias("bl"),
+    )
+    return b.select(
+        "hr",
+        "n",
+        "errs",
+        F.round("bs", 6).alias("burn_short"),
+        F.round("bl", 6).alias("burn_long"),
+        F.when((F.col("bs") > 1.5) & (F.col("bl") > 1.1), 1).otherwise(0).alias("page"),
+    )
+
+
+@query(
+    "q277_littles_law_audit",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS aday,
+             greatest(datediff('day', DATE '1970-01-01', o_orderdate),
+                      max(datediff('day', DATE '1970-01-01', l_shipdate)) + 1) AS cday
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(aday) AS d0, max(cday) AS d1 FROM o),
+    grid AS (SELECT unnest(generate_series(b.d0, b.d1)) AS d, b.d0 FROM bounds b),
+    arr AS (SELECT aday AS d, count(*) AS a FROM o GROUP BY 1),
+    comp AS (SELECT cday AS d, count(*) AS c FROM o GROUP BY 1),
+    wip AS (
+      SELECT g.d, g.d0,
+             sum(coalesce(arr.a, 0)) OVER (ORDER BY g.d) -
+             sum(coalesce(comp.c, 0)) OVER (ORDER BY g.d) AS l
+      FROM grid g LEFT JOIN arr ON arr.d = g.d LEFT JOIN comp ON comp.d = g.d
+    ),
+    wk_wip AS (
+      SELECT (d - d0) // 7 AS wk, avg(l) AS avg_wip
+      FROM wip GROUP BY 1
+    ),
+    wk_arr AS (
+      SELECT (o.aday - b.d0) // 7 AS wk,
+             count(*) / 7.0 AS lam,
+             avg(o.cday - o.aday) AS mean_w
+      FROM o, bounds b GROUP BY 1
+    )
+    SELECT a.wk,
+           round(w.avg_wip, 6) AS avg_wip,
+           round(a.lam, 6) AS lam,
+           round(a.mean_w, 6) AS mean_w,
+           round(a.lam * a.mean_w, 6) AS pred_l,
+           round(w.avg_wip - a.lam * a.mean_w, 6) AS resid
+    FROM wk_arr a JOIN wk_wip w ON w.wk = a.wk
+    """,
+)
+def q277_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law audit (L = λW) of the order-fulfilment pipeline — the
+    queueing identity the reference's capacity model (phoebe §IV: latency
+    vs utilisation) rests on, checked empirically: per week, average
+    work-in-progress (orders placed, not yet fully shipped) is compared
+    against arrival-rate × mean-flow-time, and the residual reported.
+    An order's completion day is its last lineitem ship day + 1, clamped
+    to >= the arrival day (the synthetic corpus has ship dates before
+    order dates; clamped intervals contribute zero flow time).
+
+    WIP is NOT computed with an interval join: on a daily grid it is
+    cumulative-arrivals minus cumulative-completions — two O(span)
+    ordered windows over day-grouped counts, so the expensive
+    interval-containment join is avoided entirely.
+
+    100 TB story: the per-day rollups are map-side combines of the two
+    fact scans; the grid is O(calendar-span) rows independent of SF, and
+    every float here is an exact int-sum divide — no accumulation-order
+    sensitivity.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("aday"),
+        )
+        .agg(
+            F.greatest(
+                F.col("aday"),
+                F.max(F.datediff("l_shipdate", F.lit("1970-01-01")).cast("long")) + 1,
+            ).alias("cday")
+        )
+    )
+    bounds = od.agg(F.min("aday").alias("d0"), F.max("cday").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"), "d0"
+    )
+    arr = od.groupBy(F.col("aday").alias("d")).agg(F.count(F.lit(1)).alias("a"))
+    comp = od.groupBy(F.col("cday").alias("d")).agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wip = (
+        grid.join(arr, "d", "left")
+        .join(comp, "d", "left")
+        .select(
+            "d",
+            "d0",
+            (
+                F.sum(F.coalesce("a", F.lit(0))).over(wg)
+                - F.sum(F.coalesce("c", F.lit(0))).over(wg)
+            ).alias("l"),
+        )
+    )
+    wk_wip = wip.groupBy(F.expr("(d - d0) div 7").alias("wk")).agg(
+        F.avg("l").alias("avg_wip")
+    )
+    wk_arr = (
+        od.crossJoin(F.broadcast(bounds))
+        .groupBy(F.expr("(aday - d0) div 7").alias("wk"))
+        .agg(
+            (F.count(F.lit(1)) / 7.0).alias("lam"),
+            F.avg(F.col("cday") - F.col("aday")).alias("mean_w"),
+        )
+    )
+    return wk_arr.join(wk_wip, "wk").select(
+        "wk",
+        F.round("avg_wip", 6).alias("avg_wip"),
+        F.round("lam", 6).alias("lam"),
+        F.round("mean_w", 6).alias("mean_w"),
+        F.round(F.col("lam") * F.col("mean_w"), 6).alias("pred_l"),
+        F.round(F.col("avg_wip") - F.col("lam") * F.col("mean_w"), 6).alias("resid"),
+    )
+
+
+def _q278_rescale_oracle(T: int = 30, cap: int = 12) -> str:
+    """Generated oracle for q278: the rescale-decision recursion unrolled
+    as one CTE per day (the q273 Holt treatment applied to the reference's
+    control loop). All-integer arithmetic, so the chain is exact."""
+    ctes = [
+        "s1 AS (SELECT 1 AS t, xs[1] AS c, (xs[1] + "
+        f"{cap - 1}) // {cap} AS target, (xs[1] + {cap - 1}) // {cap} AS par, "
+        "0 AS rescaled, xs FROM series)"
+    ]
+    for t in range(2, T + 1):
+        tgt = f"(xs[{t - 1}] + {cap - 1}) // {cap}"
+        ctes.append(
+            f"s{t} AS (SELECT {t} AS t, xs[{t}] AS c, {tgt} AS target, "
+            f"CASE WHEN abs({tgt} - par) >= 2 THEN {tgt} ELSE par END AS par, "
+            f"CASE WHEN abs({tgt} - par) >= 2 THEN 1 ELSE 0 END AS rescaled, "
+            f"xs FROM s{t - 1})"
+        )
+    chain = ",\n    ".join(ctes)
+    union = "\n    UNION ALL ".join(
+        f"SELECT t, c, target, par, rescaled FROM s{t}" for t in range(1, T + 1)
+    )
+    return f"""
+    WITH dc AS (
+      SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo FROM dc),
+    grid AS (SELECT unnest(generate_series(0, {T - 1})) AS d, lo FROM bounds),
+    dense AS (
+      SELECT g.d, coalesce(dc.c, 0) AS c
+      FROM grid g LEFT JOIN dc ON dc.day = g.lo + g.d
+    ),
+    series AS (SELECT list(c ORDER BY d) AS xs FROM dense),
+    {chain}
+    {union}
+    """
+
+
+@query("q278_rescale_replay", oracle=_q278_rescale_oracle())
+def q278_rescale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay of the reference's core control loop — forecast-driven
+    rescaling with hysteresis (phoebe §III: predict the workload, size the
+    parallelism, suppress sub-threshold rescales because a rescale costs a
+    savepoint-restore) — as an oracle-certified recursion. Per day t:
+    target_t = ceil(prev-day count / 12) and the running parallelism only
+    moves when |target - current| >= 2. All-integer, so the engine fold
+    and the generated 30-step CTE chain agree exactly, not just to 6 dp.
+
+    Engine side the recursion is ONE codegen `aggregate` fold over the
+    dense day array (no iteration joins, no driver loop); the decision
+    sequence is then posexploded back to rows.
+
+    100 TB story: input is the O(days) map-side rollup of the event
+    stream; the fold is a single-row array op. Replaying one controller
+    per pipeline (thousands of keys) is the q274 grouped-fold shape.
+    """
+    e = _t(spark, sf_dir, "events")
+    T, cap = 30, 12
+    dc = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lo = dc.agg(F.min("day").alias("lo"))
+    grid = lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+    dense = grid.join(dc, grid.lo + grid.d == dc.day, "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    series = dense.agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs")
+    )
+    first = F.struct(
+        F.lit(1).alias("t"),
+        F.col("xs")[0].alias("c"),
+        ((F.col("xs")[0] + (cap - 1)) / cap).cast("long").alias("target"),
+        ((F.col("xs")[0] + (cap - 1)) / cap).cast("long").alias("par"),
+        F.lit(0).alias("rescaled"),
+    )
+    # fold t=2..T: target from the PREVIOUS day's count, hysteresis >= 2
+    def step(acc, t):
+        prev = F.element_at(acc, -1)
+        tgt = F.floor((F.element_at(F.col("xs"), (t - 1).cast("int")) + (cap - 1)) / cap)
+        move = F.abs(tgt - prev["par"]) >= 2
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    t.cast("int").alias("t"),
+                    F.element_at(F.col("xs"), t.cast("int")).alias("c"),
+                    tgt.alias("target"),
+                    F.when(move, tgt).otherwise(prev["par"]).alias("par"),
+                    F.when(move, 1).otherwise(0).alias("rescaled"),
+                )
+            ),
+        )
+
+    decisions = series.select(
+        F.aggregate(
+            F.sequence(F.lit(2), F.lit(T)), F.array(first), step
+        ).alias("steps")
+    )
+    return decisions.select(F.explode("steps").alias("s")).select(
+        F.col("s.t").alias("t"),
+        F.col("s.c").alias("c"),
+        F.col("s.target").alias("target"),
+        F.col("s.par").alias("par"),
+        F.col("s.rescaled").alias("rescaled"),
+    )
