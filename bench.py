@@ -261,6 +261,9 @@ BENCH_QUERIES = [
     "q276_slo_burn_rate",
     "q277_littles_law_audit",
     "q278_rescale_replay",
+    "q279_roc_auc",
+    "q280_calibration_bins",
+    "q281_ab_welch_ttest",
 ]
 
 

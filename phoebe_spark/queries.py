@@ -16628,3 +16628,234 @@ def q278_rescale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.par").alias("par"),
         F.col("s.rescaled").alias("rescaled"),
     )
+
+
+@query(
+    "q279_roc_auc",
+    oracle="""
+    WITH s AS (
+      SELECT l_linestatus AS grp,
+             CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(round(l_tax * 100) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp, s, count(*) AS n_s,
+             CAST(sum(y) AS BIGINT) AS p_s
+      FROM s GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, s, n_s, p_s,
+             coalesce(sum(n_s) OVER (PARTITION BY grp ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM g
+    ),
+    a AS (
+      SELECT grp,
+             CAST(sum(p_s) AS BIGINT) AS p,
+             CAST(sum(n_s - p_s) AS BIGINT) AS n,
+             sum(p_s * (before + (n_s + 1) / 2.0)) AS pos_rank_sum
+      FROM r GROUP BY 1
+    )
+    SELECT grp, p, n,
+           round((pos_rank_sum - p * (p + 1) / 2.0) / (p * n), 6) AS auc,
+           round(2 * ((pos_rank_sum - p * (p + 1) / 2.0) / (p * n)) - 1, 6) AS gini
+    FROM a
+    """,
+)
+def q279_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based ROC-AUC (Mann-Whitney U with average-rank tie handling)
+    per linestatus: label = returned flag, score = the discretised
+    discount/tax signal. The textbook formula needs a global rank over all
+    rows; here ranks are reconstructed from per-DISTINCT-SCORE counts —
+    cum-before + (n_s+1)/2 is each tie group's average rank — so the
+    ordered window runs over the score VOCABULARY (~100 rows), not the
+    fact table. A near-0.5 AUC is the correct answer for this synthetic
+    corpus (returnflag is independent of discount/tax); the tie-heavy
+    score makes the average-rank path the thing being certified.
+
+    100 TB story: one map-side-combining groupBy(grp, score), then an
+    O(|scores|) window; rank sums are integer-exact in doubles (< 2^52),
+    so partial-aggregation order cannot move the hash.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_linestatus").alias("grp"),
+        (
+            F.round(F.col("l_discount") * 100).cast("long") * 10
+            + F.round(F.col("l_tax") * 100).cast("long")
+        ).alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("grp", "s").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("y").cast("long").alias("p_s")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("before", F.coalesce(F.sum("n_s").over(w), F.lit(0)))
+    a = r.groupBy("grp").agg(
+        F.sum("p_s").cast("long").alias("p"),
+        F.sum(F.col("n_s") - F.col("p_s")).cast("long").alias("n"),
+        F.sum(F.col("p_s") * (F.col("before") + (F.col("n_s") + 1) / 2.0)).alias(
+            "pos_rank_sum"
+        ),
+    )
+    auc = (F.col("pos_rank_sum") - F.col("p") * (F.col("p") + 1) / 2.0) / (
+        F.col("p") * F.col("n")
+    )
+    return a.select(
+        "grp",
+        "p",
+        "n",
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
+
+
+@query(
+    "q280_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT least(CAST(round(l_discount * 100) AS BIGINT), 9) AS bin,
+             l_discount * 10 AS conf,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    b AS (
+      SELECT bin, count(*) AS n,
+             avg(conf) AS conf_mean,
+             CAST(sum(y) AS BIGINT) * 1.0 / count(*) AS acc
+      FROM s GROUP BY 1
+    )
+    SELECT bin, n,
+           round(conf_mean, 6) AS conf_mean,
+           round(acc, 6) AS acc,
+           round(acc - conf_mean, 6) AS gap,
+           round(abs(acc - conf_mean) * n / (sum(n) OVER ()), 6) AS ece_term
+    FROM b
+    """,
+)
+def q280_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / expected-calibration-error bins: treat the
+    scaled discount as a predicted probability of return and compare each
+    decile bin's mean confidence against its empirical accuracy; `ece_term`
+    is the bin's weighted contribution, so sum(ece_term) IS the ECE. The
+    honest result for this corpus is a strongly mis-calibrated "model"
+    (acc ~ 1/3 in every bin) — the operator, not the model, is under test.
+
+    Bin ids are computed with integer arithmetic on round(discount*100)
+    (floor of the float product would be representation-sensitive at the
+    0.0x boundaries; the integer detour is exact in both engines).
+
+    100 TB story: one map-side-combining groupBy into <= 10 bins; the
+    window for the ECE weight runs over 10 rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.least(
+            F.round(F.col("l_discount") * 100).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        (F.col("l_discount") * 10).alias("conf"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("conf").alias("conf_mean"),
+        (F.sum("y").cast("long") * 1.0 / F.count(F.lit(1))).alias("acc"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return b.select(
+        "bin",
+        "n",
+        F.round("conf_mean", 6).alias("conf_mean"),
+        F.round("acc", 6).alias("acc"),
+        F.round(F.col("acc") - F.col("conf_mean"), 6).alias("gap"),
+        F.round(
+            F.abs(F.col("acc") - F.col("conf_mean"))
+            * F.col("n")
+            / F.sum("n").over(wall),
+            6,
+        ).alias("ece_term"),
+    )
+
+
+@query(
+    "q281_ab_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(user_id % 2 AS INT) AS arm,
+             value AS v
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE arm = 0) AS n0,
+             count(*) FILTER (WHERE arm = 1) AS n1,
+             avg(v) FILTER (WHERE arm = 0) AS m0,
+             avg(v) FILTER (WHERE arm = 1) AS m1,
+             var_samp(v) FILTER (WHERE arm = 0) AS v0,
+             var_samp(v) FILTER (WHERE arm = 1) AS v1
+      FROM s GROUP BY 1
+    )
+    SELECT event_type, n0, n1,
+           round(m0, 6) AS mean_a,
+           round(m1, 6) AS mean_b,
+           round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat,
+           round(pow(v0 / n0 + v1 / n1, 2)
+                 / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)),
+                 6) AS df,
+           CASE WHEN abs((m0 - m1) / sqrt(v0 / n0 + v1 / n1)) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM g
+    """,
+)
+def q281_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per event type over a
+    deterministic A/B split (user_id parity — hash-stable, no RNG), with
+    the Welch-Satterthwaite degrees of freedom. The |t|>1.96 flag is the
+    normal-approximation decision at alpha=0.05; by construction the arms
+    are exchangeable, so ~0 significant rows is the correct answer and a
+    nonzero t certifies only the arithmetic. Means/variances of ~2k
+    doubles carry O(1e-12) accumulation-order noise — far below the 6 dp
+    rounding.
+
+    100 TB story: one map-side-combining groupBy(event_type) computing
+    both arms' moments in a single pass (conditional aggregation, no
+    self-join of the two arms).
+    """
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("arm"), F.col("value").alias("v")
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.avg(F.when(F.col("arm") == 0, F.col("v"))).alias("m0"),
+        F.avg(F.when(F.col("arm") == 1, F.col("v"))).alias("m1"),
+        F.var_samp(F.when(F.col("arm") == 0, F.col("v"))).alias("v0"),
+        F.var_samp(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    t = (F.col("m0") - F.col("m1")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
+    return g.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round("m0", 6).alias("mean_a"),
+        F.round("m1", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
+    )
