@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "q279_roc_auc",
     "q280_calibration_bins",
     "q281_ab_welch_ttest",
+    "q282_kaplan_meier",
+    "q283_hll_distinct",
 ]
 
 

@@ -16859,3 +16859,295 @@ def q281_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 6).alias("df"),
         F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
     )
+
+
+@query(
+    "q282_kaplan_meier",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    g AS (
+      SELECT o_custkey, d,
+             lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+      FROM o
+    ),
+    dur AS (
+      SELECT CASE WHEN nd IS NULL THEN (SELECT dmax FROM mx) - d
+                  ELSE nd - d END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM g
+    ),
+    byt AS (
+      SELECT t, count(*) AS n_all, CAST(sum(ev) AS BIGINT) AS d_ev
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d_ev,
+             CAST(sum(n_all) OVER () -
+             coalesce(sum(n_all) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM byt
+    ),
+    ev AS (SELECT t, n_risk, d_ev FROM risk WHERE d_ev > 0),
+    km AS (
+      SELECT t, n_risk, d_ev,
+             sum(CASE WHEN d_ev < n_risk
+                      THEN ln(1 - d_ev * 1.0 / n_risk) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnsum,
+             max(CASE WHEN d_ev >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zs
+      FROM ev
+    )
+    SELECT t, n_risk, d_ev AS d,
+           round(CASE WHEN zs = 1 THEN 0.0 ELSE exp(coalesce(lnsum, 0.0)) END, 6)
+             AS survival
+    FROM km
+    """,
+)
+def q282_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over customer reorder gaps: each
+    consecutive-order gap is an observed event, the tail from a customer's
+    last order to the corpus end is right-censored (censored subjects
+    leave the risk set without stepping the curve — the thing that
+    distinguishes KM from a plain ECDF). S(t) steps only at event times:
+    S = prod(1 - d_i/n_i), computed as exp of a running ln-sum over the
+    O(distinct gap) event-time rows, with the d==n full-absorption edge
+    handled by a cumulative zero flag (Spark's ln(0) is NULL, DuckDB's is
+    -inf — the CASE keeps both engines on the same finite path).
+
+    100 TB story: durations come from one lead() pass partitioned by
+    customer (shuffle on the key); everything after is grouped by gap
+    VALUE — O(distinct days) rows, SF-independent — so the ordered
+    windows never see the fact table.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    dmax = o.agg(F.max("d").alias("dmax"))
+    g = o.withColumn(
+        "nd",
+        F.lead("d").over(
+            Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+        ),
+    )
+    dur = g.crossJoin(F.broadcast(dmax)).select(
+        F.when(F.col("nd").isNull(), F.col("dmax") - F.col("d"))
+        .otherwise(F.col("nd") - F.col("d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("ev").cast("long").alias("d_ev")
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wbef = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.select(
+        "t",
+        "d_ev",
+        (
+            F.sum("n_all").over(wtot)
+            - F.coalesce(F.sum("n_all").over(wbef), F.lit(0))
+        ).alias("n_risk"),
+    ).filter(F.col("d_ev") > 0)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.select(
+        "t",
+        "n_risk",
+        "d_ev",
+        F.sum(
+            F.when(
+                F.col("d_ev") < F.col("n_risk"),
+                F.log(1 - F.col("d_ev") * 1.0 / F.col("n_risk")),
+            )
+        )
+        .over(wc)
+        .alias("lnsum"),
+        F.max(F.when(F.col("d_ev") >= F.col("n_risk"), 1).otherwise(0))
+        .over(wc)
+        .alias("zs"),
+    )
+    return km.select(
+        "t",
+        "n_risk",
+        F.col("d_ev").alias("d"),
+        F.round(
+            F.when(F.col("zs") == 1, 0.0).otherwise(
+                F.exp(F.coalesce(F.col("lnsum"), F.lit(0.0)))
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+@query(
+    "q283_hll_distinct",
+    oracle="""
+    WITH base AS (
+      SELECT lang AS grp, doc_id FROM documents
+      UNION ALL
+      SELECT 'ALL' AS grp, doc_id FROM documents
+    ),
+    h0 AS (SELECT grp, doc_id, doc_id % 4294967296 AS a FROM base),
+    h1 AS (SELECT grp, doc_id,
+                  (xor(a >> 16, a) * 73244475) % 4294967296 AS a FROM h0),
+    h2 AS (SELECT grp, doc_id,
+                  (xor(a >> 16, a) * 73244475) % 4294967296 AS a FROM h1),
+    h AS (SELECT grp, doc_id, xor(a >> 16, a) AS hv FROM h2),
+    rho AS (
+      SELECT grp, doc_id, hv % 64 AS idx,
+             CASE WHEN hv // 64 = 0 THEN 27
+                  ELSE 27 - length(bin(hv // 64)) END AS r,
+             doc_id % 2 AS half
+      FROM h
+    ),
+    regs AS (
+      SELECT grp, idx, max(r) AS m FROM rho GROUP BY 1, 2
+    ),
+    regs_h AS (
+      SELECT grp, half, idx, max(r) AS m FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT grp, idx, max(m) AS m FROM regs_h GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT grp,
+             0.709 * 64 * 64 /
+               (sum(1.0 / (CAST(1 AS BIGINT) << m)) + (64 - count(*))) AS e_raw,
+             64 - count(*) AS v
+      FROM regs GROUP BY 1
+    ),
+    est_m AS (
+      SELECT grp,
+             0.709 * 64 * 64 /
+               (sum(1.0 / (CAST(1 AS BIGINT) << m)) + (64 - count(*))) AS e_raw,
+             64 - count(*) AS v
+      FROM merged GROUP BY 1
+    ),
+    fin AS (
+      SELECT grp,
+             CASE WHEN e_raw <= 160 AND v > 0 THEN 64 * ln(64.0 / v)
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    fin_m AS (
+      SELECT grp,
+             CASE WHEN e_raw <= 160 AND v > 0 THEN 64 * ln(64.0 / v)
+                  ELSE e_raw END AS e
+      FROM est_m
+    ),
+    ex AS (SELECT grp, count(DISTINCT doc_id) AS n_exact FROM base GROUP BY 1)
+    SELECT ex.grp, ex.n_exact,
+           round(fin.e, 6) AS est,
+           round(fin_m.e, 6) AS est_merged,
+           round(abs(fin.e - ex.n_exact) / ex.n_exact, 6) AS rel_err,
+           CASE WHEN fin.e = fin_m.e THEN 1 ELSE 0 END AS merge_exact
+    FROM ex JOIN fin ON fin.grp = ex.grp JOIN fin_m ON fin_m.grp = ex.grp
+    """,
+)
+def q283_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (p=6, m=64 registers, Flajolet et al.
+    2007 incl. the small-range linear-counting correction) per language
+    plus an 'ALL' rollup — the canonical mergeable-sketch distinct count,
+    joining the KMV (q154/q202), CMS (q141), Bloom (q73) and MinHash
+    (q244) sketch family. The hash is the degski 32-bit avalanche mixer
+    (two xor-shift-multiply rounds; the multiplier is < 2^27 so every
+    intermediate fits a BIGINT under ANSI overflow checks — and a plain
+    multiplicative hash demonstrably FAILS here: on sequential ids its
+    rho distribution is non-geometric and the estimate lands 78% high);
+    register rank rho comes
+    from the binary-string length of the remaining 26 bits (`bin()` —
+    float log2 would be representation-sensitive at power-of-two
+    boundaries). 2^-M is an exact bigint shift, and a sum of powers of
+    two spanning <= 27 bits is EXACT in a double, so the harmonic mean is
+    accumulation-order-independent — the property that makes an HLL hash
+    safe to certify. The parity-split/merge path (register max of two
+    half-sketches) must reproduce the full sketch bit-for-bit
+    (`merge_exact`), certifying the distributed-union operator.
+
+    100 TB story: a sketch build is one map-side-combining groupBy to
+    m * groups rows; merges are register-max — the shape that counts
+    distincts over a 100 TB corpus in one pass with O(m) state.
+    """
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(F.col("lang").alias("grp"), "doc_id").unionAll(
+        d.select(F.lit("ALL").alias("grp"), "doc_id")
+    )
+    rho = (
+        base.select(
+            "grp", "doc_id", F.expr("doc_id % 4294967296").alias("a")
+        )
+        .select(
+            "grp",
+            "doc_id",
+            F.expr("((shiftright(a, 16) ^ a) * 73244475) % 4294967296").alias("a"),
+        )
+        .select(
+            "grp",
+            "doc_id",
+            F.expr("((shiftright(a, 16) ^ a) * 73244475) % 4294967296").alias("a"),
+        )
+        .select(
+            "grp",
+            "doc_id",
+            (F.col("doc_id") % 2).alias("half"),
+            F.expr("shiftright(a, 16) ^ a").alias("hv"),
+        )
+    ).select(
+        "grp",
+        "doc_id",
+        "half",
+        (F.col("hv") % 64).alias("idx"),
+        F.when(F.expr("hv div 64") == 0, 27)
+        .otherwise(27 - F.length(F.bin(F.expr("hv div 64"))))
+        .alias("r"),
+    )
+    regs = rho.groupBy("grp", "idx").agg(F.max("r").alias("m"))
+    regs_h = rho.groupBy("grp", "half", "idx").agg(F.max("r").alias("m"))
+    merged = regs_h.groupBy("grp", "idx").agg(F.max("m").alias("m"))
+
+    def estimate(rdf: DataFrame) -> DataFrame:
+        e = rdf.groupBy("grp").agg(
+            (
+                F.lit(0.709 * 64 * 64)
+                / (
+                    F.sum(F.expr("1.0 / cast(shiftleft(1L, m) as double)"))
+                    + (64 - F.count(F.lit(1)))
+                )
+            ).alias("e_raw"),
+            (64 - F.count(F.lit(1))).alias("v"),
+        )
+        return e.select(
+            "grp",
+            F.when(
+                (F.col("e_raw") <= 160) & (F.col("v") > 0),
+                64 * F.log(64.0 / F.col("v")),
+            )
+            .otherwise(F.col("e_raw"))
+            .alias("e"),
+        )
+
+    fin = estimate(regs)
+    fin_m = estimate(merged).withColumnRenamed("e", "em")
+    ex = base.groupBy("grp").agg(F.countDistinct("doc_id").alias("n_exact"))
+    return (
+        ex.join(fin, "grp")
+        .join(fin_m, "grp")
+        .select(
+            "grp",
+            "n_exact",
+            F.round("e", 6).alias("est"),
+            F.round("em", 6).alias("est_merged"),
+            F.round(F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+            F.when(F.col("e") == F.col("em"), 1).otherwise(0).alias("merge_exact"),
+        )
+    )
