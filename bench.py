@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "q281_ab_welch_ttest",
     "q282_kaplan_meier",
     "q283_hll_distinct",
+    "q284_holt_winters",
 ]
 
 

@@ -17151,3 +17151,148 @@ def q283_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("e") == F.col("em"), 1).otherwise(0).alias("merge_exact"),
         )
     )
+
+
+def _q284_hw_oracle(T: int = 28, m: int = 7, a: float = 0.4, b: float = 0.2, g: float = 0.3) -> str:
+    """Generated oracle for q284: additive Holt-Winters unrolled as one CTE
+    per step with the 7 seasonal components as rotating columns (the q273
+    Holt chain treatment extended with a seasonal register file). nl/nb/ns
+    re-expand subexpressions rather than referencing lateral aliases, so
+    every float op matches the engine fold exactly."""
+    scols = ", ".join(f"s{i}" for i in range(1, m + 1))
+    sum1 = "(" * (m - 1) + "xs[1]" + "".join(f" + xs[{i}])" for i in range(2, m + 1))
+    sum2 = "(" * (m - 1) + f"xs[{m + 1}]" + "".join(
+        f" + xs[{i}])" for i in range(m + 2, 2 * m + 1)
+    )
+    seas = ", ".join(f"xs[{i}] - l AS s{i}" for i in range(1, m + 1))
+    ctes = [
+        f"w0 AS (SELECT k, xs, {sum1} / {m} AS l FROM series)",
+        f"w{m}_r AS (SELECT k, xs, l, ({sum2} / {m} - l) / {m} AS b, {seas} FROM w0)",
+    ]
+    for t in range(m + 1, T + 1):
+        nl = f"{a} * (xs[{t}] - s1) + {1 - a} * (l + b)"
+        nb = f"{b_lit(b)} * (({nl}) - l) + {1 - b} * b"
+        ns = f"{g} * (xs[{t}] - ({nl})) + {1 - g} * s1"
+        keep = ", ".join(f"s{i}" for i in range(2, m + 1))
+        rot = ", ".join(f"s{i + 1} AS s{i}" for i in range(1, m)) + f", ns AS s{m}"
+        # ns is computed HERE, where l/b/s1 still bind to the OLD state —
+        # in the rotation CTE the lateral aliases `nl AS l` would shadow
+        # them and silently smooth with the new level
+        ctes.append(
+            f"w{t} AS (SELECT k, xs, ({nl}) AS nl, ({nb}) AS nb, ({ns}) AS ns, "
+            f"{keep} FROM w{t - 1}_r)"
+        )
+        ctes.append(
+            f"w{t}_r AS (SELECT k, xs, nl AS l, nb AS b, {rot} FROM w{t})"
+        )
+    chain = ",\n    ".join(ctes)
+    fcs = ", ".join(
+        f"round(l + {h} * b + s{h}, 6) AS f{h}" for h in range(1, m + 1)
+    )
+    return f"""
+    WITH hc AS (
+      SELECT event_type AS k,
+             epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo FROM hc),
+    keys AS (SELECT DISTINCT k FROM hc),
+    grid AS (SELECT keys.k, g.d, b.lo
+             FROM keys CROSS JOIN (SELECT unnest(generate_series(0, {T - 1})) AS d) g,
+                  bounds b),
+    dense AS (
+      SELECT g.k, g.d, coalesce(hc.c, 0.0) AS c
+      FROM grid g LEFT JOIN hc ON hc.k = g.k AND hc.day = g.lo + g.d
+    ),
+    series AS (SELECT k, list(c ORDER BY d) AS xs FROM dense GROUP BY 1),
+    {chain}
+    SELECT k AS event_type, round(l, 6) AS level, round(b, 6) AS trend, {fcs}
+    FROM w{T}_r
+    """
+
+
+def b_lit(x: float) -> str:
+    return repr(x)
+
+
+@query("q284_holt_winters", oracle=_q284_hw_oracle())
+def q284_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (alpha=0.4, beta=0.2, gamma=0.3, weekly
+    season m=7) per event type over 28 days of daily counts, with a full
+    season of forecasts — the seasonal tier of the smoothing ladder
+    (q270 seasonal-naive baseline, q273/q274 Holt level+trend, this adds
+    the seasonal register file; the reference's auto_arima workload models
+    fit exactly this shape of series). Classical init: level = mean of
+    week 1, trend = (mean week 2 - mean week 1)/7, seasonals = week-1
+    residuals; the mean is an EXPLICIT left-to-right sum chain, not avg(),
+    so both engines add in the same order. The engine folds (level,
+    trend, 7-slot rotating seasonal array) in ONE codegen `aggregate`;
+    the oracle replays the identical recursion as a generated 21-step CTE
+    chain with the seasonals as rotating columns — digit-for-digit.
+
+    100 TB story: O(days x keys) map-side rollup, one shuffle on the
+    key, then embarrassingly parallel per-row folds (q274's shape).
+    """
+    e = _t(spark, sf_dir, "events")
+    T, m = 28, 7
+    a, bt, g = 0.4, 0.2, 0.3
+    hc = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lo = hc.agg(F.min("day").alias("lo"))
+    keys = hc.select("k").distinct()
+    grid = keys.crossJoin(
+        F.broadcast(
+            lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+        )
+    )
+    dense = grid.join(
+        hc, (grid.k == hc.k) & (grid.lo + grid.d == hc.day), "left"
+    ).select(grid.k, grid.d, F.coalesce("c", F.lit(0.0)).alias("c"))
+    series = dense.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs")
+    )
+    xs = F.col("xs")
+    # explicit left-to-right sums (same float order as the oracle)
+    l0 = xs[0]
+    for i in range(1, m):
+        l0 = l0 + xs[i]
+    l0 = l0 / m
+    s2 = xs[m]
+    for i in range(m + 1, 2 * m):
+        s2 = s2 + xs[i]
+    b0 = (s2 / m - l0) / m
+    init = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        F.array(*[(xs[i] - l0) for i in range(m)]).alias("s"),
+    )
+
+    def step(acc, t):
+        x = F.element_at(xs, t.cast("int"))
+        s1 = F.element_at(acc["s"], 1)
+        nl = F.lit(a) * (x - s1) + F.lit(1 - a) * (acc["l"] + acc["b"])
+        nb = F.lit(bt) * (nl - acc["l"]) + F.lit(1 - bt) * acc["b"]
+        ns = F.lit(g) * (x - nl) + F.lit(1 - g) * s1
+        return F.struct(
+            nl.alias("l"),
+            nb.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(ns)).alias("s"),
+        )
+
+    st = F.aggregate(F.sequence(F.lit(m + 1), F.lit(T)), init, step)
+    out = series.select(F.col("k").alias("event_type"), st.alias("st"))
+    cols = [
+        "event_type",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+    ]
+    for h in range(1, m + 1):
+        cols.append(
+            F.round(
+                F.col("st.l") + h * F.col("st.b") + F.element_at(F.col("st.s"), h), 6
+            ).alias(f"f{h}")
+        )
+    return out.select(*cols)
