@@ -267,6 +267,9 @@ BENCH_QUERIES = [
     "q282_kaplan_meier",
     "q283_hll_distinct",
     "q284_holt_winters",
+    "q285_bigram_lm_score",
+    "q286_l_diversity",
+    "q287_column_dependence",
 ]
 
 

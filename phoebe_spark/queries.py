@@ -17296,3 +17296,261 @@ def q284_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"f{h}")
         )
     return out.select(*cols)
+
+
+@query(
+    "q285_bigram_lm_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    n AS (SELECT count(*) AS n_uni FROM uni),
+    bi AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i + 1])) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+    scored AS (
+      SELECT bi.doc_id, bi.source,
+             ln(0.7 * (bcnt.c_ab * 1.0 / ua.c)
+                + 0.3 * (ub.c * 1.0 / n.n_uni)) AS lp
+      FROM bi
+      JOIN bcnt ON bcnt.w1 = bi.w1 AND bcnt.w2 = bi.w2
+      JOIN ucnt ua ON ua.tok = bi.w1
+      JOIN ucnt ub ON ub.tok = bi.w2
+      CROSS JOIN n
+    ),
+    perdoc AS (
+      SELECT doc_id, source, avg(lp) AS doc_lp FROM scored GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(doc_lp), 6) AS avg_lp,
+           round(exp(-avg(doc_lp)), 6) AS ppl
+    FROM perdoc GROUP BY 1
+    """,
+)
+def q285_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-interpolated bigram language model (lambda=0.7
+    bigram MLE + 0.3 unigram MLE) fit on the corpus and applied back to
+    score every document; reported as per-source mean log-prob and
+    perplexity. This is the bigram tier above the CCNet-style unigram LM
+    quality signal (q72/q137) — fluency-aware, so boilerplate with
+    common words in odd ORDER now scores badly too.
+
+    100 TB story: counts are two map-side-combining groupBys bounded by
+    the (observed) vocabulary and bigram vocabulary; scoring joins the
+    bigram stream against those count frames on their keys — no corpus
+    self-join, and the count frames broadcast when small. The per-doc
+    mean then per-source mean keeps every reduction associative.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = d.select("doc_id", "source", text.tokens(F.col("text")).alias("toks"))
+    nt = F.size("toks")
+    bi = (
+        t.filter(nt >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, nt - 1),
+                    F.slice("toks", 2, nt - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "source", F.col("e.w1").alias("w1"), F.col("e.w2").alias("w2"))
+    )
+    uni = t.select(F.explode("toks").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    ua = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    ub = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bi.join(_dim(bcnt), ["w1", "w2"])
+        .join(_dim(ua), "w1")
+        .join(_dim(ub), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                0.7 * (F.col("c_ab") * 1.0 / F.col("ca"))
+                + 0.3 * (F.col("cb") * 1.0 / F.col("n_uni"))
+            ).alias("lp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(F.avg("lp").alias("doc_lp"))
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_lp"), 6).alias("avg_lp"),
+        F.round(F.exp(-F.avg("doc_lp")), 6).alias("ppl"),
+    )
+
+
+@query(
+    "q286_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT lang, n_chars // 50 AS band, source, count(*) AS c
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    g2 AS (
+      SELECT lang, band, c,
+             sum(c) OVER (PARTITION BY lang, band) AS tot
+      FROM g
+    ),
+    q AS (
+      SELECT lang, band,
+             CAST(sum(c) AS BIGINT) AS k,
+             count(*) AS l_distinct,
+             exp(-sum((c * 1.0 / tot) * ln(c * 1.0 / tot))) AS l_entropy
+      FROM g2 GROUP BY 1, 2
+    )
+    SELECT lang, band, k, l_distinct,
+           round(l_entropy, 6) AS l_entropy,
+           CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS violates_l3
+    FROM q
+    """,
+)
+def q286_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) extending the
+    k-anonymity census (q239): quasi-identifier = (lang, 50-char length
+    band), sensitive attribute = source. Per QI group: group size k,
+    DISTINCT l-diversity, ENTROPY l-diversity (exp of the sensitive-value
+    entropy — penalises groups where one sensitive value dominates even
+    when several are nominally present), and the distinct-l<3 violation
+    flag a release gate would block on.
+
+    100 TB story: one map-side-combining groupBy to (QI x sensitive)
+    cells, then a second groupBy to QI groups — both bounded by the
+    attribute-combination vocabulary, never corpus-sized.
+    """
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang", F.expr("n_chars div 50").alias("band"), "source"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    g2 = g.withColumn(
+        "tot", F.sum("c").over(Window.partitionBy("lang", "band"))
+    )
+    q = g2.groupBy("lang", "band").agg(
+        F.sum("c").cast("long").alias("k"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.exp(
+            -F.sum(
+                (F.col("c") * 1.0 / F.col("tot"))
+                * F.log(F.col("c") * 1.0 / F.col("tot"))
+            )
+        ).alias("l_entropy"),
+    )
+    return q.select(
+        "lang",
+        "band",
+        "k",
+        "l_distinct",
+        F.round("l_entropy", 6).alias("l_entropy"),
+        F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("violates_l3"),
+    )
+
+
+@query(
+    "q287_column_dependence",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    mx AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rx FROM cell GROUP BY 1),
+    my AS (SELECT source, CAST(sum(o) AS BIGINT) AS cy FROM cell GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+    dims AS (SELECT (SELECT count(*) FROM mx) AS r, (SELECT count(*) FROM my) AS c),
+    terms AS (
+      SELECT cell.o, mx.rx, my.cy, n.n,
+             (cell.o * 1.0 / n.n)
+               * ln((cell.o * 1.0 / n.n) / ((mx.rx * 1.0 / n.n) * (my.cy * 1.0 / n.n)))
+               AS mi_term,
+             (mx.rx * 1.0 * my.cy / n.n) AS e,
+             (cell.o - (mx.rx * 1.0 * my.cy / n.n))
+               * (cell.o - (mx.rx * 1.0 * my.cy / n.n))
+               / (mx.rx * 1.0 * my.cy / n.n) AS chi_term
+      FROM cell JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN n
+    )
+    SELECT n.n, dims.r, dims.c,
+           round(sum(mi_term), 6) AS mi,
+           round(sum(chi_term) + (n.n - sum(e)), 6) AS chi2,
+           (dims.r - 1) * (dims.c - 1) AS dof,
+           round(sqrt((sum(chi_term) + (n.n - sum(e)))
+                      / (n.n * least(dims.r - 1, dims.c - 1))), 6) AS cramers_v
+    FROM terms CROSS JOIN n CROSS JOIN dims
+    GROUP BY n.n, dims.r, dims.c
+    """,
+)
+def q287_column_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-dependence audit between lang and source: mutual
+    information (nats), the chi-square independence statistic, its
+    degrees of freedom, and Cramer's V — the screening pass a curation
+    pipeline runs to find leaking/correlated metadata columns before
+    stratifying on them. Unobserved contingency cells still owe their
+    expected count to chi-square; rather than materializing the full
+    R x C grid, the identity sum_all(e) = N folds them in as
+    N - sum_observed(e) — observed cells only, exact same value.
+
+    100 TB story: one groupBy to observed cells (vocabulary-bounded),
+    marginals re-aggregated from the cell frame (no second corpus scan),
+    a cell-sized join, one scalar row out.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    mx = cell.groupBy("lang").agg(F.sum("o").cast("long").alias("rx"))
+    my = cell.groupBy("source").agg(F.sum("o").cast("long").alias("cy"))
+    n = cell.agg(F.sum("o").cast("long").alias("n"))
+    dims = mx.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        my.agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = F.col("rx") * 1.0 * F.col("cy") / F.col("n")
+    terms = (
+        cell.join(_dim(mx), "lang")
+        .join(_dim(my), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            "n",
+            (
+                (F.col("o") * 1.0 / F.col("n"))
+                * F.log(
+                    (F.col("o") * 1.0 / F.col("n"))
+                    / ((F.col("rx") * 1.0 / F.col("n")) * (F.col("cy") * 1.0 / F.col("n")))
+                )
+            ).alias("mi_term"),
+            e.alias("e"),
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("chi_term"),
+        )
+    )
+    agg = terms.groupBy("n").agg(
+        F.sum("mi_term").alias("smi"),
+        F.sum("chi_term").alias("schi"),
+        F.sum("e").alias("se"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "r",
+        "c",
+        F.round("smi", 6).alias("mi"),
+        F.round(F.col("schi") + (F.col("n") - F.col("se")), 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                (F.col("schi") + (F.col("n") - F.col("se")))
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
