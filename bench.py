@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "q285_bigram_lm_score",
     "q286_l_diversity",
     "q287_column_dependence",
+    "q288_fs_em_weights",
+    "q289_streaming_burn_drain",
 ]
 
 

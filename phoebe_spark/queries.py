@@ -17554,3 +17554,245 @@ def q287_column_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q288_fs_em_weights",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source, lang, n_chars,
+             regexp_split_to_array(trim(text), '\s+')[1] AS tok1,
+             n_chars // 25 AS band
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+             CASE WHEN a.tok1 = b.tok1 THEN 1 ELSE 0 END AS g2,
+             CASE WHEN abs(a.n_chars - b.n_chars) <= 5 THEN 1 ELSE 0 END AS g3
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    u0 AS (
+      SELECT avg(g1 * 1.0) AS u1, avg(g2 * 1.0) AS u2, avg(g3 * 1.0) AS u3,
+             count(*) AS np
+      FROM pairs
+    ),
+    post AS (
+      SELECT g1, g2, g3, np,
+             (0.05
+              * (CASE WHEN g1 = 1 THEN 0.9 ELSE 0.1 END)
+              * (CASE WHEN g2 = 1 THEN 0.9 ELSE 0.1 END)
+              * (CASE WHEN g3 = 1 THEN 0.9 ELSE 0.1 END))
+             /
+             ((0.05
+              * (CASE WHEN g1 = 1 THEN 0.9 ELSE 0.1 END)
+              * (CASE WHEN g2 = 1 THEN 0.9 ELSE 0.1 END)
+              * (CASE WHEN g3 = 1 THEN 0.9 ELSE 0.1 END))
+              + (0.95
+              * (CASE WHEN g1 = 1 THEN u1 ELSE 1 - u1 END)
+              * (CASE WHEN g2 = 1 THEN u2 ELSE 1 - u2 END)
+              * (CASE WHEN g3 = 1 THEN u3 ELSE 1 - u3 END))) AS w
+      FROM pairs CROSS JOIN u0
+    ),
+    upd AS (
+      SELECT np,
+             sum(w) AS sw, sum(1 - w) AS swn,
+             sum(w * g1) AS m1n, sum((1 - w) * g1) AS u1n,
+             sum(w * g2) AS m2n, sum((1 - w) * g2) AS u2n,
+             sum(w * g3) AS m3n, sum((1 - w) * g3) AS u3n
+      FROM post GROUP BY np
+    ),
+    fields AS (
+      SELECT 'same_source' AS field, m1n / sw AS m, u1n / swn AS u, np FROM upd
+      UNION ALL
+      SELECT 'same_first_token', m2n / sw, u2n / swn, np FROM upd
+      UNION ALL
+      SELECT 'len_within_5', m3n / sw, u3n / swn, np FROM upd
+    )
+    SELECT field, np AS n_pairs,
+           round(m, 6) AS m,
+           round(u, 6) AS u,
+           round(ln(m / u), 6) AS w_agree,
+           round(ln((1 - m) / (1 - u)), 6) AS w_disagree
+    FROM fields
+    """,
+)
+def q288_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969), fit the
+    real-world way — UNSUPERVISED: blocked candidate pairs (lang x
+    25-char band, the q207 blocking shape), three field-agreement
+    patterns (source, first token, length-within-5), and ONE
+    deterministic EM step from the standard init (m=0.9, u=observed
+    agreement rate, prior 0.05) to per-field m/u probabilities and the
+    log-likelihood agree/disagree weights a linkage rule sums. No RNG,
+    no labels; the posterior arithmetic is the same closed-form Bayes
+    expression in both engines.
+
+    100 TB story: pairs are generated only within blocks (the standard
+    ER contract — block growth is the quadratic knob, finer blocking is
+    the scale path); the EM step is two aggregations over the pair
+    stream with map-side combine, never materializing pairs to the
+    driver.
+    """
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            text.tokens(F.col("text")).getItem(0).alias("tok1"),
+            F.expr("n_chars div 25").alias("band"),
+        )
+    )
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .select(
+            F.when(F.col("a_source") == F.col("b_source"), 1).otherwise(0).alias("g1"),
+            F.when(F.col("a_tok1") == F.col("b_tok1"), 1).otherwise(0).alias("g2"),
+            F.when(F.abs(F.col("a_n_chars") - F.col("b_n_chars")) <= 5, 1)
+            .otherwise(0)
+            .alias("g3"),
+        )
+    )
+    u0 = pairs.agg(
+        F.avg(F.col("g1") * 1.0).alias("u1"),
+        F.avg(F.col("g2") * 1.0).alias("u2"),
+        F.avg(F.col("g3") * 1.0).alias("u3"),
+        F.count(F.lit(1)).alias("np"),
+    )
+
+    def lik(g, p):
+        return F.when(F.col(g) == 1, F.lit(p)).otherwise(F.lit(1 - p))
+
+    def ulik(g, u):
+        return F.when(F.col(g) == 1, F.col(u)).otherwise(1 - F.col(u))
+
+    num = F.lit(0.05) * lik("g1", 0.9) * lik("g2", 0.9) * lik("g3", 0.9)
+    den = num + F.lit(0.95) * ulik("g1", "u1") * ulik("g2", "u2") * ulik("g3", "u3")
+    post = pairs.crossJoin(F.broadcast(u0)).select(
+        "g1", "g2", "g3", "np", (num / den).alias("w")
+    )
+    upd = post.groupBy("np").agg(
+        F.sum("w").alias("sw"),
+        F.sum(1 - F.col("w")).alias("swn"),
+        *[
+            agg
+            for i in (1, 2, 3)
+            for agg in (
+                F.sum(F.col("w") * F.col(f"g{i}")).alias(f"m{i}n"),
+                F.sum((1 - F.col("w")) * F.col(f"g{i}")).alias(f"u{i}n"),
+            )
+        ],
+    )
+    names = {1: "same_source", 2: "same_first_token", 3: "len_within_5"}
+    parts = [
+        upd.select(
+            F.lit(names[i]).alias("field"),
+            (F.col(f"m{i}n") / F.col("sw")).alias("m"),
+            (F.col(f"u{i}n") / F.col("swn")).alias("u"),
+            F.col("np").alias("n_pairs"),
+        )
+        for i in (1, 2, 3)
+    ]
+    fields = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return fields.select(
+        "field",
+        "n_pairs",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round(F.log(F.col("m") / F.col("u")), 6).alias("w_agree"),
+        F.round(F.log((1 - F.col("m")) / (1 - F.col("u"))), 6).alias("w_disagree"),
+    )
+
+
+@query("q289_streaming_burn_drain", oracle=None)
+def q289_streaming_burn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multi-window SLO burn-rate alerting drained in the
+    hash-checked gate — q276's batch computation re-executed through
+    Structured Streaming with the trailing 6 h window carried in the
+    state store (:func:`stateful.streaming_burn_rate`): hourly aggregates
+    arrive as three hour-ordered micro-batches, the window ring folds
+    ACROSS batches, and the union of emitted rows must match q276's
+    DuckDB oracle digit-for-digit. Batch RANGE frame and streaming state:
+    two execution forms, one answer — the q273/q274/q275 equivalence
+    class applied to the alerting operator the reference's QoS monitor
+    would run continuously.
+
+    Scale: state is <= 6 triples per SLO stream; each micro-batch does
+    O(new hours) work — the streaming form alerts on an unbounded metric
+    stream with O(1) memory, no re-reading history.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_burn_rate
+
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(F.expr("(ts div 1000000000) div 3600").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errs"),
+    )
+    work = tempfile.mkdtemp(prefix="q289_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        lo = h.agg(F.min("hr")).collect()[0][0]
+        for i, (h_lo, h_hi) in enumerate(((0, 240), (240, 480), (480, 100000)), start=1):
+            part = h.filter(
+                (F.col("hr") >= lo + h_lo) & (F.col("hr") < lo + h_hi)
+            )
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("hr LONG, n LONG, errs LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_burn_rate(stream)
+        sink = f"{work}/burn"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q289: streaming burn drain did not finish within 300 s — "
+                "refusing to report a partial alert stream"
+            )
+        res = spark.read.parquet(sink).select(
+            "hr",
+            "n",
+            "errs",
+            F.round("burn_short", 6).alias("burn_short"),
+            F.round("burn_long", 6).alias("burn_long"),
+            "page",
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the drain must reproduce the batch operator's oracle exactly — batch
+# RANGE frame and streaming state are two forms of one computation
+ORACLE["q289_streaming_burn_drain"] = ORACLE["q276_slo_burn_rate"]

@@ -813,3 +813,76 @@ def streaming_holt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BURN_OUTPUT_SCHEMA = (
+    "hr LONG, n LONG, errs LONG, burn_short DOUBLE, burn_long DOUBLE, page INT"
+)
+BURN_STATE_SCHEMA = "hrs ARRAY<LONG>, ns ARRAY<LONG>, errs ARRAY<LONG>"
+
+
+def streaming_burn_rate(
+    stream: DataFrame,
+    budget: float = 0.2,
+    window: int = 6,
+    short_thr: float = 1.5,
+    long_thr: float = 1.1,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting as a STREAMING stateful
+    operator — the q276 batch computation (1 h burn AND trailing-6 h
+    burn, page only when both exceed their thresholds) with the trailing
+    window carried in the state store instead of a RANGE frame. Per
+    hourly aggregate row (hr, n, errs), in hr order: append to the
+    carried ring, evict entries older than hr-(window-1) BY VALUE (RANGE
+    semantics — missing hours shorten the window, exactly like the batch
+    frame), emit the hour's burn rates and page flag.
+
+    The division arithmetic is identical to the batch form (integer sums,
+    one divide), so a drain of this operator hash-matches q276's DuckDB
+    oracle digit-for-digit — batch window and streaming state are two
+    execution forms of one operator.
+
+    State: at most `window` (hr, n, errs) triples per key — O(1) per
+    SLO stream, checkpoint-safe, TTL-free because eviction is by the
+    monotone hour value.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            hrs, ns, errs = (list(v) for v in state.get)
+        else:
+            hrs, ns, errs = [], [], []
+        out = []
+        for row in batch.sort_values("hr").itertuples(index=False):
+            hr, n, er = int(row.hr), int(row.n), int(row.errs)
+            hrs.append(hr)
+            ns.append(n)
+            errs.append(er)
+            while hrs and hrs[0] < hr - (window - 1):
+                hrs.pop(0)
+                ns.pop(0)
+                errs.pop(0)
+            bs = (er * 1.0 / n) / budget
+            bl = (sum(errs) * 1.0 / sum(ns)) / budget
+            out.append(
+                (hr, n, er, bs, bl, 1 if (bs > short_thr and bl > long_thr) else 0)
+            )
+        state.update((hrs, ns, errs))
+        yield pd.DataFrame(
+            out, columns=["hr", "n", "errs", "burn_short", "burn_long", "page"]
+        )
+
+    rows = stream.select(
+        F.lit("slo").alias("key"), F.col("hr"), F.col("n"), F.col("errs")
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=BURN_OUTPUT_SCHEMA,
+        stateStructType=BURN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
