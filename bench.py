@@ -272,6 +272,10 @@ BENCH_QUERIES = [
     "q287_column_dependence",
     "q288_fs_em_weights",
     "q289_streaming_burn_drain",
+    # round-7 additions
+    "q290_conformal_interval",
+    "q291_kcore",
+    "q292_quantile_hist_sketch",
 ]
 
 

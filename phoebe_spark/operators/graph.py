@@ -129,3 +129,41 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return lab
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 8
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bounded-round k-core peeling over a SYMMETRIZED edge list: each
+    round keeps nodes whose degree within the current alive set is >= k.
+    Returns (alive_prev, alive, deg_final): the alive sets after
+    rounds-1 and rounds (for a convergence certificate) and the final
+    within-core degree per surviving node. The fixpoint form just runs
+    until alive stops shrinking; the bounded form exists so a generated
+    SQL chain can certify every round (the q232 PageRank treatment).
+
+    Each round is two equi-joins + one grouped count shuffled on the node
+    id, checkpointed so the plan stays round-count-independent.
+    """
+    alive = edges.select(F.col("src").alias("n")).distinct().localCheckpoint(eager=True)
+    prev = alive
+    for _ in range(rounds):
+        prev = alive
+        deg = (
+            edges.join(alive.withColumnRenamed("n", "src"), "src")
+            .join(alive.withColumnRenamed("n", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    deg_final = (
+        edges.join(alive.withColumnRenamed("n", "src"), "src")
+        .join(alive.withColumnRenamed("n", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return prev, alive, deg_final

@@ -17796,3 +17796,314 @@ def q289_streaming_burn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the drain must reproduce the batch operator's oracle exactly — batch
 # RANGE frame and streaming state are two forms of one computation
 ORACLE["q289_streaming_burn_drain"] = ORACLE["q276_slo_burn_rate"]
+
+
+@query(
+    "q290_conformal_interval",
+    oracle="""
+    WITH dc AS (
+      SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(day) AS lo FROM dc),
+    grid AS (SELECT unnest(generate_series(0, 29)) AS d, lo FROM b),
+    dense AS (
+      SELECT g.d, CAST(coalesce(dc.c, 0) AS BIGINT) AS c
+      FROM grid g LEFT JOIN dc ON dc.day = g.lo + g.d
+    ),
+    resid AS (
+      SELECT a.d, abs(a.c - p.c) AS r
+      FROM dense a JOIN dense p ON p.d = a.d - 7
+      WHERE a.d >= 7
+    ),
+    calib AS (
+      SELECT r, row_number() OVER (ORDER BY r, d) AS rn,
+             count(*) OVER () AS n_cal
+      FROM resid WHERE d % 2 = 0
+    ),
+    qh AS (
+      SELECT r AS q_hat, n_cal FROM calib
+      WHERE rn = ((n_cal + 1) * 4 + 4) // 5
+    ),
+    test AS (SELECT r FROM resid WHERE d % 2 = 1)
+    SELECT qh.n_cal,
+           (SELECT count(*) FROM test) AS n_test,
+           qh.q_hat,
+           round(avg(CASE WHEN test.r <= qh.q_hat THEN 1.0 ELSE 0.0 END), 6)
+             AS coverage,
+           CAST(0.8 AS DOUBLE) AS target
+    FROM test CROSS JOIN qh
+    GROUP BY qh.n_cal, qh.q_hat
+    """,
+)
+def q290_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018) wrapped
+    around the seasonal-naive forecaster the backtest scores (q270):
+    absolute day-over-week residuals on the even-day calibration split
+    give the ceil((n+1)*0.8)-th order statistic as the distribution-free
+    80% interval half-width q_hat; the odd-day test split reports
+    empirical coverage. The order statistic is an integer row_number
+    lookup (no float quantile interpolation), so the certificate is
+    exact in both engines.
+
+    100 TB story: residuals are O(days) from the map-side daily rollup;
+    the order statistic is a window over the calibration rows only. Per
+    series (q274's grouped shape) this is one sort per key of
+    O(days)-sized arrays — conformal calibration for a million
+    forecasters in one pass.
+    """
+    e = _t(spark, sf_dir, "events")
+    dc = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lo = dc.agg(F.min("day").alias("lo"))
+    grid = lo.select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("d"), "lo")
+    dense = grid.join(dc, grid.lo + grid.d == dc.day, "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    a = dense.select(F.col("d").alias("ad"), F.col("c").alias("ac"))
+    p = dense.select(F.col("d").alias("pd"), F.col("c").alias("pc"))
+    resid = (
+        a.join(p, F.col("pd") == F.col("ad") - 7)
+        .filter(F.col("ad") >= 7)
+        .select(F.col("ad").alias("d"), F.abs(F.col("ac") - F.col("pc")).alias("r"))
+    )
+    calib = (
+        resid.filter(F.col("d") % 2 == 0)
+        .select(
+            "r",
+            F.row_number().over(Window.orderBy("r", "d")).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n_cal"),
+        )
+    )
+    # integer ceil division: ceil((n+1)*0.8) == ((n+1)*4 + 4) div 5
+    qh = calib.filter(
+        F.col("rn") == F.expr("((n_cal + 1) * 4 + 4) div 5")
+    ).select(F.col("r").alias("q_hat"), "n_cal")
+    test = resid.filter(F.col("d") % 2 == 1)
+    return (
+        test.crossJoin(F.broadcast(qh))
+        .groupBy("n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.avg(F.when(F.col("r") <= F.col("q_hat"), 1.0).otherwise(0.0)), 6
+            ).alias("coverage"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "q_hat",
+            "coverage",
+            F.lit(0.8).alias("target"),
+        )
+    )
+
+
+def _q291_kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    """Generated oracle for q291: every peeling round as two CTEs (the
+    q232 fixed-iteration treatment applied to k-core). Unlike q232's
+    chain, each round references the PREVIOUS round twice (both join
+    sides), so un-materialized CTE inlining is exponential in rounds —
+    ``AS MATERIALIZED`` on the multiply-referenced CTEs keeps the oracle
+    linear (the SQL analogue of the Spark side's localCheckpoint)."""
+    ctes = [
+        "edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co UNION ALL SELECT s2, s1 FROM co)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS n FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT e.src, count(*) AS dg FROM edges e "
+            f"JOIN a{r - 1} x ON e.src = x.n JOIN a{r - 1} y ON e.dst = y.n "
+            f"GROUP BY 1)"
+        )
+        ctes.append(f"a{r} AS MATERIALIZED (SELECT src AS n FROM d{r} WHERE dg >= {k})")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_COGRAPH_SQL},
+    {chain},
+    dfin AS (
+      SELECT e.src, count(*) AS dg FROM edges e
+      JOIN a{rounds} x ON e.src = x.n JOIN a{rounds} y ON e.dst = y.n
+      GROUP BY 1
+    ),
+    cert AS (
+      SELECT CASE WHEN (SELECT count(*) FROM a{rounds - 1})
+                     = (SELECT count(*) FROM a{rounds}) THEN 1 ELSE 0 END AS stable
+    )
+    SELECT dfin.src AS part, CAST(dfin.dg AS BIGINT) AS core_deg, cert.stable
+    FROM dfin CROSS JOIN cert
+    """
+
+
+@query("q291_kcore", oracle=_q291_kcore_oracle())
+def q291_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-occurrence graph by 8 bounded peeling rounds
+    (Seidman 1983 coreness; Batagelj-Zaversnik peeling as iterated
+    DataFrame joins) — the density filter that isolates the structurally
+    cohesive region of the purchase graph, completing the graph ladder
+    (components q53, triangles q233, PageRank q232, label propagation
+    q243). Emits each surviving node's within-core degree plus a
+    convergence certificate (`stable` = the last round no longer shrank
+    the set; k=2 converges within 8 rounds at every test SF — k=3 peels
+    the co-graph to EMPTY at sf0.1, so the 2-core is the non-vacuous
+    choice at all SFs).
+
+    100 TB story: a round is two equi-joins + one grouped count shuffled
+    on the node id (edge-sized, never node-squared), checkpointed per
+    round; peeling rounds shrink the frontier monotonically.
+    """
+    co = _cograph_edges(spark, sf_dir)
+    edges = graph.symmetrize(co).localCheckpoint(eager=True)
+    prev, alive, deg_final = graph.kcore_peel(edges, k=2, rounds=8)
+    cert = (
+        prev.agg(F.count(F.lit(1)).alias("pc"))
+        .crossJoin(alive.agg(F.count(F.lit(1)).alias("ac")))
+        .select(
+            F.when(F.col("pc") == F.col("ac"), 1).otherwise(0).alias("stable")
+        )
+    )
+    return deg_final.crossJoin(F.broadcast(cert)).select(
+        F.col("src").alias("part"),
+        F.col("deg").cast("long").alias("core_deg"),
+        "stable",
+    )
+
+
+@query(
+    "q292_quantile_hist_sketch",
+    oracle="""
+    WITH vals AS (
+      SELECT o_orderkey, o_totalprice AS v,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    binned AS (
+      SELECT o_orderkey % 2 AS half,
+             least((cents * 128) // 50000000, 127) AS bin
+      FROM vals
+    ),
+    hb AS (SELECT half, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    merged AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c FROM hb GROUP BY 1),
+    full_h AS (SELECT bin, count(*) AS c FROM binned GROUP BY 1),
+    cert AS (
+      SELECT CAST(min(CASE WHEN m.c = f.c THEN 1 ELSE 0 END) AS INT) AS merge_exact
+      FROM merged m JOIN full_h f USING (bin)
+    ),
+    cum AS (
+      SELECT bin, c,
+             coalesce(CAST(sum(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS before,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM full_h
+    ),
+    qs(q, num, den) AS (VALUES (0.5, 1, 2), (0.95, 19, 20), (0.99, 99, 100)),
+    est AS (
+      SELECT qs.q,
+             cum.bin * 3906.25
+               + 3906.25 * ((qs.q * cum.n) - cum.before) / cum.c AS est,
+             (qs.num * cum.n + qs.den - 1) // qs.den AS k
+      FROM qs JOIN cum
+        ON cum.before < qs.q * cum.n AND cum.before + cum.c >= qs.q * cum.n
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn FROM vals
+    )
+    SELECT CAST(est.q AS DOUBLE) AS q,
+           round(est.est, 6) AS est,
+           round(ranked.v, 6) AS exact,
+           round(est.est - ranked.v, 6) AS err,
+           round(abs(est.est - ranked.v) / ranked.v, 6) AS rel_err,
+           cert.merge_exact
+    FROM est JOIN ranked ON ranked.rn = est.k CROSS JOIN cert
+    """,
+)
+def q292_quantile_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-range histogram quantile sketch over order totals:
+    128 equi-width bins on [0, 500k) with CENTS-integer bin assignment
+    (a float floor at bin boundaries would be representation-sensitive;
+    (cents*128) div 5e7 is exact), linear interpolation inside the
+    quantile bin for p50/p95/p99, audited against the EXACT order
+    statistic, plus a parity-split merge certificate (half-sketches sum
+    to the full sketch bin-for-bin — additive counts are what make the
+    sketch mergeable across 1000 executors). Joins the mergeable-sketch
+    family: HLL (q283) merges by register max, KMV (q202) by
+    k-min union, this by vector addition.
+
+    100 TB story: the sketch is one map-side-combining groupBy into 128
+    cells — O(1) state per partition, one tiny shuffle; the exact
+    order-statistic side is the AUDIT, not the product (rank lookup via
+    sort is the thing the sketch exists to avoid).
+    """
+    o = _t(spark, sf_dir, "orders")
+    vals = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    binned = vals.select(
+        (F.col("o_orderkey") % 2).alias("half"),
+        F.least(F.expr("(cents * 128) div 50000000"), F.lit(127).cast("long")).alias(
+            "bin"
+        ),
+    )
+    hb = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
+    merged = hb.groupBy("bin").agg(F.sum("c").cast("long").alias("mc"))
+    full_h = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cert = (
+        merged.join(full_h, "bin")
+        .agg(
+            F.min(F.when(F.col("mc") == F.col("c"), 1).otherwise(0))
+            .cast("int")
+            .alias("merge_exact")
+        )
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = full_h.select(
+        "bin",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long").alias("before"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.lit(1).alias("num"), F.lit(2).alias("den")),
+                F.struct(F.lit(0.95).alias("q"), F.lit(19).alias("num"), F.lit(20).alias("den")),
+                F.struct(F.lit(0.99).alias("q"), F.lit(99).alias("num"), F.lit(100).alias("den")),
+            )
+        ).alias("s")
+    ).select("s.q", "s.num", "s.den")
+    est = qs.join(
+        cum,
+        (F.col("before") < F.col("q") * F.col("n"))
+        & (F.col("before") + F.col("c") >= F.col("q") * F.col("n")),
+    ).select(
+        "q",
+        (
+            F.col("bin") * 3906.25
+            + 3906.25 * ((F.col("q") * F.col("n")) - F.col("before")) / F.col("c")
+        ).alias("est"),
+        F.expr("(num * n + den - 1) div den").alias("k"),
+    )
+    ranked = vals.select(
+        "v", F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rn")
+    )
+    return (
+        est.join(ranked, est.k == ranked.rn)
+        .crossJoin(F.broadcast(cert))
+        .select(
+            F.col("q").cast("double").alias("q"),
+            F.round("est", 6).alias("est"),
+            F.round("v", 6).alias("exact"),
+            F.round(F.col("est") - F.col("v"), 6).alias("err"),
+            F.round(F.abs(F.col("est") - F.col("v")) / F.col("v"), 6).alias("rel_err"),
+            "merge_exact",
+        )
+    )
