@@ -276,6 +276,11 @@ BENCH_QUERIES = [
     "q290_conformal_interval",
     "q291_kcore",
     "q292_quantile_hist_sketch",
+    "q293_eigencentrality",
+    "q294_clustering_coeff",
+    "q295_benford_audit",
+    "q296_t_closeness",
+    "q297_mann_whitney",
 ]
 
 

@@ -167,3 +167,57 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     return prev, alive, deg_final
+
+
+def eigencentrality(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Eigenvector centrality by power iteration over a SYMMETRIZED edge
+    list (Bonacich 1987): v_{k+1} = A v_k / ||A v_k||_2 from a uniform
+    start. On an undirected graph this is also what HITS degenerates to
+    (hub == authority), so it completes the centrality pair with PageRank
+    (:func:`pagerank` measures random-walk mass; this measures the
+    principal adjacency direction). Returns (node, score, lambda_est)
+    where lambda_est is ||A v|| at the last round — the Rayleigh-quotient
+    eigenvalue estimate under a normalized input.
+
+    Determinism contract (the digit-for-digit oracle policy): every
+    float SUM is a DECIMAL(32,8) sum of per-edge contributions rounded
+    to 8 dp (8 keeps x*1e8 inside the 2^53 exact-integer range for every
+    magnitude this graph can produce, so round() agrees across engines)
+    — order-independent across partitionings and engines; the
+    only float ops are division by the norm and sqrt, which are IEEE
+    correctly-rounded on identical inputs. Each round is one edge join +
+    one grouped decimal sum shuffled on the node id, localCheckpointed so
+    the plan is round-count-independent.
+    """
+    nodes = edges.select(F.col("src").alias("n")).distinct()
+    n_nodes = nodes.count()
+    v = nodes.select(
+        "n", F.round(F.lit(1.0) / F.sqrt(F.lit(float(n_nodes))), 8).alias("v")
+    ).localCheckpoint(eager=True)
+    lam = None
+    for _ in range(iters):
+        raw = (
+            edges.join(v.withColumnRenamed("n", "dst"), "dst")
+            .groupBy(F.col("src").alias("n"))
+            .agg(
+                F.sum(F.round(F.col("v"), 8).cast("decimal(32,8)"))
+                .cast("double")
+                .alias("raw")
+            )
+        )
+        nrm = raw.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("raw") * F.col("raw"), 8).cast("decimal(32,8)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        lam = nrm
+        v = (
+            raw.crossJoin(F.broadcast(nrm))
+            .select("n", F.round(F.col("raw") / F.col("nrm"), 8).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return v.crossJoin(F.broadcast(lam)).select(
+        "n", F.col("v").alias("score"), F.col("nrm").alias("lambda_est")
+    )

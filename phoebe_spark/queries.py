@@ -18107,3 +18107,382 @@ def q292_quantile_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_exact",
         )
     )
+
+
+def _q293_eigencentrality_oracle(iters: int = 5) -> str:
+    """Generated oracle for q293: every power-iteration round as three
+    MATERIALIZED CTEs (matvec, norm, normalize) — the q291 treatment;
+    every sum is a DECIMAL(32,8) sum of 8-dp-rounded terms so both
+    engines fold bit-identically regardless of row order."""
+    ctes = [
+        "edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co UNION ALL SELECT s2, s1 FROM co)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS n FROM edges)",
+        "v0 AS MATERIALIZED (SELECT n, round(1.0 / sqrt((SELECT count(*) FROM nodes)), 8) AS v FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT e.src AS n, "
+            f"CAST(sum(CAST(round(p.v, 8) AS DECIMAL(32,8))) AS DOUBLE) AS raw "
+            f"FROM edges e JOIN v{k - 1} p ON e.dst = p.n GROUP BY 1)"
+        )
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(raw * raw, 8) "
+            f"AS DECIMAL(32,8))) AS DOUBLE)) AS nrm FROM r{k})"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT n, "
+            f"round(raw / (SELECT nrm FROM n{k}), 8) AS v FROM r{k})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_COGRAPH_SQL},
+    {chain}
+    SELECT n AS part, v AS score,
+           (SELECT nrm FROM n{iters}) AS lambda_est
+    FROM v{iters}
+    """
+
+
+@query("q293_eigencentrality", oracle=_q293_eigencentrality_oracle())
+def q293_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality of the part co-occurrence graph — 5 power-
+    iteration rounds (:func:`graph.eigencentrality`), the principal-
+    direction complement to PageRank's random-walk mass (q232) and the
+    measure HITS degenerates to on an undirected graph (hub == authority),
+    closing the centrality ladder: components (q53), triangles (q233),
+    PageRank (q232), label propagation (q243), k-core (q291), this.
+    Certified digit-for-digit: every sum in both engines is a
+    DECIMAL(32,8) fold of 8-dp-rounded terms, and the only float ops
+    (divide, sqrt) are IEEE correctly-rounded on identical inputs.
+
+    100 TB story: a round is one edge-list join + one grouped decimal sum
+    shuffled on the node id (edge-sized, never node-squared), plus a
+    scalar norm to the driver; localCheckpoint keeps the plan
+    round-count-independent.
+    """
+    co = _cograph_edges(spark, sf_dir)
+    edges = graph.symmetrize(co).localCheckpoint(eager=True)
+    return graph.eigencentrality(edges, iters=5).select(
+        F.col("n").alias("part"), "score", "lambda_est"
+    )
+
+
+@query(
+    "q294_clustering_coeff",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co
+                           UNION ALL SELECT s2, s1 FROM co),
+    deg AS (SELECT src AS part, count(*) AS deg FROM edges GROUP BY 1),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM co e1
+      JOIN co e2 ON e1.s2 = e2.s1
+      JOIN co e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    tcount AS (
+      SELECT part, count(*) AS n_tri FROM (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.part, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(tcount.n_tri, 0) AS BIGINT) AS n_tri,
+           round(2.0 * coalesce(tcount.n_tri, 0)
+                 / (deg.deg * (deg.deg - 1)), 6) AS cc
+    FROM deg LEFT JOIN tcount USING (part)
+    WHERE deg.deg >= 2
+    """,
+)
+def q294_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts-Strogatz 1998) per node of the
+    part co-occurrence graph: cc = 2*triangles / (deg*(deg-1)) for nodes
+    of degree >= 2 — the community-tightness audit that separates hub
+    parts (high degree, low cc) from clique parts (dense neighborhoods).
+    Reuses the oriented a<b<c triangle enumeration (q233: each triangle
+    generated once, no /6 correction) joined against the symmetrized
+    degree table.
+
+    100 TB story: triangles are two equi-joins on oriented edges (fan-out
+    bounded by the co-count threshold), degrees one grouped count; the
+    final assembly is a node-keyed left join — nothing is
+    neighborhood-squared outside the oriented join.
+    """
+    co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        graph.symmetrize(co)
+        .groupBy(F.col("src").alias("part"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = graph.triangle_counts(co).withColumnRenamed("n_triangles", "n_tri")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "part", "left")
+        .select(
+            "part",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.round(
+                2.0 * F.coalesce("n_tri", F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("cc"),
+        )
+    )
+
+
+@query(
+    "q295_benford_audit",
+    oracle="""
+    WITH fd AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM fd GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM obs),
+    grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    j AS (
+      SELECT g.digit,
+             CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+             coalesce(o.n, 0) / t.total AS share,
+             log10(1.0 + 1.0 / g.digit) AS expected,
+             t.total AS total
+      FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN tot t
+    )
+    SELECT digit, n, round(share, 6) AS share, round(expected, 6) AS expected,
+           round(total * (share - expected) * (share - expected) / expected, 6)
+             AS chi2_term
+    FROM j
+    """,
+)
+def q295_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the forensic
+    data-quality screen for fabricated or truncated numeric feeds (Hill
+    1995): observed first-significant-digit shares vs log10(1 + 1/d),
+    with the per-digit Pearson chi-square term (n*(share-p)^2/p) so the
+    release gate can threshold the statistic. Synthetic uniform-ish
+    totals FAIL Benford loudly — which is exactly what the audit is for:
+    the certificate is the computation, not a pass verdict. First digit
+    is extracted from the INTEGER part as a string head (totals >= 1),
+    never via float log10 bucketing, so both engines agree exactly.
+
+    100 TB story: one map-side-combining groupBy onto <= 9 cells, one
+    scalar total broadcast back over a 9-row literal grid — nothing
+    corpus-sized past the scan.
+    """
+    o = _t(spark, sf_dir, "orders")
+    fd = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = fd.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    grid = spark.range(1, 10).select(F.col("id").alias("digit")).crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.coalesce("n", F.lit(0)) / F.col("total")
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return grid.join(F.broadcast(obs), "digit", "left").select(
+        "digit",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.col("total") * (share - expected) * (share - expected) / expected, 6
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "q296_t_closeness",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, n_chars // 50 AS band, source, count(*) AS c
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    classes AS (
+      SELECT lang, band, CAST(sum(c) AS BIGINT) AS k FROM cells GROUP BY 1, 2
+    ),
+    gm AS (
+      SELECT source, sum(c) AS gc, sum(sum(c)) OVER () AS gtot
+      FROM cells GROUP BY 1
+    ),
+    grid AS (
+      SELECT cl.lang, cl.band, cl.k, g.source,
+             g.gc * 1.0 / g.gtot AS q
+      FROM classes cl CROSS JOIN gm g
+    ),
+    terms AS (
+      SELECT grid.lang, grid.band, grid.k,
+             CAST(round(abs(coalesce(cells.c, 0) * 1.0 / grid.k - grid.q), 8)
+                  AS DECIMAL(32,8)) AS term
+      FROM grid LEFT JOIN cells
+        ON cells.lang = grid.lang AND cells.band = grid.band
+       AND cells.source = grid.source
+    )
+    SELECT lang, band, k,
+           CAST(0.5 * CAST(sum(term) AS DOUBLE) AS DOUBLE) AS t_dist,
+           CAST(CASE WHEN 0.5 * CAST(sum(term) AS DOUBLE) > 0.2
+                THEN 1 ELSE 0 END AS INT) AS violates_t02
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def q296_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian 2007) completing the
+    privacy ladder (k-anonymity q239, l-diversity q286): per QI class
+    (lang, 50-char band), the distance between the class's sensitive
+    (source) distribution and the GLOBAL source distribution — equal
+    ground metric, so EMD reduces to total variation 0.5*sum|p - q|,
+    taken over the FULL source vocabulary (absent sources contribute
+    |0 - q|, which the naive inner-join formulation silently drops).
+    Per-term 8-dp rounding + DECIMAL fold keeps the <= 20-term sum
+    order-independent and engine-exact.
+
+    100 TB story: cells and the global marginal are vocabulary-bounded
+    aggregates; the audit grid is classes x sources (bounded), built by
+    broadcasting the tiny global marginal — nothing corpus-sized shuffles
+    twice.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang", F.expr("n_chars div 50").alias("band"), "source"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    classes = cells.groupBy("lang", "band").agg(F.sum("c").cast("long").alias("k"))
+    glob = (
+        cells.groupBy("source")
+        .agg(F.sum("c").alias("gc"))
+        .select(
+            "source",
+            (
+                F.col("gc")
+                * 1.0
+                / F.sum("gc").over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+            ).alias("q"),
+        )
+    )
+    grid = classes.crossJoin(F.broadcast(glob))
+    terms = grid.join(cells, ["lang", "band", "source"], "left").select(
+        "lang",
+        "band",
+        "k",
+        F.round(
+            F.abs(F.coalesce("c", F.lit(0)) * 1.0 / F.col("k") - F.col("q")), 8
+        )
+        .cast("decimal(32,8)")
+        .alias("term"),
+    )
+    t_dist = (0.5 * F.sum("term").cast("double")).cast("double")
+    return terms.groupBy("lang", "band", "k").agg(
+        t_dist.alias("t_dist"),
+        F.when(t_dist > 0.2, 1).otherwise(0).cast("int").alias("violates_t02"),
+    )
+
+
+@query(
+    "q297_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    dist AS (SELECT value, count(*) AS t FROM s GROUP BY 1),
+    ranked AS (
+      SELECT value, t,
+             coalesce(CAST(sum(t) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS below
+      FROM dist
+    ),
+    rr AS (SELECT value, (below + (t + 1) / 2.0) AS avg_rank, t FROM ranked),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN s.grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s.grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN s.grp = 1
+                  THEN CAST(round(rr.avg_rank, 6) AS DECIMAL(32,6))
+                  ELSE CAST(0 AS DECIMAL(32,6)) END) AS DOUBLE) AS r1
+      FROM s JOIN rr USING (value)
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS DOUBLE) AS tie_cube FROM dist
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt((n1 * 1.0 * n2 / 12.0)
+                        * ((n1 + n2 + 1)
+                           - tie_cube / ((n1 + n2) * 1.0 * (n1 + n2 - 1)))),
+                 6) AS z
+    FROM agg CROSS JOIN ties
+    """,
+)
+def q297_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs error event values) —
+    the distribution-free location test that backs A/B decisions when the
+    Welch t-test's normality assumption (q281) is off. Average ranks for
+    ties come from the VALUE-level distinct table (below-count + (t+1)/2),
+    never a row-level window; the z-score uses the exact tie-corrected
+    variance. Rank sums fold as DECIMAL(32,6) of 6-dp-rounded average
+    ranks — order-independent and engine-exact; the KS test (q183) checks
+    shape, this checks location, together the full two-sample screen.
+
+    100 TB story: ranking is one groupBy to the distinct-value table plus
+    one ordered cumulative window over values (bounded by value
+    cardinality, not row count); the rank-sum join back is value-keyed.
+    """
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+    )
+    dist = s.groupBy("value").agg(F.count(F.lit(1)).alias("t"))
+    ranked = dist.select(
+        "value",
+        "t",
+        F.coalesce(
+            F.sum("t").over(
+                Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("below"),
+    )
+    rr = ranked.select(
+        "value", (F.col("below") + (F.col("t") + 1) / 2.0).alias("avg_rank")
+    )
+    agg = (
+        s.join(rr, "value")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(
+                F.when(
+                    F.col("grp") == 1,
+                    F.round("avg_rank", 6).cast("decimal(32,6)"),
+                ).otherwise(F.lit(0).cast("decimal(32,6)"))
+            )
+            .cast("double")
+            .alias("r1"),
+        )
+    )
+    ties = dist.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie_cube")
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n, m = F.col("n1"), F.col("n2")
+    sigma = F.sqrt(
+        (n * 1.0 * m / 12.0)
+        * ((n + m + 1) - F.col("tie_cube") / ((n + m) * 1.0 * (n + m - 1)))
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round((u1 - n * m / 2.0) / sigma, 6).alias("z"),
+    )

@@ -1,0 +1,75 @@
+"""Round-7 invariants: eigenvector centrality (q293), clustering
+coefficient (q294), Benford audit (q295), t-closeness (q296),
+Mann-Whitney U (q297)."""
+
+from __future__ import annotations
+
+import math
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_eigencentrality_unit_norm_and_positive(spark):
+    from phoebe_spark.queries import QUERIES
+
+    rows = QUERIES["q293_eigencentrality"](spark, SF).collect()
+    assert rows
+    norm = math.sqrt(sum(r.score * r.score for r in rows))
+    assert abs(norm - 1.0) < 1e-6, norm
+    # Perron-Frobenius: the principal eigenvector of a connected
+    # non-negative matrix is non-negative; components touched by the
+    # iteration stay >= 0 from a positive start
+    assert all(r.score >= 0 for r in rows)
+    lam = {r.lambda_est for r in rows}
+    assert len(lam) == 1 and lam.pop() > 0
+
+
+def test_clustering_coeff_bounds(spark):
+    from phoebe_spark.queries import QUERIES
+
+    rows = QUERIES["q294_clustering_coeff"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.deg >= 2
+        assert 0.0 <= r.cc <= 1.0 + 1e-9, r
+        if r.n_tri == 0:
+            assert r.cc == 0.0
+        # cc == 1 iff the neighborhood is a clique
+        if abs(r.cc - 1.0) < 1e-9:
+            assert r.n_tri == r.deg * (r.deg - 1) // 2
+
+
+def test_benford_shares_and_expected_sum_to_one(spark):
+    from phoebe_spark.queries import QUERIES
+
+    rows = QUERIES["q295_benford_audit"](spark, SF).collect()
+    assert len(rows) == 9
+    assert {r.digit for r in rows} == set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.expected for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_t_closeness_is_a_bounded_distance(spark):
+    from phoebe_spark.queries import QUERIES
+    from phoebe_spark.queries import _t
+
+    rows = QUERIES["q296_t_closeness"](spark, SF).collect()
+    assert rows
+    n_docs = _t(spark, SF, "documents").count()
+    assert sum(r.k for r in rows) == n_docs, "classes partition the corpus"
+    for r in rows:
+        assert 0.0 <= r.t_dist <= 1.0 + 1e-9
+        assert r.violates_t02 == (1 if r.t_dist > 0.2 else 0)
+
+
+def test_mann_whitney_u_range_and_symmetry(spark):
+    from phoebe_spark.queries import QUERIES
+
+    r = QUERIES["q297_mann_whitney"](spark, SF).collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0.0 <= r.u1 <= r.n1 * r.n2
+    assert math.isfinite(r.z)
+    # synthetic values are iid across event types: |z| should not be
+    # astronomically large
+    assert abs(r.z) < 10.0
