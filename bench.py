@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "q295_benford_audit",
     "q296_t_closeness",
     "q297_mann_whitney",
+    "q298_pca_power_iter",
+    "q299_blocking_quality",
+    "q300_streaming_hist_drain",
 ]
 
 

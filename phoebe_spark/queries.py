@@ -18041,6 +18041,15 @@ def q292_quantile_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is the thing the sketch exists to avoid).
     """
     o = _t(spark, sf_dir, "orders")
+    vals, binned = _order_price_bins(o)
+    hb = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
+    return _hist_sketch_assembly(spark, vals, binned, hb)
+
+
+def _order_price_bins(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vals, binned) for the q292/q300 histogram sketch: order totals with
+    their exact-cents representation, and the (parity-half, 128-bin) cell
+    assignment on [0, 500k) — integer arithmetic only at the boundary."""
     vals = o.select(
         "o_orderkey",
         F.col("o_totalprice").alias("v"),
@@ -18052,7 +18061,17 @@ def q292_quantile_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin"
         ),
     )
-    hb = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
+    return vals, binned
+
+
+def _hist_sketch_assembly(
+    spark: SparkSession, vals: DataFrame, binned: DataFrame, hb: DataFrame
+) -> DataFrame:
+    """Shared downstream of the histogram quantile sketch (q292 batch,
+    q300 streaming drain): merge the half-sketches (q300: the DRAINED
+    streaming state) against the batch-direct full histogram with a
+    bin-for-bin certificate, interpolate p50/p95/p99 inside the quantile
+    bin, audit against the exact order statistic."""
     merged = hb.groupBy("bin").agg(F.sum("c").cast("long").alias("mc"))
     full_h = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     cert = (
@@ -18486,3 +18505,312 @@ def q297_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 6).alias("u1"),
         F.round((u1 - n * m / 2.0) / sigma, 6).alias("z"),
     )
+
+
+def _q298_pca_oracle(iters: int = 4, dim: int = 64) -> str:
+    """Generated oracle for q298: distributed covariance then every
+    power-iteration round as matvec/norm/normalize MATERIALIZED CTEs —
+    the q293 determinism policy (8-dp rounding + DECIMAL(32,8) folds) on
+    the 64x64 covariance instead of the adjacency matrix."""
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        f"lng AS MATERIALIZED (SELECT vec_id, t.i AS i, "
+        f"round(CAST(embedding[t.i + 1] AS DOUBLE), 8) AS x "
+        f"FROM embeddings CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {dim - 1})) AS i) t)",
+        "mu AS MATERIALIZED (SELECT i, CAST(sum(CAST(x AS DECIMAL(32,8))) AS DOUBLE)"
+        " / (SELECT n FROM nn) AS mu FROM lng GROUP BY 1)",
+        "cen AS MATERIALIZED (SELECT vec_id, lng.i, x - mu AS c"
+        " FROM lng JOIN mu USING (i))",
+        "cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,"
+        " CAST(sum(CAST(round(a.c * b.c, 8) AS DECIMAL(32,8))) AS DOUBLE)"
+        " / (SELECT n FROM nn) AS cv"
+        " FROM cen a JOIN cen b USING (vec_id) GROUP BY 1, 2)",
+        "tr AS (SELECT CAST(sum(CAST(round(cv, 8) AS DECIMAL(32,8))) AS DOUBLE)"
+        " AS trace FROM cov WHERE i = j)",
+        "v0 AS MATERIALIZED (SELECT i AS j, CAST(0.125 AS DOUBLE) AS v FROM mu)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT cov.i,"
+            f" CAST(sum(CAST(round(cov.cv * p.v, 8) AS DECIMAL(32,8))) AS DOUBLE) AS w"
+            f" FROM cov JOIN v{k - 1} p ON cov.j = p.j GROUP BY 1)"
+        )
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 8)"
+            f" AS DECIMAL(32,8))) AS DOUBLE)) AS nrm FROM w{k})"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT i AS j,"
+            f" round(w / (SELECT nrm FROM n{k}), 8) AS v FROM w{k})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT CAST(j AS BIGINT) AS dim, v AS loading,
+           (SELECT nrm FROM n{iters}) AS lambda_est,
+           round((SELECT nrm FROM n{iters}) / (SELECT trace FROM tr), 6)
+             AS explained_ratio
+    FROM v{iters}
+    """
+
+
+@query("q298_pca_power_iter", oracle=_q298_pca_oracle())
+def q298_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    covariance + 4 power-iteration rounds — the whitening/drift primitive
+    an embedding pipeline runs before indexing (anisotropy diagnosis,
+    ABTT-style dominant-direction removal). The covariance is the ONLY
+    corpus-sized pass (posexplode long form, vec_id-keyed pair join,
+    grouped decimal fold to d^2 = 4096 cells); the iteration then runs on
+    the fixed 64x64 matrix, so its cost is INDEPENDENT of corpus size.
+    Emits each dimension's loading, the Rayleigh eigenvalue estimate
+    ||C v||, and the explained-variance ratio lambda/trace(C). Certified
+    digit-for-digit under the q293 policy: every sum is a DECIMAL(32,8)
+    fold of 8-dp-rounded terms in both engines.
+
+    100 TB story: one Arrow-free JVM pass builds the covariance with a
+    single shuffle onto 4096 cells (map-side combine does the heavy
+    reduction); matvec rounds shuffle 4096 rows regardless of N;
+    localCheckpoint keeps plans round-count-independent.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.round(F.col("xf").cast("double"), 8).alias("x"),
+    )
+    mu = long.groupBy("i").agg(
+        (F.sum(F.col("x").cast("decimal(32,8)")).cast("double") / F.lit(float(n))).alias(
+            "mu"
+        )
+    )
+    cen = long.join(mu, "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mu")).alias("c")
+    )
+    a = cen.select("vec_id", "i", F.col("c").alias("ca"))
+    b = cen.select("vec_id", F.col("i").alias("j"), F.col("c").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum(F.round(F.col("ca") * F.col("cb"), 8).cast("decimal(32,8)"))
+                .cast("double")
+                / F.lit(float(n))
+            ).alias("cv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.round("cv", 8).cast("decimal(32,8)")).cast("double").alias("trace")
+    )
+    v = mu.select(F.col("i").alias("j"), F.lit(0.125).alias("v"))
+    nrm = None
+    for _ in range(4):
+        w = (
+            cov.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("cv") * F.col("v"), 8).cast("decimal(32,8)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 8).cast("decimal(32,8)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 8).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("j").cast("long").alias("dim"),
+            F.col("v").alias("loading"),
+            F.col("nrm").alias("lambda_est"),
+            F.round(F.col("nrm") / F.col("trace"), 6).alias("explained_ratio"),
+        )
+    )
+
+
+@query(
+    "q299_blocking_quality",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             md5(substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 80))
+               AS fp,
+             lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    blocks AS (SELECT blk, count(*) AS s FROM d GROUP BY 1),
+    cand AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                    CAST(sum(s * (s - 1) / 2) AS BIGINT) AS cand_pairs
+             FROM blocks),
+    truth AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS true_pairs
+              FROM (SELECT fp, count(*) AS c FROM d GROUP BY 1)),
+    tib AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS true_in_block
+            FROM (SELECT fp, blk, count(*) AS c FROM d GROUP BY 1, 2))
+    SELECT CAST(n.n_docs AS BIGINT) AS n_docs,
+           cand.n_blocks, cand.cand_pairs, truth.true_pairs, tib.true_in_block,
+           round(1.0 - cand.cand_pairs * 2.0 / (n.n_docs * (n.n_docs - 1)), 6)
+             AS reduction_ratio,
+           round(CASE WHEN truth.true_pairs = 0 THEN 1.0
+                 ELSE tib.true_in_block * 1.0 / truth.true_pairs END, 6)
+             AS pairs_completeness
+    FROM n CROSS JOIN cand CROSS JOIN truth CROSS JOIN tib
+    """,
+)
+def q299_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality audit for entity resolution (Christen
+    2012): for the (lang, 100-char band) blocking key the ER join (q207)
+    and the Fellegi-Sunter weights (q288) run on, report REDUCTION RATIO
+    (candidate pairs vs all N(N-1)/2 pairs — how much work blocking
+    saves) and PAIRS COMPLETENESS (ground-truth duplicate pairs, by the
+    q08 normalized-prefix fingerprint, that land in the same block — the
+    recall blocking silently trades away). The metric pair is what
+    decides whether a blocking key is production-safe: RR near 1 with PC
+    near 1, never one without the other.
+
+    100 TB story: pure counting — three map-side-combining groupBys
+    (block sizes, fingerprint group sizes, their intersection) and
+    four scalar aggregates cross-joined into one row; candidate pairs
+    are COUNTED via s*(s-1)/2, never materialized.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _prefix_fp().alias("fp"),
+        F.concat_ws("|", "lang", F.expr("n_chars div 100")).alias("blk"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    blocks = d.groupBy("blk").agg(F.count(F.lit(1)).alias("s"))
+    cand = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("cand_pairs"),
+    )
+    truth = (
+        d.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("true_pairs"))
+    )
+    tib = (
+        d.groupBy("fp", "blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("true_in_block"))
+    )
+    return (
+        n.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(tib))
+        .select(
+            "n_docs",
+            "n_blocks",
+            "cand_pairs",
+            "true_pairs",
+            "true_in_block",
+            F.round(
+                1.0
+                - F.col("cand_pairs") * 2.0 / (F.col("n_docs") * (F.col("n_docs") - 1)),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.when(F.col("true_pairs") == 0, 1.0).otherwise(
+                    F.col("true_in_block") * 1.0 / F.col("true_pairs")
+                ),
+                6,
+            ).alias("pairs_completeness"),
+        )
+    )
+
+
+@query("q300_streaming_hist_drain")
+def q300_streaming_hist_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING histogram-sketch drain twinning the batch q292: the
+    (parity-half, 128-bin) cell counts accumulate in a COMPLETE-mode
+    streaming aggregation across 2 micro-batches — the source is staged
+    as one file PER HALF with maxFilesPerTrigger=1, so the cross-batch
+    state merge IS the half-sketch merge the batch query certifies — then
+    the drained state feeds the exact same assembly
+    (:func:`_hist_sketch_assembly`): merge certificate against the
+    batch-direct histogram, p50/p95/p99 interpolation, exact-order-
+    statistic audit. One sketch, two execution models, one hash-checked
+    answer (the oracle IS q292's oracle).
+
+    Scale notes: the streaming agg is all-JVM (no Python stateful
+    operator) with O(256) state cells; the drain stages narrow
+    (shuffle=8, fresh checkpoint, scratch cleaned in try/finally).
+    """
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    vals, binned = _order_price_bins(o)
+    work = tempfile.mkdtemp(prefix="q300_")
+    src_dir = f"{work}/src"
+    sink = f"{work}/hist"
+    try:
+        import glob
+        import os
+
+        # one file per half: batch 1 streams half 0, batch 2 half 1 —
+        # state after the drain holds the merged sketch
+        os.makedirs(src_dir)
+        for idx, hv in enumerate((0, 1), start=1):
+            binned.filter(F.col("half") == hv).repartition(1).write.parquet(
+                f"{work}/h{hv}"
+            )
+            part = sorted(glob.glob(f"{work}/h{hv}/part-*.parquet"))[0]
+            dst = f"{src_dir}/{idx:03d}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 10 * idx, 1_000_000_000 + 10 * idx))
+
+        stream = (
+            spark.readStream.schema("half LONG, bin LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        agg = stream.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q300: streaming histogram drain did not finish within 300 s — "
+                    "refusing to assemble from a partial sketch"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        hb = spark.read.parquet(sink).select("half", "bin", "c")
+        out = _hist_sketch_assembly(spark, vals, binned, hb)
+        out = out.localCheckpoint(eager=True)  # materialize before cleanup
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the streaming drain must reproduce the batch sketch's oracle exactly —
+# complete-mode state and the batch groupBy are two forms of one histogram
+ORACLE["q300_streaming_hist_drain"] = ORACLE["q292_quantile_hist_sketch"]
