@@ -278,7 +278,6 @@ BENCH_QUERIES = [
     "q292_quantile_hist_sketch",
     "q293_eigencentrality",
     "q294_clustering_coeff",
-    "q295_benford_audit",
     "q296_t_closeness",
     "q297_mann_whitney",
     "q298_pca_power_iter",

@@ -18251,70 +18251,6 @@ def q294_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q295_benford_audit",
-    oracle="""
-    WITH fd AS (
-      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
-                  AS BIGINT) AS digit
-      FROM orders
-    ),
-    obs AS (SELECT digit, count(*) AS n FROM fd GROUP BY 1),
-    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM obs),
-    grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
-    j AS (
-      SELECT g.digit,
-             CAST(coalesce(o.n, 0) AS BIGINT) AS n,
-             coalesce(o.n, 0) / t.total AS share,
-             log10(1.0 + 1.0 / g.digit) AS expected,
-             t.total AS total
-      FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN tot t
-    )
-    SELECT digit, n, round(share, 6) AS share, round(expected, 6) AS expected,
-           round(total * (share - expected) * (share - expected) / expected, 6)
-             AS chi2_term
-    FROM j
-    """,
-)
-def q295_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit over order totals — the forensic
-    data-quality screen for fabricated or truncated numeric feeds (Hill
-    1995): observed first-significant-digit shares vs log10(1 + 1/d),
-    with the per-digit Pearson chi-square term (n*(share-p)^2/p) so the
-    release gate can threshold the statistic. Synthetic uniform-ish
-    totals FAIL Benford loudly — which is exactly what the audit is for:
-    the certificate is the computation, not a pass verdict. First digit
-    is extracted from the INTEGER part as a string head (totals >= 1),
-    never via float log10 bucketing, so both engines agree exactly.
-
-    100 TB story: one map-side-combining groupBy onto <= 9 cells, one
-    scalar total broadcast back over a 9-row literal grid — nothing
-    corpus-sized past the scan.
-    """
-    o = _t(spark, sf_dir, "orders")
-    fd = o.select(
-        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
-        .cast("long")
-        .alias("digit")
-    )
-    obs = fd.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = obs.agg(F.sum("n").cast("double").alias("total"))
-    grid = spark.range(1, 10).select(F.col("id").alias("digit")).crossJoin(
-        F.broadcast(tot)
-    )
-    share = F.coalesce("n", F.lit(0)) / F.col("total")
-    expected = F.log10(1.0 + 1.0 / F.col("digit"))
-    return grid.join(F.broadcast(obs), "digit", "left").select(
-        "digit",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        F.round(share, 6).alias("share"),
-        F.round(expected, 6).alias("expected"),
-        F.round(
-            F.col("total") * (share - expected) * (share - expected) / expected, 6
-        ).alias("chi2_term"),
-    )
-
-
-@query(
     "q296_t_closeness",
     oracle="""
     WITH cells AS (
@@ -18557,10 +18493,14 @@ def _q298_pca_oracle(iters: int = 4, dim: int = 64) -> str:
 
 @query("q298_pca_power_iter", oracle=_q298_pca_oracle())
 def q298_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by distributed
-    covariance + 4 power-iteration rounds — the whitening/drift primitive
-    an embedding pipeline runs before indexing (anisotropy diagnosis,
-    ABTT-style dominant-direction removal). The covariance is the ONLY
+    """Top principal component of the CENTERED embedding corpus by
+    distributed covariance + 4 power-iteration rounds — the statistic
+    q219's uncentered Gram direction cannot produce: mean removal makes
+    this PCA proper (ABTT-style anisotropy is measured after centering),
+    and the eigenvalue/trace ratio is the explained-variance number an
+    embedding-health dashboard actually reports. Complements
+    q219_pca_power_iteration (dominant singular direction, integer
+    quantization); this one follows the q293 decimal-fold policy. The covariance is the ONLY
     corpus-sized pass (posexplode long form, vec_id-keyed pair join,
     grouped decimal fold to d^2 = 4096 cells); the iteration then runs on
     the fixed 64x64 matrix, so its cost is INDEPENDENT of corpus size.

@@ -1,6 +1,5 @@
 """Round-7 invariants: eigenvector centrality (q293), clustering
-coefficient (q294), Benford audit (q295), t-closeness (q296),
-Mann-Whitney U (q297)."""
+coefficient (q294), t-closeness (q296), Mann-Whitney U (q297)."""
 
 from __future__ import annotations
 
@@ -37,17 +36,6 @@ def test_clustering_coeff_bounds(spark):
         # cc == 1 iff the neighborhood is a clique
         if abs(r.cc - 1.0) < 1e-9:
             assert r.n_tri == r.deg * (r.deg - 1) // 2
-
-
-def test_benford_shares_and_expected_sum_to_one(spark):
-    from phoebe_spark.queries import QUERIES
-
-    rows = QUERIES["q295_benford_audit"](spark, SF).collect()
-    assert len(rows) == 9
-    assert {r.digit for r in rows} == set(range(1, 10))
-    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
-    assert abs(sum(r.expected for r in rows) - 1.0) < 1e-4
-    assert all(r.chi2_term >= 0 for r in rows)
 
 
 def test_t_closeness_is_a_bounded_distance(spark):
