@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "q298_pca_power_iter",
     "q299_blocking_quality",
     "q300_streaming_hist_drain",
+    "q301_link_prediction",
 ]
 
 

@@ -18754,3 +18754,80 @@ def q300_streaming_hist_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming drain must reproduce the batch sketch's oracle exactly —
 # complete-mode state and the batch groupBy are two forms of one histogram
 ORACLE["q300_streaming_hist_drain"] = ORACLE["q292_quantile_hist_sketch"]
+
+
+@query(
+    "q301_link_prediction",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co
+                           UNION ALL SELECT s2, s1 FROM co),
+    deg AS (SELECT src AS z, count(*) AS dg FROM edges GROUP BY 1),
+    paths AS (
+      SELECT e1.dst AS u, e2.dst AS w, e1.src AS z
+      FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+      WHERE e1.dst < e2.dst
+    ),
+    cand AS (
+      SELECT p.u, p.w,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(CAST(round(1.0 / ln(d.dg), 8) AS DECIMAL(32,8)))
+                  AS DOUBLE) AS adamic_adar
+      FROM paths p JOIN deg d ON p.z = d.z
+      WHERE d.dg > 1
+      GROUP BY 1, 2
+    )
+    SELECT cand.u, cand.w, cand.common_neighbors,
+           round(cand.adamic_adar, 6) AS adamic_adar
+    FROM cand
+    LEFT JOIN co ON co.s1 = cand.u AND co.s2 = cand.w
+    WHERE co.s1 IS NULL
+    """,
+)
+def q301_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-occurrence graph (Liben-Nowell &
+    Kleinberg 2003): for every NON-edge pair sharing common
+    neighbors (>= 1), the common-neighbor count and the Adamic-Adar score
+    (sum 1/ln(deg(z)) over shared neighbors z, degree-1 hubs excluded
+    since ln(1)=0) — the "parts that should co-occur but don't yet"
+    recommendation feed. Candidates come from 2-hop path enumeration
+    with the existing-edge set anti-joined away; AA contributions fold
+    as DECIMAL(32,8) of 8-dp-rounded terms (q293 policy) so both engines
+    agree digit-for-digit. (A cn >= 2 floor empties at sf0.1's sparser
+    co-graph, so the floor is the structural one: >= 1 shared neighbor.)
+
+    100 TB story: the 2-hop join fans out per-node as deg^2, but the
+    co-count >= 2 threshold bounds degree (the same arboricity argument
+    as the q233 triangle join); the anti-join is edge-keyed; nothing is
+    node-squared globally. The cn >= 2 floor keeps the candidate table
+    recommendation-sized.
+    """
+    co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = graph.symmetrize(co)
+    deg = edges.groupBy(F.col("src").alias("z")).agg(F.count(F.lit(1)).alias("dg"))
+    e1 = edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    e2 = edges.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    paths = e1.join(e2, "z").filter(F.col("u") < F.col("w"))
+    cand = (
+        paths.join(deg.filter(F.col("dg") > 1), "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.round(1.0 / F.log(F.col("dg")), 8).cast("decimal(32,8)"))
+            .cast("double")
+            .alias("adamic_adar"),
+        )
+    )
+    return (
+        cand.join(
+            co,
+            (co.s1 == cand.u) & (co.s2 == cand.w),
+            "left_anti",
+        )
+        .select(
+            "u",
+            "w",
+            "common_neighbors",
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+    )

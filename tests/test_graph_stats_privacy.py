@@ -61,3 +61,17 @@ def test_mann_whitney_u_range_and_symmetry(spark):
     # synthetic values are iid across event types: |z| should not be
     # astronomically large
     assert abs(r.z) < 10.0
+
+
+def test_link_prediction_candidates_are_nonedges(spark):
+    from phoebe_spark.queries import QUERIES, _cograph_edges
+
+    rows = QUERIES["q301_link_prediction"](spark, SF).collect()
+    assert rows, "sf0.001 co-graph should yield candidates"
+    edges = {(r.s1, r.s2) for r in _cograph_edges(spark, SF).collect()}
+    for r in rows:
+        assert r.u < r.w
+        assert (r.u, r.w) not in edges, "candidates must be NON-edges"
+        assert r.common_neighbors >= 1
+        # AA term for a common neighbor (deg >= 2) is 1/ln(deg) <= 1/ln(2)
+        assert 0 < r.adamic_adar <= r.common_neighbors * 1.4427
