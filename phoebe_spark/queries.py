@@ -17904,7 +17904,7 @@ def q290_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q291_kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+def _q291_kcore_oracle(k: int = 2, rounds: int = 6) -> str:
     """Generated oracle for q291: every peeling round as two CTEs (the
     q232 fixed-iteration treatment applied to k-core). Unlike q232's
     chain, each round references the PREVIOUS round twice (both join
@@ -17942,7 +17942,7 @@ def _q291_kcore_oracle(k: int = 2, rounds: int = 8) -> str:
 
 @query("q291_kcore", oracle=_q291_kcore_oracle())
 def q291_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-core of the part co-occurrence graph by 8 bounded peeling rounds
+    """2-core of the part co-occurrence graph by 6 bounded peeling rounds
     (Seidman 1983 coreness; Batagelj-Zaversnik peeling as iterated
     DataFrame joins) — the density filter that isolates the structurally
     cohesive region of the purchase graph, completing the graph ladder
@@ -17959,7 +17959,7 @@ def q291_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     co = _cograph_edges(spark, sf_dir)
     edges = graph.symmetrize(co).localCheckpoint(eager=True)
-    prev, alive, deg_final = graph.kcore_peel(edges, k=2, rounds=8)
+    prev, alive, deg_final = graph.kcore_peel(edges, k=2, rounds=6)
     cert = (
         prev.agg(F.count(F.lit(1)).alias("pc"))
         .crossJoin(alive.agg(F.count(F.lit(1)).alias("ac")))
@@ -18778,7 +18778,7 @@ ORACLE["q300_streaming_hist_drain"] = ORACLE["q292_quantile_hist_sketch"]
       GROUP BY 1, 2
     )
     SELECT cand.u, cand.w, cand.common_neighbors,
-           round(cand.adamic_adar, 6) AS adamic_adar
+           cand.adamic_adar AS adamic_adar
     FROM cand
     LEFT JOIN co ON co.s1 = cand.u AND co.s2 = cand.w
     WHERE co.s1 IS NULL
@@ -18792,8 +18792,10 @@ def q301_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     since ln(1)=0) — the "parts that should co-occur but don't yet"
     recommendation feed. Candidates come from 2-hop path enumeration
     with the existing-edge set anti-joined away; AA contributions fold
-    as DECIMAL(32,8) of 8-dp-rounded terms (q293 policy) so both engines
-    agree digit-for-digit. (A cn >= 2 floor empties at sf0.1's sparser
+    as DECIMAL(32,8) of 8-dp-rounded terms (q293 policy) and are emitted
+    at full 8-dp precision — a final round(.,6) would hit exact halfway
+    ties (8-dp sums can end ...5 at the 7th digit) where the engines'
+    rounding modes differ. (A cn >= 2 floor empties at sf0.1's sparser
     co-graph, so the floor is the structural one: >= 1 shared neighbor.)
 
     100 TB story: the 2-hop join fans out per-node as deg^2, but the
@@ -18824,10 +18826,5 @@ def q301_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (co.s1 == cand.u) & (co.s2 == cand.w),
             "left_anti",
         )
-        .select(
-            "u",
-            "w",
-            "common_neighbors",
-            F.round("adamic_adar", 6).alias("adamic_adar"),
-        )
+        .select("u", "w", "common_neighbors", "adamic_adar")
     )
