@@ -18301,9 +18301,14 @@ def q296_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice.
     """
     d = _t(spark, sf_dir, "documents")
-    cells = d.groupBy(
-        "lang", F.expr("n_chars div 50").alias("band"), "source"
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus scan: every downstream frame (classes, global marginal,
+    # audit grid) derives from the vocabulary-bounded cells table, so
+    # checkpoint it instead of re-scanning documents per branch
+    cells = (
+        d.groupBy("lang", F.expr("n_chars div 50").alias("band"), "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     classes = cells.groupBy("lang", "band").agg(F.sum("c").cast("long").alias("k"))
     glob = (
         cells.groupBy("source")
