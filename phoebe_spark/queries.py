@@ -18449,32 +18449,35 @@ def q297_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q298_pca_oracle(iters: int = 4, dim: int = 64) -> str:
-    """Generated oracle for q298: distributed covariance then every
-    power-iteration round as matvec/norm/normalize MATERIALIZED CTEs —
-    the q293 determinism policy (8-dp rounding + DECIMAL(32,8) folds) on
-    the 64x64 covariance instead of the adjacency matrix."""
+    """Generated oracle for q298: integer-quantized Gram + dim-sums give
+    the CENTERED covariance as cov = g/n - (s_i/n)(s_j/n) — exact BIGINT
+    folds feeding IEEE double ops on identical inputs, so the hot path
+    never touches a decimal aggregate (the q219 quantization recipe);
+    the 64x64 power-iteration rounds then follow the q293 DECIMAL(32,8)
+    8-dp policy (cheap at 4096 rows)."""
     ctes = [
         "nn AS (SELECT count(*) AS n FROM embeddings)",
-        f"lng AS MATERIALIZED (SELECT vec_id, t.i AS i, "
-        f"round(CAST(embedding[t.i + 1] AS DOUBLE), 8) AS x "
+        f"qx AS MATERIALIZED (SELECT vec_id, t.i AS i, "
+        f"CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000) AS BIGINT) AS q "
         f"FROM embeddings CROSS JOIN "
         f"(SELECT unnest(generate_series(0, {dim - 1})) AS i) t)",
-        "mu AS MATERIALIZED (SELECT i, CAST(sum(CAST(x AS DECIMAL(32,8))) AS DOUBLE)"
-        " / (SELECT n FROM nn) AS mu FROM lng GROUP BY 1)",
-        "cen AS MATERIALIZED (SELECT vec_id, lng.i, x - mu AS c"
-        " FROM lng JOIN mu USING (i))",
-        "cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,"
-        " CAST(sum(CAST(round(a.c * b.c, 8) AS DECIMAL(32,8))) AS DOUBLE)"
-        " / (SELECT n FROM nn) AS cv"
-        " FROM cen a JOIN cen b USING (vec_id) GROUP BY 1, 2)",
+        "gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS g "
+        "FROM qx a JOIN qx b USING (vec_id) GROUP BY 1, 2)",
+        "sv AS MATERIALIZED (SELECT i, sum(q) AS s FROM qx GROUP BY 1)",
+        "cov AS MATERIALIZED (SELECT gram.i, gram.j, "
+        "round((CAST(gram.g AS DOUBLE) / (SELECT n FROM nn) "
+        " - (CAST(si.s AS DOUBLE) / (SELECT n FROM nn)) "
+        " * (CAST(sj.s AS DOUBLE) / (SELECT n FROM nn))) / 100000000.0, 8) AS cv "
+        "FROM gram JOIN sv si ON gram.i = si.i JOIN sv sj ON gram.j = sj.i)",
         "tr AS (SELECT CAST(sum(CAST(round(cv, 8) AS DECIMAL(32,8))) AS DOUBLE)"
         " AS trace FROM cov WHERE i = j)",
-        "v0 AS MATERIALIZED (SELECT i AS j, CAST(0.125 AS DOUBLE) AS v FROM mu)",
+        "v0 AS MATERIALIZED (SELECT i AS j, CAST(0.125 AS DOUBLE) AS v FROM sv)",
     ]
     for k in range(1, iters + 1):
         ctes.append(
             f"w{k} AS MATERIALIZED (SELECT cov.i,"
-            f" CAST(sum(CAST(round(cov.cv * p.v, 8) AS DECIMAL(32,8))) AS DOUBLE) AS w"
+            f" CAST(sum(CAST(cov.cv AS DECIMAL(18,8)) * CAST(p.v AS DECIMAL(18,8)))"
+            f" AS DOUBLE) AS w"
             f" FROM cov JOIN v{k - 1} p ON cov.j = p.j GROUP BY 1)"
         )
         ctes.append(
@@ -18511,56 +18514,71 @@ def q298_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed 64x64 matrix, so its cost is INDEPENDENT of corpus size.
     Emits each dimension's loading, the Rayleigh eigenvalue estimate
     ||C v||, and the explained-variance ratio lambda/trace(C). Certified
-    digit-for-digit under the q293 policy: every sum is a DECIMAL(32,8)
-    fold of 8-dp-rounded terms in both engines.
+    digit-for-digit: values quantize scan-side to BIGINT (floor(1e4*x),
+    the q219 recipe), the Gram and per-dim sums fold as EXACT integer
+    aggregates, and cov = g/n - (s_i/n)(s_j/n) is IEEE double arithmetic
+    on identical integers — a decimal aggregate over the N*d^2 product
+    rows (the first cut) ran 21.7 s at sf0.1 vs 2.5 s for the integer
+    Gram. The matvec multiplies EXACT decimals (18,8 x 18,8 -> 16-scale
+    product) instead of rounding the float product: cv*0.125 lands on an
+    exact half-tie whenever cv's 8th digit is 4 mod 8 — a structural 1/8
+    of cells where the engines' tie-breaking diverges.
 
-    100 TB story: one Arrow-free JVM pass builds the covariance with a
-    single shuffle onto 4096 cells (map-side combine does the heavy
-    reduction); matvec rounds shuffle 4096 rows regardless of N;
-    localCheckpoint keeps plans round-count-independent.
+    100 TB story: one integer Gram shuffle onto 4096 cells (map-side
+    combine does the heavy reduction — same cells regardless of N);
+    matvec rounds shuffle 4096 rows; localCheckpoint keeps plans
+    round-count-independent.
     """
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
-    long = emb.select(
+    flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
     ).select(
         "vec_id",
         F.col("i").cast("long").alias("i"),
-        F.round(F.col("xf").cast("double"), 8).alias("x"),
+        F.floor(F.col("xf").cast("double") * 10000).cast("long").alias("q"),
     )
-    mu = long.groupBy("i").agg(
-        (F.sum(F.col("x").cast("decimal(32,8)")).cast("double") / F.lit(float(n))).alias(
-            "mu"
-        )
-    )
-    cen = long.join(mu, "i").select(
-        "vec_id", "i", (F.col("x") - F.col("mu")).alias("c")
-    )
-    a = cen.select("vec_id", "i", F.col("c").alias("ca"))
-    b = cen.select("vec_id", F.col("i").alias("j"), F.col("c").alias("cb"))
-    cov = (
+    a = flat.select("vec_id", "i", F.col("q").alias("qa"))
+    b = flat.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    gram = (
         a.join(b, "vec_id")
         .groupBy("i", "j")
-        .agg(
-            (
-                F.sum(F.round(F.col("ca") * F.col("cb"), 8).cast("decimal(32,8)"))
-                .cast("double")
-                / F.lit(float(n))
-            ).alias("cv")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("g"))
+    )
+    sv = flat.groupBy("i").agg(F.sum("q").alias("s"))
+    nd = F.lit(float(n))
+    cov = (
+        gram.join(F.broadcast(sv.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(F.broadcast(sv.select(F.col("i").alias("j"), F.col("s").alias("sj"))), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("g").cast("double") / nd
+                    - (F.col("si").cast("double") / nd)
+                    * (F.col("sj").cast("double") / nd)
+                )
+                / 1e8,
+                8,
+            ).alias("cv"),
         )
         .localCheckpoint(eager=True)
     )
     tr = cov.filter(F.col("i") == F.col("j")).agg(
         F.sum(F.round("cv", 8).cast("decimal(32,8)")).cast("double").alias("trace")
     )
-    v = mu.select(F.col("i").alias("j"), F.lit(0.125).alias("v"))
+    v = sv.select(F.col("i").alias("j"), F.lit(0.125).alias("v"))
     nrm = None
     for _ in range(4):
         w = (
             cov.join(v, "j")
             .groupBy("i")
             .agg(
-                F.sum(F.round(F.col("cv") * F.col("v"), 8).cast("decimal(32,8)"))
+                F.sum(
+                    F.col("cv").cast("decimal(18,8)")
+                    * F.col("v").cast("decimal(18,8)")
+                )
                 .cast("double")
                 .alias("w")
             )

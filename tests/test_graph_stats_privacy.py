@@ -75,3 +75,54 @@ def test_link_prediction_candidates_are_nonedges(spark):
         assert r.common_neighbors >= 1
         # AA term for a common neighbor (deg >= 2) is 1/ln(deg) <= 1/ln(2)
         assert 0 < r.adamic_adar <= r.common_neighbors * 1.4427
+
+
+def _py_kcore(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference 2-core by repeated peeling on a plain dict: returns
+    {node: within-core degree} at the fixpoint."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+def test_kcore_matches_reference_on_random_graphs(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from phoebe_spark.operators.graph import kcore_peel, symmetrize
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.sets(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+                lambda p: (min(p), max(p))
+            ),
+            min_size=1,
+            max_size=20,
+        ).map(lambda es: {(a, b) for a, b in es if a != b})
+    )
+    def check(edge_set):
+        if not edge_set:
+            return
+        ref = _py_kcore(edge_set, k=2)
+        co = spark.createDataFrame(sorted(edge_set), "s1 long, s2 long")
+        edges = symmetrize(co)
+        # rounds >= node count guarantees the bounded form reaches the
+        # fixpoint the reference computes
+        _, _, deg = kcore_peel(edges, k=2, rounds=10)
+        got = {r.src: r.deg for r in deg.collect()}
+        assert got == ref, (sorted(edge_set), got, ref)
+
+    check()
