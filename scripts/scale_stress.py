@@ -278,6 +278,47 @@ def run_scale(spark, scale: int) -> dict:
     ).select("node", F.pmod("node", F.lit(7)).cast("string").alias("slabel"))
     t_build("label_prop_3r", lambda: graph.label_propagation(edges, seeds, rounds=3))
 
+    # round-7 graph ladder: peeling and power iteration are per-round
+    # edge-join + grouped-agg shapes, so time must track the edge count
+    t_build("kcore_6r", lambda: graph.kcore_peel(edges, k=2, rounds=6)[2])
+    t_build("eigencentrality_5r", lambda: graph.eigencentrality(edges, iters=5))
+
+    # round-7 link prediction: 2-hop candidate fan-out is sum(deg^2);
+    # with hash-uniform degree ~6 that is ~linear in nodes by design
+    deg = edges.groupBy(F.col("src").alias("z")).agg(F.count(F.lit(1)).alias("dg"))
+    e1 = edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    e2 = edges.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    t(
+        "linkpred_aa",
+        e1.join(e2, "z")
+        .filter(F.col("u") < F.col("w"))
+        .join(deg.filter(F.col("dg") > 1), "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.round(1.0 / F.log(F.col("dg")), 8).cast("decimal(32,8)"))
+            .cast("double")
+            .alias("aa"),
+        )
+        .join(canon, (canon.s1 == F.col("u")) & (canon.s2 == F.col("w")), "left_anti"),
+    )
+
+    # round-7 centered PCA: the integer Gram is ONE shuffle onto dims^2
+    # cells — cost is the corpus scan, never dims^2 x rows joins downstream
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.floor(F.col("xf").cast("double") * 10000).cast("long").alias("q"),
+    )
+    fa = flat.select("vec_id", "i", F.col("q").alias("qa"))
+    fb = flat.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    t(
+        "pca_gram",
+        fa.join(fb, "vec_id").groupBy("i", "j").agg(F.sum(F.col("qa") * F.col("qb")).alias("g")),
+    )
+
     # round-6 cluster-local semantic pruning: label cardinality grows with
     # the corpus, so within-cluster pair work stays ~linear by design
     n_labels = max(16, n_emb // 125)
