@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "q299_blocking_quality",
     "q300_streaming_hist_drain",
     "q301_link_prediction",
+    "q302_isotonic_calibration",
+    "q303_sprt_monitor",
 ]
 
 

@@ -18851,3 +18851,215 @@ def q301_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "w", "common_neighbors", "adamic_adar")
     )
+
+
+@query(
+    "q302_isotonic_calibration",
+    oracle="""
+    WITH s AS (
+      SELECT least(CAST(floor(value / 10) AS BIGINT), 9) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'error', 'click')
+    ),
+    b AS (
+      SELECT bin, count(*) AS n, sum(y) AS pos FROM s GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, n, pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(pos) OVER (ORDER BY bin) AS cp
+      FROM b
+    ),
+    grid AS (
+      SELECT i.bin AS b, j.bin AS j, k.bin AS k,
+             (k.cp - j.cp + j.pos) * 1.0 / (k.cn - j.cn + j.n) AS avg_jk
+      FROM c i JOIN c j ON j.bin <= i.bin JOIN c k ON k.bin >= i.bin
+    ),
+    inner_max AS (
+      SELECT b, k, max(avg_jk) AS m FROM grid GROUP BY 1, 2
+    ),
+    iso AS (
+      SELECT b AS bin, min(m) AS iso FROM inner_max GROUP BY 1
+    ),
+    fit AS (
+      SELECT c.bin, CAST(c.n AS BIGINT) AS n,
+             round(c.pos * 1.0 / c.n, 6) AS rate,
+             round(iso.iso, 6) AS iso
+      FROM c JOIN iso USING (bin)
+    ),
+    fit2 AS (
+      SELECT bin, n, rate, iso,
+             CASE WHEN iso >= lag(iso, 1, iso) OVER (ORDER BY bin)
+                  THEN 1 ELSE 0 END AS ok
+      FROM fit
+    )
+    SELECT bin, n, rate, iso, CAST(min(ok) OVER () AS INT) AS monotone_ok
+    FROM fit2
+    """,
+)
+def q302_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of purchase propensity against the
+    10-unit value band — the PAV fit, computed by the exact minimax
+    identity iso(b) = min_{k>=b} max_{j<=b} mean(y_j..y_k) (Barlow et al.
+    1972), which needs NO sequential pooling loop: with 10 bins the
+    (j, b, k) grid is <= 1000 rows, every block mean is a ratio of exact
+    integer cumulative sums, and min/max comparisons of identical doubles
+    are rounding-free — so both engines agree digit-for-digit with zero
+    quantization. The monotone_ok certificate re-proves the isotonic
+    property inside the hash gate. Complements q280 (calibration bins
+    report raw reliability; this produces the monotone calibration MAP
+    a score consumer actually applies).
+
+    100 TB story: the corpus contributes ONE map-side-combining groupBy
+    onto 10 cells; the cubic minimax runs on the 10-row frame (bounded by
+    bin count, never rows). The classic O(n) PAV applies per-partition
+    only after this same binning step at any scale.
+    """
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("purchase", "error", "click")).select(
+        F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(9).cast("long")).alias(
+            "bin"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("bin").agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    wcum = Window.orderBy("bin")
+    c = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("pos").over(wcum).alias("cp"),
+    ).localCheckpoint(eager=True)
+    i = c.select(F.col("bin").alias("b"))
+    j = c.select(
+        F.col("bin").alias("j"),
+        F.col("pos").alias("jpos"),
+        F.col("n").alias("jn"),
+        F.col("cp").alias("jcp"),
+        F.col("cn").alias("jcn"),
+    )
+    k = c.select(
+        F.col("bin").alias("k"), F.col("cp").alias("kcp"), F.col("cn").alias("kcn")
+    )
+    grid = (
+        i.join(j, F.col("j") <= F.col("b"))
+        .join(k, F.col("k") >= F.col("b"))
+        .select(
+            "b",
+            "k",
+            (
+                (F.col("kcp") - F.col("jcp") + F.col("jpos"))
+                * 1.0
+                / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+            ).alias("avg_jk"),
+        )
+    )
+    inner_max = grid.groupBy("b", "k").agg(F.max("avg_jk").alias("m"))
+    iso = inner_max.groupBy(F.col("b").alias("bin")).agg(F.min("m").alias("iso"))
+    fit = c.join(iso, "bin").select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("rate"),
+        F.round("iso", 6).alias("iso"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return fit.select(
+        "bin",
+        "n",
+        "rate",
+        "iso",
+        F.min(
+            F.when(
+                F.col("iso")
+                >= F.coalesce(
+                    F.lag("iso", 1).over(Window.orderBy("bin")), F.col("iso")
+                ),
+                1,
+            )
+            .otherwise(0)
+        )
+        .over(wall)
+        .cast("int")
+        .alias("monotone_ok"),
+    )
+
+
+@query(
+    "q303_sprt_monitor",
+    oracle="""
+    WITH s AS (
+      SELECT epoch_ns(ts) AS ord_ns, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    walk AS (
+      SELECT ord_ns, event_id,
+             row_number() OVER w AS i,
+             2 * sum(x) OVER w - row_number() OVER w AS d
+      FROM s WINDOW w AS (ORDER BY ord_ns, event_id)
+    ),
+    crossing AS (
+      SELECT i, d FROM walk WHERE abs(d) >= 15 ORDER BY i LIMIT 1
+    ),
+    fin AS (SELECT max(i) AS n_total FROM walk)
+    SELECT CAST(coalesce(crossing.i, fin.n_total) AS BIGINT) AS n_obs,
+           CAST(CASE WHEN crossing.i IS NULL THEN 0
+                WHEN crossing.d > 0 THEN 1 ELSE -1 END AS INT) AS decision,
+           round(coalesce(crossing.d, 0) * ln(11.0 / 9.0), 6) AS llr,
+           CAST(15 AS BIGINT) AS d_threshold
+    FROM fin LEFT JOIN crossing ON TRUE
+    """,
+)
+def q303_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential A/B monitor (Wald 1945) over the purchase-vs-
+    error stream in arrival order: testing p0=0.45 vs p1=0.55 at
+    alpha=beta=0.05, the log-likelihood ratio after i observations is
+    (2*S_i - i)*ln(11/9), so the stopping rule |LLR| >= ln(19) reduces to
+    the EXACT INTEGER test |2*S_i - i| >= 15 — no float enters the
+    decision at all (the sequential complement of the fixed-sample Welch
+    q281 / Mann-Whitney q297). Emits the stopping sample size, the
+    decision (+1 accept H1, -1 accept H0, 0 still running at stream end),
+    and the boundary LLR.
+
+    100 TB story: the random walk is one cumulative window per ordered
+    key-range (in production, per experiment arm — a keyed window);
+    the first-crossing is a filter + global min, no iteration. The
+    monitor's whole point at scale: most experiments stop after a
+    PREFIX of the data, and the integer test makes early-stop decisions
+    retry-stable.
+    """
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        F.col("ts").alias("ord_ns"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    w = Window.orderBy("ord_ns", "event_id")
+    walk = s.select(
+        F.row_number().over(w).alias("i"),
+        (2 * F.sum("x").over(w) - F.row_number().over(w)).alias("d"),
+    ).localCheckpoint(eager=True)
+    crossing = (
+        walk.filter(F.abs("d") >= 15)
+        .orderBy("i")
+        .limit(1)
+        .select(F.col("i").alias("ci"), F.col("d").alias("cd"))
+    )
+    fin = walk.agg(F.max("i").alias("n_total"))
+    return (
+        fin.join(F.broadcast(crossing), F.lit(True), "left")
+        .select(
+            F.coalesce("ci", "n_total").cast("long").alias("n_obs"),
+            F.when(F.col("ci").isNull(), 0)
+            .when(F.col("cd") > 0, 1)
+            .otherwise(-1)
+            .cast("int")
+            .alias("decision"),
+            F.round(
+                F.coalesce("cd", F.lit(0)) * float(__import__("math").log(11.0 / 9.0)),
+                6,
+            ).alias("llr"),
+            F.lit(15).cast("long").alias("d_threshold"),
+        )
+    )

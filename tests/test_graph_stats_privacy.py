@@ -126,3 +126,36 @@ def test_kcore_matches_reference_on_random_graphs(spark):
         assert got == ref, (sorted(edge_set), got, ref)
 
     check()
+
+
+def test_isotonic_fit_is_monotone_and_pooled(spark):
+    from phoebe_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["q302_isotonic_calibration"](spark, SF).collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows
+    assert all(r.monotone_ok == 1 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.iso >= a.iso - 1e-12, "isotonic fit must be non-decreasing"
+    # the fit is a pooling of observed rates: stays inside their range
+    lo = min(r.rate for r in rows)
+    hi = max(r.rate for r in rows)
+    for r in rows:
+        assert lo - 1e-9 <= r.iso <= hi + 1e-9
+
+
+def test_sprt_integer_walk_decision(spark):
+    from phoebe_spark.queries import QUERIES
+
+    r = QUERIES["q303_sprt_monitor"](spark, SF).collect()[0]
+    assert r.d_threshold == 15
+    assert r.decision in (-1, 0, 1)
+    if r.decision != 0:
+        # stopped: the boundary LLR magnitude is >= ln(19) by the
+        # integer test |d| >= 15 > ln(19)/ln(11/9) ~ 14.67
+        import math
+
+        assert abs(r.llr) >= math.log(19.0) - 1e-9
+    assert r.n_obs > 0
