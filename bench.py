@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "q301_link_prediction",
     "q302_isotonic_calibration",
     "q303_sprt_monitor",
+    "q304_ams_f2_sketch",
+    "q305_corpus_merkle",
 ]
 
 

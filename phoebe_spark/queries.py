@@ -19063,3 +19063,183 @@ def q303_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(15).cast("long").alias("d_threshold"),
         )
     )
+
+
+def _q304_ams_oracle(n_est: int = 16) -> str:
+    """Generated oracle for q304: each AMS estimator's +-1 sign comes from
+    the parity of the first hex digit of md5(j || '|' || key) — replayable
+    in any engine with md5; the 16 sign-sums are exact BIGINT folds."""
+    sign = (
+        "CASE WHEN substr(md5(CAST({j} AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)), 1, 1)"
+        " IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
+    )
+    zs = ",\n           ".join(
+        f"sum({sign.format(j=j)}) AS z{j}" for j in range(n_est)
+    )
+    ests = ", ".join(f"CAST(z{j} AS DOUBLE) * z{j}" for j in range(n_est))
+    return f"""
+    WITH signs AS (
+      SELECT {zs}
+      FROM lineitem
+    ),
+    exact AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS f2, CAST(count(*) AS BIGINT) AS n_keys
+      FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+    ),
+    est AS (
+      SELECT CAST(median(x) AS DOUBLE) AS f2_est
+      FROM (SELECT unnest([{ests}]) AS x FROM signs)
+    )
+    SELECT exact.f2, exact.n_keys, est.f2_est,
+           round(abs(est.f2_est - exact.f2) / exact.f2, 6) AS rel_err
+    FROM exact CROSS JOIN est
+    """
+
+
+@query("q304_ams_f2_sketch", oracle=_q304_ams_oracle())
+def q304_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch over lineitem part keys (Alon-
+    Matias-Szegedy 1996) — the one-pass self-join-size estimator a
+    planner consults before committing to a partkey-partkey join: 16
+    independent +-1 sign projections (sign = parity of the first hex
+    digit of md5(estimator || key), replayed exactly by the oracle), each
+    Z_j = sum of signs folding as an exact BIGINT, estimate = median of
+    Z_j^2, audited against the exact F2 = sum(c^2) from the full key
+    groupBy. Joins the sketch family (HLL counts distinct, KMV sets, CMS
+    points, q292 quantiles — this one estimates JOIN SIZES).
+
+    100 TB story: the sketch is ONE scan with 16 map-side-combining
+    integer sums — no shuffle wider than 16 cells, while the exact side
+    (the audit, not the product) pays the full key-shuffle the sketch
+    exists to avoid. Sign-sums are trivially mergeable across executors
+    and across corpus shards (add the Z vectors).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+    def sign(j: int) -> F.Column:
+        return (
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(str(j)), F.col("l_partkey").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin(*odd),
+                1,
+            )
+            .otherwise(-1)
+        )
+
+    signs = li.agg(
+        *[F.sum(sign(j)).alias(f"z{j}") for j in range(16)]
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    )
+    est = (
+        signs.select(
+            F.explode(
+                F.array(
+                    *[
+                        (F.col(f"z{j}").cast("double") * F.col(f"z{j}")).alias("x")
+                        for j in range(16)
+                    ]
+                )
+            ).alias("x")
+        )
+        .agg(F.expr("median(x)").cast("double").alias("f2_est"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "f2",
+            "n_keys",
+            "f2_est",
+            F.round(F.abs(F.col("f2_est") - F.col("f2")) / F.col("f2"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+@query(
+    "q305_corpus_merkle",
+    oracle="""
+    WITH leaves AS (
+      SELECT doc_id, doc_id % 16 AS bucket, md5(text) AS h
+      FROM documents
+    ),
+    buckets AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             md5(string_agg(h, '' ORDER BY doc_id)) AS bucket_hash
+      FROM leaves GROUP BY 1
+    ),
+    root AS (
+      SELECT md5(string_agg(bucket_hash, '' ORDER BY bucket)) AS root_hash
+      FROM buckets
+    )
+    SELECT buckets.bucket, buckets.n_docs, buckets.bucket_hash, root.root_hash
+    FROM buckets CROSS JOIN root
+    """,
+)
+def q305_corpus_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Merkle fingerprint of the document corpus: leaf =
+    md5(text), 16 id-sharded bucket hashes = md5(leaf hashes concatenated
+    in doc_id order), root = md5(bucket hashes in bucket order) — the
+    content-addressing layer a 100 TB pipeline versions datasets with:
+    two snapshots compare in O(1) at the root, and a mismatch drills down
+    BUCKET-BY-BUCKET to localize the changed shard before q193's row-level
+    snapshot diff runs. The ordered concatenation is deterministic in both
+    engines (sort_array over (doc_id, hash) structs vs string_agg ORDER
+    BY), so the fingerprint itself sits in the hash gate.
+
+    100 TB story: one scan, one shuffle onto 16 bucket cells; per-bucket
+    state is the sorted leaf-hash stream (in production, buckets are
+    file-aligned so each bucket hash folds within its own partition and
+    only 16 strings ever move).
+    """
+    d = _t(spark, sf_dir, "documents")
+    leaves = d.select(
+        "doc_id", (F.col("doc_id") % 16).alias("bucket"), F.md5("text").alias("h")
+    )
+    buckets = (
+        leaves.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("doc_id"), F.col("h")))
+                        ),
+                        lambda s: s["h"],
+                    ),
+                )
+            ).alias("bucket_hash"),
+        )
+    )
+    root = buckets.agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("bucket"), F.col("bucket_hash")))
+                    ),
+                    lambda s: s["bucket_hash"],
+                ),
+            )
+        ).alias("root_hash")
+    )
+    return buckets.crossJoin(F.broadcast(root))

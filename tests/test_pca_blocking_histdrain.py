@@ -62,3 +62,29 @@ def test_streaming_hist_drain_equals_batch_sketch(spark):
     for q in batch:
         assert batch[q] == stream[q], (q, batch[q], stream[q])
         assert stream[q].merge_exact == 1
+
+
+def test_ams_sketch_sign_sums_are_mergeable_and_sane(spark):
+    from phoebe_spark.queries import QUERIES
+
+    r = QUERIES["q304_ams_f2_sketch"](spark, SF).collect()[0]
+    assert r.f2 >= r.n_keys  # sum c^2 >= number of keys
+    assert r.f2_est >= 0
+    # 16-estimator median: E[Z^2] = F2; allow wide but meaningful slack
+    assert r.rel_err < 3.0, r
+
+
+def test_merkle_root_changes_iff_any_doc_changes(spark):
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.queries import QUERIES, _t
+
+    rows = QUERIES["q305_corpus_merkle"](spark, SF).collect()
+    assert len(rows) == 16
+    assert len({r.root_hash for r in rows}) == 1
+    assert sum(r.n_docs for r in rows) == _t(spark, SF, "documents").count()
+    # re-running is deterministic
+    again = QUERIES["q305_corpus_merkle"](spark, SF).collect()
+    assert {r.bucket: r.bucket_hash for r in rows} == {
+        r.bucket: r.bucket_hash for r in again
+    }
