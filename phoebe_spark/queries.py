@@ -19066,21 +19066,25 @@ def q303_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q304_ams_oracle(n_est: int = 16) -> str:
-    """Generated oracle for q304: each AMS estimator's +-1 sign comes from
-    the parity of the first hex digit of md5(j || '|' || key) — replayable
-    in any engine with md5; the 16 sign-sums are exact BIGINT folds."""
+    """Generated oracle for q304: estimator j's +-1 sign is the parity of
+    the j-th hex digit of ONE md5(key) per row (16 hashes/row benched
+    2x slower) — replayable in any engine with md5; the 16 sign-sums are
+    exact BIGINT folds."""
     sign = (
-        "CASE WHEN substr(md5(CAST({j} AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)), 1, 1)"
+        "CASE WHEN substr(h, {pos}, 1)"
         " IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
     )
     zs = ",\n           ".join(
-        f"sum({sign.format(j=j)}) AS z{j}" for j in range(n_est)
+        f"sum({sign.format(pos=j + 1)}) AS z{j}" for j in range(n_est)
     )
     ests = ", ".join(f"CAST(z{j} AS DOUBLE) * z{j}" for j in range(n_est))
     return f"""
-    WITH signs AS (
+    WITH hashed AS (
+      SELECT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
+    ),
+    signs AS (
       SELECT {zs}
-      FROM lineitem
+      FROM hashed
     ),
     exact AS (
       SELECT CAST(sum(c * c) AS BIGINT) AS f2, CAST(count(*) AS BIGINT) AS n_keys
@@ -19101,8 +19105,9 @@ def q304_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-moment (F2) sketch over lineitem part keys (Alon-
     Matias-Szegedy 1996) — the one-pass self-join-size estimator a
     planner consults before committing to a partkey-partkey join: 16
-    independent +-1 sign projections (sign = parity of the first hex
-    digit of md5(estimator || key), replayed exactly by the oracle), each
+    independent +-1 sign projections (estimator j reads the parity of hex
+    digit j of ONE md5(key) per row — 16 separate hashes benched 2x
+    slower — replayed exactly by the oracle), each
     Z_j = sum of signs folding as an exact BIGINT, estimate = median of
     Z_j^2, audited against the exact F2 = sum(c^2) from the full key
     groupBy. Joins the sketch family (HLL counts distinct, KMV sets, CMS
@@ -19116,25 +19121,14 @@ def q304_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    hashed = li.select(F.md5(F.col("l_partkey").cast("string")).alias("h"))
 
     def sign(j: int) -> F.Column:
         return (
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.lit(str(j)), F.col("l_partkey").cast("string")
-                        )
-                    ),
-                    1,
-                    1,
-                ).isin(*odd),
-                1,
-            )
-            .otherwise(-1)
+            F.when(F.substring("h", j + 1, 1).isin(*odd), 1).otherwise(-1)
         )
 
-    signs = li.agg(
+    signs = hashed.agg(
         *[F.sum(sign(j)).alias(f"z{j}") for j in range(16)]
     )
     exact = (
