@@ -159,3 +159,64 @@ def test_sprt_integer_walk_decision(spark):
 
         assert abs(r.llr) >= math.log(19.0) - 1e-9
     assert r.n_obs > 0
+
+
+def _py_eigencentrality(edge_set: set[tuple[int, int]], iters: int = 3):
+    """Reference power iteration replicating the engine's determinism
+    policy EXACTLY: Decimal(x).quantize(1e-8, ROUND_HALF_UP) is what
+    Spark's F.round(x, 8) computes on a double (exact binary expansion,
+    half-up), decimal sums are exact, and /, sqrt are IEEE — so the
+    DataFrame result must equal this float-for-float, not approximately."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r8(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("1e-8"), rounding=ROUND_HALF_UP))
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    v = {n: r8(1.0 / math.sqrt(float(len(nodes)))) for n in nodes}
+    lam = None
+    for _ in range(iters):
+        raw = {
+            n: float(sum(Decimal(str(r8(v[m]))) for m in adj[n])) for n in nodes
+        }
+        lam = math.sqrt(
+            float(sum(Decimal(str(r8(raw[n] * raw[n]))) for n in nodes))
+        )
+        v = {n: r8(raw[n] / lam) for n in nodes}
+    return v, lam
+
+
+def test_eigencentrality_matches_decimal_reference_exactly(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from phoebe_spark.operators.graph import eigencentrality, symmetrize
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(
+        st.sets(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+                lambda p: (min(p), max(p))
+            ),
+            min_size=2,
+            max_size=14,
+        ).map(lambda es: {(a, b) for a, b in es if a != b})
+    )
+    def check(edge_set):
+        if not edge_set:
+            return
+        ref_v, ref_lam = _py_eigencentrality(edge_set, iters=3)
+        co = spark.createDataFrame(sorted(edge_set), "s1 long, s2 long")
+        rows = eigencentrality(symmetrize(co), iters=3).collect()
+        got = {r.n: r.score for r in rows}
+        assert got == ref_v, (sorted(edge_set), got, ref_v)
+        assert all(r.lambda_est == ref_lam for r in rows)
+
+    check()
