@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "q303_sprt_monitor",
     "q304_ams_f2_sketch",
     "q305_corpus_merkle",
+    "q306_streaming_sprt_drain",
 ]
 
 

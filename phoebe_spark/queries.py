@@ -19237,3 +19237,101 @@ def q305_corpus_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("root_hash")
     )
     return buckets.crossJoin(F.broadcast(root))
+
+
+@query("q306_streaming_sprt_drain")
+def q306_streaming_sprt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SPRT drain twinning the batch monitor q303: the
+    purchase-vs-error walk arrives as three sequence-ordered micro-
+    batches, the integer state (n, s, frozen decision) folds across them
+    (:func:`stateful.streaming_sprt`), and the drained final state must
+    reproduce q303's oracle row exactly — pure-integer state makes
+    micro-batch boundaries provably invisible. One sequential test, two
+    execution models, one hash-checked answer; this is the form the
+    monitor actually ships in (an experiment decision service watching
+    the live event feed and stopping EARLY).
+
+    Scale notes: five integers of state per experiment key; the drain
+    stages narrow (shuffle=8, fresh checkpoint, scratch cleaned)."""
+    import glob
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_sprt
+
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        F.row_number()
+        .over(Window.orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("i"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+        F.lit("exp1").alias("key"),
+    )
+    work = tempfile.mkdtemp(prefix="q306_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        n_total = s.count()
+        cut1, cut2 = n_total // 3, 2 * n_total // 3
+        for idx, (lo_i, hi_i) in enumerate(
+            ((0, cut1), (cut1, cut2), (cut2, n_total + 1)), start=1
+        ):
+            part = s.filter((F.col("i") > lo_i) & (F.col("i") <= hi_i))
+            part.coalesce(1).write.parquet(f"{work}/stage{idx}")
+            pf = glob.glob(f"{work}/stage{idx}/part-*.parquet")[0]
+            dst = f"{src_dir}/{idx:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * idx, 1_000_000_000 + 10 * idx))
+
+        stream = (
+            spark.readStream.schema("i LONG, x INT, key STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_sprt(stream, d_threshold=15)
+        sink = f"{work}/sprt"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q306: streaming SPRT drain did not finish within 300 s — "
+                    "refusing to report a partial decision"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        states = spark.read.parquet(sink)
+        final = (
+            states.withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("key").orderBy(F.col("n").desc())),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("n_obs").cast("long").alias("n_obs"),
+                F.col("decision").cast("int").alias("decision"),
+                F.round(F.col("d_stop") * float(math.log(11.0 / 9.0)), 6).alias("llr"),
+                F.lit(15).cast("long").alias("d_threshold"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return final
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the streaming drain must reproduce the batch monitor's oracle exactly —
+# the integer walk state and the batch window are two forms of one test
+ORACLE["q306_streaming_sprt_drain"] = ORACLE["q303_sprt_monitor"]

@@ -886,3 +886,70 @@ def streaming_burn_rate(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sprt(
+    stream: DataFrame,
+    d_threshold: int = 15,
+    key_col: str = "key",
+    seq_col: str = "i",
+    x_col: str = "x",
+) -> DataFrame:
+    """Wald SPRT as a STREAMING stateful operator: per key, the integer
+    random walk folds across micro-batches — n observations, s successes,
+    and the FIRST index where |2s - n| >= d_threshold freezes the
+    decision (+1 upper boundary, -1 lower); later rows only advance the
+    totals. Rows are applied in ``seq_col`` order within each invocation;
+    cross-batch order comes from the source (the drain stages
+    sequence-ordered files). Emits the post-batch state per key in update
+    mode — the drain keeps each key's max-n row. Because the walk and the
+    boundary test are pure integers, the streamed decision is exactly the
+    batch q303 answer, micro-batch boundaries invisible.
+
+    State: five integers per key — a thousand concurrent experiments cost
+    five thousand ints, and saturated (decided) keys do O(rows) integer
+    adds with no further branching.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            n, s, decision, n_obs, d_stop = state.get
+        else:
+            n, s, decision, n_obs, d_stop = 0, 0, 0, 0, 0
+        batch = batch.sort_values(seq_col)
+        for x in batch[x_col]:
+            n += 1
+            s += int(x)
+            if decision == 0:
+                d = 2 * s - n
+                if abs(d) >= d_threshold:
+                    decision = 1 if d > 0 else -1
+                    n_obs = n
+                    d_stop = d
+        state.update((int(n), int(s), int(decision), int(n_obs), int(d_stop)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n": [int(n)],
+                "decision": [int(decision)],
+                "n_obs": [int(n_obs if decision != 0 else n)],
+                "d_stop": [int(d_stop)],
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col),
+        F.col(x_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType="key STRING, n LONG, decision INT, n_obs LONG, d_stop LONG",
+        stateStructType="n LONG, s LONG, decision INT, n_obs LONG, d_stop LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -220,3 +220,16 @@ def test_eigencentrality_matches_decimal_reference_exactly(spark):
         assert all(r.lambda_est == ref_lam for r in rows)
 
     check()
+
+
+def test_streaming_sprt_equals_batch_monitor(spark):
+    from phoebe_spark.queries import QUERIES
+
+    batch = QUERIES["q303_sprt_monitor"](spark, SF).collect()[0]
+    stream = QUERIES["q306_streaming_sprt_drain"](spark, SF).collect()[0]
+    assert (stream.n_obs, stream.decision, stream.llr, stream.d_threshold) == (
+        batch.n_obs,
+        batch.decision,
+        batch.llr,
+        batch.d_threshold,
+    ), (stream, batch)
