@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "q304_ams_f2_sketch",
     "q305_corpus_merkle",
     "q306_streaming_sprt_drain",
+    "q307_grouped_conformal",
 ]
 
 

@@ -19335,3 +19335,119 @@ def q306_streaming_sprt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming drain must reproduce the batch monitor's oracle exactly —
 # the integer walk state and the batch window are two forms of one test
 ORACLE["q306_streaming_sprt_drain"] = ORACLE["q303_sprt_monitor"]
+
+
+@query(
+    "q307_grouped_conformal",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type AS k, epoch_ns(ts) // 1000000000 // 86400 AS day,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(day) AS lo FROM dc),
+    grid AS (
+      SELECT k, d, lo FROM (SELECT DISTINCT k FROM dc)
+      CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS d, lo FROM b)
+    ),
+    dense AS (
+      SELECT g.k, g.d, CAST(coalesce(dc.c, 0) AS BIGINT) AS c
+      FROM grid g LEFT JOIN dc ON dc.k = g.k AND dc.day = g.lo + g.d
+    ),
+    resid AS (
+      SELECT a.k, a.d, abs(a.c - p.c) AS r
+      FROM dense a JOIN dense p ON p.k = a.k AND p.d = a.d - 7
+      WHERE a.d >= 7
+    ),
+    calib AS (
+      SELECT k, r, row_number() OVER (PARTITION BY k ORDER BY r, d) AS rn,
+             count(*) OVER (PARTITION BY k) AS n_cal
+      FROM resid WHERE d % 2 = 0
+    ),
+    qh AS (
+      SELECT k, r AS q_hat, n_cal FROM calib
+      WHERE rn = ((n_cal + 1) * 4 + 4) // 5
+    ),
+    test AS (SELECT k, r FROM resid WHERE d % 2 = 1)
+    SELECT qh.k AS event_type, qh.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           qh.q_hat,
+           round(avg(CASE WHEN test.r <= qh.q_hat THEN 1.0 ELSE 0.0 END), 6)
+             AS coverage,
+           CAST(0.8 AS DOUBLE) AS target
+    FROM test JOIN qh USING (k)
+    GROUP BY 1, 2, 4
+    """,
+)
+def q307_grouped_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED split-conformal intervals — q290's distribution-free
+    calibration run per event type in ONE pass (the q274 grouped-Holt
+    treatment): every key gets its own calibration order statistic
+    (row_number window partitioned by key, integer ceil rank) and its own
+    test-split coverage. This is the million-forecasters shape the q290
+    docstring promises: per-series interval calibration with NO per-key
+    loop, just key-partitioned windows over the residual frame.
+
+    100 TB story: residuals are O(keys x days) from one map-side daily
+    rollup; the order statistic is a per-key window over calibration rows
+    only; coverage is one grouped aggregate. Nothing is per-key
+    driver-side.
+    """
+    e = _t(spark, sf_dir, "events")
+    dc = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lo = dc.agg(F.min("day").alias("lo"))
+    grid = (
+        dc.select("k")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                lo.select(
+                    F.explode(F.sequence(F.lit(0), F.lit(29))).alias("d"), "lo"
+                )
+            )
+        )
+    )
+    dense = grid.join(
+        dc, (grid.k == dc.k) & (grid.lo + grid.d == dc.day), "left"
+    ).select(grid.k, grid.d.alias("d"), F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    a = dense.select(F.col("k"), F.col("d").alias("ad"), F.col("c").alias("ac"))
+    p = dense.select(
+        F.col("k").alias("pk"), F.col("d").alias("pd"), F.col("c").alias("pc")
+    )
+    resid = (
+        a.join(p, (F.col("pk") == F.col("k")) & (F.col("pd") == F.col("ad") - 7))
+        .filter(F.col("ad") >= 7)
+        .select("k", F.col("ad").alias("d"), F.abs(F.col("ac") - F.col("pc")).alias("r"))
+    ).localCheckpoint(eager=True)
+    wk = Window.partitionBy("k")
+    calib = resid.filter(F.col("d") % 2 == 0).select(
+        "k",
+        "r",
+        F.row_number().over(wk.orderBy("r", "d")).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n_cal"),
+    )
+    qh = calib.filter(F.col("rn") == F.expr("((n_cal + 1) * 4 + 4) div 5")).select(
+        "k", F.col("r").alias("q_hat"), "n_cal"
+    )
+    test = resid.filter(F.col("d") % 2 == 1)
+    return (
+        test.join(F.broadcast(qh), "k")
+        .groupBy(F.col("k").alias("event_type"), "n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.avg(F.when(F.col("r") <= F.col("q_hat"), 1.0).otherwise(0.0)), 6
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "q_hat",
+            "coverage",
+            F.lit(0.8).alias("target"),
+        )
+    )

@@ -233,3 +233,14 @@ def test_streaming_sprt_equals_batch_monitor(spark):
         batch.llr,
         batch.d_threshold,
     ), (stream, batch)
+
+
+def test_grouped_conformal_one_row_per_type(spark):
+    from phoebe_spark.queries import QUERIES
+
+    rows = QUERIES["q307_grouped_conformal"](spark, SF).collect()
+    assert len(rows) == 5, "one calibration per event type"
+    for r in rows:
+        assert r.n_cal > 0 and r.n_test > 0 and r.q_hat >= 0
+        assert 0.0 <= r.coverage <= 1.0
+        assert r.coverage >= r.target - 0.4  # tiny per-key test splits
