@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "q305_corpus_merkle",
     "q306_streaming_sprt_drain",
     "q307_grouped_conformal",
+    "q308_landmark_bfs",
 ]
 
 

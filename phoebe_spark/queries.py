@@ -19451,3 +19451,72 @@ def q307_grouped_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.8).alias("target"),
         )
     )
+
+
+def _q308_landmark_oracle(rounds: int = 4, n_seeds: int = 4) -> str:
+    """Generated oracle for q308: per-round min-distance relaxation as
+    MATERIALIZED CTEs (each round references the previous twice — the
+    q291 exponential-inlining lesson)."""
+    ctes = [
+        "edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co UNION ALL SELECT s2, s1 FROM co)",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT src AS seed FROM edges ORDER BY seed LIMIT {n_seeds})",
+        "d0 AS MATERIALIZED (SELECT seed, seed AS n, 0 AS dist FROM seeds)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"c{r} AS (SELECT p.seed, e.dst AS n, p.dist + 1 AS dist "
+            f"FROM d{r - 1} p JOIN edges e ON e.src = p.n)"
+        )
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT seed, n, min(dist) AS dist FROM "
+            f"(SELECT * FROM d{r - 1} UNION ALL SELECT * FROM c{r}) GROUP BY 1, 2)"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_COGRAPH_SQL},
+    {chain}
+    SELECT seed, CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d{rounds} GROUP BY 1, 2
+    """
+
+
+@query("q308_landmark_bfs", oracle=_q308_landmark_oracle())
+def q308_landmark_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS distance census over the part co-occurrence graph:
+    from the 4 smallest node ids (deterministic landmarks), 4 rounds of
+    synchronized min-distance relaxation give each landmark's reach
+    census by hop count — the landmark-distance sketch behind graph
+    diameter estimation and 2-hop-cover shortest-path indexes (and the
+    distance-distribution view the closure BFS q221 doesn't report).
+    All-integer distances: nothing to round, both engines agree exactly.
+
+    100 TB story: a round is one frontier-edge equi-join + one grouped
+    min shuffled on (seed, node) — frontier-sized, never node-squared;
+    landmarks multiply the frame by a CONSTANT 4; localCheckpoint keeps
+    plans round-count-independent.
+    """
+    co = _cograph_edges(spark, sf_dir)
+    edges = graph.symmetrize(co).localCheckpoint(eager=True)
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(4)
+    )
+    d = seeds.select(
+        "seed", F.col("seed").alias("n"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(4):
+        cand = d.join(edges, d.n == edges.src).select(
+            "seed", F.col("dst").alias("n"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionByName(cand)
+            .groupBy("seed", "n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return d.groupBy("seed", F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

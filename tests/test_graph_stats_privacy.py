@@ -244,3 +244,17 @@ def test_grouped_conformal_one_row_per_type(spark):
         assert r.n_cal > 0 and r.n_test > 0 and r.q_hat >= 0
         assert 0.0 <= r.coverage <= 1.0
         assert r.coverage >= r.target - 0.4  # tiny per-key test splits
+
+
+def test_landmark_bfs_census_is_sane(spark):
+    from phoebe_spark.queries import QUERIES
+
+    rows = QUERIES["q308_landmark_bfs"](spark, SF).collect()
+    assert rows
+    seeds = {r.seed for r in rows}
+    assert len(seeds) <= 4
+    for s in seeds:
+        mine = {r.dist: r.n_nodes for r in rows if r.seed == s}
+        assert mine.get(0) == 1, "each landmark is at distance 0 from itself"
+        assert all(0 <= d <= 4 for d in mine)
+        assert all(n >= 1 for n in mine.values())
