@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "q306_streaming_sprt_drain",
     "q307_grouped_conformal",
     "q308_landmark_bfs",
+    "q309_heaps_law",
 ]
 
 

@@ -19520,3 +19520,136 @@ def q308_landmark_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("seed", F.col("dist").cast("long").alias("dist")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+@query(
+    "q309_heaps_law",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    nn AS (SELECT count(*) AS n_docs FROM ranked),
+    toks AS (
+      SELECT r.rk, unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS term
+      FROM documents d JOIN ranked r USING (doc_id) WHERE trim(d.text) <> ''
+    ),
+    first_occ AS (SELECT term, min(rk) AS fr FROM toks GROUP BY 1),
+    cuts AS (
+      SELECT k, (nn.n_docs * k + 9) // 10 AS boundary
+      FROM (SELECT unnest(generate_series(1, 10)) AS k) CROSS JOIN nn
+    ),
+    pts AS (
+      SELECT cuts.k,
+             CAST((SELECT sum(n_tok) FROM ranked WHERE rk <= cuts.boundary)
+                  AS BIGINT) AS tokens,
+             CAST((SELECT count(*) FROM first_occ WHERE fr <= cuts.boundary)
+                  AS BIGINT) AS types
+      FROM cuts
+    ),
+    lg AS (
+      SELECT k, tokens, types,
+             CAST(round(ln(tokens), 12) AS DECIMAL(38,12)) AS x,
+             CAST(round(ln(types), 12) AS DECIMAL(38,12)) AS y
+      FROM pts
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM lg
+    )
+    SELECT lg.k, lg.tokens, lg.types,
+           round((fit.n * fit.sxy - fit.sx * fit.sy)
+                 / (fit.n * fit.sxx - fit.sx * fit.sx), 6) AS heaps_beta,
+           round(exp((fit.sy - (fit.n * fit.sxy - fit.sx * fit.sy)
+                 / (fit.n * fit.sxx - fit.sx * fit.sx) * fit.sx) / fit.n), 6)
+             AS heaps_k
+    FROM lg CROSS JOIN fit
+    """,
+)
+def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): distinct-type count
+    vs cumulative token count at 10 document-prefix checkpoints, with the
+    log-log OLS exponent beta and coefficient K — the curve that tells a
+    tokenizer/vocab-sizing pass how fast NEW types keep appearing as the
+    corpus grows (beta near 1 = unbounded novelty, small beta = vocabulary
+    saturating). Types-at-prefix needs NO per-prefix distinct pass: each
+    term's FIRST-occurrence document rank is one groupBy, and
+    types(prefix) = count(first_rank <= boundary). Sums in the OLS fold
+    as DECIMAL(38,12) of 12-dp-rounded terms (10 points), so both engines
+    agree digit-for-digit.
+
+    100 TB story: one tokenize pass feeds doc lengths and first
+    occurrences (map-side min); checkpoints are 10 scalars; the fit runs
+    on a 10-row frame. Nothing is per-prefix re-scanned.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    ranked = d.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rk"),
+        F.size(text.tokens(F.col("text"))).alias("n_tok"),
+        "text",
+    ).localCheckpoint(eager=True)
+    n_docs = ranked.count()
+    toks = ranked.select("rk", F.explode(text.tokens(F.col("text"))).alias("term"))
+    first_occ = toks.groupBy("term").agg(F.min("rk").alias("fr"))
+    cuts = spark.range(1, 11).select(
+        F.col("id").alias("k"),
+        ((F.lit(n_docs) * F.col("id") + 9) / 10).cast("long").alias("boundary"),
+    )
+    lens = ranked.select("rk", "n_tok")
+    pts = (
+        cuts.join(F.broadcast(lens), F.col("rk") <= F.col("boundary"))
+        .groupBy("k", "boundary")
+        .agg(F.sum("n_tok").cast("long").alias("tokens"))
+        .join(
+            cuts.join(F.broadcast(first_occ), F.col("fr") <= F.col("boundary"))
+            .groupBy(F.col("k").alias("k2"))
+            .agg(F.count(F.lit(1)).cast("long").alias("types")),
+            F.col("k") == F.col("k2"),
+        )
+        .select("k", "tokens", "types")
+    )
+    lg = pts.select(
+        "k",
+        "tokens",
+        "types",
+        F.round(F.log("tokens"), 12).cast("decimal(38,12)").alias("x"),
+        F.round(F.log("types"), 12).cast("decimal(38,12)").alias("y"),
+    ).localCheckpoint(eager=True)
+    fit = lg.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return lg.crossJoin(F.broadcast(fit)).select(
+        "k",
+        "tokens",
+        "types",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6).alias(
+            "heaps_k"
+        ),
+    )

@@ -258,3 +258,20 @@ def test_landmark_bfs_census_is_sane(spark):
         assert mine.get(0) == 1, "each landmark is at distance 0 from itself"
         assert all(0 <= d <= 4 for d in mine)
         assert all(n >= 1 for n in mine.values())
+
+
+def test_heaps_law_curve_is_monotone_and_beta_in_range(spark):
+    from phoebe_spark.queries import QUERIES
+
+    rows = sorted(QUERIES["q309_heaps_law"](spark, SF).collect(), key=lambda r: r.k)
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert b.tokens >= a.tokens and b.types >= a.types
+    betas = {r.heaps_beta for r in rows}
+    assert len(betas) == 1
+    beta = betas.pop()
+    # types never grow faster than tokens; at sf0.001 the synthetic
+    # vocabulary saturates inside the first prefix, so beta == 0 is the
+    # honest floor there
+    assert 0.0 <= beta <= 1.0
+    assert rows[0].heaps_k > 0
