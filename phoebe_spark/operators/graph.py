@@ -189,6 +189,8 @@ def eigencentrality(edges: DataFrame, iters: int = 5) -> DataFrame:
     one grouped decimal sum shuffled on the node id, localCheckpointed so
     the plan is round-count-independent.
     """
+    if iters < 1:
+        raise ValueError(f"eigencentrality needs iters >= 1, got {iters}")
     nodes = edges.select(F.col("src").alias("n")).distinct()
     n_nodes = nodes.count()
     v = nodes.select(

@@ -386,8 +386,8 @@ def q16_ts_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
-           round(covar_pop(xs, value) / var_pop(xs) * 86400, 6) AS slope_per_day,
-           round(avg(value) - covar_pop(xs, value) / var_pop(xs) * avg(xs), 6) AS intercept
+           round(covar_pop(xs, value) / var_pop(xs) * 86400, 6) + 0.0 AS slope_per_day,
+           round(avg(value) - covar_pop(xs, value) / var_pop(xs) * avg(xs), 6) + 0.0 AS intercept
     FROM x GROUP BY event_type
     """,
 )
@@ -401,8 +401,8 @@ def q17_ts_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ts_agg.slope_intercept(e, keys=["event_type"])
     return s.select(
         "event_type",
-        F.round(F.col("slope") * 86400, 6).alias("slope_per_day"),
-        F.round("intercept", 6).alias("intercept"),
+        (F.round(F.col("slope") * 86400, 6) + F.lit(0.0)).alias("slope_per_day"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
     )
 
 
@@ -1169,7 +1169,7 @@ def q33_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            round(avg(over), 6) AS bck_pres_per,
-           round(covar_pop(x, value) / var_pop(x) * 86400, 6) AS lat_slope_per_day,
+           round(covar_pop(x, value) / var_pop(x) * 86400, 6) + 0.0 AS lat_slope_per_day,
            (avg(over) = 1.0 OR (avg(over) > 0 AND covar_pop(x, value) / var_pop(x) * 86400 > 1
                                 AND avg(value) > 50)) AS is_bck_pres
     FROM s GROUP BY event_type
@@ -1189,7 +1189,7 @@ def q34_backpressure_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = F.covar_pop(F.col("x"), F.col("value")) / F.var_pop(F.col("x")) * 86400
     return e.groupBy("event_type").agg(
         F.round(F.avg("over"), 6).alias("bck_pres_per"),
-        F.round(slope, 6).alias("lat_slope_per_day"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("lat_slope_per_day"),
         (
             (F.avg("over") == 1.0)
             | ((F.avg("over") > 0) & (slope > 1) & (F.avg("value") > 50))
@@ -3254,7 +3254,7 @@ def q85_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s WHERE rn % greatest(1, CAST(floor(n / 120.0) AS BIGINT)) = 0),
     p AS (SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS slope
           FROM d a JOIN d b ON a.event_type = b.event_type AND a.t < b.t)
-    SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+    SELECT event_type, round(quantile_cont(slope, 0.5), 6) + 0.0 AS ts_slope,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM p GROUP BY event_type
     """,
@@ -3268,7 +3268,9 @@ def q86_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _minutely(spark, sf_dir)
     out = ts_agg.theil_sen(m, "event_type", "minute", "v", max_points=120)
     return out.select(
-        "event_type", F.round("ts_slope", 6).alias("ts_slope"), "n_pairs"
+        "event_type",
+        (F.round("ts_slope", 6) + F.lit(0.0)).alias("ts_slope"),
+        "n_pairs",
     )
 
 
@@ -3279,8 +3281,8 @@ def q86_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE trim(text) <> ''),
     c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
     r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank FROM c)
-    SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
-           round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+    SELECT round(regr_slope(ln(cnt), ln(rank)), 6) + 0.0 AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rank)), 6) + 0.0 AS zipf_intercept,
            CAST(count(*) AS BIGINT) AS n_terms
     FROM r
     """,
@@ -3294,8 +3296,8 @@ def q87_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = text.zipf_slope(d)
     return out.select(
-        F.round("zipf_slope", 6).alias("zipf_slope"),
-        F.round("zipf_intercept", 6).alias("zipf_intercept"),
+        (F.round("zipf_slope", 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round("zipf_intercept", 6) + F.lit(0.0)).alias("zipf_intercept"),
         "n_terms",
     )
 
@@ -5414,8 +5416,8 @@ def q130_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
     r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank FROM c)
     SELECT CAST(count(*) AS BIGINT) AS vocab_size,
-           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
-           round(regr_r2(ln(n), ln(rank)), 6) AS r2
+           round(regr_slope(ln(n), ln(rank)), 6) + 0.0 AS zipf_slope,
+           round(regr_r2(ln(n), ln(rank)), 6) + 0.0 AS r2
     FROM r
     """,
 )
@@ -5441,8 +5443,10 @@ def q131_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = c.select("n", F.row_number().over(w).alias("rank"))
     return r.agg(
         F.count(F.lit(1)).alias("vocab_size"),
-        F.round(F.expr("regr_slope(ln(n), ln(rank))"), 6).alias("zipf_slope"),
-        F.round(F.expr("regr_r2(ln(n), ln(rank))"), 6).alias("r2"),
+        (F.round(F.expr("regr_slope(ln(n), ln(rank))"), 6) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        (F.round(F.expr("regr_r2(ln(n), ln(rank))"), 6) + F.lit(0.0)).alias("r2"),
     )
 
 
@@ -9146,7 +9150,7 @@ def q190_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(day % 7 AS INT) AS dow,
            CAST(count(*) AS BIGINT) AS n_days,
            round(CAST(sum(CAST(v - trend AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6)
-             AS seasonal
+             + 0.0 AS seasonal
     FROM tr WHERE wn = 7
     GROUP BY event_type, CAST(day % 7 AS INT)
     """,
@@ -9194,10 +9198,15 @@ def q191_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.groupBy("event_type", (F.col("day") % 7).cast("int").alias("dow"))
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(
-                F.sum((F.col("v") - F.col("trend")).cast("decimal(27,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.round(
+                    F.sum(
+                        (F.col("v") - F.col("trend")).cast("decimal(27,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("seasonal"),
         )
     )
@@ -16102,10 +16111,10 @@ def _q273_holt_oracle(T: int = 30, a: float = 0.5, g: float = 0.3, keyed: bool =
     series AS (SELECT k, list(c ORDER BY d) AS xs FROM dense GROUP BY 1),
     {chain}
     SELECT k AS event_type,
-           round(l, 6) AS level, round(b, 6) AS trend,
-           round(l + 1 * b, 6) AS f1,
-           round(l + 2 * b, 6) AS f2,
-           round(l + 3 * b, 6) AS f3
+           round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+           round(l + 1 * b, 6) + 0.0 AS f1,
+           round(l + 2 * b, 6) + 0.0 AS f2,
+           round(l + 3 * b, 6) + 0.0 AS f3
     FROM {last}
     """
     return f"""
@@ -16122,10 +16131,10 @@ def _q273_holt_oracle(T: int = 30, a: float = 0.5, g: float = 0.3, keyed: bool =
     ),
     series AS (SELECT list(c ORDER BY d) AS xs FROM dense),
     {chain}
-    SELECT round(l, 6) AS level, round(b, 6) AS trend,
-           round(l + 1 * b, 6) AS f1,
-           round(l + 2 * b, 6) AS f2,
-           round(l + 3 * b, 6) AS f3
+    SELECT round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+           round(l + 1 * b, 6) + 0.0 AS f1,
+           round(l + 2 * b, 6) + 0.0 AS f2,
+           round(l + 3 * b, 6) + 0.0 AS f3
     FROM {last}
     """
 
@@ -16178,11 +16187,11 @@ def q273_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = series.select(state.alias("st"))
     return out.select(
-        F.round(F.col("st.l"), 6).alias("level"),
-        F.round(F.col("st.b"), 6).alias("trend"),
-        F.round(F.col("st.l") + 1 * F.col("st.b"), 6).alias("f1"),
-        F.round(F.col("st.l") + 2 * F.col("st.b"), 6).alias("f2"),
-        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("f3"),
+        (F.round(F.col("st.l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("st.b"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("st.l") + 1 * F.col("st.b"), 6) + F.lit(0.0)).alias("f1"),
+        (F.round(F.col("st.l") + 2 * F.col("st.b"), 6) + F.lit(0.0)).alias("f2"),
+        (F.round(F.col("st.l") + 3 * F.col("st.b"), 6) + F.lit(0.0)).alias("f3"),
     )
 
 
@@ -16235,11 +16244,11 @@ def q274_holt_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = series.select(F.col("k").alias("event_type"), state.alias("st"))
     return out.select(
         "event_type",
-        F.round(F.col("st.l"), 6).alias("level"),
-        F.round(F.col("st.b"), 6).alias("trend"),
-        F.round(F.col("st.l") + 1 * F.col("st.b"), 6).alias("f1"),
-        F.round(F.col("st.l") + 2 * F.col("st.b"), 6).alias("f2"),
-        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("f3"),
+        (F.round(F.col("st.l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("st.b"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("st.l") + 1 * F.col("st.b"), 6) + F.lit(0.0)).alias("f1"),
+        (F.round(F.col("st.l") + 2 * F.col("st.b"), 6) + F.lit(0.0)).alias("f2"),
+        (F.round(F.col("st.l") + 3 * F.col("st.b"), 6) + F.lit(0.0)).alias("f3"),
     )
 
 
@@ -16326,11 +16335,11 @@ def q275_streaming_holt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select(
                 F.col("key").alias("event_type"),
-                F.round("level", 6).alias("level"),
-                F.round("trend", 6).alias("trend"),
-                F.round(F.col("level") + 1 * F.col("trend"), 6).alias("f1"),
-                F.round(F.col("level") + 2 * F.col("trend"), 6).alias("f2"),
-                F.round(F.col("level") + 3 * F.col("trend"), 6).alias("f3"),
+                (F.round("level", 6) + F.lit(0.0)).alias("level"),
+                (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+                (F.round(F.col("level") + 1 * F.col("trend"), 6) + F.lit(0.0)).alias("f1"),
+                (F.round(F.col("level") + 2 * F.col("trend"), 6) + F.lit(0.0)).alias("f2"),
+                (F.round(F.col("level") + 3 * F.col("trend"), 6) + F.lit(0.0)).alias("f3"),
             )
         )
         rows = final.collect()
@@ -17187,7 +17196,7 @@ def _q284_hw_oracle(T: int = 28, m: int = 7, a: float = 0.4, b: float = 0.2, g: 
         )
     chain = ",\n    ".join(ctes)
     fcs = ", ".join(
-        f"round(l + {h} * b + s{h}, 6) AS f{h}" for h in range(1, m + 1)
+        f"round(l + {h} * b + s{h}, 6) + 0.0 AS f{h}" for h in range(1, m + 1)
     )
     return f"""
     WITH hc AS (
@@ -17207,7 +17216,8 @@ def _q284_hw_oracle(T: int = 28, m: int = 7, a: float = 0.4, b: float = 0.2, g: 
     ),
     series AS (SELECT k, list(c ORDER BY d) AS xs FROM dense GROUP BY 1),
     {chain}
-    SELECT k AS event_type, round(l, 6) AS level, round(b, 6) AS trend, {fcs}
+    SELECT k AS event_type, round(l, 6) + 0.0 AS level,
+           round(b, 6) + 0.0 AS trend, {fcs}
     FROM w{T}_r
     """
 
@@ -17286,13 +17296,19 @@ def q284_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = series.select(F.col("k").alias("event_type"), st.alias("st"))
     cols = [
         "event_type",
-        F.round(F.col("st.l"), 6).alias("level"),
-        F.round(F.col("st.b"), 6).alias("trend"),
+        (F.round(F.col("st.l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("st.b"), 6) + F.lit(0.0)).alias("trend"),
     ]
     for h in range(1, m + 1):
         cols.append(
-            F.round(
-                F.col("st.l") + h * F.col("st.b") + F.element_at(F.col("st.s"), h), 6
+            (
+                F.round(
+                    F.col("st.l")
+                    + h * F.col("st.b")
+                    + F.element_at(F.col("st.s"), h),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias(f"f{h}")
         )
     return out.select(*cols)
@@ -19565,9 +19581,9 @@ def q308_landmark_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lg.k, lg.tokens, lg.types,
            round((fit.n * fit.sxy - fit.sx * fit.sy)
-                 / (fit.n * fit.sxx - fit.sx * fit.sx), 6) AS heaps_beta,
+                 / (fit.n * fit.sxx - fit.sx * fit.sx), 6) + 0.0 AS heaps_beta,
            round(exp((fit.sy - (fit.n * fit.sxy - fit.sx * fit.sy)
-                 / (fit.n * fit.sxx - fit.sx * fit.sx) * fit.sx) / fit.n), 6)
+                 / (fit.n * fit.sxx - fit.sx * fit.sx) * fit.sx) / fit.n), 6) + 0.0
              AS heaps_k
     FROM lg CROSS JOIN fit
     """,
@@ -19648,8 +19664,9 @@ def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "tokens",
         "types",
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6).alias(
-            "heaps_k"
-        ),
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (
+            F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6)
+            + F.lit(0.0)
+        ).alias("heaps_k"),
     )

@@ -859,6 +859,12 @@ def streaming_burn_rate(
         out = []
         for row in batch.sort_values("hr").itertuples(index=False):
             hr, n, er = int(row.hr), int(row.n), int(row.errs)
+            if n <= 0:
+                continue  # empty hour: no traffic, no burn signal
+            if hrs and hr < hrs[-1]:
+                continue  # late/out-of-order hour: the ring eviction below
+                # assumes monotone hours, so folding it in would silently
+                # corrupt the trailing window — drop it (documented policy)
             hrs.append(hr)
             ns.append(n)
             errs.append(er)

@@ -206,3 +206,11 @@ def test_dtw_lower_bounded_by_warping(spark):
         assert dtw[u] <= eucl[u] + 1e-6, u
     # warping must actually help somewhere (strict inequality exists)
     assert any(dtw[u] < eucl[u] - 1e-6 for u in shared)
+
+
+def test_eigencentrality_rejects_zero_iters(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters >= 1"):
+        graph.eigencentrality(edges, iters=0)
