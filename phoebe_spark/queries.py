@@ -19670,3 +19670,688 @@ def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("heaps_k"),
     )
+
+
+@query(
+    "q310_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, v,
+             count(*) FILTER (WHERE arm = 0) AS c0,
+             count(*) FILTER (WHERE arm = 1) AS c1
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v,
+             sum(c0) OVER w AS f0, sum(c1) OVER w AS f1,
+             sum(c0) OVER p AS n0, sum(c1) OVER p AS n1
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    ),
+    top AS (
+      SELECT event_type, v, n0, n1,
+             abs(f0 * n1 - f1 * n0) AS dn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(f0 * n1 - f1 * n0) DESC, v ASC)
+               AS rk
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(dn * 1.0 / (n0 * n1), 6) AS ks_d,
+           round(v, 6) AS ks_at,
+           CASE WHEN dn * 1.0 / (n0 * n1)
+                     > 1.358 * sqrt((n0 + n1) * 1.0 / (n0 * n1))
+                THEN 1 ELSE 0 END AS reject_h0
+    FROM top WHERE rk = 1
+    """,
+)
+def q310_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type between the two
+    deterministic A/B arms (user_id parity, the q281 split): D = max over
+    the pooled support of |ECDF_0 - ECDF_1|, reported with the value at
+    which the gap peaks and the alpha=0.05 decision (c(0.05)=1.358
+    two-sample critical value). Completes the q281/q287 two-sample ladder
+    with the DISTRIBUTION-level test: Welch sees means, Mann-Whitney sees
+    ranks, KS sees any shape difference — the drift test a data pipeline
+    runs between yesterday's and today's corpus.
+
+    Exactness: the ECDF gap is kept as the INTEGER cross-product
+    |F0*n1 - F1*n0| until the single final division, so the argmax and
+    the decision are exact in both engines; the window is a per-type
+    frame over DISTINCT values (the documented distinct-value-frame
+    exception to the no-global-sort rule).
+
+    100 TB story: one map-side-combining groupBy(type, value) collapses
+    the fact table to the distinct-value support before any window; the
+    cumulative frame sorts support values per type, never raw rows.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.col("value").alias("v"),
+    )
+    g = s.groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        "v",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c0").over(p).alias("n0"),
+        F.sum("c1").over(p).alias("n1"),
+    )
+    dn = F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))
+    top = cum.select(
+        "event_type",
+        "v",
+        "n0",
+        "n1",
+        dn.alias("dn"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(dn.desc(), F.asc("v")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    ks = F.col("dn") * 1.0 / (F.col("n0") * F.col("n1"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n0") + F.col("n1")) * 1.0 / (F.col("n0") * F.col("n1"))
+    )
+    return top.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(ks, 6).alias("ks_d"),
+        F.round("v", 6).alias("ks_at"),
+        F.when(ks > crit, 1).otherwise(0).alias("reject_h0"),
+    )
+
+
+@query(
+    "q311_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, sign(b.c - a.c) AS sg
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2)
+      WHERE t > 1 GROUP BY 1
+    ),
+    v AS (
+      SELECT nn.event_type, nn.n, s.s_stat,
+             (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+              - coalesce(ties.tie_term, 0)) / 18.0 AS var_s
+      FROM nn JOIN s ON s.event_type = nn.event_type
+      LEFT JOIN ties ON ties.event_type = nn.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN var_s = 0 THEN 0.0
+                      WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) + 0.0 AS z,
+           CASE WHEN var_s > 0 AND s_stat > 0
+                     AND (s_stat - 1) / sqrt(var_s) > 1.96 THEN 'increasing'
+                WHEN var_s > 0 AND s_stat < 0
+                     AND (s_stat + 1) / sqrt(var_s) < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v
+    """,
+)
+def q311_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test (Mann 1945, Kendall 1975)
+    per event type over the daily count series: S = sum of pairwise
+    signs, tie-corrected variance, and the continuity-corrected normal
+    z — the SIGNIFICANCE companion to the Theil-Sen slope (q86: how
+    steep; this: is it real). S and the tie term are exact integers,
+    var_s an exact rational/18, so both engines agree digit-for-digit.
+
+    100 TB story: the pair join runs on the O(days) per-key AGGREGATE
+    (30 rows/key -> 435 pairs/key, bounded however large the fact table
+    grows); ties come from one more grouped count of the same rollup.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("(ts div 1000000000) div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long")).alias("s_stat"))
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("tie_term"), F.lit(0))
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("var_s") == 0, F.lit(0.0))
+        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        F.when((F.col("var_s") > 0) & (z > 1.96), "increasing")
+        .when((F.col("var_s") > 0) & (z < -1.96), "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+@query(
+    "q312_jsd_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+           FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+    ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM ct),
+    cell AS (
+      SELECT st.source,
+             st.n_st * 1.0 / ns.n_s AS p,
+             ct.n_t * 1.0 / tot.n AS q
+      FROM st JOIN ns ON ns.source = st.source
+              JOIN ct ON ct.term = st.term
+              CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CAST(round(p * ln(p / ((p + q) / 2)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS kl_p,
+             CAST(sum(CAST(round(q * ln(q / ((p + q) / 2)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS kl_q_in,
+             CAST(sum(CAST(round(q, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS q_cov
+      FROM cell GROUP BY 1
+    )
+    SELECT agg.source, agg.n_terms, ns.n_s AS n_tokens,
+           round(0.5 * kl_p + 0.5 * (kl_q_in + (1 - q_cov) * ln(2)), 6) + 0.0
+             AS jsd_nats,
+           round((0.5 * kl_p + 0.5 * (kl_q_in + (1 - q_cov) * ln(2))) / ln(2),
+                 6) + 0.0 AS jsd_bits
+    FROM agg JOIN ns ON ns.source = agg.source
+    """,
+)
+def q312_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the whole-corpus distribution — the symmetric,
+    bounded ([0, ln 2]) cousin of the KL skew signal: a curation
+    dashboard ranks sources by how far their token mix sits from the
+    corpus mix (high JSD = domain-shifted source worth reweighting;
+    cf. the DSIR importance weights, q-family curation.py). Terms the
+    source never emits contribute exactly q*ln(2) to KL(Q||M), folded
+    closed-form via the source's covered corpus mass — no outer join
+    over the full vocabulary per source.
+
+    Determinism: per-term contributions are 12-dp-quantized
+    DECIMAL(38,12) folds (the established big-fold policy), so the
+    vocabulary-sized sums agree across engines and partitionings.
+
+    100 TB story: three map-side-combining groupBys bounded by
+    (source x term), source count, and vocabulary; the scoring join is
+    key-to-key on the term — the corpus never self-joins.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
+    ns = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    ct = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    tot = ct.agg(F.sum("n_t").alias("n"))
+    cell = (
+        st.join(ns, "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (F.col("n_st") * 1.0 / F.col("n_s")).alias("p"),
+            (F.col("n_t") * 1.0 / F.col("n")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    agg = cell.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(
+            F.round(F.col("p") * F.log(F.col("p") / m), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("kl_p"),
+        F.sum(
+            F.round(F.col("q") * F.log(F.col("q") / m), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("kl_q_in"),
+        F.sum(F.round(F.col("q"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("q_cov"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    jsd = 0.5 * F.col("kl_p") + 0.5 * (
+        F.col("kl_q_in") + (1 - F.col("q_cov")) * ln2
+    )
+    return agg.join(ns, "source").select(
+        "source",
+        "n_terms",
+        F.col("n_s").alias("n_tokens"),
+        (F.round(jsd, 6) + F.lit(0.0)).alias("jsd_nats"),
+        (F.round(jsd / ln2, 6) + F.lit(0.0)).alias("jsd_bits"),
+    )
+
+
+@query(
+    "q314_cramers_v",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    langs AS (SELECT DISTINCT lang FROM c),
+    srcs AS (SELECT DISTINCT source FROM c),
+    grid AS (
+      SELECT l.lang, s.source, coalesce(c.o, 0) AS o
+      FROM langs l CROSS JOIN srcs s
+      LEFT JOIN c ON c.lang = l.lang AND c.source = s.source
+    ),
+    rt AS (SELECT lang, sum(o) AS r FROM grid GROUP BY 1),
+    ctot AS (SELECT source, sum(o) AS col_n FROM grid GROUP BY 1),
+    n AS (SELECT sum(o) AS n,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM grid),
+    chi AS (
+      SELECT CAST(sum(CAST(round(
+               (g.o - rt.r * ctot.col_n * 1.0 / n.n)
+               * (g.o - rt.r * ctot.col_n * 1.0 / n.n)
+               / (rt.r * ctot.col_n * 1.0 / n.n), 12)
+             AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+      FROM grid g JOIN rt ON rt.lang = g.lang
+           JOIN ctot ON ctot.source = g.source
+           CROSS JOIN n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_docs, n.n_langs, n.n_sources,
+           round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (n.n * least(n.n_langs - 1,
+                                              n.n_sources - 1))), 6)
+             AS cramers_v
+    FROM chi CROSS JOIN n
+    """,
+)
+def q314_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence + Cramér's V effect size over the
+    lang x source contingency table of the documents corpus — the
+    one-number answer to "does language mix depend on source?" that a
+    mixture-balancing pass checks before reweighting (V near 0 =
+    sources share a language profile; near 1 = languages are
+    source-segregated). ZERO cells matter: the grid is the full
+    langs x sources cross product (bounded, tens of cells) with
+    coalesce(0), because an absent pair still contributes E to chi2.
+
+    Determinism: observed counts and marginals are exact integers;
+    the per-cell (O-E)^2/E terms fold as 12-dp DECIMAL(38,12).
+
+    100 TB story: one map-side-combining groupBy(lang, source)
+    collapses the corpus; everything after runs on the tiny grid.
+    """
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    langs = c.select("lang").distinct()
+    srcs = c.select("source").distinct()
+    grid = (
+        langs.crossJoin(srcs)
+        .join(c, ["lang", "source"], "left")
+        .select("lang", "source", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    rt = grid.groupBy("lang").agg(F.sum("o").alias("r"))
+    ctot = grid.groupBy("source").agg(F.sum("o").alias("col_n"))
+    n = grid.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    e_exp = F.col("r") * F.col("col_n") * 1.0 / F.col("n")
+    chi = (
+        grid.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ctot), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("o") - e_exp) * (F.col("o") - e_exp) / e_exp, 12
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("chi2")
+        )
+    )
+    return chi.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def _q313_ph_oracle(T: int = 30, delta: float = 5.0, lam: float = 200.0) -> str:
+    """Generated oracle for q313: the Page-Hinkley recursion unrolled as
+    one CTE per day (the Holt/DTW generated-chain treatment). Each step's
+    nmean/nu/nminu/nalarm are lateral aliases evaluated left-to-right, so
+    the float sequence is identical op for op to the engine-side
+    ``aggregate`` fold (mean + (x - mean)/t, then u + x - mean_t - delta,
+    both left-associated in both engines)."""
+    ctes = [
+        "p0_r AS (SELECT k, xs, CAST(0.0 AS DOUBLE) AS mean,"
+        " CAST(0.0 AS DOUBLE) AS u, CAST(0.0 AS DOUBLE) AS minu,"
+        " CAST(0 AS BIGINT) AS alarm FROM series)"
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"p{t} AS (SELECT k, xs, "
+            f"mean + (xs[{t}] - mean) / {t} AS nmean, "
+            f"u + xs[{t}] - (mean + (xs[{t}] - mean) / {t}) - {delta} AS nu, "
+            f"least(minu, u + xs[{t}] - (mean + (xs[{t}] - mean) / {t})"
+            f" - {delta}) AS nminu, "
+            f"CASE WHEN alarm = 0 AND (u + xs[{t}] - (mean + (xs[{t}] - mean)"
+            f" / {t}) - {delta}) - least(minu, u + xs[{t}] - (mean +"
+            f" (xs[{t}] - mean) / {t}) - {delta}) > {lam}"
+            f" THEN {t} ELSE alarm END AS nalarm "
+            f"FROM p{t - 1}_r)"
+        )
+        ctes.append(
+            f"p{t}_r AS (SELECT k, xs, nmean AS mean, nu AS u,"
+            f" nminu AS minu, CAST(nalarm AS BIGINT) AS alarm FROM p{t})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH hc AS (
+      SELECT event_type AS k,
+             epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo FROM hc),
+    keys AS (SELECT DISTINCT k FROM hc),
+    grid AS (SELECT keys.k, g.d, b.lo
+             FROM keys CROSS JOIN (SELECT unnest(generate_series(0, {T - 1})) AS d) g,
+                  bounds b),
+    dense AS (
+      SELECT g.k, g.d, coalesce(hc.c, 0.0) AS c
+      FROM grid g LEFT JOIN hc ON hc.k = g.k AND hc.day = g.lo + g.d
+    ),
+    series AS (SELECT k, list(c ORDER BY d) AS xs FROM dense GROUP BY 1),
+    {chain}
+    SELECT k AS event_type, CAST({T} AS BIGINT) AS n_days,
+           round(mean, 6) + 0.0 AS mean,
+           round(u, 6) + 0.0 AS u,
+           round(minu, 6) + 0.0 AS min_u,
+           round(u - minu, 6) + 0.0 AS ph_stat,
+           alarm AS alarm_day
+    FROM p{T}_r
+    """
+
+
+@query("q313_page_hinkley", oracle=_q313_ph_oracle())
+def q313_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector (Page 1954; Hinkley 1971 — the
+    standard drift test in streaming-ML monitoring) per event type over
+    the 30-day daily count series: the cumulative deviation from the
+    RUNNING mean, U_t = U_{t-1} + x_t - mean_t - delta, alarms at the
+    first t where U_t - min(U) exceeds lambda — the change detector a
+    data pipeline runs on ingest volume per source. The sequential
+    recursion folds in ONE codegen `aggregate` over the day array
+    engine-side; the oracle replays it as a generated 30-step CTE chain
+    with the identical float-op order, so the statistic matches
+    digit-for-digit (the q273 Holt treatment applied to drift
+    detection). Complements CUSUM (known target mean) with the
+    self-calibrating running-mean form.
+
+    100 TB story: input is the O(days) per-key rollup (map-side); the
+    fold is a per-row array op — a million series drift-check as one
+    groupBy + one codegen aggregate, no iteration joins.
+    """
+    e = _t(spark, sf_dir, "events")
+    T, delta, lam = 30, 5.0, 200.0
+    hc = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lo = hc.agg(F.min("day").alias("lo"))
+    keys = hc.select("k").distinct()
+    grid = keys.crossJoin(
+        F.broadcast(
+            lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+        )
+    )
+    dense = grid.join(
+        hc, (grid.k == hc.k) & (grid.lo + grid.d == hc.day), "left"
+    ).select(grid.k, grid.d, F.coalesce("c", F.lit(0.0)).alias("c"))
+    series = dense.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs")
+    )
+
+    def _step(acc, x):
+        t = acc["t"] + 1
+        nmean = acc["mean"] + (x - acc["mean"]) / t
+        nu = acc["u"] + x - nmean - F.lit(delta)
+        nminu = F.least(acc["minu"], nu)
+        nalarm = (
+            F.when((acc["alarm"] == 0) & (nu - nminu > F.lit(lam)), t.cast("long"))
+            .otherwise(acc["alarm"])
+        )
+        return F.struct(
+            t.alias("t"),
+            nmean.alias("mean"),
+            nu.alias("u"),
+            nminu.alias("minu"),
+            nalarm.alias("alarm"),
+        )
+
+    state = F.aggregate(
+        F.col("xs"),
+        F.struct(
+            F.lit(0).cast("long").alias("t"),
+            F.lit(0.0).alias("mean"),
+            F.lit(0.0).alias("u"),
+            F.lit(0.0).alias("minu"),
+            F.lit(0).cast("long").alias("alarm"),
+        ),
+        _step,
+    )
+    out = series.select(F.col("k").alias("event_type"), state.alias("st"))
+    return out.select(
+        "event_type",
+        F.lit(T).cast("long").alias("n_days"),
+        (F.round(F.col("st.mean"), 6) + F.lit(0.0)).alias("mean"),
+        (F.round(F.col("st.u"), 6) + F.lit(0.0)).alias("u"),
+        (F.round(F.col("st.minu"), 6) + F.lit(0.0)).alias("min_u"),
+        (F.round(F.col("st.u") - F.col("st.minu"), 6) + F.lit(0.0)).alias(
+            "ph_stat"
+        ),
+        F.col("st.alarm").alias("alarm_day"),
+    )
+
+
+@query("q315_streaming_page_hinkley_drain", oracle=None)
+def q315_streaming_page_hinkley_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Page-Hinkley drift detection drained in the hash-checked
+    gate — q313's recursion as a stateful operator
+    (:func:`stateful.streaming_page_hinkley`): the per-key daily series
+    arrives as three sequence-ordered micro-batches (days 0-9, 10-19,
+    20-29), the (t, mean, U, min U, alarm) state folds ACROSS batches,
+    and the final state must match q313's generated CTE-chain oracle
+    digit-for-digit. Batch array fold and cross-batch stateful stream:
+    two execution forms, one drift answer — the q273/q275 equivalence
+    class applied to change detection, which is exactly how a corpus
+    ingest monitor runs PH continuously instead of re-scanning history.
+
+    Scale: state is 5 scalars per key; each micro-batch does O(new
+    rows) work — drift monitoring over unbounded streams at O(1) memory
+    per series.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_page_hinkley
+
+    e = _t(spark, sf_dir, "events")
+    T, delta, lam = 30, 5.0, 200.0
+    hc = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lo = hc.agg(F.min("day").alias("lo"))
+    keys = hc.select("k").distinct()
+    grid = keys.crossJoin(
+        F.broadcast(
+            lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+        )
+    )
+    dense = grid.join(
+        hc, (grid.k == hc.k) & (grid.lo + grid.d == hc.day), "left"
+    ).select(
+        grid.k, grid.d.cast("int").alias("d"), F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+
+    work = tempfile.mkdtemp(prefix="q315_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        for i, (d_lo, d_hi) in enumerate(((0, 10), (10, 20), (20, 30)), start=1):
+            part = dense.filter((F.col("d") >= d_lo) & (F.col("d") < d_hi))
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("k STRING, d INT, c DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_page_hinkley(stream, delta=delta, lam=lam, key_col="k")
+        sink = f"{work}/ph"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q315: streaming Page-Hinkley drain did not finish within"
+                " 300 s — refusing to report a partial drift state"
+            )
+        states = spark.read.parquet(sink)
+        final = (
+            states.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy(F.col("n").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("key").alias("event_type"),
+                F.col("n").alias("n_days"),
+                (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+                (F.round("u", 6) + F.lit(0.0)).alias("u"),
+                (F.round("min_u", 6) + F.lit(0.0)).alias("min_u"),
+                (F.round(F.col("u") - F.col("min_u"), 6) + F.lit(0.0)).alias(
+                    "ph_stat"
+                ),
+                F.col("alarm").alias("alarm_day"),
+            )
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the streaming drain must reproduce the batch detector's oracle exactly —
+# batch array fold and cross-batch state are two forms of one computation
+ORACLE["q315_streaming_page_hinkley_drain"] = ORACLE["q313_page_hinkley"]

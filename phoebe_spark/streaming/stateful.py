@@ -959,3 +959,75 @@ def streaming_sprt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PH_OUTPUT_SCHEMA = (
+    "key STRING, n LONG, mean DOUBLE, u DOUBLE, min_u DOUBLE, alarm LONG"
+)
+PH_STATE_SCHEMA = "t LONG, mean DOUBLE, u DOUBLE, minu DOUBLE, alarm LONG"
+
+
+def streaming_page_hinkley(
+    stream: DataFrame,
+    delta: float,
+    lam: float,
+    key_col: str = "key",
+    seq_col: str = "d",
+    value_col: str = "c",
+) -> DataFrame:
+    """Page-Hinkley mean-shift detector (Page 1954, Hinkley 1971) as a
+    STREAMING stateful operator: per key, the running-mean cumulative
+    deviation U_t and its running minimum fold across micro-batches in
+    exactly the batch array fold's float-op order —
+    mean_t = mean + (x - mean)/t, U_t = U + x - mean_t - delta,
+    alarm at the FIRST t where U_t - min(U) > lambda. Rows apply in
+    ``seq_col`` order within a batch; cross-batch order comes from the
+    staged source. Emits the post-batch state per key in update mode —
+    the drain keeps each key's max-n row.
+
+    State: five scalars per key, O(keys) total — drift monitoring over
+    an unbounded metric stream at O(1) memory per series.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            t, mean, u, minu, alarm = state.get
+        else:
+            t, mean, u, minu, alarm = 0, 0.0, 0.0, 0.0, 0
+        batch = batch.sort_values(seq_col)
+        for x in batch[value_col]:
+            x = float(x)
+            t += 1
+            mean = mean + (x - mean) / t
+            u = u + x - mean - delta
+            minu = min(minu, u)
+            if alarm == 0 and u - minu > lam:
+                alarm = t
+        state.update((int(t), float(mean), float(u), float(minu), int(alarm)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n": [int(t)],
+                "mean": [float(mean)],
+                "u": [float(u)],
+                "min_u": [float(minu)],
+                "alarm": [int(alarm)],
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col),
+        F.col(value_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=PH_OUTPUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

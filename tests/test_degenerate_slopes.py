@@ -31,6 +31,10 @@ SLOPE_QUERIES = [
     "q274_holt_by_key",
     "q284_holt_winters",
     "q309_heaps_law",
+    "q310_ks_two_sample",
+    "q311_mann_kendall",
+    "q312_jsd_sources",
+    "q313_page_hinkley",
 ]
 
 
