@@ -356,6 +356,104 @@ def run_scale(spark, scale: int) -> dict:
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 
 
+
+def run_streaming_scale(spark, n_keys: int, days: int = 30) -> dict:
+    """Streaming-drain scaling: stage a dense per-key daily series for
+    ``n_keys`` series (days fixed) as three sequence-ordered micro-batch
+    files, drain the stateful operators, and report wall time and state
+    rows. The contract under test: STATE is O(keys) (the emitted final
+    states count exactly n_keys) and drain time grows ~linearly in
+    keys x days (the rows processed), NOT super-linearly — micro-batch
+    machinery is a constant, per-row folding is the variable cost."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from phoebe_spark.streaming.stateful import (
+        streaming_holt,
+        streaming_page_hinkley,
+    )
+
+    dense = (
+        spark.range(n_keys)
+        .select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        .crossJoin(
+            spark.range(days).select(F.col("id").cast("int").alias("d"))
+        )
+        .select(
+            "k",
+            "d",
+            (F.pmod(F.xxhash64(F.concat(F.col("k"), F.col("d"))), F.lit(1000))
+             .cast("double")).alias("c"),
+        )
+    )
+    sec: dict[str, float] = {}
+    states: dict[str, int] = {}
+    for op_name, op in (
+        ("streaming_holt", lambda s: streaming_holt(s, alpha=0.5, gamma=0.3, key_col="k")),
+        ("streaming_page_hinkley", lambda s: streaming_page_hinkley(s, delta=5.0, lam=200.0, key_col="k")),
+    ):
+        work = tempfile.mkdtemp(prefix="stress_stream_")
+        src_dir = f"{work}/src"
+        try:
+            os.makedirs(src_dir)
+            third = days // 3
+            for i, (d_lo, d_hi) in enumerate(
+                ((0, third), (third, 2 * third), (2 * third, days)), start=1
+            ):
+                part = dense.filter((F.col("d") >= d_lo) & (F.col("d") < d_hi))
+                part.coalesce(1).write.parquet(f"{work}/stage{i}")
+                pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+                dst = f"{src_dir}/{i:03d}.parquet"
+                shutil.copyfile(pf, dst)
+                os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+            t0 = time.time()
+            stream = (
+                spark.readStream.schema("k STRING, d INT, c DOUBLE")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            sink = f"{work}/sink"
+            q = (
+                op(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(600), f"{op_name} drain timed out"
+            final = (
+                spark.read.parquet(sink)
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("key").orderBy(F.col("n").desc())
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+            )
+            states[op_name] = final.count()
+            sec[op_name] = round(time.time() - t0, 2)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    assert all(v == n_keys for v in states.values()), (
+        f"state rows must equal keys: {states} vs {n_keys}"
+    )
+    return {
+        "keys": n_keys,
+        "days": days,
+        "sec": sec,
+        "state_rows": states,
+        "total_sec": round(sum(sec.values()), 2),
+    }
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 10]
     spark = get_spark("scale-stress")
@@ -385,6 +483,16 @@ def main() -> None:
             for k in b["sec"]
         }
         print(json.dumps({"data_ratio": b["scale"] // a["scale"], "time_ratio": ratio}), flush=True)
+    # streaming drains: state must be O(keys), drain time ~linear in rows
+    s_res = []
+    for n_keys in (100, 1000):
+        r = run_streaming_scale(spark, n_keys)
+        s_res.append(r)
+        print(json.dumps(r), flush=True)
+    if len(s_res) >= 2:
+        a, b = s_res[0], s_res[-1]
+        ratio = {k: round(b["sec"][k] / max(a["sec"][k], 0.01), 1) for k in b["sec"]}
+        print(json.dumps({"stream_key_ratio": b["keys"] // a["keys"], "time_ratio": ratio}), flush=True)
 
 
 if __name__ == "__main__":
