@@ -298,6 +298,10 @@ BENCH_QUERIES = [
     "q313_page_hinkley",
     "q314_cramers_v",
     "q315_streaming_page_hinkley_drain",
+    "q316_embedding_isotropy",
+    "q317_markov_stationary",
+    "q318_psi_drift",
+    "q319_cramer_von_mises",
 ]
 
 

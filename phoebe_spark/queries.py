@@ -20355,3 +20355,405 @@ def q315_streaming_page_hinkley_drain(spark: SparkSession, sf_dir: str) -> DataF
 # the streaming drain must reproduce the batch detector's oracle exactly —
 # batch array fold and cross-batch state are two forms of one computation
 ORACLE["q315_streaming_page_hinkley_drain"] = ORACLE["q313_page_hinkley"]
+
+
+@query(
+    "q316_embedding_isotropy",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 = 0),
+    pr AS (
+      SELECT {_PAIR_COS_SQL} AS cs
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(round(cs, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(cs * cs, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS s2,
+             CAST(sum(CASE WHEN abs(cs) > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high
+      FROM pr
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_vecs,
+           n_pairs,
+           round(s1 / n_pairs, 6) + 0.0 AS mean_cos,
+           round(sqrt(s2 / n_pairs - (s1 / n_pairs) * (s1 / n_pairs)), 6)
+             AS sd_cos,
+           round(n_high * 1.0 / n_pairs, 6) AS frac_high
+    FROM agg
+    """,
+)
+def q316_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit (Ethayarajh 2019's anisotropy
+    diagnostic): mean, spread, and high-similarity mass of the pairwise
+    cosine over a deterministic 1-in-13 id sample — a healthy embedding
+    space has mean pairwise cosine near 0; a collapsed/anisotropic one
+    (bad pooling, undertrained encoder) drifts toward 1, which silently
+    breaks every cosine-thresholded dedup and ANN recall assumption
+    downstream. The sample is a modulus cut (no RNG, reproducible), and
+    per-pair cosines fold as 12-dp DECIMAL(38,12) so the quadratic-in-
+    sample aggregate is engine- and partitioning-exact.
+
+    100 TB story: the audit is quadratic only in the SAMPLE (154 vecs ->
+    ~12k pairs here; the sample rate is the knob) and the sample is tiny
+    enough to broadcast — one corpus scan to cut it, zero shuffles on the
+    full table.
+    """
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 13 == 0)
+    s = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    a = s.alias("a")
+    b = s.alias("b")
+    cs = similarity.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pr = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        cs.alias("cs")
+    )
+    agg = pr.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round(F.col("cs"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.round(F.col("cs") * F.col("cs"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.when(F.abs("cs") > 0.5, 1).otherwise(0)).alias("n_high"),
+    )
+    mean = F.col("s1") / F.col("n_pairs")
+    return agg.crossJoin(F.broadcast(s.agg(F.count(F.lit(1)).alias("n_vecs")))).select(
+        "n_vecs",
+        "n_pairs",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_cos"),
+        F.round(F.sqrt(F.col("s2") / F.col("n_pairs") - mean * mean), 6).alias(
+            "sd_cos"
+        ),
+        F.round(F.col("n_high") * 1.0 / F.col("n_pairs"), 6).alias("frac_high"),
+    )
+
+
+def _q317_markov_oracle(K: int = 5, iters: int = 20) -> str:
+    """Generated oracle for q317: the power iteration v <- vP unrolled as
+    one CTE per round with K literal inner-product chains (left-assoc, so
+    the float sequence matches the engine's explicit-sum fold), each
+    component 12-dp-rounded per round so drift cannot compound."""
+    ctes = [
+        "s0 AS (SELECT parr, ["
+        + ", ".join([f"CAST({1.0 / K} AS DOUBLE)"] * K)
+        + "] AS v FROM pm)"
+    ]
+    for t in range(1, iters + 1):
+        comps = []
+        for j in range(1, K + 1):
+            chain = " + ".join(
+                f"v[{i}] * parr[{(i - 1) * K + j}]" for i in range(1, K + 1)
+            )
+            comps.append(f"round({chain}, 12)")
+        ctes.append(
+            f"s{t} AS (SELECT parr, [" + ", ".join(comps) + f"] AS v FROM s{t - 1})"
+        )
+    chain_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts), event_id) AS nxt
+      FROM events
+    ),
+    tc AS (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    types AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+              FROM (SELECT DISTINCT event_type AS t FROM events)),
+    grid AS (
+      SELECT i.idx AS i, j.idx AS j, coalesce(tc.c, 0) AS c
+      FROM types i CROSS JOIN types j
+      LEFT JOIN tc ON tc.src = i.t AND tc.dst = j.t
+    ),
+    rowtot AS (SELECT i, sum(c) AS tot FROM grid GROUP BY 1),
+    cells AS (SELECT g.i, g.j, g.c * 1.0 / r.tot AS p,
+                     (g.i - 1) * {K} + g.j AS pos
+              FROM grid g JOIN rowtot r ON r.i = g.i),
+    pm AS (SELECT list(p ORDER BY pos) AS parr FROM cells),
+    {chain_sql},
+    freq AS (SELECT event_type AS t, count(*) * 1.0 AS cnt FROM events GROUP BY 1),
+    ftot AS (SELECT sum(cnt) AS n FROM freq)
+    SELECT types.t AS event_type,
+           round(v[types.idx], 6) + 0.0 AS stationary_prob,
+           round(freq.cnt / ftot.n, 6) AS empirical_share
+    FROM s{iters} CROSS JOIN types
+    JOIN freq ON freq.t = types.t CROSS JOIN ftot
+    """
+
+
+@query("q317_markov_stationary", oracle=_q317_markov_oracle())
+def q317_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain:
+    transition counts from each user's time-ordered event sequence (the
+    q130 matrix), then 20 rounds of the power iteration v <- vP folded in
+    ONE codegen `aggregate` over a 5x5 row-stochastic matrix carried as a
+    25-element array — the long-run behavioral mix the chain converges
+    to, reported beside the raw empirical share (a gap between them
+    flags non-ergodic usage: states over-represented by heavy sessions
+    vs states that are sticky in the dynamics). Each component is
+    12-dp-rounded per round (the graph-ladder determinism policy), so
+    20 iterations stay engine-exact; the oracle replays the identical
+    left-associated inner-product chains.
+
+    100 TB story: ONE corpus-scale window (user, time) builds the
+    transition pairs; everything after runs on the K x K aggregate —
+    the iteration is a single-row array fold, corpus-size-independent.
+    """
+    e = _t(spark, sf_dir, "events")
+    K, iters = 5, 20
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = (
+        e.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select("t", F.row_number().over(Window.orderBy("t")).alias("idx"))
+        .localCheckpoint(eager=True)
+    )
+    grid = (
+        types.select(F.col("t").alias("src_t"), F.col("idx").alias("i"))
+        .crossJoin(types.select(F.col("t").alias("dst_t"), F.col("idx").alias("j")))
+        .join(
+            tc,
+            (F.col("src_t") == F.col("src")) & (F.col("dst_t") == F.col("dst")),
+            "left",
+        )
+        .select("i", "j", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    rowtot = grid.groupBy("i").agg(F.sum("c").alias("tot"))
+    cells = grid.join(rowtot, "i").select(
+        ((F.col("i") - 1) * K + F.col("j")).alias("pos"),
+        (F.col("c") * 1.0 / F.col("tot")).alias("p"),
+    )
+    pm = cells.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "p"))).getField("p").alias("parr")
+    )
+
+    def _step(acc, _):
+        comps = []
+        for j in range(1, K + 1):
+            expr = F.element_at(acc, 1) * F.element_at(F.col("parr"), j)
+            for i in range(2, K + 1):
+                expr = expr + F.element_at(acc, i) * F.element_at(
+                    F.col("parr"), (i - 1) * K + j
+                )
+            comps.append(F.round(expr, 12))
+        return F.array(*comps)
+
+    v = F.aggregate(
+        F.sequence(F.lit(1), F.lit(iters)),
+        F.array(*[F.lit(1.0 / K)] * K),
+        _step,
+    )
+    st = pm.select(v.alias("v"))
+    freq = e.groupBy(F.col("event_type").alias("t")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("cnt")
+    )
+    ftot = freq.agg(F.sum("cnt").alias("n"))
+    return (
+        st.crossJoin(F.broadcast(types))
+        .join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(ftot))
+        .select(
+            F.col("t").alias("event_type"),
+            (F.round(F.element_at(F.col("v"), F.col("idx")), 6) + F.lit(0.0)).alias(
+                "stationary_prob"
+            ),
+            F.round(F.col("cnt") / F.col("n"), 6).alias("empirical_share"),
+        )
+    )
+
+
+@query(
+    "q318_psi_drift",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+             least(greatest(CAST(floor(value / 50) AS INT), 0), 9) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    keys AS (SELECT DISTINCT event_type FROM s),
+    grid AS (
+      SELECT k.event_type, b.bin,
+             coalesce(sum(CASE WHEN s.arm = 0 THEN 1 ELSE 0 END), 0) + 0.5
+               AS c0,
+             coalesce(sum(CASE WHEN s.arm = 1 THEN 1 ELSE 0 END), 0) + 0.5
+               AS c1
+      FROM keys k CROSS JOIN bins b
+      LEFT JOIN s ON s.event_type = k.event_type AND s.bin = b.bin
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(c0) AS n0, sum(c1) AS n1 FROM grid GROUP BY 1
+    ),
+    contrib AS (
+      SELECT g.event_type,
+             (g.c0 / t.n0 - g.c1 / t.n1)
+               * ln((g.c0 / t.n0) / (g.c1 / t.n1)) AS x
+      FROM grid g JOIN tot t ON t.event_type = g.event_type
+    )
+    SELECT event_type,
+           CAST(10 AS BIGINT) AS n_bins,
+           round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE), 6)
+             + 0.0 AS psi,
+           CASE WHEN CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                     > 0.2 THEN 1 ELSE 0 END AS drifted
+    FROM contrib GROUP BY 1
+    """,
+)
+def q318_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the two
+    deterministic A/B arms — the standard production drift score for a
+    feature distribution (PSI < 0.1 stable, > 0.2 drifted): fixed-width
+    bins over the value domain (10 x 50, clamped — fixed edges keep both
+    engines' binning exact-integer, where quantile edges would hang
+    engine-specific interpolation into the gate), 0.5 Laplace smoothing
+    so empty bins stay finite, per-bin contributions folded as 12-dp
+    DECIMAL(38,12). Completes the drift ladder: KS (q310) tests, PSI
+    scores, Page-Hinkley (q313/q315) watches.
+
+    100 TB story: one map-side-combining groupBy(type, arm, bin) is the
+    only corpus-scale shuffle; the PSI fold runs on the 10-cell grid.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    keys = s.select("event_type").distinct()
+    bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    counted = s.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("r0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("r1"),
+    )
+    grid = (
+        keys.crossJoin(F.broadcast(bins))
+        .join(counted, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            (F.coalesce("r0", F.lit(0)) + 0.5).alias("c0"),
+            (F.coalesce("r1", F.lit(0)) + 0.5).alias("c1"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    j = grid.join(tot, "event_type")
+    p = F.col("c0") / F.col("n0")
+    q = F.col("c1") / F.col("n1")
+    x = (p - q) * F.log(p / q)
+    psi = (
+        F.sum(F.round(x, 12).cast("decimal(38,12)")).cast("double")
+    )
+    return j.groupBy("event_type").agg(
+        F.lit(10).cast("long").alias("n_bins"),
+        (F.round(psi, 6) + F.lit(0.0)).alias("psi"),
+        F.when(psi > 0.2, 1).otherwise(0).alias("drifted"),
+    )
+
+
+@query(
+    "q319_cramer_von_mises",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, v,
+             count(*) FILTER (WHERE arm = 0) AS c0,
+             count(*) FILTER (WHERE arm = 1) AS c1
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, c0 + c1 AS cnt,
+             sum(c0) OVER w AS f0, sum(c1) OVER w AS f1,
+             sum(c0) OVER p AS n0, sum(c1) OVER p AS n1
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    ),
+    agg AS (
+      SELECT event_type, n0, n1,
+             CAST(sum(CAST(round(
+               cnt * ((f0 * n1 - f1 * n0) * 1.0 / (n0 * n1))
+                   * ((f0 * n1 - f1 * n0) * 1.0 / (n0 * n1)), 12)
+             AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM cum GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(n0 * n1 * 1.0 / ((n0 + n1) * (n0 + n1)) * s2, 6) AS cvm_t
+    FROM agg
+    """,
+)
+def q319_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic per event type between the
+    A/B arms (Anderson 1962): T = n0*n1/N^2 * sum over pooled
+    observations of (ECDF_0 - ECDF_1)^2 — the L2 companion to q310's
+    sup-norm KS, more sensitive to distributed (non-local) shape
+    differences. The ECDF gap stays the exact integer cross-product
+    f0*n1 - f1*n0 until one division; per-value contributions (weighted
+    by pooled multiplicity) fold as 12-dp DECIMAL(38,12).
+
+    100 TB story: identical shape to q310 — one map-side-combining
+    groupBy(type, value) to the distinct-value support, one per-type
+    cumulative frame over that support, one grouped fold.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.col("value").alias("v"),
+    )
+    g = s.groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        (F.col("c0") + F.col("c1")).alias("cnt"),
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c0").over(p).alias("n0"),
+        F.sum("c1").over(p).alias("n1"),
+    )
+    gap = (F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")) * 1.0 / (
+        F.col("n0") * F.col("n1")
+    )
+    agg = cum.groupBy("event_type", "n0", "n1").agg(
+        F.sum(F.round(F.col("cnt") * gap * gap, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(
+            F.col("n0")
+            * F.col("n1")
+            * 1.0
+            / ((F.col("n0") + F.col("n1")) * (F.col("n0") + F.col("n1")))
+            * F.col("s2"),
+            6,
+        ).alias("cvm_t"),
+    )

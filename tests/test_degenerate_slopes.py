@@ -35,6 +35,8 @@ SLOPE_QUERIES = [
     "q311_mann_kendall",
     "q312_jsd_sources",
     "q313_page_hinkley",
+    "q318_psi_drift",
+    "q319_cramer_von_mises",
 ]
 
 
