@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "q317_markov_stationary",
     "q318_psi_drift",
     "q319_cramer_von_mises",
+    "q320_hybrid_retrieval",
 ]
 
 

@@ -20757,3 +20757,117 @@ def q319_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvm_t"),
     )
+
+
+@query(
+    "q320_hybrid_retrieval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+                  WHERE trim(text) <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+                  CAST(round(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+                       AS DECIMAL(18,6)) AS c
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+    bm AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25 FROM sc GROUP BY 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT bm.doc_id, bm.bm25, {_COS_SQL} AS cs
+      FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN q
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(bm25, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+             CAST(sum(CAST(round(bm25 * bm25, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb2,
+             CAST(sum(CAST(round(cs, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sc1,
+             CAST(sum(CAST(round(cs * cs, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sc2
+      FROM cand
+    ),
+    z AS (
+      SELECT c.doc_id, c.bm25, c.cs,
+             0.5 * ((c.bm25 - m.sb / m.n)
+                    / sqrt(greatest(m.sb2 / m.n - (m.sb / m.n) * (m.sb / m.n), 1e-300)))
+             + 0.5 * ((c.cs - m.sc1 / m.n)
+                    / sqrt(greatest(m.sc2 / m.n - (m.sc1 / m.n) * (m.sc1 / m.n), 1e-300)))
+               AS hybrid
+      FROM cand c CROSS JOIN mom m
+    ),
+    rk AS (SELECT doc_id, bm25, cs, hybrid,
+                  row_number() OVER (ORDER BY hybrid DESC, doc_id ASC) AS rank
+           FROM z)
+    SELECT CAST(rank AS INT) AS rank, doc_id,
+           round(bm25, 6) AS bm25,
+           round(cs, 6) + 0.0 AS cos_sim,
+           round(hybrid, 6) + 0.0 AS hybrid
+    FROM rk WHERE rank <= 10
+    """,
+)
+def q320_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical-dense retrieval with z-score fusion: Okapi BM25 for
+    the literal query {spark, window, hash} and cosine similarity to the
+    vec_id=0 query embedding (docs paired to vectors by doc_id = vec_id,
+    the corpus convention), each z-normalized over the candidate set and
+    averaged 50/50 — the calibrated-score alternative to q90's
+    rank-based RRF, sensitive to score MARGINS where RRF only sees
+    order. Candidates are docs matching >= 1 query term that have an
+    embedding; score moments fold as 12-dp DECIMAL(38,12) so the
+    normalization is engine- and partitioning-exact; top-10 with
+    doc_id tiebreak.
+
+    100 TB story: BM25's shuffles are bounded by matched postings and
+    the vocabulary; the dense score is one equi-join on the candidate
+    ids (never a corpus self-join); the fusion normalizes over the
+    candidate aggregate only. TakeOrdered handles the top-k without a
+    global sort.
+    """
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = text.bm25_scores(d, terms=("spark", "window", "hash"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        bm.join(emb, bm.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "bm25",
+            similarity.cosine(F.col("embedding"), F.col("qv")).alias("cs"),
+        )
+    )
+    mom = cand.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("bm25", 12).cast("decimal(38,12)")).cast("double").alias("sb"),
+        F.sum(F.round(F.col("bm25") * F.col("bm25"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sb2"),
+        F.sum(F.round("cs", 12).cast("decimal(38,12)")).cast("double").alias("sc1"),
+        F.sum(F.round(F.col("cs") * F.col("cs"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sc2"),
+    )
+    mb = F.col("sb") / F.col("n")
+    mc = F.col("sc1") / F.col("n")
+    sdb = F.sqrt(F.greatest(F.col("sb2") / F.col("n") - mb * mb, F.lit(1e-300)))
+    sdc = F.sqrt(F.greatest(F.col("sc2") / F.col("n") - mc * mc, F.lit(1e-300)))
+    hybrid = 0.5 * ((F.col("bm25") - mb) / sdb) + 0.5 * ((F.col("cs") - mc) / sdc)
+    z = cand.crossJoin(F.broadcast(mom)).select(
+        "doc_id", "bm25", "cs", hybrid.alias("hybrid")
+    )
+    rk = z.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("hybrid").desc(), F.asc("doc_id")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 10)
+    return rk.select(
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        (F.round("cs", 6) + F.lit(0.0)).alias("cos_sim"),
+        (F.round("hybrid", 6) + F.lit(0.0)).alias("hybrid"),
+    )
