@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "q318_psi_drift",
     "q319_cramer_von_mises",
     "q320_hybrid_retrieval",
+    "q321_mmr_rerank",
 ]
 
 

@@ -20871,3 +20871,175 @@ def q320_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("cs", 6) + F.lit(0.0)).alias("cos_sim"),
         (F.round("hybrid", 6) + F.lit(0.0)).alias("hybrid"),
     )
+
+
+def _q321_mmr_oracle(K: int = 20, picks: int = 10, lam: float = 0.7) -> str:
+    """Generated oracle for q321: the greedy MMR selection unrolled as one
+    CTE per pick. Each step computes the K candidate scores as LITERAL
+    expressions (selected candidates masked with a -1e308 sentinel; the
+    max-sim-to-selected term is a single-level list_transform over the
+    sel list), takes their greatest, and picks the FIRST index attaining
+    it (explicit CASE chain = smallest-index tie-break) — the identical
+    expression set the engine fold evaluates, so every float compare
+    matches."""
+
+    def score(i: int) -> str:
+        return (
+            f"CASE WHEN list_contains(sel, {i}) THEN -1e308 ELSE "
+            f"{lam} * rel[{i}] - {1 - lam} * coalesce(list_max("
+            f"list_transform(sel, j -> sim[{(i - 1) * K} + j])), 0.0) END"
+        )
+
+    ctes = ["m0 AS (SELECT rel, sim, ids, CAST([] AS INT[]) AS sel FROM mat)"]
+    for t in range(1, picks + 1):
+        sc = ", ".join(f"{score(i)} AS s{i}" for i in range(1, K + 1))
+        gr = "greatest(" + ", ".join(f"s{i}" for i in range(1, K + 1)) + ")"
+        pick = (
+            "CASE "
+            + " ".join(f"WHEN s{i} = m THEN {i}" for i in range(1, K + 1))
+            + " END"
+        )
+        ctes.append(f"m{t}a AS (SELECT rel, sim, ids, sel, {sc} FROM m{t - 1})")
+        ctes.append(f"m{t}b AS (SELECT rel, sim, ids, sel, {gr} AS m, * FROM m{t}a)")
+        ctes.append(
+            f"m{t} AS (SELECT rel, sim, ids,"
+            f" list_append(sel, {pick}) AS sel FROM m{t}b)"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    relv AS (
+      SELECT e.vec_id, e.embedding, {_COS_SQL} AS rel
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, embedding, rel,
+             row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS idx
+      FROM relv QUALIFY idx <= {K}
+    ),
+    pairs AS (
+      SELECT a.idx AS i, b.idx AS j, {_PAIR_COS_SQL} AS s
+      FROM cand a CROSS JOIN cand b
+    ),
+    mat AS (
+      SELECT (SELECT list(rel ORDER BY idx) FROM cand) AS rel,
+             (SELECT list(s ORDER BY i * {K} + j) FROM pairs) AS sim,
+             (SELECT list(vec_id ORDER BY idx) FROM cand) AS ids
+    ),
+    {chain}
+    SELECT CAST(u.pos AS INT) AS rank,
+           ids[sel[u.pos]] AS vec_id,
+           round(rel[sel[u.pos]], 6) AS relevance
+    FROM m{picks}, unnest(generate_series(1, {picks})) AS u(pos)
+    """
+
+
+@query("q321_mmr_rerank", oracle=_q321_mmr_oracle())
+def q321_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of the vec_id=0 query's top-20 cosine candidates: greedily pick 10,
+    each step maximizing lambda*relevance - (1-lambda)*max-similarity-to-
+    already-selected (lambda=0.7) — the diversity-aware re-rank a RAG
+    stack runs so the context window isn't five copies of the same
+    passage. The greedy recursion folds in ONE codegen `aggregate` over a
+    10-step sequence, carrying the selected-index list; candidate scores
+    are the same literal expression set the generated oracle chain
+    evaluates (selected mask = -1e308 sentinel, greatest(), first-index
+    tie-break), so every pick matches digit-for-digit.
+
+    100 TB story: relevance is one corpus scan + TakeOrdered(20); the
+    20x20 similarity matrix and the 10-step greedy run on a single-row
+    array — re-ranking cost is independent of corpus size, the standard
+    two-stage retrieve-then-rerank shape.
+    """
+    K, picks, lam = 20, 10, 0.7
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    relv = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            similarity.cosine(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+    )
+    cand = (
+        relv.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), F.asc("vec_id")))
+            .alias("idx"),
+        )
+        .filter(F.col("idx") <= K)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    pairs = a.join(F.broadcast(b), how="cross").select(
+        F.col("a.idx").alias("i"),
+        F.col("b.idx").alias("j"),
+        similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+    )
+    mat = (
+        cand.agg(
+            F.array_sort(F.collect_list(F.struct("idx", "rel")))
+            .getField("rel")
+            .alias("rel"),
+            F.array_sort(F.collect_list(F.struct("idx", F.col("vec_id"))))
+            .getField("vec_id")
+            .alias("ids"),
+        )
+        .crossJoin(
+            F.broadcast(
+                pairs.agg(
+                    F.array_sort(
+                        F.collect_list(F.struct((F.col("i") * K + F.col("j")).alias("pos"), "s"))
+                    )
+                    .getField("s")
+                    .alias("sim")
+                )
+            )
+        )
+    )
+
+    def _score(sel, i: int):
+        max_sim = F.array_max(
+            F.transform(
+                sel, lambda j: F.element_at(F.col("sim"), F.lit((i - 1) * K) + j)
+            )
+        )
+        return F.when(F.array_contains(sel, i), F.lit(-1e308)).otherwise(
+            F.lit(lam) * F.element_at(F.col("rel"), i)
+            - F.lit(1 - lam) * F.coalesce(max_sim, F.lit(0.0))
+        )
+
+    def _step(sel, _):
+        scores = [_score(sel, i) for i in range(1, K + 1)]
+        m = F.greatest(*scores)
+        pick = None
+        for i in range(1, K + 1):
+            cond = scores[i - 1] == m
+            pick = F.when(cond, i) if pick is None else pick.when(cond, i)
+        return F.concat(sel, F.array(pick))
+
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(picks)),
+        F.array().cast("array<int>"),
+        _step,
+    )
+    out = mat.select("rel", "ids", sel.alias("sel"))
+    return out.select(
+        F.explode(F.sequence(F.lit(1), F.lit(picks))).alias("rank"),
+        "rel",
+        "ids",
+        "sel",
+    ).select(
+        F.col("rank").cast("int").alias("rank"),
+        F.element_at(F.col("ids"), F.element_at(F.col("sel"), F.col("rank"))).alias(
+            "vec_id"
+        ),
+        F.round(
+            F.element_at(F.col("rel"), F.element_at(F.col("sel"), F.col("rank"))), 6
+        ).alias("relevance"),
+    )
