@@ -304,6 +304,8 @@ BENCH_QUERIES = [
     "q319_cramer_von_mises",
     "q320_hybrid_retrieval",
     "q321_mmr_rerank",
+    "q322_mahalanobis_outliers",
+    "q323_robust_zscore_mad",
 ]
 
 

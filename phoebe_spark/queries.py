@@ -21043,3 +21043,231 @@ def q321_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("rel"), F.element_at(F.col("sel"), F.col("rank"))), 6
         ).alias("relevance"),
     )
+
+
+@query(
+    "q322_mahalanobis_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value AS x1,
+             CAST((epoch_ns(ts) // 1000000000 // 3600) % 24 AS DOUBLE) AS x2
+      FROM events WHERE value IS NOT NULL
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(x1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(x2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(round(x1 * x1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(round(x2 * x2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(round(x1 * x2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s12
+      FROM s GROUP BY 1
+    ),
+    cov AS (
+      SELECT event_type, n,
+             s1 / n AS m1, s2 / n AS m2,
+             s11 / n - (s1 / n) * (s1 / n) AS c11,
+             s22 / n - (s2 / n) * (s2 / n) AS c22,
+             s12 / n - (s1 / n) * (s2 / n) AS c12
+      FROM mom
+    ),
+    d AS (
+      SELECT s.event_type, c.n,
+             ((s.x1 - c.m1) * (c.c22 * (s.x1 - c.m1) - c.c12 * (s.x2 - c.m2))
+              + (s.x2 - c.m2) * (c.c11 * (s.x2 - c.m2) - c.c12 * (s.x1 - c.m1)))
+             / (c.c11 * c.c22 - c.c12 * c.c12) AS d2
+      FROM s JOIN cov c ON c.event_type = s.event_type
+    )
+    SELECT event_type, n,
+           CAST(sum(CASE WHEN d2 > 13.8155 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(d2), 6) AS max_d2
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q322_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier census per event type: squared Mahalanobis
+    distance of each event's (value, hour-of-day) pair from the type's
+    own 2D distribution, counted against the chi-square(2, 0.999) cut
+    13.8155 — the correlation-aware anomaly gate (a value normal at 14:00
+    can be an outlier at 03:00) that completes the per-feature z-score
+    family. The covariance comes from 12-dp DECIMAL-folded moments (one
+    pass); the 2x2 inverse is closed-form inside the distance expression,
+    written identically in both engines.
+
+    100 TB story: one map-side-combining moments pass, one broadcast of
+    the 5-row covariance table back over the scan — two corpus scans,
+    zero corpus-scale shuffles, no per-row matrix library.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        F.col("value").alias("x1"),
+        (F.expr("((ts div 1000000000) div 3600) % 24")).cast("double").alias("x2"),
+    )
+    mom = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("x1", 12).cast("decimal(38,12)")).cast("double").alias("s1"),
+        F.sum(F.round("x2", 12).cast("decimal(38,12)")).cast("double").alias("s2"),
+        F.sum(F.round(F.col("x1") * F.col("x1"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s11"),
+        F.sum(F.round(F.col("x2") * F.col("x2"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s22"),
+        F.sum(F.round(F.col("x1") * F.col("x2"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s12"),
+    )
+    cov = mom.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("m2"),
+        (F.col("s11") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias("c11"),
+        (F.col("s22") / F.col("n") - (F.col("s2") / F.col("n")) * (F.col("s2") / F.col("n"))).alias("c22"),
+        (F.col("s12") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s2") / F.col("n"))).alias("c12"),
+    )
+    j = s.join(F.broadcast(cov), "event_type")
+    dx1 = F.col("x1") - F.col("m1")
+    dx2 = F.col("x2") - F.col("m2")
+    d2 = (
+        dx1 * (F.col("c22") * dx1 - F.col("c12") * dx2)
+        + dx2 * (F.col("c11") * dx2 - F.col("c12") * dx1)
+    ) / (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12"))
+    return j.select("event_type", "n", d2.alias("d2")).groupBy(
+        "event_type", "n"
+    ).agg(
+        F.sum(F.when(F.col("d2") > 13.8155, 1).otherwise(0)).alias("n_outliers"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+    )
+
+
+@query(
+    "q323_robust_zscore_mad",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT event_type, v, count(*) AS cnt FROM s GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM g
+    ),
+    med AS (
+      SELECT event_type, min(v) AS median, min(n) AS n
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1
+    ),
+    a AS (
+      SELECT g.event_type, abs(g.v - m.median) AS av, g.cnt
+      FROM g JOIN med m ON m.event_type = g.event_type
+    ),
+    ag AS (SELECT event_type, av, sum(cnt) AS cnt FROM a GROUP BY 1, 2),
+    acum AS (
+      SELECT event_type, av, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY av
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM ag
+    ),
+    mad AS (
+      SELECT event_type, min(av) AS mad
+      FROM acum WHERE cum >= (n + 1) // 2 GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           round(m.median, 6) AS median,
+           round(d.mad, 6) AS mad,
+           CAST(CASE WHEN d.mad = 0 THEN 0 ELSE (
+             SELECT sum(CASE WHEN abs(0.6745 * (g.v - m.median) / d.mad) > 3.5
+                             THEN g.cnt ELSE 0 END)
+             FROM g WHERE g.event_type = m.event_type
+           ) END AS BIGINT) AS n_outliers
+    FROM med m JOIN mad d ON d.event_type = m.event_type
+    """,
+)
+def q323_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type by modified z-score
+    (Iglewicz & Hoaglin 1993): 0.6745 * (x - median) / MAD with the
+    |z| > 3.5 cut — the anomaly gate that, unlike mean/stddev (q322's
+    moment-based cousin), does not let the outliers it hunts inflate
+    their own threshold. Median and MAD are LOWER order statistics read
+    off cumulative counts over the distinct-value support (exact
+    integers, no interpolation to diverge between engines — disclosed
+    lower-median convention).
+
+    100 TB story: the fact table collapses to (type, value) counts once
+    (map-side combine); medians come from cumulative frames over that
+    distinct-value support (the documented distinct-value-frame
+    exception), and the outlier count re-uses the same counted support —
+    no raw-row sorting anywhere.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(p).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("median"), F.min("n").alias("n"))
+    )
+    a = g.join(F.broadcast(med), "event_type").groupBy(
+        "event_type", F.abs(F.col("v") - F.col("median")).alias("av")
+    ).agg(F.sum("cnt").alias("cnt"))
+    wa = (
+        Window.partitionBy("event_type")
+        .orderBy("av")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acum = a.select(
+        "event_type",
+        "av",
+        "cnt",
+        F.sum("cnt").over(wa).alias("cum"),
+        F.sum("cnt").over(p).alias("n"),
+    )
+    mad = (
+        acum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("av").alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    z = F.abs(
+        F.lit(0.6745) * (F.col("v") - F.col("median")) / F.col("mad")
+    )
+    outl = (
+        g.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("mad") != 0) & (z > 3.5), F.col("cnt")
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return stats.join(outl, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
