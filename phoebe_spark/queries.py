@@ -16209,10 +16209,14 @@ def q274_holt_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "events")
     T, a, g = 30, 0.5, 0.3
-    hc = e.groupBy(
-        F.col("event_type").alias("k"),
-        F.expr("(ts div 1000000000) div 86400").alias("day"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    hc = (
+        e.groupBy(
+            F.col("event_type").alias("k"),
+            F.expr("(ts div 1000000000) div 86400").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     lo = hc.agg(F.min("day").alias("lo"))
     keys = hc.select("k").distinct()
     grid = keys.crossJoin(
@@ -16277,10 +16281,14 @@ def q275_streaming_holt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     T, a, g = 30, 0.5, 0.3
-    hc = e.groupBy(
-        F.col("event_type").alias("k"),
-        F.expr("(ts div 1000000000) div 86400").alias("day"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    hc = (
+        e.groupBy(
+            F.col("event_type").alias("k"),
+            F.expr("(ts div 1000000000) div 86400").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     lo = hc.agg(F.min("day").alias("lo"))
     keys = hc.select("k").distinct()
     grid = keys.crossJoin(
@@ -17247,10 +17255,14 @@ def q284_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     T, m = 28, 7
     a, bt, g = 0.4, 0.2, 0.3
-    hc = e.groupBy(
-        F.col("event_type").alias("k"),
-        F.expr("(ts div 1000000000) div 86400").alias("day"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    hc = (
+        e.groupBy(
+            F.col("event_type").alias("k"),
+            F.expr("(ts div 1000000000) div 86400").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     lo = hc.agg(F.min("day").alias("lo"))
     keys = hc.select("k").distinct()
     grid = keys.crossJoin(
@@ -19843,9 +19855,13 @@ def q311_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows); ties come from one more grouped count of the same rollup.
     """
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.expr("(ts div 1000000000) div 86400").alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = (
+        e.groupBy(
+            "event_type", F.expr("(ts div 1000000000) div 86400").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     a = daily.alias("a")
     b = daily.alias("b")
     s = (
@@ -20190,10 +20206,14 @@ def q313_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "events")
     T, delta, lam = 30, 5.0, 200.0
-    hc = e.groupBy(
-        F.col("event_type").alias("k"),
-        F.expr("(ts div 1000000000) div 86400").alias("day"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    hc = (
+        e.groupBy(
+            F.col("event_type").alias("k"),
+            F.expr("(ts div 1000000000) div 86400").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     lo = hc.agg(F.min("day").alias("lo"))
     keys = hc.select("k").distinct()
     grid = keys.crossJoin(
@@ -20276,10 +20296,14 @@ def q315_streaming_page_hinkley_drain(spark: SparkSession, sf_dir: str) -> DataF
 
     e = _t(spark, sf_dir, "events")
     T, delta, lam = 30, 5.0, 200.0
-    hc = e.groupBy(
-        F.col("event_type").alias("k"),
-        F.expr("(ts div 1000000000) div 86400").alias("day"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    hc = (
+        e.groupBy(
+            F.col("event_type").alias("k"),
+            F.expr("(ts div 1000000000) div 86400").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     lo = hc.agg(F.min("day").alias("lo"))
     keys = hc.select("k").distinct()
     grid = keys.crossJoin(
@@ -20524,6 +20548,7 @@ def q317_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("i", "j", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     rowtot = grid.groupBy("i").agg(F.sum("c").alias("tot"))
     cells = grid.join(rowtot, "i").select(
@@ -20551,8 +20576,10 @@ def q317_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _step,
     )
     st = pm.select(v.alias("v"))
-    freq = e.groupBy(F.col("event_type").alias("t")).agg(
-        (F.count(F.lit(1)) * 1.0).alias("cnt")
+    freq = (
+        e.groupBy(F.col("event_type").alias("t"))
+        .agg((F.count(F.lit(1)) * 1.0).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     ftot = freq.agg(F.sum("cnt").alias("n"))
     return (
@@ -20645,6 +20672,7 @@ def q318_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("r0", F.lit(0)) + 0.5).alias("c0"),
             (F.coalesce("r1", F.lit(0)) + 0.5).alias("c1"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = grid.groupBy("event_type").agg(
         F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
@@ -20838,6 +20866,7 @@ def q320_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bm25",
             similarity.cosine(F.col("embedding"), F.col("qv")).alias("cs"),
         )
+        .localCheckpoint(eager=True)
     )
     mom = cand.agg(
         F.count(F.lit(1)).alias("n"),
@@ -21208,8 +21237,10 @@ def q323_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     no raw-row sorting anywhere.
     """
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    g = e.groupBy("event_type", F.col("value").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    g = (
+        e.groupBy("event_type", F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("event_type")
@@ -21228,6 +21259,7 @@ def q323_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
         .groupBy("event_type")
         .agg(F.min("v").alias("median"), F.min("n").alias("n"))
+        .localCheckpoint(eager=True)
     )
     a = g.join(F.broadcast(med), "event_type").groupBy(
         "event_type", F.abs(F.col("v") - F.col("median")).alias("av")
