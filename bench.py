@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "q321_mmr_rerank",
     "q322_mahalanobis_outliers",
     "q323_robust_zscore_mad",
+    "q324_streaming_psi_drain",
 ]
 
 

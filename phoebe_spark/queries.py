@@ -21303,3 +21303,124 @@ def q323_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         F.col("n_outliers").cast("long").alias("n_outliers"),
     )
+
+
+@query("q324_streaming_psi_drain", oracle=None)
+def q324_streaming_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Population Stability Index drained in the hash-checked
+    gate — q318's bin counts accumulated ACROSS micro-batches in the
+    state store (:func:`stateful.streaming_bin_counts`): the per-(type,
+    bin, arm) pre-counts arrive as three event-time-sliced micro-batches,
+    the two 10-bin count vectors ADD per key across batches, and the
+    final drained vectors feed the identical PSI arithmetic — hash-
+    matching q318's DuckDB oracle. Where the Holt/Page-Hinkley drains
+    certify ORDER-SENSITIVE cross-batch recursions, this one certifies
+    the COMMUTATIVE-state contract: batch boundaries and arrival order
+    provably cannot move the score, which is why a PSI monitor can run
+    continuously on a shuffled feed.
+
+    Scale: state is 20 longs per key; each micro-batch does O(new bins)
+    work — continuous drift scoring at O(1) memory per monitored stream.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_bin_counts
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        F.col("event_type"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+    )
+    lo_hi = s.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    third = max(1, (hi - lo + 1) // 3)
+
+    work = tempfile.mkdtemp(prefix="q324_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        for i, (d_lo, d_hi) in enumerate(
+            ((0, third), (third, 2 * third), (2 * third, 10**9)), start=1
+        ):
+            part = (
+                s.filter((F.col("day") >= lo + d_lo) & (F.col("day") < lo + d_hi))
+                .groupBy("event_type", "bin", "arm")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("event_type STRING, bin INT, arm INT, cnt LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_bin_counts(stream, n_bins=10, key_col="event_type")
+        sink = f"{work}/psi"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q324: streaming PSI drain did not finish within 300 s — "
+                "refusing to score a partial distribution"
+            )
+        states = spark.read.parquet(sink)
+        final = (
+            states.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy(F.col("n").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(F.col("key").alias("event_type"), "c0", "c1")
+        )
+        grid = final.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+            "c0",
+            "c1",
+        ).select(
+            "event_type",
+            (F.element_at(F.col("c0"), F.col("bin") + 1) + 0.5).alias("c0"),
+            (F.element_at(F.col("c1"), F.col("bin") + 1) + 0.5).alias("c1"),
+        ).localCheckpoint(eager=True)
+        tot = grid.groupBy("event_type").agg(
+            F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+        )
+        j = grid.join(F.broadcast(tot), "event_type")
+        p = F.col("c0") / F.col("n0")
+        qq = F.col("c1") / F.col("n1")
+        x = (p - qq) * F.log(p / qq)
+        psi = F.sum(F.round(x, 12).cast("decimal(38,12)")).cast("double")
+        res = j.groupBy("event_type").agg(
+            F.lit(10).cast("long").alias("n_bins"),
+            (F.round(psi, 6) + F.lit(0.0)).alias("psi"),
+            F.when(psi > 0.2, 1).otherwise(0).alias("drifted"),
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the streaming drain must reproduce the batch PSI's oracle exactly —
+# commutative bin-count state makes batch boundaries provably invisible
+ORACLE["q324_streaming_psi_drain"] = ORACLE["q318_psi_drift"]

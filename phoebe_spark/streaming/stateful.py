@@ -1031,3 +1031,74 @@ def streaming_page_hinkley(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PSI_OUTPUT_SCHEMA = (
+    "key STRING, n LONG, c0 ARRAY<LONG>, c1 ARRAY<LONG>"
+)
+PSI_STATE_SCHEMA = "c0 ARRAY<LONG>, c1 ARRAY<LONG>, n LONG"
+
+
+def streaming_bin_counts(
+    stream: DataFrame,
+    n_bins: int = 10,
+    key_col: str = "key",
+    bin_col: str = "bin",
+    arm_col: str = "arm",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Per-key streaming (bin x arm) count accumulator — the state behind
+    a continuously-updated Population Stability Index: each micro-batch
+    ADDS its per-bin counts into two fixed-width count vectors carried in
+    the state store. Unlike the order-sensitive drains (Holt, CUSUM,
+    Page-Hinkley), this state is COMMUTATIVE — arrival order and batch
+    boundaries provably cannot change the final vectors, which is exactly
+    the property the drain certifies against the batch oracle.
+
+    State: 2 x n_bins longs per key, O(keys) total, TTL-free.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            c0, c1, n = state.get
+            c0, c1 = list(c0), list(c1)
+        else:
+            c0, c1, n = [0] * n_bins, [0] * n_bins, 0
+        for row in batch.itertuples(index=False):
+            b, arm, c = int(getattr(row, bin_col)), int(getattr(row, arm_col)), int(
+                getattr(row, cnt_col)
+            )
+            if not 0 <= b < n_bins:
+                continue  # out-of-domain bin: drop loudly-typed garbage
+            if arm == 0:
+                c0[b] += c
+            else:
+                c1[b] += c
+            n += c
+        state.update((c0, c1, int(n)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n": [int(n)],
+                "c0": [c0],
+                "c1": [c1],
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(bin_col),
+        F.col(arm_col),
+        F.col(cnt_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=PSI_OUTPUT_SCHEMA,
+        stateStructType=PSI_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
