@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "q322_mahalanobis_outliers",
     "q323_robust_zscore_mad",
     "q324_streaming_psi_drain",
+    "q325_rake_keyphrases",
 ]
 
 

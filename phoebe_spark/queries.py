@@ -21424,3 +21424,148 @@ def q324_streaming_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming drain must reproduce the batch PSI's oracle exactly —
 # commutative bin-count state makes batch boundaries provably invisible
 ORACLE["q324_streaming_psi_drain"] = ORACLE["q318_psi_drift"]
+
+
+@query(
+    "q325_rake_keyphrases",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE trim(text) <> ''
+    ),
+    toks AS (
+      SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+      FROM arr
+    ),
+    ns AS (
+      SELECT doc_id, term, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM toks WHERE term NOT IN ('the', 'a', 'of', 'and', 'to')
+    ),
+    ph AS (
+      SELECT doc_id, island,
+             string_agg(term, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM ns GROUP BY 1, 2
+    ),
+    ws AS (
+      SELECT ns.term,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(ph.n_words) AS BIGINT) AS deg
+      FROM ns JOIN ph ON ph.doc_id = ns.doc_id AND ph.island = ns.island
+      GROUP BY 1
+    ),
+    psc AS (
+      SELECT ph.doc_id, ph.island, ph.phrase, ph.n_words,
+             CAST(sum(CAST(round(ws.deg * 1.0 / ws.freq, 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS score
+      FROM ph JOIN ns ON ns.doc_id = ph.doc_id AND ns.island = ph.island
+              JOIN ws ON ws.term = ns.term
+      GROUP BY 1, 2, 3, 4
+    ),
+    census AS (
+      SELECT phrase, min(n_words) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             min(score) AS score
+      FROM psc GROUP BY 1
+    ),
+    top AS (
+      SELECT phrase, n_words, n_occurrences, round(score, 6) AS score,
+             row_number() OVER (ORDER BY score DESC, phrase ASC) AS rank
+      FROM census
+    )
+    SELECT CAST(rank AS INT) AS rank, phrase, n_words, n_occurrences, score
+    FROM top WHERE rank <= 15
+    """,
+)
+def q325_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs — segmented by
+    the gaps-and-islands identity pos - row_number() so both engines
+    split identically with NO regex-dialect dependence — scored by the
+    classic degree/frequency word metric summed per phrase (12-dp DECIMAL
+    folds, order-free), reported as the top-15 corpus keyphrases. The
+    metadata-enrichment operator of a curation pipeline: cluster labels,
+    dataset cards, and topic drill-downs all start from exactly this
+    census.
+
+    100 TB story: one tokenize pass feeds islands; phrase assembly is one
+    (doc, island) shuffle; word stats are vocabulary-bounded; identical
+    phrases share the corpus-global word scores, so the census
+    deduplicates BEFORE ranking and the final top-15 is a
+    WindowGroupLimit over the phrase census, not the corpus.
+    """
+    stop = ("the", "a", "of", "and", "to")
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(text.tokens(F.col("text"))).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    ns = (
+        toks.filter(~F.col("term").isin(*stop))
+        .select(
+            "doc_id",
+            "term",
+            "pos",
+            (
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("pos")
+                )
+            ).alias("island"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ph = (
+        ns.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))).getField(
+                    "term"
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ws = (
+        ns.join(ph, ["doc_id", "island"])
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+    )
+    psc = (
+        ph.join(ns, ["doc_id", "island"])
+        .join(ws, "term")
+        .groupBy("doc_id", "island", "phrase", F.col("n_words"))
+        .agg(
+            F.sum(
+                F.round(F.col("deg") * 1.0 / F.col("freq"), 12).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    census = psc.groupBy("phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("score").alias("score"),
+    )
+    top = census.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.asc("phrase")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 15)
+    return top.select(
+        F.col("rank").cast("int").alias("rank"),
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        F.round("score", 6).alias("score"),
+    )
