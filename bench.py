@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "q323_robust_zscore_mad",
     "q324_streaming_psi_drain",
     "q325_rake_keyphrases",
+    "q326_croston_intermittent",
 ]
 
 

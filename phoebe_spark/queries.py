@@ -21569,3 +21569,161 @@ def q325_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.round("score", 6).alias("score"),
     )
+
+
+def _q326_croston_oracle(T: int = 30, a: float = 0.2) -> str:
+    """Generated oracle for q326: Croston's conditional SES recursion
+    unrolled as one CTE per day (the Holt treatment with CASE branches —
+    integer demand counts make every branch decision engine-exact)."""
+    ctes = [
+        "c0_r AS (SELECT k, xs, CAST(NULL AS DOUBLE) AS z,"
+        " CAST(NULL AS DOUBLE) AS p, CAST(0 AS BIGINT) AS q,"
+        " CAST(0 AS BIGINT) AS started FROM series)"
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"c{t} AS (SELECT k, xs, q + 1 AS qn, z, p, started FROM c{t - 1}_r)"
+        )
+        ctes.append(
+            f"c{t}_r AS (SELECT k, xs, "
+            f"CASE WHEN xs[{t}] > 0 THEN "
+            f"  CASE WHEN started = 0 THEN xs[{t}]"
+            f"       ELSE {a} * xs[{t}] + {1 - a} * z END "
+            f"ELSE z END AS z, "
+            f"CASE WHEN xs[{t}] > 0 THEN "
+            f"  CASE WHEN started = 0 THEN CAST(qn AS DOUBLE)"
+            f"       ELSE {a} * qn + {1 - a} * p END "
+            f"ELSE p END AS p, "
+            f"CASE WHEN xs[{t}] > 0 THEN 0 ELSE qn END AS q, "
+            f"CASE WHEN xs[{t}] > 0 THEN 1 ELSE started END AS started "
+            f"FROM c{t})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH hc AS (
+      SELECT event_type AS k,
+             epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) FILTER (WHERE value > 480) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo FROM hc),
+    keys AS (SELECT DISTINCT k FROM hc),
+    grid AS (SELECT keys.k, g.d, b.lo
+             FROM keys CROSS JOIN (SELECT unnest(generate_series(0, {T - 1})) AS d) g,
+                  bounds b),
+    dense AS (
+      SELECT g.k, g.d, coalesce(hc.c, 0.0) AS c
+      FROM grid g LEFT JOIN hc ON hc.k = g.k AND hc.day = g.lo + g.d
+    ),
+    series AS (SELECT k, list(c ORDER BY d) AS xs FROM dense GROUP BY 1),
+    {chain},
+    nd AS (
+      SELECT k, CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_demands
+      FROM dense GROUP BY 1
+    )
+    SELECT r.k AS event_type, CAST({T} AS BIGINT) AS n_periods,
+           nd.n_demands,
+           round(r.z, 6) + 0.0 AS demand_size,
+           round(r.p, 6) + 0.0 AS interval_est,
+           round(r.z / r.p, 6) + 0.0 AS croston_f,
+           round({1 - a / 2} * r.z / r.p, 6) + 0.0 AS sba_f
+    FROM c{T}_r r JOIN nd ON nd.k = r.k
+    """
+
+
+@query("q326_croston_intermittent", oracle=_q326_croston_oracle())
+def q326_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) with the
+    Syntetos-Boylan bias correction: over each type's daily count of
+    rare high-value events (value > 480 — a sparse series with real zero
+    days), separate SES recursions track nonzero demand SIZE and
+    inter-demand INTERVAL, updated only at demand points; forecast =
+    size/interval (SBA multiplies by 1 - alpha/2). The forecaster the
+    Holt family mis-serves: smoothing a mostly-zero series drives Holt's
+    level to noise, while Croston models the sparsity itself. The
+    conditional recursion folds in ONE codegen `aggregate`; the oracle
+    replays it as a generated CTE chain whose CASE branches decide on
+    exact integer counts, so both engines take identical paths.
+
+    100 TB story: the input is the O(days) per-key filtered rollup
+    (map-side, predicate in the scan); the fold is a single-row array
+    op — a million sparse series forecast as one groupBy + one aggregate.
+    """
+    e = _t(spark, sf_dir, "events")
+    T, a = 30, 0.2
+    hc = (
+        e.groupBy(
+            F.col("event_type").alias("k"),
+            F.expr("(ts div 1000000000) div 86400").alias("day"),
+        )
+        .agg(
+            F.sum(F.when(F.col("value") > 480, 1).otherwise(0))
+            .cast("double")
+            .alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo = hc.agg(F.min("day").alias("lo"))
+    keys = hc.select("k").distinct()
+    grid = keys.crossJoin(
+        F.broadcast(
+            lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"), "lo")
+        )
+    )
+    dense = grid.join(
+        hc, (grid.k == hc.k) & (grid.lo + grid.d == hc.day), "left"
+    ).select(grid.k, grid.d, F.coalesce("c", F.lit(0.0)).alias("c"))
+    series = dense.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias("n_demands"),
+    )
+
+    def _step(acc, x):
+        qn = acc["q"] + 1
+        nz = x > 0
+        z = F.when(
+            nz,
+            F.when(acc["started"] == 0, x).otherwise(
+                F.lit(a) * x + F.lit(1 - a) * acc["z"]
+            ),
+        ).otherwise(acc["z"])
+        p = F.when(
+            nz,
+            F.when(acc["started"] == 0, qn.cast("double")).otherwise(
+                F.lit(a) * qn + F.lit(1 - a) * acc["p"]
+            ),
+        ).otherwise(acc["p"])
+        q = F.when(nz, F.lit(0).cast("long")).otherwise(qn)
+        started = F.when(nz, F.lit(1).cast("long")).otherwise(acc["started"])
+        return F.struct(
+            z.alias("z"), p.alias("p"), q.alias("q"), started.alias("started")
+        )
+
+    st = F.aggregate(
+        F.col("xs"),
+        F.struct(
+            F.lit(None).cast("double").alias("z"),
+            F.lit(None).cast("double").alias("p"),
+            F.lit(0).cast("long").alias("q"),
+            F.lit(0).cast("long").alias("started"),
+        ),
+        _step,
+    )
+    out = series.select(
+        F.col("k").alias("event_type"), "n_demands", st.alias("st")
+    )
+    return out.select(
+        "event_type",
+        F.lit(T).cast("long").alias("n_periods"),
+        F.col("n_demands").cast("long").alias("n_demands"),
+        (F.round(F.col("st.z"), 6) + F.lit(0.0)).alias("demand_size"),
+        (F.round(F.col("st.p"), 6) + F.lit(0.0)).alias("interval_est"),
+        (F.round(F.col("st.z") / F.col("st.p"), 6) + F.lit(0.0)).alias(
+            "croston_f"
+        ),
+        (
+            F.round(F.lit(1 - a / 2) * F.col("st.z") / F.col("st.p"), 6)
+            + F.lit(0.0)
+        ).alias("sba_f"),
+    )
