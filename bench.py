@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "q324_streaming_psi_drain",
     "q325_rake_keyphrases",
     "q326_croston_intermittent",
+    "q327_dbscan_lite",
 ]
 
 

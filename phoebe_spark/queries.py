@@ -21727,3 +21727,171 @@ def q326_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("sba_f"),
     )
+
+
+def _q327_dbscan_oracle(tau: float = 0.3, min_neighbors: int = 2) -> str:
+    """Generated oracle for q327: the LSH candidate pairs with the q170
+    literal planes, core marking by degree, a recursive reachability
+    fixpoint over the core-core subgraph, and border assignment — the
+    q53 CC-oracle treatment applied to density clustering."""
+    planes = _lsh_planes()
+    dim = len(planes[0])
+
+    def plane_dot(p: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    pair_dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+    WITH RECURSIVE n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             {bucket} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {pair_dot} / (a.nrm * b.nrm) >= {tau}
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT s, count(*) AS dg FROM sym GROUP BY 1),
+    core AS (SELECT s FROM deg WHERE dg >= {min_neighbors}),
+    ce AS (
+      SELECT sym.s, sym.d FROM sym
+      JOIN core c1 ON c1.s = sym.s JOIN core c2 ON c2.s = sym.d
+    ),
+    reach(doc, lbl) AS (
+      SELECT s, s FROM core
+      UNION
+      SELECT e.s, r.lbl FROM ce e JOIN reach r ON r.doc = e.d
+    ),
+    comp AS (SELECT doc, min(lbl) AS cluster FROM reach GROUP BY 1),
+    border AS (
+      SELECT sym.s AS doc, min(comp.cluster) AS cluster
+      FROM sym JOIN comp ON comp.doc = sym.d
+      WHERE sym.s NOT IN (SELECT s FROM core)
+      GROUP BY 1
+    ),
+    census AS (
+      SELECT cluster,
+             CAST(count(*) AS BIGINT) AS n_core,
+             CAST(0 AS BIGINT) AS n_border
+      FROM comp GROUP BY 1
+    ),
+    bc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS nb FROM border GROUP BY 1),
+    cl AS (
+      SELECT census.cluster AS cluster_id, census.n_core,
+             coalesce(bc.nb, 0) AS n_border,
+             census.n_core + coalesce(bc.nb, 0) AS size
+      FROM census LEFT JOIN bc ON bc.cluster = census.cluster
+    ),
+    tot AS (SELECT count(*) AS n FROM embeddings)
+    SELECT cluster_id, n_core, n_border, CAST(size AS BIGINT) AS size FROM cl
+    UNION ALL
+    SELECT -1, 0, 0,
+           CAST(tot.n - (SELECT coalesce(sum(size), 0) FROM cl) AS BIGINT)
+    FROM tot
+    """
+
+
+@query("q327_dbscan_lite", oracle=_q327_dbscan_oracle())
+def q327_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based semantic clustering (DBSCAN, Ester et al. 1996,
+    under the LSH candidate contract): neighbors are the deterministic
+    random-hyperplane candidate pairs at cosine >= 0.3 (q170's literal
+    planes, so the neighborhood graph is engine-exact and sub-quadratic),
+    CORE points have >= 2 such neighbors, clusters are connected
+    components of the core-core subgraph (min-label propagation, the q53
+    fixpoint treatment), BORDER points attach to their lowest adjacent
+    core cluster, everything else is NOISE (the -1 row) — the topic-
+    discovery step between flat k-means (q242) and per-cluster semantic
+    pruning (q234): clusters of arbitrary shape, no k chosen up front,
+    outliers left unassigned instead of polluting a centroid.
+
+    100 TB story: ONE shuffle on the LSH bucket key bounds the pair
+    work; degree/core/census are grouped aggregates on the edge list;
+    each CC round is one equi-join + grouped min on node ids. The
+    LSH-neighborhood approximation IS the scale contract (recall tested
+    separately in test_similarity).
+    """
+    tau, min_neighbors = 0.3, 2
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_bucketed_pairs(emb, _lsh_planes(), threshold=tau).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    sym = (
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .distinct()
+        .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    core = deg.filter(F.col("dg") >= min_neighbors).select("s").localCheckpoint(
+        eager=True
+    )
+    ce = (
+        sym.join(core.withColumnRenamed("s", "cs"), F.col("s") == F.col("cs"))
+        .join(core.withColumnRenamed("s", "cd"), F.col("d") == F.col("cd"))
+        .select("s", "d")
+    )
+    # isolated cores (no core neighbor) must still form singleton clusters:
+    # seed every core as its own edge-free node by uniting self-loops
+    comp = dedup.dedup_components(
+        ce.union(core.select(F.col("s"), F.col("s").alias("d"))),
+        id_col_a="s",
+        id_col_b="d",
+    ).localCheckpoint(eager=True)
+    border = (
+        sym.join(core.withColumnRenamed("s", "cs"), F.col("s") == F.col("cs"), "left_anti")
+        .join(comp.withColumnRenamed("doc", "d2"), F.col("d") == F.col("d2"))
+        .groupBy(F.col("s").alias("doc"))
+        .agg(F.min("component").alias("cluster"))
+    )
+    census = comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_core")
+    )
+    bc = border.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    cl = (
+        census.join(bc, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_core",
+            F.coalesce("nb", F.lit(0)).alias("n_border"),
+            (F.col("n_core") + F.coalesce("nb", F.lit(0))).alias("size"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n"))
+    assigned = cl.agg(F.coalesce(F.sum("size"), F.lit(0)).alias("a"))
+    noise = tot.crossJoin(F.broadcast(assigned)).select(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.lit(0).cast("long").alias("n_core"),
+        F.lit(0).cast("long").alias("n_border"),
+        (F.col("n") - F.col("a")).cast("long").alias("size"),
+    )
+    return cl.select(
+        "cluster_id",
+        F.col("n_core").cast("long").alias("n_core"),
+        F.col("n_border").cast("long").alias("n_border"),
+        F.col("size").cast("long").alias("size"),
+    ).unionAll(noise)
