@@ -479,3 +479,107 @@ def test_streaming_holt_cross_batch_state(spark, tmp_path):
         nb = g * (nl - l) + (1 - g) * b
         l, b = nl, nb
     assert abs(rows[-1][1] - l) < 1e-12 and abs(rows[-1][2] - b) < 1e-12
+
+
+def test_streaming_page_hinkley_matches_batch_fold(spark, tmp_path):
+    """The PH stateful operator must equal the plain-Python recursion on
+    a staged two-batch stream (order-sensitive state across batches)."""
+    import glob
+    import os
+    import shutil
+
+    from phoebe_spark.streaming.stateful import streaming_page_hinkley
+
+    xs = [5.0, 9.0, 2.0, 14.0, 3.0, 3.0, 20.0, 1.0]
+    delta, lam = 1.0, 6.0
+    t = mean = u = minu = 0
+    alarm = 0
+    for x in xs:
+        t += 1
+        mean = mean + (x - mean) / t
+        u = u + x - mean - delta
+        minu = min(minu, u)
+        if alarm == 0 and u - minu > lam:
+            alarm = t
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    halves = [list(enumerate(xs))[:4], list(enumerate(xs))[4:]]
+    for i, rows in enumerate(halves, start=1):
+        df = spark.createDataFrame(
+            [("k", d, c) for d, c in rows], "key STRING, d INT, c DOUBLE"
+        )
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        pf = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copyfile(pf, dst)
+        os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+    stream = (
+        spark.readStream.schema("key STRING, d INT, c DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        streaming_page_hinkley(stream, delta=delta, lam=lam)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rows = spark.read.parquet(sink).orderBy("n").collect()
+    final = rows[-1]
+    assert final.n == len(xs)
+    assert final.mean == mean and final.u == u and final.min_u == minu
+    assert final.alarm == alarm and alarm > 0  # the jump at x=20 pages
+
+
+def test_streaming_bin_counts_commutative_across_batch_splits(spark, tmp_path):
+    """The PSI count state must be split-invariant: two different batch
+    partitions of the same rows drain to identical vectors."""
+    import glob
+    import os
+    import shutil
+
+    from phoebe_spark.streaming.stateful import streaming_bin_counts
+
+    rows = [("k", b, arm, c) for b in range(3) for arm in (0, 1) for c in (2, 5)]
+
+    def drain(split_at: int, tag: str):
+        src = str(tmp_path / f"src{tag}")
+        os.makedirs(src)
+        for i, part in enumerate((rows[:split_at], rows[split_at:]), start=1):
+            df = spark.createDataFrame(
+                part, "key STRING, bin INT, arm INT, cnt LONG"
+            )
+            stage = str(tmp_path / f"st{tag}{i}")
+            df.coalesce(1).write.parquet(stage)
+            pf = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+        stream = (
+            spark.readStream.schema("key STRING, bin INT, arm INT, cnt LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = str(tmp_path / f"sink{tag}")
+        q = (
+            streaming_bin_counts(stream, n_bins=3)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(sink))
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        f = spark.read.parquet(sink).orderBy("n").collect()[-1]
+        return list(f.c0), list(f.c1), f.n
+
+    a = drain(3, "a")
+    b = drain(9, "b")
+    assert a == b == ([7, 7, 7], [7, 7, 7], 42)
