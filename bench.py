@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "q325_rake_keyphrases",
     "q326_croston_intermittent",
     "q327_dbscan_lite",
+    "q328_hard_negatives",
+    "q329_kneser_ney_lm",
 ]
 
 

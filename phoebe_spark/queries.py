@@ -21895,3 +21895,215 @@ def q327_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_border").cast("long").alias("n_border"),
         F.col("size").cast("long").alias("size"),
     ).unionAll(noise)
+
+
+def _q328_negatives_oracle(lo: float = 0.1, hi: float = 0.3, k: int = 5) -> str:
+    """Generated oracle for q328: the q170 literal-plane bucket assignment,
+    a similarity band filter, and a per-anchor top-k window."""
+    planes = _lsh_planes()
+    dim = len(planes[0])
+
+    def plane_dot(p: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    pair_dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             {bucket} AS bucket
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {pair_dot} / (a.nrm * b.nrm) AS cs
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {pair_dot} / (a.nrm * b.nrm) >= {lo}
+        AND {pair_dot} / (a.nrm * b.nrm) < {hi}
+    ),
+    sym AS (
+      SELECT id_a AS anchor, id_b AS neg_id, cs FROM pr
+      UNION ALL
+      SELECT id_b, id_a, cs FROM pr
+    ),
+    rk AS (
+      SELECT anchor, neg_id, cs,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY cs DESC, neg_id ASC) AS rank
+      FROM sym
+    )
+    SELECT anchor, CAST(rank AS INT) AS rank, neg_id,
+           round(cs, 6) AS cos_sim
+    FROM rk WHERE rank <= {k}
+    """
+
+
+@query("q328_hard_negatives", oracle=_q328_negatives_oracle())
+def q328_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor vector, the top-5 SAME-LSH-BUCKET neighbors in the similarity
+    band 0.1 <= cos < 0.3 — close enough to collide in the hash (that is
+    what makes them HARD) but below the near-duplicate band, i.e. exactly
+    the negatives a contrastive loss learns the most from (in-batch
+    random negatives are trivially far; near-dups would be false
+    negatives). Deterministic: q170's literal hyperplanes, band filter,
+    smallest-id tie-break — the mined pairs are reproducible across
+    runs, partitionings, and engines.
+
+    100 TB story: identical shape to q170 — one shuffle on the bucket
+    key, within-bucket pair work bounded by bucket size (2^k planes the
+    knob), then a WindowGroupLimit top-5 per anchor on the surviving
+    band pairs only.
+    """
+    lo, hi, k = 0.1, 0.3, 5
+    emb = _t(spark, sf_dir, "embeddings")
+    pr = (
+        similarity.lsh_bucketed_pairs(emb, _lsh_planes(), threshold=lo)
+        .filter(F.col("cos_sim") < hi)
+        .localCheckpoint(eager=True)
+    )
+    sym = pr.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("neg_id"),
+        F.col("cos_sim").alias("cs"),
+    ).unionAll(
+        pr.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("neg_id"),
+            F.col("cos_sim").alias("cs"),
+        )
+    )
+    rk = sym.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("anchor").orderBy(
+                F.col("cs").desc(), F.asc("neg_id")
+            )
+        )
+        .alias("rank"),
+    ).filter(F.col("rank") <= k)
+    return rk.select(
+        "anchor",
+        F.col("rank").cast("int").alias("rank"),
+        "neg_id",
+        F.round("cs", 6).alias("cos_sim"),
+    )
+
+
+@query(
+    "q329_kneser_ney_lm",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    toks AS (
+      SELECT doc_id, source, unnest(ts) AS term,
+             generate_subscripts(ts, 1) AS pos
+      FROM arr
+    ),
+    bg AS (
+      SELECT a.source, a.term AS v, b.term AS w
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    c_vw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    c_v AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+                   CAST(count(*) AS BIGINT) AS n1_fwd
+            FROM c_vw GROUP BY 1),
+    cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1_bwd FROM c_vw GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM c_vw),
+    scored AS (
+      SELECT bg.source,
+             ln(greatest(c_vw.c - 0.75, 0) / c_v.cv
+                + (0.75 * c_v.n1_fwd / c_v.cv)
+                  * (cont.n1_bwd * 1.0 / tot.n_bigram_types)) AS lp
+      FROM bg JOIN c_vw ON c_vw.v = bg.v AND c_vw.w = bg.w
+              JOIN c_v ON c_v.v = bg.v
+              JOIN cont ON cont.w = bg.w
+              CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(round(lp, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) + 0.0 AS mean_logprob,
+           round(exp(-CAST(sum(CAST(round(lp, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*)), 6) AS perplexity
+    FROM scored GROUP BY 1
+    """,
+)
+def q329_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995,
+    d=0.75) fit on the corpus and applied back per source: P(w|v) =
+    max(c(vw)-d, 0)/c(v) + lambda(v) * Pcont(w), where the continuation
+    probability counts DISTINCT contexts (the "how many things does w
+    follow" insight that beats raw-frequency backoff on burst-heavy
+    corpora) — the modern-smoothing tier above q285's Jelinek-Mercer
+    interpolation, reported as per-source mean log-prob and perplexity.
+    Every count is an exact integer (bigram counts, context totals,
+    forward/backward type counts), so both engines compute identical
+    probabilities; per-bigram log-probs fold as 12-dp DECIMAL(38,12).
+
+    100 TB story: counts are map-side-combining groupBys bounded by the
+    bigram vocabulary; scoring joins the bigram stream to those count
+    frames on their keys — no corpus self-join, the classic shape shared
+    with q285.
+    """
+    d_disc = 0.75
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(text.tokens(F.col("text"))).alias("pos0", "term"),
+    )
+    a = toks.select("doc_id", "source", "term", F.col("pos0").alias("p"))
+    b = toks.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("term").alias("w"),
+        (F.col("pos0") - 1).alias("p2"),
+    )
+    bg = a.join(
+        b, (F.col("doc_id") == F.col("doc_id2")) & (F.col("p") == F.col("p2"))
+    ).select("source", F.col("term").alias("v"), "w")
+    c_vw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = c_vw.groupBy("w").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = c_vw.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    lp = F.log(
+        F.greatest(F.col("c") - d_disc, F.lit(0.0)) / F.col("cv")
+        + (F.lit(d_disc) * F.col("n1_fwd") / F.col("cv"))
+        * (F.col("n1_bwd") * 1.0 / F.col("n_bigram_types"))
+    )
+    scored = (
+        bg.join(c_vw, ["v", "w"])
+        .join(c_v, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("source", lp.alias("lp"))
+    )
+    mean_lp = (
+        F.sum(F.round("lp", 12).cast("decimal(38,12)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.round(mean_lp, 6) + F.lit(0.0)).alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+    )
