@@ -583,3 +583,56 @@ def test_streaming_bin_counts_commutative_across_batch_splits(spark, tmp_path):
     a = drain(3, "a")
     b = drain(9, "b")
     assert a == b == ([7, 7, 7], [7, 7, 7], 42)
+
+
+def test_streaming_page_hinkley_checkpoint_restart(spark, tmp_path):
+    """The PH (t, mean, U, minU, alarm) state must round-trip through a
+    checkpointed stop-and-restart: a run stopped after the first batch and
+    restarted for the second must emit the identical final state to a
+    single uninterrupted drain — the order-sensitive recursion may not
+    restart from scratch or double-fold."""
+    import time as _time
+
+    from phoebe_spark.streaming.stateful import streaming_page_hinkley
+
+    xs = [4.0, 7.0, 1.0, 12.0, 2.0, 9.0, 15.0, 0.0]
+    halves = [list(enumerate(xs))[:4], list(enumerate(xs))[4:]]
+
+    def drain(tag: str, restart: bool):
+        src = str(tmp_path / f"src{tag}")
+        ck = str(tmp_path / f"ck{tag}")
+        out = str(tmp_path / f"out{tag}")
+        runs = ([0], [1]) if restart else ([0, 1],)
+        for run in runs:
+            for half_idx in run:
+                df = spark.createDataFrame(
+                    [("k", d, c) for d, c in halves[half_idx]],
+                    "key STRING, d INT, c DOUBLE",
+                )
+                df.coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema("key STRING, d INT, c DOUBLE")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                streaming_page_hinkley(stream, delta=1.0, lam=5.0)
+                .writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+            _time.sleep(0.2)
+        rows = spark.read.parquet(out).orderBy("n").collect()
+        f = rows[-1]
+        return (f.n, f.mean, f.u, f.min_u, f.alarm)
+
+    a = drain("A", restart=True)
+    b = drain("B", restart=False)
+    assert a == b
+    assert a[0] == len(xs)
