@@ -37,6 +37,7 @@ SLOPE_QUERIES = [
     "q313_page_hinkley",
     "q318_psi_drift",
     "q319_cramer_von_mises",
+    "q329_kneser_ney_lm",
 ]
 
 
