@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "q327_dbscan_lite",
     "q328_hard_negatives",
     "q329_kneser_ney_lm",
+    "q330_mde_power",
 ]
 
 

@@ -22107,3 +22107,69 @@ def q329_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mean_lp, 6) + F.lit(0.0)).alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 6).alias("perplexity"),
     )
+
+
+@query(
+    "q330_mde_power",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+             CASE WHEN value > 150 THEN 1 ELSE 0 END AS conv
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+             CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS c0
+      FROM s GROUP BY 1
+    )
+    SELECT event_type, n0, n1,
+           round(c0 * 1.0 / n0, 6) AS baseline_rate,
+           round((1.959963984540054 + 0.8416212335729143)
+                 * sqrt((c0 * 1.0 / n0) * (1 - c0 * 1.0 / n0)
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS mde_abs,
+           round((1.959963984540054 + 0.8416212335729143)
+                 * sqrt((c0 * 1.0 / n0) * (1 - c0 * 1.0 / n0)
+                        * (1.0 / n0 + 1.0 / n1)) / (c0 * 1.0 / n0), 6)
+             AS mde_rel
+    FROM g
+    """,
+)
+def q330_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the A/B arms at alpha=0.05 (two-
+    sided) and 80% power: MDE = (z_{0.975} + z_{0.8}) * sqrt(p(1-p) *
+    (1/n0 + 1/n1)) over the threshold-conversion rate per event type —
+    the pre-experiment sizing answer ("how small a lift CAN this split
+    even see?") that belongs next to the post-hoc tests (q281 Welch,
+    q297 Mann-Whitney, q303 SPRT). The normal quantiles are 17-digit
+    literals embedded identically on both sides (the q237 RBO treatment
+    — no inverse-CDF libm dependence); counts are exact integers, so the
+    two engines compute identical rates and identical MDEs.
+
+    100 TB story: one map-side-combining groupBy(event_type) computing
+    both arms' counts in a single pass — the cheapest query in the
+    experimentation ladder, and the one you run FIRST.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("conv"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+    )
+    p = F.col("c0") * 1.0 / F.col("n0")
+    z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    mde = z * F.sqrt(p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return g.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(p, 6).alias("baseline_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )
