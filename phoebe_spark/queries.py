@@ -20384,7 +20384,8 @@ ORACLE["q315_streaming_page_hinkley_drain"] = ORACLE["q313_page_hinkley"]
 @query(
     "q316_embedding_isotropy",
     oracle=f"""
-    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 = 0),
+    WITH s AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 13 = 0 AND vec_id < 130000),
     pr AS (
       SELECT {_PAIR_COS_SQL} AS cs
       FROM s a JOIN s b ON a.vec_id < b.vec_id
@@ -20414,16 +20415,21 @@ def q316_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     space has mean pairwise cosine near 0; a collapsed/anisotropic one
     (bad pooling, undertrained encoder) drifts toward 1, which silently
     breaks every cosine-thresholded dedup and ANN recall assumption
-    downstream. The sample is a modulus cut (no RNG, reproducible), and
-    per-pair cosines fold as 12-dp DECIMAL(38,12) so the quadratic-in-
-    sample aggregate is engine- and partitioning-exact.
+    downstream. The sample is a modulus cut (no RNG, reproducible),
+    HARD-CAPPED at 10k vectors (vec_id < 130000) so the sampled side
+    stays broadcastable at ANY corpus size — a rate-only cut would grow
+    with the corpus and break the broadcast contract at 100 TB. Per-pair
+    cosines fold as 12-dp DECIMAL(38,12) so the quadratic-in-sample
+    aggregate is engine- and partitioning-exact.
 
     100 TB story: the audit is quadratic only in the SAMPLE (154 vecs ->
     ~12k pairs here; the sample rate is the knob) and the sample is tiny
     enough to broadcast — one corpus scan to cut it, zero shuffles on the
     full table.
     """
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 13 == 0)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 130000)
+    )
     s = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
     a = s.alias("a")
     b = s.alias("b")
