@@ -20893,12 +20893,16 @@ def q320_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = cand.crossJoin(F.broadcast(mom)).select(
         "doc_id", "bm25", "cs", hybrid.alias("hybrid")
     )
-    rk = z.select(
+    # distributed top-k (TakeOrdered), then rank the 10-row result — a
+    # global rank window over the candidate set would single-partition
+    # sort a corpus-rate frame at scale
+    top10 = z.orderBy(F.col("hybrid").desc(), F.asc("doc_id")).limit(10)
+    rk = top10.select(
         "*",
         F.row_number()
         .over(Window.orderBy(F.col("hybrid").desc(), F.asc("doc_id")))
         .alias("rank"),
-    ).filter(F.col("rank") <= 10)
+    )
     return rk.select(
         F.col("rank").cast("int").alias("rank"),
         "doc_id",
@@ -21562,12 +21566,14 @@ def q325_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("score").alias("score"),
     )
-    top = census.select(
+    # distributed top-k (TakeOrdered) over the phrase census, then rank
+    # the 15-row result — the census is vocabulary-scale, not top-k-scale
+    top = census.orderBy(F.col("score").desc(), F.asc("phrase")).limit(15).select(
         "*",
         F.row_number()
         .over(Window.orderBy(F.col("score").desc(), F.asc("phrase")))
         .alias("rank"),
-    ).filter(F.col("rank") <= 15)
+    )
     return top.select(
         F.col("rank").cast("int").alias("rank"),
         "phrase",

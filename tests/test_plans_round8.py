@@ -96,3 +96,12 @@ def test_q323_mad_windows_on_support_only(spark, sf_dir):
     # the (type, value) support is checkpointed: ONE corpus scan feeds
     # median, MAD, and the outlier count
     assert plan.count("Scan parquet") <= 1
+
+
+def test_q320_q325_topk_is_take_ordered(spark, sf_dir):
+    """Global top-k over corpus-rate frames (hybrid candidates, phrase
+    census) must plan as distributed TakeOrdered, never a single-
+    partition rank window over the full frame."""
+    for name in ("q320_hybrid_retrieval", "q325_rake_keyphrases"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
