@@ -313,6 +313,9 @@ BENCH_QUERIES = [
     "q328_hard_negatives",
     "q329_kneser_ney_lm",
     "q330_mde_power",
+    "q331_srm_check",
+    "q332_seasonal_strength",
+    "q333_hill_tail_index",
 ]
 
 

@@ -22185,3 +22185,253 @@ def q330_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / p, 6).alias("mde_rel"),
     )
+
+
+@query(
+    "q331_srm_check",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n0, n1,
+           round((n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1), 6) AS chi2,
+           CASE WHEN (n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1) > 3.841458820694124
+                THEN 1 ELSE 0 END AS srm
+    FROM g
+    """,
+)
+def q331_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the A/B split (the FIRST gate an
+    experimentation platform runs — a biased assignment invalidates every
+    downstream test): chi-square with 1 df against the expected 50/50,
+    chi2 = (n0-n1)^2/(n0+n1), flagged above the 0.05 critical value
+    (17-digit literal, no inverse-CDF dependence). Counts are exact
+    integers; one division. Completes the experimentation ladder:
+    SRM -> MDE (q330) -> Welch/Mann-Whitney/KS/CvM -> SPRT.
+
+    100 TB story: one map-side-combining groupBy computing both arm
+    counts in a single pass.
+    """
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("n1"),
+    )
+    chi2 = (
+        (F.col("n0") - F.col("n1"))
+        * (F.col("n0") - F.col("n1"))
+        * 1.0
+        / (F.col("n0") + F.col("n1"))
+    )
+    return g.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841458820694124, 1).otherwise(0).alias("srm"),
+    )
+
+
+@query(
+    "q332_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, day, v,
+             avg(v) OVER w AS trend, count(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dt AS (
+      SELECT event_type, CAST(day % 7 AS INT) AS dow, v - trend AS d
+      FROM tr WHERE wn = 7),
+    se AS (
+      SELECT event_type, dow,
+             CAST(sum(CAST(round(d, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*) AS s
+      FROM dt GROUP BY 1, 2),
+    r AS (
+      SELECT dt.event_type, dt.d, dt.d - se.s AS rem
+      FROM dt JOIN se ON se.event_type = dt.event_type AND se.dow = dt.dow),
+    v AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(round(d * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sd2,
+             CAST(sum(CAST(round(rem, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+             CAST(sum(CAST(round(rem * rem, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sr2
+      FROM r GROUP BY 1)
+    SELECT event_type, n,
+           round(greatest(0.0, 1 - (sr2 / n - (sr / n) * (sr / n))
+                               / (sd2 / n - (sd / n) * (sd / n))), 6) + 0.0
+             AS seasonal_strength
+    FROM v
+    """,
+)
+def q332_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonal-strength diagnostic F_S = max(0, 1 -
+    Var(remainder)/Var(detrended)) over the q191 decomposition (trend =
+    centered 7-day MA on full windows, seasonal = day-of-week mean of the
+    detrended series, remainder = detrended - seasonal): the one-number
+    answer to "does this series HAVE a weekly cycle worth modeling",
+    which decides between the seasonal-naive (q270), Holt (q273), and
+    Holt-Winters (q284) forecasters. All moments fold as 12-dp
+    DECIMAL(38,12); variances are identical ratios of identical sums.
+
+    100 TB story: q191's shape — one (type, day) rollup, one days-sized
+    window per type, one dow-profile join, one grouped moment fold.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("(ts div 1000000000) div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    dt = (
+        daily.select(
+            "event_type",
+            "day",
+            "v",
+            F.avg("v").over(w).alias("trend"),
+            F.count(F.lit(1)).over(w).alias("wn"),
+        )
+        .filter(F.col("wn") == 7)
+        .select(
+            "event_type",
+            (F.col("day") % 7).cast("int").alias("dow"),
+            (F.col("v") - F.col("trend")).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    se = dt.groupBy("event_type", "dow").agg(
+        (
+            F.sum(F.round("d", 12).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    r = dt.join(F.broadcast(se), ["event_type", "dow"]).select(
+        "event_type", "d", (F.col("d") - F.col("s")).alias("rem")
+    )
+    v = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("d", 12).cast("decimal(38,12)")).cast("double").alias("sd"),
+        F.sum(F.round(F.col("d") * F.col("d"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sd2"),
+        F.sum(F.round("rem", 12).cast("decimal(38,12)")).cast("double").alias("sr"),
+        F.sum(F.round(F.col("rem") * F.col("rem"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sr2"),
+    )
+    var_r = F.col("sr2") / F.col("n") - (F.col("sr") / F.col("n")) * (
+        F.col("sr") / F.col("n")
+    )
+    var_d = F.col("sd2") / F.col("n") - (F.col("sd") / F.col("n")) * (
+        F.col("sd") / F.col("n")
+    )
+    return v.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.round(F.greatest(F.lit(0.0), 1 - var_r / var_d), 6) + F.lit(0.0)
+        ).alias("seasonal_strength"),
+    )
+
+
+@query(
+    "q333_hill_tail_index",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, value AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL AND value > 0 GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM g
+    ),
+    xk AS (
+      SELECT event_type, min(v) AS x_k
+      FROM cum WHERE cum >= 100 GROUP BY 1
+    ),
+    taken AS (
+      SELECT c.event_type,
+             least(c.cnt, 100 - (c.cum - c.cnt)) AS take, c.v, k.x_k
+      FROM cum c JOIN xk k ON k.event_type = c.event_type
+      WHERE c.cum - c.cnt < 100 AND c.v >= k.x_k
+    )
+    SELECT event_type,
+           CAST(100 AS BIGINT) AS k,
+           round(min(x_k), 6) AS x_k,
+           round(CAST(sum(CAST(round(take * ln(v / x_k), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) / 100, 6) + 0.0 AS hill_gamma,
+           round(100.0 / CAST(sum(CAST(round(take * ln(v / x_k), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS tail_alpha
+    FROM taken GROUP BY 1
+    """,
+)
+def q333_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index (Hill 1975,
+    k=100): gamma = (1/k) * sum over the k largest observations of
+    ln(x_(i) / x_(k)), alpha = 1/gamma — the heavy-tail diagnostic that
+    tells a pipeline whether its latency/size/cost column even HAS a
+    finite variance (alpha < 2: plan for extremes, winsorize, budget by
+    quantiles not means). The top-k comes from cumulative counts over the
+    DESCENDING distinct-value support with exact multiplicity splitting
+    at the k-boundary — no raw-row sort, no sampling; per-value terms
+    fold as 12-dp DECIMAL(38,12).
+
+    100 TB story: one map-side-combining groupBy(type, value), one
+    distinct-value cumulative frame per type (the documented exception),
+    one grouped fold — the tail census costs the same as any quantile.
+    """
+    k = 100
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    g = e.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "event_type", "v", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).localCheckpoint(eager=True)
+    xk = (
+        cum.filter(F.col("cum") >= k)
+        .groupBy("event_type")
+        .agg(F.min("v").alias("x_k"))
+    )
+    taken = (
+        cum.join(F.broadcast(xk), "event_type")
+        .filter((F.col("cum") - F.col("cnt") < k) & (F.col("v") >= F.col("x_k")))
+        .select(
+            "event_type",
+            F.least(F.col("cnt"), F.lit(k) - (F.col("cum") - F.col("cnt"))).alias(
+                "take"
+            ),
+            "v",
+            "x_k",
+        )
+    )
+    s = F.sum(
+        F.round(F.col("take") * F.log(F.col("v") / F.col("x_k")), 12).cast(
+            "decimal(38,12)"
+        )
+    ).cast("double")
+    return taken.groupBy("event_type").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.min("x_k"), 6).alias("x_k"),
+        (F.round(s / k, 6) + F.lit(0.0)).alias("hill_gamma"),
+        F.round(F.lit(float(k)) / s, 6).alias("tail_alpha"),
+    )

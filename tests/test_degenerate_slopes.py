@@ -38,6 +38,7 @@ SLOPE_QUERIES = [
     "q318_psi_drift",
     "q319_cramer_von_mises",
     "q329_kneser_ney_lm",
+    "q332_seasonal_strength",
 ]
 
 
