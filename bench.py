@@ -316,6 +316,9 @@ BENCH_QUERIES = [
     "q331_srm_check",
     "q332_seasonal_strength",
     "q333_hill_tail_index",
+    "q334_odds_ratio",
+    "q335_term_burstiness",
+    "q336_gini_simpson",
 ]
 
 

@@ -22435,3 +22435,198 @@ def q333_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(s / k, 6) + F.lit(0.0)).alias("hill_gamma"),
         F.round(F.lit(float(k)) / s, 6).alias("tail_alpha"),
     )
+
+
+@query(
+    "q334_odds_ratio",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND value <= 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND value <= 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, a, b, c, d,
+           round((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6)
+             AS odds_ratio,
+           round(exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                 - 1.959963984540054
+                   * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)
+                          + 1.0/(c + 0.5) + 1.0/(d + 0.5))), 6) AS ci_lo,
+           round(exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                 + 1.959963984540054
+                   * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)
+                          + 1.0/(c + 0.5) + 1.0/(d + 0.5))), 6) AS ci_hi,
+           CASE WHEN exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                     - 1.959963984540054
+                       * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)
+                              + 1.0/(c + 0.5) + 1.0/(d + 0.5))) > 1
+                  OR exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                     + 1.959963984540054
+                       * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)
+                              + 1.0/(c + 0.5) + 1.0/(d + 0.5))) < 1
+                THEN 1 ELSE 0 END AS significant
+    FROM s
+    """,
+)
+def q334_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of threshold conversion between the A/B arms with the
+    Wald 95% confidence interval (log OR +/- z*sqrt(1/a+1/b+1/c+1/d)) —
+    the effect-SIZE report beside the yes/no tests (q281 Welch, q331
+    SRM): a significant-but-OR=1.01 result and an OR=2 result read very
+    differently to whoever acts on the experiment. The 2x2 table is
+    exact integers from one conditional-aggregation pass with the
+    Haldane-Anscombe +0.5 correction (rare cells can be empty — a raw
+    OR would divide by zero); the z quantile is a 17-digit literal on
+    both sides.
+
+    100 TB story: one map-side-combining groupBy computing all four
+    cells in a single pass — same shape as q281/q330/q331.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arm0 = F.col("user_id") % 2 == 0
+    conv = F.col("value") > 150
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(arm0 & conv, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(arm0 & ~conv, 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~arm0 & conv, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~arm0 & ~conv, 1).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = (F.col(x) + 0.5 for x in ("a", "b", "c", "d"))
+    orr = a * d / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    z = F.lit(1.959963984540054)
+    lo = F.exp(F.log(orr) - z * se)
+    hi = F.exp(F.log(orr) + z * se)
+    return s.select(
+        "event_type",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        F.when((lo > 1) | (hi < 1), 1).otherwise(0).alias("significant"),
+    )
+
+
+@query(
+    "q335_term_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      WHERE trim(text) <> ''
+    ),
+    st AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY 1
+    ),
+    top AS (
+      SELECT term, cf, df,
+             round(cf * 1.0 / df, 6) AS burstiness,
+             round((cf - df) * 1.0 / cf, 6) AS p_repeat
+      FROM st WHERE cf >= 10
+      ORDER BY cf * 1.0 / df DESC, term ASC LIMIT 20
+    )
+    SELECT term, cf, df, burstiness, p_repeat FROM top
+    """,
+)
+def q335_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness (Church & Gale 1995): collection
+    frequency over document frequency per term, with the adaptation
+    probability P(repeat | occurred) = (cf-df)/cf — the top-20 burstiest
+    terms (cf >= 10 support) are the templated/boilerplate vocabulary a
+    curation pass inspects first: a term that appears 40 times in 3
+    documents is structure, not language. Pure integer counts; the top-k
+    is a distributed TakeOrdered over the vocabulary-bounded stats.
+
+    100 TB story: one map-side-combining groupBy(term) computing cf and
+    df together; everything after runs on the vocabulary.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    b = F.col("cf") * 1.0 / F.col("df")
+    return (
+        st.filter(F.col("cf") >= 10)
+        .orderBy(b.desc(), F.asc("term"))
+        .limit(20)
+        .select(
+            "term",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(b, 6).alias("burstiness"),
+            F.round((F.col("cf") - F.col("df")) * 1.0 / F.col("cf"), 6).alias(
+                "p_repeat"
+            ),
+        )
+    )
+
+
+@query(
+    "q336_gini_simpson",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+      WHERE trim(text) <> ''
+    ),
+    st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+           FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS pair_mass
+      FROM st GROUP BY 1
+    )
+    SELECT source, n_types, n_tokens,
+           round(1.0 - pair_mass * 1.0 / (n_tokens * (n_tokens - 1)), 6)
+             AS gini_simpson,
+           round((n_tokens * (n_tokens - 1)) * 1.0 / pair_mass, 6)
+             AS inv_simpson
+    FROM agg
+    """,
+)
+def q336_gini_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased Gini-Simpson lexical diversity per source (Simpson 1949,
+    Hurlbert's finite-sample form): 1 - sum n_i(n_i-1) / (N(N-1)) — the
+    probability two tokens drawn WITHOUT replacement differ — plus the
+    inverse-Simpson effective vocabulary size. The estimator's core is
+    EXACT INTEGER arithmetic (pair mass over pair count), so unlike the
+    entropy profile (q93) there is no per-term float fold to quantize at
+    all: both engines divide the same two BIGINTs. Low diversity with
+    high token count flags templated sources the Zipf/entropy signals
+    corroborate.
+
+    100 TB story: one map-side-combining groupBy(source, term), one
+    source-level rollup — vocabulary-bounded, like every corpus-health
+    signal in the text family.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    agg = st.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pair_mass"),
+    )
+    nn = F.col("n_tokens") * (F.col("n_tokens") - 1)
+    return agg.select(
+        "source",
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(1.0 - F.col("pair_mass") * 1.0 / nn, 6).alias("gini_simpson"),
+        F.round(nn * 1.0 / F.col("pair_mass"), 6).alias("inv_simpson"),
+    )
