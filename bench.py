@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "q334_odds_ratio",
     "q335_term_burstiness",
     "q336_gini_simpson",
+    "q337_lift_gain_curve",
 ]
 
 

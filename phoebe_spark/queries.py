@@ -22630,3 +22630,120 @@ def q336_gini_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.col("pair_mass") * 1.0 / nn, 6).alias("gini_simpson"),
         F.round(nn * 1.0 / F.col("pair_mass"), 6).alias("inv_simpson"),
     )
+
+
+@query(
+    "q337_lift_gain_curve",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM s GROUP BY 1),
+    cum AS (
+      SELECT score, n, pos,
+             sum(n) OVER w - n AS cum_before,
+             sum(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS total,
+             sum(pos) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS total_pos
+      FROM g
+      WINDOW w AS (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dec AS (
+      SELECT least(CAST(cum_before * 10 // total AS INT), 9) AS decile,
+             n, pos, total, total_pos
+      FROM cum
+    ),
+    agg AS (
+      SELECT decile, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS conversions,
+             min(total) AS total, min(total_pos) AS total_pos
+      FROM dec GROUP BY 1
+    )
+    SELECT CAST(decile AS INT) AS decile, n, conversions,
+           round(conversions * 1.0 / n, 6) AS conv_rate,
+           round((conversions * 1.0 / n)
+                 / (total_pos * 1.0 / total), 6) AS lift,
+           round(sum(conversions) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / total_pos, 6) AS cum_gain
+    FROM agg
+    """,
+)
+def q337_lift_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gain curve for a score against a binary
+    outcome (score = value, outcome = purchase event): rank the
+    population by score descending, cut into 10 population deciles, and
+    report each decile's conversion rate, lift over the base rate, and
+    cumulative gain — the model-eval table behind every 'top-decile
+    targeting' decision, next to ROC-AUC (q279) and calibration (q280).
+    Deciles are cut on cumulative counts over the DESCENDING distinct-
+    score support with ties kept together (a tied score never straddles
+    a decile — deterministic in both engines, disclosed), so all counts
+    are exact integers and the only floats are final ratios of identical
+    BIGINTs.
+
+    100 TB story: one map-side-combining groupBy(score) collapses the
+    population to the score support; the decile cut is a cumulative
+    frame over that support (the documented distinct-value exception);
+    the report is a 10-row rollup.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "n",
+        "pos",
+        (F.sum("n").over(w) - F.col("n")).alias("cum_before"),
+        F.sum("n").over(tot).alias("total"),
+        F.sum("pos").over(tot).alias("total_pos"),
+    )
+    dec = cum.select(
+        F.least(
+            F.expr("(cum_before * 10) div total").cast("int"), F.lit(9)
+        ).alias("decile"),
+        "n",
+        "pos",
+        "total",
+        "total_pos",
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("n").alias("n"),
+        F.sum("pos").alias("conversions"),
+        F.min("total").alias("total"),
+        F.min("total_pos").alias("total_pos"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("conversions").cast("long").alias("conversions"),
+        F.round(F.col("conversions") * 1.0 / F.col("n"), 6).alias("conv_rate"),
+        F.round(
+            (F.col("conversions") * 1.0 / F.col("n"))
+            / (F.col("total_pos") * 1.0 / F.col("total")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.sum("conversions").over(cw) * 1.0 / F.col("total_pos"), 6
+        ).alias("cum_gain"),
+    )
