@@ -320,6 +320,8 @@ BENCH_QUERIES = [
     "q335_term_burstiness",
     "q336_gini_simpson",
     "q337_lift_gain_curve",
+    "q338_chao1_richness",
+    "q339_median_ci",
 ]
 
 

@@ -22747,3 +22747,189 @@ def q337_lift_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("conversions").over(cw) * 1.0 / F.col("total_pos"), 6
         ).alias("cum_gain"),
     )
+
+
+@query(
+    "q338_chao1_richness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS term FROM documents
+      WHERE trim(text) <> ''
+    ),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    f AS (
+      SELECT CAST(count(*) AS BIGINT) AS s_obs,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM c
+    )
+    SELECT s_obs, f1, f2, n_tokens,
+           round(s_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1,
+           round(s_obs / (s_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1))), 6)
+             AS coverage_frac,
+           round(1.0 - f1 * 1.0 / n_tokens, 6) AS good_turing_coverage
+    FROM f
+    """,
+)
+def q338_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the TOTAL vocabulary (Chao
+    1984, bias-corrected form S_obs + f1(f1-1)/(2(f2+1))) from the hapax
+    and doubleton counts, plus Good-Turing sample coverage 1 - f1/N —
+    the "how many types exist that we have not seen yet" companion to
+    the Heaps'-law growth fit (q309): Heaps says how fast new types
+    arrive, Chao1 says how many remain, and together they size a
+    tokenizer vocabulary before committing to it. Every input is an
+    exact integer (type count, singleton/doubleton counts, token total);
+    the only floats are three final ratios of identical BIGINTs.
+
+    100 TB story: one map-side-combining groupBy(term), one 4-number
+    rollup over the vocabulary — the cheapest possible corpus-coverage
+    certificate.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    c = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    f = c.agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum("n").alias("n_tokens"),
+    )
+    chao1 = F.col("s_obs") + F.col("f1") * (F.col("f1") - 1) / (
+        2.0 * (F.col("f2") + 1)
+    )
+    return f.select(
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(F.col("s_obs") / chao1, 6).alias("coverage_frac"),
+        F.round(1.0 - F.col("f1") * 1.0 / F.col("n_tokens"), 6).alias(
+            "good_turing_coverage"
+        ),
+    )
+
+
+@query(
+    "q339_median_ci",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM s GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM g
+    ),
+    ranks AS (
+      SELECT event_type, min(n) AS n,
+             CAST(floor((min(n) + 1) / 2.0
+                  - 1.959963984540054 * sqrt(min(n) / 4.0)) AS BIGINT) AS r_lo,
+             CAST(ceil((min(n) + 1) / 2.0
+                  + 1.959963984540054 * sqrt(min(n) / 4.0)) AS BIGINT) AS r_hi
+      FROM cum GROUP BY 1
+    ),
+    med AS (
+      SELECT c.event_type, min(c.v) AS median
+      FROM cum c WHERE c.cum >= (c.n + 1) // 2 GROUP BY 1
+    ),
+    lo AS (
+      SELECT c.event_type, min(c.v) AS ci_lo
+      FROM cum c JOIN ranks r ON r.event_type = c.event_type
+      WHERE c.cum >= r.r_lo GROUP BY 1
+    ),
+    hi AS (
+      SELECT c.event_type, min(c.v) AS ci_hi
+      FROM cum c JOIN ranks r ON r.event_type = c.event_type
+      WHERE c.cum >= r.r_hi GROUP BY 1
+    )
+    SELECT m.event_type, CAST(r.n AS BIGINT) AS n,
+           round(m.median, 6) AS median,
+           round(lo.ci_lo, 6) AS ci_lo,
+           round(hi.ci_hi, 6) AS ci_hi
+    FROM med m JOIN ranks r ON r.event_type = m.event_type
+    JOIN lo ON lo.event_type = m.event_type
+    JOIN hi ON hi.event_type = m.event_type
+    """,
+)
+def q339_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median by the
+    order-statistic (binomial) method: the interval is the pair of
+    sample values at ranks (n+1)/2 -/+ z*sqrt(n)/4*2 (the normal
+    approximation to Binomial(n, 1/2) rank bounds, z as a 17-digit
+    literal) — no bootstrap, no RNG, no distributional assumption: the
+    inference tier of the robust-statistics family (q323 gives the
+    point estimates, this bounds them). Ranks are exact integers
+    (floor/ceil of identical doubles), order statistics read off
+    cumulative counts over the distinct-value support.
+
+    100 TB story: the q323 shape — one (type, value) rollup, per-type
+    cumulative frames over the support, three rank probes that reuse
+    the same frame.
+    """
+    z = 1.959963984540054
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(p).alias("n"),
+    ).localCheckpoint(eager=True)
+    ranks = cum.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.floor(
+            (F.min("n") + 1) / 2.0 - z * F.sqrt(F.min("n") / 4.0)
+        ).cast("long").alias("r_lo"),
+        F.ceil(
+            (F.min("n") + 1) / 2.0 + z * F.sqrt(F.min("n") / 4.0)
+        ).cast("long").alias("r_hi"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("median"))
+    )
+    lo = (
+        cum.join(F.broadcast(ranks), "event_type")
+        .filter(F.col("cum") >= F.col("r_lo"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("ci_lo"))
+    )
+    hi = (
+        cum.join(F.broadcast(ranks), "event_type")
+        .filter(F.col("cum") >= F.col("r_hi"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("ci_hi"))
+    )
+    return (
+        med.join(ranks, "event_type")
+        .join(lo, "event_type")
+        .join(hi, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("median", 6).alias("median"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+        )
+    )
