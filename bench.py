@@ -322,6 +322,8 @@ BENCH_QUERIES = [
     "q337_lift_gain_curve",
     "q338_chao1_richness",
     "q339_median_ci",
+    "q340_simpsons_paradox",
+    "q341_burrows_delta",
 ]
 
 

@@ -22933,3 +22933,251 @@ def q339_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ci_hi", 6).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "q340_simpsons_paradox",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND value <= 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND value <= 150
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    strata AS (
+      SELECT event_type, a, b, c, d,
+             CASE WHEN a * 1.0 * (c + d) > c * 1.0 * (a + b) THEN 1
+                  WHEN a * 1.0 * (c + d) < c * 1.0 * (a + b) THEN -1
+                  ELSE 0 END AS direction
+      FROM s
+    ),
+    pooled AS (
+      SELECT sum(a) AS a, sum(b) AS b, sum(c) AS c, sum(d) AS d,
+             CASE WHEN sum(a) * 1.0 * (sum(c) + sum(d))
+                       > sum(c) * 1.0 * (sum(a) + sum(b)) THEN 1
+                  WHEN sum(a) * 1.0 * (sum(c) + sum(d))
+                       < sum(c) * 1.0 * (sum(a) + sum(b)) THEN -1
+                  ELSE 0 END AS direction
+      FROM s
+    )
+    SELECT st.event_type,
+           round(st.a * 1.0 / (st.a + st.b), 6) AS rate_arm0,
+           round(st.c * 1.0 / (st.c + st.d), 6) AS rate_arm1,
+           CAST(st.direction AS INT) AS stratum_direction,
+           CAST(p.direction AS INT) AS pooled_direction,
+           CASE WHEN st.direction <> 0 AND p.direction <> 0
+                     AND st.direction <> p.direction
+                THEN 1 ELSE 0 END AS reversed
+    FROM strata st CROSS JOIN pooled p
+    """,
+)
+def q340_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the A/B conversion comparison: per
+    stratum (event type), which arm converts better — and does the
+    POOLED comparison point the same way? A `reversed=1` row is the
+    classic aggregation trap (Simpson 1951): the pooled table says arm 1
+    wins while this stratum says arm 0 does, meaning the pooled
+    conclusion is confounded by the stratum mix and must not ship. The
+    direction compare is EXACT integer cross-multiplication
+    (a*(c+d) vs c*(a+b) — no rate division before the decision), so the
+    flag cannot flip on float noise.
+
+    100 TB story: one conditional-aggregation pass builds every 2x2
+    stratum table; the pooled table is a 1-row rollup of the strata
+    broadcast back over the 5-row frame.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arm0 = F.col("user_id") % 2 == 0
+    conv = F.col("value") > 150
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(arm0 & conv, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(arm0 & ~conv, 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~arm0 & conv, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~arm0 & ~conv, 1).otherwise(0)).alias("d"),
+    ).localCheckpoint(eager=True)
+
+    def direction(a, b, c, d):
+        lhs = a * 1.0 * (c + d)
+        rhs = c * 1.0 * (a + b)
+        return F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
+
+    strata = s.select(
+        "event_type",
+        "a",
+        "b",
+        "c",
+        "d",
+        direction(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias(
+            "direction"
+        ),
+    )
+    pooled = s.agg(
+        F.sum("a").alias("pa"),
+        F.sum("b").alias("pb"),
+        F.sum("c").alias("pc"),
+        F.sum("d").alias("pd"),
+    ).select(
+        direction(F.col("pa"), F.col("pb"), F.col("pc"), F.col("pd")).alias(
+            "p_direction"
+        )
+    )
+    return strata.crossJoin(F.broadcast(pooled)).select(
+        "event_type",
+        F.round(F.col("a") * 1.0 / (F.col("a") + F.col("b")), 6).alias(
+            "rate_arm0"
+        ),
+        F.round(F.col("c") * 1.0 / (F.col("c") + F.col("d")), 6).alias(
+            "rate_arm1"
+        ),
+        F.col("direction").cast("int").alias("stratum_direction"),
+        F.col("p_direction").cast("int").alias("pooled_direction"),
+        F.when(
+            (F.col("direction") != 0)
+            & (F.col("p_direction") != 0)
+            & (F.col("direction") != F.col("p_direction")),
+            1,
+        )
+        .otherwise(0)
+        .alias("reversed"),
+    )
+
+
+@query(
+    "q341_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+      WHERE trim(text) <> ''
+    ),
+    topw AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, term ASC LIMIT 50
+      )
+    ),
+    st AS (
+      SELECT t.source, t.term, CAST(count(*) AS BIGINT) AS n
+      FROM toks t JOIN topw w ON w.term = t.term
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM toks GROUP BY 1),
+    grid AS (
+      SELECT ns.source, w.term,
+             coalesce(st.n, 0) * 1000000.0 / ns.n_s AS fpm
+      FROM ns CROSS JOIN topw w
+      LEFT JOIN st ON st.source = ns.source AND st.term = w.term
+    ),
+    mom AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(fpm, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(fpm * fpm, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS s2
+      FROM grid GROUP BY 1
+    ),
+    z AS (
+      SELECT g.source, g.term,
+             (g.fpm - m.s1 / m.k)
+             / sqrt(greatest(m.s2 / m.k - (m.s1 / m.k) * (m.s1 / m.k),
+                             1e-300)) AS zv
+      FROM grid g JOIN mom m ON m.term = g.term
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(CAST(round(abs(a.zv - b.zv), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) / 50 AS delta
+      FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, round(delta, 6) AS burrows_delta
+    FROM pairs
+    """,
+)
+def q341_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources (Burrows 2002,
+    the standard authorship-attribution measure): per-source frequencies
+    per million of the corpus's top-50 words, z-scored ACROSS sources per
+    word, pairwise mean |z_a - z_b| — near-zero Delta between two
+    'different' sources is the syndication/laundering fingerprint
+    content-level dedup misses when the texts differ but the WRITING
+    doesn't. Function-word profiles are the signal precisely because
+    no copy-editor changes them.
+
+    Determinism: top-50 by (count desc, term asc); fpm and moments fold
+    as 12-dp DECIMAL(38,12); the z and delta arithmetic is identical
+    ratios of identical sums; absent (source, word) cells contribute
+    fpm=0 via the full grid.
+
+    100 TB story: one tokenize pass feeds the word census and the
+    per-source counts of 50 words; the grid/z/delta all run on the
+    sources x 50 frame — pair work is sources-squared, not corpus
+    anything.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+    topw = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.asc("term"))
+        .limit(50)
+        .select("term")
+        .localCheckpoint(eager=True)
+    )
+    st = (
+        toks.join(F.broadcast(topw), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    grid = (
+        ns.crossJoin(F.broadcast(topw))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (F.coalesce("n", F.lit(0)) * 1000000.0 / F.col("n_s")).alias("fpm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mom = grid.groupBy("term").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round("fpm", 12).cast("decimal(38,12)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("fpm") * F.col("fpm"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("k")
+    sd = F.sqrt(F.greatest(F.col("s2") / F.col("k") - mean * mean, F.lit(1e-300)))
+    z = grid.join(F.broadcast(mom), "term").select(
+        "source", "term", ((F.col("fpm") - mean) / sd).alias("zv")
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.abs(F.col("a.zv") - F.col("b.zv")), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / 50
+            ).alias("delta")
+        )
+    )
+    return pairs.select("src_a", "src_b", F.round("delta", 6).alias("burrows_delta"))
