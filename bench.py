@@ -360,7 +360,14 @@ def main() -> None:
         medians); with this release they return to first-in-session speed
         (10.44->10.71 s / 9.91->9.82 s). The accumulation is localCheckpoint
         blocks (eagerly persisted, released only when the driver GC +
-        ContextCleaner catch up) plus JVM heap aging — not machine noise."""
+        ContextCleaner catch up) plus JVM heap aging — not machine noise.
+
+        INVARIANT (ADVICE r8): this unpersists EVERY persistent RDD in
+        the session, including eagerly localCheckpointed RDDs whose
+        lineage is already truncated — any such DataFrame becomes
+        unrecoverable afterwards. Safe only because each bench entry is
+        fully drained (noop write) before the every-50 release; no live
+        DataFrame reference may be held across a release boundary."""
         jsc = spark.sparkContext._jsc.sc()
         it = jsc.getPersistentRDDs().iterator()
         while it.hasNext():
@@ -425,19 +432,30 @@ def main() -> None:
     # with the scalar fields BEFORE the big `queries` map so a truncated
     # capture still shows the total; then a short summary-only line last so
     # any tail-capture window always contains one fully parseable JSON line.
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "queries": timings,
-                "rerun_runs": rerun_runs,
-            },
-            separators=(",", ":"),
-        )
+    full = {
+        "metric": "bench_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "rerun_runs": rerun_runs,
+    }
+    print(json.dumps(full, separators=(",", ":")))
+    # The driver's BENCH artifact keeps only a 2000-char tail, so also
+    # persist the complete per-query map to a file the repo can commit —
+    # cross-round regression tracking needs all ~290 entries, not 5
+    # (VERDICT r8 ask #4). Default beside the repo root; override with
+    # $SPARK_GRAFT_BENCH_OUT, disable with an empty value.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results_latest.json"),
     )
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass  # benching must never fail on an unwritable results path
     top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(

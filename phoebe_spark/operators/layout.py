@@ -144,6 +144,62 @@ def global_rank_by_value(
     )
 
 
+def global_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    bucket,
+    sum_cols: list[str],
+    rn_col: str = "i",
+) -> DataFrame:
+    """EXACT global row_number AND running sums over a total order
+    WITHOUT a single-reducer window — the prefix-sum sibling of
+    :func:`global_rank_by_value` (round-9; fixes the q303 shape where a
+    cumulative random walk single-partitioned the whole event stream).
+
+    Two-phase: per-BUCKET counts and column totals roll up map-side;
+    their cumulative offsets are a window over the tiny distinct-bucket
+    frame only (``bucket`` must MONOTONICALLY coarsen the order column —
+    e.g. the day of an event timestamp, so the offsets frame is bounded
+    by the time domain); each row then adds its bucket's offsets to a
+    row_number / running sums over the bucket PARTITION. Bit-identical
+    to ``F.sum(c).over(Window.orderBy(order, tie))`` for integer sums.
+    """
+    from pyspark.sql import Window
+
+    dfb = df.withColumn("__bkt", bucket)
+    per = dfb.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols],
+    )
+    wb = Window.orderBy(F.col("__bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per.select(
+        "__bkt",
+        F.coalesce(F.sum("__n").over(wb), F.lit(0)).cast("long").alias("__off_n"),
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(wb), F.lit(0))
+            .cast("long")
+            .alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+    wl = Window.partitionBy("__bkt").orderBy(
+        F.col(order_col).asc(), F.col(tie_col).asc()
+    )
+    out = dfb.join(F.broadcast(offs), "__bkt")
+    out = out.withColumn(
+        rn_col, (F.col("__off_n") + F.row_number().over(wl)).cast("long")
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"__off_{c}") + F.sum(c).over(wl)).cast("long"),
+        )
+    return out.drop("__bkt", "__off_n", *[f"__off_{c}" for c in sum_cols])
+
+
 def exact_ntile_expr(rank_col: str, n_col: str, k: int):
     """The exact NTILE(k) bucket for a 1-based global rank, replicating
     Spark/DuckDB semantics (first n%k buckets get ceil(n/k) rows) — pairs

@@ -731,9 +731,11 @@ def rrf_fusion(
     ``1/(k + rank_cos) + 1/(k + rank_l2)`` — the standard way hybrid
     search merges rankers without score calibration. Both distance
     columns are pure codegen higher-order-function expressions over one
-    corpus scan; ranks use total-order windows with id tie-breaks
-    (deterministic), and the final top-k is a TakeOrdered, not a full
-    sort to one partition.
+    corpus scan; ranks come from the two-phase value-bucketed global
+    rank (:func:`layout.global_rank_by_value` — per-bucket distributed
+    windows plus a tiny bucket-offset frame, bit-identical to the naive
+    total-order window without moving the corpus to one partition), and
+    the final top-k is a TakeOrdered, not a full sort to one partition.
 
     For a billion-vector corpus, feed this the candidate union of the
     per-ranker top-N (each produced by :func:`brute_force_topk` /
@@ -761,10 +763,18 @@ def rrf_fusion(
             ).alias("_l2"),
         )
     )
-    wc = Window.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
-    wl = Window.orderBy(F.col("_l2").asc(), F.col(id_col).asc())
-    r = s.withColumn("r_cos", F.row_number().over(wc)).withColumn(
-        "r_l2", F.row_number().over(wl)
+    from phoebe_spark.operators.layout import global_rank_by_value
+
+    # distributed exact ranks: bucket by a monotone coarsening of each
+    # sort key so the offset frame is value-range-bounded (cos in [-1,1]
+    # -> <=2049 buckets; l2 bounded by the embedding norm ball)
+    r = global_rank_by_value(
+        s, "_cos", id_col, descending=True, out_col="r_cos",
+        bucket=F.floor(F.col("_cos") * 1024),
+    )
+    r = global_rank_by_value(
+        r, "_l2", id_col, descending=False, out_col="r_l2",
+        bucket=F.floor(F.col("_l2") * 1024),
     )
     rrf = 1.0 / (k_rrf + F.col("r_cos")) + 1.0 / (k_rrf + F.col("r_l2"))
     return (

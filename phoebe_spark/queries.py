@@ -18139,9 +18139,16 @@ def _hist_sketch_assembly(
         ).alias("est"),
         F.expr("(num * n + den - 1) div den").alias("k"),
     )
-    ranked = vals.select(
-        "v", F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rn")
-    )
+    # exact order statistic WITHOUT a single-reducer global sort: the
+    # two-phase value-bucketed rank ($100-cents buckets — offsets frame
+    # bounded by the price RANGE), bit-identical to row_number() over
+    # the naive total-order window
+    from phoebe_spark.operators.layout import global_rank_by_value
+
+    ranked = global_rank_by_value(
+        vals, "v", "o_orderkey", descending=False, out_col="rn",
+        bucket=F.expr("cents div 10000"),
+    ).select("v", "rn")
     return (
         est.join(ranked, est.k == ranked.rn)
         .crossJoin(F.broadcast(cert))
@@ -19063,11 +19070,23 @@ def q303_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
     )
-    w = Window.orderBy("ord_ns", "event_id")
-    walk = s.select(
-        F.row_number().over(w).alias("i"),
-        (2 * F.sum("x").over(w) - F.row_number().over(w)).alias("d"),
-    ).localCheckpoint(eager=True)
+    # two-phase bucketed prefix sums (day buckets — offsets frame bounded
+    # by the time domain): bit-identical to the naive total-order window
+    # without single-partitioning the whole stream (round-9 guard fix)
+    from phoebe_spark.operators.layout import global_prefix_sums
+
+    walk = (
+        global_prefix_sums(
+            s,
+            order_col="ord_ns",
+            tie_col="event_id",
+            bucket=F.expr("ord_ns div 86400000000000"),  # ns -> day
+            sum_cols=["x"],
+            rn_col="i",
+        )
+        .select("i", (2 * F.col("cum_x") - F.col("i")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     crossing = (
         walk.filter(F.abs("d") >= 15)
         .orderBy("i")
@@ -19617,12 +19636,25 @@ def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a 10-row frame. Nothing is per-prefix re-scanned.
     """
     d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    ranked = d.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("rk"),
-        F.size(text.tokens(F.col("text"))).alias("n_tok"),
-        "text",
-    ).localCheckpoint(eager=True)
+    # two-phase bucketed rank on doc_id (1M-id buckets: offsets frame is
+    # corpus/2^20-sized, within-bucket windows distributed) — bit-identical
+    # to row_number over the naive global window (round-9 guard fix)
+    from phoebe_spark.operators.layout import global_rank_by_value
+
+    ranked = (
+        global_rank_by_value(
+            d.select(
+                "doc_id", F.size(text.tokens(F.col("text"))).alias("n_tok"), "text"
+            ),
+            "doc_id",
+            "doc_id",
+            descending=False,
+            out_col="rk",
+            bucket=F.expr("doc_id div 1048576"),
+        )
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "n_tok", "text")
+        .localCheckpoint(eager=True)
+    )
     n_docs = ranked.count()
     toks = ranked.select("rk", F.explode(text.tokens(F.col("text"))).alias("term"))
     first_occ = toks.groupBy("term").agg(F.min("rk").alias("fr"))
@@ -20545,6 +20577,15 @@ def q317_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", F.row_number().over(Window.orderBy("t")).alias("idx"))
         .localCheckpoint(eager=True)
     )
+    # the fold and the generated oracle both bake K into their literal
+    # expression chains — fail loudly if the fixture's support drifts,
+    # instead of both sides computing identically mis-indexed vectors
+    # and parity staying green on a wrong statistic (ADVICE r8)
+    n_types = types.count()
+    if n_types != K:
+        raise ValueError(
+            f"q317 assumes exactly K={K} event types; fixture has {n_types}"
+        )
     grid = (
         types.select(F.col("t").alias("src_t"), F.col("idx").alias("i"))
         .crossJoin(types.select(F.col("t").alias("dst_t"), F.col("idx").alias("j")))
@@ -21003,14 +21044,18 @@ def q321_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             similarity.cosine(F.col("embedding"), F.col("qv")).alias("rel"),
         )
     )
+    # distributed top-K (TakeOrderedAndProject), then rank the K-row
+    # result — q320's exact shape; a global rank window over the
+    # corpus-rate relevance frame would single-partition sort every
+    # embedding row at scale (round-8 verdict fix)
+    top = relv.orderBy(F.col("rel").desc(), F.asc("vec_id")).limit(K)
     cand = (
-        relv.select(
+        top.select(
             "*",
             F.row_number()
             .over(Window.orderBy(F.col("rel").desc(), F.asc("vec_id")))
             .alias("idx"),
         )
-        .filter(F.col("idx") <= K)
         .localCheckpoint(eager=True)
     )
     a = cand.alias("a")

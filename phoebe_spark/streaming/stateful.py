@@ -861,10 +861,12 @@ def streaming_burn_rate(
             hr, n, er = int(row.hr), int(row.n), int(row.errs)
             if n <= 0:
                 continue  # empty hour: no traffic, no burn signal
-            if hrs and hr < hrs[-1]:
-                continue  # late/out-of-order hour: the ring eviction below
-                # assumes monotone hours, so folding it in would silently
-                # corrupt the trailing window — drop it (documented policy)
+            if hrs and hr <= hrs[-1]:
+                continue  # late/out-of-order hour OR an exact same-hour
+                # replay (the common at-least-once artifact): the ring
+                # eviction below assumes strictly-monotone hours, and a
+                # replayed hour would double-count n/errs in the trailing
+                # window — drop both (documented policy)
             hrs.append(hr)
             ns.append(n)
             errs.append(er)
@@ -1074,6 +1076,9 @@ def streaming_bin_counts(
             )
             if not 0 <= b < n_bins:
                 continue  # out-of-domain bin: drop loudly-typed garbage
+            if arm not in (0, 1):
+                continue  # unknown arm: mirror the bin guard instead of
+                # silently folding garbage into c1/n and skewing the PSI
             if arm == 0:
                 c0[b] += c
             else:

@@ -352,6 +352,78 @@ def run_scale(spark, scale: int) -> dict:
     )
     t("two_phase_rank", global_rank_by_value(lens, "n_tok", "doc_id"))
 
+    # round-9: DBSCAN-lite (q327 shape) — pair work bounded by the LSH
+    # candidate contract (planted near-dup density scales with the
+    # corpus), each CC round ONE edge equi-join + grouped min; cost must
+    # track candidate-pair count, never node-pair count
+    def _dbscan():
+        planes = [
+            [((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(64)]
+            for i in range(12)
+        ]
+        pairs = similarity.lsh_bucketed_pairs(emb, planes, threshold=0.3).select(
+            "id_a", "id_b"
+        )
+        sym = (
+            pairs.union(
+                pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+            )
+            .distinct()
+            .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        )
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+        core = deg.filter(F.col("dg") >= 2).select("s")
+        ce = (
+            sym.join(core.withColumnRenamed("s", "cs"), F.col("s") == F.col("cs"))
+            .join(core.withColumnRenamed("s", "cd"), F.col("d") == F.col("cd"))
+            .select("s", "d")
+        )
+        return dedup.dedup_components(
+            ce.union(core.select("s", F.col("s").alias("d"))),
+            id_col_a="s",
+            id_col_b="d",
+        )
+
+    t_build("dbscan_lite", _dbscan)
+
+    # round-9: Kneser-Ney bigram LM (q329 shape) — count frames bounded
+    # by the bigram VOCABULARY (fixed synthetic vocab => flat), the
+    # scoring join linear in corpus bigrams; time must track the corpus
+    # scan, never vocab^2 or a corpus self-join
+    def _kn():
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("p", "term"),
+        )
+        b2 = toks.select(
+            F.col("doc_id").alias("doc_id2"),
+            F.col("term").alias("w"),
+            (F.col("p") - 1).alias("p2"),
+        )
+        bg = toks.join(
+            b2, (F.col("doc_id") == F.col("doc_id2")) & (F.col("p") == F.col("p2"))
+        ).select(F.col("term").alias("v"), "w")
+        c_vw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+        c_v = c_vw.groupBy("v").agg(
+            F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1_fwd")
+        )
+        cont = c_vw.groupBy("w").agg(F.count(F.lit(1)).alias("n1_bwd"))
+        tot = c_vw.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+        lp = F.log(
+            F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("cv")
+            + (F.lit(0.75) * F.col("n1_fwd") / F.col("cv"))
+            * (F.col("n1_bwd") * 1.0 / F.col("n_bigram_types"))
+        )
+        return (
+            bg.join(c_vw, ["v", "w"])
+            .join(c_v, "v")
+            .join(cont, "w")
+            .crossJoin(F.broadcast(tot))
+            .agg(F.sum(lp).alias("sum_lp"), F.count(F.lit(1)).alias("n"))
+        )
+
+    t_build("kneser_ney", _kn)
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 

@@ -9,9 +9,71 @@ import math
 import duckdb
 import pytest
 
+from phoebe_spark.plans.guard import (
+    capture_checkpoints,
+    explain_formatted,
+    single_partition_sort_violations,
+)
 from phoebe_spark.queries import ORACLE, QUERIES
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Queries whose plan contains an unpartitioned Sort over an AGGREGATED
+# support frame (the documented distinct-value / bucket-offset / rollup
+# exception class — domain-bounded by contract, not by plan shape).
+# Adding a name here is a conscious, reviewed act; the guard below fails
+# any query with such a window that is NOT listed, and fails EVERY query
+# with one over raw (un-aggregated) corpus rows — the round-8 q321
+# escape shape, which an eager localCheckpoint can no longer hide.
+AGG_WINDOW_ALLOWLIST = {
+    "q105_wow_growth",          # weekly rollup: O(weeks) rows
+    "q131_zipf_slope",          # rank-frequency: vocabulary support
+    "q144_skyline_users",       # survivor set after local dominance prune
+    "q159_token_budget_curve",  # quality-bin curve: O(bins)
+    "q178_quality_dup_curve",   # quality-bin curve: O(bins)
+    "q183_source_length_ks",    # per-source length support
+    "q224_quantile_normalize",  # distinct-score support
+    "q227_token_waterfill",     # per-source frame: O(sources)
+    "q231_eval_apportionment",  # category frame: O(categories)
+    "q236_length_bucket_batches",  # length-bucket frame: O(buckets)
+    "q238_changepoint",         # daily rollup: O(days)
+    "q256_token_lorenz",        # vocabulary support
+    "q262_snake_sharding",      # shard-rank frame: bucket-collapsed
+    "q276_slo_burn_rate",       # hourly rollup: O(hours)
+    "q277_littles_law_audit",   # hourly rollup: O(hours)
+    "q292_quantile_hist_sketch",  # 128-bin cum + $100-bucket offsets
+    "q297_mann_whitney",        # distinct-value support ranks
+    "q29_simpson_integral",     # timeseries grid: O(timesteps)
+    "q300_streaming_hist_drain",  # same assembly as q292
+    "q302_isotonic_calibration",  # calibration-bin frame: O(bins)
+    "q303_sprt_monitor",        # day-bucket offset frame: O(days)
+    "q309_heaps_law",           # 1M-id bucket offsets: corpus/2^20
+    "q317_markov_stationary",   # distinct event types: 5 rows
+    "q32_response_finalizer",   # profile-config frame: O(configs)
+    "q337_lift_gain_curve",     # distinct-score support (documented)
+    "q339_median_ci",           # distinct-value support (documented)
+    "q36_ewm_ensemble",         # timeseries grid: O(timesteps)
+    "q40_merge_overwrite",      # timeseries grid: O(timesteps)
+    "q82_acctbal_deciles",      # $1-bucket offsets: price-range-bounded
+    "q85_spearman",             # distinct-value support ranks
+    "q87_zipf_slope",           # vocabulary support
+    "q90_rrf_fusion",           # cos/l2 bucket offsets: range-bounded
+}
+
+
+def _guard_plans(name: str, plans: list[str]) -> None:
+    raw = [v for p in plans for v in single_partition_sort_violations(p) if v.startswith("raw:")]
+    assert not raw, (
+        f"{name}: unpartitioned sort over RAW corpus rows (dies at 100x), "
+        f"including checkpointed stages: {raw}"
+    )
+    agg = [v for p in plans for v in single_partition_sort_violations(p) if v.startswith("agg:")]
+    if agg and name not in AGG_WINDOW_ALLOWLIST:
+        raise AssertionError(
+            f"{name}: unpartitioned sort over an aggregated frame not in "
+            f"the audited allowlist — prove the support is domain-bounded "
+            f"and add it consciously: {agg}"
+        )
 
 
 @pytest.fixture(scope="session")
@@ -45,7 +107,9 @@ def _normalize(rows, cols):
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(name, spark, sf_dir, ddb):
-    sdf = QUERIES[name](spark, sf_dir)
+    with capture_checkpoints() as caps:
+        sdf = QUERIES[name](spark, sf_dir)
+        _guard_plans(name, list(caps) + [explain_formatted(sdf)])
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -67,5 +131,7 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
 
 def test_rows_only_queries_run(spark, sf_dir):
     for name in sorted(set(QUERIES) - set(ORACLE)):
-        df = QUERIES[name](spark, sf_dir)
+        with capture_checkpoints() as caps:
+            df = QUERIES[name](spark, sf_dir)
+            _guard_plans(name, list(caps) + [explain_formatted(df)])
         assert df.count() >= 0, name

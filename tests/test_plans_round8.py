@@ -105,3 +105,25 @@ def test_q320_q325_topk_is_take_ordered(spark, sf_dir):
     for name in ("q320_hybrid_retrieval", "q325_rake_keyphrases"):
         plan = _plan(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q321_candidate_cut_is_take_ordered_pre_checkpoint(spark, sf_dir):
+    """Round-8 verdict fix: q321's top-20 candidate cut over the corpus-
+    rate relevance frame must plan as distributed TakeOrderedAndProject —
+    and because the cut is eagerly localCheckpointed (invisible in the
+    final frame's plan), the assertion runs on the PRE-checkpoint plan
+    captured at checkpoint time."""
+    from phoebe_spark.plans.guard import (
+        capture_checkpoints,
+        single_partition_sort_violations,
+    )
+
+    with capture_checkpoints() as caps:
+        QUERIES["q321_mmr_rerank"](spark, sf_dir)
+    assert caps, "q321 no longer checkpoints its candidate stage"
+    cand_plan = caps[0]
+    assert "TakeOrderedAndProject" in cand_plan
+    # the only remaining unpartitioned window ranks the 20-row limit
+    # result — the guard must see its input as bounded
+    for p in caps:
+        assert single_partition_sort_violations(p) == []

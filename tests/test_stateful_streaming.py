@@ -548,6 +548,9 @@ def test_streaming_bin_counts_commutative_across_batch_splits(spark, tmp_path):
     from phoebe_spark.streaming.stateful import streaming_bin_counts
 
     rows = [("k", b, arm, c) for b in range(3) for arm in (0, 1) for c in (2, 5)]
+    # poison rows: out-of-domain bin AND out-of-domain arms (2, -1) must
+    # be dropped by the guards, not folded into c1/n (ADVICE r8)
+    rows += [("k", 9, 0, 1000), ("k", 1, 2, 1000), ("k", 2, -1, 1000)]
 
     def drain(split_at: int, tag: str):
         src = str(tmp_path / f"src{tag}")

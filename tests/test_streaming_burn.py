@@ -32,12 +32,13 @@ def test_burn_guard_skips_empty_and_out_of_order_hours(spark, tmp_path):
 
     from phoebe_spark.streaming.stateful import streaming_burn_rate
 
-    # batch 1: hours 10, 11; batch 2: hour 12 plus an empty hour (n=0)
-    # and a LATE replay of hour 10 with huge errors that would page if
-    # it were folded into the ring.
+    # batch 1: hours 10, 11; batch 2: hour 12 plus an empty hour (n=0),
+    # a LATE replay of hour 10 with huge errors that would page if it
+    # were folded into the ring, and an EQUAL-hour replay of hour 12
+    # (the common at-least-once artifact) that must not double-count.
     batches = [
         [(10, 100, 1), (11, 100, 2)],
-        [(12, 100, 1), (13, 0, 0), (10, 100, 99)],
+        [(12, 100, 1), (13, 0, 0), (10, 100, 99), (12, 100, 99)],
     ]
     src = str(tmp_path / "src")
     os.makedirs(src)
@@ -65,7 +66,10 @@ def test_burn_guard_skips_empty_and_out_of_order_hours(spark, tmp_path):
         .start()
     )
     assert q.awaitTermination(300)
-    out = {r.hr: r for r in spark.read.parquet(sink).collect()}
-    assert set(out) == {10, 11, 12}          # 13 (n=0) and the replay dropped
+    rows = spark.read.parquet(sink).collect()
+    out = {r.hr: r for r in rows}
+    assert len(rows) == 3                    # ONE emission per surviving hour
+    assert set(out) == {10, 11, 12}          # 13 (n=0) and both replays dropped
     assert out[10].errs == 1                 # the late hr-10 row never emitted
+    assert out[12].errs == 1                 # the same-hour replay never folded
     assert all(r.page == 0 for r in out.values())
