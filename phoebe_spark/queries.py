@@ -23226,3 +23226,563 @@ def q341_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.select("src_a", "src_b", F.round("delta", 6).alias("burrows_delta"))
+
+
+# ---------------------------------------------------------------------------
+# Round-9: multiple testing, drift distances, agreement, and the
+# experimentation ladder's stratified/adjusted tier
+# ---------------------------------------------------------------------------
+
+
+def _p2_sql(x: str) -> str:
+    """Two-sided normal p-value erfc(x) for x = |z|/sqrt(2) as a DuckDB
+    expression — Abramowitz & Stegun 7.1.26 (public handbook, |err| <
+    1.5e-7), evaluated with the IDENTICAL Horner chain and literals as
+    the engine column so both sides agree bit-for-bit (same IEEE ops in
+    the same order; statistical accuracy disclosed, parity exact)."""
+    t = f"(1.0/(1.0 + 0.3275911*({x})))"
+    return (
+        f"({t}*(0.254829592 + {t}*(-0.284496736 + {t}*(1.421413741 + "
+        f"{t}*(-1.453152027 + {t}*1.061405429)))) * exp(-({x})*({x})))"
+    )
+
+
+def _p2_col(x: F.Column) -> F.Column:
+    """Engine twin of :func:`_p2_sql` — same Horner order, same literals."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    return (
+        t
+        * (
+            F.lit(0.254829592)
+            + t
+            * (
+                F.lit(-0.284496736)
+                + t
+                * (
+                    F.lit(1.421413741)
+                    + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+                )
+            )
+        )
+        * F.exp(-(x * x))
+    )
+
+
+_INV_SQRT2 = 0.7071067811865476  # 1/sqrt(2), correctly rounded literal
+
+_Q342_Z_SQL = """
+    g AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+             CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
+             CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS c1
+      FROM (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+                   CASE WHEN value > 150 THEN 1 ELSE 0 END AS conv
+            FROM events WHERE value IS NOT NULL)
+      GROUP BY event_type
+    ),
+    z AS (
+      SELECT event_type, n0, n1,
+             (c1 * 1.0 / n1 - c0 * 1.0 / n0)
+             / sqrt(((c0 + c1) * 1.0 / (n0 + n1)) * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS zs
+      FROM g
+    )
+"""
+
+
+@query(
+    "q342_bh_fdr",
+    oracle=f"""
+    WITH {_Q342_Z_SQL},
+    p AS (
+      SELECT event_type, n0, n1, zs,
+             {_p2_sql(f"abs(zs) * {_INV_SQRT2}")} AS pv
+      FROM z
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY pv ASC, event_type ASC) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    k AS (SELECT coalesce(max(CASE WHEN pv <= rk * 0.05 / m THEN rk END), 0) AS kmax FROM r)
+    SELECT event_type, n0, n1,
+           round(zs, 6) + 0.0 AS z,
+           round(pv, 6) + 0.0 AS p_value,
+           CAST(rk AS INT) AS bh_rank,
+           round(rk * 0.05 / m, 6) AS bh_threshold,
+           CAST(CASE WHEN rk <= k.kmax THEN 1 ELSE 0 END AS INT) AS reject
+    FROM r CROSS JOIN k
+    """,
+)
+def q342_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    over the per-event-type two-proportion z-tests (arm = user parity,
+    conversion = value > 150, q330's construction): rank the m p-values
+    ascending, find the largest k with p_(k) <= k*alpha/m (alpha=0.05),
+    reject hypotheses 1..k — the multiple-testing guard every metrics
+    platform needs once it tests five event types at once (pairs the
+    single-test tier q330/q331/q334). p-values via the Abramowitz-Stegun
+    erfc polynomial evaluated with IDENTICAL literals/order in both
+    engines, so ranks and rejections match exactly.
+
+    100 TB story: the corpus collapses to m per-type count rows in ONE
+    map-side-combining aggregate; z/p/BH all run on the m-row frame (the
+    rank window is over m = #event-types rows — the audited aggregated-
+    support exception)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("n1"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 0) & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("c0"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 1) & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("c1"),
+    )
+    ph = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    zc = (F.col("c1") * 1.0 / F.col("n1") - F.col("c0") * 1.0 / F.col("n0")) / F.sqrt(
+        ph * (F.lit(1.0) - ph) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    p = g.select(
+        "event_type", "n0", "n1", zc.alias("zs")
+    ).select(
+        "*", _p2_col(F.abs(F.col("zs")) * F.lit(_INV_SQRT2)).alias("pv")
+    )
+    w = Window.orderBy(F.col("pv").asc(), F.col("event_type").asc())
+    r = p.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("m"),
+    ).localCheckpoint(eager=True)
+    k = r.agg(
+        F.coalesce(
+            F.max(F.when(F.col("pv") <= F.col("rk") * 0.05 / F.col("m"), F.col("rk"))),
+            F.lit(0),
+        ).alias("kmax")
+    )
+    return r.crossJoin(F.broadcast(k)).select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.round("zs", 6) + F.lit(0.0)).alias("z"),
+        (F.round("pv", 6) + F.lit(0.0)).alias("p_value"),
+        F.col("rk").cast("int").alias("bh_rank"),
+        F.round(F.col("rk") * 0.05 / F.col("m"), 6).alias("bh_threshold"),
+        F.when(F.col("rk") <= F.col("kmax"), 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q343_wasserstein_drift",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    sup AS (
+      SELECT event_type, value AS v,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS c1
+      FROM s GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, v,
+             sum(c0) OVER (PARTITION BY event_type ORDER BY v) AS f0,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS f1,
+             sum(c0) OVER (PARTITION BY event_type) AS n0,
+             sum(c1) OVER (PARTITION BY event_type) AS n1,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+      FROM sup
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(round(sum(CAST(round(abs(f0 * 1.0 / n0 - f1 * 1.0 / n1) * (nv - v), 12) AS DECIMAL(38,12))), 6) AS DOUBLE) + 0.0 AS w1
+    FROM cum WHERE nv IS NOT NULL
+    GROUP BY event_type, n0, n1
+    """,
+)
+def q343_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the two arms'
+    value distributions per event type: W1 = integral of |F0 - F1| dv,
+    exact on the merged distinct-value support as sum over support gaps
+    of |cdf gap| * (next_v - v) — the drift distance with UNITS (how far
+    mass moved, in value units) completing the drift ladder's
+    supremum-norm (KS q310), quadratic-norm (CvM q319), and
+    likelihood-ratio (PSI q318 / JSD q312) tiers. Terms fold as 12-dp
+    DECIMAL(38,12), so engines agree digit-for-digit.
+
+    100 TB story: q310's exact shape — the fact table collapses to the
+    (type, value) support with a map-side partial aggregate BEFORE any
+    window; cumulative frames and the lead() gap run per-type on the
+    support only."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sup = e.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("c1"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("v")
+    wp = Window.partitionBy("event_type")
+    cum = sup.select(
+        "event_type",
+        "v",
+        F.sum("c0").over(wo).alias("f0"),
+        F.sum("c1").over(wo).alias("f1"),
+        F.sum("c0").over(wp).alias("n0"),
+        F.sum("c1").over(wp).alias("n1"),
+        F.lead("v").over(wo).alias("nv"),
+    )
+    term = F.abs(F.col("f0") * 1.0 / F.col("n0") - F.col("f1") * 1.0 / F.col("n1")) * (
+        F.col("nv") - F.col("v")
+    )
+    return (
+        cum.filter(F.col("nv").isNotNull())
+        .groupBy("event_type", "n0", "n1")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.round(term, 12).cast("decimal(38,12)")), 6
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("w1")
+        )
+        .select(
+            "event_type",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+            "w1",
+        )
+    )
+
+
+@query(
+    "q344_kendall_tau",
+    oracle="""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS dis,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    s AS (
+      SELECT CAST(sum(con) AS BIGINT) AS c, CAST(sum(dis) AS BIGINT) AS dd,
+             CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM p
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+           c AS concordant, dd AS discordant, n1 AS ties_x, n2 AS ties_y,
+           round((c - dd) / sqrt((n0 - n1) * 1.0 * (n0 - n2)), 6) + 0.0 AS tau_b
+    FROM s
+    """,
+)
+def q344_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall 1938, tie-corrected)
+    between daily event VOLUME and daily total VALUE (exact cents) — do
+    busier days move more money, measured without assuming linearity?
+    The bivariate cousin of q311's Mann-Kendall (which is tau of a series
+    against TIME; disclosed kinship): concordant/discordant/tie counts
+    are exact integers over day pairs, so tau matches digit-for-digit.
+
+    100 TB story: the corpus collapses to the O(days) daily rollup in
+    ONE map-side-combining aggregate; the pair join is O(days^2) on a
+    calendar-bounded frame (~30 rows here, 365 at a year) — never
+    corpus-sized."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("y"),
+    ).localCheckpoint(eager=True)
+    a, b = d.alias("a"), d.alias("b")
+    pr = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        ((F.col("b.x") - F.col("a.x")) * (F.col("b.y") - F.col("a.y"))).alias("s"),
+        (F.col("a.x") == F.col("b.x")).cast("int").alias("tx"),
+        (F.col("a.y") == F.col("b.y")).cast("int").alias("ty"),
+    )
+    s = pr.agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("dd"),
+        F.sum("tx").alias("n1"),
+        F.sum("ty").alias("n2"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    tau = (F.col("c") - F.col("dd")) / F.sqrt(
+        (F.col("n0") - F.col("n1")) * 1.0 * (F.col("n0") - F.col("n2"))
+    )
+    return nd.crossJoin(F.broadcast(s)).select(
+        "n_days",
+        F.col("c").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.col("n1").cast("long").alias("ties_x"),
+        F.col("n2").cast("long").alias("ties_y"),
+        (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
+    )
+
+
+@query(
+    "q345_cmh_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+             CASE WHEN value > 150 THEN 1 ELSE 0 END AS conv
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) - CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS b,
+             CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) - CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY event_type
+    ),
+    f AS (
+      SELECT CAST(sum(a) AS BIGINT) AS sa,
+             CAST(round(sum(CAST(round((a + b) * 1.0 * (a + c) / n, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS se,
+             CAST(round(sum(CAST(round((a + b) * 1.0 * (c + d) * (a + c) * (b + d) / (n * 1.0 * n * (n - 1)), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sv,
+             CAST(round(sum(CAST(round(a * 1.0 * d / n, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sad,
+             CAST(round(sum(CAST(round(b * 1.0 * c / n, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sbc,
+             CAST(count(*) AS INT) AS k
+      FROM t
+    )
+    SELECT k AS k_strata,
+           round((sa - se) * (sa - se) / sv, 6) + 0.0 AS cmh_stat,
+           round({_p2_sql(f"sqrt((sa - se) * (sa - se) / sv) * {_INV_SQRT2}")}, 6) + 0.0 AS p_value,
+           round(sad / sbc, 6) AS mh_odds_ratio
+    FROM f
+    """,
+)
+def q345_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test (Mantel & Haenszel
+    1959, no continuity correction — disclosed) of arm-vs-conversion
+    ACROSS event-type strata, plus the Mantel-Haenszel pooled odds
+    ratio: the stratum-adjusted answer to the confounding q340's
+    Simpson's-paradox audit detects (q334 reports per-stratum odds
+    ratios; this pools them the right way instead of collapsing the
+    table). Per-stratum E/V terms are 12-dp DECIMAL folds over the
+    O(types) frame; the chi-square(1) p-value reuses the A&S erfc
+    polynomial, identical literals both engines.
+
+    100 TB story: one map-side-combining aggregate collapses the corpus
+    to K = #strata rows; everything downstream is a K-row fold."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    conv = F.when(F.col("value") > 150, 1).otherwise(0)
+    arm1 = F.col("user_id") % 2 == 1
+    t = e.groupBy("event_type").agg(
+        F.sum(F.when(arm1, conv).otherwise(0)).alias("a"),
+        (F.count(F.when(arm1, 1)) - F.sum(F.when(arm1, conv).otherwise(0))).alias("b"),
+        F.sum(F.when(~arm1, conv).otherwise(0)).alias("c"),
+        (F.count(F.when(~arm1, 1)) - F.sum(F.when(~arm1, conv).otherwise(0))).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    e_i = (F.col("a") + F.col("b")) * 1.0 * (F.col("a") + F.col("c")) / F.col("n")
+    v_i = (
+        (F.col("a") + F.col("b"))
+        * 1.0
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+        / (F.col("n") * 1.0 * F.col("n") * (F.col("n") - 1))
+    )
+    def _fold(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+    f = t.agg(
+        F.sum("a").alias("sa"),
+        _fold(e_i).alias("se"),
+        _fold(v_i).alias("sv"),
+        _fold(F.col("a") * 1.0 * F.col("d") / F.col("n")).alias("sad"),
+        _fold(F.col("b") * 1.0 * F.col("c") / F.col("n")).alias("sbc"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+    )
+    stat = (F.col("sa") - F.col("se")) * (F.col("sa") - F.col("se")) / F.col("sv")
+    return f.select(
+        F.col("k").alias("k_strata"),
+        (F.round(stat, 6) + F.lit(0.0)).alias("cmh_stat"),
+        (F.round(_p2_col(F.sqrt(stat) * F.lit(_INV_SQRT2)), 6) + F.lit(0.0)).alias(
+            "p_value"
+        ),
+        F.round(F.col("sad") / F.col("sbc"), 6).alias("mh_odds_ratio"),
+    )
+
+
+@query(
+    "q346_cohens_kappa",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ga,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40 THEN 1 ELSE 0 END AS gb
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ga = 1 AND gb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN ga = 0 AND gb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(ga) AS BIGINT) AS na, CAST(sum(gb) AS BIGINT) AS nb
+      FROM g GROUP BY source
+    )
+    SELECT source, n,
+           round((n11 + n00) * 1.0 / n, 6) AS p_observed,
+           round((na * 1.0 / n) * (nb * 1.0 / n) + (1.0 - na * 1.0 / n) * (1.0 - nb * 1.0 / n), 6) AS p_expected,
+           CASE WHEN 1.0 - ((na * 1.0 / n) * (nb * 1.0 / n) + (1.0 - na * 1.0 / n) * (1.0 - nb * 1.0 / n)) = 0.0
+                THEN 0.0
+                ELSE round(((n11 + n00) * 1.0 / n - ((na * 1.0 / n) * (nb * 1.0 / n) + (1.0 - na * 1.0 / n) * (1.0 - nb * 1.0 / n)))
+                           / (1.0 - ((na * 1.0 / n) * (nb * 1.0 / n) + (1.0 - na * 1.0 / n) * (1.0 - nb * 1.0 / n))), 6) + 0.0
+           END AS kappa
+    FROM s
+    """,
+)
+def q346_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement (Cohen 1960) between two
+    binary quality gates — a char-length gate (n_chars >= 200) and a
+    token-count gate (>= 40 whitespace tokens) — per source: the
+    "do independent filters actually agree beyond what base rates force"
+    check a curation pipeline runs before OR-ing gates into a keep
+    decision (the chance-corrected tier above q216's rank agreement;
+    disclosed kinship). Degenerate pe = 1 strata emit kappa 0 by the
+    same CASE in both engines.
+
+    100 TB story: both gates are pure column expressions inside ONE
+    map-side-combining per-source aggregate; kappa arithmetic runs on
+    the O(sources) frame."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    ga = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    gb = F.when(F.size(text.tokens(F.col("text"))) >= 40, 1).otherwise(0)
+    s = d.select("source", ga.alias("ga"), gb.alias("gb")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("ga") == 1) & (F.col("gb") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("ga") == 0) & (F.col("gb") == 0), 1).otherwise(0)).alias("n00"),
+        F.sum("ga").alias("na"),
+        F.sum("gb").alias("nb"),
+    )
+    pa = F.col("na") * 1.0 / F.col("n")
+    pb = F.col("nb") * 1.0 / F.col("n")
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.when(F.lit(1.0) - pe == 0.0, F.lit(0.0))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0))
+        .alias("kappa"),
+    )
+
+
+@query(
+    "q347_brier_decomposition",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(least(greatest(CAST(floor(value * 100) AS BIGINT), 0), 19999) AS BIGINT) AS pq,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT pq // 2000 AS bin, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(pq) AS BIGINT) AS s1, CAST(sum(pq * pq) AS BIGINT) AS s2,
+             CAST(sum(pq * o) AS BIGINT) AS spo, CAST(sum(o) AS BIGINT) AS so
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(so) AS BIGINT) AS sot,
+             CAST(sum(s2) AS BIGINT) AS s2t, CAST(sum(spo) AS BIGINT) AS spot
+      FROM b
+    ),
+    terms AS (
+      SELECT
+        CAST(round(sum(CAST(round(nk * (s1 / (20000.0 * nk) - so * 1.0 / nk) * (s1 / (20000.0 * nk) - so * 1.0 / nk), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS rel_n,
+        CAST(round(sum(CAST(round(nk * (so * 1.0 / nk - (SELECT sot * 1.0 / n FROM tot)) * (so * 1.0 / nk - (SELECT sot * 1.0 / n FROM tot)), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS res_n
+      FROM b
+    )
+    SELECT n,
+           round((s2t / (20000.0 * 20000.0) - 2.0 * spot / 20000.0 + sot) / n, 6) AS brier,
+           round(rel_n / n, 6) AS reliability,
+           round(res_n / n, 6) AS resolution,
+           round((sot * 1.0 / n) * (1.0 - sot * 1.0 / n), 6) AS uncertainty,
+           round((s2t / (20000.0 * 20000.0) - 2.0 * spot / 20000.0 + sot) / n
+                 - (rel_n / n - res_n / n + (sot * 1.0 / n) * (1.0 - sot * 1.0 / n)), 6) + 0.0 AS within_bin_term
+    FROM tot CROSS JOIN terms
+    """,
+)
+def q347_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973): treating
+    value/200 (clamped to [0,1), CENTS-quantized so every moment is an
+    exact integer sum) as a purchase-probability forecast, split mean
+    squared error into reliability (calibration), resolution
+    (discrimination), and uncertainty (base-rate entropy) over 10
+    forecast bins — the diagnostic tier above q280's calibration table
+    and q302's isotonic recalibration (disclosed kinship): REL says how
+    far bin means sit from bin outcomes, RES how much the bins separate
+    the base rate, and the residual column is the within-bin forecast
+    variance the 10-bin coarsening leaves behind (reported, not hidden,
+    so the identity is auditable). Brier itself comes from the exact
+    integer moments (sum pq, sum pq^2, sum pq*o), never a float mean
+    over corpus-ordered terms.
+
+    100 TB story: ONE map-side-combining aggregate to 10 bin rows
+    carrying integer moments; every statistic is a 10-row 12-dp DECIMAL
+    fold; no second corpus pass, no window."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") * 100).cast("long"), F.lit(0)),
+            F.lit(19999),
+        ).alias("pq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("o"),
+    )
+    b = s.groupBy(F.expr("pq div 2000").alias("bin")).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("pq").alias("s1"),
+        F.sum(F.col("pq") * F.col("pq")).alias("s2"),
+        F.sum(F.col("pq") * F.col("o")).alias("spo"),
+        F.sum("o").alias("so"),
+    ).localCheckpoint(eager=True)
+    tot = b.agg(
+        F.sum("nk").alias("n"),
+        F.sum("so").alias("sot"),
+        F.sum("s2").alias("s2t"),
+        F.sum("spo").alias("spot"),
+    )
+    obar = F.col("sot") * 1.0 / F.col("n")
+    pbark = F.col("s1") / (F.lit(20000.0) * F.col("nk"))
+    obark = F.col("so") * 1.0 / F.col("nk")
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+    terms = b.crossJoin(F.broadcast(tot)).agg(
+        _fold12(F.col("nk") * (pbark - obark) * (pbark - obark)).alias("rel_n"),
+        _fold12(F.col("nk") * (obark - obar) * (obark - obar)).alias("res_n"),
+    )
+    brier = (
+        F.col("s2t") / (F.lit(20000.0) * F.lit(20000.0))
+        - F.lit(2.0) * F.col("spot") / F.lit(20000.0)
+        + F.col("sot")
+    ) / F.col("n")
+    unc = obar * (F.lit(1.0) - obar)
+    return tot.crossJoin(F.broadcast(terms)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(brier, 6).alias("brier"),
+        F.round(F.col("rel_n") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res_n") / F.col("n"), 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        (
+            F.round(
+                brier
+                - (F.col("rel_n") / F.col("n") - F.col("res_n") / F.col("n") + unc),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("within_bin_term"),
+    )
