@@ -23786,3 +23786,431 @@ def q347_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("within_bin_term"),
     )
+
+
+# chi-square 95% critical values for df = 1..7 (literal handbook
+# constants, identical in both engines)
+_CHI2_95 = (3.841459, 5.991465, 7.814728, 9.487729, 11.070498, 12.591587, 14.067140)
+
+
+@query(
+    "q351_ljung_box",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    arr AS (
+      SELECT list(cents / 100.0 / n ORDER BY day) AS x, count(*) AS n FROM d
+    ),
+    m AS (
+      SELECT x, n, list_sum(x) / n AS xb,
+             list_sum(list_transform(x, v -> (v - list_sum(x) / n) * (v - list_sum(x) / n))) AS den
+      FROM arr
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS k),
+    rho AS (
+      SELECT k, n,
+             list_sum(list_transform(generate_series(k + 1, CAST(n AS INT)),
+                                     t -> (x[t] - xb) * (x[t - k] - xb))) / den AS r
+      FROM m CROSS JOIN lags
+    ),
+    q AS (
+      SELECT k, n, r,
+             sum(n * (n + 2.0) * r * r / (n - k)) OVER (ORDER BY k) AS qs
+      FROM rho
+    )
+    SELECT CAST(k AS INT) AS lag,
+           round(r, 6) + 0.0 AS rho,
+           round(qs, 6) AS q_stat,
+           CAST(([{", ".join(str(c) for c in _CHI2_95)}])[k] AS DOUBLE) AS crit_95,
+           CAST(CASE WHEN qs > ([{", ".join(str(c) for c in _CHI2_95)}])[k] THEN 1 ELSE 0 END AS INT) AS reject
+    FROM q
+    """,
+)
+def q351_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) for autocorrelation
+    in the daily-mean value series: ACF at lags 1..7 over the day-ordered
+    series, the cumulative Q_m = n(n+2) * sum rho_k^2/(n-k), and the
+    reject decision against the literal chi-square(m) 95% critical values
+    — the "is there ANY serial structure left" gate run on residuals
+    after a forecast fit (the test tier above q112/q237's raw ACF
+    emission; disclosed kinship). Every fold runs over the SAME
+    day-ordered array in both engines (index-ordered left folds), so Q
+    matches digit-for-digit.
+
+    100 TB story: the corpus collapses to the O(days) rollup in one
+    map-side aggregate; the series becomes a single-row array and all 7
+    lags are bounded array folds — corpus-size-independent after the
+    first scan."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    arr = d.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", (F.col("cents") / 100.0 / F.col("n")).alias("v")))
+        ).getField("v").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    xsum = F.aggregate(F.col("x"), F.lit(0.0), lambda a, v: a + v)
+    m = arr.select(
+        "x",
+        "n",
+        (xsum / F.col("n")).alias("xb"),
+    ).select(
+        "*",
+        F.aggregate(
+            F.col("x"), F.lit(0.0), lambda a, v: a + (v - F.col("xb")) * (v - F.col("xb"))
+        ).alias("den"),
+    ).localCheckpoint(eager=True)
+    # all 7 lags AND the cumulative Q computed as array folds on the
+    # single stats row — no window anywhere, not even over 7 rows
+    def _num(k):
+        return F.aggregate(
+            F.sequence(k + 1, F.col("n").cast("int")),
+            F.lit(0.0),
+            lambda a, t: a
+            + (F.element_at(F.col("x"), t) - F.col("xb"))
+            * (F.element_at(F.col("x"), t - k) - F.col("xb")),
+        )
+
+    rhos = m.select(
+        "n",
+        F.array(*[(_num(F.lit(k)) / F.col("den")).alias(f"r{k}") for k in range(1, 8)]).alias(
+            "rhos"
+        ),
+    )
+    qs = F.transform(
+        F.sequence(F.lit(1), F.lit(7)),
+        lambda k: F.aggregate(
+            F.sequence(F.lit(1), k),
+            F.lit(0.0),
+            lambda a, j: a
+            + F.col("n")
+            * (F.col("n") + 2.0)
+            * F.element_at(F.col("rhos"), j)
+            * F.element_at(F.col("rhos"), j)
+            / (F.col("n") - j),
+        ),
+    )
+    row = rhos.select("rhos", qs.alias("qs"))
+    crit_arr = F.array(*[F.lit(c) for c in _CHI2_95])
+    out = row.select(
+        F.posexplode(F.sequence(F.lit(1), F.lit(7))).alias("i", "k"),
+        "rhos",
+        "qs",
+    )
+    crit = F.element_at(crit_arr, F.col("k"))
+    qsk = F.element_at(F.col("qs"), F.col("k"))
+    return out.select(
+        F.col("k").cast("int").alias("lag"),
+        (F.round(F.element_at(F.col("rhos"), F.col("k")), 6) + F.lit(0.0)).alias("rho"),
+        F.round(qsk, 6).alias("q_stat"),
+        crit.alias("crit_95"),
+        F.when(qsk > crit, 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q349_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day, event_type
+      FROM events
+    ),
+    nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n FROM b),
+    sup1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    sup2 AS (
+      SELECT a.event_type AS ante, c.event_type AS cons, CAST(count(*) AS BIGINT) AS cc
+      FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                       AND a.event_type <> c.event_type
+      GROUP BY 1, 2
+    )
+    SELECT s.ante, s.cons,
+           s.cc AS n_baskets_both,
+           round(s.cc * 1.0 / nb.n, 6) AS support,
+           round(s.cc * 1.0 / sa.c, 6) AS confidence,
+           round((s.cc * 1.0 / sa.c) / (sc.c * 1.0 / nb.n), 6) AS lift
+    FROM sup2 s
+    JOIN sup1 sa ON sa.event_type = s.ante
+    JOIN sup1 sc ON sc.event_type = s.cons
+    CROSS JOIN nb
+    """,
+)
+def q349_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over user-day baskets (Agrawal et al.
+    1993, the 2-itemset tier of Apriori): for every ordered event-type
+    pair A -> B, the basket support, confidence P(B|A), and lift
+    P(B|A)/P(B) — the unordered-co-occurrence complement of q71's
+    ordered funnel (disclosed kinship; q337's "lift" is a model-gain
+    curve, a different statistic). All three measures are exact ratios
+    of integer basket counts.
+
+    100 TB story: ONE distinct-collapse shuffle builds the (user, day,
+    type) basket items; the pair census self-joins baskets on the
+    (user, day) key — each basket contributes at most K(K-1) pairs (K =
+    #types, bounded), so pair work is linear in baskets; supports and
+    the K^2 rule frame are broadcast-sized aggregates."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "user_id", F.expr("(ts div 1000000000) div 86400").alias("day"), "event_type"
+    ).distinct().localCheckpoint(eager=True)
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sup1 = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    sup2 = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.day") == F.col("c.day"))
+            & (F.col("a.event_type") != F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"), F.col("c.event_type").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    sa = sup1.select(F.col("event_type").alias("ante"), F.col("c").alias("ca"))
+    sc = sup1.select(F.col("event_type").alias("cons"), F.col("c").alias("cb"))
+    return (
+        sup2.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("cc").cast("long").alias("n_baskets_both"),
+            F.round(F.col("cc") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(F.col("cc") * 1.0 / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("cc") * 1.0 / F.col("ca")) / (F.col("cb") * 1.0 / F.col("n")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+def _q348_textrank_oracle(rounds: int = 6, topk: int = 15) -> str:
+    """Generated oracle for q348: the co-occurrence graph and weighted
+    degree MATERIALIZED once (multiply-referenced — the k-core CTE
+    lesson), then one CTE per TextRank round replaying the engine's
+    12-dp DECIMAL fold and per-round quantization digit-for-digit."""
+    ctes = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+      FROM documents WHERE trim(text) <> ''
+    )""",
+        """co AS MATERIALIZED (
+      SELECT a.term AS s1, b.term AS s2, CAST(count(*) AS BIGINT) AS w
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2) AND a.term <> b.term
+      GROUP BY 1, 2
+    )""",
+        """edges AS MATERIALIZED (
+      SELECT s1 AS src, s2 AS dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT s1, s2, w FROM co UNION ALL SELECT s2, s1, w FROM co
+      ) GROUP BY 1, 2
+    )""",
+        "wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT src AS node, 1.0 AS r FROM wdeg)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             round(0.15 + 0.85 * CAST(sum(CAST(round(e.w * p.r / d.wd, 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+      FROM edges e JOIN r{k - 1} p ON e.src = p.node JOIN wdeg d ON d.src = e.src
+      GROUP BY 1
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT node AS term, round(r, 6) AS textrank
+    FROM r{rounds} ORDER BY r DESC, node ASC LIMIT {topk}
+    """
+
+
+@query("q348_textrank", oracle=_q348_textrank_oracle())
+def q348_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    (damping 0.85, uniform 1.0 start) over the corpus-wide word
+    co-occurrence graph (tokens within a 2-token forward window,
+    symmetrized, edge weight = co-occurrence count, contributions
+    normalized by WEIGHTED degree), 6 rounds, top-15 keywords — the
+    graph-centrality tier of the keyphrase ladder above q325's RAKE
+    (degree/frequency scoring; disclosed kinship). Per-round per-edge
+    contributions are 12-dp-rounded DECIMAL(38,12) folds and each round's
+    score re-quantizes to 12 dp (the q293 graph-ladder policy), so both
+    engines iterate bit-identically.
+
+    100 TB story: the co-occurrence census is one position self-join on
+    (doc, pos) + a vocabulary-bounded groupBy; every round is ONE edge
+    equi-join + grouped fold on the vocabulary-sized node set,
+    localCheckpointed (lineage truncation, the q232 recipe); top-15 is a
+    TakeOrdered."""
+    rounds, topk = 6, 15
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a, b = toks.alias("a"), toks.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).isin(1, 2)
+            & (F.col("a.term") != F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("s1"), F.col("b.term").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        co.select("s1", "s2", "w")
+        .unionAll(co.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "w"))
+        .groupBy(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wd")).localCheckpoint(eager=True)
+    ranks = wdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(rounds):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(wdeg, "src")
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.round(
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * F.sum(
+                        F.round(
+                            F.col("w") * F.col("r") / F.col("wd"), 12
+                        ).cast("decimal(38,12)")
+                    ).cast("double"),
+                    12,
+                ).alias("r2")
+            )
+            .select(F.col("node2").alias("node"), F.col("r2").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), F.asc("node"))
+        .limit(topk)
+        .select(F.col("node").alias("term"), F.round("r", 6).alias("textrank"))
+    )
+
+
+def _q350_hits_oracle(rounds: int = 4, top_hubs: int = 10) -> str:
+    """Generated oracle for q350: per round, the raw hub/authority folds
+    AND their maxima are MATERIALIZED (each raw frame is referenced
+    twice: by its max and by its normalized successor — the k-core CTE
+    lesson); folds and per-round quantization mirror the engine."""
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS t, CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2
+    )""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT t, 1.0 AS a FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""hr{k} AS MATERIALIZED (
+      SELECT e.u, CAST(sum(CAST(round(e.w * a{p}.a, 12) AS DECIMAL(38,12))) AS DOUBLE) AS h
+      FROM e JOIN a{p} USING (t) GROUP BY 1
+    )"""
+        )
+        ctes.append(f"hm{k} AS MATERIALIZED (SELECT max(h) AS m FROM hr{k})")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT u, round(h / (SELECT m FROM hm{k}), 12) AS h FROM hr{k})"
+        )
+        ctes.append(
+            f"""ar{k} AS MATERIALIZED (
+      SELECT e.t, CAST(sum(CAST(round(e.w * h{k}.h, 12) AS DECIMAL(38,12))) AS DOUBLE) AS a
+      FROM e JOIN h{k} USING (u) GROUP BY 1
+    )"""
+        )
+        ctes.append(f"am{k} AS MATERIALIZED (SELECT max(a) AS m FROM ar{k})")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT t, round(a / (SELECT m FROM am{k}), 12) AS a FROM ar{k})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT 'authority' AS role, t AS id, round(a, 6) AS score FROM a{rounds}
+    UNION ALL
+    SELECT 'hub', CAST(u AS VARCHAR), round(h, 6)
+    FROM (SELECT u, h FROM h{rounds} ORDER BY h DESC, u ASC LIMIT {top_hubs})
+    """
+
+
+@query("q350_hits", oracle=_q350_hits_oracle())
+def q350_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the user <-> event-
+    type bipartite interaction graph (edge weight = interaction count):
+    4 rounds of the mutual-reinforcement iteration with max-normalization
+    each half-step — authority says which event types the heavy users
+    concentrate on, hub says which users span the authoritative types
+    (the bipartite complement of the unipartite centrality ladder:
+    PageRank q232/q118, eigencentrality q293). Folds are 12-dp
+    DECIMAL(38,12) of 12-dp-rounded terms with per-half-round
+    re-quantization, so both engines iterate bit-identically.
+
+    100 TB story: the edge frame is ONE map-side-combining (user, type)
+    aggregate; each half-round is one edge equi-join + grouped fold +
+    1-row max broadcast, localCheckpointed per round; hubs emit top-10
+    by TakeOrdered, authorities are K = #types rows."""
+    rounds, top_hubs = 4, 10
+    ev = _t(spark, sf_dir, "events")
+    e = ev.groupBy(F.col("user_id").alias("u"), F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("w")
+    ).localCheckpoint(eager=True)
+    a_s = e.select("t").distinct().select("t", F.lit(1.0).alias("a"))
+
+    def _fold(x):
+        return F.sum(F.round(x, 12).cast("decimal(38,12)")).cast("double")
+
+    h_s = None
+    for _ in range(rounds):
+        hr = (
+            e.join(a_s, "t")
+            .groupBy("u")
+            .agg(_fold(F.col("w") * F.col("a")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        hm = hr.agg(F.max("h").alias("m"))
+        h_s = hr.crossJoin(F.broadcast(hm)).select(
+            "u", F.round(F.col("h") / F.col("m"), 12).alias("h")
+        ).localCheckpoint(eager=True)
+        ar = (
+            e.join(h_s, "u")
+            .groupBy("t")
+            .agg(_fold(F.col("w") * F.col("h")).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        am = ar.agg(F.max("a").alias("m"))
+        a_s = ar.crossJoin(F.broadcast(am)).select(
+            "t", F.round(F.col("a") / F.col("m"), 12).alias("a")
+        ).localCheckpoint(eager=True)
+    auth = a_s.select(
+        F.lit("authority").alias("role"),
+        F.col("t").alias("id"),
+        F.round("a", 6).alias("score"),
+    )
+    hubs = (
+        h_s.orderBy(F.col("h").desc(), F.asc("u"))
+        .limit(top_hubs)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("u").cast("string").alias("id"),
+            F.round("h", 6).alias("score"),
+        )
+    )
+    return auth.unionAll(hubs)
