@@ -53,6 +53,8 @@ AGG_WINDOW_ALLOWLIST = {
     "q337_lift_gain_curve",     # distinct-score support (documented)
     "q339_median_ci",           # distinct-value support (documented)
     "q342_bh_fdr",              # p-value rank over m = #event-types rows
+    "q358_absorbing_markov",    # type-index window: 5 distinct types
+    "q360_neyman_allocation",   # remainder ranks over O(sources) rows
     "q36_ewm_ensemble",         # timeseries grid: O(timesteps)
     "q40_merge_overwrite",      # timeseries grid: O(timesteps)
     "q82_acctbal_deciles",      # $1-bucket offsets: price-range-bounded
