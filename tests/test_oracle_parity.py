@@ -55,6 +55,8 @@ AGG_WINDOW_ALLOWLIST = {
     "q342_bh_fdr",              # p-value rank over m = #event-types rows
     "q358_absorbing_markov",    # type-index window: 5 distinct types
     "q360_neyman_allocation",   # remainder ranks over O(sources) rows
+    "q363_kruskal_wallis",      # pooled-rank cum over the value support
+    "q367_runs_test",           # sign-run lag over the O(days) rollup
     "q36_ewm_ensemble",         # timeseries grid: O(timesteps)
     "q40_merge_overwrite",      # timeseries grid: O(timesteps)
     "q82_acctbal_deciles",      # $1-bucket offsets: price-range-bounded
