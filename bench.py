@@ -324,6 +324,37 @@ BENCH_QUERIES = [
     "q339_median_ci",
     "q340_simpsons_paradox",
     "q341_burrows_delta",
+    # round-9 additions: multiple-testing / drift / agreement /
+    # experimentation / graph-text / classical-test ladders
+    "q342_bh_fdr",
+    "q343_wasserstein_drift",
+    "q344_kendall_tau",
+    "q345_cmh_test",
+    "q346_cohens_kappa",
+    "q347_brier_decomposition",
+    "q348_textrank",
+    "q349_association_rules",
+    "q350_hits",
+    "q351_ljung_box",
+    "q352_ecod_outliers",
+    "q353_streaming_cms_drain",
+    "q354_spectral_moments",
+    "q355_cuped",
+    "q356_bootstrap_ci",
+    "q357_gumbel_return_level",
+    "q358_absorbing_markov",
+    "q359_mutual_information",
+    "q360_neyman_allocation",
+    "q361_gesd_outliers",
+    "q362_group_sequential",
+    "q363_kruskal_wallis",
+    "q364_brown_forsythe",
+    "q365_anova_eta",
+    "q366_mcnemar",
+    "q367_runs_test",
+    "q368_durbin_watson",
+    "q369_quantile_treatment_effect",
+    "q370_shard_balance_audit",
 ]
 
 
