@@ -1,0 +1,2523 @@
+"""Query registry block 351-400 (mechanically split from the former
+single-module registry in round 9; see ``_core`` for the decorator,
+the registry dicts, and the float-determinism policy)."""
+
+from __future__ import annotations
+
+
+from phoebe_spark.operators import dedup, graph, sampling, similarity, text
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._core import _dec, _t, query
+from .q001_050 import _MD5H_SQL, _TOKS_SQL
+from .q301_350 import _CHI2_95, _INV_SQRT2, _p2_col, _p2_sql
+
+@query(
+    "q351_ljung_box",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    arr AS (
+      SELECT list(cents / 100.0 / n ORDER BY day) AS x, count(*) AS n FROM d
+    ),
+    m AS (
+      SELECT x, n, list_sum(x) / n AS xb,
+             list_sum(list_transform(x, v -> (v - list_sum(x) / n) * (v - list_sum(x) / n))) AS den
+      FROM arr
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS k),
+    rho AS (
+      SELECT k, n,
+             list_sum(list_transform(generate_series(k + 1, CAST(n AS INT)),
+                                     t -> (x[t] - xb) * (x[t - k] - xb))) / den AS r
+      FROM m CROSS JOIN lags
+    ),
+    q AS (
+      SELECT k, n, r,
+             sum(n * (n + 2.0) * r * r / (n - k)) OVER (ORDER BY k) AS qs
+      FROM rho
+    )
+    SELECT CAST(k AS INT) AS lag,
+           round(r, 6) + 0.0 AS rho,
+           round(qs, 6) AS q_stat,
+           CAST(([{", ".join(str(c) for c in _CHI2_95)}])[k] AS DOUBLE) AS crit_95,
+           CAST(CASE WHEN qs > ([{", ".join(str(c) for c in _CHI2_95)}])[k] THEN 1 ELSE 0 END AS INT) AS reject
+    FROM q
+    """,
+)
+def q351_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) for autocorrelation
+    in the daily-mean value series: ACF at lags 1..7 over the day-ordered
+    series, the cumulative Q_m = n(n+2) * sum rho_k^2/(n-k), and the
+    reject decision against the literal chi-square(m) 95% critical values
+    — the "is there ANY serial structure left" gate run on residuals
+    after a forecast fit (the test tier above q112/q237's raw ACF
+    emission; disclosed kinship). Every fold runs over the SAME
+    day-ordered array in both engines (index-ordered left folds), so Q
+    matches digit-for-digit.
+
+    100 TB story: the corpus collapses to the O(days) rollup in one
+    map-side aggregate; the series becomes a single-row array and all 7
+    lags are bounded array folds — corpus-size-independent after the
+    first scan."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    arr = d.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", (F.col("cents") / 100.0 / F.col("n")).alias("v")))
+        ).getField("v").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    xsum = F.aggregate(F.col("x"), F.lit(0.0), lambda a, v: a + v)
+    m = arr.select(
+        "x",
+        "n",
+        (xsum / F.col("n")).alias("xb"),
+    ).select(
+        "*",
+        F.aggregate(
+            F.col("x"), F.lit(0.0), lambda a, v: a + (v - F.col("xb")) * (v - F.col("xb"))
+        ).alias("den"),
+    ).localCheckpoint(eager=True)
+    # all 7 lags AND the cumulative Q computed as array folds on the
+    # single stats row — no window anywhere, not even over 7 rows
+    def _num(k):
+        return F.aggregate(
+            F.sequence(k + 1, F.col("n").cast("int")),
+            F.lit(0.0),
+            lambda a, t: a
+            + (F.element_at(F.col("x"), t) - F.col("xb"))
+            * (F.element_at(F.col("x"), t - k) - F.col("xb")),
+        )
+
+    rhos = m.select(
+        "n",
+        F.array(*[(_num(F.lit(k)) / F.col("den")).alias(f"r{k}") for k in range(1, 8)]).alias(
+            "rhos"
+        ),
+    )
+    qs = F.transform(
+        F.sequence(F.lit(1), F.lit(7)),
+        lambda k: F.aggregate(
+            F.sequence(F.lit(1), k),
+            F.lit(0.0),
+            lambda a, j: a
+            + F.col("n")
+            * (F.col("n") + 2.0)
+            * F.element_at(F.col("rhos"), j)
+            * F.element_at(F.col("rhos"), j)
+            / (F.col("n") - j),
+        ),
+    )
+    row = rhos.select("rhos", qs.alias("qs"))
+    crit_arr = F.array(*[F.lit(c) for c in _CHI2_95])
+    out = row.select(
+        F.posexplode(F.sequence(F.lit(1), F.lit(7))).alias("i", "k"),
+        "rhos",
+        "qs",
+    )
+    crit = F.element_at(crit_arr, F.col("k"))
+    qsk = F.element_at(F.col("qs"), F.col("k"))
+    return out.select(
+        F.col("k").cast("int").alias("lag"),
+        (F.round(F.element_at(F.col("rhos"), F.col("k")), 6) + F.lit(0.0)).alias("rho"),
+        F.round(qsk, 6).alias("q_stat"),
+        crit.alias("crit_95"),
+        F.when(qsk > crit, 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q349_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day, event_type
+      FROM events
+    ),
+    nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n FROM b),
+    sup1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    sup2 AS (
+      SELECT a.event_type AS ante, c.event_type AS cons, CAST(count(*) AS BIGINT) AS cc
+      FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                       AND a.event_type <> c.event_type
+      GROUP BY 1, 2
+    )
+    SELECT s.ante, s.cons,
+           s.cc AS n_baskets_both,
+           round(s.cc * 1.0 / nb.n, 6) AS support,
+           round(s.cc * 1.0 / sa.c, 6) AS confidence,
+           round((s.cc * 1.0 / sa.c) / (sc.c * 1.0 / nb.n), 6) AS lift
+    FROM sup2 s
+    JOIN sup1 sa ON sa.event_type = s.ante
+    JOIN sup1 sc ON sc.event_type = s.cons
+    CROSS JOIN nb
+    """,
+)
+def q349_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over user-day baskets (Agrawal et al.
+    1993, the 2-itemset tier of Apriori): for every ordered event-type
+    pair A -> B, the basket support, confidence P(B|A), and lift
+    P(B|A)/P(B) — the unordered-co-occurrence complement of q71's
+    ordered funnel (disclosed kinship; q337's "lift" is a model-gain
+    curve, a different statistic). All three measures are exact ratios
+    of integer basket counts.
+
+    100 TB story: ONE distinct-collapse shuffle builds the (user, day,
+    type) basket items; the pair census self-joins baskets on the
+    (user, day) key — each basket contributes at most K(K-1) pairs (K =
+    #types, bounded), so pair work is linear in baskets; supports and
+    the K^2 rule frame are broadcast-sized aggregates."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "user_id", F.expr("(ts div 1000000000) div 86400").alias("day"), "event_type"
+    ).distinct().localCheckpoint(eager=True)
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sup1 = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    sup2 = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.day") == F.col("c.day"))
+            & (F.col("a.event_type") != F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"), F.col("c.event_type").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    sa = sup1.select(F.col("event_type").alias("ante"), F.col("c").alias("ca"))
+    sc = sup1.select(F.col("event_type").alias("cons"), F.col("c").alias("cb"))
+    return (
+        sup2.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("cc").cast("long").alias("n_baskets_both"),
+            F.round(F.col("cc") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(F.col("cc") * 1.0 / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("cc") * 1.0 / F.col("ca")) / (F.col("cb") * 1.0 / F.col("n")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+def _q348_textrank_oracle(rounds: int = 6, topk: int = 15) -> str:
+    """Generated oracle for q348: the co-occurrence graph and weighted
+    degree MATERIALIZED once (multiply-referenced — the k-core CTE
+    lesson), then one CTE per TextRank round replaying the engine's
+    12-dp DECIMAL fold and per-round quantization digit-for-digit."""
+    ctes = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+      FROM documents WHERE trim(text) <> ''
+    )""",
+        """co AS MATERIALIZED (
+      SELECT a.term AS s1, b.term AS s2, CAST(count(*) AS BIGINT) AS w
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2) AND a.term <> b.term
+      GROUP BY 1, 2
+    )""",
+        """edges AS MATERIALIZED (
+      SELECT s1 AS src, s2 AS dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT s1, s2, w FROM co UNION ALL SELECT s2, s1, w FROM co
+      ) GROUP BY 1, 2
+    )""",
+        "wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT src AS node, 1.0 AS r FROM wdeg)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             round(0.15 + 0.85 * CAST(sum(CAST(round(e.w * p.r / d.wd, 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+      FROM edges e JOIN r{k - 1} p ON e.src = p.node JOIN wdeg d ON d.src = e.src
+      GROUP BY 1
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT node AS term, round(r, 6) AS textrank
+    FROM r{rounds} ORDER BY r DESC, node ASC LIMIT {topk}
+    """
+
+
+@query("q348_textrank", oracle=_q348_textrank_oracle())
+def q348_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    (damping 0.85, uniform 1.0 start) over the corpus-wide word
+    co-occurrence graph (tokens within a 2-token forward window,
+    symmetrized, edge weight = co-occurrence count, contributions
+    normalized by WEIGHTED degree), 6 rounds, top-15 keywords — the
+    graph-centrality tier of the keyphrase ladder above q325's RAKE
+    (degree/frequency scoring; disclosed kinship). Per-round per-edge
+    contributions are 12-dp-rounded DECIMAL(38,12) folds and each round's
+    score re-quantizes to 12 dp (the q293 graph-ladder policy), so both
+    engines iterate bit-identically.
+
+    100 TB story: the co-occurrence census is one position self-join on
+    (doc, pos) + a vocabulary-bounded groupBy; every round is ONE edge
+    equi-join + grouped fold on the vocabulary-sized node set,
+    localCheckpointed (lineage truncation, the q232 recipe); top-15 is a
+    TakeOrdered."""
+    rounds, topk = 6, 15
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a, b = toks.alias("a"), toks.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).isin(1, 2)
+            & (F.col("a.term") != F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("s1"), F.col("b.term").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        co.select("s1", "s2", "w")
+        .unionAll(co.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "w"))
+        .groupBy(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wd")).localCheckpoint(eager=True)
+    ranks = wdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(rounds):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(wdeg, "src")
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.round(
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * F.sum(
+                        F.round(
+                            F.col("w") * F.col("r") / F.col("wd"), 12
+                        ).cast("decimal(38,12)")
+                    ).cast("double"),
+                    12,
+                ).alias("r2")
+            )
+            .select(F.col("node2").alias("node"), F.col("r2").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), F.asc("node"))
+        .limit(topk)
+        .select(F.col("node").alias("term"), F.round("r", 6).alias("textrank"))
+    )
+
+
+def _q350_hits_oracle(rounds: int = 4, top_hubs: int = 10) -> str:
+    """Generated oracle for q350: per round, the raw hub/authority folds
+    AND their maxima are MATERIALIZED (each raw frame is referenced
+    twice: by its max and by its normalized successor — the k-core CTE
+    lesson); folds and per-round quantization mirror the engine."""
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS t, CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2
+    )""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT t, 1.0 AS a FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""hr{k} AS MATERIALIZED (
+      SELECT e.u, CAST(sum(CAST(round(e.w * a{p}.a, 12) AS DECIMAL(38,12))) AS DOUBLE) AS h
+      FROM e JOIN a{p} USING (t) GROUP BY 1
+    )"""
+        )
+        ctes.append(f"hm{k} AS MATERIALIZED (SELECT max(h) AS m FROM hr{k})")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT u, round(h / (SELECT m FROM hm{k}), 12) AS h FROM hr{k})"
+        )
+        ctes.append(
+            f"""ar{k} AS MATERIALIZED (
+      SELECT e.t, CAST(sum(CAST(round(e.w * h{k}.h, 12) AS DECIMAL(38,12))) AS DOUBLE) AS a
+      FROM e JOIN h{k} USING (u) GROUP BY 1
+    )"""
+        )
+        ctes.append(f"am{k} AS MATERIALIZED (SELECT max(a) AS m FROM ar{k})")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT t, round(a / (SELECT m FROM am{k}), 12) AS a FROM ar{k})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT 'authority' AS role, t AS id, round(a, 6) AS score FROM a{rounds}
+    UNION ALL
+    SELECT 'hub', CAST(u AS VARCHAR), round(h, 6)
+    FROM (SELECT u, h FROM h{rounds} ORDER BY h DESC, u ASC LIMIT {top_hubs})
+    """
+
+
+@query("q350_hits", oracle=_q350_hits_oracle())
+def q350_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the user <-> event-
+    type bipartite interaction graph (edge weight = interaction count):
+    4 rounds of the mutual-reinforcement iteration with max-normalization
+    each half-step — authority says which event types the heavy users
+    concentrate on, hub says which users span the authoritative types
+    (the bipartite complement of the unipartite centrality ladder:
+    PageRank q232/q118, eigencentrality q293). Folds are 12-dp
+    DECIMAL(38,12) of 12-dp-rounded terms with per-half-round
+    re-quantization, so both engines iterate bit-identically.
+
+    100 TB story: the edge frame is ONE map-side-combining (user, type)
+    aggregate; each half-round is one edge equi-join + grouped fold +
+    1-row max broadcast, localCheckpointed per round; hubs emit top-10
+    by TakeOrdered, authorities are K = #types rows."""
+    rounds, top_hubs = 4, 10
+    ev = _t(spark, sf_dir, "events")
+    e = ev.groupBy(F.col("user_id").alias("u"), F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("w")
+    ).localCheckpoint(eager=True)
+    a_s = e.select("t").distinct().select("t", F.lit(1.0).alias("a"))
+
+    def _fold(x):
+        return F.sum(F.round(x, 12).cast("decimal(38,12)")).cast("double")
+
+    h_s = None
+    for _ in range(rounds):
+        hr = (
+            e.join(a_s, "t")
+            .groupBy("u")
+            .agg(_fold(F.col("w") * F.col("a")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        hm = hr.agg(F.max("h").alias("m"))
+        h_s = hr.crossJoin(F.broadcast(hm)).select(
+            "u", F.round(F.col("h") / F.col("m"), 12).alias("h")
+        ).localCheckpoint(eager=True)
+        ar = (
+            e.join(h_s, "u")
+            .groupBy("t")
+            .agg(_fold(F.col("w") * F.col("h")).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        am = ar.agg(F.max("a").alias("m"))
+        a_s = ar.crossJoin(F.broadcast(am)).select(
+            "t", F.round(F.col("a") / F.col("m"), 12).alias("a")
+        ).localCheckpoint(eager=True)
+    auth = a_s.select(
+        F.lit("authority").alias("role"),
+        F.col("t").alias("id"),
+        F.round("a", 6).alias("score"),
+    )
+    hubs = (
+        h_s.orderBy(F.col("h").desc(), F.asc("u"))
+        .limit(top_hubs)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("u").cast("string").alias("id"),
+            F.round("h", 6).alias("score"),
+        )
+    )
+    return auth.unionAll(hubs)
+
+
+@query(
+    "q352_ecod_outliers",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    sup AS (SELECT dim, q, CAST(count(*) AS BIGINT) AS cnt FROM flat GROUP BY 1, 2),
+    cum AS (
+      SELECT dim, q, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY dim ORDER BY q) AS BIGINT) AS cle
+      FROM sup
+    ),
+    scored AS (
+      SELECT f.vec_id,
+             -ln(least(c.cle * 1.0 / nn.n, (nn.n - c.cle + c.cnt) * 1.0 / nn.n)) AS t
+      FROM flat f JOIN cum c ON c.dim = f.dim AND c.q = f.q CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT vec_id,
+             CAST(round(sum(CAST(round(t, 12) AS DECIMAL(38,12))), 6) AS DOUBLE) AS score
+      FROM scored GROUP BY vec_id
+    )
+    SELECT vec_id, score FROM agg ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q352_ecod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD-style unsupervised outlier scoring (Li et al. 2022,
+    two-sided tail variant, disclosed): per dimension, the empirical
+    CDF over the 1e-3-quantized value support; each vector's score is
+    the sum over dimensions of -log(min(left tail, right tail)) — the
+    parameter-free "is this point in ANY dimension's tail" detector that
+    needs no covariance (q322's Mahalanobis cousin for non-elliptic
+    data; disclosed kinship). Tails are exact integer ratios off the
+    quantized support; the per-vector fold is 12-dp DECIMAL, so scores
+    and the top-10 match digit-for-digit.
+
+    100 TB story: ONE posexplode feeds a (dim, quantized-value) support
+    aggregate (value-RANGE-bounded, ~2k cells per dim); cumulative
+    tails are windows over that support partitioned BY DIM; scoring
+    joins the flat view back on (dim, q) — corpus-linear, no sort of
+    raw rows; top-10 is a TakeOrdered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("xf").cast("double") * 1000).cast("long").alias("q"),
+    )
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sup = flat.groupBy("dim", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("dim").orderBy("q")
+    cum = sup.select(
+        "dim", "q", "cnt", F.sum("cnt").over(wc).cast("long").alias("cle")
+    ).localCheckpoint(eager=True)
+    t = -F.log(
+        F.least(
+            F.col("cle") * 1.0 / F.col("n"),
+            (F.col("n") - F.col("cle") + F.col("cnt")) * 1.0 / F.col("n"),
+        )
+    )
+    agg = (
+        flat.join(cum, ["dim", "q"])
+        .crossJoin(F.broadcast(nn))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(F.round(t, 12).cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return agg.orderBy(F.col("score").desc(), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "q354_spectral_moments",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    s AS (SELECT i, CAST(sum(q) AS BIGINT) AS si FROM flat GROUP BY i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gij
+      FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT g.i, g.j,
+             (g.gij * 1.0 / nn.n - (sa.si * 1.0 * sb.si) / (nn.n * 1.0 * nn.n)) / 1.0e12 AS cij
+      FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN nn
+    ),
+    m AS (
+      SELECT CAST(round(sum(CAST(round(CASE WHEN i = j THEN cij ELSE 0.0 END, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS tr,
+             CAST(round(sum(CAST(round(cij * cij, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS fr,
+             CAST(max(j) AS BIGINT) AS d
+      FROM c
+    )
+    SELECT (SELECT n FROM nn) AS n_vectors, d AS n_dims,
+           round(tr, 6) AS cov_trace,
+           round(fr, 6) AS cov_frobenius_sq,
+           round(tr / d, 6) AS eig_mean,
+           round(fr / d - (tr / d) * (tr / d), 6) + 0.0 AS eig_var,
+           round(tr * tr / fr, 6) AS participation_ratio
+    FROM m
+    """,
+)
+def q354_spectral_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact spectral moments of the embedding covariance WITHOUT an
+    eigendecomposition: trace (= sum of eigenvalues), squared Frobenius
+    norm (= sum of squared eigenvalues), and from them the eigenvalue
+    mean/variance and the participation ratio tr^2/||C||_F^2 — the
+    effective-rank number an embedding-health audit reads (PR near d =
+    isotropic, PR near 1 = collapsed to one direction). The EXACT
+    full-corpus complement of q316's sampled isotropy probe and q219's
+    dominant direction (disclosed kinship): trace and Frobenius are
+    polynomial in the covariance entries, so no iteration or sampling is
+    needed. Covariance cells come from the integer-quantized Gram
+    (floor(1e6 x), exact BIGINT sums — the q219 recipe, same disclosed
+    BIGINT-range constraint); cell folds are 12-dp DECIMAL.
+
+    100 TB story: ONE map-side-combining Gram aggregate (d^2 = 4096
+    cells regardless of corpus size); every statistic after is a fold
+    over the d^2 cell frame."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("xf").cast("double") * 1000000).cast("long").alias("q"),
+    ).localCheckpoint(eager=True)
+    # the 1-row corpus count is referenced by every covariance cell AND
+    # the final select — checkpoint so each reference reads the RDD, not
+    # a fresh parquet count scan (oracle-determinism pitfall #6)
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(eager=True)
+    s = flat.groupBy("i").agg(F.sum("q").alias("si"))
+    fa = flat.select("vec_id", "i", F.col("q").alias("qa"))
+    fb = flat.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    g = fa.join(fb, "vec_id").groupBy("i", "j").agg(
+        F.sum(F.col("qa") * F.col("qb")).alias("gij")
+    )
+    c = (
+        g.join(F.broadcast(s.select(F.col("i"), F.col("si").alias("sa"))), "i")
+        .join(
+            F.broadcast(s.select(F.col("i").alias("j"), F.col("si").alias("sb"))), "j"
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("gij") * 1.0 / F.col("n")
+                    - (F.col("sa") * 1.0 * F.col("sb")) / (F.col("n") * 1.0 * F.col("n"))
+                )
+                / F.lit(1.0e12)
+            ).alias("cij"),
+        )
+    )
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+    m = c.agg(
+        _fold12(F.when(F.col("i") == F.col("j"), F.col("cij")).otherwise(0.0)).alias("tr"),
+        _fold12(F.col("cij") * F.col("cij")).alias("fr"),
+        F.max("j").cast("long").alias("d"),
+    )
+    return m.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_vectors"),
+        F.col("d").alias("n_dims"),
+        F.round("tr", 6).alias("cov_trace"),
+        F.round("fr", 6).alias("cov_frobenius_sq"),
+        F.round(F.col("tr") / F.col("d"), 6).alias("eig_mean"),
+        (
+            F.round(
+                F.col("fr") / F.col("d")
+                - (F.col("tr") / F.col("d")) * (F.col("tr") / F.col("d")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("eig_var"),
+        F.round(F.col("tr") * F.col("tr") / F.col("fr"), 6).alias("participation_ratio"),
+    )
+
+
+@query(
+    "q355_cuped",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    lo AS (SELECT min(day) AS lo FROM d),
+    u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+             CAST(coalesce(sum(CASE WHEN day < (SELECT lo FROM lo) + 15 THEN cents END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN day >= (SELECT lo FROM lo) + 15 THEN cents END), 0) AS BIGINT) AS y
+      FROM d GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM u
+    ),
+    th AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS xbar,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS theta,
+             ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+              * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS rho2
+      FROM mom
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(y) AS DECIMAL(38,0)) AS say, CAST(sum(x) AS DECIMAL(38,0)) AS sax
+      FROM u GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           round(CAST(a.say AS DOUBLE) / a.n_users / 100.0, 6) AS raw_mean,
+           round((CAST(a.say AS DOUBLE) / a.n_users
+                  - t.theta * (CAST(a.sax AS DOUBLE) / a.n_users - t.xbar)) / 100.0, 6) + 0.0 AS adjusted_mean,
+           round(t.theta, 6) + 0.0 AS theta,
+           round(t.rho2, 6) AS variance_reduction
+    FROM arms a CROSS JOIN th t
+    """,
+)
+def q355_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    controlled experiments Using Pre-Experiment Data): users' first-15-
+    day spend is the pre-period covariate X, the remainder the outcome
+    Y; theta = cov(X,Y)/var(X) is fit POOLED (the standard choice, so
+    the adjustment cannot inject treatment signal), each arm reports its
+    raw and CUPED-adjusted mean, and rho^2 is the variance fraction the
+    adjustment removes — the fewer-samples-for-the-same-power tier of
+    the experimentation ladder (q330 sizes the test, q331 checks the
+    split, THIS shrinks the error bars; disclosed kinship). Per-user
+    cents are exact integers; all moments are DECIMAL(38,0) sums, so
+    theta and both means match digit-for-digit.
+
+    100 TB story: one map-side-combining per-user aggregate (the only
+    corpus-scale shuffle), then 1-row moment folds and a 2-row arm
+    frame — the covariate join never re-scans the corpus."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.select(
+        "user_id",
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+        F.round(_dec("value") * 100, 0).cast("long").alias("cents"),
+    )
+    lo = d.agg(F.min("day").alias("lo"))
+    u = (
+        d.crossJoin(F.broadcast(lo))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("day") < F.col("lo") + 15, F.col("cents"))), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("day") >= F.col("lo") + 15, F.col("cents"))),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .select(
+            "user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+        )
+        .localCheckpoint(eager=True)
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    covn = F.col("sxy").cast("double") - sxd * syd / F.col("n")
+    varxn = F.col("sxx").cast("double") - sxd * sxd / F.col("n")
+    varyn = F.col("syy").cast("double") - syd * syd / F.col("n")
+    th = mom.select(
+        "n",
+        (sxd / F.col("n")).alias("xbar"),
+        (covn / varxn).alias("theta"),
+        ((covn * covn) / (varxn * varyn)).alias("rho2"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("decimal(38,0)").alias("say"),
+        F.sum("x").cast("decimal(38,0)").alias("sax"),
+    )
+    return arms.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "n_users",
+        F.round(F.col("say").cast("double") / F.col("n_users") / 100.0, 6).alias(
+            "raw_mean"
+        ),
+        (
+            F.round(
+                (
+                    F.col("say").cast("double") / F.col("n_users")
+                    - F.col("theta")
+                    * (F.col("sax").cast("double") / F.col("n_users") - F.col("xbar"))
+                )
+                / 100.0,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("adjusted_mean"),
+        (F.round("theta", 6) + F.lit(0.0)).alias("theta"),
+        F.round("rho2", 6).alias("variance_reduction"),
+    )
+
+
+@query(
+    "q353_streaming_cms_drain",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents WHERE trim(text) <> ''
+    ),
+    exact AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    probes AS (SELECT tok, n FROM exact ORDER BY n DESC, tok ASC LIMIT 20),
+    seeded AS (
+      SELECT t.tok, s.s,
+             {_MD5H_SQL.format(x="t.tok || '|' || s.s")} % 256 AS bucket
+      FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+    ),
+    counters AS (SELECT s, bucket, count(*) AS c FROM seeded GROUP BY s, bucket),
+    est AS (
+      SELECT p.tok, min(c.c) AS cms_est
+      FROM probes p
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+      JOIN counters c ON c.s = s.s
+                     AND c.bucket = {_MD5H_SQL.format(x="p.tok || '|' || s.s")} % 256
+      GROUP BY p.tok
+    )
+    SELECT p.tok, CAST(p.n AS BIGINT) AS exact_n,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - p.n AS BIGINT) AS overcount
+    FROM probes p JOIN est e USING (tok)
+    """,
+)
+def q353_streaming_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch drained in the hash-checked gate —
+    q141's depth-4 x width-256 CMS cells accumulated ACROSS micro-batches
+    in the state store (:func:`stateful.streaming_bin_counts` keyed by
+    hash seed, 256 cells per key): the corpus arrives as three
+    doc-id-sliced micro-batches of per-(seed, bucket) pre-counts, the
+    cell vectors ADD per key across batches (the commutative-state
+    family with q324's PSI drain — arrival order and batch boundaries
+    provably cannot change the counters, which is the sketch's
+    mergeability promise executed by a real state store), and the
+    drained counters feed the IDENTICAL top-20 heavy-hitter estimate
+    arithmetic — hash-matching q141's batch oracle digit-for-digit.
+
+    100 TB story: per-batch pre-aggregation bounds every micro-batch's
+    state traffic to d x w = 1,024 cells per slice; state is O(seeds),
+    TTL-free; the probe join broadcasts 20 rows. One operator, two
+    execution models, one answer."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.operators.dedup import md5_hash64
+    from phoebe_spark.streaming.stateful import streaming_bin_counts
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    probes = exact.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s")
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("tok"), F.lit("|"), F.col("s").cast("string"))),
+        F.lit(256),
+    )
+
+    work = tempfile.mkdtemp(prefix="q353_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        for i in range(1, 4):
+            part = (
+                toks.filter(F.col("doc_id") % 3 == i - 1)
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("tn"))
+                .select("tok", "tn", seeds)
+                .select(
+                    F.col("s").cast("string").alias("key"),
+                    bucket.cast("int").alias("bin"),
+                    F.lit(0).alias("arm"),
+                    F.col("tn").cast("long").alias("cnt"),
+                )
+                .groupBy("key", "bin", "arm")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("key STRING, bin INT, arm INT, cnt LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_bin_counts(stream, n_bins=256, key_col="key")
+        sink = f"{work}/cms"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q353: streaming CMS drain did not finish within 300 s — "
+                "refusing to score a partial sketch"
+            )
+        states = spark.read.parquet(sink)
+        final = (
+            states.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy(F.col("n").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(F.col("key").cast("int").alias("s"), "c0")
+        )
+        counters = final.select(
+            "s", F.posexplode("c0").alias("bucket", "c")
+        ).localCheckpoint(eager=True)
+        est = (
+            probes.select("tok", "n", seeds)
+            .select("tok", "n", "s", bucket.cast("int").alias("bucket"))
+            .join(counters, ["s", "bucket"])
+            .groupBy("tok", "n")
+            .agg(F.min("c").alias("cms_est"))
+        )
+        res = est.select(
+            "tok",
+            F.col("n").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# Poisson(1) cumulative probabilities for k = 0..7 (literal, both engines)
+_POIS1_CUM = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253,
+)
+
+
+def _pois1_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CUM)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+def _pois1_col(u: F.Column) -> F.Column:
+    out = None
+    for k, c in enumerate(_POIS1_CUM):
+        cond = u < F.lit(c)
+        out = F.when(cond, k) if out is None else out.when(cond, k)
+    return out.otherwise(8)
+
+
+_Q356_KEY_SQL = "'bs' || d.day || '#' || reps.b"
+
+
+@query(
+    "q356_bootstrap_ci",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    reps AS (SELECT unnest(generate_series(1, 200)) AS b),
+    w AS (
+      SELECT d.day, reps.b, d.cents / 100.0 / d.n AS m,
+             {_pois1_sql(f"(({_MD5H_SQL.format(x=_Q356_KEY_SQL)}) % 1000000) / 1000000.0")} AS wt
+      FROM d CROSS JOIN reps
+    ),
+    theta AS (
+      SELECT b,
+             CASE WHEN sum(wt) = 0 THEN NULL
+                  ELSE CAST(round(sum(CAST(round(wt * m, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) / sum(wt)
+             END AS th
+      FROM w GROUP BY b
+    ),
+    arr AS (SELECT list(th ORDER BY th, b) AS ths, count(th) AS nb FROM theta WHERE th IS NOT NULL),
+    pt AS (
+      SELECT CAST(round(sum(CAST(round(cents / 100.0 / n, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) / count(*) AS point,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d
+    )
+    SELECT pt.n_days, CAST(arr.nb AS BIGINT) AS n_replicates,
+           round(pt.point, 6) AS point_est,
+           round(arr.ths[CAST(ceil(0.025 * arr.nb) AS INT)], 6) AS ci_lo,
+           round(arr.ths[CAST(ceil(0.975 * arr.nb) AS INT)], 6) AS ci_hi,
+           round(sqrt(list_sum(list_transform(arr.ths, t -> (t - list_sum(arr.ths) / arr.nb) * (t - list_sum(arr.ths) / arr.nb))) / (arr.nb - 1)), 6) AS boot_se
+    FROM pt CROSS JOIN arr
+    """,
+)
+def q356_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Efron 1979; Poisson(1) weights
+    are the standard streaming-friendly resampling) of the mean daily
+    value: 200 replicates whose weights come from a CONTENT-HASH inverse
+    CDF (md5 of day#replicate against the literal Poisson(1) cumulative
+    table — no RNG, so retries, AQE replans, and both engines draw the
+    IDENTICAL resamples), percentile 95% CI off the sorted replicate
+    array and the bootstrap SE — the distribution-free interval
+    complementing q339's exact median CI and q330's parametric power
+    math (disclosed kinship). Replicate stats fold as 12-dp DECIMAL.
+
+    100 TB story: the corpus collapses to the O(days) rollup once; the
+    bootstrap grid is days x 200 (calendar-bounded, corpus-size-
+    independent), and the CI is an array fold on one row — resampling
+    never touches raw rows (the whole point of bootstrapping the
+    SUFFICIENT ROLLUP, not the corpus)."""
+    from phoebe_spark.operators.dedup import md5_hash64
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    reps = spark.range(1, 201).select(F.col("id").alias("b"))
+    u = (
+        F.pmod(
+            md5_hash64(
+                F.concat(
+                    F.lit("bs"),
+                    F.col("day").cast("string"),
+                    F.lit("#"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            F.lit(1000000),
+        )
+        / 1000000.0
+    )
+    w = d.crossJoin(reps).select(
+        "day",
+        "b",
+        (F.col("cents") / 100.0 / F.col("n")).alias("m"),
+        _pois1_col(u).alias("wt"),
+    )
+    theta = w.groupBy("b").agg(
+        F.when(F.sum("wt") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum(F.round(F.col("wt") * F.col("m"), 12).cast("decimal(38,12)")), 12
+            ).cast("double")
+            / F.sum("wt")
+        )
+        .alias("th")
+    )
+    arr = theta.filter(F.col("th").isNotNull()).agg(
+        F.array_sort(F.collect_list(F.struct("th", "b"))).getField("th").alias("ths"),
+        F.count("th").alias("nb"),
+    )
+    pt = d.agg(
+        (
+            F.round(
+                F.sum(
+                    F.round(F.col("cents") / 100.0 / F.col("n"), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ),
+                12,
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    tsum = F.aggregate(F.col("ths"), F.lit(0.0), lambda a, v: a + v)
+    tbar = tsum / F.col("nb")
+    var = (
+        F.aggregate(
+            F.col("ths"), F.lit(0.0), lambda a, v: a + (v - F.col("tbar")) * (v - F.col("tbar"))
+        )
+        / (F.col("nb") - 1)
+    )
+    out = pt.crossJoin(F.broadcast(arr)).withColumn("tbar", tbar)
+    return out.select(
+        "n_days",
+        F.col("nb").cast("long").alias("n_replicates"),
+        F.round("point", 6).alias("point_est"),
+        F.round(
+            F.element_at(F.col("ths"), F.ceil(F.lit(0.025) * F.col("nb")).cast("int")),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.element_at(F.col("ths"), F.ceil(F.lit(0.975) * F.col("nb")).cast("int")),
+            6,
+        ).alias("ci_hi"),
+        F.round(F.sqrt(var), 6).alias("boot_se"),
+    )
+
+
+# Gumbel method-of-moments literals: sqrt(6)/pi, Euler-Mascheroni, and
+# -ln(-ln(1 - 1/T)) for T = 100 (precomputed so neither engine's ln at
+# the return-level knee can diverge by an ulp)
+_SQRT6_PI = 0.779696801233676
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_K100 = 4.600149226776579
+
+
+@query(
+    "q357_gumbel_return_level",
+    oracle=f"""
+    WITH bm AS (
+      SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             max(value) AS mx
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(round(sum(CAST(round(mx, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) / count(*) AS m,
+             CAST(round(sum(CAST(round(mx * mx, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) / count(*) AS m2
+      FROM bm GROUP BY 1
+    ),
+    g AS (
+      SELECT event_type, n_blocks, m,
+             sqrt(m2 - m * m) * {_SQRT6_PI} AS beta
+      FROM st
+    )
+    SELECT event_type, n_blocks,
+           round(m, 6) AS block_max_mean,
+           round(beta, 6) AS gumbel_beta,
+           round(m - {_EULER_GAMMA} * beta, 6) AS gumbel_mu,
+           round(m - {_EULER_GAMMA} * beta + beta * {_GUMBEL_K100}, 6) AS return_level_100
+    FROM g
+    """,
+)
+def q357_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value return levels (Gumbel 1958, block-maxima method of
+    moments): per event type, daily block maxima -> Gumbel location/scale
+    by moments (beta = s*sqrt(6)/pi, mu = m - gamma*beta, literal
+    handbook constants identical in both engines) -> the 100-day return
+    level mu + beta*(-ln(-ln(0.99))) — the "what's the worst value we
+    should expect once per hundred days" number capacity planning reads
+    off the tail, where mean/p95 thinking (q28) under-forecasts by
+    construction (disclosed kinship with the quantile ladder). Moments
+    fold as 12-dp DECIMAL over the O(days) block frame.
+
+    100 TB story: block maxima are ONE map-side-combining (type, day)
+    aggregate; the fit is closed-form on the O(types x days) frame — no
+    iteration, no sort, no quantile pass."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bm = e.groupBy(
+        "event_type", F.expr("(ts div 1000000000) div 86400").alias("day")
+    ).agg(F.max("value").alias("mx"))
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+    st = bm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (_fold12(F.col("mx")) / F.count(F.lit(1))).alias("m"),
+        (_fold12(F.col("mx") * F.col("mx")) / F.count(F.lit(1))).alias("m2"),
+    )
+    beta = F.sqrt(F.col("m2") - F.col("m") * F.col("m")) * F.lit(_SQRT6_PI)
+    g = st.select("event_type", "n_blocks", "m", beta.alias("beta"))
+    return g.select(
+        "event_type",
+        "n_blocks",
+        F.round("m", 6).alias("block_max_mean"),
+        F.round("beta", 6).alias("gumbel_beta"),
+        F.round(F.col("m") - F.lit(_EULER_GAMMA) * F.col("beta"), 6).alias("gumbel_mu"),
+        F.round(
+            F.col("m") - F.lit(_EULER_GAMMA) * F.col("beta") + F.col("beta") * F.lit(_GUMBEL_K100),
+            6,
+        ).alias("return_level_100"),
+    )
+
+
+@query(
+    "q359_mutual_information",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS t, ((epoch_ns(ts) // 1000000000) // 86400) % 7 AS wd
+      FROM events
+    ),
+    cell AS (SELECT t, wd, CAST(count(*) AS BIGINT) AS nij FROM s GROUP BY 1, 2),
+    rowm AS (SELECT t, CAST(sum(nij) AS BIGINT) AS ni FROM cell GROUP BY 1),
+    colm AS (SELECT wd, CAST(sum(nij) AS BIGINT) AS nj FROM cell GROUP BY 1),
+    nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cell),
+    mi AS (
+      SELECT CAST(round(sum(CAST(round((c.nij * 1.0 / nn.n) * ln((c.nij * 1.0 * nn.n) / (r.ni * 1.0 * m.nj)), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS mi,
+             CAST(count(*) AS BIGINT) AS k_cells
+      FROM cell c JOIN rowm r USING (t) JOIN colm m USING (wd) CROSS JOIN nn
+    ),
+    hx AS (
+      SELECT CAST(round(sum(CAST(round(-(ni * 1.0 / nn.n) * ln(ni * 1.0 / nn.n), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS h,
+             CAST(count(*) AS BIGINT) AS r
+      FROM rowm CROSS JOIN nn
+    ),
+    hy AS (
+      SELECT CAST(round(sum(CAST(round(-(nj * 1.0 / nn.n) * ln(nj * 1.0 / nn.n), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM colm CROSS JOIN nn
+    )
+    SELECT nn.n, hx.r AS n_types, hy.c AS n_weekdays, mi.k_cells,
+           round(mi.mi, 6) + 0.0 AS mi_nats,
+           round(mi.mi + (mi.k_cells - hx.r - hy.c + 1) * 1.0 / (2.0 * nn.n), 6) + 0.0 AS mi_miller_madow,
+           round(mi.mi / sqrt(hx.h * hy.h), 6) + 0.0 AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN nn
+    """,
+)
+def q359_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and weekday (epoch-day mod
+    7 — engine-neutral, no calendar locale), with the Miller-Madow
+    plug-in bias correction (Miller 1955: + (K - R - C + 1)/(2N) for K
+    observed cells) and the sqrt-normalized NMI — the information-
+    theoretic dependence number beside q314's chi-square/Cramer's V
+    (disclosed kinship: chi-square weights squared deviations, MI
+    weights log-likelihood ratios; both read the same contingency
+    collapse). Cell terms fold as 12-dp DECIMAL over the R x C grid.
+
+    100 TB story: ONE map-side-combining aggregate to the R x C = 35-
+    cell contingency table; margins and every statistic are folds over
+    that grid."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        F.col("event_type").alias("t"),
+        (F.expr("(ts div 1000000000) div 86400") % 7).alias("wd"),
+    )
+    cell = s.groupBy("t", "wd").agg(F.count(F.lit(1)).alias("nij")).localCheckpoint(
+        eager=True
+    )
+    rowm = cell.groupBy("t").agg(F.sum("nij").alias("ni"))
+    colm = cell.groupBy("wd").agg(F.sum("nij").alias("nj"))
+    nn = cell.agg(F.sum("nij").alias("n"))
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+    mi = (
+        cell.join(F.broadcast(rowm), "t")
+        .join(F.broadcast(colm), "wd")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            _fold12(
+                (F.col("nij") * 1.0 / F.col("n"))
+                * F.log((F.col("nij") * 1.0 * F.col("n")) / (F.col("ni") * 1.0 * F.col("nj")))
+            ).alias("mi"),
+            F.count(F.lit(1)).cast("long").alias("k_cells"),
+        )
+    )
+    hx = rowm.crossJoin(F.broadcast(nn)).agg(
+        _fold12(-(F.col("ni") * 1.0 / F.col("n")) * F.log(F.col("ni") * 1.0 / F.col("n"))).alias("h"),
+        F.count(F.lit(1)).cast("long").alias("r"),
+    )
+    hy = colm.crossJoin(F.broadcast(nn)).agg(
+        _fold12(-(F.col("nj") * 1.0 / F.col("n")) * F.log(F.col("nj") * 1.0 / F.col("n"))).alias("h2"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("r").alias("n_types"),
+            F.col("c").alias("n_weekdays"),
+            "k_cells",
+            (F.round("mi", 6) + F.lit(0.0)).alias("mi_nats"),
+            (
+                F.round(
+                    F.col("mi")
+                    + (F.col("k_cells") - F.col("r") - F.col("c") + 1)
+                    * 1.0
+                    / (F.lit(2.0) * F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mi_miller_madow"),
+            (F.round(F.col("mi") / F.sqrt(F.col("h") * F.col("h2")), 6) + F.lit(0.0)).alias("nmi"),
+        )
+    )
+
+
+def _q358_absorbing_oracle(K: int = 5, iters: int = 40) -> str:
+    """Generated oracle for q358: the truncated Neumann series
+    t = sum_k Q^k 1 unrolled as one CTE per round, carrying [v | t] as
+    one 2(K-1)-list with the engine's left-associated inner products and
+    12-dp per-round quantization."""
+    kt = K - 1
+    ctes = [
+        "m0 AS (SELECT qarr, [" + ", ".join(["CAST(1.0 AS DOUBLE)"] * (2 * kt)) + "] AS a FROM qm)"
+    ]
+    for r in range(1, iters + 1):
+        comps = []
+        for i in range(1, kt + 1):
+            chain = " + ".join(
+                f"qarr[{(i - 1) * kt + j}] * a[{j}]" for j in range(1, kt + 1)
+            )
+            comps.append(f"round({chain}, 12)")
+        for i in range(1, kt + 1):
+            chain = " + ".join(
+                f"qarr[{(i - 1) * kt + j}] * a[{j}]" for j in range(1, kt + 1)
+            )
+            comps.append(f"round(a[{kt + i}] + round({chain}, 12), 12)")
+        ctes.append(
+            f"m{r} AS (SELECT qarr, [" + ", ".join(comps) + f"] AS a FROM m{r - 1})"
+        )
+    chain_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts), event_id) AS nxt
+      FROM events
+    ),
+    tc AS (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    types AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+              FROM (SELECT DISTINCT event_type AS t FROM events)),
+    freq AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+    ab AS (SELECT t FROM (SELECT f.t, row_number() OVER (ORDER BY f.cnt DESC, f.t ASC) AS rk
+                          FROM freq f) WHERE rk = 1),
+    tr AS (SELECT t, idx, row_number() OVER (ORDER BY idx) AS tidx
+           FROM types WHERE t <> (SELECT t FROM ab)),
+    grid AS (
+      SELECT i.idx AS i, j.idx AS j, coalesce(tc.c, 0) AS c
+      FROM types i CROSS JOIN types j
+      LEFT JOIN tc ON tc.src = i.t AND tc.dst = j.t
+    ),
+    rowtot AS (SELECT i, sum(c) AS tot FROM grid GROUP BY 1),
+    qcells AS (
+      SELECT (ti.tidx - 1) * {kt} + tj.tidx AS pos, g.c * 1.0 / r.tot AS p
+      FROM grid g
+      JOIN tr ti ON ti.idx = g.i
+      JOIN tr tj ON tj.idx = g.j
+      JOIN rowtot r ON r.i = g.i
+    ),
+    qm AS (SELECT list(p ORDER BY pos) AS qarr FROM qcells),
+    {chain_sql}
+    SELECT tr.t AS event_type,
+           CAST(tr.tidx AS INT) AS state_idx,
+           (SELECT t FROM ab) AS absorbing_type,
+           round(a[{kt} + tr.tidx], 6) AS expected_steps
+    FROM m{iters} CROSS JOIN tr
+    """
+
+
+@query("q358_absorbing_markov", oracle=_q358_absorbing_oracle())
+def q358_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps to absorption in the per-user event-type Markov
+    chain (Kemeny & Snell 1960): the most frequent event type becomes
+    the absorbing state, Q is the transient 4x4 block of q317's
+    transition matrix (disclosed kinship), and t = N*1 with
+    N = sum Q^k is evaluated as a 40-term truncated Neumann series
+    folded in ONE codegen `aggregate` over an 8-element [v | t] array —
+    "how many more events does a user in state X generate before the
+    dominant behavior swallows them", the behavioral-horizon number a
+    lifecycle model reads. Each component is 12-dp-rounded per round
+    (truncation bias disclosed; parity exact — the oracle replays the
+    identical left-associated chains).
+
+    100 TB story: ONE corpus-scale window builds transition pairs
+    (q317's shape); the absorbing pick, Q extraction, and the 40-round
+    series all run on K x K aggregates and single-row arrays."""
+    e = _t(spark, sf_dir, "events")
+    K, iters = 5, 40
+    kt = K - 1
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = (
+        e.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select("t", F.row_number().over(Window.orderBy("t")).alias("idx"))
+        .localCheckpoint(eager=True)
+    )
+    n_types = types.count()
+    if n_types != K:
+        raise ValueError(
+            f"q358 assumes exactly K={K} event types; fixture has {n_types}"
+        )
+    freq = e.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # absorbing pick without a rank window: TakeOrdered(1) on the K-row
+    # frequency frame; transient re-index without a window either —
+    # tidx = idx - [idx > absorbing idx] (idx order is preserved)
+    ab = (
+        freq.join(types, freq.t == types.t)
+        .orderBy(F.col("cnt").desc(), F.asc(freq.t))
+        .limit(1)
+        .select(types.t.alias("abt"), F.col("idx").alias("abidx"))
+        .localCheckpoint(eager=True)
+    )
+    tr = (
+        types.crossJoin(F.broadcast(ab))
+        .filter(F.col("t") != F.col("abt"))
+        .select(
+            "t",
+            "idx",
+            (
+                F.col("idx")
+                - F.when(F.col("idx") > F.col("abidx"), 1).otherwise(0)
+            ).alias("tidx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = (
+        types.select(F.col("t").alias("src_t"), F.col("idx").alias("i"))
+        .crossJoin(types.select(F.col("t").alias("dst_t"), F.col("idx").alias("j")))
+        .join(
+            tc,
+            (F.col("src_t") == F.col("src")) & (F.col("dst_t") == F.col("dst")),
+            "left",
+        )
+        .select("i", "j", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rowtot = grid.groupBy("i").agg(F.sum("c").alias("tot"))
+    ti = tr.select(F.col("idx").alias("i"), F.col("tidx").alias("ti"))
+    tj = tr.select(F.col("idx").alias("j"), F.col("tidx").alias("tj"))
+    qcells = (
+        grid.join(F.broadcast(ti), "i")
+        .join(F.broadcast(tj), "j")
+        .join(F.broadcast(rowtot), "i")
+        .select(
+            ((F.col("ti") - 1) * kt + F.col("tj")).alias("pos"),
+            (F.col("c") * 1.0 / F.col("tot")).alias("p"),
+        )
+    )
+    qm = qcells.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "p"))).getField("p").alias("qarr")
+    )
+
+    def _v(acc, i: int):
+        expr = F.element_at(F.col("qarr"), (i - 1) * kt + 1) * F.element_at(acc, 1)
+        for j in range(2, kt + 1):
+            expr = expr + F.element_at(F.col("qarr"), (i - 1) * kt + j) * F.element_at(
+                acc, j
+            )
+        return F.round(expr, 12)
+
+    def _step(acc, _):
+        comps = [_v(acc, i) for i in range(1, kt + 1)]
+        comps += [
+            F.round(F.element_at(acc, kt + i) + _v(acc, i), 12)
+            for i in range(1, kt + 1)
+        ]
+        return F.array(*comps)
+
+    a = F.aggregate(
+        F.sequence(F.lit(1), F.lit(iters)),
+        F.array(*[F.lit(1.0)] * (2 * kt)),
+        _step,
+    )
+    res = qm.select(a.alias("a"))
+    return (
+        res.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(ab))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("tidx").cast("int").alias("state_idx"),
+            F.col("abt").alias("absorbing_type"),
+            F.round(F.element_at(F.col("a"), F.lit(kt) + F.col("tidx")), 6).alias(
+                "expected_steps"
+            ),
+        )
+    )
+
+
+@query(
+    "q360_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(n_chars) AS BIGINT) AS sc,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sc2
+      FROM documents GROUP BY source
+    ),
+    v AS (
+      SELECT source, nh,
+             sqrt(sc2 * 1.0 / nh - (sc * 1.0 / nh) * (sc * 1.0 / nh)) AS sd,
+             nh * sqrt(sc2 * 1.0 / nh - (sc * 1.0 / nh) * (sc * 1.0 / nh)) AS wgt
+      FROM s
+    ),
+    tw AS (SELECT sum(wgt) AS w, CAST(sum(nh) AS BIGINT) AS n FROM v),
+    ney AS (
+      SELECT source, nh, sd, CAST(floor(5000 * wgt / tw.w) AS BIGINT) AS base,
+             5000 * wgt / tw.w - floor(5000 * wgt / tw.w) AS rem
+      FROM v CROSS JOIN tw
+    ),
+    neyr AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             5000 - sum(base) OVER () AS leftover
+      FROM ney
+    ),
+    prop AS (
+      SELECT source, (5000 * nh) // tw.n AS pbase, (5000 * nh) % tw.n AS prem
+      FROM v CROSS JOIN tw
+    ),
+    propr AS (
+      SELECT *, row_number() OVER (ORDER BY prem DESC, source ASC) AS prk,
+             5000 - sum(pbase) OVER () AS pleft
+      FROM prop
+    )
+    SELECT n.source, n.nh AS n_docs, round(n.sd, 6) AS sd_chars,
+           CAST(p.pbase + CASE WHEN p.prk <= p.pleft THEN 1 ELSE 0 END AS BIGINT) AS alloc_proportional,
+           CAST(n.base + CASE WHEN n.rk <= n.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman
+    FROM neyr n JOIN propr p USING (source)
+    """,
+)
+def q360_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): a
+    5,000-doc labeling budget split across sources proportional to
+    N_h * S_h (stratum size times n_chars standard deviation — sample
+    hard strata more), integerized by the exact largest-remainder method
+    and reported beside plain proportional allocation — the sampling-
+    design tier of the allocation family (q231 apportions eval seats,
+    q227 waterfills token budgets; disclosed kinship). Moments are exact
+    BIGINT sums; both remainder ranks tie-break (remainder DESC, source
+    ASC), so the integer allocations match exactly.
+
+    100 TB story: ONE map-side-combining per-source aggregate; both
+    allocations run on the O(sources) frame (the rank windows are over
+    ~20 rows — the audited aggregated-support exception)."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("sc"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sc2"),
+    )
+    sd = F.sqrt(
+        F.col("sc2") * 1.0 / F.col("nh")
+        - (F.col("sc") * 1.0 / F.col("nh")) * (F.col("sc") * 1.0 / F.col("nh"))
+    )
+    v = s.select("source", "nh", sd.alias("sd"), (F.col("nh") * sd).alias("wgt")
+    ).localCheckpoint(eager=True)
+    tw = v.agg(F.sum("wgt").alias("w"), F.sum("nh").cast("long").alias("n"))
+    ney = v.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "nh",
+        "sd",
+        F.floor(F.lit(5000) * F.col("wgt") / F.col("w")).cast("long").alias("base"),
+        (
+            F.lit(5000) * F.col("wgt") / F.col("w")
+            - F.floor(F.lit(5000) * F.col("wgt") / F.col("w"))
+        ).alias("rem"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    neyr = ney.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.asc("source"))).alias("rk"),
+        (F.lit(5000) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    prop = v.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.expr("(5000 * nh) div n").alias("pbase"),
+        F.expr("(5000 * nh) % n").alias("prem"),
+    )
+    propr = prop.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.col("prem").desc(), F.asc("source"))).alias("prk"),
+        (F.lit(5000) - F.sum("pbase").over(wall)).alias("pleft"),
+    )
+    return neyr.join(propr, "source").select(
+        "source",
+        F.col("nh").alias("n_docs"),
+        F.round("sd", 6).alias("sd_chars"),
+        (F.col("pbase") + F.when(F.col("prk") <= F.col("pleft"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_proportional"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_neyman"),
+    )
+
+
+@query(
+    "q362_group_sequential",
+    oracle="""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(user_id % 2 AS INT) AS arm,
+             CASE WHEN value > 150 THEN 1 ELSE 0 END AS conv
+      FROM events WHERE value IS NOT NULL
+    ),
+    lo AS (SELECT min(day) AS lo FROM d),
+    looks AS (SELECT unnest(generate_series(1, 5)) AS look),
+    cum AS (
+      SELECT l.look,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+             CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
+             CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS c1
+      FROM d CROSS JOIN looks l CROSS JOIN lo
+      WHERE d.day < lo.lo + l.look * 6
+      GROUP BY l.look
+    ),
+    z AS (
+      SELECT look, n0, n1,
+             (c1 * 1.0 / n1 - c0 * 1.0 / n0)
+             / sqrt(((c0 + c1) * 1.0 / (n0 + n1)) * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS zs
+      FROM cum
+    ),
+    fc AS (SELECT min(CASE WHEN abs(zs) > 2.413 THEN look END) AS stop_look FROM z)
+    SELECT z.look AS look, z.n0 + z.n1 AS n_cum,
+           round(z.zs, 6) + 0.0 AS z,
+           CAST(2.413 AS DOUBLE) AS pocock_bound,
+           CAST(CASE WHEN abs(z.zs) > 2.413 THEN 1 ELSE 0 END AS INT) AS crossed,
+           CAST(fc.stop_look AS INT) AS stopped_at_look
+    FROM z CROSS JOIN fc
+    """,
+)
+def q362_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitoring with the Pocock boundary
+    (Pocock 1977: constant +-2.413 for K=5 looks at overall alpha=0.05,
+    literal handbook constant): the two-proportion z-statistic (q342's
+    formula; disclosed kinship) recomputed on CUMULATIVE data at five
+    equally-spaced calendar looks, each compared to the boundary, plus
+    the first crossing look — the peek-safely protocol between q303's
+    fully-sequential SPRT and q330's fixed-horizon test (disclosed).
+    Counts are exact integers per look, so every z and the stopping
+    decision match digit-for-digit.
+
+    100 TB story: ONE corpus scan against the broadcast 5-row look grid
+    collapses to 5 cumulative count rows (map-side combine); the
+    boundary logic is a 5-row fold."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.select(
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("conv"),
+    )
+    lo = d.agg(F.min("day").alias("lo"))
+    looks = spark.range(1, 6).select(F.col("id").cast("int").alias("look"))
+    cum = (
+        d.crossJoin(F.broadcast(looks))
+        .crossJoin(F.broadcast(lo))
+        .filter(F.col("day") < F.col("lo") + F.col("look") * 6)
+        .groupBy("look")
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+            F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c1"),
+        )
+    )
+    ph = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    zs = (F.col("c1") * 1.0 / F.col("n1") - F.col("c0") * 1.0 / F.col("n0")) / F.sqrt(
+        ph * (F.lit(1.0) - ph) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    z = cum.select("look", "n0", "n1", zs.alias("zs")).localCheckpoint(eager=True)
+    fc = z.agg(
+        F.min(F.when(F.abs("zs") > 2.413, F.col("look"))).alias("stop_look")
+    )
+    return z.crossJoin(F.broadcast(fc)).select(
+        "look",
+        (F.col("n0") + F.col("n1")).cast("long").alias("n_cum"),
+        (F.round("zs", 6) + F.lit(0.0)).alias("z"),
+        F.lit(2.413).alias("pocock_bound"),
+        F.when(F.abs("zs") > 2.413, 1).otherwise(0).cast("int").alias("crossed"),
+        F.col("stop_look").cast("int").alias("stopped_at_look"),
+    )
+
+
+def _q361_gesd_oracle(rounds: int = 3) -> str:
+    """Generated oracle for q361: each ESD round as one CTE computing the
+    masked mean/sd, the deviation list (removed slots pinned to -1.0),
+    the max statistic, and the first-position argmax — the identical
+    expression set the engine's chained selects evaluate."""
+    ctes = [
+        """arr AS (
+      SELECT list(cents / 100.0 / n ORDER BY day) AS x,
+             list(day ORDER BY day) AS days,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1)
+    )"""
+    ]
+    prev = "arr"
+    for r in range(1, rounds + 1):
+        mask = " OR ".join(f"i = pk{j}" for j in range(1, r)) or "FALSE"
+        ctes.append(f"""g{r}a AS (
+      SELECT *,
+        list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+                 i -> CASE WHEN {mask} THEN 0.0 ELSE x[i] END)) / (n - {r - 1}) AS mu{r}
+      FROM {prev}
+    )""")
+        ctes.append(f"""g{r}b AS (
+      SELECT *,
+        sqrt(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+             i -> CASE WHEN {mask} THEN 0.0 ELSE (x[i] - mu{r}) * (x[i] - mu{r}) END)) / (n - {r - 1})) AS sd{r}
+      FROM g{r}a
+    )""")
+        ctes.append(f"""g{r}c AS (
+      SELECT *,
+        list_transform(generate_series(1, CAST(n AS INT)),
+                       i -> CASE WHEN {mask} THEN -1.0 ELSE abs(x[i] - mu{r}) / sd{r} END) AS dv{r}
+      FROM g{r}b
+    )""")
+        ctes.append(f"""g{r} AS (
+      SELECT *, list_max(dv{r}) AS mx{r}, list_position(dv{r}, list_max(dv{r})) AS pk{r}
+      FROM g{r}c
+    )""")
+        prev = f"g{r}"
+    chain = ",\n    ".join(ctes)
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, CAST(days[pk{r}] AS BIGINT) AS day_removed, "
+        f"round(mx{r}, 6) AS r_stat, CAST(n - {r} AS BIGINT) AS n_remaining FROM g{rounds}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {chain}
+    SELECT CAST(round AS INT) AS round, day_removed, r_stat, n_remaining FROM (
+    {unions})
+    """
+
+
+@query("q361_gesd_outliers", oracle=_q361_gesd_oracle())
+def q361_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier rounds (Rosner 1983) on the daily-mean
+    series: three iterations of compute-masked-mean/sd, flag the maximal
+    studentized deviation, remove it, recompute — the iterative
+    dilution-proof cousin of the one-shot robust gates (q323 MAD z,
+    q322 Mahalanobis; disclosed kinship): ESD's whole point is that an
+    outlier can no longer hide by inflating the sd that judges the next
+    one. Test statistics are emitted per round (lambda critical values
+    depend on n and alpha tables, so the DECISION is the caller's;
+    disclosed). All rounds run as identical chained expressions over the
+    SAME day-ordered array in both engines — first-position argmax ties
+    break identically.
+
+    100 TB story: the corpus collapses to the O(days) rollup once;
+    every round is an array fold on one row — iteration cost is
+    calendar-bounded, corpus-size-independent."""
+    rounds = 3
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    row = d.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", (F.col("cents") / 100.0 / F.col("n")).alias("v")))
+        ).getField("v").alias("x"),
+        F.array_sort(F.collect_list("day")).alias("days"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    cur = row
+    for r in range(1, rounds + 1):
+        def _mask(i, r=r):
+            cond = F.lit(False)
+            for j in range(1, r):
+                cond = cond | (i == F.col(f"pk{j}"))
+            return cond
+
+        seq = F.sequence(F.lit(1), F.col("n").cast("int"))
+        mu = (
+            F.aggregate(
+                seq,
+                F.lit(0.0),
+                lambda a, i: a
+                + F.when(_mask(i), F.lit(0.0)).otherwise(F.element_at(F.col("x"), i)),
+            )
+            / (F.col("n") - F.lit(r - 1))
+        )
+        cur = cur.select("*", mu.alias(f"mu{r}"))
+        sd = F.sqrt(
+            F.aggregate(
+                seq,
+                F.lit(0.0),
+                lambda a, i: a
+                + F.when(_mask(i), F.lit(0.0)).otherwise(
+                    (F.element_at(F.col("x"), i) - F.col(f"mu{r}"))
+                    * (F.element_at(F.col("x"), i) - F.col(f"mu{r}"))
+                ),
+            )
+            / (F.col("n") - F.lit(r - 1))
+        )
+        cur = cur.select("*", sd.alias(f"sd{r}"))
+        dv = F.transform(
+            seq,
+            lambda i: F.when(_mask(i), F.lit(-1.0)).otherwise(
+                F.abs(F.element_at(F.col("x"), i) - F.col(f"mu{r}")) / F.col(f"sd{r}")
+            ),
+        )
+        cur = cur.select("*", dv.alias(f"dv{r}"))
+        cur = cur.select(
+            "*",
+            F.array_max(F.col(f"dv{r}")).alias(f"mx{r}"),
+            F.array_position(F.col(f"dv{r}"), F.array_max(F.col(f"dv{r}"))).alias(
+                f"pk{r}"
+            ),
+        )
+    out = cur.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("round"),
+                        F.element_at(F.col("days"), F.col(f"pk{r}").cast("int"))
+                        .cast("long")
+                        .alias("day_removed"),
+                        F.round(F.col(f"mx{r}"), 6).alias("r_stat"),
+                        (F.col("n") - r).cast("long").alias("n_remaining"),
+                    )
+                    for r in range(1, rounds + 1)
+                ]
+            )
+        ).alias("s")
+    )
+    return out.select("s.round", "s.day_removed", "s.r_stat", "s.n_remaining")
+
+
+@query(
+    "q363_kruskal_wallis",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+    sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cell GROUP BY v),
+    cum AS (
+      SELECT v, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+      FROM sup
+    ),
+    g AS (
+      SELECT cell.event_type, CAST(sum(cell.c) AS BIGINT) AS ng,
+             CAST(sum(cell.c * (2 * cum.bef + cum.t + 1)) AS BIGINT) AS sdr
+      FROM cell JOIN cum USING (v) GROUP BY 1
+    ),
+    nn AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM g),
+    h AS (
+      SELECT CAST(round(sum(CAST(round(ng * (sdr * 1.0 / (2 * ng) - (nn.n + 1) / 2.0) * (sdr * 1.0 / (2 * ng) - (nn.n + 1) / 2.0), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS ssq,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g CROSS JOIN nn
+    ),
+    tie AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS t3 FROM sup
+    )
+    SELECT nn.n, h.k AS k_groups,
+           round(12.0 / (nn.n * (nn.n + 1.0)) * h.ssq, 6) AS h_stat,
+           round((12.0 / (nn.n * (nn.n + 1.0)) * h.ssq)
+                 / (1.0 - tie.t3 * 1.0 / (nn.n * 1.0 * nn.n * nn.n - nn.n)), 6) AS h_tie_corrected,
+           CAST(9.487729 AS DOUBLE) AS crit_95,
+           CAST(CASE WHEN (12.0 / (nn.n * (nn.n + 1.0)) * h.ssq)
+                          / (1.0 - tie.t3 * 1.0 / (nn.n * 1.0 * nn.n * nn.n - nn.n)) > 9.487729
+                     THEN 1 ELSE 0 END AS INT) AS reject
+    FROM h CROSS JOIN nn CROSS JOIN tie
+    """,
+)
+def q363_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test (Kruskal & Wallis 1952) for a value-
+    distribution difference across ALL event types at once — the
+    k-group generalization of q297's two-sample Mann-Whitney (disclosed
+    kinship): pooled average ranks carried as INTEGER doubled-ranks off
+    the distinct-value support (the q216/q297 trick, zero float ranks),
+    the tie-corrected H against the literal chi-square(k-1) 95% critical
+    value. Every sum is an exact integer until the final 12-dp fold.
+
+    100 TB story: the corpus collapses to the (type, value) cell frame
+    once; ranks come from a cumulative window over the VALUE support
+    only; H is a k-row fold."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = e.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    sup = cell.groupBy("v").agg(F.sum("c").alias("t"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = sup.select(
+        "v", "t", F.coalesce(F.sum("t").over(wv), F.lit(0)).cast("long").alias("bef")
+    )
+    g = (
+        cell.join(cum, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(F.col("c") * (2 * F.col("bef") + F.col("t") + 1)).alias("sdr"),
+        )
+    )
+    nn = g.agg(F.sum("ng").cast("long").alias("n"))
+    rbar_dev = F.col("sdr") * 1.0 / (2 * F.col("ng")) - (F.col("n") + 1) / F.lit(2.0)
+    h = g.crossJoin(F.broadcast(nn)).agg(
+        F.round(
+            F.sum(F.round(F.col("ng") * rbar_dev * rbar_dev, 12).cast("decimal(38,12)")),
+            12,
+        ).cast("double").alias("ssq"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    tie = sup.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long").alias("t3")
+    )
+    hs = F.lit(12.0) / (F.col("n") * (F.col("n") + 1.0)) * F.col("ssq")
+    hc = hs / (
+        F.lit(1.0)
+        - F.col("t3") * 1.0 / (F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n"))
+    )
+    return (
+        h.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            F.col("n"),
+            F.col("k").alias("k_groups"),
+            F.round(hs, 6).alias("h_stat"),
+            F.round(hc, 6).alias("h_tie_corrected"),
+            F.lit(9.487729).alias("crit_95"),
+            F.when(hc > 9.487729, 1).otherwise(0).cast("int").alias("reject"),
+        )
+    )
+
+
+@query(
+    "q364_brown_forsythe",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cm,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS ng
+      FROM cell
+    ),
+    med AS (
+      SELECT event_type, min(v) AS md, min(ng) AS ng
+      FROM cum WHERE cm >= (ng + 1) // 2 GROUP BY event_type
+    ),
+    z AS (
+      SELECT cell.event_type, med.ng,
+             CAST(round(sum(CAST(round(cell.c * abs(cell.v - med.md), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sz,
+             CAST(round(sum(CAST(round(cell.c * abs(cell.v - med.md) * abs(cell.v - med.md), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sz2
+      FROM cell JOIN med USING (event_type) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             CAST(round(sum(CAST(round(sz, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS szt
+      FROM z
+    ),
+    f AS (
+      SELECT
+        CAST(round(sum(CAST(round(ng * (sz / ng - tot.szt / tot.n) * (sz / ng - tot.szt / tot.n), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS ssb,
+        CAST(round(sum(CAST(round(sz2 - sz * sz / ng, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS ssw
+      FROM z CROSS JOIN tot
+    )
+    SELECT tot.n, tot.k AS k_groups,
+           round((tot.n - tot.k) * 1.0 / (tot.k - 1) * f.ssb / f.ssw, 6) AS f_stat,
+           CAST(2.371902 AS DOUBLE) AS crit_95_asymptotic,
+           CAST(CASE WHEN (tot.n - tot.k) * 1.0 / (tot.k - 1) * f.ssb / f.ssw > 2.371902
+                     THEN 1 ELSE 0 END AS INT) AS reject
+    FROM f CROSS JOIN tot
+    """,
+)
+def q364_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974:
+    Levene's test with the MEDIAN center, robust to heavy tails): per
+    type, absolute deviations from the group lower-median (the q323
+    convention; disclosed), then the one-way ANOVA F on those deviations
+    against the literal asymptotic F(k-1, inf) critical value — the
+    equal-spread check that should precede any pooled-variance test
+    (q281 Welch exists precisely for when this rejects; disclosed
+    kinship). Deviation sums fold per (type, value) SUPPORT cell as
+    12-dp DECIMAL — no corpus-ordered float sums anywhere.
+
+    100 TB story: one collapse to (type, value) cells; medians off
+    per-type cumulative support windows; every F ingredient is a fold
+    over cells or the k-row frame."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = e.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    wc = Window.partitionBy("event_type").orderBy("v")
+    wp = Window.partitionBy("event_type")
+    cum = cell.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(wc).cast("long").alias("cm"),
+        F.sum("c").over(wp).cast("long").alias("ng"),
+    )
+    med = (
+        cum.filter(F.col("cm") >= F.expr("(ng + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("md"), F.min("ng").alias("ng"))
+    )
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+    az = F.abs(F.col("v") - F.col("md"))
+    z = (
+        cell.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "ng")
+        .agg(
+            _fold12(F.col("c") * az).alias("sz"),
+            _fold12(F.col("c") * az * az).alias("sz2"),
+        )
+    ).localCheckpoint(eager=True)
+    tot = z.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _fold12(F.col("sz")).alias("szt"),
+    )
+    dev = F.col("sz") / F.col("ng") - F.col("szt") / F.col("n")
+    f = z.crossJoin(F.broadcast(tot)).agg(
+        _fold12(F.col("ng") * dev * dev).alias("ssb"),
+        _fold12(F.col("sz2") - F.col("sz") * F.col("sz") / F.col("ng")).alias("ssw"),
+    )
+    fs = (F.col("n") - F.col("k")) * 1.0 / (F.col("k") - 1) * F.col("ssb") / F.col("ssw")
+    return f.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(fs, 6).alias("f_stat"),
+        F.lit(2.371902).alias("crit_95_asymptotic"),
+        F.when(fs > 2.371902, 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q365_anova_eta",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(cents * cents) AS BIGINT) AS sc2
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sc) AS BIGINT) AS sct, CAST(sum(sc2) AS BIGINT) AS sc2t
+      FROM g
+    ),
+    ss AS (
+      SELECT
+        CAST(round(sum(CAST(round(ng * (sc * 1.0 / ng - tot.sct * 1.0 / tot.n) * (sc * 1.0 / ng - tot.sct * 1.0 / tot.n) / 10000.0, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS ssb
+      FROM g CROSS JOIN tot
+    )
+    SELECT tot.n, tot.k AS k_groups,
+           round(ss.ssb, 6) AS ss_between,
+           round((tot.sc2t - tot.sct * 1.0 * tot.sct / tot.n) / 10000.0 - ss.ssb, 6) AS ss_within,
+           round((tot.n - tot.k) * 1.0 / (tot.k - 1) * ss.ssb
+                 / ((tot.sc2t - tot.sct * 1.0 * tot.sct / tot.n) / 10000.0 - ss.ssb), 6) AS f_stat,
+           round(ss.ssb / ((tot.sc2t - tot.sct * 1.0 * tot.sct / tot.n) / 10000.0), 6) AS eta_sq,
+           CAST(2.371902 AS DOUBLE) AS crit_95_asymptotic,
+           CAST(CASE WHEN (tot.n - tot.k) * 1.0 / (tot.k - 1) * ss.ssb
+                          / ((tot.sc2t - tot.sct * 1.0 * tot.sct / tot.n) / 10000.0 - ss.ssb) > 2.371902
+                     THEN 1 ELSE 0 END AS INT) AS reject
+    FROM ss CROSS JOIN tot
+    """,
+)
+def q365_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types with the eta-squared effect size
+    (Fisher 1925; eta^2 = SSB/SST — the "is it significant AND does it
+    matter" pair): all sums of squares from exact integer CENTS moments
+    (sum, sum of squares per group — one aggregate), F against the
+    literal asymptotic F(k-1, inf) critical value. The mean-comparison
+    sibling of q364's spread test and q281's two-group Welch (disclosed
+    kinship; ANOVA assumes the homogeneity q364 checks). SSB folds over
+    the k-row frame as 12-dp DECIMAL; SST is closed-form from the total
+    integer moments.
+
+    100 TB story: ONE map-side-combining aggregate to k rows carrying
+    integer moments; everything else is k-row arithmetic."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type", F.round(_dec("value") * 100, 0).cast("long").alias("cents")
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sc2"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sc").cast("long").alias("sct"),
+        F.sum("sc2").cast("long").alias("sc2t"),
+    )
+    dev = F.col("sc") * 1.0 / F.col("ng") - F.col("sct") * 1.0 / F.col("n")
+    ss = g.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("ng") * dev * dev / F.lit(10000.0), 12).cast(
+                    "decimal(38,12)"
+                )
+            ),
+            12,
+        ).cast("double").alias("ssb")
+    )
+    sst = (
+        F.col("sc2t") - F.col("sct") * 1.0 * F.col("sct") / F.col("n")
+    ) / F.lit(10000.0)
+    fs = (
+        (F.col("n") - F.col("k"))
+        * 1.0
+        / (F.col("k") - 1)
+        * F.col("ssb")
+        / (sst - F.col("ssb"))
+    )
+    return ss.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round("ssb", 6).alias("ss_between"),
+        F.round(sst - F.col("ssb"), 6).alias("ss_within"),
+        F.round(fs, 6).alias("f_stat"),
+        F.round(F.col("ssb") / sst, 6).alias("eta_sq"),
+        F.lit(2.371902).alias("crit_95_asymptotic"),
+        F.when(fs > 2.371902, 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q366_mcnemar",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ga,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40 THEN 1 ELSE 0 END AS gb
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(CASE WHEN ga = 1 AND gb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN ga = 0 AND gb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY source
+    )
+    SELECT source, n, b AS only_gate_a, c AS only_gate_b,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+           END AS mcnemar_stat,
+           CASE WHEN b + c = 0 THEN 1.0
+                ELSE round({_p2_sql(f"sqrt((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c)) * {_INV_SQRT2}")}, 6) + 0.0
+           END AS p_value
+    FROM s
+    """,
+)
+def q366_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947, continuity-corrected) on the
+    two quality gates of q346 (disclosed kinship): kappa asks whether
+    the gates AGREE; McNemar asks whether they disagree SYMMETRICALLY —
+    a significant result means one gate is systematically stricter, the
+    signal that re-thresholding (not averaging) is the fix. Only the
+    discordant counts enter; the chi-square(1) p-value reuses the A&S
+    erfc polynomial; degenerate b+c = 0 sources emit (0, 1.0) by the
+    same CASE both engines.
+
+    100 TB story: both gates and the discordant cells are ONE map-side
+    per-source aggregate; the test is per-source row arithmetic."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    ga = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    gb = F.when(F.size(text.tokens(F.col("text"))) >= 40, 1).otherwise(0)
+    s = d.select("source", ga.alias("ga"), gb.alias("gb")).groupBy("source").agg(
+        F.sum(F.when((F.col("ga") == 1) & (F.col("gb") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("ga") == 0) & (F.col("gb") == 1), 1).otherwise(0)).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stat = (
+        (F.abs(F.col("b") - F.col("c")) - 1.0)
+        * (F.abs(F.col("b") - F.col("c")) - 1.0)
+        / (F.col("b") + F.col("c"))
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("b").cast("long").alias("only_gate_a"),
+        F.col("c").cast("long").alias("only_gate_b"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(0.0))
+        .otherwise(F.round(stat, 6))
+        .alias("mcnemar_stat"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(1.0))
+        .otherwise(F.round(_p2_col(F.sqrt(stat) * F.lit(_INV_SQRT2)), 6) + F.lit(0.0))
+        .alias("p_value"),
+    )
+
+
+@query(
+    "q367_runs_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT day, cents / 100.0 / n AS v FROM d
+    ),
+    med AS (
+      SELECT x[CAST((nn + 1) // 2 AS INT)] AS md
+      FROM (SELECT list(v ORDER BY v) AS x, count(*) AS nn FROM m)
+    ),
+    kept AS (
+      SELECT day, CASE WHEN v > md THEN 1 ELSE 0 END AS sgn
+      FROM m CROSS JOIN med WHERE v <> md
+    ),
+    lagged AS (
+      SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM kept
+    ),
+    runs AS (
+      SELECT CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(sgn) AS BIGINT) AS n1,
+             CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM lagged
+    ),
+    z AS (
+      SELECT nk, n1, n2, r,
+             2.0 * n1 * n2 / (n1 + n2) + 1.0 AS er,
+             (r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))) AS zs
+      FROM runs
+    )
+    SELECT nk AS n_kept, n1 AS n_above, n2 AS n_below, r AS n_runs,
+           round(er, 6) AS expected_runs,
+           round(zs, 6) + 0.0 AS z,
+           round({_p2_sql(f"abs(zs) * {_INV_SQRT2}")}, 6) + 0.0 AS p_value
+    FROM z
+    """,
+)
+def q367_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz 1940) for randomness
+    of the daily-mean series around its median: code each day above/
+    below the lower-median (exact-median days excluded, the standard
+    convention), count sign runs, and compare to the exact run-count
+    moments — too FEW runs means trending/sticky days (q311's
+    Mann-Kendall cousin from the sign side; disclosed kinship), too
+    MANY means oscillation. The normal p-value reuses the A&S erfc
+    polynomial.
+
+    100 TB story: the corpus collapses to the O(days) rollup once; the
+    run count is one lag over the day-ordered rollup (the audited
+    aggregated-support exception) and the rest is 1-row arithmetic."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    m = d.select("day", (F.col("cents") / 100.0 / F.col("n")).alias("v"))
+    med = m.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("v")),
+            F.expr("cast((count(1) + 1) div 2 as int)"),
+        ).alias("md")
+    )
+    kept = m.crossJoin(F.broadcast(med)).filter(F.col("v") != F.col("md")).select(
+        "day", F.when(F.col("v") > F.col("md"), 1).otherwise(0).alias("sgn")
+    )
+    wl = Window.orderBy("day")
+    runs = kept.select(
+        "sgn", F.lag("sgn").over(wl).alias("prev")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("sgn").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("sgn") != F.col("prev"), 1).otherwise(0)
+            )
+        ).cast("long").alias("r"),
+    )
+    er = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1.0
+    zs = (F.col("r") - er) / F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2"))
+            * 1.0
+            * (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    return runs.select(
+        F.col("nk").alias("n_kept"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        (F.round(zs, 6) + F.lit(0.0)).alias("z"),
+        (F.round(_p2_col(F.abs(zs) * F.lit(_INV_SQRT2)), 6) + F.lit(0.0)).alias(
+            "p_value"
+        ),
+    )
+
+
+@query(
+    "q368_durbin_watson",
+    oracle="""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    arr AS (SELECT list(cents / 100.0 / n ORDER BY day) AS x, CAST(count(*) AS BIGINT) AS n FROM d),
+    fit AS (
+      SELECT x, n,
+             list_sum(x) / n AS xb,
+             (n + 1) / 2.0 AS tb,
+             list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+                      t -> (t - (n + 1) / 2.0) * (x[t] - list_sum(x) / n)))
+             / list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+                      t -> (t - (n + 1) / 2.0) * (t - (n + 1) / 2.0))) AS b
+      FROM arr
+    ),
+    res AS (
+      SELECT n,
+             list_transform(generate_series(1, CAST(n AS INT)),
+                            t -> x[t] - (xb - b * tb) - b * t) AS e
+      FROM fit
+    )
+    SELECT n AS n_days,
+           round(list_sum(list_transform(generate_series(2, CAST(n AS INT)),
+                          t -> (e[t] - e[t-1]) * (e[t] - e[t-1])))
+                 / list_sum(list_transform(e, v -> v * v)), 6) AS dw_stat,
+           round(1.0 - (list_sum(list_transform(generate_series(2, CAST(n AS INT)),
+                          t -> (e[t] - e[t-1]) * (e[t] - e[t-1])))
+                 / list_sum(list_transform(e, v -> v * v))) / 2.0, 6) + 0.0 AS rho1_approx
+    FROM res
+    """,
+)
+def q368_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation-of-residuals statistic (Durbin &
+    Watson 1950) on the daily-mean series after removing the OLS linear
+    trend: DW near 2 means the trend explains the serial structure, DW
+    near 0 means the residuals still trend together (the regression-
+    residual complement of q351's raw-series Ljung-Box and q17's OLS
+    slope; disclosed kinship — bounds tables are n-dependent, so the
+    decision is the caller's, disclosed like q361). Fit and statistic
+    are identical index-ordered array folds in both engines.
+
+    100 TB story: the corpus collapses to the O(days) rollup once; the
+    OLS fit, residuals, and DW are array folds on one row."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        F.round(F.sum(_dec("value")) * 100, 0).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    arr = d.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", (F.col("cents") / 100.0 / F.col("n")).alias("v")))
+        ).getField("v").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    seqn = F.sequence(F.lit(1), F.col("n").cast("int"))
+    xsum = F.aggregate(F.col("x"), F.lit(0.0), lambda a, v: a + v)
+    xb = xsum / F.col("n")
+    tb = (F.col("n") + 1) / F.lit(2.0)
+    num = F.aggregate(
+        seqn, F.lit(0.0), lambda a, t: a + (t - tb) * (F.element_at(F.col("x"), t) - xb)
+    )
+    den = F.aggregate(seqn, F.lit(0.0), lambda a, t: a + (t - tb) * (t - tb))
+    fit = arr.select("x", "n", xb.alias("xb"), tb.alias("tb"), (num / den).alias("b"))
+    ecol = F.transform(
+        seqn,
+        lambda t: F.element_at(F.col("x"), t)
+        - (F.col("xb") - F.col("b") * F.col("tb"))
+        - F.col("b") * t,
+    )
+    res = fit.select("n", ecol.alias("e"))
+    dnum = F.aggregate(
+        F.sequence(F.lit(2), F.col("n").cast("int")),
+        F.lit(0.0),
+        lambda a, t: a
+        + (F.element_at(F.col("e"), t) - F.element_at(F.col("e"), t - 1))
+        * (F.element_at(F.col("e"), t) - F.element_at(F.col("e"), t - 1)),
+    )
+    dden = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
+    dw = dnum / dden
+    return res.select(
+        F.col("n").alias("n_days"),
+        F.round(dw, 6).alias("dw_stat"),
+        (F.round(F.lit(1.0) - dw / F.lit(2.0), 6) + F.lit(0.0)).alias("rho1_approx"),
+    )
+
+
+@query(
+    "q369_quantile_treatment_effect",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    sup AS (SELECT arm, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+    cum AS (
+      SELECT arm, v, c,
+             CAST(sum(c) OVER (PARTITION BY arm ORDER BY v) AS BIGINT) AS cm,
+             CAST(sum(c) OVER (PARTITION BY arm) AS BIGINT) AS na
+      FROM sup
+    ),
+    ps AS (SELECT unnest([25, 50, 75]) AS p),
+    q AS (
+      SELECT ps.p, cum.arm, min(cum.v) AS qv
+      FROM ps JOIN cum ON cum.cm >= (cum.na * ps.p + 99) // 100
+      GROUP BY 1, 2
+    )
+    SELECT a.p AS percentile,
+           round(a.qv, 6) AS q_control,
+           round(b.qv, 6) AS q_treatment,
+           round(b.qv - a.qv, 6) + 0.0 AS qte
+    FROM q a JOIN q b ON a.p = b.p AND a.arm = 0 AND b.arm = 1
+    """,
+)
+def q369_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974): the p25/p50/p75 of each
+    arm's value distribution as EXACT order statistics (ceil(p*n) ranks
+    off per-arm cumulative supports — no interpolation to diverge
+    between engines, the q339 convention) and their differences — where
+    the mean-effect ladder (q330/q355) says "how much on average", QTE
+    says WHERE in the distribution the treatment moved mass (a zero mean
+    effect can hide +tail/-head shifts; disclosed kinship with q343's
+    Wasserstein, which integrates exactly these gaps).
+
+    100 TB story: one collapse to per-arm (value, count) supports;
+    quantiles read off cumulative windows over the support partitioned
+    by arm; the effect frame is 3 rows."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sup = e.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("arm").orderBy("v")
+    wp = Window.partitionBy("arm")
+    cum = sup.select(
+        "arm",
+        "v",
+        F.sum("c").over(wc).cast("long").alias("cm"),
+        F.sum("c").over(wp).cast("long").alias("na"),
+    ).localCheckpoint(eager=True)
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("p")
+    )
+    q = (
+        ps.join(
+            cum,
+            F.col("cm") >= F.expr("(na * p + 99) div 100"),
+        )
+        .groupBy("p", "arm")
+        .agg(F.min("v").alias("qv"))
+    )
+    a = q.filter(F.col("arm") == 0).select(F.col("p").alias("pa"), F.col("qv").alias("q0"))
+    b = q.filter(F.col("arm") == 1).select(F.col("p").alias("pb"), F.col("qv").alias("q1"))
+    return (
+        a.join(b, a.pa == b.pb)
+        .select(
+            F.col("pa").cast("int").alias("percentile"),
+            F.round("q0", 6).alias("q_control"),
+            F.round("q1", 6).alias("q_treatment"),
+            (F.round(F.col("q1") - F.col("q0"), 6) + F.lit(0.0)).alias("qte"),
+        )
+    )
+
+
+@query(
+    "q370_shard_balance_audit",
+    oracle=f"""
+    WITH a AS (
+      SELECT {_MD5H_SQL.format(x="'sh' || doc_id")} % 16 AS shard, source
+      FROM documents
+    ),
+    cell AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS o FROM a GROUP BY 1, 2),
+    rm AS (SELECT shard, CAST(sum(o) AS BIGINT) AS rs FROM cell GROUP BY 1),
+    cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM cell GROUP BY 1),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+    chi AS (
+      SELECT CAST(round(sum(CAST(round((cell.o - rm.rs * 1.0 * cm.cs / nn.n) * (cell.o - rm.rs * 1.0 * cm.cs / nn.n) / (rm.rs * 1.0 * cm.cs / nn.n), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS x2,
+             CAST(count(*) AS BIGINT) AS cells,
+             max(abs(cell.o - rm.rs * 1.0 * cm.cs / nn.n) / (rm.rs * 1.0 * cm.cs / nn.n)) AS max_rel_dev
+      FROM cell JOIN rm USING (shard) JOIN cm USING (source) CROSS JOIN nn
+    ),
+    sz AS (
+      SELECT CAST(max(rs) AS BIGINT) AS mx, CAST(min(rs) AS BIGINT) AS mn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM rm
+    )
+    SELECT nn.n, sz.k AS n_shards, chi.cells,
+           round(chi.x2, 6) AS chi_sq,
+           round(chi.max_rel_dev, 6) AS max_cell_rel_dev,
+           sz.mx AS max_shard_rows, sz.mn AS min_shard_rows,
+           round(sz.mx * 1.0 / sz.mn, 6) AS shard_skew_ratio
+    FROM chi CROSS JOIN nn CROSS JOIN sz
+    """,
+)
+def q370_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard mix audit: assign every document to one of 16
+    shards by the oracle-portable content hash (q147's deterministic
+    shard layout; disclosed kinship) and test whether SOURCES are well
+    mixed across shards — the chi-square independence statistic over
+    the shard x source grid (q314's machinery pointed at the shuffle;
+    disclosed) plus the worst cell deviation and the shard-size skew
+    ratio. A dataloader's "global shuffle" is only as good as this
+    table: a hot cell means one shard over-serves one source and
+    per-step gradients see correlated batches.
+
+    100 TB story: the shard assignment is a pure column expression in
+    the scan; ONE map-side-combining aggregate to the 16 x sources
+    grid; every statistic is a fold over that grid."""
+    from phoebe_spark.operators.dedup import md5_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.pmod(md5_hash64(F.concat(F.lit("sh"), F.col("doc_id").cast("string"))), F.lit(16)).alias("shard"),
+        "source",
+    )
+    cell = a.groupBy("shard", "source").agg(F.count(F.lit(1)).alias("o")).localCheckpoint(
+        eager=True
+    )
+    rm = cell.groupBy("shard").agg(F.sum("o").alias("rs"))
+    cm = cell.groupBy("source").agg(F.sum("o").alias("cs"))
+    nn = cell.agg(F.sum("o").alias("n"))
+    eexp = F.col("rs") * 1.0 * F.col("cs") / F.col("n")
+    chi = (
+        cell.join(F.broadcast(rm), "shard")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("o") - eexp) * (F.col("o") - eexp) / eexp, 12
+                    ).cast("decimal(38,12)")
+                ),
+                12,
+            ).cast("double").alias("x2"),
+            F.count(F.lit(1)).cast("long").alias("cells"),
+            F.max(F.abs(F.col("o") - eexp) / eexp).alias("max_rel_dev"),
+        )
+    )
+    sz = rm.agg(
+        F.max("rs").cast("long").alias("mx"),
+        F.min("rs").cast("long").alias("mn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return (
+        chi.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(sz))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k").alias("n_shards"),
+            "cells",
+            F.round("x2", 6).alias("chi_sq"),
+            F.round("max_rel_dev", 6).alias("max_cell_rel_dev"),
+            F.col("mx").alias("max_shard_rows"),
+            F.col("mn").alias("min_shard_rows"),
+            F.round(F.col("mx") * 1.0 / F.col("mn"), 6).alias("shard_skew_ratio"),
+        )
+    )
