@@ -2521,3 +2521,454 @@ def q370_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mx") * 1.0 / F.col("mn"), 6).alias("shard_skew_ratio"),
         )
     )
+
+
+def _fold12(x) -> F.Column:
+    """Order-independent small-scalar sum: each term 12-dp-rounded into
+    DECIMAL(38,12) before the fold, result back to DOUBLE (the q364
+    convention, lifted to module scope for the round-9 test block)."""
+    return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+
+_FOLD12_SQL = "CAST(round(sum(CAST(round({t}, 12) AS DECIMAL(38,12))), 12) AS DOUBLE)"
+
+
+@query(
+    "q371_friedman",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT a.user_id, a.event_type,
+             CAST(2 * sum(CASE WHEN o.m < a.m THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN o.m = a.m THEN 1 ELSE 0 END) + 1 AS BIGINT) AS dr
+      FROM b a JOIN b o USING (user_id) GROUP BY 1, 2
+    ),
+    cols AS (
+      SELECT event_type, CAST(sum(dr) AS BIGINT) AS dj FROM d GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+             CAST(sum(dr * dr) AS BIGINT) AS sumd2
+      FROM d
+    ),
+    num AS (
+      SELECT CAST(sum((dj - tot.n * (tot.k + 1)) * (dj - tot.n * (tot.k + 1))) AS BIGINT) AS ssq
+      FROM cols CROSS JOIN tot
+    )
+    SELECT tot.n AS n_blocks, tot.k AS k_treatments,
+           round((tot.k - 1) * num.ssq * 1.0
+                 / (tot.sumd2 - tot.n * tot.k * (tot.k + 1) * (tot.k + 1)), 6) AS friedman_t1,
+           round((tot.k - 1) * num.ssq * 1.0
+                 / (tot.sumd2 - tot.n * tot.k * (tot.k + 1) * (tot.k + 1))
+                 / (tot.n * (tot.k - 1)), 6) AS kendalls_w,
+           CAST(9.487729 AS DOUBLE) AS crit_95,
+           CAST(CASE WHEN (tot.k - 1) * num.ssq * 1.0
+                          / (tot.sumd2 - tot.n * tot.k * (tot.k + 1) * (tot.k + 1))
+                          > 9.487729 THEN 1 ELSE 0 END AS INT) AS reject
+    FROM tot CROSS JOIN num
+    """,
+)
+def q371_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (Friedman 1937, tie-corrected per Conover 1999)
+    for a treatment effect across the k=5 event types with USERS as
+    blocks: each user's per-type mean value is ranked WITHIN the user
+    (mid-ranks for ties, carried as integer doubled-ranks — the
+    q297/q363 convention), then the tie-robust statistic
+    T1 = (k-1)*sum_j (D_j - n(k+1))^2 / (sum d^2 - n*k*(k+1)^2) in
+    doubled units is an EXACT integer ratio until the final division;
+    Kendall's W = T1/(n(k-1)) reports effect size. Blocks are complete
+    by construction (every user has every type; the mean of an absent
+    cell would be undefined, so k is asserted). The per-user ranking is
+    a k x k self-join on user_id — each block is exactly k rows, so the
+    join is O(n*k^2) and partition-local after one hash on user_id.
+
+    100 TB story: one shuffle to (user, type) means, one user-keyed
+    k^2 self-join, then everything folds to the k-row column frame.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    k_types = e.select("event_type").distinct().count()
+    if k_types != 5:
+        raise ValueError(
+            f"q371 bakes the chi-square(k-1) critical value for k=5 "
+            f"treatments; fixture has {k_types}"
+        )
+    b = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        .localCheckpoint(eager=True)
+    )
+    o = b.select(
+        F.col("user_id"), F.col("m").alias("om")
+    )
+    d = (
+        b.join(o, "user_id")
+        .groupBy("user_id", "event_type")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("om") < F.col("m"), 1).otherwise(0))
+                + F.sum(F.when(F.col("om") == F.col("m"), 1).otherwise(0))
+                + 1
+            )
+            .cast("long")
+            .alias("dr")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cols = d.groupBy("event_type").agg(F.sum("dr").cast("long").alias("dj"))
+    tot = d.agg(
+        F.countDistinct("user_id").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+        F.sum(F.col("dr") * F.col("dr")).cast("long").alias("sumd2"),
+    )
+    num = cols.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("dj") - F.col("n") * (F.col("k") + 1))
+            * (F.col("dj") - F.col("n") * (F.col("k") + 1))
+        )
+        .cast("long")
+        .alias("ssq")
+    )
+    t1 = (
+        (F.col("k") - 1)
+        * F.col("ssq")
+        * 1.0
+        / (
+            F.col("sumd2")
+            - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+        )
+    )
+    return tot.crossJoin(F.broadcast(num)).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(t1, 6).alias("friedman_t1"),
+        F.round(t1 / (F.col("n") * (F.col("k") - 1)), 6).alias("kendalls_w"),
+        F.lit(9.487729).alias("crit_95"),
+        F.when(t1 > 9.487729, 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q372_cochran_q",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_type,
+             CAST(max(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cols AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS cj FROM x GROUP BY 1),
+    rows_ AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS ri FROM x GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS b,
+             CAST(sum(x) AS BIGINT) AS n
+      FROM x
+    ),
+    cs AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sc2 FROM cols),
+    rs AS (SELECT CAST(sum(ri) AS BIGINT) AS sr,
+                  CAST(sum(ri * ri) AS BIGINT) AS sr2 FROM rows_)
+    SELECT tot.b AS n_blocks, tot.k AS k_treatments, tot.n AS n_successes,
+           round((tot.k - 1) * (tot.k * cs.sc2 - tot.n * tot.n) * 1.0
+                 / (tot.k * rs.sr - rs.sr2), 6) AS cochran_q,
+           CAST(9.487729 AS DOUBLE) AS crit_95,
+           CAST(CASE WHEN (tot.k - 1) * (tot.k * cs.sc2 - tot.n * tot.n) * 1.0
+                          / (tot.k * rs.sr - rs.sr2) > 9.487729
+                     THEN 1 ELSE 0 END AS INT) AS reject
+    FROM tot CROSS JOIN cs CROSS JOIN rs
+    """,
+)
+def q372_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — the binary-outcome analogue of
+    q371's Friedman (disclosed kinship): did the user trip the
+    value>200 alert for treatment j? (one 0/1 cell per user x type,
+    ~20%% ones at every SF), then
+    Q = (k-1)(k*sum C_j^2 - N^2) / (k*sum R_i - sum R_i^2), an EXACT
+    integer ratio (all-0 and all-1 blocks contribute nothing to either
+    side, so no block filtering is needed — the classic invariance).
+    Against the chi-square(k-1) 95%% critical value.
+
+    100 TB story: the corpus collapses once to the (user, type) 0/1
+    cell frame; column totals, row totals, and N are three folds over
+    it; the statistic is scalar arithmetic on a 1-row frame."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.when(F.col("value") > 200, 1).otherwise(0))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cols = x.groupBy("event_type").agg(F.sum("x").cast("long").alias("cj"))
+    rows_ = x.groupBy("user_id").agg(F.sum("x").cast("long").alias("ri"))
+    tot = x.agg(
+        F.countDistinct("event_type").cast("long").alias("k"),
+        F.countDistinct("user_id").cast("long").alias("b"),
+        F.sum("x").cast("long").alias("n"),
+    )
+    k_types = x.select("event_type").distinct().count()
+    if k_types != 5:
+        raise ValueError(
+            f"q372 bakes the chi-square(k-1) critical value for k=5 "
+            f"treatments; fixture has {k_types}"
+        )
+    cs = cols.agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sc2"))
+    rs = rows_.agg(
+        F.sum("ri").cast("long").alias("sr"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sr2"),
+    )
+    q = (
+        (F.col("k") - 1)
+        * (F.col("k") * F.col("sc2") - F.col("n") * F.col("n"))
+        * 1.0
+        / (F.col("k") * F.col("sr") - F.col("sr2"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(rs))
+        .select(
+            F.col("b").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+            F.col("n").alias("n_successes"),
+            F.round(q, 6).alias("cochran_q"),
+            F.lit(9.487729).alias("crit_95"),
+            F.when(q > 9.487729, 1).otherwise(0).cast("int").alias("reject"),
+        )
+    )
+
+
+@query(
+    "q373_jonckheere",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type AS t, value AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    allv AS (SELECT DISTINCT v FROM cell),
+    types AS (SELECT DISTINCT t FROM cell),
+    w AS (
+      SELECT types.t, allv.v, CAST(coalesce(cell.c, 0) AS BIGINT) AS c0,
+             CAST(coalesce(sum(coalesce(cell.c, 0)) OVER (
+               PARTITION BY types.t ORDER BY allv.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+      FROM types CROSS JOIN allv
+      LEFT JOIN cell ON cell.t = types.t AND cell.v = allv.v
+    ),
+    jt AS (
+      SELECT CAST(sum(b.c * (2 * a.bef + a.c0)) AS BIGINT) AS jt2
+      FROM w a JOIN cell b ON a.v = b.v AND a.t < b.t
+    ),
+    g AS (SELECT t, CAST(sum(c) AS BIGINT) AS ng FROM cell GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng * ng) AS BIGINT) AS sn2,
+             CAST(sum(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+      FROM g
+    )
+    SELECT tot.n, tot.k AS k_groups,
+           jt.jt2 / 2.0 AS jt_stat,
+           round((jt.jt2 / 2.0 - (tot.n * tot.n - tot.sn2) / 4.0)
+                 / sqrt((tot.n * tot.n * (2 * tot.n + 3) - tot.sn23) / 72.0), 6) AS z,
+           CAST(1.959964 AS DOUBLE) AS crit_95,
+           CAST(CASE WHEN abs((jt.jt2 / 2.0 - (tot.n * tot.n - tot.sn2) / 4.0)
+                              / sqrt((tot.n * tot.n * (2 * tot.n + 3) - tot.sn23) / 72.0))
+                          > 1.959964 THEN 1 ELSE 0 END AS INT) AS reject
+    FROM jt CROSS JOIN tot
+    """,
+)
+def q373_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra trend test (Jonckheere 1954) for an ORDERED
+    alternative across the event types (dose order = lexicographic type
+    order, disclosed): JT = sum over ordered group pairs (i<j) of the
+    Mann-Whitney count #{x in G_i < y in G_j} (+ half-ties). Computed
+    without any data-pair join: per-type counts are densified over the
+    merged VALUE support, a per-type cumulative window gives
+    "elements of group i strictly below v", and doubled-JT
+    2U = sum_v c_j(v) * (2*bef_i(v) + c_i(v)) folds as an EXACT integer
+    over the (support x ordered-type-pair) frame. The z-score uses the
+    standard no-tie normal approximation (Var = [N^2(2N+3) -
+    sum n_i^2(2n_i+3)]/72, disclosed — ties deflate Var slightly, so
+    the reported z is conservative).
+
+    100 TB story: one collapse to (type, value) cells; the densified
+    support frame is k x |support| (k=5); the pair fold joins support
+    rows to nonzero cells only — no corpus-size self-join anywhere."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = (
+        e.groupBy(F.col("event_type").alias("t"), F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    allv = cell.select("v").distinct()
+    types = cell.select("t").distinct()
+    wv = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = (
+        types.crossJoin(allv)
+        .join(cell, ["t", "v"], "left")
+        .select(
+            "t",
+            "v",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c0"),
+        )
+        .select(
+            "t",
+            "v",
+            "c0",
+            F.coalesce(F.sum("c0").over(wv), F.lit(0)).cast("long").alias("bef"),
+        )
+    )
+    b = cell.select(
+        F.col("t").alias("bt"), F.col("v").alias("bv"), F.col("c").alias("bc")
+    )
+    jt = (
+        w.join(b, (F.col("v") == F.col("bv")) & (F.col("t") < F.col("bt")))
+        .agg(
+            F.sum(F.col("bc") * (2 * F.col("bef") + F.col("c0")))
+            .cast("long")
+            .alias("jt2")
+        )
+    )
+    g = cell.groupBy("t").agg(F.sum("c").cast("long").alias("ng"))
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("sn2"),
+        F.sum(F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3))
+        .cast("long")
+        .alias("sn23"),
+    )
+    mean = (F.col("n") * F.col("n") - F.col("sn2")) / 4.0
+    var = (
+        F.col("n") * F.col("n") * (2 * F.col("n") + 3) - F.col("sn23")
+    ) / 72.0
+    z = (F.col("jt2") / 2.0 - mean) / F.sqrt(var)
+    return jt.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        (F.col("jt2") / 2.0).alias("jt_stat"),
+        F.round(z, 6).alias("z"),
+        F.lit(1.959964).alias("crit_95"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q374_welch_anova",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type AS t, value AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT t, CAST(sum(c) AS BIGINT) AS ng,
+             {_FOLD12_SQL.format(t="c * v")} AS s1,
+             {_FOLD12_SQL.format(t="c * v * v")} AS s2
+      FROM cell GROUP BY 1
+    ),
+    gw AS (
+      SELECT t, ng, s1 / ng AS m,
+             ng / ((s2 - s1 * s1 / ng) / (ng - 1)) AS w
+      FROM g
+    ),
+    t1 AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             {_FOLD12_SQL.format(t="w")} AS bigw
+      FROM gw
+    ),
+    t2 AS (
+      SELECT {_FOLD12_SQL.format(t="w * m")} AS swm FROM gw
+    ),
+    t3 AS (
+      SELECT
+        {_FOLD12_SQL.format(t="w * (m - t2.swm / t1.bigw) * (m - t2.swm / t1.bigw)")} AS a_num,
+        {_FOLD12_SQL.format(t="(1 - w / t1.bigw) * (1 - w / t1.bigw) / (ng - 1)")} AS h
+      FROM gw CROSS JOIN t1 CROSS JOIN t2
+    )
+    SELECT t1.n, t1.k AS k_groups,
+           round((t3.a_num / (t1.k - 1))
+                 / (1 + 2.0 * (t1.k - 2) / (t1.k * t1.k - 1) * t3.h), 6) AS f_stat,
+           round((t1.k * t1.k - 1) / (3.0 * t3.h), 6) AS df2,
+           CAST(2.371902 AS DOUBLE) AS crit_95_asymptotic,
+           CAST(CASE WHEN (t3.a_num / (t1.k - 1))
+                          / (1 + 2.0 * (t1.k - 2) / (t1.k * t1.k - 1) * t3.h)
+                          > 2.371902 THEN 1 ELSE 0 END AS INT) AS reject
+    FROM t1 CROSS JOIN t3
+    """,
+)
+def q374_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) across the
+    event types — the k-group generalization of q281's Welch t-test and
+    the companion q364's Brown-Forsythe points at when it rejects
+    (disclosed kinships): groups are weighted by w_g = n_g/s_g^2, the
+    statistic F* = [sum w(m - mw)^2/(k-1)] / [1 + 2(k-2)/(k^2-1) * H]
+    with H = sum (1-w/W)^2/(n_g-1), and the Welch-Satterthwaite df2 =
+    (k^2-1)/(3H) is reported beside it. Group moments fold off the
+    (type, value) support cells as 12-dp DECIMAL (q364 convention);
+    every cross-group sum is a _fold12 over the k-row frame, so no
+    float sum anywhere depends on partition order.
+
+    100 TB story: one collapse to (type, value) cells, then three
+    scalar stages over the k-row group frame — broadcast-only."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = e.groupBy(F.col("event_type").alias("t"), F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = (
+        cell.groupBy("t")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            _fold12(F.col("c") * F.col("v")).alias("s1"),
+            _fold12(F.col("c") * F.col("v") * F.col("v")).alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gw = g.select(
+        "t",
+        "ng",
+        (F.col("s1") / F.col("ng")).alias("m"),
+        (
+            F.col("ng")
+            / ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("ng")) / (F.col("ng") - 1))
+        ).alias("w"),
+    )
+    t1 = gw.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _fold12(F.col("w")).alias("bigw"),
+    )
+    t2 = gw.agg(_fold12(F.col("w") * F.col("m")).alias("swm"))
+    mw = F.col("swm") / F.col("bigw")
+    t3 = (
+        gw.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .agg(
+            _fold12(F.col("w") * (F.col("m") - mw) * (F.col("m") - mw)).alias("a_num"),
+            _fold12(
+                (1 - F.col("w") / F.col("bigw"))
+                * (1 - F.col("w") / F.col("bigw"))
+                / (F.col("ng") - 1)
+            ).alias("h"),
+        )
+    )
+    fstat = (F.col("a_num") / (F.col("k") - 1)) / (
+        1 + 2.0 * (F.col("k") - 2) / (F.col("k") * F.col("k") - 1) * F.col("h")
+    )
+    return t1.crossJoin(F.broadcast(t3)).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round((F.col("k") * F.col("k") - 1) / (3.0 * F.col("h")), 6).alias("df2"),
+        F.lit(2.371902).alias("crit_95_asymptotic"),
+        F.when(fstat > 2.371902, 1).otherwise(0).cast("int").alias("reject"),
+    )
