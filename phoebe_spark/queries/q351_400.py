@@ -2972,3 +2972,390 @@ def q374_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.371902).alias("crit_95_asymptotic"),
         F.when(fstat > 2.371902, 1).otherwise(0).cast("int").alias("reject"),
     )
+
+
+@query(
+    "q375_energy_distance",
+    oracle=f"""
+    WITH cell AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cx) AS BIGINT) AS n, CAST(sum(cy) AS BIGINT) AS m FROM cell),
+    cum AS (
+      SELECT v,
+             CAST(sum(cx) OVER (ORDER BY v) AS BIGINT) AS ax,
+             CAST(sum(cy) OVER (ORDER BY v) AS BIGINT) AS ay,
+             lead(v) OVER (ORDER BY v) AS nv
+      FROM cell
+    ),
+    terms AS (
+      SELECT
+        {_FOLD12_SQL.format(t="(ax * 1.0 / tot.n - ay * 1.0 / tot.m) * (ax * 1.0 / tot.n - ay * 1.0 / tot.m) * (nv - v)")} AS i_fg2,
+        {_FOLD12_SQL.format(t="(ax * 1.0 / tot.n * (1 - ay * 1.0 / tot.m) + ay * 1.0 / tot.m * (1 - ax * 1.0 / tot.n)) * (nv - v)")} AS e_xy
+      FROM cum CROSS JOIN tot WHERE nv IS NOT NULL
+    )
+    SELECT tot.n, tot.m,
+           round(2 * terms.i_fg2, 6) AS energy_d2,
+           round(tot.n * 1.0 * tot.m / (tot.n + tot.m) * 2 * terms.i_fg2, 6) AS e_stat,
+           round(terms.e_xy, 6) AS mean_abs_xy
+    FROM terms CROSS JOIN tot
+    """,
+)
+def q375_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance (Szekely & Rizzo 2004) between the two A/B arms'
+    value distributions, via the 1-D identity D^2 = 2*Int (F-G)^2 dt —
+    the unweighted cousin of q319's Cramer-von-Mises integral
+    (disclosed kinship): per-value arm counts over the merged support,
+    inclusive cumulative CDFs, and the step-function integral folds as
+    12-dp decimal terms over (support gap) intervals. E|X-Y| =
+    Int [F(1-G)+G(1-F)] dt is reported beside the test statistic
+    T = nm/(n+m) * D^2 (permutation calibration out of scope,
+    disclosed).
+
+    100 TB story: one collapse to value-support cells, one cumulative
+    window over the support only, one fold — no pairwise anything."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    ).localCheckpoint(eager=True)
+    tot = cell.agg(
+        F.sum("cx").cast("long").alias("n"), F.sum("cy").cast("long").alias("m")
+    )
+    wv = Window.orderBy("v")
+    cum = cell.select(
+        "v",
+        F.sum("cx").over(wv).cast("long").alias("ax"),
+        F.sum("cy").over(wv).cast("long").alias("ay"),
+        F.lead("v").over(wv).alias("nv"),
+    ).filter(F.col("nv").isNotNull())
+    fx = F.col("ax") * 1.0 / F.col("n")
+    gy = F.col("ay") * 1.0 / F.col("m")
+    gap = F.col("nv") - F.col("v")
+    terms = cum.crossJoin(F.broadcast(tot)).agg(
+        _fold12((fx - gy) * (fx - gy) * gap).alias("i_fg2"),
+        _fold12((fx * (1 - gy) + gy * (1 - fx)) * gap).alias("e_xy"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "m",
+        F.round(2 * F.col("i_fg2"), 6).alias("energy_d2"),
+        F.round(
+            F.col("n") * 1.0 * F.col("m") / (F.col("n") + F.col("m"))
+            * 2
+            * F.col("i_fg2"),
+            6,
+        ).alias("e_stat"),
+        F.round(F.col("e_xy"), 6).alias("mean_abs_xy"),
+    )
+
+
+# Fixed random-Fourier-feature bank for q376: 32 draws of
+# w ~ N(0, 1/sigma) (sigma = 100 value units, i.e. RBF gamma = 1/(2*sigma^2))
+# and b ~ U(0, 2*pi), generated once with numpy default_rng(376) and frozen
+# as literals so BOTH engines evaluate the identical feature map.
+_RFF_WB = [
+    (0.009170228092207619, 0.5514488529454852),
+    (-0.007440633952159879, 5.549951568744184),
+    (0.010086869542029347, 4.036193857397617),
+    (0.011471679959548724, 3.7756939637924614),
+    (0.019154912148984835, 2.1906186849128),
+    (0.0027812819856261966, 2.7400183770625284),
+    (-0.0048043855278945505, 0.39600079598711097),
+    (0.02325268054132326, 1.5454722686976166),
+    (0.011085604965675396, 3.5206153232232262),
+    (0.002778429809050202, 5.2042358018862185),
+    (-0.007433401861085119, 2.2532469746345583),
+    (0.000373192715776018, 4.7153637017564805),
+    (0.0035051938314857593, 5.392464413257003),
+    (0.0013241412147906642, 6.225039590092807),
+    (0.010946290230361255, 3.227741524421002),
+    (-0.006437662332938956, 5.632628923177364),
+    (-0.03104197493854104, 0.9103829045278589),
+    (-0.015813509760635548, 0.568979914637983),
+    (-0.010424039645440437, 2.200844049452493),
+    (-0.010743370439853626, 1.0020399228492205),
+    (0.0092768482096014, 3.7541579454515785),
+    (-0.0081380786148041, 1.4869870410297044),
+    (-0.00494043920240498, 3.843352874489872),
+    (-0.015896143105308277, 1.8924313388318552),
+    (-0.011869023623488325, 4.331250858079489),
+    (0.011629711108194902, 2.185671410472351),
+    (0.005880476558409362, 4.8069160027819455),
+    (0.009150303103946577, 6.005093597062329),
+    (0.005232266105075641, 4.851975370715261),
+    (0.012013940614240584, 4.438539308425235),
+    (0.002490223088798611, 6.208856341020906),
+    (-0.003962914645619646, 3.708503891467048),
+]
+
+
+def _q376_oracle() -> str:
+    rows = ", ".join(
+        f"({d}, CAST({w!r} AS DOUBLE), CAST({b!r} AS DOUBLE))"
+        for d, (w, b) in enumerate(_RFF_WB)
+    )
+    nd = len(_RFF_WB)
+    return f"""
+    WITH cell AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm, value AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    feat(d, w, b) AS (VALUES {rows}),
+    tot AS (SELECT arm, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+    zm AS (
+      SELECT cell.arm, feat.d,
+             {_FOLD12_SQL.format(t="cell.c * cos(feat.w * cell.v + feat.b)")} / min(tot.n) AS z
+      FROM cell CROSS JOIN feat JOIN tot USING (arm)
+      GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT a.d, a.z AS zx, byy.z AS zy
+      FROM zm a JOIN zm byy ON a.d = byy.d AND a.arm = 0 AND byy.arm = 1
+    ),
+    mmd AS (
+      SELECT {_FOLD12_SQL.format(t="2.0 / {nd} * (zx - zy) * (zx - zy)")} AS mmd2
+      FROM dd
+    )
+    SELECT (SELECT n FROM tot WHERE arm = 0) AS n,
+           (SELECT n FROM tot WHERE arm = 1) AS m,
+           CAST({nd} AS INT) AS n_features,
+           round(mmd.mmd2, 6) AS mmd2,
+           round(sqrt(CASE WHEN mmd.mmd2 > 0 THEN mmd.mmd2 ELSE 0 END), 6) AS mmd
+    FROM mmd
+    """.replace("{nd}", str(nd))
+
+
+@query("q376_mmd_rff", oracle=_q376_oracle())
+def q376_mmd_rff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample MMD between the A/B arms' value distributions,
+    linearized with random Fourier features (Rahimi & Recht 2007;
+    Gretton et al. 2012 for the MMD): the RBF kernel's feature map is
+    approximated by 32 frozen (w, b) draws (literals shared by both
+    engines), so MMD^2 = ||mean_X z - mean_Y z||^2 needs only PER-ARM
+    PER-FEATURE means — the O(n^2) kernel double sum becomes one linear
+    pass. Means fold cell-count-weighted cos terms as 12-dp decimal
+    (also absorbing any last-ulp libm cos() disagreement between
+    engines); the 32-row difference fold is decimal too.
+
+    100 TB story: one collapse to (arm, value) cells, a 32-wide
+    explode over CELLS (support-sized, not corpus-sized), two folds.
+    The feature bank is a literal — nothing is broadcast but 64 rows."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    nd = len(_RFF_WB)
+    cell = e.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.col("value").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    feat = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), F.lit(w).alias("w"), F.lit(b).alias("b")
+            )
+            for d, (w, b) in enumerate(_RFF_WB)
+        ]
+    )
+    tot = cell.groupBy("arm").agg(F.sum("c").cast("long").alias("n"))
+    zm = (
+        cell.select("arm", "v", "c", F.explode(feat).alias("f"))
+        .join(F.broadcast(tot), "arm")
+        .groupBy("arm", F.col("f.d").alias("d"))
+        .agg(
+            (
+                _fold12(
+                    F.col("c")
+                    * F.cos(F.col("f.w") * F.col("v") + F.col("f.b"))
+                )
+                / F.min("n")
+            ).alias("z")
+        )
+    )
+    zx = zm.filter(F.col("arm") == 0).select("d", F.col("z").alias("zx"))
+    zy = zm.filter(F.col("arm") == 1).select("d", F.col("z").alias("zy"))
+    mmd = zx.join(zy, "d").agg(
+        _fold12(2.0 / nd * (F.col("zx") - F.col("zy")) * (F.col("zx") - F.col("zy"))).alias(
+            "mmd2"
+        )
+    )
+    nx = tot.filter(F.col("arm") == 0).select(F.col("n"))
+    ny = tot.filter(F.col("arm") == 1).select(F.col("n").alias("m"))
+    return (
+        mmd.crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .select(
+            "n",
+            "m",
+            F.lit(nd).cast("int").alias("n_features"),
+            F.round("mmd2", 6).alias("mmd2"),
+            F.round(
+                F.sqrt(F.when(F.col("mmd2") > 0, F.col("mmd2")).otherwise(0.0)), 6
+            ).alias("mmd"),
+        )
+    )
+
+
+@query(
+    "q377_hellinger_tv",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bkt
+      FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+    types AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+    pool AS (SELECT bkt, CAST(sum(c) AS BIGINT) AS cq FROM cnt GROUP BY 1),
+    nn AS (SELECT CAST(sum(cq) AS BIGINT) AS n FROM pool),
+    grid AS (
+      SELECT types.event_type, types.ng, pool.bkt, pool.cq, nn.n,
+             CAST(coalesce(cnt.c, 0) AS BIGINT) AS cp
+      FROM types CROSS JOIN pool CROSS JOIN nn
+      LEFT JOIN cnt ON cnt.event_type = types.event_type AND cnt.bkt = pool.bkt
+    ),
+    m AS (
+      SELECT event_type, min(ng) AS ng,
+             {_FOLD12_SQL.format(t="(sqrt(cp * 1.0 / ng) - sqrt(cq * 1.0 / n)) * (sqrt(cp * 1.0 / ng) - sqrt(cq * 1.0 / n))")} AS h2,
+             {_FOLD12_SQL.format(t="abs(cp * 1.0 / ng - cq * 1.0 / n)")} AS l1,
+             {_FOLD12_SQL.format(t="sqrt(cp * 1.0 / ng * cq * 1.0 / n)")} AS bc
+      FROM grid GROUP BY event_type
+    )
+    SELECT event_type, ng AS n_events,
+           round(sqrt(h2 / 2.0), 6) AS hellinger,
+           round(l1 / 2.0, 6) AS total_variation,
+           round(bc, 6) AS bhattacharyya_coef
+    FROM m ORDER BY event_type
+    """,
+)
+def q377_hellinger_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution-distance panel against the pooled corpus:
+    Hellinger distance, total-variation distance, and the Bhattacharyya
+    coefficient of each event type's binned value distribution (25-unit
+    equal-width bins) vs the all-types pool — the bounded-metric
+    companions of q312's JSD and q318's PSI (disclosed kinship; TV is
+    the L1/2 bound, Hellinger the sqrt-space metric, BC = 1 - H^2).
+    The (type x bin) grid is densified so zero-mass bins contribute
+    their full |p-q| and (sqrt p - sqrt q)^2 terms; sqrt is IEEE-exact
+    in both engines and every fold is 12-dp decimal.
+
+    100 TB story: one collapse to (type, bin) counts (bins are bounded
+    by the value range, types by the schema); the densified grid is
+    k x bins — broadcast-sized at any corpus scale."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cnt = e.groupBy(
+        "event_type", F.floor(F.col("value") / 25.0).cast("long").alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    types = cnt.groupBy("event_type").agg(F.sum("c").cast("long").alias("ng"))
+    pool = cnt.groupBy("bkt").agg(F.sum("c").cast("long").alias("cq"))
+    nn = pool.agg(F.sum("cq").cast("long").alias("n"))
+    grid = (
+        types.crossJoin(F.broadcast(pool))
+        .crossJoin(F.broadcast(nn))
+        .join(cnt, ["event_type", "bkt"], "left")
+        .select(
+            "event_type",
+            "ng",
+            "cq",
+            "n",
+            F.coalesce("c", F.lit(0)).cast("long").alias("cp"),
+        )
+    )
+    p = F.col("cp") * 1.0 / F.col("ng")
+    q = F.col("cq") * 1.0 / F.col("n")
+    m = grid.groupBy("event_type").agg(
+        F.min("ng").alias("ng"),
+        _fold12((F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q))).alias("h2"),
+        _fold12(F.abs(p - q)).alias("l1"),
+        _fold12(F.sqrt(p * q)).alias("bc"),
+    )
+    return m.select(
+        "event_type",
+        F.col("ng").alias("n_events"),
+        F.round(F.sqrt(F.col("h2") / 2.0), 6).alias("hellinger"),
+        F.round(F.col("l1") / 2.0, 6).alias("total_variation"),
+        F.round(F.col("bc"), 6).alias("bhattacharyya_coef"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q378_cliffs_delta",
+    oracle="""
+    WITH cell AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, cx, cy,
+             CAST(coalesce(sum(cy) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ybef
+      FROM cell
+    ),
+    u AS (
+      SELECT CAST(sum(cx * (2 * ybef + cy)) AS BIGINT) AS u2,
+             CAST(sum(cx) AS BIGINT) AS n, CAST(sum(cy) AS BIGINT) AS m
+      FROM cum
+    )
+    SELECT n, m,
+           round((u.u2 - n * 1.0 * m) / (n * 1.0 * m), 6) AS cliffs_delta,
+           CASE WHEN abs((u.u2 - n * 1.0 * m) / (n * 1.0 * m)) < 0.147 THEN 'negligible'
+                WHEN abs((u.u2 - n * 1.0 * m) / (n * 1.0 * m)) < 0.33 THEN 'small'
+                WHEN abs((u.u2 - n * 1.0 * m) / (n * 1.0 * m)) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM u
+    """,
+)
+def q378_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993) between the A/B
+    arms — the EFFECT-SIZE companion to q297's Mann-Whitney decision
+    (disclosed kinship; delta equals the rank-biserial correlation):
+    delta = (#{x>y} - #{x<y}) / nm, computed tie-exactly from the
+    doubled-U identity 2U = sum_v cx(v)*(2*Ybelow(v) + cy(v)) over the
+    merged value support, so delta = (2U - nm)/nm is an EXACT integer
+    ratio. Magnitude banded per Romano et al. 2006 literal thresholds.
+
+    100 TB story: one collapse to value-support cells, one cumulative
+    window over the support, one integer fold — no pair join."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cell.select(
+        "v",
+        "cx",
+        "cy",
+        F.coalesce(F.sum("cy").over(wv), F.lit(0)).cast("long").alias("ybef"),
+    )
+    u = cum.agg(
+        F.sum(F.col("cx") * (2 * F.col("ybef") + F.col("cy")))
+        .cast("long")
+        .alias("u2"),
+        F.sum("cx").cast("long").alias("n"),
+        F.sum("cy").cast("long").alias("m"),
+    )
+    delta = (F.col("u2") - F.col("n") * 1.0 * F.col("m")) / (
+        F.col("n") * 1.0 * F.col("m")
+    )
+    return u.select(
+        "n",
+        "m",
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
