@@ -10,7 +10,7 @@ from phoebe_spark.operators import dedup, graph, sampling, similarity, text
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._core import _dec, _t, query
+from ._core import _dec, _dim, _t, query
 from .q001_050 import _MD5H_SQL, _TOKS_SQL
 from .q301_350 import _CHI2_95, _INV_SQRT2, _p2_col, _p2_sql
 
@@ -3358,4 +3358,248 @@ def q378_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.abs(delta) < 0.474, "medium")
         .otherwise("large")
         .alias("magnitude"),
+    )
+
+
+@query(
+    "q379_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(round(sum(CAST(round(r, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS tot,
+             {_FOLD12_SQL.format(t="r * r")} AS sr2
+      FROM rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation, nat.n_suppliers,
+           round(nat.tot, 2) AS nation_revenue,
+           round(nat.sr2 / (nat.tot * nat.tot), 6) AS hhi,
+           round(nat.tot * nat.tot / nat.sr2, 6) AS effective_n,
+           CASE WHEN nat.sr2 / (nat.tot * nat.tot) < 0.15 THEN 'unconcentrated'
+                WHEN nat.sr2 / (nat.tot * nat.tot) < 0.25 THEN 'moderate'
+                ELSE 'high' END AS doj_band
+    FROM nat JOIN nation n ON n.n_nationkey = nat.s_nationkey
+    ORDER BY nation
+    """,
+)
+def q379_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation:
+    each supplier's share of its nation's lineitem revenue, HHI =
+    sum(share^2) on the 0-1 scale with the DOJ/FTC merger-guideline
+    bands (0.15 / 0.25 literals) and the equivalent-competitors count
+    1/HHI — the market-structure companion to q163's share table and
+    q245's Gini skew (disclosed kinship). Supplier revenue is the
+    standard DECIMAL(18,4) money fold; sum(r^2) folds as 12-dp decimal
+    so no float sum depends on partition order; HHI = sr2/tot^2 avoids
+    computing shares row-by-row (algebraically identical, one pass).
+
+    100 TB story: one join pruned to (suppkey, nationkey), one
+    collapse to per-supplier revenue, one collapse to the 25-nation
+    frame."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(_dim(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2)
+            .cast("double")
+            .alias("r")
+        )
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.round(F.sum(F.round(F.col("r"), 2).cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("tot"),
+        _fold12(F.col("r") * F.col("r")).alias("sr2"),
+    )
+    hhi = F.col("sr2") / (F.col("tot") * F.col("tot"))
+    return (
+        nat.join(F.broadcast(n), nat.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.round("tot", 2).alias("nation_revenue"),
+            F.round(hhi, 6).alias("hhi"),
+            F.round(F.col("tot") * F.col("tot") / F.col("sr2"), 6).alias("effective_n"),
+            F.when(hhi < 0.15, "unconcentrated")
+            .when(hhi < 0.25, "moderate")
+            .otherwise("high")
+            .alias("doj_band"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q380_theil_decomposition",
+    oracle=f"""
+    WITH y AS (
+      SELECT c.c_nationkey AS g, o.o_custkey,
+             CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(round(y, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS ytot
+      FROM y
+    ),
+    tt AS (
+      SELECT {_FOLD12_SQL.format(t="y / (tot.ytot / tot.n) * ln(y / (tot.ytot / tot.n))")} / min(tot.n) AS t_total
+      FROM y CROSS JOIN tot
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(round(sum(CAST(round(y, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS yg,
+             {_FOLD12_SQL.format(t="y * ln(y)")} AS syly
+      FROM y GROUP BY 1
+    ),
+    tw AS (
+      SELECT
+        {_FOLD12_SQL.format(t="yg / tot.ytot * (syly / yg - ln(yg / ng))")} AS t_within,
+        {_FOLD12_SQL.format(t="yg / tot.ytot * ln((yg / tot.ytot) / (ng * 1.0 / tot.n))")} AS t_between
+      FROM grp CROSS JOIN tot
+    )
+    SELECT tot.n AS n_customers,
+           round(tt.t_total, 6) AS theil_total,
+           round(tw.t_between, 6) AS theil_between,
+           round(tw.t_within, 6) AS theil_within,
+           round(abs(tt.t_total - tw.t_between - tw.t_within), 6) AS decomposition_gap
+    FROM tt CROSS JOIN tw CROSS JOIN tot
+    """,
+)
+def q380_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of per-customer order revenue with the
+    exact between/within-nation decomposition (Theil 1967): T_total =
+    (1/n) sum (y/mu) ln(y/mu), T_between over nation revenue shares vs
+    population shares, T_within = sum (Y_g/Y) T_g — reported with the
+    decomposition gap |T - T_b - T_w| as a built-in self-check (zero up
+    to the rounding policy). Per-customer y is the DECIMAL money fold;
+    every ln-bearing term is 12-dp-rounded before its decimal fold (the
+    libm-skew policy, as q376). T_within is folded via the identity
+    (Y_g/Y)*T_g = (Y_g/Y)*[sum y ln y / Y_g - ln(mu_g)] so each group
+    needs only (n_g, Y_g, sum y ln y) — one pass over customers.
+
+    100 TB story: one join pruned to (custkey, nationkey), one
+    collapse to per-customer revenue, then 25-row nation folds."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    y = (
+        o.join(_dim(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("g"), "o_custkey")
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = y.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.round(F.col("y"), 2).cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("ytot"),
+    )
+    mu = F.col("ytot") / F.col("n")
+    tt = y.crossJoin(F.broadcast(tot)).agg(
+        (_fold12(F.col("y") / mu * F.log(F.col("y") / mu)) / F.min("n")).alias(
+            "t_total"
+        )
+    )
+    grp = y.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.round(F.sum(F.round(F.col("y"), 2).cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("yg"),
+        _fold12(F.col("y") * F.log("y")).alias("syly"),
+    )
+    tw = grp.crossJoin(F.broadcast(tot)).agg(
+        _fold12(
+            F.col("yg")
+            / F.col("ytot")
+            * (F.col("syly") / F.col("yg") - F.log(F.col("yg") / F.col("ng")))
+        ).alias("t_within"),
+        _fold12(
+            F.col("yg")
+            / F.col("ytot")
+            * F.log(
+                (F.col("yg") / F.col("ytot")) / (F.col("ng") * 1.0 / F.col("n"))
+            )
+        ).alias("t_between"),
+    )
+    return (
+        tt.crossJoin(F.broadcast(tw))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round("t_total", 6).alias("theil_total"),
+            F.round("t_between", 6).alias("theil_between"),
+            F.round("t_within", 6).alias("theil_within"),
+            F.round(
+                F.abs(F.col("t_total") - F.col("t_between") - F.col("t_within")), 6
+            ).alias("decomposition_gap"),
+        )
+    )
+
+
+@query(
+    "q381_atkinson_index",
+    oracle=f"""
+    WITH y AS (
+      SELECT o_custkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(round(y, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS ytot,
+             {_FOLD12_SQL.format(t="sqrt(y)")} AS ssq,
+             {_FOLD12_SQL.format(t="1.0 / y")} AS sinv
+      FROM y
+    )
+    SELECT n AS n_customers,
+           round(ytot / n, 2) AS mean_revenue,
+           round(1 - (ssq / n) * (ssq / n) / (ytot / n), 6) AS atkinson_eps05,
+           round(1 - (n / sinv) / (ytot / n), 6) AS atkinson_eps2
+    FROM m
+    """,
+)
+def q381_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality indices of per-customer order revenue at two
+    inequality-aversion settings (Atkinson 1970): eps=0.5 (A = 1 -
+    [(1/n) sum sqrt(y)]^2 / mu, the square of the mean-sqrt) and eps=2
+    (A = 1 - harmonic_mean/mu) — the welfare-grounded companions to
+    q380's Theil and q256's Lorenz curve (disclosed kinship; each A is
+    the fraction of total revenue society could forgo under equal
+    distribution at that aversion). sqrt is IEEE-exact; 1/y exact-ish
+    and both fold as 12-dp decimal; y is the standard money fold.
+
+    100 TB story: one collapse to per-customer revenue, one 1-row
+    moment fold."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    y = o.groupBy("o_custkey").agg(
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("y")
+    )
+    m = y.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.round(F.col("y"), 2).cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("ytot"),
+        _fold12(F.sqrt("y")).alias("ssq"),
+        _fold12(1.0 / F.col("y")).alias("sinv"),
+    )
+    mu = F.col("ytot") / F.col("n")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(mu, 2).alias("mean_revenue"),
+        F.round(
+            1 - (F.col("ssq") / F.col("n")) * (F.col("ssq") / F.col("n")) / mu, 6
+        ).alias("atkinson_eps05"),
+        F.round(1 - (F.col("n") / F.col("sinv")) / mu, 6).alias("atkinson_eps2"),
     )
