@@ -3603,3 +3603,518 @@ def q381_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("atkinson_eps05"),
         F.round(1 - (F.col("n") / F.col("sinv")) / mu, 6).alias("atkinson_eps2"),
     )
+
+
+@query(
+    "q382_hurst_rs",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ser AS (SELECT x, row_number() OVER (ORDER BY hr) AS pos FROM h),
+    sz(s) AS (VALUES (16), (32), (64), (128)),
+    seg AS (
+      SELECT sz.s, (ser.pos - 1) // sz.s AS widx, ser.pos, ser.x
+      FROM ser CROSS JOIN sz
+    ),
+    wm AS (
+      SELECT s, widx, CAST(count(*) AS BIGINT) AS cnt,
+             {_FOLD12_SQL.format(t="x")} AS s1,
+             {_FOLD12_SQL.format(t="x * x")} AS s2
+      FROM seg GROUP BY 1, 2 HAVING count(*) = min(s)
+    ),
+    cumdev AS (
+      SELECT seg.s, seg.widx,
+             sum(seg.x - wm.s1 / wm.cnt) OVER (
+               PARTITION BY seg.s, seg.widx ORDER BY seg.pos) AS z
+      FROM seg JOIN wm ON wm.s = seg.s AND wm.widx = seg.widx
+    ),
+    rw AS (
+      SELECT s, widx, max(z) - min(z) AS r FROM cumdev GROUP BY 1, 2
+    ),
+    rsw AS (
+      SELECT rw.s, rw.widx,
+             rw.r / sqrt((wm.s2 - wm.s1 * wm.s1 / wm.cnt) / wm.cnt) AS rs
+      FROM rw JOIN wm ON wm.s = rw.s AND wm.widx = rw.widx
+      WHERE (wm.s2 - wm.s1 * wm.s1 / wm.cnt) > 0
+    ),
+    ms AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS nw,
+             {_FOLD12_SQL.format(t="rs")} / count(*) AS mean_rs
+      FROM rsw GROUP BY 1
+    ),
+    reg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             {_FOLD12_SQL.format(t="ln(s)")} AS sa,
+             {_FOLD12_SQL.format(t="ln(mean_rs)")} AS sb,
+             {_FOLD12_SQL.format(t="ln(s) * ln(mean_rs)")} AS sab,
+             {_FOLD12_SQL.format(t="ln(s) * ln(s)")} AS sa2
+      FROM ms
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM ser)
+    SELECT n.n_hours,
+           round((reg.sab - reg.sa * reg.sb / reg.k)
+                 / (reg.sa2 - reg.sa * reg.sa / reg.k), 6) AS hurst,
+           round((SELECT mean_rs FROM ms WHERE s = 16), 6) AS mean_rs_16,
+           round((SELECT mean_rs FROM ms WHERE s = 32), 6) AS mean_rs_32,
+           round((SELECT mean_rs FROM ms WHERE s = 64), 6) AS mean_rs_64,
+           round((SELECT mean_rs FROM ms WHERE s = 128), 6) AS mean_rs_128
+    FROM reg CROSS JOIN n
+    """,
+)
+def q382_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly mean-value series by classical
+    rescaled-range analysis (Hurst 1951; Mandelbrot & Wallis 1969):
+    the positional series is cut into complete windows of 16/32/64/128
+    points; per window the range of cumulative mean-deviations over the
+    population std gives R/S; ln(mean R/S) regressed on ln(window size)
+    is H (0.5 = random walk, the literal reference). Window moments are
+    12-dp decimal folds; the cumulative deviation is a RUNNING window
+    sum, identical left-to-right in both engines; the 4-point
+    log-regression folds 12-dp terms.
+
+    100 TB story: the corpus collapses once to the hourly frame
+    (time-bounded, not corpus-sized); the 4-way size explode and all
+    windows run on that aggregate."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = e.groupBy(F.expr("ts div 3600000000000").alias("hr")).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("x")
+    )
+    ser = h.select(
+        "x", F.row_number().over(Window.orderBy("hr")).alias("pos")
+    ).localCheckpoint(eager=True)
+    sz = spark.range(0).sparkSession.createDataFrame(
+        [(16,), (32,), (64,), (128,)], "s int"
+    )
+    seg = ser.crossJoin(F.broadcast(sz)).select(
+        "s", F.expr("(pos - 1) div s").alias("widx"), "pos", "x"
+    )
+    wm = (
+        seg.groupBy("s", "widx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            _fold12(F.col("x")).alias("s1"),
+            _fold12(F.col("x") * F.col("x")).alias("s2"),
+        )
+        .filter(F.col("cnt") == F.col("s"))
+    )
+    wz = Window.partitionBy("s", "widx").orderBy("pos")
+    cumdev = seg.join(wm, ["s", "widx"]).select(
+        "s",
+        "widx",
+        F.sum(F.col("x") - F.col("s1") / F.col("cnt")).over(wz).alias("z"),
+    )
+    rw = cumdev.groupBy("s", "widx").agg((F.max("z") - F.min("z")).alias("r"))
+    svar = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) / F.col("cnt")
+    rsw = (
+        rw.join(wm, ["s", "widx"])
+        .filter((F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) > 0)
+        .select("s", "widx", (F.col("r") / F.sqrt(svar)).alias("rs"))
+    )
+    ms = rsw.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        (_fold12(F.col("rs")) / F.count(F.lit(1))).alias("mean_rs"),
+    ).localCheckpoint(eager=True)
+    la = F.log(F.col("s"))
+    lb = F.log(F.col("mean_rs"))
+    reg = ms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _fold12(la).alias("sa"),
+        _fold12(lb).alias("sb"),
+        _fold12(la * lb).alias("sab"),
+        _fold12(la * la).alias("sa2"),
+    )
+    n = ser.agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    pick = lambda s: F.sum(F.when(F.col("s") == s, F.col("mean_rs")))  # noqa: E731
+    wide = ms.agg(
+        pick(16).alias("m16"),
+        pick(32).alias("m32"),
+        pick(64).alias("m64"),
+        pick(128).alias("m128"),
+    )
+    hurst = (F.col("sab") - F.col("sa") * F.col("sb") / F.col("k")) / (
+        F.col("sa2") - F.col("sa") * F.col("sa") / F.col("k")
+    )
+    return (
+        reg.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(wide))
+        .select(
+            "n_hours",
+            F.round(hurst, 6).alias("hurst"),
+            F.round("m16", 6).alias("mean_rs_16"),
+            F.round("m32", 6).alias("mean_rs_32"),
+            F.round("m64", 6).alias("mean_rs_64"),
+            F.round("m128", 6).alias("mean_rs_128"),
+        )
+    )
+
+
+@query(
+    "q383_variance_ratio",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ser AS (SELECT x, row_number() OVER (ORDER BY hr) AS pos FROM h),
+    r AS (
+      SELECT pos - 1 AS rpos,
+             round(ln(x / lag(x) OVER (ORDER BY pos)), 12) AS r
+      FROM ser QUALIFY lag(x) OVER (ORDER BY pos) IS NOT NULL
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, {_FOLD12_SQL.format(t="r")} AS sr
+      FROM r
+    ),
+    v1 AS (
+      SELECT {_FOLD12_SQL.format(t="(r - mom.sr / mom.n) * (r - mom.sr / mom.n)")}
+             / (min(mom.n) - 1) AS v
+      FROM r CROSS JOIN mom
+    ),
+    qs(q) AS (VALUES (2), (4), (8)),
+    rq AS (
+      SELECT qs.q, r.rpos,
+             sum(r.r) OVER (PARTITION BY qs.q ORDER BY r.rpos
+                            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS dummy2,
+             sum(r.r) OVER (PARTITION BY qs.q ORDER BY r.rpos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS dummy4,
+             sum(r.r) OVER (PARTITION BY qs.q ORDER BY r.rpos
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS dummy8,
+             count(*) OVER (PARTITION BY qs.q ORDER BY r.rpos
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w8,
+             count(*) OVER (PARTITION BY qs.q ORDER BY r.rpos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w4,
+             count(*) OVER (PARTITION BY qs.q ORDER BY r.rpos
+                            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w2
+      FROM r CROSS JOIN qs
+    ),
+    rqv AS (
+      SELECT q, rpos,
+             CASE q WHEN 2 THEN dummy2 WHEN 4 THEN dummy4 ELSE dummy8 END AS s,
+             CASE q WHEN 2 THEN w2 WHEN 4 THEN w4 ELSE w8 END AS w
+      FROM rq
+    ),
+    vq AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS nq,
+             {_FOLD12_SQL.format(t="(s - q * mom.sr / mom.n) * (s - q * mom.sr / mom.n)")}
+             / (count(*) - 1) AS v
+      FROM rqv CROSS JOIN mom WHERE w = q GROUP BY q
+    )
+    SELECT vq.q, mom.n AS n_returns,
+           round(vq.v / (vq.q * v1.v), 6) AS variance_ratio,
+           round((vq.v / (vq.q * v1.v) - 1)
+                 / sqrt(2.0 * (2 * vq.q - 1) * (vq.q - 1) / (3.0 * vq.q * mom.n)), 6) AS z,
+           CAST(CASE WHEN abs((vq.v / (vq.q * v1.v) - 1)
+                 / sqrt(2.0 * (2 * vq.q - 1) * (vq.q - 1) / (3.0 * vq.q * mom.n)))
+                 > 1.959964 THEN 1 ELSE 0 END AS INT) AS reject
+    FROM vq CROSS JOIN mom CROSS JOIN v1
+    ORDER BY q
+    """,
+)
+def q383_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (Lo & MacKinlay 1988,
+    overlapping homoskedastic form, disclosed) on hourly log-returns of
+    the mean-value series: VR(q) = Var[q-period return]/(q Var[1-period])
+    should be 1 under a random walk; VR<1 flags mean reversion, VR>1
+    momentum. Returns are 12-dp-rounded at materialization (libm ln
+    policy); q-period sums are RUNNING window sums (identical
+    left-to-right in both engines); both variances fold 12-dp terms
+    around the full-series mean. The asymptotic z uses the standard
+    2(2q-1)(q-1)/(3qn) variance.
+
+    100 TB story: everything after the one collapse to the hourly
+    frame is window work on a time-bounded aggregate."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = e.groupBy(F.expr("ts div 3600000000000").alias("hr")).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("x")
+    )
+    wp = Window.orderBy("pos")
+    ser = h.select("x", F.row_number().over(Window.orderBy("hr")).alias("pos"))
+    r = (
+        ser.select(
+            (F.col("pos") - 1).alias("rpos"),
+            F.round(F.log(F.col("x") / F.lag("x").over(wp)), 12).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    mom = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), _fold12(F.col("r")).alias("sr")
+    )
+    mu = F.col("sr") / F.col("n")
+    v1 = r.crossJoin(F.broadcast(mom)).agg(
+        (_fold12((F.col("r") - mu) * (F.col("r") - mu)) / (F.min("n") - 1)).alias("v")
+    )
+    qs = spark.createDataFrame([(2,), (4,), (8,)], "q int")
+    wr = lambda k: Window.partitionBy("q").orderBy("rpos").rowsBetween(-(k - 1), 0)  # noqa: E731
+    rq = r.crossJoin(F.broadcast(qs)).select(
+        "q",
+        "rpos",
+        F.when(F.col("q") == 2, F.sum("r").over(wr(2)))
+        .when(F.col("q") == 4, F.sum("r").over(wr(4)))
+        .otherwise(F.sum("r").over(wr(8)))
+        .alias("s"),
+        F.when(F.col("q") == 2, F.count(F.lit(1)).over(wr(2)))
+        .when(F.col("q") == 4, F.count(F.lit(1)).over(wr(4)))
+        .otherwise(F.count(F.lit(1)).over(wr(8)))
+        .alias("w"),
+    )
+    vq = (
+        rq.filter(F.col("w") == F.col("q"))
+        .crossJoin(F.broadcast(mom))
+        .groupBy("q")
+        .agg(
+            (
+                _fold12(
+                    (F.col("s") - F.col("q") * mu) * (F.col("s") - F.col("q") * mu)
+                )
+                / (F.count(F.lit(1)) - 1)
+            ).alias("v")
+        )
+    )
+    vr = F.col("v") / (F.col("q") * F.col("vv"))
+    zden = F.sqrt(
+        2.0 * (2 * F.col("q") - 1) * (F.col("q") - 1) / (3.0 * F.col("q") * F.col("n"))
+    )
+    z = (vr - 1) / zden
+    return (
+        vq.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(v1.select(F.col("v").alias("vv"))))
+        .select(
+            "q",
+            F.col("n").alias("n_returns"),
+            F.round(vr, 6).alias("variance_ratio"),
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) > 1.959964, 1).otherwise(0).cast("int").alias("reject"),
+        )
+        .orderBy("q")
+    )
+
+
+@query(
+    "q384_theta_forecast",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ser AS (SELECT y, row_number() OVER (ORDER BY day) AS pos FROM d),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ser),
+    tr AS (SELECT ser.pos, ser.y, nn.nd - 7 AS nt FROM ser CROSS JOIN nn WHERE ser.pos <= nn.nd - 7),
+    reg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, min(nt) AS nt,
+             {_FOLD12_SQL.format(t="pos * 1.0")} AS sa,
+             {_FOLD12_SQL.format(t="y")} AS sb,
+             {_FOLD12_SQL.format(t="pos * y")} AS sab,
+             {_FOLD12_SQL.format(t="pos * 1.0 * pos")} AS sa2
+      FROM tr
+    ),
+    ses AS (
+      SELECT {_FOLD12_SQL.format(
+          t="y * CASE WHEN pos = 1 THEN power(0.5, nt - 1) ELSE power(0.5, nt - pos + 1) END")} AS l
+      FROM tr
+    ),
+    fc AS (
+      SELECT ser.pos - reg.nt AS h, ser.y AS actual,
+             ses.l + ((reg.sab - reg.sa * reg.sb / reg.n)
+                      / (reg.sa2 - reg.sa * reg.sa / reg.n)) / 2.0 * (ser.pos - reg.nt) AS fcst
+      FROM ser CROSS JOIN reg CROSS JOIN ses WHERE ser.pos > reg.nt
+    )
+    SELECT CAST(h AS BIGINT) AS h, round(actual, 6) AS actual,
+           round(fcst, 6) AS forecast,
+           round(abs(fcst - actual) / actual, 6) AS ape,
+           round(2 * abs(fcst - actual) / (abs(fcst) + abs(actual)), 6) AS smape_term
+    FROM fc ORDER BY h
+    """,
+)
+def q384_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, via
+    the Hyndman & Billah 2003 equivalence: SES plus half the OLS trend
+    as drift) backtested on the daily mean-value series with a 7-day
+    holdout — the classical companion to q270's seasonal backtest and
+    q273's Holt (disclosed kinship). SES (alpha = 0.5) is evaluated in
+    CLOSED form as a weighted sum with exactly-representable powers of
+    two, so no recursion crosses engines; the trend is the standard
+    fold-based OLS slope; per-horizon APE and sMAPE terms are reported.
+
+    100 TB story: one collapse to the daily frame; everything else is
+    scalar folds over a 30-row aggregate."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("y")
+    )
+    ser = d.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("pos")
+    ).localCheckpoint(eager=True)
+    nn = ser.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tr = (
+        ser.crossJoin(F.broadcast(nn))
+        .filter(F.col("pos") <= F.col("nd") - 7)
+        .select("pos", "y", (F.col("nd") - 7).alias("nt"))
+    )
+    reg = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("nt").alias("nt"),
+        _fold12(F.col("pos") * 1.0).alias("sa"),
+        _fold12(F.col("y")).alias("sb"),
+        _fold12(F.col("pos") * F.col("y")).alias("sab"),
+        _fold12(F.col("pos") * 1.0 * F.col("pos")).alias("sa2"),
+    )
+    w = F.when(
+        F.col("pos") == 1, F.pow(F.lit(0.5), F.col("nt") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("nt") - F.col("pos") + 1))
+    ses = tr.agg(_fold12(F.col("y") * w).alias("l"))
+    slope = (F.col("sab") - F.col("sa") * F.col("sb") / F.col("n")) / (
+        F.col("sa2") - F.col("sa") * F.col("sa") / F.col("n")
+    )
+    fcst = F.col("l") + slope / 2.0 * (F.col("pos") - F.col("nt"))
+    return (
+        ser.crossJoin(F.broadcast(reg))
+        .crossJoin(F.broadcast(ses))
+        .filter(F.col("pos") > F.col("nt"))
+        .select(
+            (F.col("pos") - F.col("nt")).cast("long").alias("h"),
+            F.round("y", 6).alias("actual"),
+            F.round(fcst, 6).alias("forecast"),
+            F.round(F.abs(fcst - F.col("y")) / F.col("y"), 6).alias("ape"),
+            F.round(
+                2 * F.abs(fcst - F.col("y")) / (F.abs(fcst) + F.abs(F.col("y"))), 6
+            ).alias("smape_term"),
+        )
+        .orderBy("h")
+    )
+
+
+@query(
+    "q385_sample_entropy",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ser AS (SELECT x, row_number() OVER (ORDER BY hr) AS pos FROM h),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(round(x, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s1,
+             CAST(round(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s2
+      FROM ser
+    ),
+    rr AS (SELECT 0.2 * sqrt((s2 - s1 * s1 / n) / n) AS r, n FROM mom),
+    t AS (
+      SELECT ser.pos AS i, ser.x AS x1,
+             lead(ser.x, 1) OVER (ORDER BY ser.pos) AS x2,
+             lead(ser.x, 2) OVER (ORDER BY ser.pos) AS x3,
+             CAST(floor(ser.x / rr.r) AS BIGINT) AS bk
+      FROM ser CROSS JOIN rr
+    ),
+    tl AS (SELECT * FROM t WHERE x2 IS NOT NULL),
+    ex AS (
+      SELECT tl.i, tl.x1, tl.x2, tl.x3, tl.bk + ofs.o AS bk
+      FROM tl CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) ofs
+    ),
+    pairs AS (
+      SELECT a.x1 AS a1, a.x2 AS a2, a.x3 AS a3,
+             b.x1 AS b1, b.x2 AS b2, b.x3 AS b3
+      FROM ex a JOIN tl b ON a.bk = b.bk AND a.i < b.i
+      CROSS JOIN rr
+      WHERE abs(a.x1 - b.x1) <= rr.r AND abs(a.x2 - b.x2) <= rr.r
+    ),
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS b_count,
+             CAST(sum(CASE WHEN a3 IS NOT NULL AND b3 IS NOT NULL
+                                AND abs(a3 - b3) <= rr.r THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+      FROM pairs CROSS JOIN rr
+    )
+    SELECT rr.n AS n_hours, round(rr.r, 6) AS tolerance_r,
+           cnt.b_count, cnt.a_count,
+           CASE WHEN cnt.a_count > 0 AND cnt.b_count > 0
+                THEN round(ln(cnt.b_count * 1.0 / cnt.a_count), 6) END AS sampen_m2
+    FROM cnt CROSS JOIN rr
+    """,
+)
+def q385_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy SampEn(m=2, r=0.2*sigma) of the hourly mean-value
+    series (Richman & Moorman 2000) — the regularity/complexity score
+    used to gate synthetic-vs-organic telemetry. Template pairs are
+    found WITHOUT an all-pairs join: templates bucket on their first
+    coordinate at width r, each probe explodes into the 3 adjacent
+    buckets (any Chebyshev-match must share one — the q241 band-join
+    contract, disclosed), then the exact |dx1|,|dx2| <= r filter; A/B
+    counts are integers and SampEn = ln(B/A) (null when A = 0,
+    disclosed). Positions are gap-skipping positional indices
+    (documented; the series has missing hours at tiny SFs).
+
+    100 TB story: the corpus collapses once to the time-bounded hourly
+    frame; the band join is support-bucketed with bounded candidate
+    fan-out — no quadratic stage touches corpus-sized data."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = e.groupBy(F.expr("ts div 3600000000000").alias("hr")).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("x")
+    )
+    ser = h.select(
+        "x", F.row_number().over(Window.orderBy("hr")).alias("pos")
+    ).localCheckpoint(eager=True)
+    mom = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _fold12(F.col("x")).alias("s1"),
+        _fold12(F.col("x") * F.col("x")).alias("s2"),
+    )
+    rr = mom.select(
+        (0.2 * F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"))).alias("r"),
+        "n",
+    )
+    wp = Window.orderBy("pos")
+    t = ser.crossJoin(F.broadcast(rr)).select(
+        F.col("pos").alias("i"),
+        F.col("x").alias("x1"),
+        F.lead("x", 1).over(wp).alias("x2"),
+        F.lead("x", 2).over(wp).alias("x3"),
+        F.floor(F.col("x") / F.col("r")).cast("long").alias("bk"),
+    )
+    tl = t.filter(F.col("x2").isNotNull()).localCheckpoint(eager=True)
+    ex = tl.select(
+        "i", "x1", "x2", "x3", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("o"), "bk"
+    ).select("i", "x1", "x2", "x3", (F.col("bk") + F.col("o")).alias("bk"))
+    b = tl.select(
+        F.col("i").alias("j"),
+        F.col("x1").alias("b1"),
+        F.col("x2").alias("b2"),
+        F.col("x3").alias("b3"),
+        F.col("bk").alias("bbk"),
+    )
+    pairs = (
+        ex.join(b, (F.col("bk") == F.col("bbk")) & (F.col("i") < F.col("j")))
+        .crossJoin(F.broadcast(rr.select("r")))
+        .filter(
+            (F.abs(F.col("x1") - F.col("b1")) <= F.col("r"))
+            & (F.abs(F.col("x2") - F.col("b2")) <= F.col("r"))
+        )
+    )
+    cnt = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("b_count"),
+        F.sum(
+            F.when(
+                F.col("x3").isNotNull()
+                & F.col("b3").isNotNull()
+                & (F.abs(F.col("x3") - F.col("b3")) <= F.col("r")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("a_count"),
+    )
+    return cnt.crossJoin(F.broadcast(rr)).select(
+        F.col("n").alias("n_hours"),
+        F.round("r", 6).alias("tolerance_r"),
+        "b_count",
+        "a_count",
+        F.when(
+            (F.col("a_count") > 0) & (F.col("b_count") > 0),
+            F.round(F.log(F.col("b_count") * 1.0 / F.col("a_count")), 6),
+        ).alias("sampen_m2"),
+    )
