@@ -4118,3 +4118,369 @@ def q385_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("b_count") * 1.0 / F.col("a_count")), 6),
         ).alias("sampen_m2"),
     )
+
+
+@query(
+    "q386_average_precision",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(round(l_tax * 100) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(y) AS BIGINT) AS p_s
+      FROM s GROUP BY 1
+    ),
+    c AS (
+      SELECT s, n_s, p_s,
+             CAST(sum(n_s) OVER (ORDER BY s DESC) AS BIGINT) AS cn,
+             CAST(sum(p_s) OVER (ORDER BY s DESC) AS BIGINT) AS cp
+      FROM g
+    ),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, CAST(sum(p_s) AS BIGINT) AS p FROM g),
+    ap AS (
+      SELECT CAST(round(sum(CAST(round(p_s * 1.0 / tot.p * (cp * 1.0 / cn), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS ap
+      FROM c CROSS JOIN tot
+    )
+    SELECT tot.n, tot.p AS n_pos,
+           round(tot.p * 1.0 / tot.n, 6) AS prevalence,
+           round(ap.ap, 6) AS average_precision,
+           round(ap.ap / (tot.p * 1.0 / tot.n), 6) AS lift_over_random
+    FROM ap CROSS JOIN tot
+    """,
+)
+def q386_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC, step-wise tie-grouped form — the
+    sklearn convention where a whole tie group enters at its combined
+    precision) on q279's score/label pair (disclosed kinship: same
+    discretised discount/tax score, same returned-flag label; AP is
+    the PR-space companion of that ROC-AUC): descending-score
+    cumulative TP and totals over the score SUPPORT give
+    AP = sum_g (dRecall_g * Precision_g) as a 12-dp decimal fold;
+    lift over the prevalence baseline is reported beside it.
+
+    100 TB story: one map-side-combining groupBy(score), one window
+    over the ~100-value score vocabulary, one fold."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (
+            F.round(F.col("l_discount") * 100).cast("long") * 10
+            + F.round(F.col("l_tax") * 100).cast("long")
+        ).alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = li.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("p_s"),
+    ).localCheckpoint(eager=True)
+    wd = Window.orderBy(F.col("s").desc())
+    c = g.select(
+        "s",
+        "n_s",
+        "p_s",
+        F.sum("n_s").over(wd).cast("long").alias("cn"),
+        F.sum("p_s").over(wd).cast("long").alias("cp"),
+    )
+    tot = g.agg(
+        F.sum("n_s").cast("long").alias("n"), F.sum("p_s").cast("long").alias("p")
+    )
+    ap = c.crossJoin(F.broadcast(tot)).agg(
+        _fold12(
+            F.col("p_s") * 1.0 / F.col("p") * (F.col("cp") * 1.0 / F.col("cn"))
+        ).alias("ap")
+    )
+    return ap.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("p").alias("n_pos"),
+        F.round(F.col("p") * 1.0 / F.col("n"), 6).alias("prevalence"),
+        F.round("ap", 6).alias("average_precision"),
+        F.round(F.col("ap") / (F.col("p") * 1.0 / F.col("n")), 6).alias(
+            "lift_over_random"
+        ),
+    )
+
+
+@query(
+    "q387_mcc_sweep",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(round(l_tax * 100) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    th(t) AS (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90), (100)),
+    cm AS (
+      SELECT th.t,
+             CAST(sum(CASE WHEN s.s >= th.t AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.s >= th.t AND s.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s.s < th.t AND s.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN s.s < th.t AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM s CROSS JOIN th GROUP BY 1
+    )
+    SELECT t AS threshold, tp, fp, tn, fn,
+           round((tp * 1.0 * tn - fp * 1.0 * fn)
+                 / sqrt((tp + fp) * 1.0 * (tp + fn) * ((tn + fp) * 1.0 * (tn + fn))), 6) AS mcc,
+           round((tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp)) / 2, 6) AS balanced_accuracy,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM cm ORDER BY t
+    """,
+)
+def q387_mcc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation, balanced accuracy and F1 swept over ten
+    literal decision thresholds on q279's score/label pair (disclosed
+    kinship) — the threshold-CHOICE companion to q279 (rank quality)
+    and q386 (PR quality): confusion cells are EXACT integer conditional
+    counts per threshold; MCC's four-factor denominator is evaluated as
+    paired double products (each count < 2^53, so the only rounding is
+    the final sqrt, identical in both engines).
+
+    100 TB story: one pass with ten conditional aggregates — the sweep
+    never re-scans; thresholds are literals, the result is 10 rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (
+            F.round(F.col("l_discount") * 100).cast("long") * 10
+            + F.round(F.col("l_tax") * 100).cast("long")
+        ).alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    th = spark.createDataFrame([(t,) for t in range(10, 101, 10)], "t int")
+    cm = (
+        li.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("s") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when((F.col("s") >= F.col("t")) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when((F.col("s") < F.col("t")) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("tn"),
+            F.sum(F.when((F.col("s") < F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+        )
+    )
+    mcc = (F.col("tp") * 1.0 * F.col("tn") - F.col("fp") * 1.0 * F.col("fn")) / F.sqrt(
+        (F.col("tp") + F.col("fp"))
+        * 1.0
+        * (F.col("tp") + F.col("fn"))
+        * ((F.col("tn") + F.col("fp")) * 1.0 * (F.col("tn") + F.col("fn")))
+    )
+    return cm.select(
+        F.col("t").alias("threshold"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(mcc, 6).alias("mcc"),
+        F.round(
+            (
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fn"))
+                + F.col("tn") * 1.0 / (F.col("tn") + F.col("fp"))
+            )
+            / 2,
+            6,
+        ).alias("balanced_accuracy"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+@query(
+    "q388_good_turing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {_TOKS_SQL} AS ts FROM documents
+      WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    tri AS (
+      SELECT ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS w
+      FROM tok CROSS JOIN unnest(generate_series(1, len(ts) - 2)) AS t(i)
+    ),
+    tf AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tri GROUP BY 1),
+    nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(sum(n_r) AS BIGINT) AS vocab
+      FROM nr
+    ),
+    rs(r) AS (VALUES (1), (2), (3), (4), (5)),
+    gt AS (
+      SELECT rs.r, coalesce(a.n_r, 0) AS n_r, coalesce(b.n_r, 0) AS n_r_plus1
+      FROM rs LEFT JOIN nr a ON a.r = rs.r LEFT JOIN nr b ON b.r = rs.r + 1
+    )
+    SELECT gt.r, gt.n_r, gt.n_r_plus1,
+           CASE WHEN gt.n_r > 0
+                THEN round((gt.r + 1) * gt.n_r_plus1 * 1.0 / gt.n_r, 6) END AS r_star,
+           round(coalesce((SELECT n_r FROM nr WHERE r = 1), 0) * 1.0 / tot.n_tokens, 6) AS p0_unseen,
+           tot.n_tokens, tot.vocab
+    FROM gt CROSS JOIN tot ORDER BY gt.r
+    """,
+)
+def q388_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation over the corpus vocabulary
+    (Good 1953): the frequency-of-frequencies table N_r gives the
+    missing (unseen-type) probability mass p0 = N_1/N and the smoothed
+    counts r* = (r+1) N_{r+1}/N_r for r = 1..5 — the LM-smoothing
+    companion to q338's Chao1 richness and q329's Kneser-Ney (disclosed
+    kinship; Chao1 estimates how MANY types are unseen, Good-Turing how
+    much MASS they carry). Everything is an exact integer until the
+    final ratios; types are token TRIGRAMS (unigrams are vacuous on this
+    bounded synthetic vocabulary, disclosed; the shingle convention
+    follows q13/q79).
+
+    100 TB story: token explode -> term-frequency groupBy (map-side
+    combining) -> the N_r table is at most max-frequency rows; the
+    r = 1..5 report joins a 5-row literal frame against it."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = text.tokens(F.col("text"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    tf = (
+        d.filter(F.size(toks) >= 3)
+        .select(F.explode(tri).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    nr = tf.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r")).localCheckpoint(
+        eager=True
+    )
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+    )
+    n1 = nr.filter(F.col("r") == 1).agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("long").alias("n1")
+    )
+    rs = spark.createDataFrame([(r,) for r in range(1, 6)], "r int")
+    a = nr.select(F.col("r").cast("int").alias("r"), F.col("n_r"))
+    b = nr.select((F.col("r") - 1).cast("int").alias("r"), F.col("n_r").alias("n_r_plus1"))
+    gt = (
+        rs.join(a, "r", "left")
+        .join(b, "r", "left")
+        .select(
+            "r",
+            F.coalesce("n_r", F.lit(0)).cast("long").alias("n_r"),
+            F.coalesce("n_r_plus1", F.lit(0)).cast("long").alias("n_r_plus1"),
+        )
+    )
+    return (
+        gt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            "n_r_plus1",
+            F.when(
+                F.col("n_r") > 0,
+                F.round(
+                    (F.col("r") + 1) * F.col("n_r_plus1") * 1.0 / F.col("n_r"), 6
+                ),
+            ).alias("r_star"),
+            F.round(F.col("n1") * 1.0 / F.col("n_tokens"), 6).alias("p0_unseen"),
+            "n_tokens",
+            "vocab",
+        )
+        .orderBy("r")
+    )
+
+
+@query(
+    "q389_hosmer_lemeshow",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(round(l_tax * 100) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(y) AS BIGINT) AS p_s
+      FROM s GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM g),
+    c AS (
+      SELECT s, n_s, p_s,
+             CAST(coalesce(sum(n_s) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+      FROM g
+    ),
+    binned AS (
+      SELECT CAST(c.bef * 10 // tot.n AS BIGINT) AS bin,
+             CAST(sum(c.n_s) AS BIGINT) AS nb,
+             CAST(sum(c.p_s) AS BIGINT) AS ob,
+             {_FOLD12_SQL.format(t="c.n_s * (c.s / 109.0)")} AS eb
+      FROM c CROSS JOIN tot GROUP BY 1
+    ),
+    hl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             {_FOLD12_SQL.format(
+                 t="(ob - eb) * (ob - eb) / eb + ((nb - ob) - (nb - eb)) * ((nb - ob) - (nb - eb)) / (nb - eb)")} AS stat
+      FROM binned
+    )
+    SELECT tot.n, hl.n_bins, round(hl.stat, 6) AS hl_stat,
+           CAST(15.507313 AS DOUBLE) AS crit_95_df8,
+           CAST(CASE WHEN hl.stat > 15.507313 THEN 1 ELSE 0 END AS INT) AS reject
+    FROM hl CROSS JOIN tot
+    """,
+)
+def q389_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-calibration test (Hosmer & Lemeshow
+    1980) on the q279 score treated as a probability (p = s/109, the
+    score's max — a deliberately mis-calibrated model so the test has
+    something to reject; disclosed): score-support cells are cut into
+    10 equal-count bins by CUMULATIVE-count decile (ties never split a
+    cell — the support-decile convention of q82/q117), observed
+    positives vs expected sum-of-p per bin, chi-square against the
+    literal df=8 95%% critical value. The q280 calibration table bins
+    the same way; this is its decision-statistic companion (disclosed).
+
+    100 TB story: one groupBy(score), one support window, a 10-row
+    fold."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (
+            F.round(F.col("l_discount") * 100).cast("long") * 10
+            + F.round(F.col("l_tax") * 100).cast("long")
+        ).alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = li.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("p_s"),
+    ).localCheckpoint(eager=True)
+    tot = g.agg(F.sum("n_s").cast("long").alias("n"))
+    wb = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "s",
+        "n_s",
+        "p_s",
+        F.coalesce(F.sum("n_s").over(wb), F.lit(0)).cast("long").alias("bef"),
+    )
+    binned = (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("bef * 10 div n").cast("long").alias("bin"))
+        .agg(
+            F.sum("n_s").cast("long").alias("nb"),
+            F.sum("p_s").cast("long").alias("ob"),
+            _fold12(F.col("n_s") * (F.col("s") / 109.0)).alias("eb"),
+        )
+    )
+    term = (F.col("ob") - F.col("eb")) * (F.col("ob") - F.col("eb")) / F.col("eb") + (
+        (F.col("nb") - F.col("ob")) - (F.col("nb") - F.col("eb"))
+    ) * ((F.col("nb") - F.col("ob")) - (F.col("nb") - F.col("eb"))) / (
+        F.col("nb") - F.col("eb")
+    )
+    hl = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"), _fold12(term).alias("stat")
+    )
+    return hl.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "n_bins",
+        F.round("stat", 6).alias("hl_stat"),
+        F.lit(15.507313).alias("crit_95_df8"),
+        F.when(F.col("stat") > 15.507313, 1).otherwise(0).cast("int").alias("reject"),
+    )
