@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ._core import _dec, _dim, _t, query
 from .q001_050 import _MD5H_SQL, _TOKS_SQL
+from .q201_250 import _COGRAPH_SQL, _cograph_edges
 from .q301_350 import _CHI2_95, _INV_SQRT2, _p2_col, _p2_sql
 
 @query(
@@ -4484,3 +4485,364 @@ def q389_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(15.507313).alias("crit_95_df8"),
         F.when(F.col("stat") > 15.507313, 1).otherwise(0).cast("int").alias("reject"),
     )
+
+
+@query(
+    "q390_dp_laplace_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS true_count
+      FROM customer cu JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY 1
+    ),
+    u AS (
+      SELECT nation, true_count,
+             (({_MD5H_SQL.format(x="nation || ':dp390'")} % 1000000000000) + 0.5)
+               / 1000000000000.0 - 0.5 AS u
+      FROM c
+    )
+    SELECT nation, true_count,
+           round(true_count
+                 - sign(u) * ln(1 - 2 * abs(u)) / 1.0, 6) AS noisy_count,
+           round(abs(sign(u) * ln(1 - 2 * abs(u)) / 1.0), 6) AS abs_noise,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM u ORDER BY nation
+    """,
+)
+def q390_dp_laplace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy utility audit of the Laplace mechanism on
+    per-nation customer counts (Dwork et al. 2006): a count query has
+    sensitivity 1, so Lap(1/epsilon) noise at epsilon = 1 gives
+    1-DP; noise is drawn by inverse-CDF from a DETERMINISTIC salted-md5
+    uniform (the q55/q65 hash-randomness convention, disclosed — this
+    is the calibration/utility harness, not a production release: true
+    counts are shown BESIDE the noisy ones precisely to audit the
+    noise scale). u is shifted by half a quantum so |u| < 0.5 exactly
+    and ln(1-2|u|) never sees 0.
+
+    100 TB story: one grouped count to the 25-nation frame; the
+    mechanism is per-row scalar arithmetic on it."""
+    cu = _t(spark, sf_dir, "customer").select("c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    from phoebe_spark.operators.dedup import md5_hash64
+
+    c = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    u = (
+        (
+            F.pmod(md5_hash64(F.concat(F.col("nation"), F.lit(":dp390"))), F.lit(1000000000000))
+            + 0.5
+        )
+        / 1000000000000.0
+        - 0.5
+    )
+    noise = -F.signum(u) * F.log(1 - 2 * F.abs(u)) / 1.0
+    return c.select(
+        "nation",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.round(F.abs(noise), 6).alias("abs_noise"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("nation")
+
+
+@query(
+    "q392_excess_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type LIKE '%PROMO%'
+        AND l.l_shipdate >= DATE '1996-01-01'
+      GROUP BY 1, 2
+    ),
+    avgp AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_supp,
+             CAST(round(sum(CAST(round(qty, 2) AS DECIMAL(18,2))), 2) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM shipped GROUP BY 1
+    ),
+    excess AS (
+      SELECT s.l_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts,
+             CAST(round(sum(CAST(round(s.qty - 1.5 * a.avg_qty, 6) AS DECIMAL(38,6))), 6) AS DOUBLE) AS excess_qty
+      FROM shipped s JOIN avgp a USING (l_partkey)
+      WHERE a.n_supp >= 2 AND s.qty > 1.5 * a.avg_qty
+      GROUP BY 1
+    )
+    SELECT su.s_name AS supplier, n.n_name AS nation,
+           e.n_excess_parts, round(e.excess_qty, 6) AS excess_qty
+    FROM excess e
+    JOIN supplier su ON su.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = su.s_nationkey
+    ORDER BY e.n_excess_parts DESC, supplier
+    LIMIT 15
+    """,
+)
+def q392_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-stock probe, restated without partsupp
+    (reference has no partsupp fixture): suppliers who shipped MORE
+    than 1.5x the cross-supplier average quantity of recent PROMO-type
+    parts — the nested-aggregate semi-join shape (per-(supplier, part)
+    rollup, correlated against the per-part average, then the
+    supplier-level rollup of qualifying parts). Quantity sums are the
+    DECIMAL money-fold policy; the per-part average divides an exact
+    decimal by an integer count; the excess margin folds at 6 dp.
+
+    100 TB story: the part filter prunes the scan before the first
+    shuffle; both rollups share the (partkey) key so AQE can pipeline
+    them; the final name join broadcasts supplier/nation dims. Top-15
+    is TakeOrdered, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    shipped = (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        .join(
+            _dim(p.filter(F.col("p_type").like("%PROMO%"))),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+        .localCheckpoint(eager=True)
+    )
+    avgp = shipped.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+        (
+            F.round(F.sum(F.round(F.col("qty"), 2).cast("decimal(18,2)")), 2)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty"),
+    )
+    excess = (
+        shipped.join(avgp, "l_partkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("qty") > 1.5 * F.col("avg_qty")))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_excess_parts"),
+            F.round(
+                F.sum(
+                    F.round(F.col("qty") - 1.5 * F.col("avg_qty"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("excess_qty"),
+        )
+    )
+    return (
+        excess.join(F.broadcast(su), excess.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "n_excess_parts",
+            F.round("excess_qty", 6).alias("excess_qty"),
+        )
+        .orderBy(F.desc("n_excess_parts"), F.asc("supplier"))
+        .limit(15)
+    )
+
+
+@query(
+    "q393_assortativity",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    edges AS (SELECT s1 AS src, s2 AS dst FROM co
+              UNION ALL SELECT s2, s1 FROM co),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    ed AS (
+      SELECT da.d AS j, db.d AS k
+      FROM co JOIN deg da ON da.node = co.s1 JOIN deg db ON db.node = co.s2
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(j * k) AS BIGINT) AS sjk,
+             CAST(sum(j + k) AS BIGINT) AS sjpk,
+             CAST(sum(j * j + k * k) AS BIGINT) AS sj2k2
+      FROM ed
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes, s.m AS n_edges,
+           round((s.sjk * 1.0 / s.m - (s.sjpk / (2.0 * s.m)) * (s.sjpk / (2.0 * s.m)))
+                 / (s.sj2k2 / (2.0 * s.m) - (s.sjpk / (2.0 * s.m)) * (s.sjpk / (2.0 * s.m))), 6)
+             AS assortativity,
+           CASE WHEN (s.sjk * 1.0 / s.m - (s.sjpk / (2.0 * s.m)) * (s.sjpk / (2.0 * s.m)))
+                     / (s.sj2k2 / (2.0 * s.m) - (s.sjpk / (2.0 * s.m)) * (s.sjpk / (2.0 * s.m))) > 0.1
+                THEN 'assortative'
+                WHEN (s.sjk * 1.0 / s.m - (s.sjpk / (2.0 * s.m)) * (s.sjpk / (2.0 * s.m)))
+                     / (s.sj2k2 / (2.0 * s.m) - (s.sjpk / (2.0 * s.m)) * (s.sjpk / (2.0 * s.m))) < -0.1
+                THEN 'disassortative' ELSE 'neutral' END AS regime
+    FROM s CROSS JOIN nn
+    """,
+)
+def q393_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity coefficient (Newman 2002) of the canonical
+    part co-occurrence graph (q233/q294's edge set, disclosed): the
+    Pearson correlation of endpoint degrees over edges, computed from
+    the EXACT integer edge sums sum(jk), sum(j+k), sum(j^2+k^2) with
+    each canonical edge counted once — r > 0 means hub parts co-occur
+    with hubs (rich-club), r < 0 hub-leaf structure. Only the final
+    three divisions are floating point.
+
+    100 TB story: degrees are one grouped count on the symmetrized
+    edges; the endpoint-degree join is two hash joins on node id; the
+    statistic is a 1-row integer fold."""
+    co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = co.select(F.col("s1").alias("node")).unionAll(
+        co.select(F.col("s2").alias("node"))
+    )
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ed = (
+        co.join(deg.select(F.col("node").alias("s1"), F.col("d").alias("j")), "s1")
+        .join(deg.select(F.col("node").alias("s2"), F.col("d").alias("k")), "s2")
+        .select("j", "k")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("sjpk"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("sj2k2"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    mu = F.col("sjpk") / (2.0 * F.col("m"))
+    r = (F.col("sjk") * 1.0 / F.col("m") - mu * mu) / (
+        F.col("sj2k2") / (2.0 * F.col("m")) - mu * mu
+    )
+    return s.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+        F.when(r > 0.1, "assortative")
+        .when(r < -0.1, "disassortative")
+        .otherwise("neutral")
+        .alias("regime"),
+    )
+
+
+@query(
+    "q391_streaming_bottomk_drain",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, event_id,
+             {_MD5H_SQL.format(x="'bk391:' || event_id")} AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rnk
+      FROM h
+    )
+    SELECT event_type, CAST(rnk AS BIGINT) AS rank, event_id, h
+    FROM r WHERE rnk <= 20 ORDER BY event_type, rank
+    """,
+)
+def q391_streaming_bottomk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING deterministic bottom-k sample drained in the
+    hash-checked gate: each event's salted md5 hash enters a per-type
+    bottom-20 reservoir (:func:`stateful.streaming_bottom_k`) carried in
+    a real state store across three event-id-sliced micro-batches. The
+    state is COMMUTATIVE (bottom-k of a union = bottom-k of per-batch
+    bottom-ks), so each micro-batch is PRE-REDUCED to its own per-type
+    bottom-20 before it ever reaches the operator — per-batch state
+    traffic is bounded at k rows per key no matter the batch size. The
+    drained sample hash-matches the batch oracle's per-type 20 smallest
+    hashes digit-for-digit — the distributed-sampling primitive behind
+    q65/q154 executed by Structured Streaming.
+
+    100 TB story: the reservoir is O(k * keys) state, TTL-free; the
+    pre-reduction is a keyed window on each micro-batch slice."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.operators.dedup import md5_hash64
+    from phoebe_spark.streaming.stateful import streaming_bottom_k
+
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    hashed = e.select(
+        "event_type",
+        "event_id",
+        md5_hash64(F.concat(F.lit("bk391:"), F.col("event_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    wk = Window.partitionBy("event_type").orderBy("h", "event_id")
+
+    work = tempfile.mkdtemp(prefix="q391_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        for i in range(1, 4):
+            part = (
+                hashed.filter(F.col("event_id") % 3 == i - 1)
+                .withColumn("rnk", F.row_number().over(wk))
+                .filter(F.col("rnk") <= 20)
+                .select(
+                    F.col("event_type").alias("key"),
+                    F.col("h"),
+                    F.col("event_id").alias("id"),
+                )
+            )
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("key STRING, h LONG, id LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_bottom_k(stream, k=20, key_col="key", hash_col="h", id_col="id")
+        sink = f"{work}/bk"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q391: streaming bottom-k drain did not finish within 300 s — "
+                "refusing to score a partial sample"
+            )
+        states = spark.read.parquet(sink)
+        final = (
+            states.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy(F.col("n_seen").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("key", F.arrays_zip("hs", "ids").alias("z"))
+        )
+        res = (
+            final.select("key", F.posexplode("z").alias("pos", "pair"))
+            .select(
+                F.col("key").alias("event_type"),
+                (F.col("pos") + 1).cast("long").alias("rank"),
+                F.col("pair.ids").alias("event_id"),
+                F.col("pair.hs").alias("h"),
+            )
+            .orderBy("event_type", "rank")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

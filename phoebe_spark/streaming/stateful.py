@@ -1107,3 +1107,68 @@ def streaming_bin_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BOTTOMK_OUTPUT_SCHEMA = "key STRING, n_seen LONG, hs ARRAY<LONG>, ids ARRAY<LONG>"
+BOTTOMK_STATE_SCHEMA = "hs ARRAY<LONG>, ids ARRAY<LONG>, n_seen LONG"
+
+
+def streaming_bottom_k(
+    stream: DataFrame,
+    k: int = 20,
+    key_col: str = "key",
+    hash_col: str = "h",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-key streaming bottom-k-by-hash sample — the KMV-style
+    DETERMINISTIC reservoir: keep the k (hash, id) pairs with the
+    smallest salted hashes seen so far. Like :func:`streaming_bin_counts`
+    this state is COMMUTATIVE (bottom-k of a union is the bottom-k of
+    per-batch bottom-ks), so arrival order and micro-batch boundaries
+    provably cannot change the drained sample — the mergeability promise
+    that makes hash-bottom-k the distributed-sampling primitive (same
+    family as the q154 KMV distinct sketch, and the streaming form of
+    q65's hash-stratified sampling).
+
+    State: at most k (long, long) pairs + a counter per key, O(k*keys)
+    total, TTL-free. Ties break on id so replays are idempotent.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            hs, ids, n_seen = state.get
+            pool = list(zip(hs, ids))
+        else:
+            pool, n_seen = [], 0
+        for row in batch.itertuples(index=False):
+            pool.append((int(getattr(row, hash_col)), int(getattr(row, id_col))))
+            n_seen += 1
+        pool = sorted(set(pool))[:k]
+        hs = [h for h, _ in pool]
+        ids = [i for _, i in pool]
+        state.update((hs, ids, int(n_seen)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_seen": [int(n_seen)],
+                "hs": [hs],
+                "ids": [ids],
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(hash_col).cast("long").alias(hash_col),
+        F.col(id_col).cast("long").alias(id_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=BOTTOMK_OUTPUT_SCHEMA,
+        stateStructType=BOTTOMK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -639,3 +639,52 @@ def test_streaming_page_hinkley_checkpoint_restart(spark, tmp_path):
     b = drain("B", restart=False)
     assert a == b
     assert a[0] == len(xs)
+
+
+def test_streaming_bottom_k_split_invariant_and_replay_idempotent(spark, tmp_path):
+    """The bottom-k reservoir must be split-invariant (bottom-k of a
+    union == bottom-k of per-batch bottom-ks) and idempotent under
+    exact replays of the same (hash, id) pair."""
+    import glob
+    import os
+    import shutil
+
+    from phoebe_spark.streaming.stateful import streaming_bottom_k
+
+    rows = [("k", h, i) for i, h in enumerate([50, 10, 40, 30, 20, 60, 5, 45])]
+    # at-least-once replay artifact: an exact duplicate of the smallest
+    # pair must not occupy two reservoir slots
+    rows += [("k", 5, 6)]
+
+    def drain(split_at: int, tag: str):
+        src = str(tmp_path / f"src{tag}")
+        os.makedirs(src)
+        for i, part in enumerate((rows[:split_at], rows[split_at:]), start=1):
+            df = spark.createDataFrame(part, "key STRING, h LONG, id LONG")
+            stage = str(tmp_path / f"st{tag}{i}")
+            df.coalesce(1).write.parquet(stage)
+            pf = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+        stream = (
+            spark.readStream.schema("key STRING, h LONG, id LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = str(tmp_path / f"sink{tag}")
+        q = (
+            streaming_bottom_k(stream, k=4)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(sink))
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        f = spark.read.parquet(sink).orderBy("n_seen").collect()[-1]
+        return list(f.hs), list(f.ids)
+
+    a = drain(2, "a")
+    b = drain(7, "b")
+    assert a == b == ([5, 10, 20, 30], [6, 1, 4, 3])
