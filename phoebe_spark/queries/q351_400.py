@@ -4846,3 +4846,528 @@ def q391_streaming_bottomk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q394_forecast_scoreboard",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ser AS (SELECT y, row_number() OVER (ORDER BY day) AS pos FROM d),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ser),
+    tr AS (SELECT ser.pos, ser.y, nn.nd - 7 AS nt FROM ser CROSS JOIN nn WHERE ser.pos <= nn.nd - 7),
+    reg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, min(nt) AS nt,
+             {_FOLD12_SQL.format(t="pos * 1.0")} AS sa,
+             {_FOLD12_SQL.format(t="y")} AS sb,
+             {_FOLD12_SQL.format(t="pos * y")} AS sab,
+             {_FOLD12_SQL.format(t="pos * 1.0 * pos")} AS sa2,
+             {_FOLD12_SQL.format(
+                 t="y * CASE WHEN pos = 1 THEN power(0.5, nt - 1) ELSE power(0.5, nt - pos + 1) END")} AS ses,
+             min(CASE WHEN pos = 1 THEN y END) AS y1,
+             min(CASE WHEN pos = nt THEN y END) AS ylast
+      FROM tr
+    ),
+    sc AS (
+      SELECT {_FOLD12_SQL.format(t="abs(a.y - b.y)")} / (min(a.nt) - 7) AS scale
+      FROM tr a JOIN tr b ON b.pos = a.pos - 7
+    ),
+    sn AS (
+      SELECT tr.pos - tr.nt + 7 AS h, tr.y AS ysn FROM tr WHERE tr.pos > tr.nt - 7
+    ),
+    f AS (
+      SELECT ser.pos - reg.nt AS h, ser.y AS a, sn.ysn,
+             reg.ylast AS f_naive,
+             reg.ylast + (ser.pos - reg.nt) * (reg.ylast - reg.y1) / (reg.nt - 1) AS f_drift,
+             reg.ses + ((reg.sab - reg.sa * reg.sb / reg.n)
+                        / (reg.sa2 - reg.sa * reg.sa / reg.n)) / 2.0
+                       * (ser.pos - reg.nt) AS f_theta
+      FROM ser CROSS JOIN reg JOIN sn ON sn.h = ser.pos - reg.nt
+      WHERE ser.pos > reg.nt
+    ),
+    m AS (
+      SELECT 'naive' AS method, f_naive AS fc, a FROM f
+      UNION ALL SELECT 'snaive7', ysn, a FROM f
+      UNION ALL SELECT 'drift', f_drift, a FROM f
+      UNION ALL SELECT 'theta', f_theta, a FROM f
+    )
+    SELECT m.method,
+           round({_FOLD12_SQL.format(t="2 * abs(fc - a) / (abs(fc) + abs(a))")} / 7, 6) AS smape,
+           round({_FOLD12_SQL.format(t="abs(fc - a)")} / 7 / min(sc.scale), 6) AS mase,
+           round(sqrt({_FOLD12_SQL.format(t="(fc - a) * (fc - a)")} / 7), 6) AS rmse
+    FROM m CROSS JOIN sc GROUP BY m.method ORDER BY m.method
+    """,
+)
+def q394_forecast_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-method scoreboard on the daily series with a 7-day
+    holdout: naive (last value), seasonal-naive s=7, drift
+    (last + h*(last-first)/(n-1)) and the q384 theta method (disclosed
+    kinship) scored side-by-side on sMAPE, MASE (scaled by the
+    in-sample seasonal-naive error — Hyndman & Koehler 2006) and RMSE —
+    the model-selection audit that q270's seasonal backtest feeds. All
+    forecasts are closed-form scalars off the train folds; every metric
+    is a 12-dp decimal fold over the 7 holdout points.
+
+    100 TB story: one collapse to the daily frame; four methods share
+    ONE scan and one scalar stage; the scoreboard is a 4-row fold."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.expr("(ts div 1000000000) div 86400").alias("day")).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("y")
+    )
+    ser = d.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("pos")
+    ).localCheckpoint(eager=True)
+    nn = ser.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tr = (
+        ser.crossJoin(F.broadcast(nn))
+        .filter(F.col("pos") <= F.col("nd") - 7)
+        .select("pos", "y", (F.col("nd") - 7).alias("nt"))
+        .localCheckpoint(eager=True)
+    )
+    w = F.when(
+        F.col("pos") == 1, F.pow(F.lit(0.5), F.col("nt") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("nt") - F.col("pos") + 1))
+    reg = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("nt").alias("nt"),
+        _fold12(F.col("pos") * 1.0).alias("sa"),
+        _fold12(F.col("y")).alias("sb"),
+        _fold12(F.col("pos") * F.col("y")).alias("sab"),
+        _fold12(F.col("pos") * 1.0 * F.col("pos")).alias("sa2"),
+        _fold12(F.col("y") * w).alias("ses"),
+        F.min(F.when(F.col("pos") == 1, F.col("y"))).alias("y1"),
+        F.min(F.when(F.col("pos") == F.col("nt"), F.col("y"))).alias("ylast"),
+    )
+    b7 = tr.select((F.col("pos") + 7).alias("pos"), F.col("y").alias("yb"))
+    sc = tr.join(b7, "pos").agg(
+        (_fold12(F.abs(F.col("y") - F.col("yb"))) / (F.min("nt") - 7)).alias("scale")
+    )
+    sn = tr.filter(F.col("pos") > F.col("nt") - 7).select(
+        (F.col("pos") - F.col("nt") + 7).alias("h"), F.col("y").alias("ysn")
+    )
+    slope = (F.col("sab") - F.col("sa") * F.col("sb") / F.col("n")) / (
+        F.col("sa2") - F.col("sa") * F.col("sa") / F.col("n")
+    )
+    f = (
+        ser.crossJoin(F.broadcast(reg))
+        .filter(F.col("pos") > F.col("nt"))
+        .select(
+            (F.col("pos") - F.col("nt")).alias("h"),
+            F.col("y").alias("a"),
+            F.col("ylast").alias("f_naive"),
+            (
+                F.col("ylast")
+                + (F.col("pos") - F.col("nt"))
+                * (F.col("ylast") - F.col("y1"))
+                / (F.col("nt") - 1)
+            ).alias("f_drift"),
+            (F.col("ses") + slope / 2.0 * (F.col("pos") - F.col("nt"))).alias(
+                "f_theta"
+            ),
+        )
+        .join(F.broadcast(sn), "h")
+    )
+    m = f.select(
+        F.expr(
+            "stack(4, 'naive', f_naive, 'snaive7', ysn, 'drift', f_drift, "
+            "'theta', f_theta) AS (method, fc)"
+        ),
+        "a",
+    )
+    return (
+        m.crossJoin(F.broadcast(sc))
+        .groupBy("method")
+        .agg(
+            F.round(
+                _fold12(2 * F.abs(F.col("fc") - F.col("a")) / (F.abs("fc") + F.abs("a")))
+                / 7,
+                6,
+            ).alias("smape"),
+            F.round(
+                _fold12(F.abs(F.col("fc") - F.col("a"))) / 7 / F.min("scale"), 6
+            ).alias("mase"),
+            F.round(
+                F.sqrt(
+                    _fold12((F.col("fc") - F.col("a")) * (F.col("fc") - F.col("a")))
+                    / 7
+                ),
+                6,
+            ).alias("rmse"),
+        )
+        .orderBy("method")
+    )
+
+
+@query(
+    "q395_tukey_hsd",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type AS t, value AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT t, CAST(sum(c) AS BIGINT) AS ng,
+             {_FOLD12_SQL.format(t="c * v")} AS s1,
+             {_FOLD12_SQL.format(t="c * v * v")} AS s2
+      FROM cell GROUP BY 1
+    ),
+    msw AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             {_FOLD12_SQL.format(t="s2 - s1 * s1 / ng")} AS ssw
+      FROM g
+    )
+    SELECT a.t AS type_a, b.t AS type_b,
+           round(a.s1 / a.ng - b.s1 / b.ng, 6) AS mean_diff,
+           round(abs(a.s1 / a.ng - b.s1 / b.ng)
+                 / sqrt(msw.ssw / (msw.n - msw.k) / 2 * (1.0 / a.ng + 1.0 / b.ng)), 6) AS q_stat,
+           CAST(3.858 AS DOUBLE) AS crit_q_95,
+           CAST(CASE WHEN abs(a.s1 / a.ng - b.s1 / b.ng)
+                          / sqrt(msw.ssw / (msw.n - msw.k) / 2 * (1.0 / a.ng + 1.0 / b.ng))
+                          > 3.858 THEN 1 ELSE 0 END AS INT) AS reject
+    FROM g a JOIN g b ON a.t < b.t CROSS JOIN msw
+    ORDER BY type_a, type_b
+    """,
+)
+def q395_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc pairwise comparisons (Tukey 1949;
+    Kramer 1956 for unequal n) across the event types — the
+    WHICH-pairs-differ closure after q365's ANOVA / q374's Welch flag
+    THAT something differs (disclosed kinship): studentized-range
+    statistic q = |m_i - m_j| / sqrt(MSW/2 (1/n_i + 1/n_j)) for all 10
+    pairs against the literal q(0.05, k=5, df=inf) = 3.858 critical
+    value. Group moments are the q364/q374 support-cell decimal folds;
+    MSW folds per-group corrected sums once.
+
+    100 TB story: one collapse to (type, value) cells; the pair frame
+    is k(k-1)/2 rows of scalar arithmetic."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = e.groupBy(F.col("event_type").alias("t"), F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = (
+        cell.groupBy("t")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            _fold12(F.col("c") * F.col("v")).alias("s1"),
+            _fold12(F.col("c") * F.col("v") * F.col("v")).alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    msw = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _fold12(F.col("s2") - F.col("s1") * F.col("s1") / F.col("ng")).alias("ssw"),
+    )
+    a = g.select(
+        F.col("t").alias("type_a"), F.col("ng").alias("na"), F.col("s1").alias("sa")
+    )
+    b = g.select(
+        F.col("t").alias("type_b"), F.col("ng").alias("nb"), F.col("s1").alias("sb")
+    )
+    diff = F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+    qs = F.abs(diff) / F.sqrt(
+        F.col("ssw")
+        / (F.col("n") - F.col("k"))
+        / 2
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(diff, 6).alias("mean_diff"),
+            F.round(qs, 6).alias("q_stat"),
+            F.lit(3.858).alias("crit_q_95"),
+            F.when(qs > 3.858, 1).otherwise(0).cast("int").alias("reject"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q396_dunning_g2",
+    oracle=r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2),
+    bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS k11 FROM bi GROUP BY bg),
+    m1 AS (SELECT split_part(bg, ' ', 1) AS w, CAST(sum(k11) AS BIGINT) AS r1 FROM bcnt GROUP BY 1),
+    m2 AS (SELECT split_part(bg, ' ', 2) AS w, CAST(sum(k11) AS BIGINT) AS c1 FROM bcnt GROUP BY 1),
+    tot AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bcnt),
+    g2 AS (
+      SELECT b.bg, b.k11, m1.r1, m2.c1, tot.n,
+             b.k11 AS a, m1.r1 - b.k11 AS bb,
+             m2.c1 - b.k11 AS cc, tot.n - m1.r1 - m2.c1 + b.k11 AS dd
+      FROM bcnt b
+      JOIN m1 ON m1.w = split_part(b.bg, ' ', 1)
+      JOIN m2 ON m2.w = split_part(b.bg, ' ', 2)
+      CROSS JOIN tot WHERE b.k11 >= 20
+    ),
+    scored AS (
+      SELECT bg, k11,
+             round(2 * (
+               (CASE WHEN a > 0 THEN a * ln(a * 1.0 * n / (r1 * 1.0 * c1)) ELSE 0 END)
+               + (CASE WHEN bb > 0 THEN bb * ln(bb * 1.0 * n / (r1 * 1.0 * (n - c1))) ELSE 0 END)
+               + (CASE WHEN cc > 0 THEN cc * ln(cc * 1.0 * n / ((n - r1) * 1.0 * c1)) ELSE 0 END)
+               + (CASE WHEN dd > 0 THEN dd * ln(dd * 1.0 * n / ((n - r1) * 1.0 * (n - c1))) ELSE 0 END)
+             ), 6) AS g2
+      FROM g2
+    )
+    SELECT bg, k11 AS c_ab, g2 FROM (
+      SELECT bg, k11, g2, row_number() OVER (ORDER BY g2 DESC, bg ASC) AS rn
+      FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def q396_dunning_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993) — the small-count-safe companion to q115's PMI
+    ranking (disclosed kinship; PMI overweights rare pairs, G2 is the
+    likelihood-ratio test of the 2x2 bigram contingency): margins come
+    from the bigram table itself (c(a,*), c(*,b), N), all four cells
+    are exact integers, and G2 = 2*sum k ln(k/E) evaluates as one fixed
+    scalar expression per row (zero cells contribute zero by the
+    standard convention). Min count 20, ties break on the bigram.
+
+    100 TB story: one bigram explode into a map-side-combining count;
+    margins are two grouped folds OVER THE COUNT FRAME (vocab-sized,
+    not corpus-sized); top-20 is TakeOrdered."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = text.tokens(F.col("text"))
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bcnt = (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bi).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("k11"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    m1 = bcnt.groupBy(w1.alias("w")).agg(F.sum("k11").cast("long").alias("r1"))
+    m2 = bcnt.groupBy(w2.alias("w")).agg(F.sum("k11").cast("long").alias("c1"))
+    tot = bcnt.agg(F.sum("k11").cast("long").alias("n"))
+    g = (
+        bcnt.filter(F.col("k11") >= 20)
+        .join(m1, w1 == m1.w)
+        .drop("w")
+        .join(m2, w2 == m2.w)
+        .drop("w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            "k11",
+            F.col("k11").alias("a"),
+            (F.col("r1") - F.col("k11")).alias("bb"),
+            (F.col("c1") - F.col("k11")).alias("cc"),
+            (F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")).alias("dd"),
+            "r1",
+            "c1",
+            "n",
+        )
+    )
+
+    def _term(k, row, col):
+        return F.when(
+            k > 0, k * F.log(k * 1.0 * F.col("n") / (row * 1.0 * col))
+        ).otherwise(0.0)
+
+    g2 = 2 * (
+        _term(F.col("a"), F.col("r1"), F.col("c1"))
+        + _term(F.col("bb"), F.col("r1"), F.col("n") - F.col("c1"))
+        + _term(F.col("cc"), F.col("n") - F.col("r1"), F.col("c1"))
+        + _term(F.col("dd"), F.col("n") - F.col("r1"), F.col("n") - F.col("c1"))
+    )
+    scored = g.select("bg", F.col("k11").alias("c_ab"), F.round(g2, 6).alias("g2"))
+    return scored.orderBy(F.desc("g2"), F.asc("bg")).limit(20)
+
+
+@query(
+    "q397_cluster_validity",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT label, unnest(generate_series(1, len(x))) AS dim,
+             unnest(x) AS v
+      FROM pts
+    ),
+    cm AS (
+      SELECT label, dim,
+             {_FOLD12_SQL.format(t="v")} / count(*) AS m
+      FROM flat GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY dim) AS c FROM cm GROUP BY 1
+    ),
+    gm AS (
+      SELECT dim, {_FOLD12_SQL.format(t="v")} / count(*) AS m
+      FROM flat GROUP BY 1
+    ),
+    gc AS (SELECT list(m ORDER BY dim) AS g FROM gm),
+    dists AS (
+      SELECT pts.vec_id, pts.label AS own, cent.label AS cl,
+             sqrt(list_sum(list_transform(generate_series(1, len(pts.x)),
+                  i -> (pts.x[i] - cent.c[i]) * (pts.x[i] - cent.c[i])))) AS d
+      FROM pts CROSS JOIN cent
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             min(CASE WHEN cl = own THEN d END) AS a,
+             min(CASE WHEN cl <> own THEN d END) AS b
+      FROM dists GROUP BY 1, 2
+    ),
+    sil AS (
+      SELECT {_FOLD12_SQL.format(t="(b - a) / greatest(a, b)")} / count(*) AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             {_FOLD12_SQL.format(t="a * a")} AS w
+      FROM ab
+    ),
+    gl AS (
+      SELECT ab.own AS label, CAST(count(*) AS BIGINT) AS nl,
+             {_FOLD12_SQL.format(t="ab.a")} / count(*) AS sl
+      FROM ab GROUP BY 1
+    ),
+    bsum AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             {_FOLD12_SQL.format(
+                 t="gl.nl * list_sum(list_transform(generate_series(1, len(cent.c)), i -> (cent.c[i] - gc.g[i]) * (cent.c[i] - gc.g[i])))")} AS b
+      FROM gl JOIN cent ON cent.label = gl.label CROSS JOIN gc
+    ),
+    cd AS (
+      SELECT a.label AS la, b.label AS lb,
+             (ga.sl + gb.sl)
+               / sqrt(list_sum(list_transform(generate_series(1, len(a.c)),
+                      i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])))) AS r
+      FROM cent a JOIN cent b ON a.label <> b.label
+      JOIN gl ga ON ga.label = a.label JOIN gl gb ON gb.label = b.label
+    ),
+    db AS (
+      SELECT {_FOLD12_SQL.format(t="mr")} / count(*) AS db FROM (
+        SELECT la, max(r) AS mr FROM cd GROUP BY 1)
+    )
+    SELECT sil.n, bsum.k,
+           round((bsum.b / (bsum.k - 1)) / (sil.w / (sil.n - bsum.k)), 6) AS calinski_harabasz,
+           round(db.db, 6) AS davies_bouldin,
+           round(sil.s, 6) AS simplified_silhouette
+    FROM sil CROSS JOIN bsum CROSS JOIN db
+    """,
+)
+def q397_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-validity panel for the embedding labels: Calinski-
+    Harabasz variance ratio (1974), Davies-Bouldin index (1979) and the
+    centroid-based SIMPLIFIED silhouette (Hruschka et al. 2004,
+    disclosed — the O(n*k) form; the classical silhouette's O(n^2)
+    pairwise distances are exactly what a 100 TB pipeline cannot do) —
+    the assignment-quality audit behind q120's purity and q187's
+    k-means (disclosed kinship). Centroids are per-(label, dim) decimal
+    folds; every point-to-centroid distance is one array fold over the
+    64 dims; CH and DB reduce over the k-row label frame.
+
+    100 TB story: centroids collapse the corpus once (O(k x dims)
+    partials per task); the distance stage is a k-row broadcast against
+    one linear scan; nothing quadratic in points anywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("x"),
+    )
+    flat = pts.select(
+        "label", F.posexplode("x").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    cm = flat.groupBy("label", "dim").agg(
+        (_fold12(F.col("v")) / F.count(F.lit(1))).alias("m")
+    )
+    cent = cm.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("c")
+    )
+    gm = flat.groupBy("dim").agg((_fold12(F.col("v")) / F.count(F.lit(1))).alias("m"))
+    gc = gm.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("g")
+    )
+    sqdist = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dists = pts.crossJoin(F.broadcast(cent.select(F.col("label").alias("cl"), "c"))).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "cl",
+        F.sqrt(sqdist(F.col("x"), F.col("c"))).alias("d"),
+    )
+    ab = dists.groupBy("vec_id", "own").agg(
+        F.min(F.when(F.col("cl") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.col("d"))).alias("b"),
+    ).localCheckpoint(eager=True)
+    sil = ab.agg(
+        (
+            _fold12((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")))
+            / F.count(F.lit(1))
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _fold12(F.col("a") * F.col("a")).alias("w"),
+    )
+    gl = ab.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("nl"),
+        (_fold12(F.col("a")) / F.count(F.lit(1))).alias("sl"),
+    ).localCheckpoint(eager=True)
+    bsum = (
+        gl.join(cent, "label")
+        .crossJoin(F.broadcast(gc))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            _fold12(F.col("nl") * sqdist(F.col("c"), F.col("g"))).alias("b"),
+        )
+    )
+    ca = cent.select(F.col("label").alias("la"), F.col("c").alias("cca"))
+    cb = cent.select(F.col("label").alias("lb"), F.col("c").alias("ccb"))
+    ga = gl.select(F.col("label").alias("la"), F.col("sl").alias("sla"))
+    gb = gl.select(F.col("label").alias("lb"), F.col("sl").alias("slb"))
+    cd = (
+        ca.join(cb, F.col("la") != F.col("lb"))
+        .join(F.broadcast(ga), "la")
+        .join(F.broadcast(gb), "lb")
+        .select(
+            "la",
+            (
+                (F.col("sla") + F.col("slb"))
+                / F.sqrt(sqdist(F.col("cca"), F.col("ccb")))
+            ).alias("r"),
+        )
+    )
+    db = cd.groupBy("la").agg(F.max("r").alias("mr")).agg(
+        (_fold12(F.col("mr")) / F.count(F.lit(1))).alias("db")
+    )
+    return (
+        sil.crossJoin(F.broadcast(bsum))
+        .crossJoin(F.broadcast(db))
+        .select(
+            "n",
+            "k",
+            F.round(
+                (F.col("b") / (F.col("k") - 1)) / (F.col("w") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("calinski_harabasz"),
+            F.round("db", 6).alias("davies_bouldin"),
+            F.round("s", 6).alias("simplified_silhouette"),
+        )
+    )
