@@ -3030,8 +3030,14 @@ def q375_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cell.agg(
         F.sum("cx").cast("long").alias("n"), F.sum("cy").cast("long").alias("m")
     )
+    # re-aggregate above the checkpoint so the support window's input is
+    # provably bounded (the q363 shape; the checkpoint severs lineage and
+    # would otherwise read as an unbounded single-partition sort)
+    sup = cell.groupBy("v").agg(
+        F.sum("cx").cast("long").alias("cx"), F.sum("cy").cast("long").alias("cy")
+    )
     wv = Window.orderBy("v")
-    cum = cell.select(
+    cum = sup.select(
         "v",
         F.sum("cx").over(wv).cast("long").alias("ax"),
         F.sum("cy").over(wv).cast("long").alias("ay"),
@@ -4176,7 +4182,12 @@ def q386_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("p_s"),
     ).localCheckpoint(eager=True)
     wd = Window.orderBy(F.col("s").desc())
-    c = g.select(
+    # re-aggregate above the checkpoint (q363 shape) so the support
+    # window's input is provably bounded for the plan guard
+    gs = g.groupBy("s").agg(
+        F.sum("n_s").cast("long").alias("n_s"), F.sum("p_s").cast("long").alias("p_s")
+    )
+    c = gs.select(
         "s",
         "n_s",
         "p_s",
@@ -4455,7 +4466,11 @@ def q389_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     tot = g.agg(F.sum("n_s").cast("long").alias("n"))
     wb = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    c = g.select(
+    # re-aggregate above the checkpoint (q363 shape) for the plan guard
+    gs = g.groupBy("s").agg(
+        F.sum("n_s").cast("long").alias("n_s"), F.sum("p_s").cast("long").alias("p_s")
+    )
+    c = gs.select(
         "s",
         "n_s",
         "p_s",

