@@ -5386,3 +5386,268 @@ def q397_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).alias("simplified_silhouette"),
         )
     )
+
+
+@query(
+    "q398_nearest_centroid_eval",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT label, unnest(generate_series(1, len(x))) AS dim, unnest(x) AS v
+      FROM pts
+    ),
+    cm AS (
+      SELECT label, dim, {_FOLD12_SQL.format(t="v")} / count(*) AS m
+      FROM flat GROUP BY 1, 2
+    ),
+    cent AS (SELECT label AS cl, list(m ORDER BY dim) AS c FROM cm GROUP BY 1),
+    dists AS (
+      SELECT pts.vec_id, pts.label AS own, cent.cl,
+             sqrt(list_sum(list_transform(generate_series(1, len(pts.x)),
+                  i -> (pts.x[i] - cent.c[i]) * (pts.x[i] - cent.c[i])))) AS d
+      FROM pts CROSS JOIN cent
+    ),
+    pred AS (
+      SELECT vec_id, own, cl AS pred
+      FROM dists QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+    ),
+    own_n AS (SELECT own, CAST(count(*) AS BIGINT) AS n_own FROM pred GROUP BY 1)
+    SELECT p.own AS true_label, p.pred AS predicted_label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / min(o.n_own), 6) AS share_of_true,
+           CAST(CASE WHEN p.own = p.pred THEN 1 ELSE 0 END AS INT) AS is_correct
+    FROM pred p JOIN own_n o ON o.own = p.own
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q398_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluated against the
+    embedding labels as a confusion table — the CLASSIFIER-quality
+    companion to q397's geometric validity panel (disclosed kinship;
+    same decimal-fold centroids, same O(n*k) distance stage): each
+    vector is assigned to its closest label centroid (ties break on
+    label), and per-(true, predicted) cells report count and the share
+    of the true class — the label-confusability audit behind
+    semantic-dedup label gating (q120 purity's model-based cousin).
+
+    100 TB story: centroids collapse the corpus once; the argmin is a
+    per-vector k-row reduce after a broadcast join; the confusion
+    table is at most k^2 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("x"),
+    )
+    flat = pts.select("label", F.posexplode("x").alias("dim0", "v")).select(
+        "label", (F.col("dim0") + 1).alias("dim"), "v"
+    )
+    cm = flat.groupBy("label", "dim").agg(
+        (_fold12(F.col("v")) / F.count(F.lit(1))).alias("m")
+    )
+    cent = cm.groupBy(F.col("label").alias("cl")).agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("c")
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dists = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", F.col("label").alias("own"), "cl", F.sqrt(sqd).alias("d")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d", "cl")
+    pred = (
+        dists.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "own", F.col("cl").alias("pred"))
+        .localCheckpoint(eager=True)
+    )
+    own_n = pred.groupBy("own").agg(F.count(F.lit(1)).cast("long").alias("n_own"))
+    return (
+        pred.join(F.broadcast(own_n), "own")
+        .groupBy(
+            F.col("own").alias("true_label"), F.col("pred").alias("predicted_label")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.min("n_own"), 6).alias(
+                "share_of_true"
+            ),
+            F.max(
+                F.when(F.col("own") == F.col("pred"), 1).otherwise(0)
+            ).cast("int").alias("is_correct"),
+        )
+        .orderBy("true_label", "predicted_label")
+    )
+
+
+@query(
+    "q399_degree_powerlaw",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    edges AS (SELECT s1 AS node FROM co UNION ALL SELECT s2 FROM co),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    tail AS (SELECT d FROM deg WHERE d >= 2),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {_FOLD12_SQL.format(t="ln(d / 1.5)")} AS slnd
+      FROM tail
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           m.n AS n_tail, CAST(2 AS BIGINT) AS d_min,
+           round(1 + m.n / m.slnd, 6) AS alpha_mle,
+           round((m.n / m.slnd) / sqrt(m.n), 6) AS alpha_se
+    FROM m
+    """,
+)
+def q399_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent of the co-purchase graph's degree
+    distribution by the Clauset-Shalizi-Newman MLE (2009, the
+    d_min - 1/2 continuous approximation, disclosed):
+    alpha = 1 + n / sum ln(d_i/(d_min - 0.5)) over the d >= 2 tail,
+    with the standard error (alpha-1)/sqrt(n) — the graph-side cousin
+    of q333's Hill index on values and q87's Zipf slope on tokens
+    (disclosed kinship; all three estimate tail heaviness, this one on
+    the q233/q294 edge set). ln terms fold as 12-dp decimal.
+
+    100 TB story: degrees are one grouped count over symmetrized
+    edges; the MLE is a single fold over the tail frame."""
+    co = _cograph_edges(spark, sf_dir)
+    edges = co.select(F.col("s1").alias("node")).unionAll(
+        co.select(F.col("s2").alias("node"))
+    )
+    deg = edges.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    tail = deg.filter(F.col("d") >= 2)
+    m = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _fold12(F.log(F.col("d") / 1.5)).alias("slnd"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("n").alias("n_tail"),
+        F.lit(2).cast("long").alias("d_min"),
+        F.round(1 + F.col("n") / F.col("slnd"), 6).alias("alpha_mle"),
+        F.round((F.col("n") / F.col("slnd")) / F.sqrt(F.col("n")), 6).alias(
+            "alpha_se"
+        ),
+    )
+
+
+@query(
+    "q400_retention_decay",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day
+      FROM events
+    ),
+    first_d AS (SELECT user_id, min(day) AS f FROM ud GROUP BY 1),
+    span AS (SELECT max(day) AS mx FROM ud),
+    num AS (
+      SELECT ud.day - fd.f AS k, CAST(count(*) AS BIGINT) AS active
+      FROM ud JOIN first_d fd USING (user_id)
+      WHERE ud.day - fd.f BETWEEN 1 AND 14 GROUP BY 1
+    ),
+    den AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS at_risk
+      FROM first_d fd CROSS JOIN span
+      CROSS JOIN (SELECT unnest(generate_series(1, 14)) AS k) ks
+      WHERE fd.f + ks.k <= span.mx GROUP BY 1
+    ),
+    r AS (
+      SELECT den.k, coalesce(num.active, 0) AS active, den.at_risk,
+             round(ln(coalesce(num.active, 0) * 1.0 / den.at_risk), 12) AS lr
+      FROM den LEFT JOIN num ON num.k = den.k
+      WHERE coalesce(num.active, 0) > 0
+    ),
+    reg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {_FOLD12_SQL.format(t="k * 1.0")} AS sa,
+             {_FOLD12_SQL.format(t="lr")} AS sb,
+             {_FOLD12_SQL.format(t="k * lr")} AS sab,
+             {_FOLD12_SQL.format(t="k * 1.0 * k")} AS sa2
+      FROM r
+    )
+    SELECT reg.n AS n_points,
+           round((reg.sab - reg.sa * reg.sb / reg.n)
+                 / (reg.sa2 - reg.sa * reg.sa / reg.n), 6) AS daily_decay_rate,
+           round(exp(reg.sb / reg.n - (reg.sab - reg.sa * reg.sb / reg.n)
+                 / (reg.sa2 - reg.sa * reg.sa / reg.n) * reg.sa / reg.n), 6) AS day0_retention,
+           round(-0.6931471805599453
+                 / ((reg.sab - reg.sa * reg.sb / reg.n)
+                    / (reg.sa2 - reg.sa * reg.sa / reg.n)), 6) AS half_life_days
+    FROM reg
+    """,
+)
+def q400_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit over the pooled cohort curve:
+    day-k retention r_k = (users active exactly k days after first
+    seen) / (users whose cohort is at least k days old), k = 1..14,
+    then ln(r_k) regressed on k — the decay-RATE model behind q95's
+    raw cohort table (disclosed kinship), reported as the daily decay
+    rate, the extrapolated day-0 intercept and the half-life
+    -ln 2 / b. ln terms are 12-dp-rounded at materialization; the OLS
+    is the standard fold regression.
+
+    100 TB story: the corpus collapses once to distinct (user, day);
+    first-seen is one grouped min; numerator and at-risk denominator
+    are grouped counts over 14 literal lags; the fit is a 14-row
+    fold."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.expr("(ts div 1000000000) div 86400").alias("day")
+    ).distinct().localCheckpoint(eager=True)
+    fd = ud.groupBy("user_id").agg(F.min("day").alias("f"))
+    span = ud.agg(F.max("day").alias("mx"))
+    num = (
+        ud.join(fd, "user_id")
+        .select((F.col("day") - F.col("f")).alias("k"))
+        .filter((F.col("k") >= 1) & (F.col("k") <= 14))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("active"))
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 15)], "k long")
+    den = (
+        fd.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("f") + F.col("k") <= F.col("mx"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("at_risk"))
+    )
+    r = (
+        den.join(num, "k", "left")
+        .select(
+            "k",
+            F.coalesce("active", F.lit(0)).alias("active"),
+            "at_risk",
+            F.round(
+                F.log(F.coalesce("active", F.lit(0)) * 1.0 / F.col("at_risk")), 12
+            ).alias("lr"),
+        )
+        .filter(F.col("active") > 0)
+    )
+    reg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _fold12(F.col("k") * 1.0).alias("sa"),
+        _fold12(F.col("lr")).alias("sb"),
+        _fold12(F.col("k") * F.col("lr")).alias("sab"),
+        _fold12(F.col("k") * 1.0 * F.col("k")).alias("sa2"),
+    )
+    b = (F.col("sab") - F.col("sa") * F.col("sb") / F.col("n")) / (
+        F.col("sa2") - F.col("sa") * F.col("sa") / F.col("n")
+    )
+    return reg.select(
+        F.col("n").alias("n_points"),
+        F.round(b, 6).alias("daily_decay_rate"),
+        F.round(
+            F.exp(F.col("sb") / F.col("n") - b * F.col("sa") / F.col("n")), 6
+        ).alias("day0_retention"),
+        F.round(-F.lit(0.6931471805599453) / b, 6).alias("half_life_days"),
+    )
