@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``phoebe_spark`` (see SURVEY.md §2 for the
-operator inventory and phoebe_spark/queries.py for the registry).
+operator inventory and phoebe_spark/queries/ for the registry).
 """
 
 from __future__ import annotations

@@ -355,6 +355,36 @@ BENCH_QUERIES = [
     "q368_durbin_watson",
     "q369_quantile_treatment_effect",
     "q370_shard_balance_audit",
+    "q371_friedman",
+    "q372_cochran_q",
+    "q373_jonckheere",
+    "q374_welch_anova",
+    "q375_energy_distance",
+    "q376_mmd_rff",
+    "q377_hellinger_tv",
+    "q378_cliffs_delta",
+    "q379_hhi_concentration",
+    "q380_theil_decomposition",
+    "q381_atkinson_index",
+    "q382_hurst_rs",
+    "q383_variance_ratio",
+    "q384_theta_forecast",
+    "q385_sample_entropy",
+    "q386_average_precision",
+    "q387_mcc_sweep",
+    "q388_good_turing",
+    "q389_hosmer_lemeshow",
+    "q390_dp_laplace_audit",
+    "q391_streaming_bottomk_drain",
+    "q392_excess_supplier",
+    "q393_assortativity",
+    "q394_forecast_scoreboard",
+    "q395_tukey_hsd",
+    "q396_dunning_g2",
+    "q397_cluster_validity",
+    "q398_nearest_centroid_eval",
+    "q399_degree_powerlaw",
+    "q400_retention_decay",
 ]
 
 

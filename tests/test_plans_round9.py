@@ -121,8 +121,8 @@ def test_q361_gesd_is_single_row_folds(spark, sf_dir):
 def test_round9b_no_raw_single_partition_sorts(spark, sf_dir):
     """The q371-q397 additions, including checkpointed stages, must be
     free of unpartitioned sorts over raw corpus rows."""
-    names = [n for n in QUERIES if re.match(r"q3(7\d|8\d|9[0-7])_", n)]
-    assert len(names) >= 26
+    names = [n for n in QUERIES if re.match(r"q(3(7\d|8\d|9\d)|400)_", n)]
+    assert len(names) >= 29
     for name in names:
         if "streaming" in name:
             continue  # drains execute streams at build; covered by parity
