@@ -424,6 +424,85 @@ def run_scale(spark, scale: int) -> dict:
 
     t_build("kneser_ney", _kn)
 
+    # round-9: sample-entropy band join (q385 shape) — hourly template
+    # pairs found via an r-width bucket join; the hourly frame is
+    # TIME-bounded, so cost must track the corpus SCAN (one collapse),
+    # never the corpus pair count. The events generator's time range
+    # grows with n (n//10 seconds), so the hourly frame grows ~linearly
+    # too — the band join must stay linear in it.
+    def _sampen():
+        h = ev.groupBy((F.col("ts") / 3600).cast("long").alias("hr")).agg(
+            F.avg("value").alias("x")
+        )
+        from pyspark.sql import Window as W
+
+        ser = h.select("x", F.row_number().over(W.orderBy("hr")).alias("pos"))
+        mom = ser.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        rr = mom.select(
+            (0.2 * F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"))).alias("r")
+        )
+        wp = W.orderBy("pos")
+        t_ = ser.crossJoin(F.broadcast(rr)).select(
+            F.col("pos").alias("i"),
+            F.col("x").alias("x1"),
+            F.lead("x", 1).over(wp).alias("x2"),
+            F.floor(F.col("x") / F.col("r")).cast("long").alias("bk"),
+        ).filter(F.col("x2").isNotNull())
+        ex = t_.select(
+            "i", "x1", "x2",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("o"), "bk",
+        ).select("i", "x1", "x2", (F.col("bk") + F.col("o")).alias("bk"))
+        b = t_.select(
+            F.col("i").alias("j"), F.col("x1").alias("b1"),
+            F.col("x2").alias("b2"), F.col("bk").alias("bbk"),
+        )
+        return (
+            ex.join(b, (F.col("bk") == F.col("bbk")) & (F.col("i") < F.col("j")))
+            .crossJoin(F.broadcast(rr))
+            .filter(
+                (F.abs(F.col("x1") - F.col("b1")) <= F.col("r"))
+                & (F.abs(F.col("x2") - F.col("b2")) <= F.col("r"))
+            )
+            .agg(F.count(F.lit(1)).alias("b_count"))
+        )
+
+    t_build("sampen_band_join", _sampen)
+
+    # round-9: cluster-validity distance stage (q397/q398 shape) — the
+    # point-to-centroid pass is a k-row broadcast against one linear
+    # scan; cost must track n_emb, never n_emb^2
+    def _validity():
+        pts = emb.select(
+            "vec_id",
+            F.pmod("vec_id", F.lit(10)).alias("label"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("x"),
+        )
+        flat = pts.select("label", F.posexplode("x").alias("dim", "v"))
+        cent = (
+            flat.groupBy("label", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("c"))
+        )
+        sqd = F.aggregate(
+            F.zip_with(F.col("x"), F.col("c"), lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, t2: acc + t2,
+        )
+        d = pts.crossJoin(F.broadcast(cent.select(F.col("label").alias("cl"), "c"))).select(
+            "vec_id", "label", "cl", F.sqrt(sqd).alias("d")
+        )
+        return d.groupBy("vec_id", "label").agg(
+            F.min(F.when(F.col("cl") == F.col("label"), F.col("d"))).alias("a"),
+            F.min(F.when(F.col("cl") != F.col("label"), F.col("d"))).alias("b"),
+        ).agg(F.avg((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("sil"))
+
+    t_build("cluster_validity", _validity)
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 
