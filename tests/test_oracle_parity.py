@@ -58,6 +58,15 @@ AGG_WINDOW_ALLOWLIST = {
     "q363_kruskal_wallis",      # pooled-rank cum over the value support
     "q367_runs_test",           # sign-run lag over the O(days) rollup
     "q36_ewm_ensemble",         # timeseries grid: O(timesteps)
+    "q375_energy_distance",     # CDF cum over the value support (q363 kin)
+    "q378_cliffs_delta",        # doubled-U cum over the value support
+    "q382_hurst_rs",            # hourly rollup positions: O(hours)
+    "q383_variance_ratio",      # hourly return series: O(hours)
+    "q384_theta_forecast",      # daily rollup: O(days)
+    "q385_sample_entropy",      # hourly template positions: O(hours)
+    "q386_average_precision",   # score support: ~100 distinct scores
+    "q389_hosmer_lemeshow",     # score support deciles: ~100 rows
+    "q394_forecast_scoreboard", # daily rollup: O(days)
     "q40_merge_overwrite",      # timeseries grid: O(timesteps)
     "q82_acctbal_deciles",      # $1-bucket offsets: price-range-bounded
     "q85_spearman",             # distinct-value support ranks
