@@ -392,3 +392,254 @@ def q404_condorcet_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
         "copeland",
         (F.col("majorities") == F.col("rivals")).alias("condorcet_winner"),
     )
+
+
+@query(
+    "q402_fleiss_kappa",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+              + CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40 THEN 1 ELSE 0 END
+              + CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS r
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS s1,
+             CAST(sum(r * r) AS BIGINT) AS s2
+      FROM g GROUP BY 1
+    )
+    SELECT source, n,
+           round(s1 * 1.0 / (3 * n), 6) AS p_keep,
+           round((2 * s2 - 6 * s1 + 6 * n) * 1.0 / (6 * n), 6) AS p_observed,
+           round((s1 * 1.0 / (3 * n)) * (s1 * 1.0 / (3 * n))
+                 + (1.0 - s1 * 1.0 / (3 * n)) * (1.0 - s1 * 1.0 / (3 * n)), 6)
+             AS p_expected,
+           CASE WHEN 1.0 - ((s1 * 1.0 / (3 * n)) * (s1 * 1.0 / (3 * n))
+                            + (1.0 - s1 * 1.0 / (3 * n)) * (1.0 - s1 * 1.0 / (3 * n))) = 0.0
+                THEN 0.0
+                ELSE round(((2 * s2 - 6 * s1 + 6 * n) * 1.0 / (6 * n)
+                            - ((s1 * 1.0 / (3 * n)) * (s1 * 1.0 / (3 * n))
+                               + (1.0 - s1 * 1.0 / (3 * n)) * (1.0 - s1 * 1.0 / (3 * n))))
+                           / (1.0 - ((s1 * 1.0 / (3 * n)) * (s1 * 1.0 / (3 * n))
+                                     + (1.0 - s1 * 1.0 / (3 * n)) * (1.0 - s1 * 1.0 / (3 * n)))), 6) + 0.0
+           END AS fleiss_kappa
+    FROM s
+    """,
+)
+def q402_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) multi-rater agreement per source over
+    THREE binary curation "raters" — the char-length gate (n_chars >=
+    200), the token-count gate (>= 40 whitespace tokens), and the
+    target-language gate (lang = 'en') — the n>2-rater generalization of
+    q346's pairwise Cohen kappa (disclosed kinship): with r = keep-votes
+    per document, P_o reduces to the exact integer identity
+    (2*sum(r^2) - 6*sum(r) + 6*N) / (6N), so agreement is computed from
+    three BIGINT moments per source and only the final divisions are
+    floating point. Degenerate P_e = 1 strata emit kappa 0 by the same
+    CASE in both engines.
+
+    100 TB story: all three gates are pure column expressions inside ONE
+    map-side-combining per-source aggregate; the kappa arithmetic runs on
+    the O(sources) frame — no second corpus pass, no window."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    r = (
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+        + F.when(F.size(text_ops.tokens(F.col("text"))) >= 40, 1).otherwise(0)
+        + F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    s = d.select("source", r.alias("r")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+    )
+    p = F.col("s1") * 1.0 / (3 * F.col("n"))
+    po = (2 * F.col("s2") - 6 * F.col("s1") + 6 * F.col("n")) * 1.0 / (
+        6 * F.col("n")
+    )
+    pe = p * p + (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    return s.select(
+        "source",
+        "n",
+        F.round(p, 6).alias("p_keep"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.when(F.lit(1.0) - pe == 0.0, F.lit(0.0))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0))
+        .alias("fleiss_kappa"),
+    )
+
+
+_FOLD12_SQL = "CAST(round(sum(CAST(round({t}, 12) AS DECIMAL(38,12))), 12) AS DOUBLE)"
+
+_LOGRANK_E_TERM = "d * (n1 * 1.0 / nt)"
+_LOGRANK_V_TERM = (
+    "CASE WHEN nt > 1 THEN d * (n1 * 1.0 / nt) * (1.0 - n1 * 1.0 / nt)"
+    " * (nt - d) / (nt - 1.0) ELSE 0.0 END"
+)
+
+
+@query(
+    "q403_logrank_test",
+    oracle=f"""
+    WITH o AS (
+      SELECT o.o_custkey, o.o_orderkey,
+             datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    g AS (
+      SELECT arm, d,
+             lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+      FROM o
+    ),
+    dur AS (
+      SELECT arm,
+             CASE WHEN nd IS NULL THEN (SELECT dmax FROM mx) - d
+                  ELSE nd - d END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM g
+    ),
+    byt AS (
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_all1,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, d1,
+             CAST(sum(n_all) OVER () -
+               coalesce(sum(n_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nt,
+             CAST(sum(n_all1) OVER () -
+               coalesce(sum(n_all1) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1
+      FROM byt
+    ),
+    ev AS (SELECT * FROM risk WHERE d > 0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_times,
+             CAST(sum(d1) AS BIGINT) AS obs1,
+             {_FOLD12_SQL.format(t=_LOGRANK_E_TERM)} AS exp1,
+             {_FOLD12_SQL.format(t=_LOGRANK_V_TERM)} AS var1
+      FROM ev
+    )
+    SELECT n_times, obs1,
+           round(exp1, 6) AS expected1,
+           round((obs1 - exp1) * (obs1 - exp1) / var1, 6) AS chi2_stat,
+           round({_p2_sql(f"sqrt((obs1 - exp1) * (obs1 - exp1) / var1) * {_INV_SQRT2}")}, 6) + 0.0
+             AS p_value,
+           CASE WHEN obs1 < exp1 THEN 'arm1_lower_hazard'
+                WHEN obs1 > exp1 THEN 'arm1_higher_hazard'
+                ELSE 'equal' END AS direction
+    FROM s
+    """,
+)
+def q403_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing reorder-gap survival between
+    BUILDING-segment customers (arm 1) and everyone else over q282's
+    Kaplan-Meier fixture (disclosed kinship): consecutive-order gaps are
+    events, last-order-to-corpus-end tails are right-censored, and at
+    each distinct gap value the observed arm-1 deaths are compared
+    against the hypergeometric expectation d * n1/n with variance
+    d*(n1/n)*(1-n1/n)*(n-d)/(n-1) — the standard two-group survival
+    comparison that respects censoring (a plain mean-gap t-test would
+    not). O-E and V accumulate through 12-dp DECIMAL folds so the
+    corpus-order of the O(distinct gaps) terms cannot change the
+    statistic; chi2 = (O-E)^2/V with the shared erfc p-value chain.
+
+    100 TB story: one lead() pass partitioned by customer (shuffle on
+    the key) builds durations; everything after is grouped by gap VALUE
+    — the ordered risk-set windows run over O(distinct days) rows,
+    SF-independent, exactly q282's shape."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                .otherwise(0)
+                .alias("arm"),
+            ),
+            "o_custkey",
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "arm",
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+        )
+    )
+    dmax = o.agg(F.max("d").alias("dmax"))
+    g = o.withColumn(
+        "nd",
+        F.lead("d").over(Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")),
+    )
+    dur = g.crossJoin(F.broadcast(dmax)).select(
+        "arm",
+        F.when(F.col("nd").isNull(), F.col("dmax") - F.col("d"))
+        .otherwise(F.col("nd") - F.col("d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_all1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wbef = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.sum("n_all").over(wtot) - F.coalesce(F.sum("n_all").over(wbef), F.lit(0))
+        ).cast("long").alias("nt"),
+        (
+            F.sum("n_all1").over(wtot)
+            - F.coalesce(F.sum("n_all1").over(wbef), F.lit(0))
+        ).cast("long").alias("n1"),
+    ).filter(F.col("d") > 0)
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    frac = F.col("n1") * 1.0 / F.col("nt")
+    e_term = F.col("d") * frac
+    v_term = F.when(
+        F.col("nt") > 1,
+        F.col("d") * frac * (F.lit(1.0) - frac) * (F.col("nt") - F.col("d"))
+        / (F.col("nt") - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    s = risk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("obs1"),
+        _fold12(e_term).alias("exp1"),
+        _fold12(v_term).alias("var1"),
+    )
+    chi2 = (F.col("obs1") - F.col("exp1")) * (F.col("obs1") - F.col("exp1")) / F.col(
+        "var1"
+    )
+    return s.select(
+        "n_times",
+        "obs1",
+        F.round("exp1", 6).alias("expected1"),
+        F.round(chi2, 6).alias("chi2_stat"),
+        (F.round(_p2_col(F.sqrt(chi2) * F.lit(_INV_SQRT2)), 6) + F.lit(0.0)).alias(
+            "p_value"
+        ),
+        F.when(F.col("obs1") < F.col("exp1"), "arm1_lower_hazard")
+        .when(F.col("obs1") > F.col("exp1"), "arm1_higher_hazard")
+        .otherwise("equal")
+        .alias("direction"),
+    )
