@@ -643,3 +643,220 @@ def q403_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("equal")
         .alias("direction"),
     )
+
+
+@query(
+    "q405_overdispersion",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+      SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, d.day, coalesce(c.c, 0) AS c
+      FROM types t CROSS JOIN days d
+      LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM grid GROUP BY 1
+    ),
+    st AS (
+      SELECT event_type, n, s1,
+             round(s1 * 1.0 / n, 6) AS mean_daily,
+             round((n * s2 - s1 * s1) * 1.0 / (n * (n - 1.0)), 6) AS var_daily,
+             (n * s2 - s1 * s1) * 1.0 / (s1 * (n - 1.0)) AS disp,
+             sqrt(2.0 * (n * s2 - s1 * s1) / (s1 * 1.0)) - sqrt(2.0 * (n - 1) - 1.0) AS z
+      FROM m
+    )
+    SELECT event_type, n AS n_days, mean_daily, var_daily,
+           round(disp, 6) AS dispersion,
+           round(z, 6) + 0.0 AS z_stat,
+           round({_p2_sql(f"abs(z) * {_INV_SQRT2}")}, 6) + 0.0 AS p_value,
+           CASE WHEN {_p2_sql(f"abs(z) * {_INV_SQRT2}")} < 0.05 AND disp > 1.0
+                  THEN 'overdispersed'
+                WHEN {_p2_sql(f"abs(z) * {_INV_SQRT2}")} < 0.05 AND disp < 1.0
+                  THEN 'underdispersed'
+                ELSE 'poisson_consistent' END AS verdict
+    FROM st
+    """,
+)
+def q405_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion test per event type on daily arrival counts
+    (Cochran's variance test / Fisher dispersion index): over the dense
+    day spine (distinct days x types, zero-filled so silent days count),
+    the dispersion index D = s^2/xbar reduces to the exact integer ratio
+    (n*S2 - S1^2) / (S1*(n-1)) from BIGINT moments, and (n-1)*D is
+    referred to chi2(n-1) via the sqrt(2T) - sqrt(2df-1) normal
+    approximation (Fisher) with the shared erfc p-value chain —
+    the "is a Poisson rate model even admissible" gate run before any
+    arrival-rate forecast (q326/q384 kinship, disclosed). D > 1 with
+    small p flags burstiness/clumping; D < 1 flags regularity.
+
+    100 TB story: ONE map-side-combining aggregate to (day, type) cells;
+    the day spine and the moment arithmetic run on O(days * K) rows,
+    SF-independent beyond the first rollup; no window, no corpus sort."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("(ts div 1000000000) div 86400").alias("day"), "event_type"
+    )
+    days = e.select("day").distinct()
+    types = e.select("event_type").distinct()
+    cnt = e.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["day", "event_type"], "left")
+        .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    disp = num * 1.0 / (F.col("s1") * (F.col("n") - F.lit(1.0)))
+    z = F.sqrt(2.0 * num / (F.col("s1") * 1.0)) - F.sqrt(
+        2.0 * (F.col("n") - 1) - F.lit(1.0)
+    )
+    p = _p2_col(F.abs(z) * F.lit(_INV_SQRT2))
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("s1") * 1.0 / F.col("n"), 6).alias("mean_daily"),
+        F.round(num * 1.0 / (F.col("n") * (F.col("n") - F.lit(1.0))), 6).alias(
+            "var_daily"
+        ),
+        F.round(disp, 6).alias("dispersion"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+        (F.round(p, 6) + F.lit(0.0)).alias("p_value"),
+        F.when((p < 0.05) & (disp > 1.0), "overdispersed")
+        .when((p < 0.05) & (disp < 1.0), "underdispersed")
+        .otherwise("poisson_consistent")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q406_stratified_ipw_ate",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events WHERE value IS NOT NULL
+    ),
+    strat AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN yc ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN arm = 0 THEN yc ELSE 0 END) AS BIGINT) AS s0
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n1) AS BIGINT) AS nn1,
+             CAST(sum(s1) AS BIGINT) AS ss1, CAST(sum(s0) AS BIGINT) AS ss0
+      FROM strat
+    ),
+    terms AS (
+      SELECT
+        {_FOLD12_SQL.format(t="CASE WHEN n1 > 0 AND n1 < n THEN (n * 1.0 / (SELECT nn FROM tot)) * (s1 * 1.0 / n1 - s0 * 1.0 / (n - n1)) ELSE 0.0 END")} AS strat_c,
+        {_FOLD12_SQL.format(t="CASE WHEN n1 > 0 AND n1 < n THEN s1 / (n1 * 1.0 / n) - s0 / (1.0 - n1 * 1.0 / n) ELSE 0.0 END")} AS ipw_c,
+        max(abs(n1 * 1.0 / n - 0.5)) AS imb,
+        CAST(count(*) AS BIGINT) AS k
+      FROM strat
+    )
+    SELECT k AS n_strata, nn AS n_events,
+           round((ss1 * 1.0 / nn1 - ss0 * 1.0 / (nn - nn1)) / 100.0, 6) AS naive_diff,
+           round(strat_c / 100.0, 6) + 0.0 AS stratified_ate,
+           round(ipw_c / (nn * 100.0), 6) + 0.0 AS ipw_ate,
+           round(imb, 6) AS max_propensity_imbalance
+    FROM tot CROSS JOIN terms
+    """,
+)
+def q406_stratified_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification- and inverse-propensity-weighted average treatment
+    effect (Horvitz-Thompson 1952 / Rosenbaum-Rubin 1983) of the hash
+    arm (user_id % 2) on event value, adjusting for event type as the
+    confounding stratum — the adjustment tier above q355's CUPED
+    variance reduction and q369's quantile effects (disclosed kinship):
+    the naive arm difference is reported beside the stratified estimate
+    sum_s (n_s/N) * (mean1_s - mean0_s) and the IPW estimate
+    (1/N) * sum_s [S1_s/e_s - S0_s/(1-e_s)] with e_s the within-stratum
+    propensity. Outcomes are cents-quantized so every stratum moment is
+    an exact BIGINT; the O(K)-row estimator terms accumulate through
+    12-dp DECIMAL folds; degenerate strata (single-arm) contribute zero
+    by the same CASE in both engines.
+
+    100 TB story: ONE map-side-combining aggregate to K stratum rows
+    carrying integer moments; all three estimators are K-row folds —
+    no second corpus pass, no window, no join."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    strat = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("yc")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("yc")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+    ).localCheckpoint(eager=True)
+    tot = strat.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n1").cast("long").alias("nn1"),
+        F.sum("s1").cast("long").alias("ss1"),
+        F.sum("s0").cast("long").alias("ss0"),
+    )
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    ok = (F.col("n1") > 0) & (F.col("n1") < F.col("n"))
+    e_s = F.col("n1") * 1.0 / F.col("n")
+    strat_term = F.when(
+        ok,
+        (F.col("n") * 1.0 / F.col("bn"))
+        * (F.col("s1") * 1.0 / F.col("n1") - F.col("s0") * 1.0 / (F.col("n") - F.col("n1"))),
+    ).otherwise(F.lit(0.0))
+    ipw_term = F.when(
+        ok, F.col("s1") / e_s - F.col("s0") / (F.lit(1.0) - e_s)
+    ).otherwise(F.lit(0.0))
+    terms = (
+        strat.crossJoin(F.broadcast(tot.select(F.col("nn").alias("bn"))))
+        .agg(
+            _fold12(strat_term).alias("strat_c"),
+            _fold12(ipw_term).alias("ipw_c"),
+            F.max(F.abs(e_s - F.lit(0.5))).alias("imb"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        F.col("k").alias("n_strata"),
+        F.col("nn").alias("n_events"),
+        F.round(
+            (
+                F.col("ss1") * 1.0 / F.col("nn1")
+                - F.col("ss0") * 1.0 / (F.col("nn") - F.col("nn1"))
+            )
+            / 100.0,
+            6,
+        ).alias("naive_diff"),
+        (F.round(F.col("strat_c") / 100.0, 6) + F.lit(0.0)).alias("stratified_ate"),
+        (F.round(F.col("ipw_c") / (F.col("nn") * 100.0), 6) + F.lit(0.0)).alias(
+            "ipw_ate"
+        ),
+        F.round("imb", 6).alias("max_propensity_imbalance"),
+    )
