@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._core import _t, query
+from .q201_250 import _COGRAPH_SQL, _cograph_edges
 from .q301_350 import _INV_SQRT2, _p2_col, _p2_sql
 
 # ---------------------------------------------------------------------------
@@ -859,4 +860,241 @@ def q406_stratified_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ipw_ate"
         ),
         F.round("imb", 6).alias("max_propensity_imbalance"),
+    )
+
+
+@query(
+    "q407_graph_modularity",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM co),
+    comm AS (SELECT p_partkey AS node, p_brand AS c FROM part),
+    sym AS (SELECT s1 AS node FROM co UNION ALL SELECT s2 FROM co),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    dsum AS (
+      SELECT comm.c, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg.d) AS BIGINT) AS dc
+      FROM deg JOIN comm ON comm.node = deg.node GROUP BY 1
+    ),
+    intra AS (
+      SELECT c1.c, CAST(count(*) AS BIGINT) AS ec
+      FROM co JOIN comm c1 ON c1.node = co.s1
+              JOIN comm c2 ON c2.node = co.s2
+      WHERE c1.c = c2.c GROUP BY 1
+    ),
+    rows_ AS (
+      SELECT d.c AS community, d.n_nodes, coalesce(i.ec, 0) AS intra_edges,
+             d.dc AS degree_sum,
+             coalesce(i.ec, 0) * 1.0 / (SELECT m FROM m)
+               - (d.dc / (2.0 * (SELECT m FROM m))) * (d.dc / (2.0 * (SELECT m FROM m)))
+               AS contrib
+      FROM dsum d LEFT JOIN intra i ON i.c = d.c
+    ),
+    tot AS (SELECT {_FOLD12_SQL.format(t="contrib")} AS q FROM rows_)
+    SELECT community, n_nodes, intra_edges, degree_sum,
+           round(contrib, 6) + 0.0 AS contribution,
+           round((SELECT q FROM tot), 6) + 0.0 AS modularity_total
+    FROM rows_
+    """,
+)
+def q407_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (Newman & Girvan 2004) of the canonical part
+    co-occurrence graph (q232/q393's edge set, disclosed kinship)
+    partitioned by the part's BRAND: per community, the observed
+    intra-community edge fraction e_c/m minus the configuration-model
+    expectation (d_c/2m)^2, plus the graph-level Q folded at 12-dp
+    DECIMAL over the 25 brand rows — "is the co-purchase graph actually
+    organized by brand" as one number, the partition-quality audit run
+    before trusting any attribute as a clustering key. Integer edge and
+    degree counts; only the final fractions are floating point.
+
+    100 TB story: degrees are one grouped count on the symmetrized
+    edges; community attachment is two hash joins against the broadcast
+    part dimension; the modularity arithmetic runs on O(brands) rows."""
+    co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    m = co.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    comm = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("c")
+    )
+    sym = co.select(F.col("s1").alias("node")).unionAll(
+        co.select(F.col("s2").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dsum = deg.join(F.broadcast(comm), "node").groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("dc"),
+    )
+    intra = (
+        co.join(
+            F.broadcast(comm.select(F.col("node").alias("s1"), F.col("c").alias("ca"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(comm.select(F.col("node").alias("s2"), F.col("c").alias("cb"))),
+            "s2",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    rows_ = (
+        dsum.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes",
+            F.coalesce("ec", F.lit(0)).alias("intra_edges"),
+            F.col("dc").alias("degree_sum"),
+            (
+                F.coalesce("ec", F.lit(0)) * 1.0 / F.col("m")
+                - (F.col("dc") / (2.0 * F.col("m")))
+                * (F.col("dc") / (2.0 * F.col("m")))
+            ).alias("contrib"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    tot = rows_.agg(_fold12(F.col("contrib")).alias("q"))
+    return rows_.crossJoin(F.broadcast(tot)).select(
+        "community",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        (F.round("contrib", 6) + F.lit(0.0)).alias("contribution"),
+        (F.round("q", 6) + F.lit(0.0)).alias("modularity_total"),
+    )
+
+
+@query(
+    "q408_vif_collinearity",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_tax * 100) AS BIGINT) AS x3
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS a1, CAST(sum(x2) AS BIGINT) AS a2,
+             CAST(sum(x3) AS BIGINT) AS a3,
+             CAST(sum(x1 * x1) AS BIGINT) AS q1, CAST(sum(x2 * x2) AS BIGINT) AS q2,
+             CAST(sum(x3 * x3) AS BIGINT) AS q3,
+             CAST(sum(x1 * x2) AS BIGINT) AS p12, CAST(sum(x1 * x3) AS BIGINT) AS p13,
+             CAST(sum(x2 * x3) AS BIGINT) AS p23
+      FROM s
+    ),
+    r AS (
+      SELECT n,
+             (n * p12 - a1 * a2) / sqrt((n * q1 - a1 * a1) * 1.0 * (n * q2 - a2 * a2)) AS r12,
+             (n * p13 - a1 * a3) / sqrt((n * q1 - a1 * a1) * 1.0 * (n * q3 - a3 * a3)) AS r13,
+             (n * p23 - a2 * a3) / sqrt((n * q2 - a2 * a2) * 1.0 * (n * q3 - a3 * a3)) AS r23
+      FROM m
+    ),
+    v AS (
+      SELECT n, r12, r13, r23,
+             (r12 * r12 + r13 * r13 - 2.0 * r12 * r13 * r23) / (1.0 - r23 * r23) AS rsq1,
+             (r12 * r12 + r23 * r23 - 2.0 * r12 * r23 * r13) / (1.0 - r13 * r13) AS rsq2,
+             (r13 * r13 + r23 * r23 - 2.0 * r13 * r23 * r12) / (1.0 - r12 * r12) AS rsq3
+      FROM r
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT 'l_quantity' AS variable, n, rsq1 AS rsq FROM v
+        UNION ALL SELECT 'l_discount', n, rsq2 FROM v
+        UNION ALL SELECT 'l_tax', n, rsq3 FROM v
+      )
+    )
+    SELECT variable, n,
+           round(rsq, 6) + 0.0 AS r_squared,
+           CASE WHEN 1.0 - rsq <= 0.0 THEN NULL
+                ELSE round(1.0 / (1.0 - rsq), 6) END AS vif,
+           CASE WHEN 1.0 - rsq <= 0.0 THEN 'singular'
+                WHEN 1.0 / (1.0 - rsq) >= 5.0 THEN 'collinear'
+                ELSE 'independent' END AS verdict
+    FROM u
+    """,
+)
+def q408_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the three lineitem regressors
+    (quantity, discount, tax) from the closed-form 3-variable identity
+    R_k^2 = (r_ki^2 + r_kj^2 - 2 r_ki r_kj r_ij) / (1 - r_ij^2) — the
+    multicollinearity screen run before any linear fit over these
+    columns (M4/M5 latency models, q17 slopes; disclosed kinship).
+    All three variables are integer-quantized (quantity is whole-valued,
+    discount/tax are exact cents), so the full moment matrix (9 sums)
+    is BIGINT-exact in one pass and every correlation is computed from
+    identical integer moments on both engines; singular panels emit
+    NULL VIF by the same CASE.
+
+    100 TB story: ONE map-side-combining aggregate to a single 10-field
+    integer moment row; the VIF arithmetic is a 1-row expression and a
+    3-row literal unpivot — no second pass, no window, no join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x3"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("a1"),
+        F.sum("x2").cast("long").alias("a2"),
+        F.sum("x3").cast("long").alias("a3"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q2"),
+        F.sum(F.col("x3") * F.col("x3")).cast("long").alias("q3"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("p12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("long").alias("p13"),
+        F.sum(F.col("x2") * F.col("x3")).cast("long").alias("p23"),
+    )
+
+    def _r(p, a, b, qa, qb):
+        return (F.col("n") * F.col(p) - F.col(a) * F.col(b)) / F.sqrt(
+            (F.col("n") * F.col(qa) - F.col(a) * F.col(a))
+            * 1.0
+            * (F.col("n") * F.col(qb) - F.col(b) * F.col(b))
+        )
+
+    r = m.select(
+        "n",
+        _r("p12", "a1", "a2", "q1", "q2").alias("r12"),
+        _r("p13", "a1", "a3", "q1", "q3").alias("r13"),
+        _r("p23", "a2", "a3", "q2", "q3").alias("r23"),
+    )
+
+    def _rsq(rki, rkj, rij):
+        return (
+            F.col(rki) * F.col(rki)
+            + F.col(rkj) * F.col(rkj)
+            - 2.0 * F.col(rki) * F.col(rkj) * F.col(rij)
+        ) / (F.lit(1.0) - F.col(rij) * F.col(rij))
+
+    v = r.select(
+        "n",
+        _rsq("r12", "r13", "r23").alias("rsq1"),
+        _rsq("r12", "r23", "r13").alias("rsq2"),
+        _rsq("r13", "r23", "r12").alias("rsq3"),
+    )
+    u = (
+        v.select(F.lit("l_quantity").alias("variable"), "n", F.col("rsq1").alias("rsq"))
+        .unionAll(
+            v.select(F.lit("l_discount").alias("variable"), "n", F.col("rsq2"))
+        )
+        .unionAll(v.select(F.lit("l_tax").alias("variable"), "n", F.col("rsq3")))
+    )
+    vif = F.lit(1.0) / (F.lit(1.0) - F.col("rsq"))
+    return u.select(
+        "variable",
+        "n",
+        (F.round("rsq", 6) + F.lit(0.0)).alias("r_squared"),
+        F.when(F.lit(1.0) - F.col("rsq") <= 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(vif, 6))
+        .alias("vif"),
+        F.when(F.lit(1.0) - F.col("rsq") <= 0.0, "singular")
+        .when(vif >= 5.0, "collinear")
+        .otherwise("independent")
+        .alias("verdict"),
     )
