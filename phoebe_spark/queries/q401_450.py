@@ -1098,3 +1098,193 @@ def q408_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("independent")
         .alias("verdict"),
     )
+
+
+@query(
+    "q409_oof_target_encoding",
+    oracle="""
+    WITH s AS (
+      SELECT lang, CAST(doc_id % 5 AS INT) AS fold, n_chars
+      FROM documents
+    ),
+    pf AS (
+      SELECT lang, fold, CAST(count(*) AS BIGINT) AS nf,
+             CAST(sum(n_chars) AS BIGINT) AS sf
+      FROM s GROUP BY 1, 2
+    ),
+    pl AS (
+      SELECT lang, CAST(sum(nf) AS BIGINT) AS nl, CAST(sum(sf) AS BIGINT) AS sl
+      FROM pf GROUP BY 1
+    )
+    SELECT pf.lang, pf.fold, pf.nf AS n_rows,
+           CASE WHEN pl.nl = pf.nf THEN NULL
+                ELSE round((pl.sl - pf.sf) * 1.0 / (pl.nl - pf.nf), 6)
+           END AS oof_mean,
+           round(pl.sl * 1.0 / pl.nl, 6) AS full_mean,
+           CASE WHEN pl.nl = pf.nf THEN NULL
+                ELSE round((pl.sl - pf.sf) * 1.0 / (pl.nl - pf.nf)
+                           - pl.sl * 1.0 / pl.nl, 6) + 0.0
+           END AS leakage_delta
+    FROM pf JOIN pl ON pl.lang = pf.lang
+    """,
+)
+def q409_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding audit: documents are
+    assigned to 5 deterministic folds (doc_id % 5 — content-addressed
+    like every split in operators/sampling.py, disclosed kinship), the
+    lang column is mean-encoded against n_chars, and each (lang, fold)
+    row reports the OUT-OF-FOLD encoding (S_l - s_f) / (N_l - n_f) —
+    the value a training pipeline may legally join onto that fold —
+    beside the full-data mean and their difference, the leakage bias a
+    naive whole-corpus encoding would inject into that fold. Integer
+    BIGINT moments make both means exact; a category living entirely in
+    one fold emits NULL by the same CASE in both engines instead of a
+    0/0.
+
+    100 TB story: ONE map-side-combining aggregate to (category, fold)
+    cells, one grouped rollup to category totals, one broadcast-sized
+    join back — the encoding table is O(categories * folds) and the
+    corpus is touched exactly once."""
+    s = _t(spark, sf_dir, "documents").select(
+        "lang", (F.col("doc_id") % 5).cast("int").alias("fold"), "n_chars"
+    )
+    pf = s.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("nf"),
+        F.sum("n_chars").cast("long").alias("sf"),
+    )
+    pl = pf.groupBy("lang").agg(
+        F.sum("nf").cast("long").alias("nl"), F.sum("sf").cast("long").alias("sl")
+    )
+    j = pf.join(F.broadcast(pl), "lang")
+    oof = (F.col("sl") - F.col("sf")) * 1.0 / (F.col("nl") - F.col("nf"))
+    full = F.col("sl") * 1.0 / F.col("nl")
+    return j.select(
+        "lang",
+        "fold",
+        F.col("nf").alias("n_rows"),
+        F.when(F.col("nl") == F.col("nf"), F.lit(None).cast("double"))
+        .otherwise(F.round(oof, 6))
+        .alias("oof_mean"),
+        F.round(full, 6).alias("full_mean"),
+        F.when(F.col("nl") == F.col("nf"), F.lit(None).cast("double"))
+        .otherwise(F.round(oof - full, 6) + F.lit(0.0))
+        .alias("leakage_delta"),
+    )
+
+
+@query(
+    "q410_gini_binned",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(cents) AS mc, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS tot FROM spend),
+    binned AS (
+      SELECT least(cents * 256 // ((SELECT mc FROM mx) + 1), 255) AS bin,
+             CAST(count(*) AS BIGINT) AS nb, CAST(sum(cents) AS BIGINT) AS sb
+      FROM spend GROUP BY 1
+    ),
+    lorenz AS (
+      SELECT bin,
+             sum(nb) OVER (ORDER BY bin) * 1.0 / (SELECT n FROM mx) AS p,
+             sum(sb) OVER (ORDER BY bin) * 1.0 / (SELECT tot FROM mx) AS l,
+             coalesce(sum(nb) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1.0
+               / (SELECT n FROM mx) AS p0,
+             coalesce(sum(sb) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1.0
+               / (SELECT tot FROM mx) AS l0
+      FROM binned
+    ),
+    g AS (
+      SELECT CAST(round(sum(CAST(round((p - p0) * (l + l0), 12)
+                                 AS DECIMAL(38,12))), 12) AS DOUBLE) AS area,
+             CAST(count(*) AS BIGINT) AS nonempty
+      FROM lorenz
+    )
+    SELECT (SELECT n FROM mx) AS n_customers,
+           nonempty AS n_bins_nonempty,
+           round((SELECT tot FROM mx) / 100.0, 2) AS total_spend,
+           round(1.0 - area, 6) + 0.0 AS gini_binned
+    FROM g
+    """,
+)
+def q410_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer lifetime spend via a 256-bin
+    Lorenz trapezoid — the scalar tier above q256's decile Lorenz curve
+    and beside q379's HHI (disclosed kinship): per-customer spend folds
+    through DECIMAL(18,4) to exact cents, customers land in 256
+    equal-width integer bins (cents * 256 // (max+1), exact BIGINT
+    arithmetic), and Gini = 1 - sum (p_b - p_b0)(L_b + L_b0) over the
+    cumulative bin frame with the area folded at 12-dp DECIMAL.
+    Within-bin ordering is the only approximation (disclosed): bins
+    partition by value, so across-bin ordering IS the sorted order and
+    the error is bounded by the widest bin's share.
+
+    100 TB story: one shuffle to customer spend, ONE map-side-combining
+    aggregate to <= 256 bin rows; the ordered Lorenz windows run on the
+    fixed 256-row support (allowlisted bounded frame), never a
+    customer-rate sort — the exact-Gini rank formula would
+    single-partition-sort every customer and is deliberately avoided."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2) * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    mx = spend.agg(
+        F.max("cents").alias("mc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    binned = (
+        spend.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.expr("cents * 256 div (mc + 1)"), F.lit(255).cast("long")
+            ).alias("bin"),
+            "cents",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("cents").cast("long").alias("sb"),
+        )
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    lorenz = binned.crossJoin(F.broadcast(mx)).select(
+        (F.sum("nb").over(wc) * 1.0 / F.col("n")).alias("p"),
+        (F.sum("sb").over(wc) * 1.0 / F.col("tot")).alias("l"),
+        (F.coalesce(F.sum("nb").over(wb), F.lit(0)) * 1.0 / F.col("n")).alias("p0"),
+        (F.coalesce(F.sum("sb").over(wb), F.lit(0)) * 1.0 / F.col("tot")).alias(
+            "l0"
+        ),
+    )
+    g = lorenz.agg(
+        F.round(
+            F.sum(
+                F.round((F.col("p") - F.col("p0")) * (F.col("l") + F.col("l0")), 12)
+                .cast("decimal(38,12)")
+            ),
+            12,
+        )
+        .cast("double")
+        .alias("area"),
+        F.count(F.lit(1)).cast("long").alias("nonempty"),
+    )
+    return g.crossJoin(F.broadcast(mx)).select(
+        F.col("n").alias("n_customers"),
+        F.col("nonempty").alias("n_bins_nonempty"),
+        F.round(F.col("tot") / 100.0, 2).alias("total_spend"),
+        (F.round(F.lit(1.0) - F.col("area"), 6) + F.lit(0.0)).alias("gini_binned"),
+    )
