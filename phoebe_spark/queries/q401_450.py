@@ -222,7 +222,7 @@ def q401_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("rj"), F.col("j").alias("ri"), F.col("wij").alias("wji")
     )
     cells2 = cmp_.join(
-        rev, (F.col("ri") == F.col("i")) & (F.col("rj") == F.col("j"))
+        F.broadcast(rev), (F.col("ri") == F.col("i")) & (F.col("rj") == F.col("j"))
     ).select(
         "i",
         "j",
@@ -247,7 +247,7 @@ def q401_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("gpos")
     )
     dense = (
-        posgrid.join(cells2, F.col("gpos") == F.col("pos"), "left")
+        posgrid.join(F.broadcast(cells2), F.col("gpos") == F.col("pos"), "left")
         .groupBy("gpos")
         .agg(F.max(F.coalesce("n_ij", F.lit(0))).cast("double").alias("n"))
     )
@@ -707,11 +707,13 @@ def q405_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         F.expr("(ts div 1000000000) div 86400").alias("day"), "event_type"
     )
-    days = e.select("day").distinct()
-    types = e.select("event_type").distinct()
+    # ONE corpus pass; the day/type spines derive from the checkpointed
+    # O(days * K) rollup, so the dense grid never rescans the parquet
     cnt = e.groupBy("day", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
     grid = (
         types.crossJoin(days)
         .join(cnt, ["day", "event_type"], "left")
@@ -938,7 +940,7 @@ def q407_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("ec"))
     )
     rows_ = (
-        dsum.join(intra, "c", "left")
+        dsum.join(F.broadcast(intra), "c", "left")
         .crossJoin(F.broadcast(m))
         .select(
             F.col("c").alias("community"),
@@ -1078,13 +1080,13 @@ def q408_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rsq("r12", "r23", "r13").alias("rsq2"),
         _rsq("r13", "r23", "r12").alias("rsq3"),
     )
-    u = (
-        v.select(F.lit("l_quantity").alias("variable"), "n", F.col("rsq1").alias("rsq"))
-        .unionAll(
-            v.select(F.lit("l_discount").alias("variable"), "n", F.col("rsq2"))
-        )
-        .unionAll(v.select(F.lit("l_tax").alias("variable"), "n", F.col("rsq3")))
-    )
+    # unpivot the single moment row with stack() so the union does not
+    # re-execute the corpus aggregate once per variable
+    u = v.selectExpr(
+        "stack(3, 'l_quantity', rsq1, 'l_discount', rsq2, 'l_tax', rsq3) "
+        "AS (variable, rsq)",
+        "n",
+    ).select("variable", "n", "rsq")
     vif = F.lit(1.0) / (F.lit(1.0) - F.col("rsq"))
     return u.select(
         "variable",
@@ -1148,10 +1150,12 @@ def q409_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "documents").select(
         "lang", (F.col("doc_id") % 5).cast("int").alias("fold"), "n_chars"
     )
+    # checkpoint the O(categories * folds) rollup so the category-total
+    # regrouping does not re-execute the corpus scan
     pf = s.groupBy("lang", "fold").agg(
         F.count(F.lit(1)).cast("long").alias("nf"),
         F.sum("n_chars").cast("long").alias("sf"),
-    )
+    ).localCheckpoint(eager=True)
     pl = pf.groupBy("lang").agg(
         F.sum("nf").cast("long").alias("nl"), F.sum("sf").cast("long").alias("sl")
     )

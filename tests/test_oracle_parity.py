@@ -67,7 +67,9 @@ AGG_WINDOW_ALLOWLIST = {
     "q386_average_precision",   # score support: ~100 distinct scores
     "q389_hosmer_lemeshow",     # score support deciles: ~100 rows
     "q394_forecast_scoreboard", # daily rollup: O(days)
+    "q401_bradley_terry",       # type-index window: 5 distinct types (q317 kin)
     "q40_merge_overwrite",      # timeseries grid: O(timesteps)
+    "q410_gini_binned",         # Lorenz cum over the fixed 256-bin frame
     "q82_acctbal_deciles",      # $1-bucket offsets: price-range-bounded
     "q85_spearman",             # distinct-value support ranks
     "q87_zipf_slope",           # vocabulary support

@@ -1,0 +1,154 @@
+"""Physical-plan assertions for the round-9 finale block (q401-q410):
+the scale properties claimed in the docstrings must be visible in the
+plans, including pre-checkpoint stages (captured via the guard so an
+eager localCheckpoint cannot hide a bad stage, per the round-8 q321
+lesson)."""
+
+from __future__ import annotations
+
+import re
+
+from phoebe_spark.plans.guard import (
+    capture_checkpoints,
+    explain_formatted,
+    raw_single_partition_sort_violations,
+)
+from phoebe_spark.queries import QUERIES
+
+BLOCK = [
+    "q401_bradley_terry",
+    "q402_fleiss_kappa",
+    "q403_logrank_test",
+    "q404_condorcet_copeland",
+    "q405_overdispersion",
+    "q406_stratified_ipw_ate",
+    "q407_graph_modularity",
+    "q408_vif_collinearity",
+    "q409_oof_target_encoding",
+    "q410_gini_binned",
+]
+
+
+def _plans(spark, sf_dir, name):
+    with capture_checkpoints() as caps:
+        df = QUERIES[name](spark, sf_dir)
+        final = explain_formatted(df)
+    return list(caps) + [final]
+
+
+def _ops(plan: str, op: str) -> int:
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+def _scans(plan: str) -> int:
+    """Count physical parquet-scan NODES (the numbered detail entries,
+    not the tree echo)."""
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_finale_block_no_raw_single_partition_sorts(spark, sf_dir):
+    """Every finale query, including checkpointed stages, must be free
+    of unpartitioned sorts over raw corpus rows."""
+    for name in BLOCK:
+        for p in _plans(spark, sf_dir, name):
+            assert raw_single_partition_sort_violations(p) == [], name
+
+
+def test_q401_iteration_runs_on_checkpointed_matrices(spark, sf_dir):
+    """Bradley-Terry: the 20-round MM fold must read ONLY the
+    checkpointed K x K matrix frames — zero parquet rescans in the
+    final plan, and the duel join collapses before any checkpoint."""
+    plans = _plans(spark, sf_dir, "q401_bradley_terry")
+    final = plans[-1]
+    assert _scans(final) == 0
+    # the iteration itself is a single-row array fold: no shuffle of a
+    # corpus-rate frame in the final stage (exchanges are 1-row/K-row)
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q402_one_corpus_pass_integer_moments(spark, sf_dir):
+    """Fleiss: all three gates fold inside ONE map-side-combining
+    per-source aggregate — a single corpus scan, partial aggregation
+    before the exchange, and no window or join anywhere."""
+    [plan] = _plans(spark, sf_dir, "q402_fleiss_kappa")
+    assert _scans(plan) == 1
+    assert _ops(plan, "HashAggregate") >= 2  # partial + final
+    assert _ops(plan, "Window") == 0
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_q403_windows_run_on_gap_support(spark, sf_dir):
+    """Log-rank: the ordered risk-set windows must consume the grouped
+    gap-value frame (HashAggregate feeds the window exchange), never
+    raw duration rows — q282's certified shape."""
+    [plan] = _plans(spark, sf_dir, "q403_logrank_test")
+    assert _ops(plan, "Window") >= 1
+    # durations aggregate to gap values before any ordered window
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= agg_pos and 0 <= win_pos
+    assert raw_single_partition_sort_violations(plan) == []
+
+
+def test_q405_single_scan_dense_grid(spark, sf_dir):
+    """Overdispersion: ONE corpus scan (at the rollup checkpoint); the
+    dense day-grid and moment arithmetic read only the checkpointed
+    O(days * K) frame."""
+    plans = _plans(spark, sf_dir, "q405_overdispersion")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+
+
+def test_q406_single_scan_stratum_folds(spark, sf_dir):
+    """Stratified/IPW ATE: one corpus scan into the checkpointed
+    K-stratum moment frame; all three estimators are folds over it."""
+    plans = _plans(spark, sf_dir, "q406_stratified_ipw_ate")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q407_community_joins_are_broadcast(spark, sf_dir):
+    """Modularity: community attachment must broadcast the part
+    dimension against the checkpointed edge frame — no shuffle join
+    anywhere, including the checkpointed stages where the joins
+    actually execute."""
+    plans = _plans(spark, sf_dir, "q407_graph_modularity")
+    assert sum(_ops(p, "BroadcastHashJoin") for p in plans) >= 2
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+
+
+def test_q408_one_scan_stack_unpivot(spark, sf_dir):
+    """VIF: the full 10-field moment matrix comes from ONE corpus scan
+    with map-side partial aggregation; the per-variable rows come from
+    stack() over the single moment row (Generate node), NOT a union
+    that would re-execute the aggregate per variable."""
+    [plan] = _plans(spark, sf_dir, "q408_vif_collinearity")
+    assert _scans(plan) == 1
+    assert _ops(plan, "HashAggregate") >= 2
+    assert _ops(plan, "Generate") == 1
+    assert _ops(plan, "Union") == 0
+
+
+def test_q409_broadcast_encoding_join(spark, sf_dir):
+    """OOF target encoding: the category-total join back onto the
+    (category, fold) frame is broadcast; one corpus scan feeds the
+    first rollup with partial aggregation."""
+    plans = _plans(spark, sf_dir, "q409_oof_target_encoding")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "BroadcastHashJoin") >= 1
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q410_lorenz_on_bounded_bins(spark, sf_dir):
+    """Binned Gini: the ordered Lorenz windows run over the <=256-bin
+    aggregate (the allowlisted bounded frame), and the customer-rate
+    frame is reduced by hash aggregation before any window."""
+    [plan] = _plans(spark, sf_dir, "q410_gini_binned")
+    assert _ops(plan, "Window") >= 1
+    assert raw_single_partition_sort_violations(plan) == []
+    assert _ops(plan, "HashAggregate") >= 4  # spend rollup + bin rollup
