@@ -385,6 +385,16 @@ BENCH_QUERIES = [
     "q398_nearest_centroid_eval",
     "q399_degree_powerlaw",
     "q400_retention_decay",
+    "q401_bradley_terry",
+    "q402_fleiss_kappa",
+    "q403_logrank_test",
+    "q404_condorcet_copeland",
+    "q405_overdispersion",
+    "q406_stratified_ipw_ate",
+    "q407_graph_modularity",
+    "q408_vif_collinearity",
+    "q409_oof_target_encoding",
+    "q410_gini_binned",
 ]
 
 
