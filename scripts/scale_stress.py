@@ -503,6 +503,41 @@ def run_scale(spark, scale: int) -> dict:
 
     t_build("cluster_validity", _validity)
 
+    # q401/q404 duel fixture: the (user, hour, type) cell self-join fans
+    # out at most K(K-1)/2 pairs per cell, so total duel work must stay
+    # ~linear in events no matter the corpus size
+    def _bt_duels():
+        cells = (
+            ev.select(
+                "user_id",
+                (F.col("ts") - F.pmod(F.col("ts"), F.lit(3600))).alias("hr"),
+                F.pmod(F.xxhash64(F.col("event_id") + 29), F.lit(5)).alias("etype"),
+                F.round(F.col("value") * 100).cast("long").alias("yc"),
+            )
+            .groupBy("user_id", "hr", "etype")
+            .agg(F.sum("yc").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        a, b = cells.alias("a"), cells.alias("b")
+        duel = a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.etype") < F.col("b.etype")),
+        ).select(
+            F.col("a.etype").alias("ta"),
+            F.col("b.etype").alias("tb"),
+            F.when(F.col("a.s") * F.col("b.c") > F.col("b.s") * F.col("a.c"), 1)
+            .when(F.col("a.s") * F.col("b.c") < F.col("b.s") * F.col("a.c"), -1)
+            .otherwise(0)
+            .alias("w"),
+        )
+        return duel.filter(F.col("w") != 0).groupBy("ta", "tb").agg(
+            F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("wab"),
+            F.sum(F.when(F.col("w") == -1, 1).otherwise(0)).alias("wba"),
+        )
+
+    t_build("bt_duels", _bt_duels)
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 
