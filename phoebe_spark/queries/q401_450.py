@@ -1292,3 +1292,375 @@ def q410_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tot") / 100.0, 2).alias("total_spend"),
         (F.round(F.lit(1.0) - F.col("area"), 6) + F.lit(0.0)).alias("gini_binned"),
     )
+
+
+@query(
+    "q411_cronbach_alpha",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ga,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40 THEN 1 ELSE 0 END AS gb,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS gc
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ga) AS BIGINT) AS sa, CAST(sum(gb) AS BIGINT) AS sb,
+             CAST(sum(gc) AS BIGINT) AS sc,
+             CAST(sum((ga + gb + gc) * (ga + gb + gc)) AS BIGINT) AS sr2
+      FROM g GROUP BY 1
+    ),
+    v AS (
+      SELECT source, n,
+             ((n * sa - sa * sa) + (n * sb - sb * sb) + (n * sc - sc * sc))
+               * 1.0 / (n * (n - 1.0)) AS item_var_sum,
+             (n * sr2 - (sa + sb + sc) * (sa + sb + sc)) * 1.0 / (n * (n - 1.0))
+               AS total_var
+      FROM s
+    )
+    SELECT source, n,
+           round(item_var_sum, 6) AS item_variance_sum,
+           round(total_var, 6) AS total_variance,
+           CASE WHEN total_var = 0.0 THEN NULL
+                ELSE round(1.5 * (1.0 - item_var_sum / total_var), 6) + 0.0
+           END AS cronbach_alpha
+    FROM v
+    """,
+)
+def q411_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) internal-consistency of the three
+    binary curation gates (q402's rater panel, disclosed kinship) per
+    source: alpha = (k/(k-1)) * (1 - sum(item variances)/variance(sum)),
+    k = 3 — "do the gates measure one underlying quality trait" (high
+    alpha) "or three unrelated things" (alpha near 0), the
+    unidimensionality check that decides whether averaging gate scores
+    into one quality scalar is even meaningful. Binary items make every
+    variance an exact BIGINT-moment expression (sum g = sum g^2); only
+    the final divisions are floating point. Zero-variance strata emit
+    NULL by the same CASE in both engines.
+
+    100 TB story: all three gates and the squared row-sum fold inside
+    ONE map-side-combining per-source aggregate; the alpha arithmetic
+    runs on the O(sources) frame."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    ga = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    gb = F.when(F.size(text_ops.tokens(F.col("text"))) >= 40, 1).otherwise(0)
+    gc = F.when(F.col("lang") == "en", 1).otherwise(0)
+    r = ga + gb + gc
+    s = d.select(
+        "source", ga.alias("ga"), gb.alias("gb"), gc.alias("gc"), r.alias("r")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ga").cast("long").alias("sa"),
+        F.sum("gb").cast("long").alias("sb"),
+        F.sum("gc").cast("long").alias("sc"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+    )
+    nn = F.col("n") * (F.col("n") - F.lit(1.0))
+    ivs = (
+        (F.col("n") * F.col("sa") - F.col("sa") * F.col("sa"))
+        + (F.col("n") * F.col("sb") - F.col("sb") * F.col("sb"))
+        + (F.col("n") * F.col("sc") - F.col("sc") * F.col("sc"))
+    ) * 1.0 / nn
+    st = F.col("sa") + F.col("sb") + F.col("sc")
+    tv = (F.col("n") * F.col("sr2") - st * st) * 1.0 / nn
+    return s.select(
+        "source",
+        "n",
+        F.round(ivs, 6).alias("item_variance_sum"),
+        F.round(tv, 6).alias("total_variance"),
+        F.when(tv == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(1.5) * (F.lit(1.0) - ivs / tv), 6) + F.lit(0.0))
+        .alias("cronbach_alpha"),
+    )
+
+
+@query(
+    "q412_diff_in_diff",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1 FROM events
+    ),
+    s AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             CASE WHEN epoch_ns(ts) * 2 >= (SELECT t0 + t1 FROM rng)
+                  THEN 1 ELSE 0 END AS post,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (
+      SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yc) AS BIGINT) AS s1, CAST(sum(yc * yc) AS BIGINT) AS s2
+      FROM s GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN arm = 1 AND post = 1 THEN s1 * 1.0 / n END) AS m11,
+        max(CASE WHEN arm = 1 AND post = 0 THEN s1 * 1.0 / n END) AS m10,
+        max(CASE WHEN arm = 0 AND post = 1 THEN s1 * 1.0 / n END) AS m01,
+        max(CASE WHEN arm = 0 AND post = 0 THEN s1 * 1.0 / n END) AS m00,
+        sum((n * s2 - s1 * s1) * 1.0 / (n * n * (n - 1.0))) AS var_sum,
+        CAST(sum(n) AS BIGINT) AS nn,
+        CAST(count(*) AS BIGINT) AS n_cells
+      FROM cell
+    )
+    SELECT nn AS n_events, n_cells,
+           round((m11 - m10) / 100.0, 6) AS treated_change,
+           round((m01 - m00) / 100.0, 6) AS control_change,
+           round(((m11 - m10) - (m01 - m00)) / 100.0, 6) + 0.0 AS did_estimate,
+           round(sqrt(var_sum) / 100.0, 6) AS std_error,
+           round({_p2_sql(f"abs(((m11 - m10) - (m01 - m00)) / sqrt(var_sum)) * {_INV_SQRT2}")}, 6) + 0.0
+             AS p_value
+    FROM w
+    """,
+)
+def q412_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate (Card & Krueger 1994 design) of
+    the hash arm's effect on event value across the corpus midpoint:
+    pre/post periods split at (min+max)/2 of event time, the four
+    (arm, period) cell means come from exact cents BIGINT sums, and the
+    DiD interaction (treated change minus control change) nets out both
+    the arm's level difference and the common time trend — the
+    adjustment q406's cross-sectional estimators cannot make (disclosed
+    kinship). The standard error is the four-cell delta-method sum of
+    within-cell variances (exact integer moments), with the shared erfc
+    p-value chain.
+
+    100 TB story: one broadcast min/max range scan, then ONE
+    map-side-combining aggregate to FOUR cell rows carrying integer
+    moments; the estimator is a 1-row fold over them."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rng = _t(spark, sf_dir, "events").agg(
+        (F.min(F.col("ts")) + F.max(F.col("ts"))).alias("t01")
+    )
+    s = e.crossJoin(F.broadcast(rng)).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("ts") * 2 >= F.col("t01"), 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    cell = s.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s1"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("s2"),
+    )
+
+    def _m(a, p):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("post") == p),
+                F.col("s1") * 1.0 / F.col("n"),
+            )
+        )
+
+    w = cell.agg(
+        _m(1, 1).alias("m11"),
+        _m(1, 0).alias("m10"),
+        _m(0, 1).alias("m01"),
+        _m(0, 0).alias("m00"),
+        F.sum(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            * 1.0
+            / (F.col("n") * F.col("n") * (F.col("n") - F.lit(1.0)))
+        ).alias("var_sum"),
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    return w.select(
+        F.col("nn").alias("n_events"),
+        "n_cells",
+        F.round((F.col("m11") - F.col("m10")) / 100.0, 6).alias("treated_change"),
+        F.round((F.col("m01") - F.col("m00")) / 100.0, 6).alias("control_change"),
+        (F.round(did / 100.0, 6) + F.lit(0.0)).alias("did_estimate"),
+        F.round(F.sqrt(F.col("var_sum")) / 100.0, 6).alias("std_error"),
+        (
+            F.round(
+                _p2_col(F.abs(did / F.sqrt(F.col("var_sum"))) * F.lit(_INV_SQRT2)), 6
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+@query(
+    "q413_source_vocab_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vsz FROM v GROUP BY 1),
+    px AS (
+      SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT px.s1, px.s2, za.vsz AS v1, zb.vsz AS v2, px.inter,
+           round(px.inter * 1.0 / (za.vsz + zb.vsz - px.inter), 6)
+             AS jaccard,
+           round(px.inter * 1.0 / least(za.vsz, zb.vsz), 6) AS containment
+    FROM px JOIN sz za ON za.source = px.s1
+            JOIN sz zb ON zb.source = px.s2
+    """,
+)
+def q413_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap audit: the distinct
+    (source, token) vocabulary table self-joins ON TOKEN to count
+    shared types per source pair, reported as Jaccard and
+    min-containment — the corpus diagnostic that flags syndicated or
+    mirrored sources before deduplication (the vocabulary-level tier of
+    the q165 source-syndication check, disclosed kinship) and quantifies
+    how transferable one source's token statistics are to another.
+    Counts are exact integers; the pair frame is O(sources^2).
+
+    100 TB story: ONE explode + distinct collapses the corpus to its
+    vocabulary (types, not tokens — bounded by Heaps' law); the
+    self-join shuffles on the token key where fan-out per token is at
+    most #sources, and everything downstream runs on O(sources^2)
+    rows."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    v = (
+        d.select("source", F.explode(text_ops.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    a = v.alias("a")
+    b = v.alias("b")
+    px = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        px.join(
+            F.broadcast(sz.select(F.col("source").alias("s1"), F.col("vsz").alias("v1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("s2"), F.col("vsz").alias("v2"))),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "v1",
+            "v2",
+            "inter",
+            F.round(
+                F.col("inter") * 1.0 / (F.col("v1") + F.col("v2") - F.col("inter")), 6
+            ).alias("jaccard"),
+            F.round(F.col("inter") * 1.0 / F.least("v1", "v2"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+@query(
+    "q414_ipw_diagnostics",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm
+      FROM events WHERE value IS NOT NULL
+    ),
+    strat AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(arm) AS BIGINT) AS n1
+      FROM s GROUP BY 1
+    ),
+    sides AS (
+      SELECT 'treated' AS arm_name, n1 AS cnt, n * 1.0 / n1 AS w, n FROM strat
+      UNION ALL
+      SELECT 'control', n - n1, n * 1.0 / (n - n1), n FROM strat
+    ),
+    agg AS (
+      SELECT arm_name, CAST(sum(cnt) AS BIGINT) AS n_arm,
+             CAST(sum(n) AS BIGINT) AS sw,
+             {_FOLD12_SQL.format(t="cnt * w * w")} AS sw2,
+             max(w) AS max_w
+      FROM sides GROUP BY 1
+    )
+    SELECT arm_name, n_arm,
+           round(sw * sw / sw2, 2) AS ess,
+           round(sw * sw / sw2 / n_arm, 6) AS ess_ratio,
+           round(max_w, 6) AS max_weight,
+           round(sqrt(sw2 * n_arm / (sw * 1.0 * sw) - 1.0), 6) + 0.0
+             AS weight_cv
+    FROM agg
+    """,
+)
+def q414_ipw_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size diagnostics (Kish 1965) for q406's IPW
+    estimator (disclosed kinship): per arm, the inverse-propensity
+    weights w = n_s/n1_s (treated) and n_s/n0_s (control) give
+    ESS = (sum w)^2 / sum w^2 — how many unweighted observations the
+    weighted sample is actually worth — plus the max weight and the
+    weight coefficient of variation, the overlap-violation screens run
+    BEFORE trusting any IPW estimate (an ESS ratio near 1 means
+    near-uniform weights; a large max weight means a near-empty
+    propensity cell dominates). With empirical propensities sum(w) per
+    arm is EXACTLY the corpus count (an identity the integer moments
+    make bit-exact); sum w^2 folds at 12-dp DECIMAL over the K strata.
+
+    100 TB story: ONE map-side-combining aggregate to K stratum count
+    rows; both arms' diagnostics are K-row folds over the same tiny
+    frame (re-read from its checkpoint, not the corpus)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    strat = e.select(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("arm").cast("long").alias("n1"),
+    ).localCheckpoint(eager=True)
+    sides = strat.select(
+        F.lit("treated").alias("arm_name"),
+        F.col("n1").alias("cnt"),
+        (F.col("n") * 1.0 / F.col("n1")).alias("w"),
+        "n",
+    ).unionAll(
+        strat.select(
+            F.lit("control").alias("arm_name"),
+            (F.col("n") - F.col("n1")).alias("cnt"),
+            (F.col("n") * 1.0 / (F.col("n") - F.col("n1"))).alias("w"),
+            "n",
+        )
+    )
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    agg = sides.groupBy("arm_name").agg(
+        F.sum("cnt").cast("long").alias("n_arm"),
+        F.sum("n").cast("long").alias("sw"),
+        _fold12(F.col("cnt") * F.col("w") * F.col("w")).alias("sw2"),
+        F.max("w").alias("max_w"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sw2")
+    return agg.select(
+        "arm_name",
+        "n_arm",
+        F.round(ess, 2).alias("ess"),
+        F.round(ess / F.col("n_arm"), 6).alias("ess_ratio"),
+        F.round("max_w", 6).alias("max_weight"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("sw2") * F.col("n_arm") / (F.col("sw") * 1.0 * F.col("sw"))
+                    - F.lit(1.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("weight_cv"),
+    )
