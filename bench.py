@@ -395,6 +395,10 @@ BENCH_QUERIES = [
     "q408_vif_collinearity",
     "q409_oof_target_encoding",
     "q410_gini_binned",
+    "q411_cronbach_alpha",
+    "q412_diff_in_diff",
+    "q413_source_vocab_overlap",
+    "q414_ipw_diagnostics",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Physical-plan assertions for the round-9 finale block (q401-q410):
+"""Physical-plan assertions for the round-9 finale block (q401-q414):
 the scale properties claimed in the docstrings must be visible in the
 plans, including pre-checkpoint stages (captured via the guard so an
 eager localCheckpoint cannot hide a bad stage, per the round-8 q321
@@ -26,6 +26,10 @@ BLOCK = [
     "q408_vif_collinearity",
     "q409_oof_target_encoding",
     "q410_gini_binned",
+    "q411_cronbach_alpha",
+    "q412_diff_in_diff",
+    "q413_source_vocab_overlap",
+    "q414_ipw_diagnostics",
 ]
 
 
@@ -152,3 +156,36 @@ def test_q410_lorenz_on_bounded_bins(spark, sf_dir):
     assert _ops(plan, "Window") >= 1
     assert raw_single_partition_sort_violations(plan) == []
     assert _ops(plan, "HashAggregate") >= 4  # spend rollup + bin rollup
+
+
+def test_q411_q412_single_pass_cells(spark, sf_dir):
+    """Cronbach alpha and DiD: each is ONE corpus scan into a tiny
+    integer-moment frame (per-source / four cells) with partial
+    aggregation; no window, no shuffle join."""
+    for name in ("q411_cronbach_alpha", "q412_diff_in_diff"):
+        plans = _plans(spark, sf_dir, name)
+        assert all(_ops(p, "Window") == 0 for p in plans), name
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+        final = plans[-1]
+        assert _ops(final, "HashAggregate") >= 2, name
+
+
+def test_q413_joins_on_token_key_only(spark, sf_dir):
+    """Vocab overlap: the corpus collapses to the distinct vocabulary
+    (checkpointed) before the pair join; the size joins back are
+    broadcast."""
+    plans = _plans(spark, sf_dir, "q413_source_vocab_overlap")
+    final = plans[-1]
+    assert _scans(final) == 0  # pair join reads the checkpointed vocab
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "BroadcastHashJoin") >= 2
+
+
+def test_q414_folds_on_checkpointed_strata(spark, sf_dir):
+    """IPW diagnostics: both arms' folds re-read the checkpointed
+    K-stratum frame, never the corpus."""
+    plans = _plans(spark, sf_dir, "q414_ipw_diagnostics")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "SortMergeJoin") == 0
