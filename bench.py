@@ -399,6 +399,8 @@ BENCH_QUERIES = [
     "q412_diff_in_diff",
     "q413_source_vocab_overlap",
     "q414_ipw_diagnostics",
+    "q415_streaming_moments_drain",
+    "q416_log_odds_dirichlet",
 ]
 
 

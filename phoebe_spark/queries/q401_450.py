@@ -1664,3 +1664,208 @@ def q414_ipw_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("weight_cv"),
     )
+
+
+@query(
+    "q415_streaming_moments_drain",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yc) AS BIGINT) AS s1, CAST(sum(yc * yc) AS BIGINT) AS s2
+      FROM s GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(s1 / (100.0 * n), 6) AS mean_value,
+           round((n * s2 - s1 * s1) / (10000.0 * n * (n - 1.0)), 6) AS var_value
+    FROM m
+    """,
+)
+def q415_streaming_moments_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact per-key moments drained in the hash-checked gate:
+    cents-quantized event values accumulate per type as three BIGINT
+    sums (count, sum, sum of squares) in
+    :func:`stateful.streaming_moments` — the exact-arithmetic form of
+    Welford/Chan parallel variance — carried in a real state store
+    across three event-id-sliced micro-batches, each PRE-REDUCED
+    map-side to one moment row per key before it reaches the operator.
+    Integer moments make the merge commutative and exact, so the
+    drained mean/variance hash-match the batch oracle digit-for-digit
+    regardless of batch boundaries or arrival order — the 21st
+    hash-checked drain, and the streaming form of the moment policy
+    every batch estimator in this registry uses.
+
+    100 TB story: O(keys) state (three longs per key), one row per key
+    per micro-batch of state traffic; the final statistics are computed
+    from the drained state frame, corpus-size-independent."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_moments
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("yc"),
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="q415_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        for i in range(1, 4):
+            part = (
+                e.filter(F.col("event_id") % 3 == i - 1)
+                .groupBy(F.col("event_type").alias("key"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("yc").cast("long").alias("s1"),
+                    F.sum(F.col("yc") * F.col("yc")).cast("long").alias("s2"),
+                )
+            )
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("key STRING, n LONG, s1 LONG, s2 LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_moments(stream)
+        sink = f"{work}/mo"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q415: streaming moments drain did not finish within 300 s — "
+                "refusing to score partial state"
+            )
+        states = spark.read.parquet(sink)
+        # last emitted state per key == final accumulated moments
+        wlast = Window.partitionBy("key").orderBy(F.col("n").desc())
+        final = (
+            states.withColumn("rk", F.row_number().over(wlast))
+            .filter(F.col("rk") == 1)
+            .select("key", "n", "s1", "s2")
+        ).localCheckpoint(eager=True)
+        return final.select(
+            F.col("key").alias("event_type"),
+            "n",
+            F.round(F.col("s1") / (100.0 * F.col("n")), 6).alias("mean_value"),
+            F.round(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / (10000.0 * F.col("n") * (F.col("n") - F.lit(1.0))),
+                6,
+            ).alias("var_value"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q416_log_odds_dirichlet",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT tok,
+             CAST(sum(grp) AS BIGINT) AS y1,
+             CAST(sum(1 - grp) AS BIGINT) AS y2
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(y1) AS BIGINT) AS n1, CAST(sum(y2) AS BIGINT) AS n2,
+             CAST(sum(y1 + y2) AS BIGINT) AS nt
+      FROM c
+    ),
+    z AS (
+      SELECT tok, y1, y2,
+             ln((y1 + 500.0 * (y1 + y2) / nt)
+                / (n1 + 500.0 - y1 - 500.0 * (y1 + y2) / nt))
+             - ln((y2 + 500.0 * (y1 + y2) / nt)
+                  / (n2 + 500.0 - y2 - 500.0 * (y1 + y2) / nt)) AS delta,
+             1.0 / (y1 + 500.0 * (y1 + y2) / nt)
+             + 1.0 / (y2 + 500.0 * (y1 + y2) / nt) AS v
+      FROM c CROSS JOIN tot
+    )
+    SELECT tok, y1, y2,
+           round(delta, 6) + 0.0 AS log_odds,
+           round(delta / sqrt(v), 6) + 0.0 AS z_score
+    FROM z
+    ORDER BY abs(delta / sqrt(v)) DESC, tok
+    LIMIT 20
+    """,
+)
+def q416_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted log-odds-ratio with an informative Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008) comparing English vs non-English
+    token usage: each token's prior alpha_w = 500 * (corpus share), the
+    smoothed log-odds delta and its variance 1/(y1+a) + 1/(y2+a) give a
+    z-score that — unlike raw PMI or chi-square — neither explodes on
+    rare words nor drowns frequent ones, the standard "what words
+    distinguish these two corpora" statistic in corpus comparison. The
+    top-20 by |z| are cut with orderBy().limit() so the plan is a
+    distributed TakeOrderedAndProject, never a global sort (the q320
+    top-k rule). Counts are exact BIGINTs; both engines evaluate the
+    identical smoothing expression.
+
+    100 TB story: ONE explode + map-side-combining token aggregate
+    (vocabulary-bounded by Heaps' law), a broadcast 1-row total join,
+    and a TakeOrdered(20) — no window, no corpus-rate sort."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+        F.explode(text_ops.tokens(F.col("text"))).alias("tok"),
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum("grp").cast("long").alias("y1"),
+        F.sum(F.lit(1) - F.col("grp")).cast("long").alias("y2"),
+    )
+    tot = c.agg(
+        F.sum("y1").cast("long").alias("n1"),
+        F.sum("y2").cast("long").alias("n2"),
+        F.sum(F.col("y1") + F.col("y2")).cast("long").alias("nt"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    a = F.lit(500.0) * (F.col("y1") + F.col("y2")) / F.col("nt")
+    delta = F.log(
+        (F.col("y1") + a) / (F.col("n1") + F.lit(500.0) - F.col("y1") - a)
+    ) - F.log((F.col("y2") + a) / (F.col("n2") + F.lit(500.0) - F.col("y2") - a))
+    v = F.lit(1.0) / (F.col("y1") + a) + F.lit(1.0) / (F.col("y2") + a)
+    z = delta / F.sqrt(v)
+    return (
+        j.select(
+            "tok",
+            "y1",
+            "y2",
+            (F.round(delta, 6) + F.lit(0.0)).alias("log_odds"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+            F.abs(z).alias("az"),
+        )
+        .orderBy(F.col("az").desc(), "tok")
+        .limit(20)
+        .drop("az")
+    )

@@ -1172,3 +1172,59 @@ def streaming_bottom_k(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MOMENTS_OUTPUT_SCHEMA = "key STRING, n LONG, s1 LONG, s2 LONG"
+MOMENTS_STATE_SCHEMA = "n LONG, s1 LONG, s2 LONG"
+
+
+def streaming_moments(
+    stream: DataFrame,
+    key_col: str = "key",
+    n_col: str = "n",
+    s1_col: str = "s1",
+    s2_col: str = "s2",
+) -> DataFrame:
+    """Per-key streaming integer moment accumulator (count, sum, sum of
+    squares) — the exact-arithmetic form of Welford/Chan parallel
+    variance: because the state is three BIGINT sums of an
+    integer-quantized measure, the merge is COMMUTATIVE AND EXACT (no
+    float accumulation order anywhere), so arrival order, micro-batch
+    boundaries, and restart replays provably cannot change the drained
+    mean/variance by even an ulp. Each micro-batch is expected
+    PRE-REDUCED to one (key, n, s1, s2) row per key (a map-side
+    aggregate), so per-batch state traffic is one row per key no matter
+    the batch size.
+
+    State: three longs per key, O(keys) total, TTL-free."""
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            n, s1, s2 = state.get
+        else:
+            n, s1, s2 = 0, 0, 0
+        n += int(batch[n_col].sum())
+        s1 += int(batch[s1_col].sum())
+        s2 += int(batch[s2_col].sum())
+        state.update((int(n), int(s1), int(s2)))
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "n": [int(n)], "s1": [int(s1)], "s2": [int(s2)]}
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(n_col).cast("long").alias(n_col),
+        F.col(s1_col).cast("long").alias(s1_col),
+        F.col(s2_col).cast("long").alias(s2_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=MOMENTS_OUTPUT_SCHEMA,
+        stateStructType=MOMENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -688,3 +688,54 @@ def test_streaming_bottom_k_split_invariant_and_replay_idempotent(spark, tmp_pat
     a = drain(2, "a")
     b = drain(7, "b")
     assert a == b == ([5, 10, 20, 30], [6, 1, 4, 3])
+
+
+def test_streaming_moments_split_invariant_and_exact(spark, tmp_path):
+    """The integer moment accumulator must be split-invariant (BIGINT
+    sums commute exactly) and match the closed-form moments of the full
+    sequence regardless of where the micro-batch boundary falls."""
+    import glob
+    import os
+    import shutil
+
+    from phoebe_spark.streaming.stateful import streaming_moments
+
+    vals = [3, 7, 1, 9, 4, 4, 2, 8]
+
+    def drain(split_at: int, tag: str):
+        src = str(tmp_path / f"src{tag}")
+        os.makedirs(src)
+        parts = (vals[:split_at], vals[split_at:])
+        for i, part in enumerate(parts, start=1):
+            df = spark.createDataFrame(
+                [("k", len(part), sum(part), sum(v * v for v in part))],
+                "key STRING, n LONG, s1 LONG, s2 LONG",
+            )
+            stage = str(tmp_path / f"st{tag}{i}")
+            df.coalesce(1).write.parquet(stage)
+            pf = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+        stream = (
+            spark.readStream.schema("key STRING, n LONG, s1 LONG, s2 LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = str(tmp_path / f"sink{tag}")
+        q = (
+            streaming_moments(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(sink))
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        f = spark.read.parquet(sink).orderBy("n").collect()[-1]
+        return (f.n, f.s1, f.s2)
+
+    a = drain(2, "a")
+    b = drain(6, "b")
+    expect = (len(vals), sum(vals), sum(v * v for v in vals))
+    assert a == b == expect
