@@ -560,6 +560,7 @@ def run_streaming_scale(spark, n_keys: int, days: int = 30) -> dict:
 
     from phoebe_spark.streaming.stateful import (
         streaming_holt,
+        streaming_moments,
         streaming_page_hinkley,
     )
 
@@ -581,6 +582,17 @@ def run_streaming_scale(spark, n_keys: int, days: int = 30) -> dict:
     for op_name, op in (
         ("streaming_holt", lambda s: streaming_holt(s, alpha=0.5, gamma=0.3, key_col="k")),
         ("streaming_page_hinkley", lambda s: streaming_page_hinkley(s, delta=5.0, lam=200.0, key_col="k")),
+        (
+            "streaming_moments",
+            lambda s: streaming_moments(
+                s.select(
+                    F.col("k").alias("key"),
+                    F.lit(1).cast("long").alias("n"),
+                    F.col("c").cast("long").alias("s1"),
+                    (F.col("c").cast("long") * F.col("c").cast("long")).alias("s2"),
+                )
+            ),
+        ),
     ):
         work = tempfile.mkdtemp(prefix="stress_stream_")
         src_dir = f"{work}/src"
