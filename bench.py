@@ -401,6 +401,8 @@ BENCH_QUERIES = [
     "q414_ipw_diagnostics",
     "q415_streaming_moments_drain",
     "q416_log_odds_dirichlet",
+    "q417_competing_risks",
+    "q418_price_elasticity",
 ]
 
 

@@ -1869,3 +1869,258 @@ def q416_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("az")
     )
+
+
+@query(
+    "q417_competing_risks",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 2 END AS kind
+      FROM orders
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    g AS (
+      SELECT d,
+             lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd,
+             lead(kind) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nk
+      FROM o
+    ),
+    dur AS (
+      SELECT CASE WHEN nd IS NULL THEN (SELECT dmax FROM mx) - d
+                  ELSE nd - d END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE nk END AS ev
+      FROM g
+    ),
+    byt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN ev = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d1, d2, d1 + d2 AS d,
+             CAST(sum(n_all) OVER () -
+               coalesce(sum(n_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nt
+      FROM byt
+    ),
+    ev AS (SELECT * FROM risk WHERE d > 0),
+    km AS (
+      SELECT t, d1, d2, nt,
+             coalesce(sum(CASE WHEN d < nt THEN ln(1 - d * 1.0 / nt) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0) AS lnprev,
+             coalesce(max(CASE WHEN d >= nt THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS zs
+      FROM ev
+    ),
+    cif AS (
+      SELECT t, d1, d2, nt,
+             sum(round(CASE WHEN zs = 1 THEN 0.0
+                            ELSE exp(lnprev) * d1 / nt END, 12))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cif1,
+             sum(round(CASE WHEN zs = 1 THEN 0.0
+                            ELSE exp(lnprev) * d2 / nt END, 12))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cif2
+      FROM km
+    )
+    SELECT t, nt AS n_risk, d1 AS d_urgent, d2 AS d_routine,
+           round(cif1, 6) + 0.0 AS cif_urgent,
+           round(cif2, 6) + 0.0 AS cif_routine
+    FROM cif
+    """,
+)
+def q417_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks
+    (Aalen & Johansen 1978) over the reorder-gap fixture (q282/q403
+    kinship, disclosed): each customer's next order is one of two
+    competing events — urgent-priority (1-URGENT/2-HIGH) vs routine —
+    and the tail to corpus end is censored. CIF_k(t) = sum_{s<=t}
+    S(s-) d_k(s)/n(s) with S(s-) the all-cause Kaplan-Meier evaluated
+    just before s — the quantity a naive "KM per event type treating
+    the other as censoring" systematically overestimates (the classic
+    competing-risks fallacy; CIF_urgent + CIF_routine + S = 1 holds
+    here by construction). The ln-sum/zero-absorption machinery is
+    q282's; each CIF increment is 12-dp-rounded before its ordered
+    cumulative sum so both engines accumulate the identical sequence.
+
+    100 TB story: one lead() pass partitioned by customer; every window
+    after runs over the O(distinct gap values) event-time frame,
+    SF-independent (allowlisted bounded support)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(2)
+        .alias("kind"),
+    )
+    dmax = o.agg(F.max("d").alias("dmax"))
+    wseq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "d",
+        F.lead("d").over(wseq).alias("nd"),
+        F.lead("kind").over(wseq).alias("nk"),
+    )
+    dur = g.crossJoin(F.broadcast(dmax)).select(
+        F.when(F.col("nd").isNull(), F.col("dmax") - F.col("d"))
+        .otherwise(F.col("nd") - F.col("d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(F.col("nk")).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("ev") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("ev") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wbef = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.select(
+        "t",
+        "d1",
+        "d2",
+        (F.col("d1") + F.col("d2")).alias("d"),
+        (
+            F.sum("n_all").over(wtot) - F.coalesce(F.sum("n_all").over(wbef), F.lit(0))
+        ).cast("long").alias("nt"),
+    ).filter(F.col("d") > 0)
+    km = risk.select(
+        "t",
+        "d1",
+        "d2",
+        "nt",
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("nt"),
+                    F.log(1 - F.col("d") * 1.0 / F.col("nt")),
+                )
+            ).over(wbef),
+            F.lit(0.0),
+        ).alias("lnprev"),
+        F.coalesce(
+            F.max(F.when(F.col("d") >= F.col("nt"), 1).otherwise(0)).over(wbef),
+            F.lit(0),
+        ).alias("zs"),
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+
+    def _inc(dk):
+        return F.round(
+            F.when(F.col("zs") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("lnprev")) * F.col(dk) / F.col("nt")
+            ),
+            12,
+        )
+
+    cif = km.select(
+        "t",
+        "d1",
+        "d2",
+        "nt",
+        F.sum(_inc("d1")).over(wc).alias("cif1"),
+        F.sum(_inc("d2")).over(wc).alias("cif2"),
+    )
+    return cif.select(
+        "t",
+        F.col("nt").alias("n_risk"),
+        F.col("d1").alias("d_urgent"),
+        F.col("d2").alias("d_routine"),
+        (F.round("cif1", 6) + F.lit(0.0)).alias("cif_urgent"),
+        (F.round("cif2", 6) + F.lit(0.0)).alias("cif_routine"),
+    )
+
+
+@query(
+    "q418_price_elasticity",
+    oracle=f"""
+    WITH s AS (
+      SELECT p.p_type,
+             ln(CAST(round(CAST(p.p_retailprice AS DECIMAL(18,4)) * 100, 0)
+                     AS BIGINT)) AS x,
+             ln(CAST(round(l.l_quantity) AS BIGINT)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity >= 1
+    ),
+    m AS (
+      SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+             {_FOLD12_SQL.format(t="x")} AS sx,
+             {_FOLD12_SQL.format(t="y")} AS sy,
+             {_FOLD12_SQL.format(t="x * x")} AS sxx,
+             {_FOLD12_SQL.format(t="y * y")} AS syy,
+             {_FOLD12_SQL.format(t="x * y")} AS sxy
+      FROM s GROUP BY 1
+    )
+    SELECT p_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+             AS elasticity,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+             AS correlation
+    FROM m
+    """,
+)
+def q418_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per product type: OLS slope of
+    ln(quantity) on ln(retail price) over the lineitem-part join — the
+    constant-elasticity model whose slope reads directly as "% quantity
+    change per % price change" (slope invariant to the cents scaling of
+    price). Prices pass through DECIMAL to exact cents and quantities to
+    exact integers BEFORE the ln, so both engines take logs of
+    identical BIGINTs; every ln-product moment accumulates through the
+    12-dp DECIMAL fold so corpus order cannot move the slope. Reported
+    with the intercept and the plain correlation (elasticity strength
+    vs fit quality).
+
+    100 TB story: one broadcast dimension join, ONE map-side-combining
+    aggregate to K = 6 type rows carrying five folded moments; the
+    regression is a per-row closed form — no window, no second pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 1)
+    pt = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        F.log(
+            F.round(F.col("p_retailprice").cast("decimal(18,4)") * 100, 0).cast(
+                "long"
+            )
+        ).alias("x"),
+    )
+    s = li.join(
+        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_type", "x", F.log(F.round("l_quantity").cast("long")).alias("y"))
+
+    def _fold12(c):
+        return F.round(F.sum(F.round(c, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    m = s.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _fold12(F.col("x")).alias("sx"),
+        _fold12(F.col("y")).alias("sy"),
+        _fold12(F.col("x") * F.col("x")).alias("sxx"),
+        _fold12(F.col("y") * F.col("y")).alias("syy"),
+        _fold12(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "p_type",
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        (F.round(corr, 6) + F.lit(0.0)).alias("correlation"),
+    )
