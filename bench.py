@@ -403,6 +403,8 @@ BENCH_QUERIES = [
     "q416_log_odds_dirichlet",
     "q417_competing_risks",
     "q418_price_elasticity",
+    "q419_gehan_wilcoxon",
+    "q420_rmst",
 ]
 
 

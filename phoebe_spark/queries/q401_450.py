@@ -2124,3 +2124,328 @@ def q418_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(corr, 6) + F.lit(0.0)).alias("correlation"),
     )
+
+
+@query(
+    "q419_gehan_wilcoxon",
+    oracle=f"""
+    WITH o AS (
+      SELECT o.o_custkey, o.o_orderkey,
+             datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    g AS (
+      SELECT arm, d,
+             lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+      FROM o
+    ),
+    dur AS (
+      SELECT arm,
+             CASE WHEN nd IS NULL THEN (SELECT dmax FROM mx) - d
+                  ELSE nd - d END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM g
+    ),
+    byt AS (
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_all1,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, d1,
+             CAST(sum(n_all) OVER () -
+               coalesce(sum(n_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nt,
+             CAST(sum(n_all1) OVER () -
+               coalesce(sum(n_all1) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1
+      FROM byt
+    ),
+    ev AS (SELECT * FROM risk WHERE d > 0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_times,
+             CAST(sum(nt * d1) AS BIGINT) AS obs_w,
+             {_FOLD12_SQL.format(t="nt * (d * (n1 * 1.0 / nt))")} AS exp_w,
+             {_FOLD12_SQL.format(t="CASE WHEN nt > 1 THEN nt * 1.0 * nt * (d * (n1 * 1.0 / nt) * (1.0 - n1 * 1.0 / nt) * (nt - d) / (nt - 1.0)) ELSE 0.0 END")} AS var_w
+      FROM ev
+    )
+    SELECT n_times, obs_w,
+           round(exp_w, 6) AS expected_w,
+           round((obs_w - exp_w) * (obs_w - exp_w) / var_w, 6) AS chi2_stat,
+           round({_p2_sql(f"sqrt((obs_w - exp_w) * (obs_w - exp_w) / var_w) * {_INV_SQRT2}")}, 6) + 0.0
+             AS p_value,
+           CASE WHEN obs_w < exp_w THEN 'arm1_lower_hazard'
+                WHEN obs_w > exp_w THEN 'arm1_higher_hazard'
+                ELSE 'equal' END AS direction
+    FROM s
+    """,
+)
+def q419_gehan_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon weighted log-rank test (Gehan 1965) over
+    q403's two-group survival fixture (disclosed kinship): identical
+    O-E/variance machinery but each event time weighted by the at-risk
+    count n(t), so EARLY hazard differences dominate — the companion
+    run beside the unweighted log-rank because the two disagreeing is
+    itself the diagnostic (crossing hazards; neither test alone detects
+    the crossing). Weighted O = sum n_t * d1_t stays an exact BIGINT;
+    weighted E and V accumulate through the 12-dp DECIMAL folds with
+    the shared erfc p-value chain.
+
+    100 TB story: identical shape to q403 — one keyed lead() pass, then
+    everything on the O(distinct gap values) frame."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                .otherwise(0)
+                .alias("arm"),
+            ),
+            "o_custkey",
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "arm",
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+        )
+    )
+    dmax = o.agg(F.max("d").alias("dmax"))
+    g = o.withColumn(
+        "nd",
+        F.lead("d").over(Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")),
+    )
+    dur = g.crossJoin(F.broadcast(dmax)).select(
+        "arm",
+        F.when(F.col("nd").isNull(), F.col("dmax") - F.col("d"))
+        .otherwise(F.col("nd") - F.col("d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_all1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wbef = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.sum("n_all").over(wtot) - F.coalesce(F.sum("n_all").over(wbef), F.lit(0))
+        ).cast("long").alias("nt"),
+        (
+            F.sum("n_all1").over(wtot)
+            - F.coalesce(F.sum("n_all1").over(wbef), F.lit(0))
+        ).cast("long").alias("n1"),
+    ).filter(F.col("d") > 0)
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    frac = F.col("n1") * 1.0 / F.col("nt")
+    e_term = F.col("nt") * (F.col("d") * frac)
+    v_term = F.when(
+        F.col("nt") > 1,
+        F.col("nt")
+        * 1.0
+        * F.col("nt")
+        * (
+            F.col("d")
+            * frac
+            * (F.lit(1.0) - frac)
+            * (F.col("nt") - F.col("d"))
+            / (F.col("nt") - F.lit(1.0))
+        ),
+    ).otherwise(F.lit(0.0))
+    s = risk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum(F.col("nt") * F.col("d1")).cast("long").alias("obs_w"),
+        _fold12(e_term).alias("exp_w"),
+        _fold12(v_term).alias("var_w"),
+    )
+    chi2 = (F.col("obs_w") - F.col("exp_w")) * (F.col("obs_w") - F.col("exp_w")) / F.col(
+        "var_w"
+    )
+    return s.select(
+        "n_times",
+        "obs_w",
+        F.round("exp_w", 6).alias("expected_w"),
+        F.round(chi2, 6).alias("chi2_stat"),
+        (F.round(_p2_col(F.sqrt(chi2) * F.lit(_INV_SQRT2)), 6) + F.lit(0.0)).alias(
+            "p_value"
+        ),
+        F.when(F.col("obs_w") < F.col("exp_w"), "arm1_lower_hazard")
+        .when(F.col("obs_w") > F.col("exp_w"), "arm1_higher_hazard")
+        .otherwise("equal")
+        .alias("direction"),
+    )
+
+
+@query(
+    "q420_rmst",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    g AS (
+      SELECT o_custkey, d,
+             lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+      FROM o
+    ),
+    dur AS (
+      SELECT CASE WHEN nd IS NULL THEN (SELECT dmax FROM mx) - d
+                  ELSE nd - d END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM g
+    ),
+    byt AS (
+      SELECT t, count(*) AS n_all, CAST(sum(ev) AS BIGINT) AS d_ev
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d_ev,
+             CAST(sum(n_all) OVER () -
+               coalesce(sum(n_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nt
+      FROM byt
+    ),
+    ev AS (SELECT t, nt, d_ev FROM risk WHERE d_ev > 0 AND t <= 90),
+    km AS (
+      SELECT t, nt, d_ev,
+             sum(CASE WHEN d_ev < nt THEN ln(1 - d_ev * 1.0 / nt) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnsum,
+             max(CASE WHEN d_ev >= nt THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zs,
+             coalesce(lag(t) OVER (ORDER BY t), 0) AS tprev,
+             coalesce(sum(CASE WHEN d_ev < nt THEN ln(1 - d_ev * 1.0 / nt) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0) AS lnprev,
+             coalesce(max(CASE WHEN d_ev >= nt THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS zsprev
+      FROM ev
+    ),
+    seg AS (
+      SELECT CAST(round(sum(CAST(round((t - tprev) *
+                 CASE WHEN zsprev = 1 THEN 0.0 ELSE exp(lnprev) END, 12)
+                 AS DECIMAL(38,12))), 12) AS DOUBLE)
+               AS area_to_last,
+             max(t) AS tlast,
+             max(CASE WHEN zs = 1 THEN 0.0 ELSE exp(coalesce(lnsum, 0.0)) END)
+               FILTER (WHERE t = (SELECT max(t) FROM km)) AS s_last,
+             CAST(count(*) AS BIGINT) AS n_steps
+      FROM km
+    )
+    SELECT 90 AS tau_days, n_steps,
+           round(area_to_last + (90 - tlast) * s_last, 6) + 0.0 AS rmst_days,
+           round(s_last, 6) + 0.0 AS survival_at_tau
+    FROM seg
+    """,
+)
+def q420_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to tau = 90 days (Royston & Parmar
+    2013 advocacy; the integral of the Kaplan-Meier curve from 0 to
+    tau) over q282's reorder-gap fixture (disclosed kinship) — the
+    modern replacement for a median-survival summary when curves cross
+    or medians are unreached: "how many reorder-free days does the
+    average customer accumulate in their first 90". The step integral
+    is the sum of (t_i - t_{i-1}) * S(t_{i-1}-) rectangles over event
+    times <= tau plus the tail rectangle to tau, each term
+    12-dp-rounded before the fold; the ln-sum/absorption machinery is
+    q282's.
+
+    100 TB story: one keyed lead() pass; the KM curve, the lag() step
+    widths, and the integral all run on the O(distinct gap values <=
+    tau) frame — SF-independent."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    tau = 90
+    dmax = o.agg(F.max("d").alias("dmax"))
+    g = o.withColumn(
+        "nd",
+        F.lead("d").over(Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")),
+    )
+    dur = g.crossJoin(F.broadcast(dmax)).select(
+        F.when(F.col("nd").isNull(), F.col("dmax") - F.col("d"))
+        .otherwise(F.col("nd") - F.col("d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("ev").cast("long").alias("d_ev")
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wbef = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.select(
+        "t",
+        "d_ev",
+        (
+            F.sum("n_all").over(wtot) - F.coalesce(F.sum("n_all").over(wbef), F.lit(0))
+        ).cast("long").alias("nt"),
+    ).filter((F.col("d_ev") > 0) & (F.col("t") <= tau))
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("t")
+    lnterm = F.when(
+        F.col("d_ev") < F.col("nt"),
+        F.log(1 - F.col("d_ev") * 1.0 / F.col("nt")),
+    )
+    zterm = F.when(F.col("d_ev") >= F.col("nt"), 1).otherwise(0)
+    km = risk.select(
+        "t",
+        F.sum(lnterm).over(wc).alias("lnsum"),
+        F.max(zterm).over(wc).alias("zs"),
+        F.coalesce(F.lag("t").over(wl), F.lit(0)).alias("tprev"),
+        F.coalesce(F.sum(lnterm).over(wbef), F.lit(0.0)).alias("lnprev"),
+        F.coalesce(F.max(zterm).over(wbef), F.lit(0)).alias("zsprev"),
+    ).localCheckpoint(eager=True)
+    sprev = F.when(F.col("zsprev") == 1, F.lit(0.0)).otherwise(F.exp(F.col("lnprev")))
+    scur = F.when(F.col("zs") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.col("lnsum"), F.lit(0.0)))
+    )
+    tlast = km.agg(F.max("t").alias("tlast"))
+    seg = km.crossJoin(F.broadcast(tlast)).agg(
+        F.round(
+            F.sum(
+                F.round((F.col("t") - F.col("tprev")) * sprev, 12).cast(
+                    "decimal(38,12)"
+                )
+            ),
+            12,
+        )
+        .cast("double")
+        .alias("area_to_last"),
+        F.max("t").alias("tl"),
+        F.max(F.when(F.col("t") == F.col("tlast"), scur)).alias("s_last"),
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+    )
+    return seg.select(
+        F.lit(tau).cast("int").alias("tau_days"),
+        "n_steps",
+        (
+            F.round(
+                F.col("area_to_last") + (tau - F.col("tl")) * F.col("s_last"), 6
+            )
+            + F.lit(0.0)
+        ).alias("rmst_days"),
+        (F.round("s_last", 6) + F.lit(0.0)).alias("survival_at_tau"),
+    )
