@@ -405,6 +405,8 @@ BENCH_QUERIES = [
     "q418_price_elasticity",
     "q419_gehan_wilcoxon",
     "q420_rmst",
+    "q421_weighted_kappa",
+    "q422_stuart_maxwell",
 ]
 
 

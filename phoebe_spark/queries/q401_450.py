@@ -2449,3 +2449,282 @@ def q420_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rmst_days"),
         (F.round("s_last", 6) + F.lit(0.0)).alias("survival_at_tau"),
     )
+
+
+_ORD_GRID_SQL = """
+    g AS (
+      SELECT CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+                  WHEN n_chars < 500 THEN 2 ELSE 3 END AS i,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 25 THEN 0
+                  WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 50 THEN 1
+                  WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 85 THEN 2
+                  ELSE 3 END AS j
+      FROM documents WHERE trim(text) <> ''
+    ),
+    cells AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2
+    ),
+    rm AS (SELECT i, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT j, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells)"""
+
+
+def _ord_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-level ordinal contingency of the char-length rater (cuts
+    150/300/500) vs the token-count rater (cuts 25/50/85); see
+    _ORD_GRID_SQL. Cut points chosen so all four levels are populated
+    on both margins at every test SF."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    from phoebe_spark.operators import text as text_ops
+
+    ntok = F.size(text_ops.tokens(F.col("text")))
+    i = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 300, 1)
+        .when(F.col("n_chars") < 500, 2)
+        .otherwise(3)
+    )
+    j = F.when(ntok < 25, 0).when(ntok < 50, 1).when(ntok < 85, 2).otherwise(3)
+    return (
+        d.select(i.alias("i"), j.alias("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "q421_weighted_kappa",
+    oracle=f"""
+    WITH {_ORD_GRID_SQL},
+    po AS (
+      SELECT CAST(sum(n * (3 - abs(i - j))) AS BIGINT) AS wo,
+             CAST(sum(CASE WHEN i = j THEN n ELSE 0 END) AS BIGINT) AS diag
+      FROM cells
+    ),
+    pe AS (
+      SELECT CAST(sum(rm.r * cm.c * (3 - abs(rm.i - cm.j))) AS BIGINT) AS we,
+             CAST(sum(CASE WHEN rm.i = cm.j THEN rm.r * cm.c ELSE 0 END) AS BIGINT)
+               AS ediag
+      FROM rm CROSS JOIN cm
+    )
+    SELECT nn AS n_docs,
+           round(wo * 1.0 / (3 * nn), 6) AS po_weighted,
+           round(we * 1.0 / (3.0 * nn * nn), 6) AS pe_weighted,
+           round((wo * 1.0 / (3 * nn) - we * 1.0 / (3.0 * nn * nn))
+                 / (1.0 - we * 1.0 / (3.0 * nn * nn)), 6) + 0.0 AS weighted_kappa,
+           round((diag * 1.0 / nn - ediag * 1.0 / (nn * 1.0 * nn))
+                 / (1.0 - ediag * 1.0 / (nn * 1.0 * nn)), 6) + 0.0
+             AS unweighted_kappa
+    FROM po CROSS JOIN pe CROSS JOIN tot
+    """,
+)
+def q421_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly weighted Cohen's kappa (Cohen 1968) between two ORDINAL
+    quality raters — a 4-level char-length grading vs a 4-level
+    token-count grading — the ordinal upgrade of q346's binary kappa
+    (disclosed kinship): near-misses (adjacent levels) earn partial
+    credit 1 - |i-j|/3, so the statistic distinguishes "raters disagree
+    by one grade" from "raters contradict each other", which the
+    unweighted kappa (also reported) cannot. Everything is an exact
+    BIGINT sum over the 16-cell grid and its margins; only the final
+    divisions are floating point.
+
+    100 TB story: ONE map-side-combining aggregate to <= 16 cells;
+    margins and both kappas are folds over that grid and its 4x4
+    margin cross join."""
+    cells = _ord_cells(spark, sf_dir).localCheckpoint(eager=True)
+    rm = cells.groupBy("i").agg(F.sum("n").cast("long").alias("r"))
+    cm = cells.groupBy("j").agg(F.sum("n").cast("long").alias("c"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    po = cells.agg(
+        F.sum(F.col("n") * (3 - F.abs(F.col("i") - F.col("j"))))
+        .cast("long")
+        .alias("wo"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    pe = rm.crossJoin(cm).agg(
+        F.sum(F.col("r") * F.col("c") * (3 - F.abs(F.col("i") - F.col("j"))))
+        .cast("long")
+        .alias("we"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("r") * F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ediag"),
+    )
+    j = po.crossJoin(F.broadcast(pe)).crossJoin(F.broadcast(tot))
+    pow_ = F.col("wo") * 1.0 / (3 * F.col("nn"))
+    pew = F.col("we") * 1.0 / (3.0 * F.col("nn") * F.col("nn"))
+    pou = F.col("diag") * 1.0 / F.col("nn")
+    peu = F.col("ediag") * 1.0 / (F.col("nn") * 1.0 * F.col("nn"))
+    return j.select(
+        F.col("nn").alias("n_docs"),
+        F.round(pow_, 6).alias("po_weighted"),
+        F.round(pew, 6).alias("pe_weighted"),
+        (F.round((pow_ - pew) / (F.lit(1.0) - pew), 6) + F.lit(0.0)).alias(
+            "weighted_kappa"
+        ),
+        (F.round((pou - peu) / (F.lit(1.0) - peu), 6) + F.lit(0.0)).alias(
+            "unweighted_kappa"
+        ),
+    )
+
+
+_SQRT_2_OVER_PI = 0.7978845608028654  # sqrt(2/pi), correctly rounded literal
+
+
+@query(
+    "q422_stuart_maxwell",
+    oracle=f"""
+    WITH {_ORD_GRID_SQL},
+    pairs AS (
+      SELECT a.i, a.j,
+             coalesce((SELECT n FROM cells b WHERE b.i = a.i AND b.j = a.j), 0) AS nij
+      FROM (SELECT rm.i AS i, cm.j AS j FROM rm CROSS JOIN cm) a
+    ),
+    dvec AS (
+      SELECT k,
+             CAST((SELECT coalesce(max(r), 0) FROM rm WHERE rm.i = k) AS BIGINT)
+             - CAST((SELECT coalesce(max(c), 0) FROM cm WHERE cm.j = k) AS BIGINT)
+               AS d
+      FROM (SELECT unnest(generate_series(0, 2)) AS k)
+    ),
+    smat AS (
+      SELECT a.k AS ki, b.k AS kj,
+             CASE WHEN a.k = b.k THEN
+               CAST((SELECT coalesce(max(r), 0) FROM rm WHERE rm.i = a.k) AS BIGINT)
+               + CAST((SELECT coalesce(max(c), 0) FROM cm WHERE cm.j = a.k) AS BIGINT)
+               - 2 * (SELECT nij FROM pairs WHERE i = a.k AND j = a.k)
+             ELSE
+               - (SELECT nij FROM pairs WHERE i = a.k AND j = b.k)
+               - (SELECT nij FROM pairs WHERE i = b.k AND j = a.k)
+             END AS s
+      FROM dvec a CROSS JOIN dvec b
+    ),
+    m AS (
+      SELECT
+        (SELECT s FROM smat WHERE ki = 0 AND kj = 0) AS s00,
+        (SELECT s FROM smat WHERE ki = 0 AND kj = 1) AS s01,
+        (SELECT s FROM smat WHERE ki = 0 AND kj = 2) AS s02,
+        (SELECT s FROM smat WHERE ki = 1 AND kj = 1) AS s11,
+        (SELECT s FROM smat WHERE ki = 1 AND kj = 2) AS s12,
+        (SELECT s FROM smat WHERE ki = 2 AND kj = 2) AS s22,
+        (SELECT d FROM dvec WHERE k = 0) AS d0,
+        (SELECT d FROM dvec WHERE k = 1) AS d1,
+        (SELECT d FROM dvec WHERE k = 2) AS d2
+    ),
+    q AS (
+      SELECT
+        s00 * (s11 * s22 - s12 * s12)
+        - s01 * (s01 * s22 - s12 * s02)
+        + s02 * (s01 * s12 - s11 * s02) AS det,
+        d0 * (d0 * (s11 * s22 - s12 * s12)
+              + d1 * (s02 * s12 - s01 * s22)
+              + d2 * (s01 * s12 - s02 * s11))
+        + d1 * (d0 * (s12 * s02 - s01 * s22)
+                + d1 * (s00 * s22 - s02 * s02)
+                + d2 * (s01 * s02 - s00 * s12))
+        + d2 * (d0 * (s01 * s12 - s11 * s02)
+                + d1 * (s02 * s01 - s00 * s12)
+                + d2 * (s00 * s11 - s01 * s01)) AS quad,
+        d0, d1, d2
+      FROM m
+    )
+    SELECT (SELECT nn FROM tot) AS n_docs,
+           d0 AS margin_shift_0, d1 AS margin_shift_1, d2 AS margin_shift_2,
+           round(quad * 1.0 / det, 6) AS chi2_stat,
+           round({_p2_sql("sqrt(quad * 0.5 / det)")}
+                 + {_SQRT_2_OVER_PI} * sqrt(quad * 1.0 / det)
+                   * exp(-quad * 0.5 / det), 6) + 0.0 AS p_value
+    FROM q
+    """,
+)
+def q422_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test (Stuart 1955; Maxwell
+    1970) on q421's 4-level ordinal rater grid (disclosed kinship) —
+    the multi-level McNemar (q366's generalization): does the
+    char-length grading systematically assign DIFFERENT grade
+    proportions than the token grading (a calibration shift), as
+    opposed to mere scatter (q421's kappa measures that)? d = row
+    margins minus column margins over the first 3 levels, S the
+    McNemar-style covariance with integer entries, and chi2 = d'S^-1 d
+    evaluated via the closed-form 3x3 adjugate so the statistic is an
+    EXACT integer ratio quad/det; the 3-dof chi-square p-value uses the
+    closed form erfc(sqrt(x/2)) + sqrt(2x/pi)*exp(-x/2) on the shared
+    erfc chain.
+
+    100 TB story: the same one-aggregate 16-cell grid as q421;
+    everything after is a literal 3x3 expression on one row."""
+    cells = _ord_cells(spark, sf_dir).localCheckpoint(eager=True)
+    rm = cells.groupBy("i").agg(F.sum("n").cast("long").alias("r"))
+    cm = cells.groupBy("j").agg(F.sum("n").cast("long").alias("c"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+
+    def _cell(i, j):
+        return F.coalesce(
+            F.max(F.when((F.col("i") == i) & (F.col("j") == j), F.col("n"))),
+            F.lit(0),
+        )
+
+    grid = cells.agg(
+        *[_cell(i, j).alias(f"n{i}{j}") for i in range(3) for j in range(3)],
+        *[
+            F.sum(F.when(F.col("i") == k, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"r{k}")
+            for k in range(3)
+        ],
+        *[
+            F.sum(F.when(F.col("j") == k, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in range(3)
+        ],
+    )
+    d = [F.col(f"r{k}") - F.col(f"c{k}") for k in range(3)]
+    s = {}
+    for a in range(3):
+        for b in range(3):
+            if a == b:
+                s[(a, b)] = F.col(f"r{a}") + F.col(f"c{a}") - 2 * F.col(f"n{a}{a}")
+            else:
+                s[(a, b)] = -(F.col(f"n{a}{b}") + F.col(f"n{b}{a}"))
+    det = (
+        s[(0, 0)] * (s[(1, 1)] * s[(2, 2)] - s[(1, 2)] * s[(1, 2)])
+        - s[(0, 1)] * (s[(0, 1)] * s[(2, 2)] - s[(1, 2)] * s[(0, 2)])
+        + s[(0, 2)] * (s[(0, 1)] * s[(1, 2)] - s[(1, 1)] * s[(0, 2)])
+    )
+    quad = (
+        d[0]
+        * (
+            d[0] * (s[(1, 1)] * s[(2, 2)] - s[(1, 2)] * s[(1, 2)])
+            + d[1] * (s[(0, 2)] * s[(1, 2)] - s[(0, 1)] * s[(2, 2)])
+            + d[2] * (s[(0, 1)] * s[(1, 2)] - s[(0, 2)] * s[(1, 1)])
+        )
+        + d[1]
+        * (
+            d[0] * (s[(1, 2)] * s[(0, 2)] - s[(0, 1)] * s[(2, 2)])
+            + d[1] * (s[(0, 0)] * s[(2, 2)] - s[(0, 2)] * s[(0, 2)])
+            + d[2] * (s[(0, 1)] * s[(0, 2)] - s[(0, 0)] * s[(1, 2)])
+        )
+        + d[2]
+        * (
+            d[0] * (s[(0, 1)] * s[(1, 2)] - s[(1, 1)] * s[(0, 2)])
+            + d[1] * (s[(0, 2)] * s[(0, 1)] - s[(0, 0)] * s[(1, 2)])
+            + d[2] * (s[(0, 0)] * s[(1, 1)] - s[(0, 1)] * s[(0, 1)])
+        )
+    )
+    chi2 = quad * 1.0 / det
+    p = _p2_col(F.sqrt(quad * 0.5 / det)) + F.lit(_SQRT_2_OVER_PI) * F.sqrt(
+        chi2
+    ) * F.exp(-quad * 0.5 / det)
+    return grid.crossJoin(F.broadcast(tot)).select(
+        F.col("nn").alias("n_docs"),
+        d[0].alias("margin_shift_0"),
+        d[1].alias("margin_shift_1"),
+        d[2].alias("margin_shift_2"),
+        F.round(chi2, 6).alias("chi2_stat"),
+        (F.round(p, 6) + F.lit(0.0)).alias("p_value"),
+    )

@@ -1,4 +1,4 @@
-"""Physical-plan assertions for the round-9 finale block (q401-q420; q415 is a streaming drain covered by parity):
+"""Physical-plan assertions for the round-9 finale block (q401-q422; q415 is a streaming drain covered by parity):
 the scale properties claimed in the docstrings must be visible in the
 plans, including pre-checkpoint stages (captured via the guard so an
 eager localCheckpoint cannot hide a bad stage, per the round-8 q321
@@ -35,6 +35,8 @@ BLOCK = [
     "q418_price_elasticity",
     "q419_gehan_wilcoxon",
     "q420_rmst",
+    "q421_weighted_kappa",
+    "q422_stuart_maxwell",
 ]
 
 
