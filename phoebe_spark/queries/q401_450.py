@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._core import _t, query
+from ._core import _dim, _t, query
 from .q201_250 import _COGRAPH_SQL, _cograph_edges
 from .q301_350 import _INV_SQRT2, _p2_col, _p2_sql
 
@@ -326,14 +326,14 @@ def q401_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(wins) AS BIGINT) AS wins,
              CAST(sum(losses) AS BIGINT) AS losses,
              CAST(sum(beat) AS BIGINT) - CAST(sum(beaten) AS BIGINT) AS copeland,
-             CAST(sum(beat) AS BIGINT) AS majorities,
-             CAST(count(*) AS BIGINT) AS rivals
+             CAST(sum(beat) AS BIGINT) AS majorities
       FROM side GROUP BY 1
-    )
+    ),
+    tk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM cells)
     SELECT event_type, wins, losses,
            round(wins * 1.0 / (wins + losses), 6) AS win_rate,
            CAST(copeland AS BIGINT) AS copeland,
-           CAST(majorities = rivals AS BOOLEAN) AS condorcet_winner
+           CAST(majorities = (SELECT k - 1 FROM tk) AS BOOLEAN) AS condorcet_winner
     FROM agg
     """,
 )
@@ -343,9 +343,12 @@ def q404_condorcet_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
     Copeland score (majority pairings won minus lost — the standard
     rank-aggregation score when a Condorcet winner may not exist), and
     whether the type is a Condorcet winner (wins its head-to-head
-    majority against EVERY rival) — the cycle-robust sanity check a
-    preference pipeline runs before trusting a single scalar rating
-    like q401's BT strength.
+    majority against EVERY rival — all K-1 types in the tournament
+    universe, so a rival that was never met or only tied disqualifies;
+    majorities are compared against K-1 from the cells' distinct-type
+    count, not against the decided-pairing count) — the cycle-robust
+    sanity check a preference pipeline runs before trusting a single
+    scalar rating like q401's BT strength.
 
     100 TB story: identical cell/duel shape to q401 — one shuffle to
     (user, hour, type) cells, bounded fan-out to the K x K decided
@@ -381,9 +384,18 @@ def q404_condorcet_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("losses").cast("long").alias("losses"),
         (F.sum("beat") - F.sum("beaten")).cast("long").alias("copeland"),
         F.sum("beat").cast("long").alias("majorities"),
-        F.count(F.lit(1)).cast("long").alias("rivals"),
     )
-    return agg.select(
+    # Condorcet winner requires a won majority against EVERY rival in
+    # the tournament (K - 1, from the full type universe), not just
+    # against the rivals this type happens to have decided pairings
+    # with — a type that never met (or only tied) some rival must not
+    # qualify. K comes from the same cells filter the duel grid uses.
+    tk = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .agg(F.countDistinct("event_type").cast("long").alias("k"))
+    )
+    return agg.crossJoin(F.broadcast(tk)).select(
         "event_type",
         "wins",
         "losses",
@@ -391,7 +403,7 @@ def q404_condorcet_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_rate"
         ),
         "copeland",
-        (F.col("majorities") == F.col("rivals")).alias("condorcet_winner"),
+        (F.col("majorities") == F.col("k") - 1).alias("condorcet_winner"),
     )
 
 
@@ -911,8 +923,11 @@ def q407_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree counts; only the final fractions are floating point.
 
     100 TB story: degrees are one grouped count on the symmetrized
-    edges; community attachment is two hash joins against the broadcast
-    part dimension; the modularity arithmetic runs on O(brands) rows."""
+    edges; community attachment is two hash joins against the part
+    dimension, broadcast via the size-aware ``_dim`` hint (part GROWS
+    with scale factor, so above the 256 MB plan-estimate bound the hint
+    drops out and AQE picks the join strategy at runtime); the
+    modularity arithmetic runs on O(brands) rows."""
     co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
     m = co.agg(F.count(F.lit(1)).cast("long").alias("m"))
     comm = _t(spark, sf_dir, "part").select(
@@ -922,17 +937,17 @@ def q407_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.select(F.col("s2").alias("node"))
     )
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    dsum = deg.join(F.broadcast(comm), "node").groupBy("c").agg(
+    dsum = deg.join(_dim(comm), "node").groupBy("c").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("d").cast("long").alias("dc"),
     )
     intra = (
         co.join(
-            F.broadcast(comm.select(F.col("node").alias("s1"), F.col("c").alias("ca"))),
+            _dim(comm.select(F.col("node").alias("s1"), F.col("c").alias("ca"))),
             "s1",
         )
         .join(
-            F.broadcast(comm.select(F.col("node").alias("s2"), F.col("c").alias("cb"))),
+            _dim(comm.select(F.col("node").alias("s2"), F.col("c").alias("cb"))),
             "s2",
         )
         .filter(F.col("ca") == F.col("cb"))
@@ -989,12 +1004,26 @@ def q407_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x2 * x3) AS BIGINT) AS p23
       FROM s
     ),
+    d AS (
+      SELECT n,
+             CAST(n AS DECIMAL(19,0)) AS dn,
+             CAST(a1 AS DECIMAL(19,0)) AS da1, CAST(a2 AS DECIMAL(19,0)) AS da2,
+             CAST(a3 AS DECIMAL(19,0)) AS da3,
+             CAST(q1 AS DECIMAL(19,0)) AS dq1, CAST(q2 AS DECIMAL(19,0)) AS dq2,
+             CAST(q3 AS DECIMAL(19,0)) AS dq3,
+             CAST(p12 AS DECIMAL(19,0)) AS dp12, CAST(p13 AS DECIMAL(19,0)) AS dp13,
+             CAST(p23 AS DECIMAL(19,0)) AS dp23
+      FROM m
+    ),
     r AS (
       SELECT n,
-             (n * p12 - a1 * a2) / sqrt((n * q1 - a1 * a1) * 1.0 * (n * q2 - a2 * a2)) AS r12,
-             (n * p13 - a1 * a3) / sqrt((n * q1 - a1 * a1) * 1.0 * (n * q3 - a3 * a3)) AS r13,
-             (n * p23 - a2 * a3) / sqrt((n * q2 - a2 * a2) * 1.0 * (n * q3 - a3 * a3)) AS r23
-      FROM m
+             CAST(dn * dp12 - da1 * da2 AS DOUBLE)
+               / sqrt(CAST(dn * dq1 - da1 * da1 AS DOUBLE) * CAST(dn * dq2 - da2 * da2 AS DOUBLE)) AS r12,
+             CAST(dn * dp13 - da1 * da3 AS DOUBLE)
+               / sqrt(CAST(dn * dq1 - da1 * da1 AS DOUBLE) * CAST(dn * dq3 - da3 * da3 AS DOUBLE)) AS r13,
+             CAST(dn * dp23 - da2 * da3 AS DOUBLE)
+               / sqrt(CAST(dn * dq2 - da2 * da2 AS DOUBLE) * CAST(dn * dq3 - da3 * da3 AS DOUBLE)) AS r23
+      FROM d
     ),
     v AS (
       SELECT n, r12, r13, r23,
@@ -1030,7 +1059,9 @@ def q408_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
     discount/tax are exact cents), so the full moment matrix (9 sums)
     is BIGINT-exact in one pass and every correlation is computed from
     identical integer moments on both engines; singular panels emit
-    NULL VIF by the same CASE.
+    NULL VIF by the same CASE. The ``n*q - a*a`` combinations run in
+    DECIMAL(38,0) (exact to ~SF 10^6; plain BIGINT would wrap silently
+    in Spark around SF 10-30) before the single conversion to DOUBLE.
 
     100 TB story: ONE map-side-combining aggregate to a single 10-field
     integer moment row; the VIF arithmetic is a 1-row expression and a
@@ -1053,12 +1084,19 @@ def q408_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x2") * F.col("x3")).cast("long").alias("p23"),
     )
 
+    # n * q - a * a style combinations run in DECIMAL(38,0): the BIGINT
+    # sums are safe to any scale factor, but their cross products exhaust
+    # int64 around SF 10-30 on lineitem (Spark would wrap silently,
+    # DuckDB would raise). (19,0) x (19,0) -> (38,0) is exact on BOTH
+    # engines; only the final exact integer converts to DOUBLE.
+    def _d(c):
+        return F.col(c).cast("decimal(19,0)")
+
     def _r(p, a, b, qa, qb):
-        return (F.col("n") * F.col(p) - F.col(a) * F.col(b)) / F.sqrt(
-            (F.col("n") * F.col(qa) - F.col(a) * F.col(a))
-            * 1.0
-            * (F.col("n") * F.col(qb) - F.col(b) * F.col(b))
-        )
+        num = (_d("n") * _d(p) - _d(a) * _d(b)).cast("double")
+        va = (_d("n") * _d(qa) - _d(a) * _d(a)).cast("double")
+        vb = (_d("n") * _d(qb) - _d(b) * _d(b)).cast("double")
+        return num / F.sqrt(va * vb)
 
     r = m.select(
         "n",
@@ -1580,15 +1618,25 @@ def q413_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s GROUP BY 1
     ),
     sides AS (
-      SELECT 'treated' AS arm_name, n1 AS cnt, n * 1.0 / n1 AS w, n FROM strat
+      SELECT 'treated' AS arm_name, n1 AS cnt,
+             CASE WHEN n1 > 0 AND n1 < n THEN n * 1.0 / n1 END AS w,
+             CASE WHEN n1 > 0 AND n1 < n THEN n ELSE 0 END AS n_in,
+             CASE WHEN n1 > 0 AND n1 < n THEN 0 ELSE 1 END AS excl
+      FROM strat
       UNION ALL
-      SELECT 'control', n - n1, n * 1.0 / (n - n1), n FROM strat
+      SELECT 'control', n - n1,
+             CASE WHEN n1 > 0 AND n1 < n THEN n * 1.0 / (n - n1) END,
+             CASE WHEN n1 > 0 AND n1 < n THEN n ELSE 0 END,
+             CASE WHEN n1 > 0 AND n1 < n THEN 0 ELSE 1 END
+      FROM strat
     ),
     agg AS (
-      SELECT arm_name, CAST(sum(cnt) AS BIGINT) AS n_arm,
-             CAST(sum(n) AS BIGINT) AS sw,
-             {_FOLD12_SQL.format(t="cnt * w * w")} AS sw2,
-             max(w) AS max_w
+      SELECT arm_name,
+             CAST(sum(CASE WHEN excl = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_arm,
+             CAST(sum(n_in) AS BIGINT) AS sw,
+             {_FOLD12_SQL.format(t="CASE WHEN excl = 0 THEN cnt * w * w ELSE 0.0 END")} AS sw2,
+             max(w) AS max_w,
+             CAST(sum(excl) AS BIGINT) AS n_excluded_strata
       FROM sides GROUP BY 1
     )
     SELECT arm_name, n_arm,
@@ -1596,7 +1644,8 @@ def q413_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sw * sw / sw2 / n_arm, 6) AS ess_ratio,
            round(max_w, 6) AS max_weight,
            round(sqrt(sw2 * n_arm / (sw * 1.0 * sw) - 1.0), 6) + 0.0
-             AS weight_cv
+             AS weight_cv,
+           n_excluded_strata
     FROM agg
     """,
 )
@@ -1609,9 +1658,14 @@ def q414_ipw_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight coefficient of variation, the overlap-violation screens run
     BEFORE trusting any IPW estimate (an ESS ratio near 1 means
     near-uniform weights; a large max weight means a near-empty
-    propensity cell dominates). With empirical propensities sum(w) per
-    arm is EXACTLY the corpus count (an identity the integer moments
-    make bit-exact); sum w^2 folds at 12-dp DECIMAL over the K strata.
+    propensity cell dominates). Single-arm strata (n1 = 0 or n1 = n)
+    carry no overlap and are excluded from BOTH arms' folds with a
+    fail-loud ``n_excluded_strata`` count (q406's degeneracy policy —
+    previously the NULL weight silently dropped from sum w^2 while the
+    stratum still counted in sum w, inflating ESS). With empirical
+    propensities sum(w) per arm is EXACTLY the non-degenerate corpus
+    count (an identity the integer moments make bit-exact); sum w^2
+    folds at 12-dp DECIMAL over the K strata.
 
     100 TB story: ONE map-side-combining aggregate to K stratum count
     rows; both arms' diagnostics are K-row folds over the same tiny
@@ -1623,28 +1677,42 @@ def q414_ipw_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("arm").cast("long").alias("n1"),
     ).localCheckpoint(eager=True)
-    sides = strat.select(
-        F.lit("treated").alias("arm_name"),
-        F.col("n1").alias("cnt"),
-        (F.col("n") * 1.0 / F.col("n1")).alias("w"),
-        "n",
-    ).unionAll(
-        strat.select(
-            F.lit("control").alias("arm_name"),
-            (F.col("n") - F.col("n1")).alias("cnt"),
-            (F.col("n") * 1.0 / (F.col("n") - F.col("n1"))).alias("w"),
-            "n",
+    # Single-arm strata (n1 = 0 or n1 = n) have an undefined weight on
+    # one side; without a guard the NULL w silently drops from sw2 and
+    # max_w while the stratum's n still lands in sw, inflating ESS.
+    # Guard: exclude the stratum from BOTH arms' folds (no overlap ->
+    # no causal information, q406's degeneracy policy) and report the
+    # excluded count fail-loud, q401-style.
+    ok = (F.col("n1") > 0) & (F.col("n1") < F.col("n"))
+
+    def _side(name, cnt_col, denom):
+        return strat.select(
+            F.lit(name).alias("arm_name"),
+            cnt_col.alias("cnt"),
+            F.when(ok, F.col("n") * 1.0 / denom).alias("w"),
+            F.when(ok, F.col("n")).otherwise(F.lit(0)).alias("n_in"),
+            F.when(ok, F.lit(0)).otherwise(F.lit(1)).alias("excl"),
         )
+
+    sides = _side("treated", F.col("n1"), F.col("n1")).unionAll(
+        _side("control", F.col("n") - F.col("n1"), F.col("n") - F.col("n1"))
     )
 
     def _fold12(x):
         return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
 
     agg = sides.groupBy("arm_name").agg(
-        F.sum("cnt").cast("long").alias("n_arm"),
-        F.sum("n").cast("long").alias("sw"),
-        _fold12(F.col("cnt") * F.col("w") * F.col("w")).alias("sw2"),
+        F.sum(F.when(F.col("excl") == 0, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_arm"),
+        F.sum("n_in").cast("long").alias("sw"),
+        _fold12(
+            F.when(
+                F.col("excl") == 0, F.col("cnt") * F.col("w") * F.col("w")
+            ).otherwise(F.lit(0.0))
+        ).alias("sw2"),
         F.max("w").alias("max_w"),
+        F.sum("excl").cast("long").alias("n_excluded_strata"),
     )
     ess = F.col("sw") * F.col("sw") / F.col("sw2")
     return agg.select(
@@ -1663,6 +1731,7 @@ def q414_ipw_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("weight_cv"),
+        "n_excluded_strata",
     )
 
 
@@ -2080,9 +2149,11 @@ def q418_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the intercept and the plain correlation (elasticity strength
     vs fit quality).
 
-    100 TB story: one broadcast dimension join, ONE map-side-combining
-    aggregate to K = 6 type rows carrying five folded moments; the
-    regression is a per-row closed form — no window, no second pass."""
+    100 TB story: one dimension join (broadcast via the size-aware
+    ``_dim`` hint — part grows with scale factor, so above the 256 MB
+    plan-estimate bound AQE decides), ONE map-side-combining aggregate
+    to K = 6 type rows carrying five folded moments; the regression is
+    a per-row closed form — no window, no second pass."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 1)
     pt = _t(spark, sf_dir, "part").select(
         "p_partkey",
@@ -2094,7 +2165,7 @@ def q418_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     )
     s = li.join(
-        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")
+        _dim(pt), F.col("l_partkey") == F.col("p_partkey")
     ).select("p_type", "x", F.log(F.round("l_quantity").cast("long")).alias("y"))
 
     def _fold12(c):
@@ -2605,40 +2676,47 @@ _SQRT_2_OVER_PI = 0.7978845608028654  # sqrt(2/pi), correctly rounded literal
     ),
     m AS (
       SELECT
-        (SELECT s FROM smat WHERE ki = 0 AND kj = 0) AS s00,
-        (SELECT s FROM smat WHERE ki = 0 AND kj = 1) AS s01,
-        (SELECT s FROM smat WHERE ki = 0 AND kj = 2) AS s02,
-        (SELECT s FROM smat WHERE ki = 1 AND kj = 1) AS s11,
-        (SELECT s FROM smat WHERE ki = 1 AND kj = 2) AS s12,
-        (SELECT s FROM smat WHERE ki = 2 AND kj = 2) AS s22,
-        (SELECT d FROM dvec WHERE k = 0) AS d0,
-        (SELECT d FROM dvec WHERE k = 1) AS d1,
-        (SELECT d FROM dvec WHERE k = 2) AS d2
+        CAST((SELECT s FROM smat WHERE ki = 0 AND kj = 0) AS DECIMAL(13,0)) AS s00,
+        CAST((SELECT s FROM smat WHERE ki = 0 AND kj = 1) AS DECIMAL(13,0)) AS s01,
+        CAST((SELECT s FROM smat WHERE ki = 0 AND kj = 2) AS DECIMAL(13,0)) AS s02,
+        CAST((SELECT s FROM smat WHERE ki = 1 AND kj = 1) AS DECIMAL(13,0)) AS s11,
+        CAST((SELECT s FROM smat WHERE ki = 1 AND kj = 2) AS DECIMAL(13,0)) AS s12,
+        CAST((SELECT s FROM smat WHERE ki = 2 AND kj = 2) AS DECIMAL(13,0)) AS s22,
+        CAST((SELECT d FROM dvec WHERE k = 0) AS DECIMAL(13,0)) AS dd0,
+        CAST((SELECT d FROM dvec WHERE k = 1) AS DECIMAL(13,0)) AS dd1,
+        CAST((SELECT d FROM dvec WHERE k = 2) AS DECIMAL(13,0)) AS dd2
     ),
     q AS (
       SELECT
         s00 * (s11 * s22 - s12 * s12)
         - s01 * (s01 * s22 - s12 * s02)
         + s02 * (s01 * s12 - s11 * s02) AS det,
-        d0 * (d0 * (s11 * s22 - s12 * s12)
-              + d1 * (s02 * s12 - s01 * s22)
-              + d2 * (s01 * s12 - s02 * s11))
-        + d1 * (d0 * (s12 * s02 - s01 * s22)
-                + d1 * (s00 * s22 - s02 * s02)
-                + d2 * (s01 * s02 - s00 * s12))
-        + d2 * (d0 * (s01 * s12 - s11 * s02)
-                + d1 * (s02 * s01 - s00 * s12)
-                + d2 * (s00 * s11 - s01 * s01)) AS quad,
-        d0, d1, d2
+        dd0 * (dd0 * (s11 * s22 - s12 * s12)
+              + dd1 * (s02 * s12 - s01 * s22)
+              + dd2 * (s01 * s12 - s02 * s11))
+        + dd1 * (dd0 * (s12 * s02 - s01 * s22)
+                + dd1 * (s00 * s22 - s02 * s02)
+                + dd2 * (s01 * s02 - s00 * s12))
+        + dd2 * (dd0 * (s01 * s12 - s11 * s02)
+                + dd1 * (s02 * s01 - s00 * s12)
+                + dd2 * (s00 * s11 - s01 * s01)) AS quad,
+        dd0, dd1, dd2
       FROM m
+    ),
+    qq AS (
+      SELECT dd0, dd1, dd2,
+             CAST(quad AS DOUBLE) / CAST(det AS DOUBLE) AS chi2
+      FROM q
     )
     SELECT (SELECT nn FROM tot) AS n_docs,
-           d0 AS margin_shift_0, d1 AS margin_shift_1, d2 AS margin_shift_2,
-           round(quad * 1.0 / det, 6) AS chi2_stat,
-           round({_p2_sql("sqrt(quad * 0.5 / det)")}
-                 + {_SQRT_2_OVER_PI} * sqrt(quad * 1.0 / det)
-                   * exp(-quad * 0.5 / det), 6) + 0.0 AS p_value
-    FROM q
+           CAST(dd0 AS BIGINT) AS margin_shift_0,
+           CAST(dd1 AS BIGINT) AS margin_shift_1,
+           CAST(dd2 AS BIGINT) AS margin_shift_2,
+           round(chi2, 6) AS chi2_stat,
+           round({_p2_sql("sqrt(chi2 * 0.5)")}
+                 + {_SQRT_2_OVER_PI} * sqrt(chi2)
+                   * exp(-chi2 * 0.5), 6) + 0.0 AS p_value
+    FROM qq
     """,
 )
 def q422_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2651,7 +2729,10 @@ def q422_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins minus column margins over the first 3 levels, S the
     McNemar-style covariance with integer entries, and chi2 = d'S^-1 d
     evaluated via the closed-form 3x3 adjugate so the statistic is an
-    EXACT integer ratio quad/det; the 3-dof chi-square p-value uses the
+    EXACT integer ratio quad/det, accumulated in DECIMAL(38,0) — the
+    quadruple products exhaust int64 long before 100 TB (Spark would
+    wrap silently); exact to ~10^9 docs even in the worst case
+    (quad <= ~4 n^4, disclosed bound); the 3-dof chi-square p-value uses the
     closed form erfc(sqrt(x/2)) + sqrt(2x/pi)*exp(-x/2) on the shared
     erfc chain.
 
@@ -2683,14 +2764,21 @@ def q422_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(3)
         ],
     )
-    d = [F.col(f"r{k}") - F.col(f"c{k}") for k in range(3)]
+    # d and S entries are O(n_docs) BIGINTs, but det is a triple and quad
+    # a quadruple product of them — int64-exhausted well before 100 TB
+    # (Spark wraps silently, DuckDB raises). (13,0) entries keep every
+    # product chain inside DECIMAL(38,0), exact on BOTH engines up to
+    # ~10^9 docs even in the worst case (quad <= ~4 n^4); the single
+    # DOUBLE conversion happens only at the final quad/det ratio.
+    d = [(F.col(f"r{k}") - F.col(f"c{k}")).cast("decimal(13,0)") for k in range(3)]
     s = {}
     for a in range(3):
         for b in range(3):
             if a == b:
-                s[(a, b)] = F.col(f"r{a}") + F.col(f"c{a}") - 2 * F.col(f"n{a}{a}")
+                sv = F.col(f"r{a}") + F.col(f"c{a}") - 2 * F.col(f"n{a}{a}")
             else:
-                s[(a, b)] = -(F.col(f"n{a}{b}") + F.col(f"n{b}{a}"))
+                sv = -(F.col(f"n{a}{b}") + F.col(f"n{b}{a}"))
+            s[(a, b)] = sv.cast("decimal(13,0)")
     det = (
         s[(0, 0)] * (s[(1, 1)] * s[(2, 2)] - s[(1, 2)] * s[(1, 2)])
         - s[(0, 1)] * (s[(0, 1)] * s[(2, 2)] - s[(1, 2)] * s[(0, 2)])
@@ -2716,15 +2804,15 @@ def q422_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             + d[2] * (s[(0, 0)] * s[(1, 1)] - s[(0, 1)] * s[(0, 1)])
         )
     )
-    chi2 = quad * 1.0 / det
-    p = _p2_col(F.sqrt(quad * 0.5 / det)) + F.lit(_SQRT_2_OVER_PI) * F.sqrt(
+    chi2 = quad.cast("double") / det.cast("double")
+    p = _p2_col(F.sqrt(chi2 * 0.5)) + F.lit(_SQRT_2_OVER_PI) * F.sqrt(
         chi2
-    ) * F.exp(-quad * 0.5 / det)
+    ) * F.exp(-chi2 * 0.5)
     return grid.crossJoin(F.broadcast(tot)).select(
         F.col("nn").alias("n_docs"),
-        d[0].alias("margin_shift_0"),
-        d[1].alias("margin_shift_1"),
-        d[2].alias("margin_shift_2"),
+        d[0].cast("long").alias("margin_shift_0"),
+        d[1].cast("long").alias("margin_shift_1"),
+        d[2].cast("long").alias("margin_shift_2"),
         F.round(chi2, 6).alias("chi2_stat"),
         (F.round(p, 6) + F.lit(0.0)).alias("p_value"),
     )

@@ -122,10 +122,14 @@ def test_q406_single_scan_stratum_folds(spark, sf_dir):
 
 
 def test_q407_community_joins_are_broadcast(spark, sf_dir):
-    """Modularity: community attachment must broadcast the part
-    dimension against the checkpointed edge frame — no shuffle join
-    anywhere, including the checkpointed stages where the joins
-    actually execute."""
+    """Modularity: community attachment uses the size-aware ``_dim``
+    hint (part grows with scale factor — above the 256 MB plan-estimate
+    bound the hint drops out and AQE picks the strategy at runtime).
+    At test scale the estimate is far under the bound, so the plan must
+    show broadcast joins and no shuffle join in any stage, including
+    the checkpointed ones where the joins actually execute. At scales
+    past the bound a shuffle join is the CORRECT choice, so this test
+    only pins the small-dim behavior."""
     plans = _plans(spark, sf_dir, "q407_graph_modularity")
     assert sum(_ops(p, "BroadcastHashJoin") for p in plans) >= 2
     assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
