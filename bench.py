@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -23,391 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from phoebe_spark.queries import QUERIES
 from phoebe_spark.session import get_spark
 
-# Headline set: one per operator family — relational agg, fact-fact join,
-# dedup, text, timeseries window/interpolate, similarity, minhash LSH.
-BENCH_QUERIES = [
-    "q01_pricing_summary",
-    "q05_revenue_by_nation",
-    "q08_dedup_exact",
-    "q13_ngram_jaccard",
-    "q14_ts_minutely_sum",
-    "q16_ts_summary",
-    "q17_ts_slope",
-    "q19_ts_rolling",
-    "q20_ts_interpolate",
-    "q22_emb_cosine",
-    "q23_emb_knn",
-    "q24_minhash_pairs",
-    "q40_merge_overwrite",
-    "q41_emb_neardup_pairs",
-    "q44_ivf_ann",
-    # round-2 additions: curation / join / rollup coverage
-    "q46_sessionize",
-    "q49_rollup_revenue",
-    "q51_winnow_fingerprints",
-    "q53_dedup_components",
-    "q54_asof_join",
-    "q58_decontamination",
-    "q60_quality_rules",
-    "q62_pack_sequences",
-    "q64_range_join",
-    "q65_stratified_sample",
-    "q66_label_centroids",
-    "q67_boilerplate",
-    "q68_semantic_prune",
-    "q69_quantize_embeddings",
-    "q70_token_fertility",
-    "q71_event_funnel",
-    # round-3 additions
-    "q72_unigram_logprob",
-    "q73_bloom_decontaminate",
-    "q74_random_projection",
-    "q75_cusum_drift",
-    "q77_mad_anomaly",
-    "q78_chunk_dedup",
-    "q80_best_supplier",
-    "q81_cube_revenue",
-    "q84_column_profile",
-    "q86_theil_sen",
-    "q88_keep_best",
-    "q89_bm25",
-    "q90_rrf_fusion",
-    "q92_edit_verify",
-    "q93_token_entropy",
-    "q94_source_kl",
-    "q95_retention_cohorts",
-    "q96_event_gaps",
-    "q97_weighted_sample",
-    "q98_pivot_daily",
-    "q99_trailing_actives",
-    "q100_calendar_heatmap",
-    "q101_curation_pipeline",
-    "q102_incremental_dedup",
-    "q103_attribution",
-    "q104_value_quantiles",
-    "q105_wow_growth",
-    "q106_ship_delay",
-    "q107_session_conversion",
-    "q108_source_dup_ratio",
-    "q109_embedding_health",
-    "q110_token_topk",
-    "q111_rfm_segments",
-    "q112_acf",
-    "q113_seasonality",
-    "q114_discount_bands",
-    "q115_bigram_pmi",
-    "q116_cardinality_gate",
-    "q117_quantile_gate",
-    "q118_dup_pagerank",
-    "q119_multires_rollup",
-    "q120_cluster_purity",
-    "q121_minhash_calibration",
-    "q122_source_overlap",
-    "q123_dedup_yield_curve",
-    "q124_sole_late_supplier",
-    "q125_supplier_share",
-    "q126_set_ops",
-    "q127_value_rank_profile",
-    "q128_keyed_ntile",
-    "q129_scd2_islands",
-    "q130_transition_matrix",
-    "q131_zipf_slope",
-    "q132_zorder_locality",
-    "q133_top_unshipped",
-    "q134_promo_share",
-    "q135_disjunctive_pred",
-    "q136_ngram_diversity",
-    "q137_importance_weights",
-    "q138_prefix_ssjoin",
-    "q139_jsonl_roundtrip",
-    "q140_bpe_pair_stats",
-    "q141_cms_gate",
-    "q142_partition_pruning",
-    "q143_orc_roundtrip",
-    "q144_skyline_users",
-    "q145_bpe_train",
-    "q146_max_coverage",
-    "q147_shard_layout",
-    "q148_length_buckets",
-    "q149_pq_ann",
-    # round-4 additions
-    "q150_dup_substring_ratio",
-    "q151_cheapest_supplier",
-    "q152_big_orders",
-    "q153_idle_rich_customers",
-    "q154_kmv_distinct",
-    "q155_mixture_resample",
-    "q156_ivf_recall_curve",
-    "q157_referential_integrity",
-    "q158_compaction_plan",
-    "q159_token_budget_curve",
-    "q160_bpe_encode",
-    "q161_source_data_card",
-    "q162_bilateral_trade",
-    "q163_market_share",
-    "q164_returned_items",
-    "q165_order_count_distribution",
-    "q166_top_supplier",
-    "q167_small_qty_revenue",
-    "q168_product_profit",
-    "q169_supplier_relationship",
-    "q170_lsh_neardup_pairs",
-    "q171_measure_profile_unpivot",
-    "q172_grouping_id_rollup",
-    "q173_lang_embedding_coherence",
-    "q174_dup_pair_embedding_audit",
-    "q175_trailing_range_window",
-    "q176_forecast_revenue_change",
-    "q177_local_supplier_volume",
-    "q178_quality_dup_curve",
-    "q179_streaming_dedup_drain",
-    "q180_streaming_window_drain",
-    "q181_calendar_gap_audit",
-    # round-5 additions
-    "q182_leakage_safe_split",
-    "q183_source_length_ks",
-    "q184_streaming_profile_drain",
-    "q185_audio_dominant_freq",
-    "q186_chunk_scrub_rebuild",
-    "q187_kmeans_embeddings",
-    "q188_streaming_quota_drain",
-    "q189_stitch_audit",
-    "q190_source_quality_cap",
-    "q191_seasonal_decompose",
-    "q192_matryoshka_audit",
-    # round-5 additions: lifecycle / stream-join / drift / overlap coverage
-    "q193_snapshot_diff",
-    "q194_cdc_apply",
-    "q195_normalization_lift",
-    "q197_stream_join_drain",
-    "q198_source_centroid_drift",
-    "q200_source_vocab_overlap",
-    "q201_tpch_q4_semi",
-    "q202_kmv_set_ops",
-    "q203_session_window_drain",
-    "q204_image_ahash_gate",
-    "q205_watermark_drop_audit",
-    "q206_naive_bayes_source",
-    "q207_blocking_er_join",
-    "q208_image_phash_gate",
-    "q209_streaming_cusum_drain",
-    "q210_streaming_topk_drain",
-    "q211_dominant_supplier",
-    "q212_benford_audit",
-    "q213_ushaped_attribution",
-    "q214_unigram_lm_tokenizer",
-    "q215_wordpiece_encode",
-    "q216_quality_signal_agreement",
-    "q217_neardup_decontamination",
-    "q218_stream_outer_join_drain",
-    "q219_pca_power_iteration",
-    "q220_dedup_within_watermark_drain",
-    "q221_contamination_closure_bfs",
-    "q222_csv_roundtrip",
-    "q223_schema_evolution_read",
-    "q224_quantile_normalize",
-    "q225_market_basket",
-    "q226_delta_encoding_audit",
-    "q227_token_waterfill",
-    "q228_interleaved_epoch_order",
-    "q229_event_timer_sessions_drain",
-    "q230_weighted_median",
-    "q231_eval_apportionment",
-    "q232_part_pagerank",
-    "q233_triangle_census",
-    "q234_semdedup_prune",
-    "q235_rag_chunks",
-    "q236_length_bucket_batches",
-    "q237_hourly_acf",
-    "q238_changepoint",
-    "q239_k_anonymity",
-    "q240_time_weighted_avg",
-    "q241_band_join",
-    "q242_ndcg_eval",
-    "q243_label_propagation",
-    "q244_minhash_merge_cert",
-    "q245_key_skew_gini",
-    "q246_stream_first_match_drain",
-    "q247_partition_overwrite",
-    "q248_bucketed_join",
-    "q249_streaming_cdc_upsert_drain",
-    "q250_scd2_pit_join",
-    "q251_rank_biased_overlap",
-    "q252_asof_tolerance",
-    "q253_session_paths",
-    "q254_fano_burstiness",
-    "q255_hopping_window",
-    "q256_token_lorenz",
-    "q257_date_dim_rollup",
-    "q258_containment_pairs",
-    "q259_variant_shred",
-    "q260_expectations_suite",
-    "q261_incremental_agg_maintenance",
-    "q262_snake_sharding",
-    "q263_golden_record",
-    "q264_determinism_cert",
-    "q265_order_integrity",
-    "q266_reconciliation",
-    "q267_ts_similarity_search",
-    "q268_paa_prune_audit",
-    "q269_sax_words",
-    "q270_seasonal_backtest",
-    "q271_dtw_topk",
-    "q272_matrix_profile",
-    "q273_holt_linear",
-    "q274_holt_by_key",
-    "q275_streaming_holt_drain",
-    # round-7 additions: QoS/operations analytics
-    "q276_slo_burn_rate",
-    "q277_littles_law_audit",
-    "q278_rescale_replay",
-    "q279_roc_auc",
-    "q280_calibration_bins",
-    "q281_ab_welch_ttest",
-    "q282_kaplan_meier",
-    "q283_hll_distinct",
-    "q284_holt_winters",
-    "q285_bigram_lm_score",
-    "q286_l_diversity",
-    "q287_column_dependence",
-    "q288_fs_em_weights",
-    "q289_streaming_burn_drain",
-    # round-7 additions
-    "q290_conformal_interval",
-    "q291_kcore",
-    "q292_quantile_hist_sketch",
-    "q293_eigencentrality",
-    "q294_clustering_coeff",
-    "q296_t_closeness",
-    "q297_mann_whitney",
-    "q298_pca_power_iter",
-    "q299_blocking_quality",
-    "q300_streaming_hist_drain",
-    "q301_link_prediction",
-    "q302_isotonic_calibration",
-    "q303_sprt_monitor",
-    "q304_ams_f2_sketch",
-    "q305_corpus_merkle",
-    "q306_streaming_sprt_drain",
-    "q307_grouped_conformal",
-    "q308_landmark_bfs",
-    "q309_heaps_law",
-    "q310_ks_two_sample",
-    "q311_mann_kendall",
-    "q312_jsd_sources",
-    "q313_page_hinkley",
-    "q314_cramers_v",
-    "q315_streaming_page_hinkley_drain",
-    "q316_embedding_isotropy",
-    "q317_markov_stationary",
-    "q318_psi_drift",
-    "q319_cramer_von_mises",
-    "q320_hybrid_retrieval",
-    "q321_mmr_rerank",
-    "q322_mahalanobis_outliers",
-    "q323_robust_zscore_mad",
-    "q324_streaming_psi_drain",
-    "q325_rake_keyphrases",
-    "q326_croston_intermittent",
-    "q327_dbscan_lite",
-    "q328_hard_negatives",
-    "q329_kneser_ney_lm",
-    "q330_mde_power",
-    "q331_srm_check",
-    "q332_seasonal_strength",
-    "q333_hill_tail_index",
-    "q334_odds_ratio",
-    "q335_term_burstiness",
-    "q336_gini_simpson",
-    "q337_lift_gain_curve",
-    "q338_chao1_richness",
-    "q339_median_ci",
-    "q340_simpsons_paradox",
-    "q341_burrows_delta",
-    # round-9 additions: multiple-testing / drift / agreement /
-    # experimentation / graph-text / classical-test ladders
-    "q342_bh_fdr",
-    "q343_wasserstein_drift",
-    "q344_kendall_tau",
-    "q345_cmh_test",
-    "q346_cohens_kappa",
-    "q347_brier_decomposition",
-    "q348_textrank",
-    "q349_association_rules",
-    "q350_hits",
-    "q351_ljung_box",
-    "q352_ecod_outliers",
-    "q353_streaming_cms_drain",
-    "q354_spectral_moments",
-    "q355_cuped",
-    "q356_bootstrap_ci",
-    "q357_gumbel_return_level",
-    "q358_absorbing_markov",
-    "q359_mutual_information",
-    "q360_neyman_allocation",
-    "q361_gesd_outliers",
-    "q362_group_sequential",
-    "q363_kruskal_wallis",
-    "q364_brown_forsythe",
-    "q365_anova_eta",
-    "q366_mcnemar",
-    "q367_runs_test",
-    "q368_durbin_watson",
-    "q369_quantile_treatment_effect",
-    "q370_shard_balance_audit",
-    "q371_friedman",
-    "q372_cochran_q",
-    "q373_jonckheere",
-    "q374_welch_anova",
-    "q375_energy_distance",
-    "q376_mmd_rff",
-    "q377_hellinger_tv",
-    "q378_cliffs_delta",
-    "q379_hhi_concentration",
-    "q380_theil_decomposition",
-    "q381_atkinson_index",
-    "q382_hurst_rs",
-    "q383_variance_ratio",
-    "q384_theta_forecast",
-    "q385_sample_entropy",
-    "q386_average_precision",
-    "q387_mcc_sweep",
-    "q388_good_turing",
-    "q389_hosmer_lemeshow",
-    "q390_dp_laplace_audit",
-    "q391_streaming_bottomk_drain",
-    "q392_excess_supplier",
-    "q393_assortativity",
-    "q394_forecast_scoreboard",
-    "q395_tukey_hsd",
-    "q396_dunning_g2",
-    "q397_cluster_validity",
-    "q398_nearest_centroid_eval",
-    "q399_degree_powerlaw",
-    "q400_retention_decay",
-    "q401_bradley_terry",
-    "q402_fleiss_kappa",
-    "q403_logrank_test",
-    "q404_condorcet_copeland",
-    "q405_overdispersion",
-    "q406_stratified_ipw_ate",
-    "q407_graph_modularity",
-    "q408_vif_collinearity",
-    "q409_oof_target_encoding",
-    "q410_gini_binned",
-    "q411_cronbach_alpha",
-    "q412_diff_in_diff",
-    "q413_source_vocab_overlap",
-    "q414_ipw_diagnostics",
-    "q415_streaming_moments_drain",
-    "q416_log_odds_dirichlet",
-    "q417_competing_risks",
-    "q418_price_elasticity",
-    "q419_gehan_wilcoxon",
-    "q420_rmst",
-    "q421_weighted_kappa",
-    "q422_stuart_maxwell",
-]
+# Bench set: the ENTIRE query registry, derived (not hand-listed) so a new
+# registry entry can never silently land unbenched (round-9 verdict: the
+# previous hand-maintained list had drifted 49 names behind the registry).
+# Numeric ordering matches the registry's qNNN numbering. Exclusions, if
+# ever needed, go in BENCH_EXCLUDE with a written justification.
+BENCH_EXCLUDE: set[str] = set()
+
+
+def _qnum(name: str) -> tuple[int, str]:
+    m = re.match(r"q(\d+)", name)
+    return (int(m.group(1)) if m else 10**9, name)
+
+
+BENCH_QUERIES = sorted(
+    (n for n in QUERIES if n not in BENCH_EXCLUDE), key=_qnum
+)
 
 
 def main() -> None:
