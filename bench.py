@@ -107,13 +107,23 @@ def main() -> None:
     # re-run the 10 slowest entries twice more and report each one's MEDIAN
     # of 3 runs. `rerun_runs` keeps the raw samples so a regression can be
     # judged against the observed spread, not a single draw.
+    #
+    # Release BEFORE EVERY re-run sample: the slow tail is mostly the
+    # streaming drains, and the round-10 drift attribution
+    # (scripts/drift_drains.py, DRIFT_r10.md) measured that drains run
+    # 20-45% slower when executed back-to-back without a release (the
+    # no-release aged run totaled 174.9 s vs 120.0 s with releases over the
+    # same 22 drains) — exactly the regime this re-run cluster used to
+    # create, which is what inflated BENCH_r09's medians (q229 natural draw
+    # 8.4 s, back-to-back re-runs 9.75/9.75). Per-sample release makes the
+    # median measure the same released regime as the main loop.
     import statistics
 
-    release_session_state()
     rerun_runs: dict[str, list[float]] = {}
     for name in sorted(timings, key=lambda n: -timings[n])[:10]:
         runs = [timings[name]]
         for _ in range(2):
+            release_session_state()
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
