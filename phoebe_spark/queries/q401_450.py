@@ -2816,3 +2816,1385 @@ def q422_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_stat"),
         (F.round(p, 6) + F.lit(0.0)).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: distribution-shape, agreement, and association extensions —
+# Jarque-Bera normality, Chow structural break, Goodman-Kruskal ordinal
+# association, Krippendorff alpha, Lin CCC + Bland-Altman. Same exact-fold
+# policy: integer corpus moments, DECIMAL(38,0) cross-products, one DOUBLE
+# conversion at the closed form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q423_jarque_bera",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             CAST(sum(x * x * x) AS BIGINT) AS s3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      FROM s GROUP BY 1
+    ),
+    d AS (
+      SELECT flag, n,
+             CAST(n AS DECIMAL(19,0)) AS dn,
+             CAST(s1 AS DECIMAL(19,0)) AS d1, CAST(s2 AS DECIMAL(19,0)) AS d2,
+             CAST(s3 AS DECIMAL(19,0)) AS d3, CAST(s4 AS DECIMAL(19,0)) AS d4
+      FROM m
+    ),
+    c AS (
+      SELECT flag, n,
+             CAST(dn * d2 - d1 * d1 AS DOUBLE) AS m2,
+             CAST(dn * dn * d3 - 3 * dn * d1 * d2 + 2 * d1 * d1 * d1 AS DOUBLE) AS m3,
+             CAST(dn * dn * dn * d4 - 4 * dn * dn * d1 * d3
+                  + 6 * dn * d1 * d1 * d2 - 3 * d1 * d1 * d1 * d1 AS DOUBLE) AS m4
+      FROM d
+    ),
+    g AS (
+      SELECT flag, n,
+             m3 / (m2 * sqrt(m2)) AS g1,
+             m4 / (m2 * m2) - 3.0 AS g2
+      FROM c
+    ),
+    j AS (
+      SELECT flag, n, g1, g2,
+             CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS jb
+      FROM g
+    )
+    SELECT flag, n,
+           round(g1, 6) + 0.0 AS skewness,
+           round(g2, 6) + 0.0 AS excess_kurtosis,
+           round(jb, 6) AS jb_stat,
+           round(exp(-jb / 2.0), 6) + 0.0 AS p_value
+    FROM j
+    """,
+)
+def q423_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980) of the quantity
+    distribution per return flag: skewness and excess kurtosis come from
+    the first four RAW integer moments via the n-power-scaled central
+    identities M2 = n*s2 - s1^2, M3 = n^2*s3 - 3n*s1*s2 + 2*s1^3,
+    M4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4 — chosen because the
+    n powers cancel EXACTLY in g1 = M3/M2^1.5 and g2 = M4/M2^2 - 3, so
+    no mean subtraction (and no float corpus pass) ever happens. The
+    quadruple products run in DECIMAL(38,0) (int64-exhausted around
+    SF 1-10; exact to ~5e7 rows/group worst-case, disclosed); the
+    chi-square(2) survival function is the closed form exp(-JB/2) —
+    the screen run before trusting any z-score-based anomaly gate
+    (q77 MAD, q310 KS kinship) on a segment.
+
+    100 TB story: ONE map-side-combining aggregate to K = 3 flag rows
+    carrying four BIGINT moments; everything after is a per-row closed
+    form — no window, no join, no second pass."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round("l_quantity").cast("long").alias("x")
+    )
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s4"),
+    )
+
+    def _d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m2 = (_d("n") * _d("s2") - _d("s1") * _d("s1")).cast("double")
+    m3 = (
+        _d("n") * _d("n") * _d("s3")
+        - 3 * _d("n") * _d("s1") * _d("s2")
+        + 2 * _d("s1") * _d("s1") * _d("s1")
+    ).cast("double")
+    m4 = (
+        _d("n") * _d("n") * _d("n") * _d("s4")
+        - 4 * _d("n") * _d("n") * _d("s1") * _d("s3")
+        + 6 * _d("n") * _d("s1") * _d("s1") * _d("s2")
+        - 3 * _d("s1") * _d("s1") * _d("s1") * _d("s1")
+    ).cast("double")
+    c = m.select("flag", "n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    g1 = F.col("m3") / (F.col("m2") * F.sqrt("m2"))
+    g2 = F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)
+    g = c.select("flag", "n", g1.alias("g1"), g2.alias("g2"))
+    jb = F.col("n").cast("double") / 6.0 * (
+        F.col("g1") * F.col("g1") + F.col("g2") * F.col("g2") / 4.0
+    )
+    j = g.select("flag", "n", "g1", "g2", jb.alias("jb"))
+    return j.select(
+        "flag",
+        "n",
+        (F.round("g1", 6) + F.lit(0.0)).alias("skewness"),
+        (F.round("g2", 6) + F.lit(0.0)).alias("excess_kurtosis"),
+        F.round("jb", 6).alias("jb_stat"),
+        (F.round(F.exp(-F.col("jb") / 2.0), 6) + F.lit(0.0)).alias("p_value"),
+    )
+
+
+@query(
+    "q424_chow_break",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS yc,
+             CASE WHEN o_orderdate < DATE '1995-04-01' THEN 0 ELSE 1 END AS seg
+      FROM orders
+    ),
+    days AS (
+      SELECT seg, d, CAST(sum(yc) AS BIGINT) AS y
+      FROM o GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sx,
+             CAST(sum(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(d AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
+      FROM days GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        CAST(max(CASE WHEN seg = 0 THEN n END) AS BIGINT) AS n1,
+        CAST(max(CASE WHEN seg = 1 THEN n END) AS BIGINT) AS n2,
+        max(CASE WHEN seg = 0 THEN sx END) AS sx1, max(CASE WHEN seg = 1 THEN sx END) AS sx2,
+        max(CASE WHEN seg = 0 THEN sxx END) AS sxx1, max(CASE WHEN seg = 1 THEN sxx END) AS sxx2,
+        max(CASE WHEN seg = 0 THEN sy END) AS sy1, max(CASE WHEN seg = 1 THEN sy END) AS sy2,
+        max(CASE WHEN seg = 0 THEN sxy END) AS sxy1, max(CASE WHEN seg = 1 THEN sxy END) AS sxy2,
+        max(CASE WHEN seg = 0 THEN syy END) AS syy1, max(CASE WHEN seg = 1 THEN syy END) AS syy2
+      FROM m
+    ),
+    r AS (
+      SELECT n1, n2,
+        CAST(CAST(n1 AS DECIMAL(19,0)) * sxx1 - CAST(sx1 AS DECIMAL(19,0)) * CAST(sx1 AS DECIMAL(19,0)) AS DOUBLE) AS nsxx1,
+        CAST(CAST(n1 AS DECIMAL(19,0)) * sxy1 - CAST(sx1 AS DECIMAL(19,0)) * sy1 AS DOUBLE) AS nsxy1,
+        CAST(CAST(n1 AS DECIMAL(19,0)) * syy1 - sy1 * sy1 AS DOUBLE) AS nsyy1,
+        CAST(CAST(n2 AS DECIMAL(19,0)) * sxx2 - CAST(sx2 AS DECIMAL(19,0)) * CAST(sx2 AS DECIMAL(19,0)) AS DOUBLE) AS nsxx2,
+        CAST(CAST(n2 AS DECIMAL(19,0)) * sxy2 - CAST(sx2 AS DECIMAL(19,0)) * sy2 AS DOUBLE) AS nsxy2,
+        CAST(CAST(n2 AS DECIMAL(19,0)) * syy2 - sy2 * sy2 AS DOUBLE) AS nsyy2,
+        CAST(CAST(n1 + n2 AS DECIMAL(19,0)) * (sxx1 + sxx2)
+             - CAST(sx1 + sx2 AS DECIMAL(19,0)) * CAST(sx1 + sx2 AS DECIMAL(19,0)) AS DOUBLE) AS nsxxf,
+        CAST(CAST(n1 + n2 AS DECIMAL(19,0)) * (sxy1 + sxy2)
+             - CAST(sx1 + sx2 AS DECIMAL(19,0)) * (sy1 + sy2) AS DOUBLE) AS nsxyf,
+        CAST(CAST(n1 + n2 AS DECIMAL(19,0)) * (syy1 + syy2)
+             - (sy1 + sy2) * (sy1 + sy2) AS DOUBLE) AS nsyyf
+      FROM w
+    ),
+    f AS (
+      SELECT n1, n2,
+        nsxy1 / nsxx1 AS slope_pre,
+        nsxy2 / nsxx2 AS slope_post,
+        (nsyy1 - nsxy1 * nsxy1 / nsxx1) / CAST(n1 AS DOUBLE) AS ssr1,
+        (nsyy2 - nsxy2 * nsxy2 / nsxx2) / CAST(n2 AS DOUBLE) AS ssr2,
+        (nsyyf - nsxyf * nsxyf / nsxxf) / CAST(n1 + n2 AS DOUBLE) AS ssrf
+      FROM r
+    )
+    SELECT n1 AS n_days_pre, n2 AS n_days_post,
+           round(slope_pre, 6) + 0.0 AS slope_pre,
+           round(slope_post, 6) + 0.0 AS slope_post,
+           round(((ssrf - ssr1 - ssr2) / 2.0)
+                 / ((ssr1 + ssr2) / CAST(n1 + n2 - 4 AS DOUBLE)), 6) AS chow_f
+    FROM f
+    """,
+)
+def q424_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test (Chow 1960) on the daily-revenue time
+    trend, breakpoint fixed at 1995-04-01 (the corpus midpoint): fit
+    revenue-vs-day OLS on the pre segment, the post segment, and pooled,
+    then F = ((SSR_pooled - SSR_1 - SSR_2)/k) / ((SSR_1 + SSR_2)/(n-2k))
+    with k = 2 — "did the revenue trend CHANGE at the break" as one
+    F-statistic, the regression-stability audit behind drift monitors
+    like q238's changepoint scan (disclosed kinship). Day-level cents
+    sums are exact BIGINTs; every n*S - S*S moment combination runs in
+    DECIMAL(38,0) (daily cents squared exhausts int64 near SF 1) and
+    converts to DOUBLE once, with identical expression chains on both
+    engines.
+
+    100 TB story: one corpus scan collapses to the O(days) rollup with
+    map-side combine; segment moments are ONE further aggregate over
+    that bounded frame, and the F arithmetic is a single-row closed
+    form. No window, no join."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"),
+        F.when(F.col("o_orderdate") < F.lit("1995-04-01"), 0)
+        .otherwise(1)
+        .alias("seg"),
+    )
+    days = o.groupBy("seg", "d").agg(F.sum("yc").cast("long").alias("y"))
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = days.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum(_d19("d") * _d19("d")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d19("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(_d19("d") * _d19("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(_d19("y") * _d19("y")).cast("decimal(38,0)").alias("syy"),
+    )
+
+    def _seg(col, s):
+        return F.max(F.when(F.col("seg") == s, F.col(col)))
+
+    w = m.agg(
+        _seg("n", 0).cast("long").alias("n1"),
+        _seg("n", 1).cast("long").alias("n2"),
+        _seg("sx", 0).alias("sx1"),
+        _seg("sx", 1).alias("sx2"),
+        _seg("sxx", 0).alias("sxx1"),
+        _seg("sxx", 1).alias("sxx2"),
+        _seg("sy", 0).alias("sy1"),
+        _seg("sy", 1).alias("sy2"),
+        _seg("sxy", 0).alias("sxy1"),
+        _seg("sxy", 1).alias("sxy2"),
+        _seg("syy", 0).alias("syy1"),
+        _seg("syy", 1).alias("syy2"),
+    )
+
+    def _ns(n, sa, sb, sab):
+        return (n.cast("decimal(19,0)") * sab - sa * sb).cast("double")
+
+    nsxx1 = _ns(F.col("n1"), _d19("sx1"), _d19("sx1"), F.col("sxx1"))
+    nsxy1 = (
+        F.col("n1").cast("decimal(19,0)") * F.col("sxy1")
+        - _d19("sx1") * F.col("sy1")
+    ).cast("double")
+    nsyy1 = (
+        F.col("n1").cast("decimal(19,0)") * F.col("syy1")
+        - F.col("sy1") * F.col("sy1")
+    ).cast("double")
+    nsxx2 = _ns(F.col("n2"), _d19("sx2"), _d19("sx2"), F.col("sxx2"))
+    nsxy2 = (
+        F.col("n2").cast("decimal(19,0)") * F.col("sxy2")
+        - _d19("sx2") * F.col("sy2")
+    ).cast("double")
+    nsyy2 = (
+        F.col("n2").cast("decimal(19,0)") * F.col("syy2")
+        - F.col("sy2") * F.col("sy2")
+    ).cast("double")
+    nf = F.col("n1") + F.col("n2")
+    sxf = F.col("sx1") + F.col("sx2")
+    syf = F.col("sy1") + F.col("sy2")
+    nsxxf = (
+        nf.cast("decimal(19,0)") * (F.col("sxx1") + F.col("sxx2"))
+        - sxf.cast("decimal(19,0)") * sxf.cast("decimal(19,0)")
+    ).cast("double")
+    nsxyf = (
+        nf.cast("decimal(19,0)") * (F.col("sxy1") + F.col("sxy2"))
+        - sxf.cast("decimal(19,0)") * syf
+    ).cast("double")
+    nsyyf = (
+        nf.cast("decimal(19,0)") * (F.col("syy1") + F.col("syy2")) - syf * syf
+    ).cast("double")
+    r = w.select(
+        "n1",
+        "n2",
+        nsxx1.alias("nsxx1"),
+        nsxy1.alias("nsxy1"),
+        nsyy1.alias("nsyy1"),
+        nsxx2.alias("nsxx2"),
+        nsxy2.alias("nsxy2"),
+        nsyy2.alias("nsyy2"),
+        nsxxf.alias("nsxxf"),
+        nsxyf.alias("nsxyf"),
+        nsyyf.alias("nsyyf"),
+    )
+    ssr1 = (F.col("nsyy1") - F.col("nsxy1") * F.col("nsxy1") / F.col("nsxx1")) / F.col(
+        "n1"
+    ).cast("double")
+    ssr2 = (F.col("nsyy2") - F.col("nsxy2") * F.col("nsxy2") / F.col("nsxx2")) / F.col(
+        "n2"
+    ).cast("double")
+    ssrf = (F.col("nsyyf") - F.col("nsxyf") * F.col("nsxyf") / F.col("nsxxf")) / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    f = r.select(
+        "n1",
+        "n2",
+        (F.col("nsxy1") / F.col("nsxx1")).alias("slope_pre"),
+        (F.col("nsxy2") / F.col("nsxx2")).alias("slope_post"),
+        ssr1.alias("ssr1"),
+        ssr2.alias("ssr2"),
+        ssrf.alias("ssrf"),
+    )
+    chow = ((F.col("ssrf") - F.col("ssr1") - F.col("ssr2")) / 2.0) / (
+        (F.col("ssr1") + F.col("ssr2"))
+        / (F.col("n1") + F.col("n2") - 4).cast("double")
+    )
+    return f.select(
+        F.col("n1").alias("n_days_pre"),
+        F.col("n2").alias("n_days_post"),
+        (F.round("slope_pre", 6) + F.lit(0.0)).alias("slope_pre"),
+        (F.round("slope_post", 6) + F.lit(0.0)).alias("slope_post"),
+        F.round(chow, 6).alias("chow_f"),
+    )
+
+
+@query(
+    "q425_gamma_somers",
+    oracle="""
+    WITH s AS (
+      SELECT CAST((CAST(round(l_quantity) AS BIGINT) - 1) // 10 AS INT) AS i,
+             CAST(round(l_discount * 100) AS INT) AS j
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT
+        CAST(sum(CASE WHEN b.i > a.i AND b.j > a.j
+                 THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))
+                 ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS c,
+        CAST(sum(CASE WHEN b.i > a.i AND b.j < a.j
+                 THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))
+                 ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS d,
+        CAST(sum(CASE WHEN b.i = a.i AND b.j > a.j
+                 THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))
+                 ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS tx,
+        CAST(sum(CASE WHEN b.j = a.j AND b.i > a.i
+                 THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))
+                 ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS ty
+      FROM grid a CROSS JOIN grid b
+    )
+    SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           CAST(tx AS BIGINT) AS ties_x_only, CAST(ty AS BIGINT) AS ties_y_only,
+           round(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 6) + 0.0 AS gamma,
+           round(CAST(c - d AS DOUBLE) / CAST(c + d + ty AS DOUBLE), 6) + 0.0 AS somers_d_yx,
+           round(CAST(c - d AS DOUBLE) / CAST(c + d + tx AS DOUBLE), 6) + 0.0 AS somers_d_xy
+    FROM pairs
+    """,
+)
+def q425_gamma_somers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma and both Somers' D asymmetries (Goodman &
+    Kruskal 1954; Somers 1962) between the quantity quintile (x, 5
+    ordered levels) and the discount cent level (y, 11 ordered levels):
+    concordant/discordant/tied pair counts come from the K x L grid's
+    self-product — gamma ignores all ties, d(y|x) additionally charges
+    pairs tied on y only, d(x|y) pairs tied on x only — the ordinal
+    companions to q-registry Kendall tau-b (disclosed kinship; tau-b
+    symmetrizes, these do not). Pair products accumulate in
+    DECIMAL(38,0) (C ~ n^2/2 exhausts int64 past ~SF 500), exact at any
+    realistic scale.
+
+    100 TB story: ONE map-side-combining aggregate to the <= 55-cell
+    grid; the pair census is a bounded 55 x 55 grid cross-product —
+    corpus pairs are NEVER enumerated."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        ((F.round("l_quantity").cast("long") - 1) / 10).cast("int").alias("i"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("j"),
+    )
+    grid = (
+        li.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+
+    def _p():
+        return F.col("a.n").cast("decimal(19,0)") * F.col("b.n").cast(
+            "decimal(19,0)"
+        )
+
+    z = F.lit(0).cast("decimal(19,0)")
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when((F.col("b.i") > F.col("a.i")) & (F.col("b.j") > F.col("a.j")), _p()).otherwise(z)
+        ).cast("decimal(38,0)").alias("c"),
+        F.sum(
+            F.when((F.col("b.i") > F.col("a.i")) & (F.col("b.j") < F.col("a.j")), _p()).otherwise(z)
+        ).cast("decimal(38,0)").alias("d"),
+        F.sum(
+            F.when((F.col("b.i") == F.col("a.i")) & (F.col("b.j") > F.col("a.j")), _p()).otherwise(z)
+        ).cast("decimal(38,0)").alias("tx"),
+        F.sum(
+            F.when((F.col("b.j") == F.col("a.j")) & (F.col("b.i") > F.col("a.i")), _p()).otherwise(z)
+        ).cast("decimal(38,0)").alias("ty"),
+    )
+    cd = F.col("c") - F.col("d")
+    return pairs.select(
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("tx").cast("long").alias("ties_x_only"),
+        F.col("ty").cast("long").alias("ties_y_only"),
+        (F.round(cd.cast("double") / (F.col("c") + F.col("d")).cast("double"), 6) + F.lit(0.0)).alias("gamma"),
+        (F.round(cd.cast("double") / (F.col("c") + F.col("d") + F.col("ty")).cast("double"), 6) + F.lit(0.0)).alias("somers_d_yx"),
+        (F.round(cd.cast("double") / (F.col("c") + F.col("d") + F.col("tx")).cast("double"), 6) + F.lit(0.0)).alias("somers_d_xy"),
+    )
+
+
+@query(
+    "q426_krippendorff_alpha",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+              + CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40 THEN 1 ELSE 0 END
+              + CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS r
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS s1,
+             CAST(sum(r * r) AS BIGINT) AS s2
+      FROM g GROUP BY 1
+    ),
+    k AS (
+      SELECT source, n, s1,
+             CAST(3 * CAST(s1 AS DECIMAL(19,0)) - CAST(s2 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS dis,
+             CAST(3 * CAST(n AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS nt
+      FROM s
+    )
+    SELECT source, n AS n_docs,
+           round(CAST(dis AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS do_rate,
+           round(CAST(2 * CAST(s1 AS DECIMAL(19,0)) * (nt - CAST(s1 AS DECIMAL(19,0))) AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)), 6) AS de_rate,
+           CASE WHEN s1 = 0 OR s1 = CAST(nt AS BIGINT) THEN NULL
+                ELSE round(1.0 - CAST(CAST(nt - 1 AS DECIMAL(19,0)) * dis AS DOUBLE)
+                           / CAST(2 * CAST(s1 AS DECIMAL(19,0)) * (nt - CAST(s1 AS DECIMAL(19,0))) AS DOUBLE), 6) + 0.0
+           END AS kripp_alpha
+    FROM k
+    """,
+)
+def q426_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (Krippendorff 1970, nominal data) per source
+    over q402's three binary curation raters (disclosed kinship — same
+    fixture, the missing member of the agreement ladder Cohen q346 /
+    Fleiss q402 / weighted q421): with r keep-votes out of m = 3, the
+    observed disagreement is Do = sum r(3-r) / (3N) (the within-unit
+    disagreeing pair rate) and the expected disagreement uses the
+    FINITE-SAMPLE coincidence margin De = 2*n1*n0 / (3N*(3N-1)) — the
+    (3N-1) is exactly what distinguishes alpha from Fleiss kappa and
+    makes it unbiased at small N. Everything reduces to the same three
+    integer moments (N, sum r, sum r^2) as q402, so alpha is computed
+    from identical BIGINTs on both engines; single-class sources (all
+    keep or all drop) emit NULL by the same CASE.
+
+    100 TB story: ONE map-side-combining per-source aggregate; the
+    alpha arithmetic is a per-row closed form on the O(sources) frame —
+    no window, no join, no second pass."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    r = (
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+        + F.when(F.size(text_ops.tokens(F.col("text"))) >= 40, 1).otherwise(0)
+        + F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    s = d.select("source", r.alias("r")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    dis = (3 * _d19("s1") - _d19("s2")).cast("decimal(38,0)")
+    nt = (3 * _d19("n")).cast("decimal(38,0)")
+    k = s.select("source", "n", "s1", dis.alias("dis"), nt.alias("nt"))
+    de_num = (2 * _d19("s1") * (F.col("nt") - _d19("s1"))).cast("double")
+    alpha = F.lit(1.0) - (
+        (F.col("nt") - 1).cast("decimal(19,0)") * F.col("dis")
+    ).cast("double") / de_num
+    return k.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("dis").cast("double") / F.col("nt").cast("double"), 6).alias(
+            "do_rate"
+        ),
+        F.round(
+            de_num / (F.col("nt").cast("double") * (F.col("nt") - 1).cast("double")),
+            6,
+        ).alias("de_rate"),
+        F.when(
+            (F.col("s1") == 0) | (F.col("s1") == F.col("nt").cast("long")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(alpha, 6) + F.lit(0.0))
+        .alias("kripp_alpha"),
+    )
+
+
+@query(
+    "q427_lin_ccc",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS y
+      FROM documents WHERE trim(text) <> ''
+    ),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM m_src GROUP BY 1
+    ),
+    c AS (
+      SELECT source, n, sx, sy,
+             CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE) AS nsxy,
+             CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS nsxx,
+             CAST(CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
+                  - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE) AS nsyy,
+             CAST(CAST(sx - sy AS DECIMAL(19,0)) * CAST(sx - sy AS DECIMAL(19,0)) AS DOUBLE) AS dd2,
+             CAST(sxx - 2 * sxy + syy AS BIGINT) AS sdd
+      FROM m
+    )
+    SELECT source, n AS n_docs,
+           round(2.0 * nsxy / (nsxx + nsyy + dd2), 6) + 0.0 AS lin_ccc,
+           round(nsxy / sqrt(nsxx * nsyy), 6) + 0.0 AS pearson_r,
+           round(CAST(sx - sy AS DOUBLE) / n, 6) AS mean_diff,
+           round(CAST(sx - sy AS DOUBLE) / n
+                 - 1.96 * sqrt((CAST(n AS DECIMAL(19,0)) * CAST(sdd AS DECIMAL(19,0))
+                                - CAST(sx - sy AS DECIMAL(19,0)) * CAST(sx - sy AS DECIMAL(19,0)))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (n - 1.0))), 6) AS loa_low,
+           round(CAST(sx - sy AS DOUBLE) / n
+                 + 1.96 * sqrt((CAST(n AS DECIMAL(19,0)) * CAST(sdd AS DECIMAL(19,0))
+                                - CAST(sx - sy AS DECIMAL(19,0)) * CAST(sx - sy AS DECIMAL(19,0)))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (n - 1.0))), 6) AS loa_high
+    FROM c
+    """.replace("FROM m_src", "FROM s"),
+)
+def q427_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient plus Bland-Altman
+    limits of agreement (Lin 1989; Bland & Altman 1986) between the two
+    document "length raters" — character count and whitespace token
+    count — per source: CCC = 2*Sxy / (Sxx + Syy + n*(mx-my)^2)
+    measures how close the two measures sit to the 45-degree line (not
+    just correlation: a scale or location bias drops CCC but not
+    Pearson r, and the CCC/r ratio is exactly Lin's bias-correction
+    factor), while the Bland-Altman interval mean_diff +/- 1.96*sd_diff
+    bounds the per-document disagreement — the method-agreement audit
+    run before substituting a cheap length proxy for a tokenizer. All
+    scaled moment combinations (n*Sxy - SxSy at n^2 scale, (sx-sy)^2
+    for the n^2-scaled bias term) are exact DECIMAL(38,0) integers from
+    one BIGINT moment row; sum((x-y)^2) = sxx - 2sxy + syy needs no
+    second pass.
+
+    100 TB story: ONE map-side-combining per-source aggregate carrying
+    six BIGINT moments; closed form per row — no window, no join."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    s = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(text_ops.tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    m = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    nsxy = (_d19("n") * _d19("sxy") - _d19("sx") * _d19("sy")).cast("double")
+    nsxx = (_d19("n") * _d19("sxx") - _d19("sx") * _d19("sx")).cast("double")
+    nsyy = (_d19("n") * _d19("syy") - _d19("sy") * _d19("sy")).cast("double")
+    dd = F.col("sx") - F.col("sy")
+    dd2 = (dd.cast("decimal(19,0)") * dd.cast("decimal(19,0)")).cast("double")
+    sdd = (F.col("sxx") - 2 * F.col("sxy") + F.col("syy")).cast("long")
+    c = m.select(
+        "source",
+        "n",
+        "sx",
+        "sy",
+        nsxy.alias("nsxy"),
+        nsxx.alias("nsxx"),
+        nsyy.alias("nsyy"),
+        dd2.alias("dd2"),
+        sdd.alias("sdd"),
+    )
+    mean_diff = (F.col("sx") - F.col("sy")).cast("double") / F.col("n")
+    var_d = (
+        F.col("n").cast("decimal(19,0)") * F.col("sdd").cast("decimal(19,0)")
+        - (F.col("sx") - F.col("sy")).cast("decimal(19,0)")
+        * (F.col("sx") - F.col("sy")).cast("decimal(19,0)")
+    ).cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double") * (F.col("n") - 1.0)
+    )
+    sd = F.sqrt(var_d)
+    return c.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (F.round(2.0 * F.col("nsxy") / (F.col("nsxx") + F.col("nsyy") + F.col("dd2")), 6) + F.lit(0.0)).alias("lin_ccc"),
+        (F.round(F.col("nsxy") / F.sqrt(F.col("nsxx") * F.col("nsyy")), 6) + F.lit(0.0)).alias("pearson_r"),
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(mean_diff - 1.96 * sd, 6).alias("loa_low"),
+        F.round(mean_diff + 1.96 * sd, 6).alias("loa_high"),
+    )
+
+
+@query(
+    "q428_morans_i",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    px AS (
+      SELECT p_partkey AS node,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS x
+      FROM part
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS s
+      FROM px
+    ),
+    z AS (
+      SELECT node,
+             CAST(CAST((SELECT nn FROM mom) AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                  - CAST((SELECT s FROM mom) AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS zz
+      FROM px
+    ),
+    den AS (
+      SELECT CAST(sum(CAST(zz AS DECIMAL(19,0)) * CAST(zz AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS d
+      FROM z
+    ),
+    num AS (
+      SELECT CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(CAST(za.zz AS DECIMAL(19,0)) * CAST(zb.zz AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS nu
+      FROM co JOIN z za ON za.node = co.s1 JOIN z zb ON zb.node = co.s2
+    )
+    SELECT (SELECT nn FROM mom) AS n_nodes,
+           (SELECT ne FROM num) AS n_edges,
+           round(CAST((SELECT nn FROM mom) AS DOUBLE) * CAST((SELECT nu FROM num) AS DOUBLE)
+                 / (CAST((SELECT ne FROM num) AS DOUBLE) * CAST((SELECT d FROM den) AS DOUBLE)), 6) + 0.0
+             AS morans_i,
+           round(-1.0 / ((SELECT nn FROM mom) - 1.0), 6) AS expected_i,
+           CASE WHEN CAST((SELECT nn FROM mom) AS DOUBLE) * CAST((SELECT nu FROM num) AS DOUBLE)
+                     / (CAST((SELECT ne FROM num) AS DOUBLE) * CAST((SELECT d FROM den) AS DOUBLE))
+                     > -1.0 / ((SELECT nn FROM mom) - 1.0)
+                THEN 'clustered' ELSE 'dispersed' END AS verdict
+    """,
+)
+def q428_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation (Moran 1950) of part retail
+    price over the canonical co-purchase graph (q232/q407's edge set,
+    disclosed kinship): do co-purchased parts have CORRELATED prices?
+    I = (N/W) * sum_edges(z_i z_j) / sum(z_i^2) with binary symmetric
+    weights (W = 2|E|; the unordered edge sum appears once in the
+    numerator, so the 2s cancel to I = N*num/(|E|*den)). The exactness
+    trick: the centered value is scaled by N — z_i = N*x_i - S is an
+    exact integer — and because I is a RATIO of forms quadratic in z,
+    the N scaling cancels, so no float mean subtraction ever happens;
+    both engines work from identical DECIMAL(38,0) integers until the
+    final division. Units are ALL parts (isolated parts contribute to
+    the denominator only — the standard all-units convention,
+    disclosed); expected value under no autocorrelation is -1/(N-1).
+
+    100 TB story: the edge build is linear (bounded lines/order,
+    q232's audited shape); the numerator is two hash joins of the edge
+    list against the O(parts) z frame and ONE aggregate; denominator
+    and moments are single passes over part. No corpus pair
+    enumeration anywhere."""
+    px = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
+    )
+    mom = px.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    z = (
+        px.crossJoin(F.broadcast(mom))
+        .select(
+            "node",
+            (
+                F.col("nn").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+                - F.col("s").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("zz"),
+            "nn",
+        )
+        .localCheckpoint(eager=True)
+    )
+    den = z.agg(
+        F.sum(F.col("zz").cast("decimal(19,0)") * F.col("zz").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("d")
+    )
+    co = _cograph_edges(spark, sf_dir)
+    za = z.select(F.col("node").alias("s1"), F.col("zz").alias("za"))
+    zb = z.select(F.col("node").alias("s2"), F.col("zz").alias("zb"))
+    num = (
+        co.join(_dim(za), "s1")
+        .join(_dim(zb), "s2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ne"),
+            F.sum(
+                F.col("za").cast("decimal(19,0)") * F.col("zb").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("nu"),
+        )
+    )
+    morans = (
+        F.col("nn").cast("double")
+        * F.col("nu").cast("double")
+        / (F.col("ne").cast("double") * F.col("d").cast("double"))
+    )
+    expected = -1.0 / (F.col("nn") - 1.0)
+    return (
+        mom.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("nn").alias("n_nodes"),
+            F.col("ne").alias("n_edges"),
+            (F.round(morans, 6) + F.lit(0.0)).alias("morans_i"),
+            F.round(expected, 6).alias("expected_i"),
+            F.when(morans > expected, "clustered")
+            .otherwise("dispersed")
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "q429_nelson_aalen",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    g AS (
+      SELECT d, lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+      FROM o
+    ),
+    dur AS (
+      SELECT CASE WHEN nd IS NULL THEN (SELECT dmax FROM mx) - d
+                  ELSE nd - d END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM g
+    ),
+    byt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_all, CAST(sum(ev) AS BIGINT) AS d
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(n_all) OVER () -
+               coalesce(sum(n_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nt
+      FROM byt
+    ),
+    ev AS (SELECT t, d, nt FROM risk WHERE d > 0),
+    cum AS (
+      SELECT t, d, nt,
+             CAST(round(sum(CAST(round(d * 1.0 / nt, 12) AS DECIMAL(38,12)))
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 12) AS DOUBLE) AS h,
+             CAST(round(sum(CAST(round(d * 1.0 / (CAST(nt AS DOUBLE) * nt), 12) AS DECIMAL(38,12)))
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 12) AS DOUBLE) AS v
+      FROM ev
+    )
+    SELECT t AS gap_days, d AS events, nt AS n_at_risk,
+           round(h, 6) AS cum_hazard,
+           round(v, 6) AS cum_hazard_var,
+           round(exp(-h), 6) AS surv_estimate
+    FROM cum
+    """,
+)
+def q429_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978) on the reorder-gap survival fixture shared with q282's
+    Kaplan-Meier and q403's log-rank (disclosed kinship): at each
+    distinct gap value H(t) accumulates d_i/n_i and its variance
+    accumulates d_i/n_i^2, with exp(-H) as the derived survival curve —
+    the hazard-scale twin of KM (identical large-sample behavior,
+    better small-risk-set stability, and the form additive over
+    cause-specific hazards, bridging to q417's competing risks). Both
+    cumulative sums fold at 12-dp DECIMAL over the ordered gap support
+    so corpus order cannot move the curve.
+
+    100 TB story: one lead() pass partitioned by customer builds
+    durations; the risk-set and cumulative windows run over O(distinct
+    gap values) rows — SF-independent, exactly the q282/q403 audited
+    shape (allowlisted bounded support)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    dmax = o.agg(F.max("d").alias("dmax"))
+    g = o.withColumn(
+        "nd",
+        F.lead("d").over(Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")),
+    )
+    dur = g.crossJoin(F.broadcast(dmax)).select(
+        F.when(F.col("nd").isNull(), F.col("dmax") - F.col("d"))
+        .otherwise(F.col("nd") - F.col("d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wbef = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.select(
+        "t",
+        "d",
+        (
+            F.sum("n_all").over(wtot) - F.coalesce(F.sum("n_all").over(wbef), F.lit(0))
+        )
+        .cast("long")
+        .alias("nt"),
+    ).filter(F.col("d") > 0)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+
+    def _fold12w(x):
+        return F.round(
+            F.sum(F.round(x, 12).cast("decimal(38,12)")).over(wcum), 12
+        ).cast("double")
+
+    h = _fold12w(F.col("d") * 1.0 / F.col("nt"))
+    v = _fold12w(F.col("d") * 1.0 / (F.col("nt").cast("double") * F.col("nt")))
+    cum = risk.select("t", "d", "nt", h.alias("h"), v.alias("v"))
+    return cum.select(
+        F.col("t").alias("gap_days"),
+        F.col("d").alias("events"),
+        F.col("nt").alias("n_at_risk"),
+        F.round("h", 6).alias("cum_hazard"),
+        F.round("v", 6).alias("cum_hazard_var"),
+        F.round(F.exp(-F.col("h")), 6).alias("surv_estimate"),
+    )
+
+
+@query(
+    "q430_cochran_armitage",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST((CAST(round(l_quantity) AS BIGINT) - 1) // 10 AS INT) AS k,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS nk, CAST(sum(y) AS BIGINT) AS rk
+      FROM s GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(rk) AS BIGINT) AS r,
+             CAST(sum(CAST(k AS DECIMAL(19,0)) * CAST(rk AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS skr,
+             CAST(sum(CAST(k AS DECIMAL(19,0)) * CAST(nk AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS skn,
+             CAST(sum(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)) * CAST(nk AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sk2n
+      FROM g
+    ),
+    u AS (
+      SELECT n, r,
+             CAST(CAST(n AS DECIMAL(19,0)) * skr - CAST(r AS DECIMAL(19,0)) * skn AS DOUBLE) AS uu,
+             CAST(CAST(r AS DECIMAL(19,0)) * CAST(n - r AS DECIMAL(19,0)) AS DOUBLE) AS rnr,
+             CAST(CAST(n AS DECIMAL(19,0)) * sk2n - skn * skn AS DOUBLE) AS vv
+      FROM m
+    ),
+    t AS (
+      SELECT n, r, uu,
+             CAST(n AS DOUBLE) * uu * uu / (rnr * vv) AS chi2
+      FROM u
+    )
+    SELECT n AS n_rows, r AS n_returned,
+           round(chi2, 6) AS ca_chi2,
+           round({_p2_sql(f"sqrt(chi2) * {_INV_SQRT2}")}, 6) + 0.0 AS p_value,
+           CASE WHEN uu > 0 THEN 'increasing'
+                WHEN uu < 0 THEN 'decreasing' ELSE 'flat' END AS trend
+    FROM t
+    """,
+)
+def q430_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) for a
+    monotone trend in the return rate across the five quantity
+    quintiles (scores k = 0..4): the score statistic
+    chi2 = N*(N*sum(k*r_k) - R*sum(k*n_k))^2
+           / (R*(N-R)*(N*sum(k^2*n_k) - sum(k*n_k)^2))
+    (1 dof, score-test form without the finite-sample (N-1)/N factor —
+    disclosed) upgrades q-registry chi-square independence to an
+    ORDERED alternative: a dose-response trend concentrates all its
+    power on one degree of freedom instead of diluting it over K-1 —
+    the canonical "does the defect rate climb with batch size" audit.
+    All sums are exact integers folded once; the quadratic
+    combinations run in DECIMAL(38,0); the p-value uses the shared
+    erfc chain on sqrt(chi2).
+
+    100 TB story: ONE map-side-combining aggregate to the 5-quintile
+    grid, one further fold to a single row, per-row closed form."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        ((F.round("l_quantity").cast("long") - 1) / 10).cast("int").alias("k"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("y").cast("long").alias("rk"),
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = g.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("rk").cast("long").alias("r"),
+        F.sum(_d19("k") * _d19("rk")).cast("decimal(38,0)").alias("skr"),
+        F.sum(_d19("k") * _d19("nk")).cast("decimal(38,0)").alias("skn"),
+        F.sum(_d19("k") * _d19("k") * _d19("nk")).cast("decimal(38,0)").alias("sk2n"),
+    )
+    uu = (_d19("n") * F.col("skr") - _d19("r") * F.col("skn")).cast("double")
+    rnr = (_d19("r") * (F.col("n") - F.col("r")).cast("decimal(19,0)")).cast("double")
+    vv = (_d19("n") * F.col("sk2n") - F.col("skn") * F.col("skn")).cast("double")
+    u = m.select("n", "r", uu.alias("uu"), rnr.alias("rnr"), vv.alias("vv"))
+    chi2 = F.col("n").cast("double") * F.col("uu") * F.col("uu") / (
+        F.col("rnr") * F.col("vv")
+    )
+    t = u.select("n", "r", "uu", chi2.alias("chi2"))
+    return t.select(
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("n_returned"),
+        F.round("chi2", 6).alias("ca_chi2"),
+        (F.round(_p2_col(F.sqrt("chi2") * F.lit(_INV_SQRT2)), 6) + F.lit(0.0)).alias(
+            "p_value"
+        ),
+        F.when(F.col("uu") > 0, "increasing")
+        .when(F.col("uu") < 0, "decreasing")
+        .otherwise("flat")
+        .alias("trend"),
+    )
+
+
+@query(
+    "q431_brown_forsythe",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT flag, x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, x, c,
+             CAST(sum(c) OVER (PARTITION BY flag ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS ng
+      FROM grid
+    ),
+    med AS (
+      SELECT flag, CAST(min(CASE WHEN 2 * cc >= ng THEN x END) AS BIGINT) AS med
+      FROM cum GROUP BY 1
+    ),
+    dev AS (
+      SELECT g.flag, abs(g.x - m.med) AS v, g.c
+      FROM grid g JOIN med m ON m.flag = g.flag
+    ),
+    gm AS (
+      SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS s1,
+             CAST(sum(v * v * c) AS BIGINT) AS s2
+      FROM dev GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s1) AS BIGINT) AS ss1
+      FROM gm
+    ),
+    parts AS (
+      SELECT
+        CAST(sum(CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / n - CAST((SELECT ss1 FROM tot) AS DOUBLE) / (SELECT nn FROM tot))
+                 * (CAST(s1 AS DOUBLE) / n - CAST((SELECT ss1 FROM tot) AS DOUBLE) / (SELECT nn FROM tot))) AS DOUBLE) AS ssb,
+        CAST(sum(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) AS DOUBLE) AS ssw
+      FROM gm
+    )
+    SELECT g.flag, g.n, m.med AS group_median,
+           round(CAST(g.s1 AS DOUBLE) / g.n, 6) AS mean_abs_dev,
+           round((SELECT ssb FROM parts) / ((SELECT k FROM tot) - 1.0)
+                 / ((SELECT ssw FROM parts) / ((SELECT nn FROM tot) - (SELECT k FROM tot))), 6)
+             AS bf_f_stat
+    FROM gm g JOIN med m ON m.flag = g.flag
+    """,
+)
+def q431_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974)
+    of quantity across return flags: a one-way ANOVA on the absolute
+    deviations from each group's MEDIAN (the robust Levene variant —
+    median centering keeps the test honest under the skew q423 just
+    measured; disclosed kinship). Exactness comes from the grid trick:
+    quantity has a bounded value support (1..50), so group medians are
+    computed EXACTLY from cumulative counts on the (flag, value) grid
+    (lower weighted median, min v with 2*cum >= n — disclosed
+    convention), and the deviation moments are integer sums over that
+    same grid — the corpus is scanned ONCE, no per-group sort of raw
+    rows ever happens (the percentile-aggregate trap at 100 TB).
+
+    100 TB story: one map-side-combining aggregate to the <= 150-cell
+    grid; medians via partitioned cumulative windows over the bounded
+    support; the F arithmetic runs on K = 3 rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("x"),
+    )
+    grid = (
+        li.groupBy("flag", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wcum = Window.partitionBy("flag").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("flag")
+    cum = grid.select(
+        "flag",
+        "x",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("ng"),
+    )
+    med = cum.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cc") >= F.col("ng"), F.col("x")))
+        .cast("long")
+        .alias("med")
+    )
+    dev = grid.join(med, "flag").select(
+        "flag", F.abs(F.col("x") - F.col("med")).alias("v"), "c"
+    )
+    gm = dev.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v") * F.col("c")).cast("long").alias("s2"),
+    ).localCheckpoint(eager=True)
+    tot = gm.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s1").cast("long").alias("ss1"),
+    )
+    withtot = gm.crossJoin(F.broadcast(tot))
+    gmean = F.col("ss1").cast("double") / F.col("nn")
+    dmean = F.col("s1").cast("double") / F.col("n")
+    parts = withtot.agg(
+        F.sum(F.col("n").cast("double") * (dmean - gmean) * (dmean - gmean))
+        .cast("double")
+        .alias("ssb"),
+        F.sum(
+            F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        .cast("double")
+        .alias("ssw"),
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+    )
+    f_stat = (F.col("ssb") / (F.col("k") - 1.0)) / (
+        F.col("ssw") / (F.col("nn") - F.col("k"))
+    )
+    return (
+        gm.join(med, "flag")
+        .crossJoin(F.broadcast(parts.select(f_stat.alias("bf"))))
+        .select(
+            "flag",
+            "n",
+            F.col("med").alias("group_median"),
+            F.round(F.col("s1").cast("double") / F.col("n"), 6).alias(
+                "mean_abs_dev"
+            ),
+            F.round("bf", 6).alias("bf_f_stat"),
+        )
+    )
+
+
+@query(
+    "q432_dickey_fuller",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1
+    ),
+    ser AS (
+      SELECT d, y, lag(y) OVER (ORDER BY d) AS yp FROM days
+    ),
+    dl AS (
+      SELECT CAST(yp AS BIGINT) AS x, CAST(y - yp AS BIGINT) AS dy
+      FROM ser WHERE yp IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * dy) AS BIGINT) AS sxy,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM dl
+    ),
+    c AS (
+      SELECT n,
+             CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS nsxx,
+             CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE) AS nsxy,
+             CAST(CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
+                  - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE) AS nsyy
+      FROM m
+    ),
+    t AS (
+      SELECT n, nsxy / nsxx AS rho,
+             (nsxy / nsxx)
+               / sqrt(((nsyy - nsxy * nsxy / nsxx) / CAST(n AS DOUBLE) / (n - 2.0))
+                      / (nsxx / CAST(n AS DOUBLE))) AS tstat
+      FROM c
+    )
+    SELECT n AS n_days,
+           round(rho, 6) + 0.0 AS rho,
+           round(tstat, 6) + 0.0 AS df_t_stat,
+           CASE WHEN tstat < -2.86 THEN 'stationary' ELSE 'unit_root' END AS verdict
+    FROM t
+    """,
+)
+def q432_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (Dickey & Fuller 1979, constant, no
+    augmentation) on the daily order-count series: regress the daily
+    change on the lagged level and report the t-statistic of rho —
+    tstat far below the -2.86 five-percent critical value (literal,
+    disclosed) means order arrivals mean-revert (stationary), near zero
+    means a random-walk level and every forecast in the m1/m2 workload
+    family (disclosed kinship) needs differencing first. Daily counts
+    are exact BIGINTs from one rollup; the day series uses the
+    OBSERVED day support (calendar gaps are treated as adjacent steps —
+    disclosed); all n*S - S*S combinations run in DECIMAL(38,0) and
+    convert to DOUBLE once, identical chains both engines.
+
+    100 TB story: one corpus scan collapses to the O(days) rollup with
+    map-side combine; the lag window and regression moments run on that
+    bounded frame (allowlisted day support); closed form on one row."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    ser = days.withColumn("yp", F.lag("y").over(Window.orderBy("d")))
+    dl = ser.filter(F.col("yp").isNotNull()).select(
+        F.col("yp").cast("long").alias("x"),
+        (F.col("y") - F.col("yp")).cast("long").alias("dy"),
+    )
+    m = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    nsxx = (_d19("n") * _d19("sxx") - _d19("sx") * _d19("sx")).cast("double")
+    nsxy = (_d19("n") * _d19("sxy") - _d19("sx") * _d19("sy")).cast("double")
+    nsyy = (_d19("n") * _d19("syy") - _d19("sy") * _d19("sy")).cast("double")
+    c = m.select("n", nsxx.alias("nsxx"), nsxy.alias("nsxy"), nsyy.alias("nsyy"))
+    rho = F.col("nsxy") / F.col("nsxx")
+    tstat = rho / F.sqrt(
+        (
+            (F.col("nsyy") - F.col("nsxy") * F.col("nsxy") / F.col("nsxx"))
+            / F.col("n").cast("double")
+            / (F.col("n") - 2.0)
+        )
+        / (F.col("nsxx") / F.col("n").cast("double"))
+    )
+    t = c.select("n", rho.alias("rho"), tstat.alias("tstat"))
+    return t.select(
+        F.col("n").alias("n_days"),
+        (F.round("rho", 6) + F.lit(0.0)).alias("rho"),
+        (F.round("tstat", 6) + F.lit(0.0)).alias("df_t_stat"),
+        F.when(F.col("tstat") < -2.86, "stationary")
+        .otherwise("unit_root")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q433_streaming_hll_drain",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, user_id FROM events
+    ),
+    h0 AS (SELECT grp, user_id, user_id % 4294967296 AS a FROM base),
+    h1 AS (SELECT grp, user_id,
+                  (xor(a >> 16, a) * 73244475) % 4294967296 AS a FROM h0),
+    h2 AS (SELECT grp, user_id,
+                  (xor(a >> 16, a) * 73244475) % 4294967296 AS a FROM h1),
+    h AS (SELECT grp, user_id, xor(a >> 16, a) AS hv FROM h2),
+    rho AS (
+      SELECT grp, user_id, hv % 64 AS idx,
+             CASE WHEN hv // 64 = 0 THEN 27
+                  ELSE 27 - length(bin(hv // 64)) END AS r
+      FROM h
+    ),
+    regs AS (
+      SELECT grp, idx, max(r) AS m FROM rho GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT grp,
+             0.709 * 64 * 64 /
+               (sum(1.0 / (CAST(1 AS BIGINT) << m)) + (64 - count(*))) AS e_raw,
+             64 - count(*) AS v
+      FROM regs GROUP BY 1
+    ),
+    fin AS (
+      SELECT grp,
+             CASE WHEN e_raw <= 160 AND v > 0 THEN 64 * ln(64.0 / v)
+                  ELSE e_raw END AS e,
+             v
+      FROM est
+    ),
+    ex AS (SELECT grp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM base GROUP BY 1)
+    SELECT ex.grp AS event_type, ex.n_exact,
+           CAST(fin.v AS BIGINT) AS n_zero_registers,
+           round(fin.e, 6) AS est,
+           round(abs(fin.e - ex.n_exact) / ex.n_exact, 6) AS rel_err
+    FROM ex JOIN fin ON fin.grp = ex.grp
+    """,
+)
+def q433_streaming_hll_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-user HLL drained in the hash-checked gate
+    (the 22nd hash-checked drain): q283's deterministic HyperLogLog
+    (degski-mixer hash, p=6, m=64, linear-counting small-range
+    correction — disclosed kinship) carried as REAL streaming state per
+    event type across three event-id-sliced micro-batches via
+    :func:`stateful.streaming_hll`. Each batch PRE-REDUCES map-side to
+    at most 64 (key, idx, rank) register rows per key; the state merge
+    is register-wise max — commutative, associative, and IDEMPOTENT, so
+    the drained registers (and therefore the estimate, digit for digit)
+    are provably invariant to batch boundaries, arrival order, restart
+    replays, and duplicate delivery — the strongest invariance class in
+    the drain family, and the property that makes sketch-union the
+    right 100-TB distinct-count plan.
+
+    100 TB story: O(keys * 64) state, at most 64 rows/key/batch of
+    state traffic; the estimate is computed from the drained register
+    frame, corpus-size-independent."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_hll
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("key"), "user_id"
+    )
+    rho = (
+        e.select("event_id", "key", F.expr("user_id % 4294967296").alias("a"))
+        .select(
+            "event_id",
+            "key",
+            F.expr("((shiftright(a, 16) ^ a) * 73244475) % 4294967296").alias("a"),
+        )
+        .select(
+            "event_id",
+            "key",
+            F.expr("((shiftright(a, 16) ^ a) * 73244475) % 4294967296").alias("a"),
+        )
+        .select("event_id", "key", F.expr("shiftright(a, 16) ^ a").alias("hv"))
+        .select(
+            "event_id",
+            "key",
+            (F.col("hv") % 64).alias("idx"),
+            F.when(F.expr("hv div 64") == 0, 27)
+            .otherwise(27 - F.length(F.bin(F.expr("hv div 64"))))
+            .alias("r"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="q433_")
+    try:
+        src_dir = f"{work}/src"
+        os.makedirs(src_dir)
+        for i in (1, 2, 3):
+            part = (
+                rho.filter(F.col("event_id") % 3 == i - 1)
+                .groupBy("key", "idx")
+                .agg(F.max("r").cast("long").alias("r"))
+            )
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("key STRING, idx LONG, r LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_hll(stream)
+        sink = f"{work}/hll"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q433: streaming HLL drain did not finish within 300 s — "
+                "refusing to score partial state"
+            )
+        states = spark.read.parquet(sink)
+        wlast = Window.partitionBy("key").orderBy(F.col("n_batches").desc())
+        final = (
+            states.withColumn("rk", F.row_number().over(wlast))
+            .filter(F.col("rk") == 1)
+            .select("key", "regs")
+        ).localCheckpoint(eager=True)
+        est = final.select(
+            "key",
+            F.expr(
+                "aggregate(regs, cast(0.0 as double), (acc, m) -> "
+                "acc + 1.0 / cast(shiftleft(1L, cast(m as int)) as double))"
+            ).alias("harm"),
+            F.expr("size(filter(regs, m -> m = 0))").cast("long").alias("v"),
+        ).select(
+            "key",
+            "v",
+            (F.lit(0.709 * 64 * 64) / F.col("harm")).alias("e_raw"),
+        )
+        fin = est.select(
+            "key",
+            "v",
+            F.when(
+                (F.col("e_raw") <= 160) & (F.col("v") > 0),
+                64 * F.log(64.0 / F.col("v")),
+            )
+            .otherwise(F.col("e_raw"))
+            .alias("e"),
+        )
+        ex = e.groupBy("key").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact")
+        )
+        return ex.join(fin, "key").select(
+            F.col("key").alias("event_type"),
+            "n_exact",
+            F.col("v").alias("n_zero_registers"),
+            F.round("e", 6).alias("est"),
+            F.round(F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1228,3 +1228,68 @@ def streaming_moments(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_OUTPUT_SCHEMA = "key STRING, n_batches LONG, regs ARRAY<LONG>, nonzero LONG"
+HLL_STATE_SCHEMA = "regs ARRAY<LONG>, n_batches LONG"
+
+
+def streaming_hll(
+    stream: DataFrame,
+    m: int = 64,
+    key_col: str = "key",
+    idx_col: str = "idx",
+    rank_col: str = "r",
+) -> DataFrame:
+    """Per-key streaming HyperLogLog register accumulator (q283's
+    deterministic p=6 / m=64 sketch carried as streaming state): the
+    state is the m-register array and the merge is register-wise MAX —
+    commutative, associative, and idempotent, so arrival order,
+    micro-batch boundaries, restart replays, and even DUPLICATE
+    delivery provably cannot change the drained registers (the
+    strongest batch-invariance class of any drain in this registry:
+    max-merge absorbs at-least-once delivery, which the additive
+    moment/count drains do not). Each micro-batch is expected
+    PRE-REDUCED map-side to at most m (key, idx, rank) rows per key, so
+    per-batch state traffic is register-bounded no matter the batch
+    size.
+
+    State: m longs per key, O(keys * m) total, TTL-free."""
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            regs_t, nb = state.get
+            regs = list(regs_t)
+        else:
+            regs, nb = [0] * m, 0
+        for idx, r in zip(batch[idx_col], batch[rank_col]):
+            i = int(idx)
+            if int(r) > regs[i]:
+                regs[i] = int(r)
+        nb += 1
+        state.update((regs, int(nb)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_batches": [int(nb)],
+                "regs": [regs],
+                "nonzero": [int(sum(1 for v in regs if v > 0))],
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(idx_col).cast("long").alias(idx_col),
+        F.col(rank_col).cast("long").alias(rank_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

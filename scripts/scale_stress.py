@@ -538,6 +538,49 @@ def run_scale(spark, scale: int) -> dict:
 
     t_build("bt_duels", _bt_duels)
 
+    # round-10: q413 vocabulary-overlap self-join — the corpus collapses
+    # to its distinct (source, token) vocabulary FIRST (types, not
+    # tokens: bounded by Heaps' law, here by the synthetic vocab), then
+    # self-joins on the token key where fan-out per token is at most
+    # #sources. Cost must track the corpus scan (explode + distinct),
+    # never the corpus pair count; the pair frame itself is
+    # O(sources^2) and the per-token fan-out is sources-bounded even
+    # when every source shares the whole vocabulary (the worst case for
+    # shared-vocab density, which this fixed-vocab corpus maximizes).
+    def _vocab_overlap():
+        src = docs.select(
+            F.pmod("doc_id", F.lit(10)).alias("source"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        v = src.distinct()
+        sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("vsz"))
+        a, b = v.alias("a"), v.alias("b")
+        px = (
+            a.join(
+                b,
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            px.join(
+                F.broadcast(sz.select(F.col("source").alias("s1"), F.col("vsz").alias("v1"))),
+                "s1",
+            )
+            .join(
+                F.broadcast(sz.select(F.col("source").alias("s2"), F.col("vsz").alias("v2"))),
+                "s2",
+            )
+            .select(
+                "s1", "s2", "inter",
+                (F.col("inter") * 1.0 / (F.col("v1") + F.col("v2") - F.col("inter"))).alias("jaccard"),
+            )
+        )
+
+    t_build("vocab_overlap", _vocab_overlap)
+
     rows = {"documents": n_docs, "embeddings": n_emb, "events": n_ev}
     return {"scale": scale, "rows": rows, "sec": sec, "total_sec": round(sum(sec.values()), 2)}
 

@@ -1,0 +1,146 @@
+"""Physical-plan assertions for the round-10 block (q423-q433; q433 is
+a streaming drain covered by parity): the scale properties claimed in
+the docstrings must be visible in the plans, including pre-checkpoint
+stages (captured via the guard, per the round-8 q321 lesson)."""
+
+from __future__ import annotations
+
+import re
+
+from phoebe_spark.plans.guard import (
+    capture_checkpoints,
+    explain_formatted,
+    raw_single_partition_sort_violations,
+)
+from phoebe_spark.queries import QUERIES
+
+BLOCK = [
+    "q423_jarque_bera",
+    "q424_chow_break",
+    "q425_gamma_somers",
+    "q426_krippendorff_alpha",
+    "q427_lin_ccc",
+    "q428_morans_i",
+    "q429_nelson_aalen",
+    "q430_cochran_armitage",
+    "q431_brown_forsythe",
+    "q432_dickey_fuller",
+]
+
+
+def _plans(spark, sf_dir, name):
+    with capture_checkpoints() as caps:
+        df = QUERIES[name](spark, sf_dir)
+        final = explain_formatted(df)
+    return list(caps) + [final]
+
+
+def _ops(plan: str, op: str) -> int:
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+def _scans(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_round10_block_no_raw_single_partition_sorts(spark, sf_dir):
+    """Every round-10 query, including checkpointed stages, must be
+    free of unpartitioned sorts over raw corpus rows."""
+    for name in BLOCK:
+        for p in _plans(spark, sf_dir, name):
+            assert raw_single_partition_sort_violations(p) == [], name
+
+
+def test_q423_one_pass_four_moments(spark, sf_dir):
+    """Jarque-Bera: ONE corpus scan into a per-flag aggregate with
+    map-side partial aggregation; no window, no join."""
+    [plan] = _plans(spark, sf_dir, "q423_jarque_bera")
+    assert _scans(plan) == 1
+    assert _ops(plan, "HashAggregate") >= 2
+    assert _ops(plan, "Window") == 0
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_q424_day_rollup_then_one_row(spark, sf_dir):
+    """Chow: one corpus scan into the day rollup, one further fold to a
+    single row; no window, no join."""
+    [plan] = _plans(spark, sf_dir, "q424_chow_break")
+    assert _scans(plan) == 1
+    assert _ops(plan, "Window") == 0
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
+    assert _ops(plan, "HashAggregate") >= 4  # day rollup + segment fold
+
+
+def test_q425_pair_census_reads_checkpointed_grid(spark, sf_dir):
+    """Gamma/Somers: the corpus collapses to the <=55-cell grid
+    (checkpointed, one scan); the pair census cross-product reads only
+    the checkpointed grid — zero parquet scans in the final plan."""
+    plans = _plans(spark, sf_dir, "q425_gamma_somers")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q426_q427_single_pass_source_moments(spark, sf_dir):
+    """Krippendorff and Lin CCC: ONE corpus scan into a per-source
+    integer-moment aggregate; no window, no join."""
+    for name in ("q426_krippendorff_alpha", "q427_lin_ccc"):
+        [plan] = _plans(spark, sf_dir, name)
+        assert _scans(plan) == 1, name
+        assert _ops(plan, "Window") == 0, name
+        assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0, name
+
+
+def test_q428_edge_joins_against_checkpointed_z(spark, sf_dir):
+    """Moran's I: the z frame is checkpointed once; the numerator joins
+    the edge list against it with hash joins (broadcast at this scale
+    via the size-aware hint), never a shuffle-sort join."""
+    plans = _plans(spark, sf_dir, "q428_morans_i")
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+    assert sum(_ops(p, "BroadcastHashJoin") for p in plans) >= 2
+
+
+def test_q429_windows_run_on_gap_support(spark, sf_dir):
+    """Nelson-Aalen: durations aggregate to gap values BEFORE any
+    ordered risk-set / cumulative window (q282/q403's certified
+    shape)."""
+    [plan] = _plans(spark, sf_dir, "q429_nelson_aalen")
+    assert _ops(plan, "Window") >= 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= agg_pos and 0 <= win_pos
+    assert raw_single_partition_sort_violations(plan) == []
+
+
+def test_q430_one_pass_grid_fold(spark, sf_dir):
+    """Cochran-Armitage: one corpus scan to the 5-quintile grid, one
+    further fold to a single row; no window, no join."""
+    [plan] = _plans(spark, sf_dir, "q430_cochran_armitage")
+    assert _scans(plan) == 1
+    assert _ops(plan, "Window") == 0
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
+    assert _ops(plan, "HashAggregate") >= 4
+
+
+def test_q431_medians_on_checkpointed_grid(spark, sf_dir):
+    """Brown-Forsythe: one corpus scan into the checkpointed
+    (flag, value) grid; medians come from PARTITIONED cumulative
+    windows over the bounded support, and the final plan reads only
+    checkpointed frames."""
+    plans = _plans(spark, sf_dir, "q431_brown_forsythe")
+    final = plans[-1]
+    assert sum(_scans(c) for c in plans) == 1  # grid build only
+    assert _scans(final) == 0
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q432_lag_on_day_rollup(spark, sf_dir):
+    """Dickey-Fuller: the lag window consumes the O(days) rollup (the
+    HashAggregate feeds the window exchange), never raw order rows."""
+    [plan] = _plans(spark, sf_dir, "q432_dickey_fuller")
+    assert _scans(plan) == 1
+    assert _ops(plan, "Window") == 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= agg_pos and 0 <= win_pos
