@@ -4198,3 +4198,881 @@ def q433_streaming_hll_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 10, batch 2: epidemiological 2x2 effect measures, two-sample
+# Anderson-Darling, D'Agostino K^2, Lilliefors, Cohen/Hedges effect sizes,
+# Weibull hazard fit, Kendall's W.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q434_risk_ratio",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS exp,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS outc
+      FROM orders
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN exp = 1 AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN exp = 1 AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN exp = 0 AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN exp = 0 AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM s
+    ),
+    r AS (
+      SELECT a, b, c, d,
+             (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)) AS rr,
+             CAST(a AS DOUBLE) / (a + b) - CAST(c AS DOUBLE) / (c + d) AS rd,
+             sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)) AS se
+      FROM g
+    )
+    SELECT a AS exposed_cases, b AS exposed_noncases,
+           c AS unexposed_cases, d AS unexposed_noncases,
+           round(rr, 6) AS risk_ratio,
+           round(exp(ln(rr) - 1.96 * se), 6) AS rr_ci_low,
+           round(exp(ln(rr) + 1.96 * se), 6) AS rr_ci_high,
+           round(rd, 6) + 0.0 AS risk_diff,
+           CASE WHEN rd = 0.0 THEN NULL ELSE round(1.0 / abs(rd), 6) END AS nnt
+    FROM r
+    """,
+)
+def q434_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk ratio with the Katz log-normal confidence interval (Katz et
+    al. 1978), risk difference, and number-needed-to-treat over the
+    urgent-priority -> finished-status 2x2 table — the relative-risk
+    companion to q334's odds ratio (disclosed kinship; RR is the
+    collapsible effect measure a pipeline should report when the
+    outcome is common and the OR would exaggerate). The 2x2 cells are
+    exact integers from ONE aggregate; ln(RR) +/- 1.96*se with
+    se = sqrt(1/a - 1/(a+b) + 1/c - 1/(c+d)) is the standard Katz
+    interval, computed with identical double chains on both engines.
+
+    100 TB story: ONE map-side-combining aggregate to four integers;
+    closed form on one row — no window, no join, no second pass."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("exp"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("outc"),
+    )
+    g = o.agg(
+        F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 1), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("exp") == 1) & (F.col("outc") == 0), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 1), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("exp") == 0) & (F.col("outc") == 0), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    rr = (F.col("a").cast("double") / (F.col("a") + F.col("b"))) / (
+        F.col("c").cast("double") / (F.col("c") + F.col("d"))
+    )
+    rd = F.col("a").cast("double") / (F.col("a") + F.col("b")) - F.col("c").cast(
+        "double"
+    ) / (F.col("c") + F.col("d"))
+    se = F.sqrt(
+        1.0 / F.col("a")
+        - 1.0 / (F.col("a") + F.col("b"))
+        + 1.0 / F.col("c")
+        - 1.0 / (F.col("c") + F.col("d"))
+    )
+    r = g.select("a", "b", "c", "d", rr.alias("rr"), rd.alias("rd"), se.alias("se"))
+    return r.select(
+        F.col("a").alias("exposed_cases"),
+        F.col("b").alias("exposed_noncases"),
+        F.col("c").alias("unexposed_cases"),
+        F.col("d").alias("unexposed_noncases"),
+        F.round("rr", 6).alias("risk_ratio"),
+        F.round(F.exp(F.log("rr") - 1.96 * F.col("se")), 6).alias("rr_ci_low"),
+        F.round(F.exp(F.log("rr") + 1.96 * F.col("se")), 6).alias("rr_ci_high"),
+        (F.round("rd", 6) + F.lit(0.0)).alias("risk_diff"),
+        F.when(F.col("rd") == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(1.0 / F.abs("rd"), 6))
+        .alias("nnt"),
+    )
+
+
+@query(
+    "q435_anderson_darling",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS arm
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS l,
+             CAST(sum(arm) AS BIGINT) AS l1
+      FROM s GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, l, l1,
+             CAST(sum(l) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bj,
+             CAST(sum(l1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m1j,
+             CAST(sum(l) OVER () AS BIGINT) AS nn,
+             CAST(sum(l1) OVER () AS BIGINT) AS n1
+      FROM grid
+    ),
+    terms AS (
+      SELECT nn, n1, nn - n1 AS n2,
+             {_FOLD12_SQL.format(t='''CASE WHEN bj < nn THEN
+               l * (CAST(CAST(nn AS DECIMAL(19,0)) * CAST(m1j AS DECIMAL(19,0))
+                         - CAST(n1 AS DECIMAL(19,0)) * CAST(bj AS DECIMAL(19,0)) AS DOUBLE)
+                    * CAST(CAST(nn AS DECIMAL(19,0)) * CAST(m1j AS DECIMAL(19,0))
+                           - CAST(n1 AS DECIMAL(19,0)) * CAST(bj AS DECIMAL(19,0)) AS DOUBLE))
+               / (CAST(bj AS DOUBLE) * (nn - bj)) ELSE 0.0 END''')} AS t1,
+             {_FOLD12_SQL.format(t='''CASE WHEN bj < nn THEN
+               l * (CAST(CAST(nn AS DECIMAL(19,0)) * CAST(bj - m1j AS DECIMAL(19,0))
+                         - CAST(nn - n1 AS DECIMAL(19,0)) * CAST(bj AS DECIMAL(19,0)) AS DOUBLE)
+                    * CAST(CAST(nn AS DECIMAL(19,0)) * CAST(bj - m1j AS DECIMAL(19,0))
+                           - CAST(nn - n1 AS DECIMAL(19,0)) * CAST(bj AS DECIMAL(19,0)) AS DOUBLE))
+               / (CAST(bj AS DOUBLE) * (nn - bj)) ELSE 0.0 END''')} AS t2
+      FROM cum GROUP BY 1, 2, 3
+    )
+    SELECT n1, n2,
+           round((t1 / n1 + t2 / n2) / nn, 6) AS ad_stat
+    FROM terms
+    """,
+)
+def q435_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Scholz & Stephens 1987,
+    k = 2, tie-aware discrete form WITHOUT the continuity correction —
+    disclosed): over the pooled quantity value support,
+    A2 = (1/N) * sum_i (1/n_i) * sum_j l_j * (N*M_ij - n_i*B_j)^2
+         / (B_j * (N - B_j))   for B_j < N,
+    comparing returned vs non-returned lines — the tail-sensitive
+    two-sample test that upgrades q310's KS (disclosed kinship: KS sees
+    only the max CDF gap, AD integrates the squared gap with
+    tail-emphasizing weights). All cumulative counts are exact BIGINTs
+    over the bounded 1..50 support; the N*M - n*B combinations run in
+    DECIMAL(38,0); per-value terms fold at 12-dp DECIMAL so support
+    order cannot move the statistic.
+
+    100 TB story: ONE map-side-combining aggregate to the <= 50-value
+    grid; the cumulative windows and the term fold run over that
+    bounded support (allowlisted) — corpus rows are scanned once."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("arm"),
+    )
+    grid = li.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("arm").cast("long").alias("l1"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = grid.select(
+        "v",
+        "l",
+        "l1",
+        F.sum("l").over(wcum).cast("long").alias("bj"),
+        F.sum("l1").over(wcum).cast("long").alias("m1j"),
+        F.sum("l").over(wall).cast("long").alias("nn"),
+        F.sum("l1").over(wall).cast("long").alias("n1"),
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    def _term(mcum, narm):
+        dev = (
+            _d19("nn") * mcum.cast("decimal(19,0)")
+            - narm.cast("decimal(19,0)") * _d19("bj")
+        ).cast("double")
+        return F.when(
+            F.col("bj") < F.col("nn"),
+            F.col("l") * (dev * dev) / (F.col("bj").cast("double") * (F.col("nn") - F.col("bj"))),
+        ).otherwise(F.lit(0.0))
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    terms = cum.groupBy(
+        "nn", "n1", (F.col("nn") - F.col("n1")).alias("n2")
+    ).agg(
+        _fold12(_term(F.col("m1j"), F.col("n1"))).alias("t1"),
+        _fold12(
+            _term(F.col("bj") - F.col("m1j"), F.col("nn") - F.col("n1"))
+        ).alias("t2"),
+    )
+    return terms.select(
+        "n1",
+        "n2",
+        F.round(
+            (F.col("t1") / F.col("n1") + F.col("t2") / F.col("n2")) / F.col("nn"), 6
+        ).alias("ad_stat"),
+    )
+
+
+@query(
+    "q436_dagostino_k2",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             CAST(sum(x * x * x) AS BIGINT) AS s3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      FROM s GROUP BY 1
+    ),
+    d AS (
+      SELECT flag, n,
+             CAST(n AS DECIMAL(19,0)) AS dn,
+             CAST(s1 AS DECIMAL(19,0)) AS d1, CAST(s2 AS DECIMAL(19,0)) AS d2,
+             CAST(s3 AS DECIMAL(19,0)) AS d3, CAST(s4 AS DECIMAL(19,0)) AS d4
+      FROM m
+    ),
+    c AS (
+      SELECT flag, n,
+             CAST(dn * d2 - d1 * d1 AS DOUBLE) AS m2,
+             CAST(dn * dn * d3 - 3 * dn * d1 * d2 + 2 * d1 * d1 * d1 AS DOUBLE) AS m3,
+             CAST(dn * dn * dn * d4 - 4 * dn * dn * d1 * d3
+                  + 6 * dn * d1 * d1 * d2 - 3 * d1 * d1 * d1 * d1 AS DOUBLE) AS m4
+      FROM d
+    ),
+    g AS (
+      SELECT flag, n,
+             m3 / (m2 * sqrt(m2)) AS g1,
+             m4 / (m2 * m2) AS b2
+      FROM c
+    ),
+    z1c AS (
+      SELECT flag, n, g1, b2,
+             g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+             3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) AS beta2
+      FROM g
+    ),
+    z1 AS (
+      SELECT flag, n, b2,
+             (1.0 / sqrt(ln(sqrt(-1.0 + sqrt(2.0 * (beta2 - 1.0))))))
+               * ln(y / sqrt(2.0 / (-1.0 + sqrt(2.0 * (beta2 - 1.0)) - 1.0))
+                    + sqrt((y / sqrt(2.0 / (-1.0 + sqrt(2.0 * (beta2 - 1.0)) - 1.0)))
+                           * (y / sqrt(2.0 / (-1.0 + sqrt(2.0 * (beta2 - 1.0)) - 1.0))) + 1.0)) AS zs
+      FROM z1c
+    ),
+    z2c AS (
+      SELECT flag, n, zs,
+             (b2 - 3.0 * (n - 1.0) / (n + 1.0))
+               / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                      / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))) AS xk,
+             (6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0)))
+               * sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))) AS sb1
+      FROM z1
+    ),
+    z2a AS (
+      SELECT flag, n, zs, xk,
+             6.0 + (8.0 / sb1) * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+      FROM z2c
+    ),
+    z2 AS (
+      SELECT flag, n, zs,
+             ((1.0 - 2.0 / (9.0 * aa))
+              - cbrt((1.0 - 2.0 / aa) / (1.0 + xk * sqrt(2.0 / (aa - 2.0)))))
+               / sqrt(2.0 / (9.0 * aa)) AS zk
+      FROM z2a
+    )
+    SELECT flag, n,
+           round(zs, 6) + 0.0 AS z_skew,
+           round(zk, 6) + 0.0 AS z_kurt,
+           round(zs * zs + zk * zk, 6) AS k2_stat,
+           round(exp(-(zs * zs + zk * zk) / 2.0), 6) + 0.0 AS p_value
+    FROM z2
+    """,
+)
+def q436_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality test (D'Agostino 1970;
+    Anscombe & Glynn 1983) per return flag — the FINITE-SAMPLE-corrected
+    companion to q423's asymptotic Jarque-Bera (disclosed kinship): the
+    skewness z uses Johnson's SU transformation with the exact n-based
+    beta2 moment of sample skewness, the kurtosis z uses the
+    Anscombe-Glynn cube-root Wilson-Hilferty transform, and
+    K2 = z_s^2 + z_k^2 is chi-square(2), p = exp(-K2/2). Both transforms
+    start from the SAME four raw integer moments as q423 (M2/M3/M4
+    n-power identities in DECIMAL(38,0), no mean pass); everything after
+    is a one-row scalar chain written with IDENTICAL literals and
+    operation order on both engines (cbrt/ln/sqrt are correctly-rounded
+    on both).
+
+    100 TB story: ONE map-side-combining aggregate to K = 3 flag rows;
+    per-row closed form — no window, no join, no second pass."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round("l_quantity").cast("long").alias("x")
+    )
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s4"),
+    )
+
+    def _d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m2 = (_d("n") * _d("s2") - _d("s1") * _d("s1")).cast("double")
+    m3 = (
+        _d("n") * _d("n") * _d("s3")
+        - 3 * _d("n") * _d("s1") * _d("s2")
+        + 2 * _d("s1") * _d("s1") * _d("s1")
+    ).cast("double")
+    m4 = (
+        _d("n") * _d("n") * _d("n") * _d("s4")
+        - 4 * _d("n") * _d("n") * _d("s1") * _d("s3")
+        + 6 * _d("n") * _d("s1") * _d("s1") * _d("s2")
+        - 3 * _d("s1") * _d("s1") * _d("s1") * _d("s1")
+    ).cast("double")
+    c = m.select("flag", "n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    g = c.select(
+        "flag",
+        "n",
+        (F.col("m3") / (F.col("m2") * F.sqrt("m2"))).alias("g1"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("b2"),
+    )
+    n = F.col("n")
+    y = F.col("g1") * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    z1c = g.select("flag", "n", "g1", "b2", y.alias("y"), beta2.alias("beta2"))
+    # W^2 = -1 + sqrt(2(beta2-1)); delta = 1/sqrt(ln W); alpha = sqrt(2/(W^2-1))
+    alpha = F.sqrt(2.0 / (F.lit(-1.0) + F.sqrt(2.0 * (F.col("beta2") - 1.0)) - 1.0))
+    delta = 1.0 / F.sqrt(F.log(F.sqrt(F.lit(-1.0) + F.sqrt(2.0 * (F.col("beta2") - 1.0)))))
+    zs = delta * F.log(
+        F.col("y") / alpha + F.sqrt((F.col("y") / alpha) * (F.col("y") / alpha) + 1.0)
+    )
+    z1 = z1c.select("flag", "n", "b2", zs.alias("zs"))
+    xk = (F.col("b2") - 3.0 * (n - 1.0) / (n + 1.0)) / F.sqrt(
+        24.0 * n * (n - 2.0) * (n - 3.0) / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    sb1 = (6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))) * F.sqrt(
+        6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))
+    )
+    z2c = z1.select("flag", "n", "zs", xk.alias("xk"), sb1.alias("sb1"))
+    aa = 6.0 + (8.0 / F.col("sb1")) * (
+        2.0 / F.col("sb1") + F.sqrt(1.0 + 4.0 / (F.col("sb1") * F.col("sb1")))
+    )
+    z2a = z2c.select("flag", "n", "zs", "xk", aa.alias("aa"))
+    zk = (
+        (1.0 - 2.0 / (9.0 * F.col("aa")))
+        - F.cbrt(
+            (1.0 - 2.0 / F.col("aa"))
+            / (1.0 + F.col("xk") * F.sqrt(2.0 / (F.col("aa") - 2.0)))
+        )
+    ) / F.sqrt(2.0 / (9.0 * F.col("aa")))
+    z2 = z2a.select("flag", "n", "zs", zk.alias("zk"))
+    k2 = F.col("zs") * F.col("zs") + F.col("zk") * F.col("zk")
+    return z2.select(
+        "flag",
+        "n",
+        (F.round("zs", 6) + F.lit(0.0)).alias("z_skew"),
+        (F.round("zk", 6) + F.lit(0.0)).alias("z_kurt"),
+        F.round(k2, 6).alias("k2_stat"),
+        (F.round(F.exp(-k2 / 2.0), 6) + F.lit(0.0)).alias("p_value"),
+    )
+
+
+# Normal CDF Phi(z) on the shared erfc chain, sign-split because the
+# A&S 7.1.26 approximation is valid for x >= 0 only:
+# Phi(z) = 1 - 0.5*erfc(z/sqrt(2)) for z >= 0, else 0.5*erfc(-z/sqrt(2)).
+def _phi_sql(z: str) -> str:
+    return (
+        f"(CASE WHEN ({z}) >= 0.0 THEN 1.0 - 0.5 * {_p2_sql(f'(({z}) * {_INV_SQRT2})')} "
+        f"ELSE 0.5 * {_p2_sql(f'(-({z}) * {_INV_SQRT2})')} END)"
+    )
+
+
+def _phi_col(z: F.Column) -> F.Column:
+    return F.when(
+        z >= 0.0, F.lit(1.0) - F.lit(0.5) * _p2_col(z * F.lit(_INV_SQRT2))
+    ).otherwise(F.lit(0.5) * _p2_col(-z * F.lit(_INV_SQRT2)))
+
+
+@query(
+    "q437_lilliefors",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT flag, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS s1,
+             CAST(sum(v * v * c) AS BIGINT) AS s2
+      FROM grid GROUP BY 1
+    ),
+    cum AS (
+      SELECT g.flag, g.v, m.n,
+             CAST(sum(g.c) OVER (PARTITION BY g.flag ORDER BY g.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+             (g.v - CAST(m.s1 AS DOUBLE) / m.n)
+               / sqrt(CAST(CAST(m.n AS DECIMAL(19,0)) * CAST(m.s2 AS DECIMAL(19,0))
+                           - CAST(m.s1 AS DECIMAL(19,0)) * CAST(m.s1 AS DECIMAL(19,0)) AS DOUBLE)
+                      / (CAST(m.n AS DOUBLE) * (m.n - 1.0))) AS z
+      FROM grid g JOIN mom m ON m.flag = g.flag
+    ),
+    dev AS (
+      SELECT flag, n,
+             max(greatest(
+               abs(CAST(cc AS DOUBLE) / n - {_phi_sql("z")}),
+               abs({_phi_sql("z")} - (CAST(cc AS DOUBLE) - 1.0) / n))) AS d
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT flag, n,
+           round(d, 6) AS lilliefors_d,
+           round(0.886 / sqrt(CAST(n AS DOUBLE)), 6) AS crit_05,
+           CASE WHEN d > 0.886 / sqrt(CAST(n AS DOUBLE))
+                THEN 'non_normal' ELSE 'normal' END AS verdict
+    FROM dev
+    """,
+)
+def q437_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors normality test (Lilliefors 1967) of quantity per
+    return flag: the KS distance between the empirical CDF and the
+    normal CDF with ESTIMATED mean/sd (what makes it Lilliefors rather
+    than plain KS — the estimated-parameter null changes the critical
+    value to ~0.886/sqrt(n) at 5%, literal disclosed). The empirical
+    CDF is exact from cumulative counts over the bounded 1..50 support;
+    the both-sided distance uses max(|F(v) - Phi|, |Phi - F(v-)|) per
+    support value; Phi evaluates on the shared erfc Horner chain,
+    sign-split because the approximation is one-sided. The sample sd
+    comes from the exact DECIMAL moment combination (n-1 denominator).
+
+    100 TB story: ONE map-side-combining aggregate to the (flag, value)
+    grid; cumulative windows are PARTITIONED by flag over the bounded
+    support; the max-deviation fold runs on <= 150 rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("v"),
+    )
+    grid = (
+        li.groupBy("flag", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    mom = grid.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v") * F.col("c")).cast("long").alias("s2"),
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    sd = F.sqrt(
+        (_d19("n") * _d19("s2") - _d19("s1") * _d19("s1")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1.0))
+    )
+    wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.join(mom, "flag").select(
+        "flag",
+        "v",
+        "n",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        ((F.col("v") - F.col("s1").cast("double") / F.col("n")) / sd).alias("z"),
+    )
+    phi = _phi_col(F.col("z"))
+    dterm = F.greatest(
+        F.abs(F.col("cc").cast("double") / F.col("n") - phi),
+        F.abs(phi - (F.col("cc").cast("double") - 1.0) / F.col("n")),
+    )
+    dev = cum.groupBy("flag", "n").agg(F.max(dterm).alias("d"))
+    crit = 0.886 / F.sqrt(F.col("n").cast("double"))
+    return dev.select(
+        "flag",
+        "n",
+        F.round("d", 6).alias("lilliefors_d"),
+        F.round(crit, 6).alias("crit_05"),
+        F.when(F.col("d") > crit, "non_normal").otherwise("normal").alias("verdict"),
+    )
+
+
+@query(
+    "q438_effect_sizes",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(yc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM s GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        max(CASE WHEN arm = 1 THEN s1 END) AS s11,
+        max(CASE WHEN arm = 0 THEN s1 END) AS s10,
+        max(CASE WHEN arm = 1 THEN s2 END) AS s21,
+        max(CASE WHEN arm = 0 THEN s2 END) AS s20
+      FROM m
+    ),
+    c AS (
+      SELECT n1, n0,
+             CAST(s11 AS DOUBLE) / n1 / 100.0 AS m1,
+             CAST(s10 AS DOUBLE) / n0 / 100.0 AS m0,
+             CAST(CAST(n1 AS DECIMAL(19,0)) * s21 - s11 * s11 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * 10000.0) AS css1,
+             CAST(CAST(n0 AS DECIMAL(19,0)) * s20 - s10 * s10 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * 10000.0) AS css0
+      FROM w
+    ),
+    e AS (
+      SELECT n1, n0, m1, m0,
+             (m1 - m0) / sqrt((css1 + css0) / (n1 + n0 - 2.0)) AS cohens_d
+      FROM c
+    )
+    SELECT n1 AS n_building, n0 AS n_other,
+           round(m1 - m0, 6) AS mean_diff,
+           round(cohens_d, 6) + 0.0 AS cohens_d,
+           round(cohens_d * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)), 6) + 0.0 AS hedges_g,
+           round(cohens_d - 1.96 * sqrt(CAST(n1 + n0 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n0)
+                 + cohens_d * cohens_d / (2.0 * (n1 + n0))), 6) + 0.0 AS d_ci_low,
+           round(cohens_d + 1.96 * sqrt(CAST(n1 + n0 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n0)
+                 + cohens_d * cohens_d / (2.0 * (n1 + n0))), 6) + 0.0 AS d_ci_high
+    FROM e
+    """,
+)
+def q438_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d with Hedges' g small-sample correction and the
+    large-sample d confidence interval (Cohen 1988; Hedges 1981)
+    comparing order value between BUILDING-segment customers and the
+    rest — the EFFECT-SIZE companion every significance test in this
+    registry (q343 Welch kin) should ship with: a 100 TB corpus makes
+    any difference "significant", so the pipeline decision rides on d,
+    not p. Cents sums accumulate in DECIMAL (s2 exhausts int64 near
+    SF 1); the pooled variance uses the exact n*s2 - s1^2 combinations;
+    J = 1 - 3/(4N - 9) is the standard Hedges approximation
+    (disclosed); se_d = sqrt(N/(n1*n0) + d^2/2N).
+
+    100 TB story: one dimension hash join (customer via the join key),
+    ONE map-side-combining aggregate to two arm rows, single-row
+    closed form."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("yc")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("arm"),
+    )
+    s = o.join(_dim(cust), "o_custkey")
+
+    def _d19c(c):
+        return c.cast("decimal(19,0)")
+
+    m = s.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_d19c(F.col("yc"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(_d19c(F.col("yc")) * _d19c(F.col("yc")))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("s1"))).alias("s11"),
+        F.max(F.when(F.col("arm") == 0, F.col("s1"))).alias("s10"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("s20"),
+    )
+    m1 = F.col("s11").cast("double") / F.col("n1") / 100.0
+    m0 = F.col("s10").cast("double") / F.col("n0") / 100.0
+    css1 = (
+        F.col("n1").cast("decimal(19,0)") * F.col("s21") - F.col("s11") * F.col("s11")
+    ).cast("double") / (F.col("n1").cast("double") * 10000.0)
+    css0 = (
+        F.col("n0").cast("decimal(19,0)") * F.col("s20") - F.col("s10") * F.col("s10")
+    ).cast("double") / (F.col("n0").cast("double") * 10000.0)
+    c = w.select(
+        "n1", "n0", m1.alias("m1"), m0.alias("m0"), css1.alias("css1"), css0.alias("css0")
+    )
+    d = (F.col("m1") - F.col("m0")) / F.sqrt(
+        (F.col("css1") + F.col("css0")) / (F.col("n1") + F.col("n0") - 2.0)
+    )
+    e = c.select("n1", "n0", "m1", "m0", d.alias("cohens_d"))
+    nn = F.col("n1") + F.col("n0")
+    se = F.sqrt(
+        nn.cast("double") / (F.col("n1").cast("double") * F.col("n0"))
+        + F.col("cohens_d") * F.col("cohens_d") / (2.0 * nn)
+    )
+    return e.select(
+        F.col("n1").alias("n_building"),
+        F.col("n0").alias("n_other"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("mean_diff"),
+        (F.round("cohens_d", 6) + F.lit(0.0)).alias("cohens_d"),
+        (
+            F.round(F.col("cohens_d") * (F.lit(1.0) - 3.0 / (4.0 * nn - 9.0)), 6)
+            + F.lit(0.0)
+        ).alias("hedges_g"),
+        (F.round(F.col("cohens_d") - 1.96 * se, 6) + F.lit(0.0)).alias("d_ci_low"),
+        (F.round(F.col("cohens_d") + 1.96 * se, 6) + F.lit(0.0)).alias("d_ci_high"),
+    )
+
+
+@query(
+    "q439_weibull_hazard",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    g AS (
+      SELECT d, lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+      FROM o
+    ),
+    dur AS (
+      SELECT CASE WHEN nd IS NULL THEN (SELECT dmax FROM mx) - d
+                  ELSE nd - d END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM g
+    ),
+    byt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_all, CAST(sum(ev) AS BIGINT) AS d
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(n_all) OVER () -
+               coalesce(sum(n_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nt
+      FROM byt
+    ),
+    ev AS (SELECT t, d, nt FROM risk WHERE d > 0 AND t > 0),
+    cum AS (
+      SELECT t,
+             CAST(round(sum(CAST(round(d * 1.0 / nt, 12) AS DECIMAL(38,12)))
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 12) AS DOUBLE) AS h
+      FROM ev
+    ),
+    pts AS (
+      SELECT ln(CAST(t AS DOUBLE)) AS x, ln(h) AS y FROM cum WHERE h > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(round(x, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sx,
+             CAST(round(sum(CAST(round(y, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sy,
+             CAST(round(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sxx,
+             CAST(round(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sxy
+      FROM pts
+    ),
+    f AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS k,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS c
+      FROM m
+    )
+    SELECT n AS n_support_points,
+           round(k, 6) AS weibull_shape,
+           round(exp(-c / k), 6) AS weibull_scale_days,
+           CASE WHEN k < 0.95 THEN 'decreasing_hazard'
+                WHEN k > 1.05 THEN 'increasing_hazard'
+                ELSE 'near_exponential' END AS regime
+    FROM f
+    """,
+)
+def q439_weibull_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull hazard-regression fit over q429's Nelson-Aalen curve
+    (disclosed kinship — the survival ladder's parametric capstone):
+    under Weibull, H(t) = (t/lambda)^k, so ln H is LINEAR in ln t with
+    slope k (shape) and intercept -k*ln(lambda) — OLS over the
+    O(distinct gaps) support points gives shape and scale in closed
+    form, and the shape classifies the reorder process (k < 1 burn-in /
+    decreasing hazard, k ~ 1 memoryless, k > 1 wear-out — thresholds
+    0.95/1.05 disclosed). H is the 12-dp-folded NA estimator, so both
+    engines take ln of IDENTICAL doubles; the OLS sums fold at 12-dp
+    DECIMAL over the support.
+
+    100 TB story: identical corpus shape to q429 (one lead() pass, then
+    everything on the gap support); the regression is one fold over
+    O(distinct gaps) rows (allowlisted bounded support)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    dmax = o.agg(F.max("d").alias("dmax"))
+    g = o.withColumn(
+        "nd",
+        F.lead("d").over(Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")),
+    )
+    dur = g.crossJoin(F.broadcast(dmax)).select(
+        F.when(F.col("nd").isNull(), F.col("dmax") - F.col("d"))
+        .otherwise(F.col("nd") - F.col("d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wbef = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.select(
+        "t",
+        "d",
+        (
+            F.sum("n_all").over(wtot) - F.coalesce(F.sum("n_all").over(wbef), F.lit(0))
+        )
+        .cast("long")
+        .alias("nt"),
+    ).filter((F.col("d") > 0) & (F.col("t") > 0))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    h = F.round(
+        F.sum(F.round(F.col("d") * 1.0 / F.col("nt"), 12).cast("decimal(38,12)")).over(
+            wcum
+        ),
+        12,
+    ).cast("double")
+    cum = risk.select("t", h.alias("h"))
+    pts = cum.filter(F.col("h") > 0).select(
+        F.log(F.col("t").cast("double")).alias("x"), F.log("h").alias("y")
+    )
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _fold12(F.col("x")).alias("sx"),
+        _fold12(F.col("y")).alias("sy"),
+        _fold12(F.col("x") * F.col("x")).alias("sxx"),
+        _fold12(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    c = (F.col("sy") - k * F.col("sx")) / F.col("n")
+    f = m.select("n", k.alias("k"), c.alias("c"))
+    return f.select(
+        F.col("n").alias("n_support_points"),
+        F.round("k", 6).alias("weibull_shape"),
+        F.round(F.exp(-F.col("c") / F.col("k")), 6).alias("weibull_scale_days"),
+        F.when(F.col("k") < 0.95, "decreasing_hazard")
+        .when(F.col("k") > 1.05, "increasing_hazard")
+        .otherwise("near_exponential")
+        .alias("regime"),
+    )
+
+
+@query(
+    "q440_kendall_w",
+    oracle="""
+    WITH met AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS m_docs,
+             CAST(sum(n_chars) AS BIGINT) AS m_chars,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS m_toks
+      FROM documents WHERE trim(text) <> ''
+      GROUP BY 1
+    ),
+    longf AS (
+      SELECT source, 'docs' AS metric, CAST(m_docs AS DOUBLE) AS val FROM met
+      UNION ALL
+      SELECT source, 'chars', CAST(m_chars AS DOUBLE) FROM met
+      UNION ALL
+      SELECT source, 'tokens', CAST(m_toks AS DOUBLE) FROM met
+    ),
+    rk AS (
+      SELECT source, metric,
+             CAST(row_number() OVER (PARTITION BY metric ORDER BY val DESC, source) AS BIGINT) AS r
+      FROM longf
+    ),
+    rs AS (
+      SELECT source, CAST(sum(r) AS BIGINT) AS rsum FROM rk GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rsum * rsum) AS BIGINT) AS s2
+      FROM rs
+    ),
+    wstat AS (
+      SELECT n,
+             CAST(12 * s2 - 3 * 9 * n * (n + 1) * (n + 1) AS DOUBLE)
+               / CAST(9 * n * (CAST(n AS DECIMAL(19,0)) * n - 1) AS DOUBLE) AS w
+      FROM tot
+    )
+    SELECT r.source, r.rsum AS rank_sum,
+           round((SELECT w FROM wstat), 6) AS kendall_w,
+           round(3.0 * ((SELECT n FROM tot) - 1) * (SELECT w FROM wstat), 6)
+             AS chi2_approx
+    FROM rs r
+    """,
+)
+def q440_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) across three source-level size rankings — document
+    count, total characters, total tokens: do the three ways of
+    measuring "how big is this source" agree on the ordering?
+    W = (12*sum(R_i^2) - 3*m^2*n*(n+1)^2) / (m^2*n*(n^2-1)) with m = 3
+    rankings over n sources, all EXACT integer arithmetic (ranks are
+    row_numbers; ties broken deterministically by source name,
+    disclosed — the metrics are corpus sums, so exact ties are
+    measure-zero); the chi-square approximation m*(n-1)*W is reported
+    per Friedman's identity (q-registry Friedman kinship). The ranking
+    windows are PARTITIONED by metric over the O(sources) frame.
+
+    100 TB story: ONE map-side-combining per-source aggregate collapses
+    the corpus; ranking, rank sums, and W run on 3n bounded rows."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    met = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("m_docs"),
+        F.sum("n_chars").cast("long").alias("m_chars"),
+        F.sum(F.size(text_ops.tokens(F.col("text"))).cast("long"))
+        .cast("long")
+        .alias("m_toks"),
+    ).localCheckpoint(eager=True)
+    longf = (
+        met.select("source", F.lit("docs").alias("metric"), F.col("m_docs").cast("double").alias("val"))
+        .unionAll(met.select("source", F.lit("chars"), F.col("m_chars").cast("double")))
+        .unionAll(met.select("source", F.lit("tokens"), F.col("m_toks").cast("double")))
+    )
+    rk = longf.select(
+        "source",
+        "metric",
+        F.row_number()
+        .over(Window.partitionBy("metric").orderBy(F.col("val").desc(), "source"))
+        .cast("long")
+        .alias("r"),
+    )
+    rs = rk.groupBy("source").agg(F.sum("r").cast("long").alias("rsum"))
+    tot = rs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rsum") * F.col("rsum")).cast("long").alias("s2"),
+    )
+    wq = (
+        (12 * F.col("s2") - 3 * 9 * F.col("n") * (F.col("n") + 1) * (F.col("n") + 1))
+        .cast("double")
+        / (9 * F.col("n") * (F.col("n").cast("decimal(19,0)") * F.col("n") - 1)).cast(
+            "double"
+        )
+    )
+    wstat = tot.select("n", wq.alias("w"))
+    return rs.crossJoin(F.broadcast(wstat)).select(
+        "source",
+        F.col("rsum").alias("rank_sum"),
+        F.round("w", 6).alias("kendall_w"),
+        F.round(3.0 * (F.col("n") - 1) * F.col("w"), 6).alias("chi2_approx"),
+    )

@@ -25,6 +25,13 @@ BLOCK = [
     "q430_cochran_armitage",
     "q431_brown_forsythe",
     "q432_dickey_fuller",
+    "q434_risk_ratio",
+    "q435_anderson_darling",
+    "q436_dagostino_k2",
+    "q437_lilliefors",
+    "q438_effect_sizes",
+    "q439_weibull_hazard",
+    "q440_kendall_w",
 ]
 
 
@@ -144,3 +151,58 @@ def test_q432_lag_on_day_rollup(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert 0 <= agg_pos and 0 <= win_pos
+
+
+def test_q434_q436_single_pass_closed_forms(spark, sf_dir):
+    """Risk ratio and D'Agostino K2: ONE corpus scan into a tiny
+    integer aggregate; everything after is a scalar chain — no window,
+    no shuffle join."""
+    for name in ("q434_risk_ratio", "q436_dagostino_k2"):
+        [plan] = _plans(spark, sf_dir, name)
+        assert _scans(plan) == 1, name
+        assert _ops(plan, "Window") == 0, name
+        assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0, name
+
+
+def test_q435_cum_on_value_support(spark, sf_dir):
+    """Two-sample AD: one corpus scan to the <=50-value grid; the
+    cumulative windows and the term fold run on that bounded support
+    (allowlisted)."""
+    [plan] = _plans(spark, sf_dir, "q435_anderson_darling")
+    assert _scans(plan) == 1
+    assert _ops(plan, "Window") >= 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= agg_pos and 0 <= win_pos
+
+
+def test_q437_partitioned_support_windows(spark, sf_dir):
+    """Lilliefors: the (flag, value) grid is checkpointed from ONE
+    corpus scan; the CDF windows are PARTITIONED by flag, so no
+    single-partition exchange appears for them."""
+    plans = _plans(spark, sf_dir, "q437_lilliefors")
+    final = plans[-1]
+    assert sum(_scans(c) for c in plans) == 1
+    assert _scans(final) == 0
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q438_one_join_one_aggregate(spark, sf_dir):
+    """Effect sizes: one hash join (customer dim) into ONE map-side
+    aggregate to two arm rows; no window."""
+    [plan] = _plans(spark, sf_dir, "q438_effect_sizes")
+    assert _ops(plan, "Window") == 0
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _ops(plan, "BroadcastHashJoin") >= 1
+    assert _ops(plan, "HashAggregate") >= 2
+
+
+def test_q440_ranks_partitioned_by_metric(spark, sf_dir):
+    """Kendall W: the corpus collapses to the checkpointed per-source
+    metric frame in one scan; ranking windows are partitioned by
+    metric over O(sources) rows."""
+    plans = _plans(spark, sf_dir, "q440_kendall_w")
+    final = plans[-1]
+    assert sum(_scans(c) for c in plans) == 1
+    assert _scans(final) == 0
+    assert _ops(final, "SortMergeJoin") == 0
