@@ -5076,3 +5076,506 @@ def q440_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w", 6).alias("kendall_w"),
         F.round(3.0 * (F.col("n") - 1) * F.col("w"), 6).alias("chi2_approx"),
     )
+
+
+_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "q441_ngram_novelty",
+    oracle=f"""
+    WITH split AS (
+      SELECT source,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0
+                  THEN 1 ELSE 0 END AS is_test,
+             {_TOKS_SQL} AS ts
+      FROM documents WHERE trim(text) <> '' AND len({_TOKS_SQL}) >= 3
+    ),
+    tri AS (
+      SELECT DISTINCT source, is_test,
+             ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS w
+      FROM split CROSS JOIN unnest(generate_series(1, len(ts) - 2)) AS t(i)
+    ),
+    test_t AS (SELECT source, w FROM tri WHERE is_test = 1),
+    train_t AS (SELECT DISTINCT w FROM tri WHERE is_test = 0),
+    novel AS (
+      SELECT te.source,
+             CAST(count(*) AS BIGINT) AS test_types,
+             CAST(sum(CASE WHEN tr.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_types
+      FROM test_t te LEFT JOIN train_t tr ON tr.w = te.w
+      GROUP BY 1
+    )
+    SELECT source, test_types, novel_types,
+           round(novel_types * 1.0 / test_types, 6) AS novelty_rate,
+           round(1.0 - novel_types * 1.0 / test_types, 6) AS memorization_risk
+    FROM novel
+    """,
+)
+def q441_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram novelty audit (the n-gram memorization screen of
+    Merrill et al. / the RefinedWeb-style train-test overlap check): the
+    corpus splits deterministically into train and test by the
+    engine-portable md5 hash of doc_id (~4/5 train; a plain doc_id % 5
+    split is CONFOUNDED on this corpus — ids stride by source, so the
+    modulus selects whole sources; the hash split stratifies every
+    source, the q97/q154 determinism policy),
+    and per source the TEST trigram types are probed against the
+    global TRAIN trigram vocabulary — a LOW novelty rate means the test
+    slice is mostly reassembled from training n-grams (memorization /
+    leakage risk for any held-out evaluation built from this corpus),
+    the type-level counterpart of the q58/q217 decontamination ladder
+    (disclosed kinship). Trigrams use the shared zip_with idiom (the
+    O(len^2) transform trap is documented in operators/text.py);
+    distinct-type collapse happens BEFORE the probe join, so the join
+    key space is the vocabulary, not the token stream.
+
+    100 TB story: one explode + distinct collapses both splits to their
+    trigram-type vocabularies (Heaps-bounded); the novelty probe is ONE
+    hash join on the trigram key with at-most-#sources fan-out; no
+    corpus pair work anywhere."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = text_ops.tokens(F.col("text"))
+    base = d.filter(F.size(toks) >= 3).select(
+        "source",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % 5
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_test"),
+        F.explode(text_ops.adjacent_trigrams(toks)).alias("w"),
+    )
+    tri = base.distinct().localCheckpoint(eager=True)
+    test_t = tri.filter(F.col("is_test") == 1).select("source", "w")
+    train_t = tri.filter(F.col("is_test") == 0).select("w").distinct()
+    novel = (
+        test_t.join(train_t.withColumnRenamed("w", "tw"), F.col("w") == F.col("tw"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("test_types"),
+            F.sum(F.when(F.col("tw").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_types"),
+        )
+    )
+    rate = F.col("novel_types") * 1.0 / F.col("test_types")
+    return novel.select(
+        "source",
+        "test_types",
+        "novel_types",
+        F.round(rate, 6).alias("novelty_rate"),
+        F.round(F.lit(1.0) - rate, 6).alias("memorization_risk"),
+    )
+
+
+@query(
+    "q442_robust_means",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT flag, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, v, c,
+             CAST(sum(c) OVER (PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM grid
+    ),
+    marks AS (
+      SELECT flag, v, c, cc, n,
+             cc - c AS cbefore,
+             CAST(floor(n * 0.1) AS BIGINT) AS lo,
+             n - CAST(floor(n * 0.1) AS BIGINT) AS hi
+      FROM cum
+    ),
+    kept AS (
+      SELECT flag, v, n, lo, hi,
+             greatest(least(cc, hi) - greatest(cbefore, lo), 0) AS k_trim,
+             c AS c_all,
+             CASE WHEN cc <= lo THEN 0
+                  WHEN cbefore >= hi THEN 0
+                  ELSE greatest(least(cc, hi) - greatest(cbefore, lo), 0) END AS k2
+      FROM marks
+    ),
+    trim AS (
+      SELECT flag, n,
+             CAST(sum(k2) AS BIGINT) AS n_kept,
+             CAST(sum(v * k2) AS BIGINT) AS s_kept
+      FROM kept GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT m.flag,
+             CAST(sum(CASE WHEN m.cc <= m.lo THEN m.c * (SELECT min(v) FROM marks x
+                             WHERE x.flag = m.flag AND x.cc > x.lo)
+                           WHEN m.cbefore >= m.hi THEN m.c * (SELECT max(v) FROM marks x
+                             WHERE x.flag = m.flag AND x.cbefore < x.hi)
+                           ELSE m.v * m.c END) AS BIGINT) AS s_win
+      FROM marks m GROUP BY 1
+    )
+    SELECT t.flag, t.n, t.n_kept,
+           round(t.s_kept * 1.0 / t.n_kept, 6) AS trimmed_mean_10,
+           round(w.s_win * 1.0 / t.n, 6) AS winsorized_mean_10
+    FROM trim t JOIN win w ON w.flag = t.flag
+    """,
+)
+def q442_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and 10%-winsorized means of quantity per return flag
+    (Tukey's robust location ladder — the outlier-resistant means a
+    quality pipeline reports next to the plain average when q77/GESD
+    have flagged contamination; disclosed kinship): both are EXACT via
+    the bounded-support grid — with cumulative counts, the kept mass of
+    each value under trimming is min(cum, hi) - max(cum_before, lo)
+    clamped at 0 (floor(n*0.1) rows cut per tail, disclosed convention),
+    and winsorizing reassigns each cut tail's mass to the first/last
+    surviving value. Pure integer arithmetic until the final division —
+    no per-group sort of raw rows, no percentile aggregate.
+
+    100 TB story: ONE map-side-combining aggregate to the <= 150-cell
+    grid; trims/winsorizations are partitioned cumulative windows over
+    the bounded support plus two grid folds."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("v"),
+    )
+    grid = (
+        li.groupBy("flag", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("flag")
+    marks = grid.select(
+        "flag",
+        "v",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    ).select(
+        "flag",
+        "v",
+        "c",
+        "cc",
+        "n",
+        (F.col("cc") - F.col("c")).alias("cbefore"),
+        F.floor(F.col("n") * 0.1).cast("long").alias("lo"),
+        (F.col("n") - F.floor(F.col("n") * 0.1).cast("long")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    k2 = F.when(F.col("cc") <= F.col("lo"), F.lit(0)).when(
+        F.col("cbefore") >= F.col("hi"), F.lit(0)
+    ).otherwise(
+        F.greatest(
+            F.least(F.col("cc"), F.col("hi"))
+            - F.greatest(F.col("cbefore"), F.col("lo")),
+            F.lit(0),
+        )
+    )
+    trim = marks.groupBy("flag", "n").agg(
+        F.sum(k2).cast("long").alias("n_kept"),
+        F.sum(F.col("v") * k2).cast("long").alias("s_kept"),
+    )
+    lo_sub = marks.filter(F.col("cc") > F.col("lo")).groupBy(
+        F.col("flag").alias("lf")
+    ).agg(F.min("v").alias("v_lo"))
+    hi_sub = marks.filter(F.col("cbefore") < F.col("hi")).groupBy(
+        F.col("flag").alias("hf")
+    ).agg(F.max("v").alias("v_hi"))
+    win = (
+        marks.join(F.broadcast(lo_sub), F.col("flag") == F.col("lf"))
+        .join(F.broadcast(hi_sub), F.col("flag") == F.col("hf"))
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.when(F.col("cc") <= F.col("lo"), F.col("c") * F.col("v_lo"))
+                .when(F.col("cbefore") >= F.col("hi"), F.col("c") * F.col("v_hi"))
+                .otherwise(F.col("v") * F.col("c"))
+            )
+            .cast("long")
+            .alias("s_win")
+        )
+    )
+    return trim.join(win, "flag").select(
+        "flag",
+        "n",
+        "n_kept",
+        F.round(F.col("s_kept") * 1.0 / F.col("n_kept"), 6).alias("trimmed_mean_10"),
+        F.round(F.col("s_win") * 1.0 / F.col("n"), 6).alias("winsorized_mean_10"),
+    )
+
+
+@query(
+    "q443_acf_bartlett",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    ser AS (
+      SELECT d, y,
+             lag(y, 1) OVER (ORDER BY d) AS l1, lag(y, 2) OVER (ORDER BY d) AS l2,
+             lag(y, 3) OVER (ORDER BY d) AS l3, lag(y, 4) OVER (ORDER BY d) AS l4,
+             lag(y, 5) OVER (ORDER BY d) AS l5, lag(y, 6) OVER (ORDER BY d) AS l6,
+             lag(y, 7) OVER (ORDER BY d) AS l7
+      FROM days
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN y * l1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(coalesce(l1, 0)) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN y * l2 ELSE 0 END) AS BIGINT) AS p2,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a2,
+             CAST(sum(coalesce(l2, 0)) AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN l3 IS NOT NULL THEN y * l3 ELSE 0 END) AS BIGINT) AS p3,
+             CAST(sum(CASE WHEN l3 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a3,
+             CAST(sum(coalesce(l3, 0)) AS BIGINT) AS b3,
+             CAST(sum(CASE WHEN l4 IS NOT NULL THEN y * l4 ELSE 0 END) AS BIGINT) AS p4,
+             CAST(sum(CASE WHEN l4 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a4,
+             CAST(sum(coalesce(l4, 0)) AS BIGINT) AS b4,
+             CAST(sum(CASE WHEN l5 IS NOT NULL THEN y * l5 ELSE 0 END) AS BIGINT) AS p5,
+             CAST(sum(CASE WHEN l5 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a5,
+             CAST(sum(coalesce(l5, 0)) AS BIGINT) AS b5,
+             CAST(sum(CASE WHEN l6 IS NOT NULL THEN y * l6 ELSE 0 END) AS BIGINT) AS p6,
+             CAST(sum(CASE WHEN l6 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a6,
+             CAST(sum(coalesce(l6, 0)) AS BIGINT) AS b6,
+             CAST(sum(CASE WHEN l7 IS NOT NULL THEN y * l7 ELSE 0 END) AS BIGINT) AS p7,
+             CAST(sum(CASE WHEN l7 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a7,
+             CAST(sum(coalesce(l7, 0)) AS BIGINT) AS b7
+      FROM ser
+    ),
+    lags AS (
+      SELECT n, s1, s2,
+             unnest([1, 2, 3, 4, 5, 6, 7]) AS k,
+             unnest([p1, p2, p3, p4, p5, p6, p7]) AS pk,
+             unnest([a1, a2, a3, a4, a5, a6, a7]) AS ak,
+             unnest([b1, b2, b3, b4, b5, b6, b7]) AS bk
+      FROM m
+    ),
+    acf AS (
+      SELECT k, n,
+             (CAST(pk AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / n) * (ak + bk)
+              + (n - k) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0))
+                     - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / n)
+               AS r
+      FROM lags
+    ),
+    band AS (
+      SELECT k, n, r,
+             sqrt((1.0 + 2.0 * coalesce(
+               sum(r * r) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0)) / n) AS se
+      FROM acf
+    )
+    SELECT k AS lag,
+           round(r, 6) + 0.0 AS acf,
+           round(1.96 * se, 6) AS bartlett_band,
+           CASE WHEN abs(r) > 1.96 * se THEN 'significant' ELSE 'ns' END AS verdict
+    FROM band
+    """,
+)
+def q443_acf_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of daily order counts at lags
+    1-7 with Bartlett significance bands (Box & Jenkins 1970): the
+    lag-k autocovariance uses the Box-Jenkins convention — full-series
+    mean and full-series denominator c0, overlap-window cross products —
+    so r_k = (sum(y_t*y_{t-k}) - mu*(a_k + b_k) + (n-k)*mu^2) / (c0),
+    where a_k/b_k are the overlap's leading/trailing partial sums, all
+    EXACT BIGINTs from one aggregate over the lag frame; Bartlett's
+    se_k = sqrt((1 + 2*sum_{j<k} r_j^2)/n) widens the band for each
+    already-significant lower lag — the identification plot (in table
+    form) behind every AR(p) choice the m1 workload forecaster makes
+    (disclosed kinship; q368's Durbin-Watson is the lag-1 special
+    case). Weekly seasonality shows as a significant lag-7 spike.
+
+    100 TB story: one corpus scan to the O(days) rollup; the 7 lag
+    columns come from ONE window pass over that bounded frame
+    (allowlisted day support); the ACF arithmetic runs on 7 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wd = Window.orderBy("d")
+    ser = days.select(
+        "y", *[F.lag("y", k).over(wd).alias(f"l{k}") for k in range(1, 8)]
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    ]
+    for k in range(1, 8):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.when(lk.isNotNull(), F.col("y") * lk).otherwise(0))
+            .cast("long")
+            .alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"a{k}"),
+            F.sum(F.coalesce(lk, F.lit(0))).cast("long").alias(f"b{k}"),
+        ]
+    m = ser.agg(*aggs)
+    lags = m.selectExpr(
+        "n",
+        "s1",
+        "s2",
+        "stack(7, "
+        + ", ".join(f"{k}, p{k}, a{k}, b{k}" for k in range(1, 8))
+        + ") AS (k, pk, ak, bk)",
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    c0 = (
+        F.col("n").cast("decimal(19,0)") * F.col("s2").cast("decimal(19,0)")
+        - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
+    ).cast("double") / F.col("n")
+    r = (
+        F.col("pk").cast("double")
+        - mu * (F.col("ak") + F.col("bk"))
+        + (F.col("n") - F.col("k")) * mu * mu
+    ) / c0
+    acf = lags.select("k", "n", r.alias("r"))
+    wband = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    se = F.sqrt(
+        (1.0 + 2.0 * F.coalesce(F.sum(F.col("r") * F.col("r")).over(wband), F.lit(0.0)))
+        / F.col("n")
+    )
+    band = acf.select("k", "n", "r", se.alias("se"))
+    return band.select(
+        F.col("k").alias("lag"),
+        (F.round("r", 6) + F.lit(0.0)).alias("acf"),
+        F.round(1.96 * F.col("se"), 6).alias("bartlett_band"),
+        F.when(F.abs("r") > 1.96 * F.col("se"), "significant")
+        .otherwise("ns")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q444_seasonal_decompose",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    tr AS (
+      SELECT d, y, d % 7 AS dow,
+             CASE WHEN count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                  THEN CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
+             END AS trend
+      FROM days
+    ),
+    det AS (
+      SELECT dow, y - trend AS dt FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_dow,
+             CAST(round(sum(CAST(round(dt, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_dt
+      FROM det GROUP BY 1
+    ),
+    smean AS (
+      SELECT dow, n_dow, s_dt / n_dow AS s_raw,
+             CAST(round(sum(CAST(round(s_dt / n_dow, 12) AS DECIMAL(38,12))) OVER (), 12) AS DOUBLE) / 7.0 AS s_center
+      FROM seas
+    ),
+    sadj AS (SELECT dow, n_dow, s_raw - s_center AS seasonal FROM smean),
+    resid AS (
+      SELECT t.dow,
+             CAST(count(*) AS BIGINT) AS n_resid_all,
+             CAST(round(sum(CAST(round((t.y - t.trend - a.seasonal)
+                                       * (t.y - t.trend - a.seasonal), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS ss_resid
+      FROM tr t JOIN sadj a ON a.dow = t.dow
+      WHERE t.trend IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT a.dow AS day_of_week, a.n_dow AS n_days,
+           round(a.seasonal, 6) + 0.0 AS seasonal_effect,
+           round(r.ss_resid / r.n_resid_all, 6) AS residual_var
+    FROM sadj a JOIN resid r ON r.dow = a.dow
+    """,
+)
+def q444_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily order counts
+    on a weekly period (the moving-average decomposition behind STL and
+    every "is Monday different" dashboard): trend = centered 7-day
+    moving average (only FULL windows — edges emit NULL and drop,
+    disclosed), seasonal = day-of-week mean of the detrended series
+    re-centered to sum to zero, residual variance reported per
+    day-of-week — the seasonality screen run before trusting q432's
+    unit-root read or handing the series to the m1 forecaster
+    (disclosed kinship). Detrended folds run at 12-dp DECIMAL so day
+    order cannot move the seasonal means; the dow index uses the epoch
+    day modulo 7 (a fixed weekday labeling, disclosed).
+
+    100 TB story: one corpus scan to the O(days) rollup; the moving
+    average is ONE window pass over that bounded frame (allowlisted
+    day support); seasonal and residual arithmetic run on 7 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wma = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = days.select(
+        "d",
+        "y",
+        (F.col("d") % 7).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(wma) == 7,
+            F.sum("y").over(wma).cast("double") / 7.0,
+        ).alias("trend"),
+    ).localCheckpoint(eager=True)
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        "dow", (F.col("y") - F.col("trend")).alias("dt")
+    )
+    seas = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+        _fold12(F.col("dt")).alias("s_dt"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s_raw = F.col("s_dt") / F.col("n_dow")
+    s_center = (
+        F.round(
+            F.sum(F.round(s_raw, 12).cast("decimal(38,12)")).over(wall), 12
+        ).cast("double")
+        / 7.0
+    )
+    sadj = seas.select(
+        "dow", "n_dow", (s_raw - s_center).alias("seasonal")
+    ).localCheckpoint(eager=True)
+    resid = (
+        tr.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(sadj.select("dow", "seasonal")), "dow")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_resid_all"),
+            _fold12(
+                (F.col("y") - F.col("trend") - F.col("seasonal"))
+                * (F.col("y") - F.col("trend") - F.col("seasonal"))
+            ).alias("ss_resid"),
+        )
+    )
+    return sadj.join(resid, "dow").select(
+        F.col("dow").alias("day_of_week"),
+        F.col("n_dow").alias("n_days"),
+        (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal_effect"),
+        F.round(F.col("ss_resid") / F.col("n_resid_all"), 6).alias("residual_var"),
+    )

@@ -32,6 +32,10 @@ BLOCK = [
     "q438_effect_sizes",
     "q439_weibull_hazard",
     "q440_kendall_w",
+    "q441_ngram_novelty",
+    "q442_robust_means",
+    "q443_acf_bartlett",
+    "q444_seasonal_decompose",
 ]
 
 
@@ -206,3 +210,38 @@ def test_q440_ranks_partitioned_by_metric(spark, sf_dir):
     assert sum(_scans(c) for c in plans) == 1
     assert _scans(final) == 0
     assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q441_probe_joins_on_vocab_key(spark, sf_dir):
+    """Trigram novelty: the corpus collapses to the distinct trigram
+    vocabulary (checkpointed, one scan); the novelty probe is a hash
+    join on the trigram key over the checkpointed frame."""
+    plans = _plans(spark, sf_dir, "q441_ngram_novelty")
+    final = plans[-1]
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _scans(final) == 0
+
+
+def test_q442_trims_on_checkpointed_grid(spark, sf_dir):
+    """Robust means: one corpus scan to the checkpointed (flag, value)
+    grid; trims/winsorizations are partitioned support windows and
+    grid folds — the final plan reads no parquet."""
+    plans = _plans(spark, sf_dir, "q442_robust_means")
+    final = plans[-1]
+    assert sum(_scans(c) for c in plans) == 1
+    assert _scans(final) == 0
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q443_q444_windows_on_day_rollup(spark, sf_dir):
+    """ACF and seasonal decomposition: the lag/MA windows consume the
+    O(days) rollup (HashAggregate feeds the window), never raw order
+    rows (allowlisted day support)."""
+    for name in ("q443_acf_bartlett", "q444_seasonal_decompose"):
+        plans = _plans(spark, sf_dir, name)
+        for plan in plans:
+            assert raw_single_partition_sort_violations(plan) == [], name
+        joined = "\n".join(plans)
+        agg_pos = joined.find("HashAggregate")
+        win_pos = joined.find("Window")
+        assert 0 <= agg_pos and 0 <= win_pos, name
