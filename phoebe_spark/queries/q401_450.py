@@ -5579,3 +5579,398 @@ def q444_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal_effect"),
         F.round(F.col("ss_resid") / F.col("n_resid_all"), 6).alias("residual_var"),
     )
+
+
+@query(
+    "q445_pacf_durbin_levinson",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    ser AS (
+      SELECT d, y,
+             lag(y, 1) OVER (ORDER BY d) AS l1, lag(y, 2) OVER (ORDER BY d) AS l2,
+             lag(y, 3) OVER (ORDER BY d) AS l3, lag(y, 4) OVER (ORDER BY d) AS l4
+      FROM days
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN y * l1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(coalesce(l1, 0)) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN y * l2 ELSE 0 END) AS BIGINT) AS p2,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a2,
+             CAST(sum(coalesce(l2, 0)) AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN l3 IS NOT NULL THEN y * l3 ELSE 0 END) AS BIGINT) AS p3,
+             CAST(sum(CASE WHEN l3 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a3,
+             CAST(sum(coalesce(l3, 0)) AS BIGINT) AS b3,
+             CAST(sum(CASE WHEN l4 IS NOT NULL THEN y * l4 ELSE 0 END) AS BIGINT) AS p4,
+             CAST(sum(CASE WHEN l4 IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a4,
+             CAST(sum(coalesce(l4, 0)) AS BIGINT) AS b4
+      FROM ser
+    ),
+    r AS (
+      SELECT n,
+        round((CAST(p1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (a1 + b1) + (n - 1) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)) - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / n), 12) AS r1,
+        round((CAST(p2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (a2 + b2) + (n - 2) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)) - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / n), 12) AS r2,
+        round((CAST(p3 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (a3 + b3) + (n - 3) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)) - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / n), 12) AS r3,
+        round((CAST(p4 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (a4 + b4) + (n - 4) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)) - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / n), 12) AS r4
+      FROM m
+    ),
+    dl1 AS (SELECT n, r1, r2, r3, r4, r1 AS f11 FROM r),
+    dl2 AS (
+      SELECT n, r1, r2, r3, r4, f11,
+             round((r2 - f11 * r1) / (1.0 - f11 * r1), 12) AS f22
+      FROM dl1
+    ),
+    dl2b AS (
+      SELECT *, round(f11 - f22 * f11, 12) AS f21,
+             round((1.0 - f11 * r1) * (1.0 - f22 * f22), 12) AS d2
+      FROM dl2
+    ),
+    dl3 AS (
+      SELECT *, round((r3 - f21 * r2 - f22 * r1) / d2, 12) AS f33 FROM dl2b
+    ),
+    dl3b AS (
+      SELECT *, round(f21 - f33 * f22, 12) AS f31,
+             round(f22 - f33 * f21, 12) AS f32,
+             round(d2 * (1.0 - f33 * f33), 12) AS d3
+      FROM dl3
+    ),
+    dl4 AS (
+      SELECT *, round((r4 - f31 * r3 - f32 * r2 - f33 * r1) / d3, 12) AS f44
+      FROM dl3b
+    ),
+    longf AS (
+      SELECT n, unnest([1, 2, 3, 4]) AS k,
+             unnest([f11, f22, f33, f44]) AS pacf
+      FROM dl4
+    )
+    SELECT k AS lag,
+           round(pacf, 6) + 0.0 AS pacf,
+           round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS band,
+           CASE WHEN abs(pacf) > 1.96 / sqrt(CAST(n AS DOUBLE))
+                THEN 'significant' ELSE 'ns' END AS verdict
+    FROM longf
+    """,
+)
+def q445_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function at lags 1-4 of daily order
+    counts via the Durbin-Levinson recursion (Durbin 1960), unrolled as
+    a literal expression ladder with every intermediate 12-dp-rounded so
+    both engines walk bit-identical recursions (the q401 MM-unroll
+    policy): phi_kk is the lag-k partial correlation after regressing
+    out lags 1..k-1, THE Box-Jenkins AR(p) order-selection plot — the
+    registry-query form of the PACF order selector inside the m1
+    workload forecaster (disclosed kinship), with the +/-1.96/sqrt(n)
+    white-noise band. ACF inputs r1..r4 use q443's exact
+    overlap-moment construction from one aggregate (disclosed kinship).
+
+    100 TB story: one corpus scan to the O(days) rollup, one window
+    pass for 4 lag columns (allowlisted day support), then a 1-row
+    scalar ladder — no iteration over data, no join."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wd = Window.orderBy("d")
+    ser = days.select(
+        "y", *[F.lag("y", k).over(wd).alias(f"l{k}") for k in range(1, 5)]
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    ]
+    for k in range(1, 5):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.when(lk.isNotNull(), F.col("y") * lk).otherwise(0))
+            .cast("long")
+            .alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"a{k}"),
+            F.sum(F.coalesce(lk, F.lit(0))).cast("long").alias(f"b{k}"),
+        ]
+    m = ser.agg(*aggs)
+    mu = F.col("s1").cast("double") / F.col("n")
+    c0 = (
+        F.col("n").cast("decimal(19,0)") * F.col("s2").cast("decimal(19,0)")
+        - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
+    ).cast("double") / F.col("n")
+
+    def _r(k):
+        return F.round(
+            (
+                F.col(f"p{k}").cast("double")
+                - mu * (F.col(f"a{k}") + F.col(f"b{k}"))
+                + (F.col("n") - k) * mu * mu
+            )
+            / c0,
+            12,
+        )
+
+    r = m.select("n", *[_r(k).alias(f"r{k}") for k in range(1, 5)])
+    dl1 = r.withColumn("f11", F.col("r1"))
+    dl2 = dl1.withColumn(
+        "f22",
+        F.round(
+            (F.col("r2") - F.col("f11") * F.col("r1"))
+            / (F.lit(1.0) - F.col("f11") * F.col("r1")),
+            12,
+        ),
+    )
+    dl2b = dl2.withColumn(
+        "f21", F.round(F.col("f11") - F.col("f22") * F.col("f11"), 12)
+    ).withColumn(
+        "d2",
+        F.round(
+            (F.lit(1.0) - F.col("f11") * F.col("r1"))
+            * (F.lit(1.0) - F.col("f22") * F.col("f22")),
+            12,
+        ),
+    )
+    dl3 = dl2b.withColumn(
+        "f33",
+        F.round(
+            (
+                F.col("r3")
+                - F.col("f21") * F.col("r2")
+                - F.col("f22") * F.col("r1")
+            )
+            / F.col("d2"),
+            12,
+        ),
+    )
+    dl3b = (
+        dl3.withColumn("f31", F.round(F.col("f21") - F.col("f33") * F.col("f22"), 12))
+        .withColumn("f32", F.round(F.col("f22") - F.col("f33") * F.col("f21"), 12))
+        .withColumn(
+            "d3", F.round(F.col("d2") * (F.lit(1.0) - F.col("f33") * F.col("f33")), 12)
+        )
+    )
+    dl4 = dl3b.withColumn(
+        "f44",
+        F.round(
+            (
+                F.col("r4")
+                - F.col("f31") * F.col("r3")
+                - F.col("f32") * F.col("r2")
+                - F.col("f33") * F.col("r1")
+            )
+            / F.col("d3"),
+            12,
+        ),
+    )
+    longf = dl4.selectExpr(
+        "n", "stack(4, 1, f11, 2, f22, 3, f33, 4, f44) AS (k, pacf)"
+    )
+    band = 1.96 / F.sqrt(F.col("n").cast("double"))
+    return longf.select(
+        F.col("k").alias("lag"),
+        (F.round("pacf", 6) + F.lit(0.0)).alias("pacf"),
+        F.round(band, 6).alias("band"),
+        F.when(F.abs("pacf") > band, "significant").otherwise("ns").alias("verdict"),
+    )
+
+
+@query(
+    "q446_capture_recapture",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    caught AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substring(md5('s1' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 AS in1,
+             CAST(('0x' || substring(md5('s2' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 AS in2
+      FROM du
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM caught GROUP BY 1
+    )
+    SELECT event_type, n_true, n1, n2, m,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6) AS chapman_est,
+           round(abs((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 - n_true) / n_true, 6) AS rel_err,
+           round((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                 / ((m + 1.0) * (m + 1.0) * (m + 2.0)), 6) AS chapman_var
+    FROM g
+    """,
+)
+def q446_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimator (Chapman 1951) of the
+    distinct-user population per event type from two INDEPENDENT
+    deterministic hash "surveys" (md5 with distinct salts, ~50% catch
+    each — the engine-portable determinism policy of q97/q154):
+    N_hat = (n1+1)(n2+1)/(m+1) - 1 with its Seber variance, reported
+    against the true distinct count — the mark-recapture cross-check
+    for the sketch family (q283 HLL / q154 KMV, disclosed kinship) and
+    the classical estimator for "how many duplicates does the FULL
+    corpus hold" when two independent dedup passes each catch a sample.
+    Every cell is an exact integer from one aggregate over the
+    distinct-collapsed frame.
+
+    100 TB story: one distinct collapse (map-side combining), ONE
+    aggregate to K type rows; closed form per row — the survey
+    membership is a hash column, not a shuffle."""
+    du = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+
+    def _in(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+
+    caught = du.select(
+        "event_type", _in("s1").alias("in1"), _in("s2").alias("in2")
+    )
+    g = caught.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("in1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("in2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("in1") & F.col("in2"), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+    )
+    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    var = (
+        (F.col("n1") + 1.0)
+        * (F.col("n2") + 1.0)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / ((F.col("m") + 1.0) * (F.col("m") + 1.0) * (F.col("m") + 2.0))
+    )
+    return g.select(
+        "event_type",
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.round(est, 6).alias("chapman_est"),
+        F.round(F.abs(est - F.col("n_true")) / F.col("n_true"), 6).alias("rel_err"),
+        F.round(var, 6).alias("chapman_var"),
+    )
+
+
+@query(
+    "q447_jackknife_ratio",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS cx,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS tx
+      FROM documents WHERE trim(text) <> ''
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(sum(cx) AS BIGINT) AS sc, CAST(sum(tx) AS BIGINT) AS st
+      FROM s
+    ),
+    loo AS (
+      SELECT s.source,
+             round(CAST((SELECT sc FROM tot) - s.cx AS DOUBLE)
+                   / ((SELECT st FROM tot) - s.tx), 12) AS theta_i
+      FROM s
+    ),
+    jk AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(round(sum(CAST(round(theta_i, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_theta,
+             CAST(round(sum(CAST(round(theta_i * theta_i, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_theta2
+      FROM loo
+    )
+    SELECT (SELECT g FROM tot) AS n_groups,
+           round(CAST((SELECT sc FROM tot) AS DOUBLE) / (SELECT st FROM tot), 6) AS chars_per_token,
+           round((SELECT g FROM tot) * (CAST((SELECT sc FROM tot) AS DOUBLE) / (SELECT st FROM tot))
+                 - ((SELECT g FROM tot) - 1.0) * s_theta / g, 6) AS jackknife_estimate,
+           round(sqrt(((SELECT g FROM tot) - 1.0) / g
+                      * (s_theta2 - s_theta * s_theta / g)), 6) AS jackknife_se
+    FROM jk
+    """,
+)
+def q447_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife (Quenouille 1956; Tukey 1958) for the
+    corpus chars-per-token ratio, grouped by source: the ratio estimator
+    theta = sum(chars)/sum(tokens) is nonlinear, so its bias and
+    standard error are estimated from the g leave-one-source-out
+    replicates theta_i = (C - c_i)/(T - t_i) — the resampling-based
+    uncertainty the q356 bootstrap gives for means, here in the
+    deterministic closed form cluster-jackknife variant that needs NO
+    random replicates at all (every replicate is an exact arithmetic
+    consequence of the per-source sums). Bias-corrected estimate
+    g*theta - (g-1)*mean(theta_i); SE = sqrt((g-1)/g * sum((theta_i -
+    mean)^2)); replicates 12-dp-rounded so both engines fold identical
+    doubles.
+
+    100 TB story: ONE map-side-combining per-source aggregate collapses
+    the corpus; the g leave-one-out replicates are arithmetic on the
+    O(sources) frame joined to its own 1-row total — no resampling, no
+    second corpus pass."""
+    from phoebe_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    s = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("cx"),
+        F.sum(F.size(text_ops.tokens(F.col("text"))).cast("long"))
+        .cast("long")
+        .alias("tx"),
+    ).localCheckpoint(eager=True)
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("cx").cast("long").alias("sc"),
+        F.sum("tx").cast("long").alias("st"),
+    )
+    loo = s.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("sc") - F.col("cx")).cast("double") / (F.col("st") - F.col("tx")),
+            12,
+        ).alias("theta_i")
+    )
+
+    def _fold12(x):
+        return F.round(F.sum(F.round(x, 12).cast("decimal(38,12)")), 12).cast("double")
+
+    jk = loo.agg(
+        F.count(F.lit(1)).cast("long").alias("gj"),
+        _fold12(F.col("theta_i")).alias("s_theta"),
+        _fold12(F.col("theta_i") * F.col("theta_i")).alias("s_theta2"),
+    )
+    theta = F.col("sc").cast("double") / F.col("st")
+    return tot.crossJoin(F.broadcast(jk)).select(
+        F.col("g").alias("n_groups"),
+        F.round(theta, 6).alias("chars_per_token"),
+        F.round(
+            F.col("g") * theta - (F.col("g") - 1.0) * F.col("s_theta") / F.col("gj"),
+            6,
+        ).alias("jackknife_estimate"),
+        F.round(
+            F.sqrt(
+                (F.col("g") - 1.0)
+                / F.col("gj")
+                * (
+                    F.col("s_theta2")
+                    - F.col("s_theta") * F.col("s_theta") / F.col("gj")
+                )
+            ),
+            6,
+        ).alias("jackknife_se"),
+    )

@@ -73,6 +73,7 @@ AGG_WINDOW_ALLOWLIST = {
     "q432_dickey_fuller",       # lag over the daily rollup: O(days), q238 kin
     "q435_anderson_darling",    # pooled cum over the 1..50 value support (q363 kin)
     "q443_acf_bartlett",        # 7-lag window over the daily rollup: O(days)
+    "q445_pacf_durbin_levinson",  # 4-lag window over the daily rollup: O(days)
     "q444_seasonal_decompose",  # centered 7-day MA over the daily rollup: O(days)
     "q82_acctbal_deciles",      # $1-bucket offsets: price-range-bounded
     "q85_spearman",             # distinct-value support ranks

@@ -36,6 +36,9 @@ BLOCK = [
     "q442_robust_means",
     "q443_acf_bartlett",
     "q444_seasonal_decompose",
+    "q445_pacf_durbin_levinson",
+    "q446_capture_recapture",
+    "q447_jackknife_ratio",
 ]
 
 
@@ -245,3 +248,24 @@ def test_q443_q444_windows_on_day_rollup(spark, sf_dir):
         agg_pos = joined.find("HashAggregate")
         win_pos = joined.find("Window")
         assert 0 <= agg_pos and 0 <= win_pos, name
+
+
+def test_q445_ladder_on_day_rollup(spark, sf_dir):
+    """PACF: one corpus scan to the day rollup; the 4 lag columns come
+    from one window pass (allowlisted day support); the Durbin-Levinson
+    ladder is a 1-row scalar chain — no join anywhere."""
+    [plan] = _plans(spark, sf_dir, "q445_pacf_durbin_levinson")
+    assert _scans(plan) == 1
+    assert _ops(plan, "Window") == 1
+    assert _ops(plan, "SortMergeJoin") + _ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_q446_q447_collapse_then_closed_form(spark, sf_dir):
+    """Capture-recapture and jackknife: the corpus collapses in one
+    pass (distinct / per-source aggregate); everything after runs on
+    bounded frames with no shuffle join."""
+    for name in ("q446_capture_recapture", "q447_jackknife_ratio"):
+        plans = _plans(spark, sf_dir, name)
+        assert sum(_scans(c) for c in plans) == 1, name
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+        assert all(_ops(p, "Window") == 0 for p in plans), name
