@@ -3361,11 +3361,11 @@ def q426_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sx - sy AS DOUBLE) / n
                  - 1.96 * sqrt((CAST(n AS DECIMAL(19,0)) * CAST(sdd AS DECIMAL(19,0))
                                 - CAST(sx - sy AS DECIMAL(19,0)) * CAST(sx - sy AS DECIMAL(19,0)))
-                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (n - 1.0))), 6) AS loa_low,
+                               / (CAST(n AS DOUBLE) * (n - 1.0))), 6) AS loa_low,
            round(CAST(sx - sy AS DOUBLE) / n
                  + 1.96 * sqrt((CAST(n AS DECIMAL(19,0)) * CAST(sdd AS DECIMAL(19,0))
                                 - CAST(sx - sy AS DECIMAL(19,0)) * CAST(sx - sy AS DECIMAL(19,0)))
-                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (n - 1.0))), 6) AS loa_high
+                               / (CAST(n AS DOUBLE) * (n - 1.0))), 6) AS loa_high
     FROM c
     """.replace("FROM m_src", "FROM s"),
 )
@@ -3430,7 +3430,7 @@ def q427_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("sx") - F.col("sy")).cast("decimal(19,0)")
         * (F.col("sx") - F.col("sy")).cast("decimal(19,0)")
     ).cast("double") / (
-        F.col("n").cast("double") * F.col("n").cast("double") * (F.col("n") - 1.0)
+        F.col("n").cast("double") * (F.col("n") - 1.0)
     )
     sd = F.sqrt(var_d)
     return c.select(
@@ -4615,7 +4615,7 @@ def _phi_col(z: F.Column) -> F.Column:
       FROM grid GROUP BY 1
     ),
     cum AS (
-      SELECT g.flag, g.v, m.n,
+      SELECT g.flag, g.v, m.n, g.c,
              CAST(sum(g.c) OVER (PARTITION BY g.flag ORDER BY g.v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
              (g.v - CAST(m.s1 AS DOUBLE) / m.n)
@@ -4628,7 +4628,7 @@ def _phi_col(z: F.Column) -> F.Column:
       SELECT flag, n,
              max(greatest(
                abs(CAST(cc AS DOUBLE) / n - {_phi_sql("z")}),
-               abs({_phi_sql("z")} - (CAST(cc AS DOUBLE) - 1.0) / n))) AS d
+               abs({_phi_sql("z")} - CAST(cc - c AS DOUBLE) / n))) AS d
       FROM cum GROUP BY 1, 2
     )
     SELECT flag, n,
@@ -4683,13 +4683,14 @@ def q437_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         "v",
         "n",
+        "c",
         F.sum("c").over(wcum).cast("long").alias("cc"),
         ((F.col("v") - F.col("s1").cast("double") / F.col("n")) / sd).alias("z"),
     )
     phi = _phi_col(F.col("z"))
     dterm = F.greatest(
         F.abs(F.col("cc").cast("double") / F.col("n") - phi),
-        F.abs(phi - (F.col("cc").cast("double") - 1.0) / F.col("n")),
+        F.abs(phi - (F.col("cc") - F.col("c")).cast("double") / F.col("n")),
     )
     dev = cum.groupBy("flag", "n").agg(F.max(dterm).alias("d"))
     crit = 0.886 / F.sqrt(F.col("n").cast("double"))

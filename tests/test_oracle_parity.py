@@ -70,7 +70,9 @@ AGG_WINDOW_ALLOWLIST = {
     "q401_bradley_terry",       # type-index window: 5 distinct types (q317 kin)
     "q40_merge_overwrite",      # timeseries grid: O(timesteps)
     "q410_gini_binned",         # Lorenz cum over the fixed 256-bin frame
+    "q429_nelson_aalen",        # cum-hazard over O(distinct reorder gaps) rows
     "q432_dickey_fuller",       # lag over the daily rollup: O(days), q238 kin
+    "q439_weibull_hazard",      # OLS fold over O(distinct reorder gaps) rows
     "q435_anderson_darling",    # pooled cum over the 1..50 value support (q363 kin)
     "q443_acf_bartlett",        # 7-lag window over the daily rollup: O(days)
     "q445_pacf_durbin_levinson",  # 4-lag window over the daily rollup: O(days)
