@@ -555,16 +555,28 @@ def quantile_normalize(
     mean the same thing).
 
     Engine-exact nearest-rank arithmetic, no interpolation floats:
-      - within-source quantile = (k-1)/(n_s-1) via row_number with a
-        doc-id tie-break;
+      - within-source rank k (row_number over (score, doc_id)) is built
+        TWO-PHASE: per-(source, score) counts collapse map-side; their
+        per-source cumulative offsets are a window over the bounded
+        (source, score) SUPPORT frame only; each document adds its
+        support offset to a row_number over the (source, score)
+        partition — so no per-source sort of raw rows ever runs (the
+        old shape had parallelism = #sources; at 100 TB with a handful
+        of sources that is a near-single-reducer sort per source).
+        Bit-identical to ``row_number over (partitionBy g orderBy
+        score, doc_id)`` because score is bucket-major in the offsets.
       - target global rank t = 1 + round_half_up((N-1)(k-1)/(n_s-1)),
-        computed as ``(2a + b) div (2b)`` in BIGINTs (b = 0 i.e. a
-        single-doc source maps to the median rank);
-      - the global value at rank t comes from a VALUE HISTOGRAM
-        (distinct score -> cumulative count), carried as one broadcast
-        sorted-array row and probed with a codegen ``filter``/``size``
-        bisect — the global sort a naive rank lookup would need is never
-        run, and the histogram is value-domain-bounded, not row-bounded.
+        computed as ``(2a + b) div (2b)`` in BIGINTs (a single-doc
+        source maps to the median rank);
+      - the global value at rank t comes from the VALUE HISTOGRAM
+        (distinct score -> (prev_cum, cum] rank range) via a BUCKETED
+        BAND equi-join (the q241 idiom): histogram rows explode into
+        rank buckets of width B = max(1, N div |support|) (~2x support
+        exploded rows total), each document joins on its bucket
+        ``(t-1) div B`` against the broadcast map, and the final
+        ``prev < t <= cum`` filter keeps the unique covering row —
+        O(1) candidates per document instead of the old O(|support|)
+        linear array probe per row, and no global sort anywhere.
 
     Returns (doc_id, source, score, norm_score), all BIGINT."""
     from pyspark.sql import Window
@@ -575,43 +587,95 @@ def quantile_normalize(
         F.col(group_col).alias("g"),
         score.cast("long").alias("score"),
     )
-    w = Window.partitionBy("g").orderBy("score", "doc_id")
-    r = d.select(
-        "doc_id",
+
+    # phase 1: (source, score) support counts -> per-source offsets + sizes
+    sup = d.groupBy("g", "score").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wg = Window.partitionBy("g").orderBy("score")
+    offs = sup.select(
         "g",
         "score",
-        F.row_number().over(w).alias("k"),
-        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("ns"),
+        F.coalesce(
+            F.sum("c").over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("off"),
+        F.sum("c").over(Window.partitionBy("g")).cast("long").alias("ns"),
     )
-    # value histogram: distinct score -> cumulative count, one sorted row
-    vh = (
-        d.groupBy("score")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "cum",
-            F.sum("c").over(Window.orderBy("score").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )),
+
+    # phase 2: within-(source, score) row_number + broadcast offset join
+    within = F.row_number().over(
+        Window.partitionBy("g", "score").orderBy("doc_id")
+    )
+    r = (
+        d.withColumn("kw", within)
+        .join(F.broadcast(offs), ["g", "score"])
+        .select(
+            "doc_id",
+            "g",
+            "score",
+            (F.col("off") + F.col("kw")).cast("long").alias("k"),
+            "ns",
         )
     )
-    arrs = vh.agg(
-        F.array_sort(F.collect_list(F.struct("score", "cum"))).alias("_vc"),
-        F.sum("c").alias("n_total"),
-    ).select(
-        F.transform("_vc", lambda s: s["score"]).alias("scores"),
-        F.transform("_vc", lambda s: s["cum"]).alias("cums"),
-        "n_total",
+
+    # global value histogram: distinct score -> (prev, cum] rank range
+    vh = (
+        d.groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("score").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).cast("long"),
+        )
+        .withColumn("prev", (F.col("cum") - F.col("c")).cast("long"))
     )
+    tot = vh.agg(
+        F.max("cum").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_support"),
+    )
+
+    # bucketed band map: each histogram row covers rank buckets
+    # [prev div B, (cum-1) div B]; total exploded rows <= 2 * |support|
+    bmap = (
+        vh.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("norm_score"),
+            "cum",
+            "prev",
+            F.expr("greatest(1L, n_total div n_support)").alias("_b"),
+        )
+        .select(
+            "norm_score",
+            "cum",
+            "prev",
+            F.explode(
+                F.sequence(
+                    F.expr("prev div _b"), F.expr("(cum - 1) div _b")
+                )
+            ).alias("tb"),
+        )
+    )
+
     t = F.expr(
         "CASE WHEN ns = 1 THEN 1 + ((2 * (n_total - 1) + 2) div 4) "
         "ELSE 1 + ((2 * (n_total - 1) * (k - 1) + (ns - 1)) div (2 * (ns - 1))) END"
     )
-    probe = r.crossJoin(F.broadcast(arrs)).withColumn("t", t)
-    return probe.select(
-        "doc_id",
-        F.col("g").alias(group_col),
-        "score",
-        F.expr(
-            "element_at(scores, CAST(size(filter(cums, c -> c < t)) + 1 AS INT))"
-        ).alias("norm_score"),
+    probe = (
+        r.crossJoin(F.broadcast(tot))
+        .withColumn("t", t)
+        .withColumn(
+            "tb", F.expr("(t - 1) div greatest(1L, n_total div n_support)")
+        )
+    )
+    return (
+        probe.join(F.broadcast(bmap), "tb")
+        .filter((F.col("t") > F.col("prev")) & (F.col("t") <= F.col("cum")))
+        .select(
+            "doc_id",
+            F.col("g").alias(group_col),
+            "score",
+            "norm_score",
+        )
     )

@@ -32,7 +32,9 @@ AGG_WINDOW_ALLOWLIST = {
     "q159_token_budget_curve",  # quality-bin curve: O(bins)
     "q178_quality_dup_curve",   # quality-bin curve: O(bins)
     "q183_source_length_ks",    # per-source length support
-    "q224_quantile_normalize",  # distinct-score support
+    "q224_quantile_normalize",  # global-histogram cum over the distinct-score
+                                # support (the ONLY unpartitioned window left;
+                                # within-source ranks are two-phase bucketed)
     "q227_token_waterfill",     # per-source frame: O(sources)
     "q231_eval_apportionment",  # category frame: O(categories)
     "q236_length_bucket_batches",  # length-bucket frame: O(buckets)
