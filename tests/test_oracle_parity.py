@@ -31,18 +31,18 @@ AGG_WINDOW_ALLOWLIST = {
     "q144_skyline_users",       # survivor set after local dominance prune
     "q159_token_budget_curve",  # quality-bin curve: O(bins)
     "q178_quality_dup_curve",   # quality-bin curve: O(bins)
-    "q183_source_length_ks",    # per-source length support
+    "q183_source_length_ks",    # pooled distinct-length support (global cum)
     "q224_quantile_normalize",  # global-histogram cum over the distinct-score
                                 # support (the ONLY unpartitioned window left;
                                 # within-source ranks are two-phase bucketed)
     "q227_token_waterfill",     # per-source frame: O(sources)
-    "q231_eval_apportionment",  # category frame: O(categories)
+    "q231_eval_apportionment",  # per-source remainder ranks: O(sources)
     "q236_length_bucket_batches",  # length-bucket frame: O(buckets)
-    "q238_changepoint",         # daily rollup: O(days)
+    "q238_changepoint",         # hourly rollup: O(hours) — windows order by hr
     "q256_token_lorenz",        # vocabulary support
     "q262_snake_sharding",      # shard-rank frame: bucket-collapsed
     "q276_slo_burn_rate",       # hourly rollup: O(hours)
-    "q277_littles_law_audit",   # hourly rollup: O(hours)
+    "q277_littles_law_audit",   # daily arrival/completion frame: O(days)
     "q292_quantile_hist_sketch",  # 128-bin cum + $100-bucket offsets
     "q297_mann_whitney",        # distinct-value support ranks
     "q29_simpson_integral",     # timeseries grid: O(timesteps)
