@@ -5975,3 +5975,402 @@ def q447_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     )
+
+
+@query(
+    "q448_grubbs_outlier",
+    oracle=f"""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders
+    ),
+    days AS (
+      SELECT d, CAST(sum(yc) AS BIGINT) AS y FROM o GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM days
+    ),
+    c AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS mean_c,
+             sqrt(CAST(CAST(n AS DECIMAL(19,0)) * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1.0))) AS sd_c
+      FROM m
+    ),
+    dev AS (
+      SELECT d.d, d.y, abs(d.y - c.mean_c) AS adev, c.n, c.mean_c, c.sd_c
+      FROM days d CROSS JOIN c
+    ),
+    g AS (
+      SELECT max(n) AS n, max(mean_c) AS mean_c, max(sd_c) AS sd_c,
+             max(adev) / max(sd_c) AS gstat,
+             arg_max(d, adev) AS top_day,
+             arg_max(y, adev) AS top_y
+      FROM dev
+    )
+    SELECT n AS n_days,
+           round(gstat, 6) AS grubbs_g,
+           round(least(1.0, 2.0 * n * (1.0 - {{phi}})), 6) AS bonferroni_p,
+           top_day,
+           round(CAST(top_y AS DOUBLE) / 100.0, 2) AS top_day_total,
+           CASE WHEN least(1.0, 2.0 * n * (1.0 - {{phi}})) < 0.05
+                THEN 'outlier' ELSE 'clean' END AS verdict
+    FROM g
+    """.replace("{phi}", _phi_sql("gstat")),
+)
+def q448_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs maximum-normed-residual outlier test (Grubbs 1950) on the
+    daily order-revenue series: G = max|y - mean|/sd over the O(days)
+    rollup, with a LARGE-SAMPLE Bonferroni p-value bound
+    p <= 2n(1 - Phi(G)) in place of the exact t-quantile critical value
+    (the z approximation of the Grubbs critical point — conservative
+    direction disclosed; exact t inversion needs an iterative quantile
+    neither engine computes deterministically). The single-most-extreme
+    day is reported via max_by, the audit that runs before any
+    daily-revenue series feeds a forecaster — one fat-finger day drags
+    every moment-based statistic (q432/q443 kinship). Daily totals are
+    exact BIGINT cents; moments combine in DECIMAL(38,0); Phi runs the
+    shared erfc Horner chain.
+
+    100 TB story: one corpus scan to the O(days) rollup; the moment
+    fold and the argmax are single aggregates over that bounded frame —
+    no window, no sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"),
+    )
+    days = o.groupBy("d").agg(F.sum("yc").cast("long").alias("y"))
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_d19("y")).cast("decimal(38,0)").alias("s1"),
+        F.sum(_d19("y") * _d19("y")).cast("decimal(38,0)").alias("s2"),
+    )
+    c = m.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            (_d19("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1.0))
+        ).alias("sd_c"),
+    )
+    dev = days.crossJoin(F.broadcast(c)).select(
+        "d", "y", F.abs(F.col("y") - F.col("mean_c")).alias("adev"),
+        "n", "sd_c",
+    )
+    g = dev.agg(
+        F.max("n").alias("n"),
+        F.max("sd_c").alias("sd_c"),
+        (F.max("adev") / F.max("sd_c")).alias("gstat"),
+        F.expr("max_by(d, adev)").alias("top_day"),
+        F.expr("max_by(y, adev)").alias("top_y"),
+    )
+    phi = _phi_col(F.col("gstat"))
+    bonf = F.least(F.lit(1.0), 2.0 * F.col("n") * (1.0 - phi))
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.round("gstat", 6).alias("grubbs_g"),
+        F.round(bonf, 6).alias("bonferroni_p"),
+        "top_day",
+        F.round(F.col("top_y").cast("double") / 100.0, 2).alias("top_day_total"),
+        F.when(bonf < 0.05, "outlier").otherwise("clean").alias("verdict"),
+    )
+
+
+@query(
+    "q449_hodges_lehmann",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    bounds AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             (min(d) + max(d)) // 2 AS dmid
+      FROM days
+    ),
+    wsum AS (
+      SELECT a.y + b.y AS s, CAST(count(*) AS BIGINT) AS c
+      FROM days a JOIN days b ON a.d <= b.d
+      GROUP BY 1
+    ),
+    wcum AS (
+      SELECT s, c,
+             CAST(sum(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+             CAST(sum(c) OVER () AS BIGINT) AS m
+      FROM wsum
+    ),
+    wmed AS (
+      SELECT max(m) AS m,
+             sum(CASE WHEN cc - c < (m + 1) // 2 AND (m + 1) // 2 <= cc
+                      THEN s END) AS v1,
+             sum(CASE WHEN cc - c < (m + 2) // 2 AND (m + 2) // 2 <= cc
+                      THEN s END) AS v2
+      FROM wcum
+    ),
+    dsum AS (
+      SELECT b.y - a.y AS s, CAST(count(*) AS BIGINT) AS c
+      FROM days a CROSS JOIN bounds bo
+      JOIN days b ON a.d <= bo.dmid AND b.d > bo.dmid
+      GROUP BY 1
+    ),
+    dcum AS (
+      SELECT s, c,
+             CAST(sum(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+             CAST(sum(c) OVER () AS BIGINT) AS m
+      FROM dsum
+    ),
+    dmed AS (
+      SELECT max(m) AS m,
+             sum(CASE WHEN cc - c < (m + 1) // 2 AND (m + 1) // 2 <= cc
+                      THEN s END) AS v1,
+             sum(CASE WHEN cc - c < (m + 2) // 2 AND (m + 2) // 2 <= cc
+                      THEN s END) AS v2
+      FROM dcum
+    )
+    SELECT b.n AS n_days,
+           w.m AS n_walsh_pairs,
+           round((CAST(w.v1 AS DOUBLE) + w.v2) / 4.0, 6) AS pseudomedian,
+           d.m AS n_cross_pairs,
+           round((CAST(d.v1 AS DOUBLE) + d.v2) / 2.0, 6) AS hl_shift
+    FROM bounds b CROSS JOIN wmed w CROSS JOIN dmed d
+    """,
+)
+def q449_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimators (Hodges & Lehmann 1963) on the daily
+    order-count series: the one-sample PSEUDOMEDIAN (median of all
+    n(n+1)/2 Walsh averages (y_i + y_j)/2, i <= j) — the location
+    estimate behind the Wilcoxon signed-rank test, robust to the heavy
+    right tail a mean would chase — and the two-sample HL SHIFT between
+    the first and second calendar halves (median of cross differences
+    y_late - y_early; split at the midpoint day, disclosed), the robust
+    twin of the q438 mean-difference effect size. The scale trick: the
+    pair grids never materialize per-pair rows downstream — pairs
+    collapse by their integer SUM (resp. difference) VALUE, so the
+    median runs on the count-range-bounded value support via exact
+    cumulative ranks (even-m medians average the two middle ranks,
+    disclosed).
+
+    100 TB story: the day frame is calendar-bounded (SF-independent),
+    so the pair join is O(days^2) CONSTANT in corpus size; medians fold
+    over the O(distinct sums) support — allowlisted bounded frame."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = (
+        o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("(min(d) + max(d)) div 2").alias("dmid"),
+    )
+
+    def _med_over(pairs):
+        """(s, c) support -> 1-row (m, v1, v2): total and the two
+        middle-rank values via exact cumulative counts."""
+        cum = pairs.select(
+            "s",
+            "c",
+            F.sum("c").over(
+                Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long").alias("cc"),
+            F.sum("c").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long").alias("m"),
+        )
+        # exact integer middle ranks: (m+1) div 2 and (m+2) div 2
+        rk1 = F.expr("(m + 1) div 2")
+        rk2 = F.expr("(m + 2) div 2")
+        return cum.agg(
+            F.max("m").alias("m"),
+            F.sum(
+                F.when((F.col("cc") - F.col("c") < rk1) & (rk1 <= F.col("cc")), F.col("s"))
+            ).alias("v1"),
+            F.sum(
+                F.when((F.col("cc") - F.col("c") < rk2) & (rk2 <= F.col("cc")), F.col("s"))
+            ).alias("v2"),
+        )
+
+    a = days.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = days.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    wsum = (
+        a.join(b, F.col("da") <= F.col("db"))
+        .groupBy((F.col("ya") + F.col("yb")).alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wmed = _med_over(wsum)
+
+    dsum = (
+        a.crossJoin(F.broadcast(bounds.select("dmid")))
+        .filter(F.col("da") <= F.col("dmid"))
+        .join(b, F.col("db") > F.col("dmid"))
+        .groupBy((F.col("yb") - F.col("ya")).alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dmed = _med_over(dsum)
+
+    wm = wmed.select(
+        F.col("m").alias("wm"), F.col("v1").alias("wv1"), F.col("v2").alias("wv2")
+    )
+    dm = dmed.select(
+        F.col("m").alias("dm"), F.col("v1").alias("dv1"), F.col("v2").alias("dv2")
+    )
+    return (
+        bounds.crossJoin(F.broadcast(wm))
+        .crossJoin(F.broadcast(dm))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("wm").alias("n_walsh_pairs"),
+            F.round((F.col("wv1").cast("double") + F.col("wv2")) / 4.0, 6).alias(
+                "pseudomedian"
+            ),
+            F.col("dm").alias("n_cross_pairs"),
+            F.round((F.col("dv1").cast("double") + F.col("dv2")) / 2.0, 6).alias(
+                "hl_shift"
+            ),
+        )
+    )
+
+
+# DFT twiddle factors for q450, quantized once in Python and embedded as
+# identical literals in BOTH engines (cos/sin from each engine's own libm
+# could differ in the last ulp; d mod p has only p distinct residues per
+# period, so the whole basis is a 464-row literal table).
+import math as _math
+
+_DFT_PERIODS = list(range(2, 31))
+_DFT_TAB = [
+    (p, r,
+     round(_math.cos(2.0 * _math.pi * r / p), 12),
+     round(_math.sin(2.0 * _math.pi * r / p), 12))
+    for p in _DFT_PERIODS
+    for r in range(p)
+]
+_DFT_VALUES_SQL = ",\n      ".join(
+    f"({p}, {r}, {c!r}, {si!r})" for p, r, c, si in _DFT_TAB
+)
+
+
+@query(
+    "q450_dft_periodogram",
+    oracle=f"""
+    WITH tab(p, r, co, si) AS (
+      VALUES {_DFT_VALUES_SQL}
+    ),
+    o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s1
+      FROM days
+    ),
+    grid AS (
+      SELECT t.p, d.y - CAST(m.s1 AS DOUBLE) / m.n AS yc, t.co, t.si
+      FROM days d CROSS JOIN m
+      JOIN tab t ON t.r = d.d % t.p
+    ),
+    ab AS (
+      SELECT p,
+             CAST(round(sum(CAST(round(yc * co, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS a,
+             CAST(round(sum(CAST(round(yc * si, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS b
+      FROM grid GROUP BY 1
+    ),
+    pw AS (
+      SELECT p, a * a + b * b AS power FROM ab
+    ),
+    sh AS (
+      SELECT p, power,
+             power / sum(power) OVER () AS share,
+             CASE WHEN power = max(power) OVER () THEN 1 ELSE 0 END AS dom
+      FROM pw
+    ),
+    ent AS (
+      SELECT CAST(round(sum(CAST(round(
+               CASE WHEN share > 0 THEN -share * log2(share) ELSE 0.0 END,
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS h
+      FROM sh
+    )
+    SELECT sh.p AS period,
+           round(sh.share, 6) + 0.0 AS power_share,
+           CAST(sh.dom AS INT) AS is_dominant,
+           round(ent.h / log2(29.0), 6) AS spectral_entropy_norm
+    FROM sh CROSS JOIN ent
+    """,
+)
+def q450_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the daily order-count series at
+    candidate periods 2..30 days: per period p, the squared magnitude
+    of the projection of the MEAN-CENTERED series onto the (cos, sin)
+    basis at frequency 1/p — the spectral screen that finds the weekly
+    cadence q444 then decomposes (disclosed kinship), reported as
+    normalized power shares with the dominant period flagged, plus the
+    NORMALIZED SPECTRAL ENTROPY (entropy of the share distribution /
+    log2(29)) — near 1 means white-noise-like (unforecastable), near 0
+    means one cadence dominates. Engine-exactness: d mod p has only p
+    residues per period, so the whole trig basis is a 464-row LITERAL
+    table quantized to 12 dp once in Python and embedded identically in
+    both engines — neither engine's libm cos/sin is ever called; the
+    projections fold at 12-dp DECIMAL so day order cannot move them.
+
+    100 TB story: one corpus scan to the O(days) rollup; the basis join
+    fans each day row out 29x against a BROADCAST 464-row literal
+    table; projections are one grouped fold; shares/entropy run on the
+    fixed 29-period frame (allowlisted)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+    )
+    tab = spark.createDataFrame(_DFT_TAB, "p INT, r INT, co DOUBLE, si DOUBLE")
+    grid = (
+        days.crossJoin(F.broadcast(m))
+        .select("d", (F.col("y") - F.col("s1").cast("double") / F.col("n")).alias("yc"))
+        .join(F.broadcast(tab), F.col("r") == F.col("d") % F.col("p"))
+    )
+
+    def _fold12(x):
+        return F.round(
+            F.sum(F.round(x, 12).cast("decimal(38,12)")), 12
+        ).cast("double")
+
+    ab = grid.groupBy("p").agg(
+        _fold12(F.col("yc") * F.col("co")).alias("a"),
+        _fold12(F.col("yc") * F.col("si")).alias("b"),
+    )
+    pw = ab.select("p", (F.col("a") * F.col("a") + F.col("b") * F.col("b")).alias("power"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sh = pw.select(
+        "p",
+        "power",
+        (F.col("power") / F.sum("power").over(wall)).alias("share"),
+        F.when(F.col("power") == F.max("power").over(wall), 1).otherwise(0).alias("dom"),
+    )
+    ent = sh.agg(
+        _fold12(
+            F.when(F.col("share") > 0, -F.col("share") * F.log2("share")).otherwise(0.0)
+        ).alias("h")
+    )
+    return sh.crossJoin(F.broadcast(ent)).select(
+        F.col("p").alias("period"),
+        (F.round("share", 6) + F.lit(0.0)).alias("power_share"),
+        F.col("dom").cast("int").alias("is_dominant"),
+        F.round(F.col("h") / F.log2(F.lit(29.0)), 6).alias("spectral_entropy_norm"),
+    )

@@ -77,6 +77,13 @@ AGG_WINDOW_ALLOWLIST = {
     "q439_weibull_hazard",      # OLS fold over O(distinct reorder gaps) rows
     "q435_anderson_darling",    # pooled cum over the 1..50 value support (q363 kin)
     "q443_acf_bartlett",        # 7-lag window over the daily rollup: O(days)
+    "q451_cross_correlation",   # best-lag window over the fixed 15-lag frame
+    "q456_palma_hoover",        # cent-value support cum: range-bounded (q82 kin)
+    "q452_turning_points",      # lag/lead over the daily rollup: O(days)
+    "q450_dft_periodogram",     # share/dominant window over the fixed
+                                # 29-period frame
+    "q449_hodges_lehmann",      # Walsh-sum / cross-diff value supports:
+                                # count-range-bounded, SF-independent
     "q445_pacf_durbin_levinson",  # 4-lag window over the daily rollup: O(days)
     "q444_seasonal_decompose",  # centered 7-day MA over the daily rollup: O(days)
     "q82_acctbal_deciles",      # $1-bucket offsets: price-range-bounded
