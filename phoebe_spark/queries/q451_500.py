@@ -742,3 +742,645 @@ def q457_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mu + F.col("beta_c") * _G_RL12) / 100.0, 2).alias("return_level_1yr"),
         F.round((mu + F.col("beta_c") * _G_RL120) / 100.0, 2).alias("return_level_10yr"),
     )
+
+
+@query(
+    "q458_sign_wilcoxon",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(n_chars AS BIGINT)
+             - 5 * CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS d
+      FROM documents WHERE trim(text) <> ''
+    ),
+    nz AS (SELECT d, abs(d) AS ad FROM s WHERE d <> 0),
+    grid AS (
+      SELECT ad, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+      FROM nz GROUP BY 1
+    ),
+    cum AS (
+      SELECT ad, c, cpos,
+             CAST(sum(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM grid
+    ),
+    w AS (
+      SELECT max(n) AS n,
+             CAST(sum(cpos) AS BIGINT) AS npos,
+             CAST(round(sum(CAST(round(cpos * ((cc - c) + (c + 1.0) / 2.0), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS wplus,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * (c - 1) * (c + 1)) AS DECIMAL(38,0)) AS ties
+      FROM cum
+    ),
+    z AS (
+      SELECT n, npos, wplus,
+             (2.0 * npos - n) / sqrt(CAST(n AS DOUBLE)) AS z_sign,
+             (wplus - CAST(n AS DOUBLE) * (n + 1.0) / 4.0)
+               / sqrt(CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                      - CAST(ties AS DOUBLE) / 48.0) AS z_wil
+      FROM w
+    )
+    SELECT n AS n_nonzero, npos AS n_positive,
+           round(z_sign, 6) + 0.0 AS sign_z,
+           round(2.0 * (1.0 - {phi_s}), 6) AS sign_p,
+           round(wplus, 6) AS w_plus,
+           round(z_wil, 6) + 0.0 AS wilcoxon_z,
+           round(2.0 * (1.0 - {phi_w}), 6) AS wilcoxon_p,
+           CASE WHEN 2.0 * (1.0 - {phi_w}) < 0.05
+                THEN 'shifted' ELSE 'centered' END AS verdict
+    FROM z
+    """.replace("{phi_s}", _phi_sql("abs(z_sign)"))
+       .replace("{phi_w}", _phi_sql("abs(z_wil)")),
+)
+def q458_sign_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test and Wilcoxon signed-rank test (Wilcoxon 1945)
+    of whether document character count exceeds 5x the whitespace
+    token count (the "5 chars per token" rule of thumb every token
+    budget is priced with — a systematic shift means the cheap proxy
+    under- or over-bills the corpus; q427's agreement audit is the
+    continuous twin, disclosed kinship). Zero differences drop
+    (standard, disclosed). The signed-rank W+ never ranks raw rows:
+    differences collapse by |d| VALUE, midranks come from exact
+    cumulative counts over that support ((cc - c) + (c+1)/2 — exact
+    half-integers folded at 12-dp DECIMAL), and the normal
+    approximation carries the standard tie correction
+    sum(t^3 - t)/48 in exact DECIMAL. Phi runs the shared erfc chain.
+
+    100 TB story: one corpus scan to the |d| value support
+    (char-length-domain-bounded); the cum window runs over that
+    support (allowlisted); W+ and the tie term are one fold."""
+    from phoebe_spark.operators import text as text_ops
+
+    d0 = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    nz = d0.select(
+        (
+            F.col("n_chars").cast("long")
+            - 5 * F.size(text_ops.tokens(F.col("text"))).cast("long")
+        ).alias("d")
+    ).filter(F.col("d") != 0)
+    grid = nz.groupBy(F.abs("d").alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("cpos"),
+    )
+    cum = grid.select(
+        "ad",
+        "c",
+        "cpos",
+        F.sum("c").over(
+            Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cc"),
+        F.sum("c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("long").alias("n"),
+    )
+    w = cum.agg(
+        F.max("n").alias("n"),
+        F.sum("cpos").cast("long").alias("npos"),
+        _fold12(
+            F.col("cpos") * ((F.col("cc") - F.col("c")) + (F.col("c") + 1.0) / 2.0)
+        ).alias("wplus"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * (F.col("c") - 1) * (F.col("c") + 1)
+        ).cast("decimal(38,0)").alias("ties"),
+    )
+    z_sign = (2.0 * F.col("npos") - F.col("n")) / F.sqrt(F.col("n").cast("double"))
+    z_wil = (
+        F.col("wplus") - F.col("n").cast("double") * (F.col("n") + 1.0) / 4.0
+    ) / F.sqrt(
+        F.col("n").cast("double") * (F.col("n") + 1.0) * (2.0 * F.col("n") + 1.0) / 24.0
+        - F.col("ties").cast("double") / 48.0
+    )
+    z = w.select(
+        "n", "npos", "wplus", z_sign.alias("z_sign"), z_wil.alias("z_wil")
+    )
+    p_s = 2.0 * (1.0 - _phi_col(F.abs(F.col("z_sign"))))
+    p_w = 2.0 * (1.0 - _phi_col(F.abs(F.col("z_wil"))))
+    return z.select(
+        F.col("n").alias("n_nonzero"),
+        F.col("npos").alias("n_positive"),
+        (F.round("z_sign", 6) + F.lit(0.0)).alias("sign_z"),
+        F.round(p_s, 6).alias("sign_p"),
+        F.round("wplus", 6).alias("w_plus"),
+        (F.round("z_wil", 6) + F.lit(0.0)).alias("wilcoxon_z"),
+        F.round(p_w, 6).alias("wilcoxon_p"),
+        F.when(p_w < 0.05, "shifted").otherwise("centered").alias("verdict"),
+    )
+
+
+@query(
+    "q459_cooks_distance",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(d AS DECIMAL(19,0)) * d) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(d AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM days
+    ),
+    c AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS xbar,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE) / n AS ssx,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE) AS b,
+             (CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE)
+              - CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+                * CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (n - 2.0)) AS s2,
+             (CAST(sy AS DOUBLE)
+              - CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)
+                * sx) / n AS a
+      FROM m
+    ),
+    dd AS (
+      SELECT days.d, days.y, c.n,
+             (days.y - c.a - c.b * days.d) AS e,
+             1.0 / c.n + (days.d - c.xbar) * (days.d - c.xbar) / c.ssx AS h,
+             c.s2
+      FROM days CROSS JOIN c
+    ),
+    cook AS (
+      SELECT d, y, n,
+             e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cd
+      FROM dd
+    )
+    SELECT max(n) AS n_days,
+           CAST(sum(CASE WHEN cd > 4.0 / n THEN 1 ELSE 0 END) AS BIGINT) AS n_influential,
+           round(max(cd), 6) AS max_cooks_d,
+           arg_max(d, cd) AS top_day,
+           CASE WHEN max(cd) > 1.0 THEN 'dominating_point' ELSE 'stable_fit' END AS verdict
+    FROM cook
+    """,
+)
+def q459_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence census (Cook 1977) for the simple
+    regression of daily order count on the day index: D_i = e_i^2 h_i
+    / (2 s^2 (1 - h_i)^2) with the closed-form leverage h_i = 1/n +
+    (x_i - xbar)^2 / Sxx — the regression-diagnostics companion to
+    q413's VIF and q432's trend read (disclosed kinship): it answers
+    "is the fitted trend REAL or one weird day's doing" by counting
+    days over the 4/n rule-of-thumb threshold and flagging any point
+    with D > 1 (both literals disclosed). Everything derives from ONE
+    exact DECIMAL moment row (slope, intercept, s^2, leverage) —
+    per-day D is closed-form arithmetic against that broadcast row;
+    the census is one aggregate with max_by for the worst day.
+
+    100 TB story: one corpus scan to the O(days) rollup, one moment
+    fold, one broadcast; no window, no sort, no second pass."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(_d19("d") * F.col("d")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d19("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(_d19("d") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nsxx = (_d19("n") * F.col("sxx") - _d19("sx") * F.col("sx")).cast("double")
+    nsxy = (_d19("n") * F.col("sxy") - _d19("sx") * F.col("sy")).cast("double")
+    nsyy = (_d19("n") * F.col("syy") - _d19("sy") * F.col("sy")).cast("double")
+    b = nsxy / nsxx
+    c = m.select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (nsxx / F.col("n")).alias("ssx"),
+        b.alias("b"),
+        ((nsyy - nsxy * nsxy / nsxx) / (F.col("n").cast("double") * (F.col("n") - 2.0))).alias("s2"),
+        ((F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    dd = days.crossJoin(F.broadcast(c)).select(
+        "d",
+        "y",
+        "n",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("d")).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("d") - F.col("xbar")) * (F.col("d") - F.col("xbar")) / F.col("ssx")
+        ).alias("h"),
+        "s2",
+    )
+    cook = dd.select(
+        "d",
+        "n",
+        (
+            F.col("e") * F.col("e") * F.col("h")
+            / (2.0 * F.col("s2") * (1.0 - F.col("h")) * (1.0 - F.col("h")))
+        ).alias("cd"),
+    )
+    return cook.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.when(F.col("cd") > 4.0 / F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_influential"),
+        F.round(F.max("cd"), 6).alias("max_cooks_d"),
+        F.expr("max_by(d, cd)").alias("top_day"),
+        F.when(F.max("cd") > 1.0, "dominating_point")
+        .otherwise("stable_fit")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q460_forecastability",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    tr AS (
+      SELECT d, y, d % 7 AS dow,
+             CASE WHEN count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                  THEN CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
+             END AS trend
+      FROM days
+    ),
+    det AS (
+      SELECT dow, y - trend AS dt FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_dow,
+             CAST(round(sum(CAST(round(dt, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_dt
+      FROM det GROUP BY 1
+    ),
+    smean AS (
+      SELECT dow, s_dt / n_dow AS s_raw,
+             CAST(round(sum(CAST(round(s_dt / n_dow, 12) AS DECIMAL(38,12))) OVER (), 12) AS DOUBLE) / 7.0 AS s_center
+      FROM seas
+    ),
+    sadj AS (SELECT dow, s_raw - s_center AS seasonal FROM smean),
+    comp AS (
+      SELECT t.y - t.trend - a.seasonal AS r,
+             t.y - t.trend AS sr,
+             t.y - a.seasonal AS tr2
+      FROM tr t JOIN sadj a ON a.dow = t.dow
+      WHERE t.trend IS NOT NULL
+    ),
+    v AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(round(r, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_r,
+             CAST(round(sum(CAST(round(r * r, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_rr,
+             CAST(round(sum(CAST(round(sr, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_s,
+             CAST(round(sum(CAST(round(sr * sr, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_ss,
+             CAST(round(sum(CAST(round(tr2, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_t,
+             CAST(round(sum(CAST(round(tr2 * tr2, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS s_tt
+      FROM comp
+    ),
+    f AS (
+      SELECT n,
+             (s_rr / n - (s_r / n) * (s_r / n)) AS var_r,
+             (s_ss / n - (s_s / n) * (s_s / n)) AS var_sr,
+             (s_tt / n - (s_t / n) * (s_t / n)) AS var_tr
+      FROM v
+    )
+    SELECT n AS n_days,
+           round(greatest(0.0, 1.0 - var_r / var_sr), 6) AS seasonal_strength,
+           round(greatest(0.0, 1.0 - var_r / var_tr), 6) AS trend_strength,
+           CASE WHEN greatest(0.0, 1.0 - var_r / var_sr) >= 0.6
+                 AND greatest(0.0, 1.0 - var_r / var_sr)
+                     >= greatest(0.0, 1.0 - var_r / var_tr) THEN 'seasonal'
+                WHEN greatest(0.0, 1.0 - var_r / var_tr) >= 0.6 THEN 'trending'
+                ELSE 'noisy' END AS verdict
+    FROM f
+    """,
+)
+def q460_forecastability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH of the daily order-count series
+    (Wang, Smith & Hyndman 2006; the STL-features measures behind
+    every "is this series worth a seasonal model" triage): F_seasonal
+    = max(0, 1 - Var(remainder)/Var(detrended)) and F_trend = max(0,
+    1 - Var(remainder)/Var(deseasonalized)), computed on the SAME
+    classical decomposition q444 reports (identical trend = centered
+    7-day MA over full windows, identical recentered day-of-week
+    seasonal — disclosed kinship), with the 0.6 triage threshold
+    disclosed. Near-zero strengths say the m1 forecaster should see
+    differenced noise; high seasonal strength says the weekly cadence
+    carries signal. All component folds run at 12-dp DECIMAL;
+    variances are population form E[x^2] - E[x]^2 (disclosed).
+
+    100 TB story: one corpus scan to the O(days) rollup; the moving
+    average and the strength folds run over that bounded frame
+    (allowlisted, the q444 shape); seasonal arithmetic is 7 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wma = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = days.select(
+        "d",
+        "y",
+        (F.col("d") % 7).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(wma) == 7,
+            F.sum("y").over(wma).cast("double") / 7.0,
+        ).alias("trend"),
+    ).localCheckpoint(eager=True)
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        "dow", (F.col("y") - F.col("trend")).alias("dt")
+    )
+    seas = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+        _fold12(F.col("dt")).alias("s_dt"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s_raw = F.col("s_dt") / F.col("n_dow")
+    s_center = (
+        F.round(
+            F.sum(F.round(s_raw, 12).cast("decimal(38,12)")).over(wall), 12
+        ).cast("double")
+        / 7.0
+    )
+    sadj = seas.select("dow", (s_raw - s_center).alias("seasonal"))
+    comp = (
+        tr.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(sadj), "dow")
+        .select(
+            (F.col("y") - F.col("trend") - F.col("seasonal")).alias("r"),
+            (F.col("y") - F.col("trend")).alias("sr"),
+            (F.col("y") - F.col("seasonal")).alias("tr2"),
+        )
+    )
+    v = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _fold12(F.col("r")).alias("s_r"),
+        _fold12(F.col("r") * F.col("r")).alias("s_rr"),
+        _fold12(F.col("sr")).alias("s_s"),
+        _fold12(F.col("sr") * F.col("sr")).alias("s_ss"),
+        _fold12(F.col("tr2")).alias("s_t"),
+        _fold12(F.col("tr2") * F.col("tr2")).alias("s_tt"),
+    )
+    var_r = F.col("s_rr") / F.col("n") - (F.col("s_r") / F.col("n")) * (F.col("s_r") / F.col("n"))
+    var_sr = F.col("s_ss") / F.col("n") - (F.col("s_s") / F.col("n")) * (F.col("s_s") / F.col("n"))
+    var_tr = F.col("s_tt") / F.col("n") - (F.col("s_t") / F.col("n")) * (F.col("s_t") / F.col("n"))
+    f = v.select(
+        "n",
+        F.greatest(F.lit(0.0), 1.0 - var_r / var_sr).alias("fs"),
+        F.greatest(F.lit(0.0), 1.0 - var_r / var_tr).alias("ft"),
+    )
+    return f.select(
+        F.col("n").alias("n_days"),
+        F.round("fs", 6).alias("seasonal_strength"),
+        F.round("ft", 6).alias("trend_strength"),
+        F.when((F.col("fs") >= 0.6) & (F.col("fs") >= F.col("ft")), "seasonal")
+        .when(F.col("ft") >= 0.6, "trending")
+        .otherwise("noisy")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q461_breusch_pagan",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days0 AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    b0 AS (SELECT min(d) AS dmin FROM days0),
+    days AS (
+      SELECT d - b0.dmin AS x, y FROM days0 CROSS JOIN b0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM days
+    ),
+    c AS (
+      SELECT n, sx, sxx,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)
+                * sx) / n AS a
+      FROM m
+    ),
+    g AS (
+      SELECT days.x,
+             (days.y - c.a - c.b * days.x) * (days.y - c.a - c.b * days.x) AS gg,
+             c.n, c.sx, c.sxx
+      FROM days CROSS JOIN c
+    ),
+    f AS (
+      SELECT max(n) AS n, max(sx) AS sx, max(sxx) AS sxx,
+             CAST(round(sum(CAST(round(gg, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sg,
+             CAST(round(sum(CAST(round(gg * x, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sgx,
+             CAST(round(sum(CAST(round(gg * gg, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sgg
+      FROM g
+    ),
+    lm AS (
+      SELECT n,
+             CAST(n AS DOUBLE)
+               * ((n * sgx - sg * sx) * (n * sgx - sg * sx))
+               / ((CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE))
+                  * (n * sgg - sg * sg)) AS lm_stat
+      FROM f
+    )
+    SELECT n AS n_days,
+           round(lm_stat, 6) AS lm_stat,
+           round(2.0 * (1.0 - {phi}), 6) AS p_value,
+           CASE WHEN 2.0 * (1.0 - {phi}) < 0.05
+                THEN 'heteroscedastic' ELSE 'homoscedastic' END AS verdict
+    FROM lm
+    """.replace("{phi}", _phi_sql("sqrt(lm_stat)")),
+)
+def q461_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Breusch & Pagan 1979;
+    the Koenker studentized LM form n*R^2, disclosed) on the daily
+    order-count trend regression: do squared residuals grow with the
+    day index? A significant LM means q459's s^2 and every OLS
+    standard error on this series (q432's t included, disclosed
+    kinship) is mis-stated and needs robust errors. Two exact stages:
+    the trend fit comes from exact DECIMAL moments (x re-based to
+    d - min(d) so fourth-order products stay in range, disclosed);
+    squared residuals g are closed-form doubles against that broadcast
+    row, and the auxiliary regression's moments (sum g, sum g*x,
+    sum g^2) fold at 12-dp DECIMAL so day order cannot move them.
+    With one regressor the null is chi-square(1), whose survival
+    function is EXACTLY 2(1 - Phi(sqrt(LM))) on the shared erfc chain.
+
+    100 TB story: one corpus scan to the O(days) rollup, two moment
+    folds over it, one broadcast 1-row join between them — no window,
+    no sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days0 = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    b0 = days0.agg(F.min("d").alias("dmin"))
+    days = days0.crossJoin(F.broadcast(b0)).select(
+        (F.col("d") - F.col("dmin")).alias("x"), "y"
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(_d19("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d19("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nsxx = (_d19("n") * F.col("sxx") - _d19("sx") * F.col("sx")).cast("double")
+    nsxy = (_d19("n") * F.col("sxy") - _d19("sx") * F.col("sy")).cast("double")
+    b = nsxy / nsxx
+    c = m.select(
+        "n", "sx", "sxx",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    g = days.crossJoin(F.broadcast(c)).select(
+        "x",
+        (
+            (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+            * (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+        ).alias("gg"),
+        "n", "sx", "sxx",
+    )
+    f = g.agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sxx").alias("sxx"),
+        _fold12(F.col("gg")).alias("sg"),
+        _fold12(F.col("gg") * F.col("x")).alias("sgx"),
+        _fold12(F.col("gg") * F.col("gg")).alias("sgg"),
+    )
+    nsxx2 = (_d19("n") * F.col("sxx") - _d19("sx") * F.col("sx")).cast("double")
+    lm_stat = (
+        F.col("n").cast("double")
+        * (
+            (F.col("n") * F.col("sgx") - F.col("sg") * F.col("sx"))
+            * (F.col("n") * F.col("sgx") - F.col("sg") * F.col("sx"))
+        )
+        / (nsxx2 * (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")))
+    )
+    lm = f.select("n", lm_stat.alias("lm_stat"))
+    p = 2.0 * (1.0 - _phi_col(F.sqrt(F.col("lm_stat"))))
+    return lm.select(
+        F.col("n").alias("n_days"),
+        F.round("lm_stat", 6).alias("lm_stat"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p < 0.05, "heteroscedastic").otherwise("homoscedastic").alias("verdict"),
+    )
+
+
+@query(
+    "q462_page_trend",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1),
+    wk AS (
+      SELECT d // 7 AS w, d % 7 AS j, y,
+             CAST(count(*) OVER (PARTITION BY d // 7) AS BIGINT) AS wdays
+      FROM days
+    ),
+    full_wk AS (SELECT w, j, y FROM wk WHERE wdays = 7),
+    rk AS (
+      SELECT w, j,
+             rank() OVER (PARTITION BY w ORDER BY y) AS r,
+             CAST(count(*) OVER (PARTITION BY w, y) AS BIGINT) AS ct
+      FROM full_wk
+    ),
+    mr AS (
+      SELECT j, CAST(round(sum(CAST(round(r + (ct - 1.0) / 2.0, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS rj
+      FROM rk GROUP BY 1
+    ),
+    l AS (
+      SELECT CAST(round(sum(CAST(round((j + 1.0) * rj, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS lstat
+      FROM mr
+    ),
+    mm AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS m FROM full_wk
+    ),
+    z AS (
+      SELECT mm.m, l.lstat,
+             (l.lstat - mm.m * 7.0 * 64.0 / 4.0)
+               / sqrt(mm.m * 49.0 * 8.0 * 48.0 / 144.0) AS zstat
+      FROM l CROSS JOIN mm
+    )
+    SELECT m AS n_weeks,
+           round(lstat, 6) AS l_stat,
+           round(zstat, 6) + 0.0 AS z,
+           round(2.0 * (1.0 - {phi}), 6) AS p_value,
+           CASE WHEN 2.0 * (1.0 - {phi}) < 0.05
+                THEN 'weekday_trend' ELSE 'no_weekday_trend' END AS verdict
+    FROM z
+    """.replace("{phi}", _phi_sql("abs(zstat)")),
+)
+def q462_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for ordered alternatives (Page 1963) on the
+    weekly block design: within each FULL epoch week (7 observed days,
+    partial weeks drop — disclosed), rank the 7 daily order counts and
+    test whether ranks trend MONOTONICALLY across the weekday index —
+    the ordered-alternative upgrade of a Friedman test (disclosed
+    kinship: Friedman asks "any weekday difference", Page asks
+    "ordered by weekday position"), L = sum_j (j+1) * R_j with the
+    normal approximation E[L] = mk(k+1)^2/4, Var = mk^2(k+1)(k^2-1)/144
+    (k = 7; ties get midranks, which conservatively shrink the
+    variance — disclosed). Midranks come from rank() + (t-1)/2 inside
+    each week partition (exact half-integers, folded at 12-dp
+    DECIMAL); Phi runs the shared erfc chain.
+
+    100 TB story: one corpus scan to the O(days) rollup; ranks are a
+    window PARTITIONED by week (7-row partitions); L folds over 7
+    weekday rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wk = days.select(
+        F.expr("d div 7").alias("w"),
+        (F.col("d") % 7).alias("j"),
+        "y",
+        F.count(F.lit(1)).over(Window.partitionBy(F.expr("d div 7"))).cast("long").alias("wdays"),
+    )
+    full_wk = wk.filter(F.col("wdays") == 7).select("w", "j", "y")
+    rk = full_wk.select(
+        "w",
+        "j",
+        F.rank().over(Window.partitionBy("w").orderBy("y")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("w", "y")).cast("long").alias("ct"),
+    )
+    mr = rk.groupBy("j").agg(
+        _fold12(F.col("r") + (F.col("ct") - 1.0) / 2.0).alias("rj"),
+    )
+    l = mr.agg(
+        _fold12((F.col("j") + 1.0) * F.col("rj")).alias("lstat"),
+    )
+    mm = full_wk.agg(F.countDistinct("w").cast("long").alias("m"))
+    z = l.crossJoin(F.broadcast(mm)).select(
+        "m",
+        "lstat",
+        (
+            (F.col("lstat") - F.col("m") * 7.0 * 64.0 / 4.0)
+            / F.sqrt(F.col("m") * 49.0 * 8.0 * 48.0 / 144.0)
+        ).alias("zstat"),
+    )
+    p = 2.0 * (1.0 - _phi_col(F.abs(F.col("zstat"))))
+    return z.select(
+        F.col("m").alias("n_weeks"),
+        F.round("lstat", 6).alias("l_stat"),
+        (F.round("zstat", 6) + F.lit(0.0)).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p < 0.05, "weekday_trend").otherwise("no_weekday_trend").alias("verdict"),
+    )
