@@ -6043,7 +6043,10 @@ def q448_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"),
     )
-    days = o.groupBy("d").agg(F.sum("yc").cast("long").alias("y"))
+    days = (
+        o.groupBy("d").agg(F.sum("yc").cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
 
     def _d19(c):
         return F.col(c).cast("decimal(19,0)")
@@ -6334,16 +6337,22 @@ def q450_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
     )
-    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    days = (
+        o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
     m = days.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("s1"),
     )
     tab = spark.createDataFrame(_DFT_TAB, "p INT, r INT, co DOUBLE, si DOUBLE")
+    periods = F.array(*[F.lit(pp) for pp in _DFT_PERIODS])
     grid = (
         days.crossJoin(F.broadcast(m))
         .select("d", (F.col("y") - F.col("s1").cast("double") / F.col("n")).alias("yc"))
-        .join(F.broadcast(tab), F.col("r") == F.col("d") % F.col("p"))
+        .select("d", "yc", F.explode(periods).alias("p"))
+        .withColumn("r", (F.col("d") % F.col("p")).cast("int"))
+        .join(F.broadcast(tab), ["p", "r"])
     )
 
     def _fold12(x):

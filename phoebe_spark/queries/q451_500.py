@@ -938,7 +938,10 @@ def q459_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
     )
-    days = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    days = (
+        o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
 
     def _d19(c):
         return F.col(c).cast("decimal(19,0)")
@@ -1222,7 +1225,10 @@ def q461_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
     )
-    days0 = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    days0 = (
+        o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
     b0 = days0.agg(F.min("d").alias("dmin"))
     days = days0.crossJoin(F.broadcast(b0)).select(
         (F.col("d") - F.col("dmin")).alias("x"), "y"
