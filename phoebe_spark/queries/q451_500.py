@@ -1390,3 +1390,948 @@ def q462_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_value"),
         F.when(p < 0.05, "weekday_trend").otherwise("no_weekday_trend").alias("verdict"),
     )
+
+
+@query(
+    "q463_mantel_haenszel",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_nationkey AS nat,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS e,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS h
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT nat,
+             CAST(sum(e * h) AS BIGINT) AS a,
+             CAST(sum(e * (1 - h)) AS BIGINT) AS b,
+             CAST(sum((1 - e) * h) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - h)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY 1
+    ),
+    ok AS (SELECT * FROM cells WHERE a + b > 0 AND c + d > 0 AND n > 1),
+    f AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(round(sum(CAST(round(CAST(a AS DOUBLE) * d / n, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sad,
+             CAST(round(sum(CAST(round(CAST(b AS DOUBLE) * c / n, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sbc,
+             CAST(round(sum(CAST(round(CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE) * (a + c) / n, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS dev,
+             CAST(round(sum(CAST(round(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                                       / (CAST(n AS DOUBLE) * n * (n - 1.0)), 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS vr
+      FROM ok
+    ),
+    t AS (
+      SELECT k, sad / sbc AS mh_or, dev * dev / vr AS cmh
+      FROM f
+    )
+    SELECT k AS n_strata,
+           round(mh_or, 6) AS mh_odds_ratio,
+           round(cmh, 6) AS cmh_chi2,
+           round(2.0 * (1.0 - {phi}), 6) AS p_value,
+           CASE WHEN 2.0 * (1.0 - {phi}) < 0.05
+                THEN 'associated' ELSE 'independent' END AS verdict
+    FROM t
+    """.replace("{phi}", _phi_sql("sqrt(cmh)")),
+)
+def q463_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + Cochran-Mantel-Haenszel test
+    (Mantel & Haenszel 1959) of segment -> urgency association
+    STRATIFIED by customer nation: OR_MH = sum(a_i d_i / n_i) /
+    sum(b_i c_i / n_i) with the CMH chi-square(1) from per-stratum
+    hypergeometric means and variances — the confounder-adjusted
+    upgrade of q434's crude 2x2 (disclosed kinship: if nations differ
+    in both segment mix and urgency base rate, the crude ratio is
+    Simpson-biased; MH pools the within-stratum evidence). Degenerate
+    strata (an empty margin or n <= 1) drop fail-safe (disclosed,
+    counted via n_strata). The chi-square(1) survival is EXACTLY
+    2(1 - Phi(sqrt(X))); per-stratum terms fold at 12-dp DECIMAL.
+
+    100 TB story: ONE map-side-combining aggregate to the 25-nation
+    cell grid; everything after runs on that bounded frame."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("e"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("h"),
+    )
+    cells = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("nat")
+        .agg(
+            F.sum(F.col("e") * F.col("h")).cast("long").alias("a"),
+            F.sum(F.col("e") * (1 - F.col("h"))).cast("long").alias("b"),
+            F.sum((1 - F.col("e")) * F.col("h")).cast("long").alias("c"),
+            F.sum((1 - F.col("e")) * (1 - F.col("h"))).cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    ok = cells.filter(
+        (F.col("a") + F.col("b") > 0) & (F.col("c") + F.col("d") > 0) & (F.col("n") > 1)
+    )
+    nD = F.col("n").cast("double")
+    f = ok.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _fold12(F.col("a").cast("double") * F.col("d") / F.col("n")).alias("sad"),
+        _fold12(F.col("b").cast("double") * F.col("c") / F.col("n")).alias("sbc"),
+        _fold12(
+            F.col("a").cast("double")
+            - (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")) / F.col("n")
+        ).alias("dev"),
+        _fold12(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nD * nD * (nD - 1.0))
+        ).alias("vr"),
+    )
+    t = f.select(
+        "k",
+        (F.col("sad") / F.col("sbc")).alias("mh_or"),
+        (F.col("dev") * F.col("dev") / F.col("vr")).alias("cmh"),
+    )
+    p = 2.0 * (1.0 - _phi_col(F.sqrt(F.col("cmh"))))
+    return t.select(
+        F.col("k").alias("n_strata"),
+        F.round("mh_or", 6).alias("mh_odds_ratio"),
+        F.round("cmh", 6).alias("cmh_chi2"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p < 0.05, "associated").otherwise("independent").alias("verdict"),
+    )
+
+
+@query(
+    "q464_seasonal_mann_kendall",
+    oracle="""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    days AS (
+      SELECT d, d % 7 AS j, CAST(count(*) AS BIGINT) AS y FROM o GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.j,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS sj
+      FROM days a JOIN days b ON b.j = a.j AND b.d > a.d
+      GROUP BY 1
+    ),
+    nj AS (
+      SELECT j, CAST(count(*) AS BIGINT) AS n FROM days GROUP BY 1
+    ),
+    ties AS (
+      SELECT j, CAST(sum(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5)) AS DECIMAL(38,0)) AS tt
+      FROM (SELECT j, y, CAST(count(*) AS BIGINT) AS t FROM days GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    vj AS (
+      SELECT nj.j, p.sj,
+             (CAST(nj.n AS DOUBLE) * (nj.n - 1.0) * (2.0 * nj.n + 5.0)
+              - CAST(t.tt AS DOUBLE)) / 18.0 AS var_j
+      FROM nj JOIN pairs p ON p.j = nj.j JOIN ties t ON t.j = nj.j
+    ),
+    tot AS (
+      SELECT CAST(sum(sj) AS BIGINT) AS s,
+             CAST(round(sum(CAST(round(var_j, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS v
+      FROM vj
+    ),
+    z AS (
+      SELECT s, v,
+             CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(v)
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(v)
+                  ELSE 0.0 END AS zstat
+      FROM tot
+    )
+    SELECT s AS sk_stat,
+           round(v, 6) AS variance,
+           round(zstat, 6) + 0.0 AS z,
+           round(2.0 * (1.0 - {phi}), 6) AS p_value,
+           CASE WHEN 2.0 * (1.0 - {phi}) < 0.05
+                THEN (CASE WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END)
+                ELSE 'no_trend' END AS verdict
+    FROM z
+    """.replace("{phi}", _phi_sql("abs(zstat)")),
+)
+def q464_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) on daily
+    order counts with WEEKDAY seasons: the MK sign statistic runs
+    separately within each day-of-week series (so the weekly cadence
+    q444 measures can never masquerade as trend — the failure mode of
+    a plain MK on seasonal data, disclosed kinship), then S = sum S_j
+    and Var = sum Var_j with the standard tie correction
+    sum t(t-1)(2t+5) per season and the +/-1 continuity correction.
+    Pair enumeration is a within-weekday self-join of the day rollup —
+    O(sum n_j^2) pairs, calendar-bounded and SF-INDEPENDENT — folded
+    immediately to 7 sign sums; tie terms come from exact (weekday,
+    value) counts in DECIMAL.
+
+    100 TB story: one corpus scan to the O(days) rollup; the pair join
+    runs on that bounded frame (constant in corpus size); everything
+    after is a 7-row fold."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+    )
+    days = (
+        o.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .select("d", (F.col("d") % 7).alias("j"), "y")
+        .localCheckpoint(eager=True)
+    )
+    a = days.select(F.col("j").alias("ja"), F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = days.select(F.col("j").alias("jb"), F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, (F.col("jb") == F.col("ja")) & (F.col("db") > F.col("da")))
+        .groupBy(F.col("ja").alias("j"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).cast("long").alias("sj")
+        )
+    )
+    nj = days.groupBy("j").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        days.groupBy("j", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(19,0)") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("decimal(38,0)").alias("tt")
+        )
+    )
+    vj = nj.join(pairs, "j").join(ties, "j").select(
+        "j",
+        "sj",
+        (
+            (
+                F.col("n").cast("double") * (F.col("n") - 1.0) * (2.0 * F.col("n") + 5.0)
+                - F.col("tt").cast("double")
+            )
+            / 18.0
+        ).alias("var_j"),
+    )
+    tot = vj.agg(
+        F.sum("sj").cast("long").alias("s"),
+        _fold12(F.col("var_j")).alias("v"),
+    )
+    z = tot.select(
+        "s",
+        "v",
+        F.when(F.col("s") > 0, (F.col("s").cast("double") - 1.0) / F.sqrt("v"))
+        .when(F.col("s") < 0, (F.col("s").cast("double") + 1.0) / F.sqrt("v"))
+        .otherwise(0.0)
+        .alias("zstat"),
+    )
+    p = 2.0 * (1.0 - _phi_col(F.abs(F.col("zstat"))))
+    return z.select(
+        F.col("s").alias("sk_stat"),
+        F.round("v", 6).alias("variance"),
+        (F.round("zstat", 6) + F.lit(0.0)).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(
+            p < 0.05,
+            F.when(F.col("s") > 0, "increasing").otherwise("decreasing"),
+        )
+        .otherwise("no_trend")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q465_partial_correlation",
+    oracle="""
+    WITH od AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    ld AS (
+      SELECT datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (SELECT od.d AS z, od.x, ld.y FROM od JOIN ld ON ld.d = od.d),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(z AS DECIMAL(19,0)) * z) AS DECIMAL(38,0)) AS szz,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * z) AS DECIMAL(38,0)) AS sxz,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * z) AS DECIMAL(38,0)) AS syz
+      FROM j
+    ),
+    r AS (
+      SELECT n,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+               / sqrt(CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)
+                      * CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE)) AS rxy,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxz - CAST(sx AS DECIMAL(19,0)) * sz AS DOUBLE)
+               / sqrt(CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)
+                      * CAST(CAST(n AS DECIMAL(19,0)) * szz - CAST(sz AS DECIMAL(19,0)) * sz AS DOUBLE)) AS rxz,
+             CAST(CAST(n AS DECIMAL(19,0)) * syz - CAST(sy AS DECIMAL(19,0)) * sz AS DOUBLE)
+               / sqrt(CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE)
+                      * CAST(CAST(n AS DECIMAL(19,0)) * szz - CAST(sz AS DECIMAL(19,0)) * sz AS DOUBLE)) AS ryz
+      FROM m
+    ),
+    pc AS (
+      SELECT n, rxy, rxz, ryz,
+             (rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS rp
+      FROM r
+    ),
+    tt AS (
+      SELECT n, rxy, rp,
+             rp * sqrt((n - 3.0) / (1.0 - rp * rp)) AS tstat
+      FROM pc
+    )
+    SELECT n AS n_days,
+           round(rxy, 6) + 0.0 AS r_raw,
+           round(rp, 6) + 0.0 AS r_partial,
+           round(tstat, 6) + 0.0 AS t_stat,
+           CASE WHEN abs(tstat) > 1.96 THEN 'correlated_beyond_trend'
+                ELSE 'trend_explains_it' END AS verdict
+    FROM tt
+    """,
+)
+def q465_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily order arrivals and daily line
+    shipments CONTROLLING for the day index (Fisher; the recipe
+    r_xy.z = (r_xy - r_xz r_yz)/sqrt((1-r_xz^2)(1-r_yz^2))): both
+    series trend with time, so their raw correlation (q451's lag-0 CCF,
+    disclosed kinship) is partly spurious — partialling out the
+    calendar says how much co-movement REMAINS day-to-day. The
+    large-sample t = r sqrt((n-3)/(1-r^2)) against 1.96 is disclosed.
+    All three pairwise correlations derive from ONE exact DECIMAL
+    moment row over the joined day frame — no windows, no second pass.
+
+    100 TB story: two corpus scans collapse to O(days) rollups; one
+    day-key join; ONE moment fold; closed form on one row."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .select(F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    ld = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.datediff("l_shipdate", F.lit("1970-01-01")).cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    j = od.join(ld, "d").select(F.col("d").alias("z"), "x", "y")
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(_d19("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d19("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(_d19("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(_d19("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(_d19("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(_d19("y") * F.col("z")).cast("decimal(38,0)").alias("syz"),
+    )
+
+    def _corr(sab, sa, sb, saa, sbb):
+        num = (_d19("n") * F.col(sab) - _d19(sa) * F.col(sb)).cast("double")
+        da = (_d19("n") * F.col(saa) - _d19(sa) * F.col(sa)).cast("double")
+        db = (_d19("n") * F.col(sbb) - _d19(sb) * F.col(sb)).cast("double")
+        return num / F.sqrt(da * db)
+
+    r = m.select(
+        "n",
+        _corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        _corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        _corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    rp = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (1.0 - F.col("rxz") * F.col("rxz")) * (1.0 - F.col("ryz") * F.col("ryz"))
+    )
+    pc = r.select("n", "rxy", rp.alias("rp"))
+    tstat = F.col("rp") * F.sqrt((F.col("n") - 3.0) / (1.0 - F.col("rp") * F.col("rp")))
+    tt = pc.select("n", "rxy", "rp", tstat.alias("tstat"))
+    return tt.select(
+        F.col("n").alias("n_days"),
+        (F.round("rxy", 6) + F.lit(0.0)).alias("r_raw"),
+        (F.round("rp", 6) + F.lit(0.0)).alias("r_partial"),
+        (F.round("tstat", 6) + F.lit(0.0)).alias("t_stat"),
+        F.when(F.abs("tstat") > 1.96, "correlated_beyond_trend")
+        .otherwise("trend_explains_it")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q466_granger_causality",
+    oracle="""
+    WITH od AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    ld AS (
+      SELECT datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (SELECT od.d, od.x, ld.y FROM od JOIN ld ON ld.d = od.d),
+    ser AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY d) AS l1,
+             lag(x) OVER (ORDER BY d) AS l2
+      FROM j
+    ),
+    t AS (SELECT y, l1, l2 FROM ser WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(l1) AS BIGINT) AS s1,
+             CAST(sum(l2) AS BIGINT) AS s2,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(l1 AS DECIMAL(19,0)) * l1) AS DECIMAL(38,0)) AS s11,
+             CAST(sum(CAST(l2 AS DECIMAL(19,0)) * l2) AS DECIMAL(38,0)) AS s22,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * l1) AS DECIMAL(38,0)) AS sy1,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * l2) AS DECIMAL(38,0)) AS sy2,
+             CAST(sum(CAST(l1 AS DECIMAL(19,0)) * l2) AS DECIMAL(38,0)) AS s12
+      FROM m_src
+    ),
+    c AS (
+      SELECT n,
+             CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE) AS cyy,
+             CAST(CAST(n AS DECIMAL(19,0)) * s11 - CAST(s1 AS DECIMAL(19,0)) * s1 AS DOUBLE) AS c11,
+             CAST(CAST(n AS DECIMAL(19,0)) * s22 - CAST(s2 AS DECIMAL(19,0)) * s2 AS DOUBLE) AS c22,
+             CAST(CAST(n AS DECIMAL(19,0)) * sy1 - CAST(sy AS DECIMAL(19,0)) * s1 AS DOUBLE) AS cy1,
+             CAST(CAST(n AS DECIMAL(19,0)) * sy2 - CAST(sy AS DECIMAL(19,0)) * s2 AS DOUBLE) AS cy2,
+             CAST(CAST(n AS DECIMAL(19,0)) * s12 - CAST(s1 AS DECIMAL(19,0)) * s2 AS DOUBLE) AS c12
+      FROM m
+    ),
+    fit AS (
+      SELECT n,
+             cyy - (c11 * cy2 * cy2 - 2.0 * c12 * cy1 * cy2 + c22 * cy1 * cy1)
+                   / (c11 * c22 - c12 * c12) AS sse_full,
+             cyy - cy1 * cy1 / c11 AS sse_restr
+      FROM c
+    ),
+    fstat AS (
+      SELECT n,
+             (sse_restr - sse_full) / (sse_full / (n - 3.0)) AS f
+      FROM fit
+    )
+    SELECT n AS n_days,
+           round(f, 6) AS f_stat,
+           round(2.0 * (1.0 - {phi}), 6) AS p_value,
+           CASE WHEN 2.0 * (1.0 - {phi}) < 0.05
+                THEN 'orders_help_predict' ELSE 'no_incremental_signal' END AS verdict
+    FROM fstat
+    """.replace("FROM m_src", "FROM t").replace("{phi}", _phi_sql("sqrt(f)")),
+)
+def q466_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger causality test (Granger 1969): does YESTERDAY'S
+    order count improve the prediction of today's shipment count beyond
+    yesterday's shipment count alone? F = (SSE_restricted - SSE_full) /
+    (SSE_full / (n-3)) comparing y_t ~ [1, y_{t-1}] against y_t ~
+    [1, y_{t-1}, x_{t-1}], with the 2-regressor OLS solved in CLOSED
+    FORM from centered DECIMAL cross-moments (the 2x2 normal equations
+    inverted symbolically — no iteration, no matrix library). The
+    directional upgrade of q451's symmetric CCF (disclosed kinship);
+    the large-sample chi-square(1) p-value 2(1 - Phi(sqrt(F))) is
+    disclosed (F(1, n-3) -> chi2(1) at this n). The lag pass is one
+    window over the O(days) rollup (allowlisted).
+
+    100 TB story: two corpus scans collapse to O(days) rollups; one
+    day-key join, one lag window over the bounded day frame, ONE
+    moment fold; closed form on one row."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .select(F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    ld = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.datediff("l_shipdate", F.lit("1970-01-01")).cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    j = od.join(ld, "d").select("d", "x", "y")
+    wd = Window.orderBy("d")
+    t = j.select(
+        "y",
+        F.lag("y").over(wd).alias("l1"),
+        F.lag("x").over(wd).alias("l2"),
+    ).filter(F.col("l1").isNotNull() & F.col("l2").isNotNull())
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("l1").cast("long").alias("s1"),
+        F.sum("l2").cast("long").alias("s2"),
+        F.sum(_d19("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(_d19("l1") * F.col("l1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(_d19("l2") * F.col("l2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(_d19("y") * F.col("l1")).cast("decimal(38,0)").alias("sy1"),
+        F.sum(_d19("y") * F.col("l2")).cast("decimal(38,0)").alias("sy2"),
+        F.sum(_d19("l1") * F.col("l2")).cast("decimal(38,0)").alias("s12"),
+    )
+
+    def _c(sab, sa, sb):
+        return (_d19("n") * F.col(sab) - _d19(sa) * F.col(sb)).cast("double")
+
+    c = m.select(
+        "n",
+        _c("syy", "sy", "sy").alias("cyy"),
+        _c("s11", "s1", "s1").alias("c11"),
+        _c("s22", "s2", "s2").alias("c22"),
+        _c("sy1", "sy", "s1").alias("cy1"),
+        _c("sy2", "sy", "s2").alias("cy2"),
+        _c("s12", "s1", "s2").alias("c12"),
+    )
+    sse_full = F.col("cyy") - (
+        F.col("c11") * F.col("cy2") * F.col("cy2")
+        - 2.0 * F.col("c12") * F.col("cy1") * F.col("cy2")
+        + F.col("c22") * F.col("cy1") * F.col("cy1")
+    ) / (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12"))
+    sse_restr = F.col("cyy") - F.col("cy1") * F.col("cy1") / F.col("c11")
+    fit = c.select("n", sse_full.alias("sse_full"), sse_restr.alias("sse_restr"))
+    fstat = fit.select(
+        "n",
+        (
+            (F.col("sse_restr") - F.col("sse_full"))
+            / (F.col("sse_full") / (F.col("n") - 3.0))
+        ).alias("f"),
+    )
+    p = 2.0 * (1.0 - _phi_col(F.sqrt(F.col("f"))))
+    return fstat.select(
+        F.col("n").alias("n_days"),
+        F.round("f", 6).alias("f_stat"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p < 0.05, "orders_help_predict")
+        .otherwise("no_incremental_signal")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q467_diagnostic_suite",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS truth
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(sum(pred * truth) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - truth)) AS BIGINT) AS fp,
+             CAST(sum((1 - pred) * truth) AS BIGINT) AS fn,
+             CAST(sum((1 - pred) * (1 - truth)) AS BIGINT) AS tn
+      FROM s
+    ),
+    r AS (
+      SELECT tp, fp, fn, tn,
+             CAST(tp AS DOUBLE) / (tp + fn) AS sens,
+             CAST(tn AS DOUBLE) / (tn + fp) AS spec
+      FROM m
+    )
+    SELECT tp + fp + fn + tn AS n_orders,
+           round(sens, 6) AS sensitivity,
+           round(spec, 6) AS specificity,
+           round(sens + spec - 1.0, 6) + 0.0 AS youden_j,
+           round(sens / (1.0 - spec), 6) AS lr_positive,
+           round((1.0 - sens) / spec, 6) AS lr_negative,
+           round((CAST(tp AS DOUBLE) * tn) / (CAST(fp AS DOUBLE) * fn), 6) AS diagnostic_or
+    FROM r
+    """,
+)
+def q467_diagnostic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic-test suite (sensitivity, specificity, Youden's J,
+    likelihood ratios, diagnostic odds ratio; Youden 1950) for the
+    cheap screen "totalprice > 200000" (literal disclosed) against the
+    urgent-priority label: the 2x2 confusion summary every triage rule
+    should publish BEFORE being deployed as a filter — J near 0 means
+    the rule is no better than chance at any prevalence, and the
+    likelihood ratios are prevalence-free (unlike q389's calibration
+    or q386's ranking metrics — disclosed kinship: those grade scores,
+    this grades a FIXED decision rule). Counts are exact BIGINTs from
+    ONE aggregate; every derived measure is closed-form on one row.
+
+    100 TB story: ONE map-side-combining aggregate to a single 2x2
+    row; no join, no window, no second pass."""
+    s = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") > 200000, 1).otherwise(0).alias("pred"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("truth"),
+    )
+    m = s.agg(
+        F.sum(F.col("pred") * F.col("truth")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("truth"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("truth")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("truth"))).cast("long").alias("tn"),
+    )
+    sens = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    spec = F.col("tn").cast("double") / (F.col("tn") + F.col("fp"))
+    r = m.select("tp", "fp", "fn", "tn", sens.alias("sens"), spec.alias("spec"))
+    return r.select(
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).alias("n_orders"),
+        F.round("sens", 6).alias("sensitivity"),
+        F.round("spec", 6).alias("specificity"),
+        (F.round(F.col("sens") + F.col("spec") - 1.0, 6) + F.lit(0.0)).alias("youden_j"),
+        F.round(F.col("sens") / (1.0 - F.col("spec")), 6).alias("lr_positive"),
+        F.round((1.0 - F.col("sens")) / F.col("spec"), 6).alias("lr_negative"),
+        F.round(
+            (F.col("tp").cast("double") * F.col("tn"))
+            / (F.col("fp").cast("double") * F.col("fn")),
+            6,
+        ).alias("diagnostic_or"),
+    )
+
+
+@query(
+    "q468_tukey_fences",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT flag, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, v, c,
+             CAST(sum(c) OVER (PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM grid
+    ),
+    q AS (
+      SELECT flag, max(n) AS n,
+             CAST(sum(CASE WHEN cc - c < (n + 3) // 4 AND (n + 3) // 4 <= cc THEN v END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN cc - c < (n + 1) // 2 AND (n + 1) // 2 <= cc THEN v END) AS BIGINT) AS med,
+             CAST(sum(CASE WHEN cc - c < (3 * n + 1) // 4 AND (3 * n + 1) // 4 <= cc THEN v END) AS BIGINT) AS q3
+      FROM cum GROUP BY 1
+    ),
+    f AS (
+      SELECT flag, n, q1, med, q3,
+             CAST(q1 - 1.5 * (q3 - q1) AS DOUBLE) AS lo,
+             CAST(q3 + 1.5 * (q3 - q1) AS DOUBLE) AS hi
+      FROM q
+    )
+    SELECT f.flag, f.n AS n_lines, f.q1, f.med, f.q3,
+           round(f.lo, 6) AS fence_low,
+           round(f.hi, 6) AS fence_high,
+           CAST(coalesce(sum(CASE WHEN g.v < f.lo OR g.v > f.hi THEN g.c END), 0) AS BIGINT) AS n_outliers
+    FROM f JOIN grid g ON g.flag = f.flag
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def q468_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot five-number summary + 1.5*IQR fence outlier census
+    of line quantity per return flag (Tukey 1977): nearest-rank
+    quartiles at ranks ceil(n/4), ceil(n/2), ceil(3n/4) (disclosed —
+    NO interpolation, so every statistic is an exact integer from the
+    bounded 1..50 value support), fences at Q1/Q3 -/+ 1.5 IQR, and the
+    exact count of lines beyond them — the distribution-free outlier
+    census that complements q448's normal-theory Grubbs (disclosed
+    kinship: Grubbs assumes normality; fences assume nothing). The
+    census re-reads only the (flag, value) GRID, never corpus rows.
+
+    100 TB story: ONE map-side-combining aggregate to the <= 150-row
+    grid; quartile lookup and the census both run on that frame
+    (cum windows PARTITIONED by flag)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("v"),
+    )
+    grid = (
+        li.groupBy("flag", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "flag",
+        "v",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(Window.partitionBy("flag")).cast("long").alias("n"),
+    )
+
+    def _at(rank_expr):
+        rk = F.expr(rank_expr)
+        return F.sum(
+            F.when((F.col("cc") - F.col("c") < rk) & (rk <= F.col("cc")), F.col("v"))
+        ).cast("long")
+
+    q = cum.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        _at("(n + 3) div 4").alias("q1"),
+        _at("(n + 1) div 2").alias("med"),
+        _at("(3 * n + 1) div 4").alias("q3"),
+    )
+    f = q.select(
+        "flag", "n", "q1", "med", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    cens = (
+        f.join(grid.select(F.col("flag").alias("gflag"), "v", "c"),
+               F.col("gflag") == F.col("flag"))
+        .groupBy("flag", "n", "q1", "med", "q3", "lo", "hi")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), F.col("c"))
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_outliers")
+        )
+    )
+    return cens.select(
+        "flag",
+        F.col("n").alias("n_lines"),
+        "q1",
+        "med",
+        "q3",
+        F.round("lo", 6).alias("fence_low"),
+        F.round("hi", 6).alias("fence_high"),
+        "n_outliers",
+    )
+
+
+@query(
+    "q469_delta_method_ratio",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+             CAST(count(*) AS BIGINT) AS y,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM cust GROUP BY 1
+    ),
+    r AS (
+      SELECT seg, n,
+             CAST(sx AS DOUBLE) / sy AS ratio,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             (CAST(CAST(n AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0))
+              - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                * CAST(CAST(n AS DECIMAL(19,0)) * sxy - sx * CAST(sy AS DECIMAL(19,0)) AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0))
+              + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                * CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0))
+             ) AS var_lin
+      FROM m
+    ),
+    ci AS (
+      SELECT seg, n, ratio, ybar,
+             sqrt(var_lin / n) / ybar AS se
+      FROM r
+    )
+    SELECT seg AS segment, n AS n_customers,
+           round(ratio / 100.0, 6) AS revenue_per_order,
+           round(se / 100.0, 6) AS se_delta,
+           round((ratio - 1.96 * se) / 100.0, 6) AS ci_low,
+           round((ratio + 1.96 * se) / 100.0, 6) AS ci_high
+    FROM ci
+    """,
+)
+def q469_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for the RATIO metric "revenue
+    per order" per market segment with CUSTOMER as the randomization
+    unit (Deng et al. 2017's ratio-metric recipe; the linearization
+    var(x/y) ~ (var_x - 2r cov_xy + r^2 var_y) / (n ybar^2)): orders
+    from one customer are correlated, so a naive per-order CI is too
+    narrow — the delta method aggregates to per-customer (revenue,
+    order-count) totals FIRST and treats those as the i.i.d. units,
+    the analytic twin of q447's delete-one jackknife (disclosed
+    kinship — jackknife resamples, delta linearizes; they agree to
+    O(1/n)). All moments are exact DECIMAL from cents.
+
+    100 TB story: one grouped aggregate to per-customer totals (the
+    corpus-rate pass), ONE moment fold per segment; closed form on 5
+    rows."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("seg", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("y"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("x"),
+        )
+    )
+
+    def _d19(c_):
+        return F.col(c_).cast("decimal(19,0)")
+
+    m = cust.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_d19("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(_d19("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d19("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(_d19("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nn = F.col("n").cast("double") * (F.col("n") - 1.0)
+    ratio = F.col("sx").cast("double") / F.col("sy")
+    var_x = (_d19("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / nn
+    cov = (_d19("n") * F.col("sxy") - F.col("sx") * _d19("sy")).cast("double") / nn
+    var_y = (_d19("n") * F.col("syy") - _d19("sy") * F.col("sy")).cast("double") / nn
+    r = m.select(
+        "seg",
+        "n",
+        ratio.alias("ratio"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (var_x - 2.0 * ratio * cov + ratio * ratio * var_y).alias("var_lin"),
+    )
+    se = F.sqrt(F.col("var_lin") / F.col("n")) / F.col("ybar")
+    ci = r.select("seg", "n", "ratio", se.alias("se"))
+    return ci.select(
+        F.col("seg").alias("segment"),
+        F.col("n").alias("n_customers"),
+        F.round(F.col("ratio") / 100.0, 6).alias("revenue_per_order"),
+        F.round(F.col("se") / 100.0, 6).alias("se_delta"),
+        F.round((F.col("ratio") - 1.96 * F.col("se")) / 100.0, 6).alias("ci_low"),
+        F.round((F.col("ratio") + 1.96 * F.col("se")) / 100.0, 6).alias("ci_high"),
+    )
+
+
+@query(
+    "q470_mde_power_audit",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(yc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM s GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        max(CASE WHEN arm = 1 THEN s1 END) AS s11,
+        max(CASE WHEN arm = 0 THEN s1 END) AS s10,
+        max(CASE WHEN arm = 1 THEN s2 END) AS s21,
+        max(CASE WHEN arm = 0 THEN s2 END) AS s20
+      FROM m
+    ),
+    c AS (
+      SELECT n1, n0,
+             CAST(s10 AS DOUBLE) / n0 AS m0,
+             (CAST(s11 AS DOUBLE) / n1 - CAST(s10 AS DOUBLE) / n0) AS diff,
+             sqrt((CAST(CAST(n1 AS DECIMAL(19,0)) * s21 - s11 * s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   + CAST(CAST(n0 AS DECIMAL(19,0)) * s20 - s10 * s10 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / (n1 + n0 - 2.0)) AS sd_pool
+      FROM w
+    ),
+    mde AS (
+      SELECT n1, n0, m0, diff, sd_pool,
+             2.8016176021 * sd_pool * sqrt(1.0 / n1 + 1.0 / n0) AS mde_abs
+      FROM c
+    )
+    SELECT n1 AS n_building, n0 AS n_other,
+           round(mde_abs / 100.0, 6) AS mde_dollars,
+           round(mde_abs / m0, 6) AS mde_relative,
+           round(diff / 100.0, 6) + 0.0 AS observed_diff_dollars,
+           round(abs(diff) / mde_abs, 6) AS observed_over_mde,
+           CASE WHEN abs(diff) >= mde_abs THEN 'detectable'
+                ELSE 'underpowered_for_observed' END AS verdict
+    FROM mde
+    """,
+)
+def q470_mde_power_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect / power audit (the standard two-sample
+    design formula MDE = (z_{alpha/2} + z_{power}) * sd_pooled *
+    sqrt(1/n1 + 1/n0) at alpha = 0.05 two-sided, power = 80% — the
+    combined literal 1.959963985 + 0.8416212336 = 2.8016176021 is
+    quantized once and embedded in BOTH engines) for the q438 BUILDING
+    vs rest order-value design (disclosed kinship: q438 reports the
+    observed effect size, this reports what the design COULD detect;
+    shipping an experiment whose observed diff is far under its MDE
+    is the classic underpowered-readout mistake). Pooled sd comes from
+    exact DECIMAL moments.
+
+    100 TB story: ONE map-side-combining aggregate to two moment rows;
+    closed form on one row — no join beyond the dim, no window."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("arm"),
+    )
+    s = (
+        _t(spark, sf_dir, "orders")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("arm", F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"))
+    )
+
+    def _d19(c_):
+        return F.col(c_).cast("decimal(19,0)")
+
+    m = s.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_d19("yc")).cast("decimal(38,0)").alias("s1"),
+        F.sum(_d19("yc") * _d19("yc")).cast("decimal(38,0)").alias("s2"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("s1"))).alias("s11"),
+        F.max(F.when(F.col("arm") == 0, F.col("s1"))).alias("s10"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("s20"),
+    )
+    m0 = F.col("s10").cast("double") / F.col("n0")
+    diff = F.col("s11").cast("double") / F.col("n1") - m0
+    sd_pool = F.sqrt(
+        (
+            (_d19("n1") * F.col("s21") - F.col("s11") * F.col("s11")).cast("double")
+            / F.col("n1").cast("double")
+            + (_d19("n0") * F.col("s20") - F.col("s10") * F.col("s10")).cast("double")
+            / F.col("n0").cast("double")
+        )
+        / (F.col("n1") + F.col("n0") - 2.0)
+    )
+    cc = w.select(
+        "n1", "n0", m0.alias("m0"), diff.alias("diff"), sd_pool.alias("sd_pool")
+    )
+    mde_abs = 2.8016176021 * F.col("sd_pool") * F.sqrt(
+        1.0 / F.col("n1") + 1.0 / F.col("n0")
+    )
+    mde = cc.select("n1", "n0", "m0", "diff", mde_abs.alias("mde_abs"))
+    return mde.select(
+        F.col("n1").alias("n_building"),
+        F.col("n0").alias("n_other"),
+        F.round(F.col("mde_abs") / 100.0, 6).alias("mde_dollars"),
+        F.round(F.col("mde_abs") / F.col("m0"), 6).alias("mde_relative"),
+        (F.round(F.col("diff") / 100.0, 6) + F.lit(0.0)).alias("observed_diff_dollars"),
+        F.round(F.abs("diff") / F.col("mde_abs"), 6).alias("observed_over_mde"),
+        F.when(F.abs("diff") >= F.col("mde_abs"), "detectable")
+        .otherwise("underpowered_for_observed")
+        .alias("verdict"),
+    )

@@ -81,6 +81,7 @@ AGG_WINDOW_ALLOWLIST = {
     "q456_palma_hoover",        # cent-value support cum: range-bounded (q82 kin)
     "q458_sign_wilcoxon",       # |d| value-support cum: char-domain-bounded
     "q460_forecastability",     # centered 7-day MA over the daily rollup (q444 kin)
+    "q466_granger_causality",   # lag window over the daily rollup: O(days)
     "q452_turning_points",      # lag/lead over the daily rollup: O(days)
     "q450_dft_periodogram",     # share/dominant window over the fixed
                                 # 29-period frame
