@@ -30,6 +30,14 @@ BLOCK = [
     "q460_forecastability",
     "q461_breusch_pagan",
     "q462_page_trend",
+    "q463_mantel_haenszel",
+    "q464_seasonal_mann_kendall",
+    "q465_partial_correlation",
+    "q466_granger_causality",
+    "q467_diagnostic_suite",
+    "q468_tukey_fences",
+    "q469_delta_method_ratio",
+    "q470_mde_power_audit",
 ]
 
 
@@ -142,3 +150,48 @@ def test_q456_q458_windows_on_value_supports_only(spark, sf_dir):
         first_window = plan.find("Window")
         assert first_window > 0, name
         assert "HashAggregate" in plan[:first_window], name
+
+
+def test_q463_q467_q470_single_fold_to_grid(spark, sf_dir):
+    """MH, diagnostic suite, MDE: the corpus (orders x broadcast
+    customer dim where applicable) collapses in ONE grouped aggregate;
+    no window anywhere; no sort-merge join."""
+    for name in (
+        "q463_mantel_haenszel",
+        "q467_diagnostic_suite",
+        "q470_mde_power_audit",
+    ):
+        plans = _plans(spark, sf_dir, name)
+        assert all(_ops(p, "Window") == 0 for p in plans), name
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+
+
+def test_q464_pair_join_reads_checkpointed_days(spark, sf_dir):
+    """Seasonal MK: the within-weekday pair join reads ONLY the
+    checkpointed day rollup (one corpus scan total, zero in the final
+    plan) — the calendar-bounded O(days^2) contract."""
+    plans = _plans(spark, sf_dir, "q464_seasonal_mann_kendall")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+
+
+def test_q465_q466_one_moment_fold(spark, sf_dir):
+    """Partial correlation and Granger: day-key join of two rollups,
+    then ONE moment fold; the only window (q466's lag) is over the
+    bounded day frame; two parquet scans total."""
+    for name in ("q465_partial_correlation", "q466_granger_causality"):
+        plans = _plans(spark, sf_dir, name)
+        assert sum(_scans(p) for p in plans) == 2, name
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+
+
+def test_q468_census_reads_checkpointed_grid(spark, sf_dir):
+    """Tukey fences: quartiles AND the outlier census both run on the
+    checkpointed (flag, value) grid — one corpus scan total, zero in
+    the final plan; cum windows are flag-partitioned."""
+    plans = _plans(spark, sf_dir, "q468_tukey_fences")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert raw_single_partition_sort_violations(final) == []
