@@ -11,7 +11,6 @@ both engines)."""
 
 from __future__ import annotations
 
-import math as _math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
