@@ -11,6 +11,7 @@ both engines)."""
 
 from __future__ import annotations
 
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2333,4 +2334,590 @@ def q470_mde_power_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs("diff") >= F.col("mde_abs"), "detectable")
         .otherwise("underpowered_for_observed")
         .alias("verdict"),
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), quantized ONCE in
+# Python (12 dp) and embedded as literals in BOTH engines (the literal-table
+# idiom — neither engine's libm runs on non-literal args).
+_BENFORD = [(d, round(math.log10(1.0 + 1.0 / d), 12)) for d in range(1, 10)]
+_BENFORD_SQL = ", ".join(f"({d}, {p:.12f})" for d, p in _BENFORD)
+
+
+@query(
+    "q471_benford_audit",
+    oracle=f"""
+    WITH ben(digit, exp_p) AS (VALUES {_BENFORD_SQL}),
+    fd AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM fd),
+    j AS (
+      SELECT b.digit, COALESCE(fd.n, 0) AS n,
+             CAST(b.exp_p AS DOUBLE) AS exp_p,
+             CAST(COALESCE(fd.n, 0) AS DOUBLE) / (SELECT nn FROM tot) AS obs_p
+      FROM ben b LEFT JOIN fd ON fd.digit = b.digit
+    ),
+    s AS (
+      SELECT
+        {_FOLD12_SQL.format(x="(SELECT nn FROM tot) * ((obs_p - exp_p) * (obs_p - exp_p)) / exp_p")} AS chi2,
+        {_FOLD12_SQL.format(x="abs(obs_p - exp_p) / 9.0")} AS mad
+      FROM j
+    )
+    SELECT j.digit, j.n,
+           round(j.obs_p, 6) AS obs_share,
+           round(j.exp_p, 6) AS benford_share,
+           round(abs(j.obs_p - j.exp_p), 6) AS abs_dev,
+           round((SELECT chi2 FROM s), 6) AS chi2_stat,
+           round((SELECT mad FROM s), 6) AS mad,
+           CASE WHEN (SELECT chi2 FROM s) > 15.507313055865
+                THEN 'deviates' ELSE 'conforms' END AS verdict
+    FROM j
+    """,
+)
+def q471_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (Newcomb 1881 /
+    Benford 1938; the standard forensic-accounting screen for fabricated
+    or truncated monetary data): observed first-significant-digit shares
+    of o_totalprice vs the log10(1+1/d) expectation, with the Pearson
+    chi-square statistic (8 df, 95% critical value 15.507 embedded as a
+    shared literal) and the mean absolute deviation (Nigrini's MAD).
+    The nine expected shares are quantized once in Python and embedded
+    as a literal table in BOTH engines — no libm log10 on either side.
+    First digit comes from the decimal-string head of floor(total), an
+    identical string op in both engines (totalprice is always >= 1).
+
+    100 TB story: ONE map-side-combining aggregate collapses the corpus
+    to <= 9 digit rows; everything after runs on the broadcast 9-row
+    frame (literal join, two scalar folds) — no window, no second scan."""
+    ben = spark.createDataFrame(_BENFORD, "digit INT, exp_p DOUBLE")
+    fd = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = fd.agg(F.sum("n").cast("long").alias("nn"))
+    j = (
+        ben.join(F.broadcast(fd), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "exp_p",
+            (F.coalesce("n", F.lit(0)).cast("double") / F.col("nn")).alias(
+                "obs_p"
+            ),
+            "nn",
+        )
+    )
+    dev = F.col("obs_p") - F.col("exp_p")
+    s = j.agg(
+        _fold12(F.col("nn") * (dev * dev) / F.col("exp_p")).alias("chi2"),
+        _fold12(F.abs(dev) / 9.0).alias("mad"),
+    )
+    return (
+        j.crossJoin(F.broadcast(s))
+        .select(
+            "digit",
+            "n",
+            F.round("obs_p", 6).alias("obs_share"),
+            F.round("exp_p", 6).alias("benford_share"),
+            F.round(F.abs(dev), 6).alias("abs_dev"),
+            F.round("chi2", 6).alias("chi2_stat"),
+            F.round("mad", 6).alias("mad"),
+            F.when(F.col("chi2") > 15.507313055865, "deviates")
+            .otherwise("conforms")
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "q472_kendall_tau_b",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q, l_linenumber AS l,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT
+        CAST(sum(CASE WHEN a.l < b.l
+                      THEN CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))
+                      ELSE 0 END) AS DECIMAL(38,0)) AS nc,
+        CAST(sum(CASE WHEN a.l > b.l
+                      THEN CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))
+                      ELSE 0 END) AS DECIMAL(38,0)) AS nd
+      FROM cells a JOIN cells b ON a.q < b.q
+    ),
+    margx AS (SELECT q, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+    margy AS (SELECT l, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+    tx AS (SELECT CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t - 1 AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS v FROM margx),
+    ty AS (SELECT CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t - 1 AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS v FROM margy),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    f AS (
+      SELECT (SELECT n FROM tot) AS n,
+             CAST((SELECT nc FROM pairs) AS DOUBLE) AS nc,
+             CAST((SELECT nd FROM pairs) AS DOUBLE) AS nd,
+             CAST(CAST((SELECT n FROM tot) AS DECIMAL(19,0))
+                  * CAST((SELECT n FROM tot) - 1 AS DECIMAL(19,0)) AS DOUBLE)
+               / 2.0 AS n0,
+             CAST((SELECT v FROM tx) AS DOUBLE) / 2.0 AS n1,
+             CAST((SELECT v FROM ty) AS DOUBLE) / 2.0 AS n2
+    )
+    SELECT n, nc AS concordant, nd AS discordant,
+           round((nc - nd) / sqrt((n0 - n1) * (n0 - n2)), 6) AS tau_b,
+           round((nc - nd) / n0, 6) AS tau_a
+    FROM f
+    """,
+)
+def q472_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation (Kendall 1945 tie correction)
+    between line quantity (1..50 support) and line number (1..7
+    support), computed EXACTLY from the <= 350-cell joint support
+    histogram: concordant/discordant pair counts are sums of count
+    products over strictly-x-ordered cell pairs (a 350x350 support
+    cross — SF-invariant), tie corrections come from the two marginal
+    histograms, and every count product runs in DECIMAL(38,0); the only
+    divisions are the final tau ratios. Distinct from q440 (Kendall's W
+    concordance across m rankings) and q465 (Mann-Kendall trend vs
+    time): this is the tie-corrected pairwise association of two
+    bounded-support columns.
+
+    100 TB story: ONE aggregate collapses the corpus to the 350-cell
+    joint histogram; the quadratic pair enumeration runs on that
+    SF-invariant support (broadcast nested-loop over 350 rows), never
+    on corpus rows; marginals and totals are rollups of the same
+    checkpointed cells frame (one scan total)."""
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.col("l_linenumber").cast("int").alias("l"),
+        )
+        .groupBy("q", "l")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    a = cells.alias("a")
+    b = cells.alias("b")
+    prod = F.col("a.c").cast("decimal(19,0)") * F.col("b.c").cast("decimal(19,0)")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.q") < F.col("b.q"))
+        .agg(
+            F.sum(F.when(F.col("a.l") < F.col("b.l"), prod).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("nc"),
+            F.sum(F.when(F.col("a.l") > F.col("b.l"), prod).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("nd"),
+        )
+    )
+    tx = (
+        cells.groupBy("q")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(
+            F.sum(_d19("t") * (F.col("t") - 1).cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("vx")
+        )
+    )
+    ty = (
+        cells.groupBy("l")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(
+            F.sum(_d19("t") * (F.col("t") - 1).cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("vy")
+        )
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    f = (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            F.col("nc").cast("double").alias("nc"),
+            F.col("nd").cast("double").alias("nd"),
+            (
+                (_d19("n") * (F.col("n") - 1).cast("decimal(19,0)")).cast("double")
+                / 2.0
+            ).alias("n0"),
+            (F.col("vx").cast("double") / 2.0).alias("n1"),
+            (F.col("vy").cast("double") / 2.0).alias("n2"),
+        )
+    )
+    return f.select(
+        "n",
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / F.sqrt((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))),
+            6,
+        ).alias("tau_b"),
+        F.round((F.col("nc") - F.col("nd")) / F.col("n0"), 6).alias("tau_a"),
+    )
+
+
+@query(
+    "q473_cronbach_alpha",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x1,
+             CAST(count(*) AS BIGINT) AS x2,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS x3
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS q1,
+             CAST(sum(CAST(x2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2,
+             CAST(sum(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS q2,
+             CAST(sum(CAST(x3 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s3,
+             CAST(sum(CAST(x3 AS DECIMAL(19,0)) * CAST(x3 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS q3,
+             CAST(sum(CAST(x1 + x2 + x3 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st,
+             CAST(sum(CAST(x1 + x2 + x3 AS DECIMAL(19,0))
+                      * CAST(x1 + x2 + x3 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS qt
+      FROM items
+    ),
+    f AS (
+      SELECT n,
+             CAST(CAST(n AS DECIMAL(19,0)) * q1 - s1 * s1 AS DOUBLE) AS a1,
+             CAST(CAST(n AS DECIMAL(19,0)) * q2 - s2 * s2 AS DOUBLE) AS a2,
+             CAST(CAST(n AS DECIMAL(19,0)) * q3 - s3 * s3 AS DOUBLE) AS a3,
+             CAST(CAST(n AS DECIMAL(19,0)) * qt - st * st AS DOUBLE) AS at
+      FROM m
+    )
+    SELECT n AS n_orders, 3 AS k_items,
+           round(a1 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_qty,
+           round(a2 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_lines,
+           round(a3 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_disc,
+           round(at / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_total,
+           round(1.5 * (1.0 - (a1 + a2 + a3) / at), 6) AS alpha
+    FROM f
+    """,
+)
+def q473_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951) treating each order as a "respondent" scored on k=3 integer
+    items (total quantity, line count, summed discount cents):
+    alpha = k/(k-1) * (1 - sum(var_item)/var_total). The exactness
+    trick: every sample variance shares the 1/(n(n-1)) factor, so
+    alpha reduces to 1.5*(1 - (A1+A2+A3)/At) where Ai = n*Sum(x^2) -
+    (Sum x)^2 are EXACT DECIMAL(38,0) integers — the only floats are
+    the final reported ratios. The per-item variances are also
+    reported (same A terms over n(n-1)).
+
+    100 TB story: one groupBy(orderkey) shuffle builds the item
+    vectors, then ONE map-side-combining moment aggregate collapses
+    them to 9 integers; alpha is scalar arithmetic on one row — no
+    window, no join, no second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x1"),
+        F.count(F.lit(1)).cast("long").alias("x2"),
+        F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+        .cast("long")
+        .alias("x3"),
+    )
+
+    def _d19c(col):
+        return col.cast("decimal(19,0)")
+
+    t = F.col("x1") + F.col("x2") + F.col("x3")
+    m = items.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_d19c(F.col("x1"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(_d19c(F.col("x1")) * _d19c(F.col("x1"))).cast("decimal(38,0)").alias("q1"),
+        F.sum(_d19c(F.col("x2"))).cast("decimal(38,0)").alias("s2"),
+        F.sum(_d19c(F.col("x2")) * _d19c(F.col("x2"))).cast("decimal(38,0)").alias("q2"),
+        F.sum(_d19c(F.col("x3"))).cast("decimal(38,0)").alias("s3"),
+        F.sum(_d19c(F.col("x3")) * _d19c(F.col("x3"))).cast("decimal(38,0)").alias("q3"),
+        F.sum(_d19c(t)).cast("decimal(38,0)").alias("st"),
+        F.sum(_d19c(t) * _d19c(t)).cast("decimal(38,0)").alias("qt"),
+    )
+    nD = F.col("n").cast("decimal(19,0)")
+    f = m.select(
+        "n",
+        (nD * F.col("q1") - F.col("s1") * F.col("s1")).cast("double").alias("a1"),
+        (nD * F.col("q2") - F.col("s2") * F.col("s2")).cast("double").alias("a2"),
+        (nD * F.col("q3") - F.col("s3") * F.col("s3")).cast("double").alias("a3"),
+        (nD * F.col("qt") - F.col("st") * F.col("st")).cast("double").alias("at"),
+    )
+    nn1 = F.col("n").cast("double") * (F.col("n") - 1)
+    return f.select(
+        F.col("n").alias("n_orders"),
+        F.lit(3).alias("k_items"),
+        F.round(F.col("a1") / nn1, 6).alias("var_qty"),
+        F.round(F.col("a2") / nn1, 6).alias("var_lines"),
+        F.round(F.col("a3") / nn1, 6).alias("var_disc"),
+        F.round(F.col("at") / nn1, 6).alias("var_total"),
+        F.round(
+            1.5 * (1.0 - (F.col("a1") + F.col("a2") + F.col("a3")) / F.col("at")), 6
+        ).alias("alpha"),
+    )
+
+
+@query(
+    "q474_icc_supplier",
+    oracle="""
+    WITH g AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CAST(s1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ts1,
+             CAST(sum(CAST(s2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ts2,
+             CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sn2,
+             CAST(round(sum(CAST(round(
+               CAST(CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / n,
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS w
+      FROM g
+    ),
+    f AS (
+      SELECT k, nn,
+             (CAST(ts2 AS DOUBLE) - w) AS ssw,
+             (w - CAST(ts1 * ts1 AS DOUBLE) / nn) AS ssb,
+             (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn) / (k - 1) AS n0
+      FROM m
+    ),
+    r AS (
+      SELECT k, nn, n0,
+             ssb / (k - 1) AS msb,
+             ssw / (nn - k) AS msw
+      FROM f
+    )
+    SELECT k AS k_suppliers, nn AS n_lines,
+           round(msb, 6) AS msb, round(msw, 6) AS msw,
+           round(n0, 6) AS n0_mean_group_size,
+           round(msb / msw, 6) AS f_stat,
+           round((msb - msw) / (msb + (n0 - 1.0) * msw), 6) AS icc1,
+           CASE WHEN msb > msw THEN 'supplier_effect' ELSE 'none' END AS verdict
+    FROM r
+    """,
+)
+def q474_icc_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1,1) (one-way random-effects ANOVA,
+    Shrout & Fleiss 1979) of line quantity grouped by supplier: how
+    much of quantity variance is BETWEEN suppliers? SSW/SSB come from
+    per-group integer moments (n_g, S1_g, S2_g); the only non-integer
+    group term, S1_g^2/n_g, is rounded to 12 dp and folded through the
+    registry's order-free DECIMAL(38,12) sum in BOTH engines. The
+    unbalanced-design mean group size n0 = (N - sum n_g^2 / N)/(k-1)
+    uses the exact integer sum of squared group sizes. Outputs MSB,
+    MSW, the ANOVA F ratio, and ICC(1,1) = (MSB-MSW)/(MSB+(n0-1)MSW).
+
+    100 TB story: one groupBy(suppkey) shuffle to O(suppliers) moment
+    rows, then ONE map-side-combining fold to a single row; closed-form
+    scalar arithmetic after — no window, no join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("long").alias("qy")
+    )
+    g = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qy").cast("long").alias("s1"),
+        F.sum(F.col("qy") * F.col("qy")).cast("long").alias("s2"),
+    )
+
+    def _d19c(col):
+        return col.cast("decimal(19,0)")
+
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(_d19c(F.col("s1"))).cast("decimal(38,0)").alias("ts1"),
+        F.sum(_d19c(F.col("s2"))).cast("decimal(38,0)").alias("ts2"),
+        F.sum(_d19c(F.col("n")) * _d19c(F.col("n")))
+        .cast("decimal(38,0)")
+        .alias("sn2"),
+        _fold12(
+            (_d19c(F.col("s1")) * _d19c(F.col("s1"))).cast("double") / F.col("n")
+        ).alias("w"),
+    )
+    f = m.select(
+        "k",
+        "nn",
+        (F.col("ts2").cast("double") - F.col("w")).alias("ssw"),
+        (
+            F.col("w")
+            - (F.col("ts1") * F.col("ts1")).cast("double") / F.col("nn")
+        ).alias("ssb"),
+        (
+            (F.col("nn").cast("double") - F.col("sn2").cast("double") / F.col("nn"))
+            / (F.col("k") - 1)
+        ).alias("n0"),
+    )
+    r = f.select(
+        "k",
+        "nn",
+        "n0",
+        (F.col("ssb") / (F.col("k") - 1)).alias("msb"),
+        (F.col("ssw") / (F.col("nn") - F.col("k"))).alias("msw"),
+    )
+    return r.select(
+        F.col("k").alias("k_suppliers"),
+        F.col("nn").alias("n_lines"),
+        F.round("msb", 6).alias("msb"),
+        F.round("msw", 6).alias("msw"),
+        F.round("n0", 6).alias("n0_mean_group_size"),
+        F.round(F.col("msb") / F.col("msw"), 6).alias("f_stat"),
+        F.round(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("n0") - 1.0) * F.col("msw")),
+            6,
+        ).alias("icc1"),
+        F.when(F.col("msb") > F.col("msw"), "supplier_effect")
+        .otherwise("none")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q475_theil_sen",
+    oracle="""
+    WITH od AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT round(CAST(b.y - a.y AS DOUBLE) / (b.d - a.d), 12) AS slope
+      FROM od a JOIN od b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT slope, row_number() OVER (ORDER BY slope) AS r,
+             count(*) OVER () AS m
+      FROM pairs
+    ),
+    sen AS (
+      SELECT round(avg(slope), 6) AS sen_slope, max(m) AS n_pairs
+      FROM ranked WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+    ),
+    resid AS (
+      SELECT round(od.y - (SELECT sen_slope FROM sen) * od.d, 12) AS b0
+      FROM od
+    ),
+    ranked2 AS (
+      SELECT b0, row_number() OVER (ORDER BY b0) AS r, count(*) OVER () AS m
+      FROM resid
+    ),
+    icept AS (
+      SELECT round(avg(b0), 6) AS intercept, max(m) AS n_days
+      FROM ranked2 WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+    )
+    SELECT (SELECT n_days FROM icept) AS n_days,
+           (SELECT n_pairs FROM sen) AS n_pairs,
+           (SELECT sen_slope FROM sen) AS sen_slope,
+           (SELECT intercept FROM icept) AS intercept,
+           CASE WHEN (SELECT sen_slope FROM sen) > 0 THEN 'rising'
+                WHEN (SELECT sen_slope FROM sen) < 0 THEN 'falling'
+                ELSE 'flat' END AS trend
+    """,
+)
+def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950 / Sen 1968) of the
+    daily order-arrival series: the median of all pairwise slopes
+    (y_j - y_i)/(d_j - d_i) over day pairs, plus the median-residual
+    intercept — the breakdown-resistant alternative to the q17 OLS
+    slope (disclosed kinship; Mann-Kendall q465 tests the SIGN pattern,
+    this estimates the magnitude). Medians use the covering-ranks idiom
+    ((m+1) div 2 / (m+2) div 2 positions of the sorted multiset, so tie
+    order cannot matter); slopes are rounded to 12 dp before ranking in
+    BOTH engines.
+
+    100 TB story: the corpus collapses to the O(days) rollup in one
+    aggregate; the pair enumeration is a broadcast theta-join of the
+    calendar-bounded day frame with itself (~days^2/2 rows,
+    SF-INVARIANT — it does not grow with corpus size); the two
+    median sorts run on that bounded frame (allowlisted)."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        # NOT checkpointed: the rollup must stay visible below the two
+        # median sorts so the plan guard can classify them as
+        # aggregate-support windows (a checkpoint would truncate the
+        # lineage to ExistingRDD and read as a raw-row sort). Cost: the
+        # orders scan runs once per median branch — two scans of the
+        # SMALLER fact table, each collapsing map-side to O(days).
+        )
+    a = od.alias("a")
+    b = od.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        F.round(
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.d") - F.col("a.d")),
+            12,
+        ).alias("slope")
+    )
+    w = Window.orderBy("slope")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    sen = ranked.filter(
+        (F.col("r") == F.expr("(m + 1) div 2")) | (F.col("r") == F.expr("(m + 2) div 2"))
+    ).agg(
+        F.round(F.avg("slope"), 6).alias("sen_slope"),
+        F.max("m").alias("n_pairs"),
+    )
+    resid = od.crossJoin(F.broadcast(sen)).select(
+        F.round(F.col("y") - F.col("sen_slope") * F.col("d"), 12).alias("b0"),
+        "sen_slope",
+        "n_pairs",
+    )
+    w2 = Window.orderBy("b0")
+    ranked2 = resid.select(
+        "b0",
+        "sen_slope",
+        "n_pairs",
+        F.row_number().over(w2).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    icept = ranked2.filter(
+        (F.col("r") == F.expr("(m + 1) div 2")) | (F.col("r") == F.expr("(m + 2) div 2"))
+    ).agg(
+        F.round(F.avg("b0"), 6).alias("intercept"),
+        F.max("m").alias("n_days"),
+        F.max("sen_slope").alias("sen_slope"),
+        F.max("n_pairs").alias("n_pairs"),
+    )
+    return icept.select(
+        "n_days",
+        "n_pairs",
+        "sen_slope",
+        "intercept",
+        F.when(F.col("sen_slope") > 0, "rising")
+        .when(F.col("sen_slope") < 0, "falling")
+        .otherwise("flat")
+        .alias("trend"),
     )

@@ -79,6 +79,8 @@ AGG_WINDOW_ALLOWLIST = {
     "q443_acf_bartlett",        # 7-lag window over the daily rollup: O(days)
     "q451_cross_correlation",   # best-lag window over the fixed 15-lag frame
     "q456_palma_hoover",        # cent-value support cum: range-bounded (q82 kin)
+    "q475_theil_sen",           # slope/intercept medians over the day-pair
+                                # frame: O(days^2) calendar-bounded, SF-invariant
     "q458_sign_wilcoxon",       # |d| value-support cum: char-domain-bounded
     "q460_forecastability",     # centered 7-day MA over the daily rollup (q444 kin)
     "q466_granger_causality",   # lag window over the daily rollup: O(days)
