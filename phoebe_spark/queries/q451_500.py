@@ -16,7 +16,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._core import _t, query
+from ._core import _dim, _t, query
+from .q201_250 import _COGRAPH_SQL, _cograph_edges
 from .q401_450 import _phi_col, _phi_sql
 
 
@@ -2920,4 +2921,570 @@ def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("sen_slope") < 0, "falling")
         .otherwise("flat")
         .alias("trend"),
+    )
+
+
+@query(
+    "q476_moods_median",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS flag,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM h GROUP BY 1),
+    cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v) AS cc,
+             (SELECT CAST(sum(c) AS BIGINT) FROM sup) AS nn
+      FROM sup
+    ),
+    med AS (SELECT min(v) AS med, max(nn) AS nn FROM cum WHERE cc >= (nn + 1) // 2),
+    g AS (
+      SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v > (SELECT med FROM med) THEN c ELSE 0 END) AS BIGINT) AS above
+      FROM h GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(above) AS BIGINT) AS aa FROM g),
+    e AS (
+      SELECT flag, n, above,
+             CAST(n AS DOUBLE) * (SELECT aa FROM tot) / (SELECT nn FROM tot) AS ea
+      FROM g
+    ),
+    chi AS (
+      SELECT CAST(round(sum(CAST(round(
+               (above - ea) * (above - ea) / ea
+               + ((n - above) - (n - ea)) * ((n - above) - (n - ea)) / (n - ea),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS chi2,
+             CAST(count(*) AS BIGINT) - 1 AS df
+      FROM e
+    )
+    SELECT e.flag, e.n, e.above,
+           round(e.ea, 6) AS exp_above,
+           (SELECT med FROM med) AS grand_median,
+           round((SELECT chi2 FROM chi), 6) AS chi2_stat,
+           (SELECT df FROM chi) AS df,
+           CASE WHEN (SELECT chi2 FROM chi) > 5.991464547108
+                THEN 'medians_differ' ELSE 'no_evidence' END AS verdict
+    FROM e
+    """,
+)
+def q476_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (Mood 1950) for equality of quantity medians
+    across the three return-flag populations: dichotomize every line at the pooled
+    grand median (the LOWER median — smallest value whose cumulative
+    count reaches (N+1) div 2, a deterministic rule on the 1..50
+    support) and chi-square the resulting modes x {above, not-above}
+    table. Expected counts are n_i * A / N; the chi-square fold runs
+    through the registry's 12-dp DECIMAL sum. The 95% critical value
+    for df=2 (the fixed A/N/R flag universe) is an embedded literal.
+    Distinct from q363 (Kruskal-Wallis uses full rank information;
+    Mood's uses only the sign relative to the median — coarser but
+    robust to any monotone transform).
+
+    100 TB story: ONE aggregate to the <= 150-cell (value, flag)
+    histogram; the grand-median cum runs on the 50-row pooled support
+    (allowlisted); per-flag counts and the chi-square fold are rollups
+    of the same histogram — no corpus-rate window, no second scan."""
+    h = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .groupBy("v", "flag")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    sup = h.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    nn_row = sup.agg(F.sum("c").cast("long").alias("nn"))
+    cum = (
+        sup.crossJoin(F.broadcast(nn_row))
+        .select(
+            "v",
+            F.sum("c").over(Window.orderBy("v")).alias("cc"),
+            "nn",
+        )
+    )
+    med = (
+        cum.filter(F.col("cc") >= F.expr("(nn + 1) div 2"))
+        .agg(F.min("v").alias("med"), F.max("nn").alias("nn"))
+    )
+    g = (
+        h.crossJoin(F.broadcast(med))
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.when(F.col("v") > F.col("med"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.max("med").alias("grand_median"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("above").cast("long").alias("aa"),
+    )
+    e = g.crossJoin(F.broadcast(tot)).select(
+        "flag",
+        "n",
+        "above",
+        "grand_median",
+        (F.col("n").cast("double") * F.col("aa") / F.col("tn")).alias("ea"),
+    )
+    dev_a = F.col("above") - F.col("ea")
+    dev_b = (F.col("n") - F.col("above")) - (F.col("n") - F.col("ea"))
+    chi = e.agg(
+        _fold12(dev_a * dev_a / F.col("ea") + dev_b * dev_b / (F.col("n") - F.col("ea"))).alias(
+            "chi2"
+        ),
+        (F.count(F.lit(1)).cast("long") - 1).alias("df"),
+    )
+    return e.crossJoin(F.broadcast(chi)).select(
+        "flag",
+        "n",
+        "above",
+        F.round("ea", 6).alias("exp_above"),
+        "grand_median",
+        F.round("chi2", 6).alias("chi2_stat"),
+        "df",
+        F.when(F.col("chi2") > 5.991464547108, "medians_differ")
+        .otherwise("no_evidence")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q477_ansari_bradley",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM lineitem WHERE l_linestatus IN ('O', 'F') GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, ca, ct, ca + ct AS c,
+             sum(ca + ct) OVER (ORDER BY v) AS cc,
+             (SELECT CAST(sum(ca + ct) AS BIGINT) FROM h) AS nn
+      FROM h
+    ),
+    blocks AS (
+      SELECT v, ca, ct, c, nn,
+             cc - c + 1 AS lo, cc AS hi, (nn + 1) // 2 AS k
+      FROM cum
+    ),
+    scored AS (
+      SELECT v, ca, ct, c, nn,
+             (CASE WHEN lo <= least(hi, k)
+                   THEN (least(hi, k) * (least(hi, k) + 1) - (lo - 1) * lo) // 2
+                   ELSE 0 END
+              + CASE WHEN greatest(lo, k + 1) <= hi
+                     THEN (hi - greatest(lo, k + 1) + 1) * (nn + 1)
+                          - (hi * (hi + 1) - (greatest(lo, k + 1) - 1) * greatest(lo, k + 1)) // 2
+                     ELSE 0 END) AS sb
+      FROM blocks
+    ),
+    agg AS (
+      SELECT max(nn) AS nn,
+             CAST(sum(ca) AS BIGINT) AS m,
+             CAST(sum(ct) AS BIGINT) AS n2,
+             CAST(sum(CAST(sb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS stot,
+             CAST(round(sum(CAST(round(
+               CAST(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)) AS DOUBLE) / c,
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS sstot,
+             CAST(round(sum(CAST(round(
+               ca * CAST(CAST(sb AS DECIMAL(19,0)) AS DOUBLE) / c,
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS ab
+      FROM scored
+    ),
+    f AS (
+      SELECT nn, m, n2, ab,
+             CAST(m AS DOUBLE) * CAST(stot AS DOUBLE) / nn AS e_ab,
+             CAST(m AS DOUBLE) * n2
+               * (nn * sstot - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+               / (CAST(nn AS DOUBLE) * nn * (nn - 1)) AS var_ab
+      FROM agg
+    )
+    SELECT m AS n_open, n2 AS n_finished,
+           round(ab, 6) AS ab_stat,
+           round(e_ab, 6) AS expected_ab,
+           round((ab - e_ab) / sqrt(var_ab), 6) AS z,
+           CASE WHEN abs((ab - e_ab) / sqrt(var_ab)) > 1.959963985
+                THEN 'dispersion_differs' ELSE 'no_evidence' END AS verdict
+    FROM f
+    """,
+)
+def q477_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank dispersion test (Ansari & Bradley 1960):
+    do open (O) and finished (F) line populations have the same
+    quantity SPREAD (scale), given
+    similar centers? Scores assign 1,2,...,ceil(N/2),...,2,1 from both
+    ends of the pooled order; the statistic is the O group's score
+    sum. With the 1..50 tied support, each value block [lo,hi] gets the
+    tie-averaged score, computed in CLOSED FORM from two arithmetic
+    series split at k = (N+1) div 2 — exact integer series sums (the
+    only divisions, sb^2/c and ca*sb/c, are 12-dp-rounded folds shared
+    by both engines). Normal approximation with the tie-corrected
+    variance m*n*(N*SS - S^2)/(N^2(N-1)).
+
+    100 TB story: ONE filtered aggregate to the <= 50-row two-group
+    support histogram; the cum runs on that support (allowlisted);
+    scores, moments and the z-statistic are closed-form arithmetic on
+    the same 50 rows — the corpus is never sorted or re-scanned."""
+    h = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus").isin("O", "F"))
+        .select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.when(F.col("l_linestatus") == "O", 1).otherwise(0).alias("isa"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("isa").cast("long").alias("ca"),
+            F.sum(1 - F.col("isa")).cast("long").alias("ct"),
+        )
+    )
+    nn_row = h.agg(F.sum(F.col("ca") + F.col("ct")).cast("long").alias("nn"))
+    cum = h.crossJoin(F.broadcast(nn_row)).select(
+        "v",
+        "ca",
+        "ct",
+        (F.col("ca") + F.col("ct")).alias("c"),
+        F.sum(F.col("ca") + F.col("ct")).over(Window.orderBy("v")).alias("cc"),
+        "nn",
+    )
+    blocks = cum.select(
+        "v",
+        "ca",
+        "ct",
+        "c",
+        "nn",
+        (F.col("cc") - F.col("c") + 1).alias("lo"),
+        F.col("cc").alias("hi"),
+        F.expr("(nn + 1) div 2").alias("k"),
+    )
+    hk = F.least("hi", "k")
+    l2 = F.greatest(F.col("lo"), F.col("k") + 1)
+    t1 = F.when(
+        F.col("lo") <= hk,
+        F.expr(
+            "(least(hi, k) * (least(hi, k) + 1) - (lo - 1) * lo) div 2"
+        ),
+    ).otherwise(F.lit(0))
+    t2 = F.when(
+        l2 <= F.col("hi"),
+        (F.col("hi") - l2 + 1) * (F.col("nn") + 1)
+        - F.expr(
+            "(hi * (hi + 1) - (greatest(lo, k + 1) - 1) * greatest(lo, k + 1)) div 2"
+        ),
+    ).otherwise(F.lit(0))
+    scored = blocks.select(
+        "v", "ca", "ct", "c", "nn", (t1 + t2).alias("sb")
+    )
+    sbd = F.col("sb").cast("decimal(19,0)")
+    agg = scored.agg(
+        F.max("nn").alias("nn"),
+        F.sum("ca").cast("long").alias("m"),
+        F.sum("ct").cast("long").alias("n2"),
+        F.sum(sbd).cast("decimal(38,0)").alias("stot"),
+        _fold12((sbd * sbd).cast("double") / F.col("c")).alias("sstot"),
+        _fold12(F.col("ca") * sbd.cast("double") / F.col("c")).alias("ab"),
+    )
+    f = agg.select(
+        "nn",
+        "m",
+        "n2",
+        "ab",
+        (F.col("m").cast("double") * F.col("stot").cast("double") / F.col("nn")).alias(
+            "e_ab"
+        ),
+        (
+            F.col("m").cast("double")
+            * F.col("n2")
+            * (
+                F.col("nn") * F.col("sstot")
+                - F.col("stot").cast("double") * F.col("stot").cast("double")
+            )
+            / (F.col("nn").cast("double") * F.col("nn") * (F.col("nn") - 1))
+        ).alias("var_ab"),
+    )
+    z = (F.col("ab") - F.col("e_ab")) / F.sqrt(F.col("var_ab"))
+    return f.select(
+        F.col("m").alias("n_open"),
+        F.col("n2").alias("n_finished"),
+        F.round("ab", 6).alias("ab_stat"),
+        F.round("e_ab", 6).alias("expected_ab"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 1.959963985, "dispersion_differs")
+        .otherwise("no_evidence")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q478_fk_readability",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+             length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+               - length(replace(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'), '#', ''))
+               AS syl
+      FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(syl) AS BIGINT) AS n_syllables
+      FROM d GROUP BY 1
+    )
+    SELECT source, n_docs, n_words, n_syllables,
+           round(CAST(n_words AS DOUBLE) / n_docs, 6) AS words_per_doc,
+           round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syllables_per_word,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_docs)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+             AS fk_grade
+    FROM g
+    """,
+)
+def q478_fk_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability (Kincaid et al. 1975) per
+    document source: 0.39*(words/sentences) + 11.8*(syllables/word) -
+    15.59. The synthetic corpus is punctuation-free, so each DOCUMENT
+    stands in for one sentence (disclosed adaptation — the words/
+    sentences term becomes mean document length, which is exactly what
+    the grade formula penalizes). Syllables use the standard vowel-group
+    heuristic: the count of maximal [aeiouy]+ runs, computed as a
+    collapse-to-sentinel regexp_replace followed by a length difference
+    — identical string ops in both engines (the corpus contains no '#').
+    A data-quality screen for LLM curation: sources whose grade drifts
+    from the corpus norm are templated or degenerate.
+
+    100 TB story: per-row column expressions (two regex passes per
+    document, no UDF) followed by ONE map-side-combining aggregate to
+    O(sources) rows; ratios are scalar arithmetic on those rows — no
+    window, no join, no token explosion (counts come from lengths, the
+    token array is never materialized)."""
+    d = _t(spark, sf_dir, "documents")
+    collapsed = F.regexp_replace(F.lower("text"), "[aeiouy]+", "#")
+    w = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    g = (
+        d.select(
+            "source",
+            w.cast("long").alias("w"),
+            (
+                F.length(collapsed)
+                - F.length(F.replace(collapsed, F.lit("#"), F.lit("")))
+            )
+            .cast("long")
+            .alias("syl"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("syl").cast("long").alias("n_syllables"),
+        )
+    )
+    wpd = F.col("n_words").cast("double") / F.col("n_docs")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_syllables",
+        F.round(wpd, 6).alias("words_per_doc"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(0.39 * wpd + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    )
+
+
+@query(
+    "q479_yules_k",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS m2,
+             CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS rep
+      FROM tf GROUP BY 1
+    )
+    SELECT source, n AS n_tokens, v AS n_types, v1 AS hapax, v2 AS dis,
+           round(10000.0 * CAST(m2 - n AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n), 6) AS yules_k,
+           round(CAST(rep AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS simpson_d,
+           round(CAST(v1 AS DOUBLE) / v, 6) AS hapax_ratio
+    FROM g
+    """,
+)
+def q479_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K characteristic (Yule 1944) plus Simpson's lexical D and
+    the hapax/dis-legomena spectrum head, per source: K = 10^4 *
+    (sum_m m^2 V_m - N) / N^2 computed directly from term frequencies
+    (sum cnt^2 == sum m^2 V_m), Simpson's D = sum cnt(cnt-1) / (N(N-1))
+    — the probability two random tokens are the same type. Both are
+    repeat-rate measures that are INSENSITIVE to corpus size (unlike
+    type-token ratio), which is exactly why they are the standard
+    burstiness/templatedness screens for training-data sources; K and
+    D run on exact DECIMAL(38,0) integer moments, hapax_ratio = V1/V.
+    Complements q309 (Heaps' growth) and q87 (Zipf slope) — those fit
+    the SHAPE of the frequency curve, K/D summarize its second moment.
+
+    100 TB story: one token explosion into a (source, term) groupBy —
+    the shuffle is vocabulary-bounded, not corpus-bounded (Heaps-
+    sublinear, the q441-audited bound); then ONE fold to O(sources)
+    moment rows; no window, no join."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cd = F.col("cnt").cast("decimal(19,0)")
+    g = tf.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("v1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("long").alias("v2"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("m2"),
+        F.sum(cd * (F.col("cnt") - 1).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("rep"),
+    )
+    return g.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis"),
+        F.round(
+            10000.0
+            * (F.col("m2") - F.col("n")).cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("yules_k"),
+        F.round(
+            F.col("rep").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            6,
+        ).alias("simpson_d"),
+        F.round(F.col("v1").cast("double") / F.col("v"), 6).alias("hapax_ratio"),
+    )
+
+
+@query(
+    "q480_gearys_c",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    px AS (
+      SELECT p_partkey AS node,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS x
+      FROM part
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS q
+      FROM px
+    ),
+    num AS (
+      SELECT CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(CAST(xa.x - xb.x AS DECIMAL(19,0))
+                      * CAST(xa.x - xb.x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS se
+      FROM co JOIN px xa ON xa.node = co.s1 JOIN px xb ON xb.node = co.s2
+    )
+    SELECT (SELECT nn FROM mom) AS n_nodes,
+           (SELECT ne FROM num) AS n_edges,
+           round(CAST((SELECT nn FROM mom) AS DOUBLE)
+                 * ((SELECT nn FROM mom) - 1.0)
+                 * CAST((SELECT se FROM num) AS DOUBLE)
+                 / (2.0 * (SELECT ne FROM num)
+                    * CAST(CAST((SELECT nn FROM mom) AS DECIMAL(19,0)) * (SELECT q FROM mom)
+                           - (SELECT s FROM mom) * (SELECT s FROM mom) AS DOUBLE)),
+                 6) AS gearys_c,
+           CASE WHEN CAST((SELECT nn FROM mom) AS DOUBLE)
+                     * ((SELECT nn FROM mom) - 1.0)
+                     * CAST((SELECT se FROM num) AS DOUBLE)
+                     / (2.0 * (SELECT ne FROM num)
+                        * CAST(CAST((SELECT nn FROM mom) AS DECIMAL(19,0)) * (SELECT q FROM mom)
+                               - (SELECT s FROM mom) * (SELECT s FROM mom) AS DOUBLE)) < 1.0
+                THEN 'clustered' ELSE 'dispersed' END AS verdict
+    """,
+)
+def q480_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C spatial autocorrelation (Geary 1954) of part retail
+    price over the canonical co-purchase graph — the LOCAL complement
+    to q428's Moran's I (disclosed kinship): Moran's I is a global
+    cross-product of deviations, C measures squared DIFFERENCES along
+    edges, so it is more sensitive to local neighborhood structure.
+    C = (N-1) * sum_edges (x_i - x_j)^2 / (2|E| * sum_i (x_i - xbar)^2)
+    with binary symmetric weights (the ordered-pair double counting
+    cancels). The exactness trick is even cleaner than q428's: the
+    numerator needs NO centering — (x_i - x_j)^2 is already an exact
+    integer — and the denominator uses N*sum(x^2) - S^2 over N, so both
+    engines run identical DECIMAL(38,0) integers until the single final
+    division. C < 1 means clustered (co-purchased parts have similar
+    prices), C > 1 dispersed; E[C] = 1 under no autocorrelation.
+
+    100 TB story: the edge build is the audited bounded-lines-per-order
+    linear shape (q232 kin); the numerator is two hash joins of the
+    edge list against the O(parts) price frame and ONE aggregate;
+    moments are one pass over part — no corpus pair enumeration."""
+    px = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    mom = px.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(xd).cast("decimal(38,0)").alias("s"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("q"),
+    )
+    co = _cograph_edges(spark, sf_dir)
+    xa = px.select(F.col("node").alias("s1"), F.col("x").alias("x1"))
+    xb = px.select(F.col("node").alias("s2"), F.col("x").alias("x2"))
+    diff = (F.col("x1") - F.col("x2")).cast("decimal(19,0)")
+    num = (
+        co.join(_dim(xa), "s1")
+        .join(_dim(xb), "s2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ne"),
+            F.sum(diff * diff).cast("decimal(38,0)").alias("se"),
+        )
+    )
+    den = (
+        F.col("nn").cast("decimal(19,0)") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double")
+    c = (
+        F.col("nn").cast("double")
+        * (F.col("nn") - 1.0)
+        * F.col("se").cast("double")
+        / (2.0 * F.col("ne") * den)
+    )
+    return (
+        mom.crossJoin(F.broadcast(num))
+        .select(
+            F.col("nn").alias("n_nodes"),
+            F.col("ne").alias("n_edges"),
+            F.round(c, 6).alias("gearys_c"),
+            F.when(c < 1.0, "clustered").otherwise("dispersed").alias("verdict"),
+        )
     )

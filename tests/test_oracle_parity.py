@@ -81,6 +81,8 @@ AGG_WINDOW_ALLOWLIST = {
     "q456_palma_hoover",        # cent-value support cum: range-bounded (q82 kin)
     "q475_theil_sen",           # slope/intercept medians over the day-pair
                                 # frame: O(days^2) calendar-bounded, SF-invariant
+    "q476_moods_median",        # grand-median cum over the 1..50 value support
+    "q477_ansari_bradley",      # score-block cum over the 1..50 value support
     "q458_sign_wilcoxon",       # |d| value-support cum: char-domain-bounded
     "q460_forecastability",     # centered 7-day MA over the daily rollup (q444 kin)
     "q466_granger_causality",   # lag window over the daily rollup: O(days)
