@@ -2846,7 +2846,9 @@ def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (y_j - y_i)/(d_j - d_i) over day pairs, plus the median-residual
     intercept — the breakdown-resistant alternative to the q17 OLS
     slope (disclosed kinship; Mann-Kendall q465 tests the SIGN pattern,
-    this estimates the magnitude). Medians use the covering-ranks idiom
+    this estimates the magnitude; q86 is the strided per-event-type
+    variant on the minutely series — this one is EXACT all-pairs on the
+    calendar-bounded day rollup, with the median-residual intercept). Medians use the covering-ranks idiom
     ((m+1) div 2 / (m+2) div 2 positions of the sorted multiset, so tie
     order cannot matter); slopes are rounded to 12 dp before ranking in
     BOTH engines.
@@ -3487,4 +3489,580 @@ def q480_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c, 6).alias("gearys_c"),
             F.when(c < 1.0, "clustered").otherwise("dispersed").alias("verdict"),
         )
+    )
+
+
+@query(
+    "q481_gini_stump",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY v) AS BIGINT) AS cpos,
+             (SELECT CAST(sum(c) AS BIGINT) FROM h) AS nn,
+             (SELECT CAST(sum(pos) AS BIGINT) FROM h) AS np,
+             max(v) OVER () AS vmax
+      FROM h
+    ),
+    split AS (
+      SELECT v AS threshold, cn AS n_left, nn - cn AS n_right,
+             CAST(cpos AS DOUBLE) / cn AS pl,
+             CAST(np - cpos AS DOUBLE) / (nn - cn) AS pr,
+             CAST(np AS DOUBLE) / nn AS p0, nn
+      FROM cum WHERE v < vmax
+    ),
+    g AS (
+      SELECT threshold, n_left, n_right,
+             round((n_left * (2.0 * pl * (1.0 - pl))
+                    + n_right * (2.0 * pr * (1.0 - pr))) / nn, 12) AS gini_split,
+             round(2.0 * p0 * (1.0 - p0), 12) AS gini_parent
+      FROM split
+    )
+    SELECT threshold, n_left, n_right,
+           round(gini_split, 6) AS gini_split,
+           round(gini_parent, 6) AS gini_parent,
+           round(gini_parent - gini_split, 6) AS gain,
+           CASE WHEN gini_split = min(gini_split) OVER () THEN 1 ELSE 0 END AS is_best
+    FROM g
+    """,
+)
+def q481_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search (CART Gini impurity, Breiman 1984)
+    for predicting a returned line (l_returnflag = 'R') from quantity:
+    for every threshold t on the 1..50 support, the weighted Gini
+    impurity of the {v <= t, v > t} split vs the parent impurity
+    2p(1-p). Left/right class counts come from ONE cumulative pass over
+    the support histogram; the is_best flag marks the argmin after both
+    engines round the impurity to 12 dp (so the comparison runs on
+    identical quantized doubles). The first fan-out step of any
+    tree/GBT feature audit: a near-zero best gain says the feature
+    carries no split signal (m4's GBT kinship, disclosed).
+
+    100 TB story: ONE aggregate to the 50-row support histogram with
+    class sums; cum and argmin windows run on that SF-invariant support
+    (allowlisted); no corpus-rate window, no join, no second scan."""
+    h = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("isr"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("isr").cast("long").alias("pos"),
+        )
+    )
+    tot = h.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("np"),
+        F.max("v").alias("vmax"),
+    )
+    wv = Window.orderBy("v")
+    cum = h.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.sum("c").over(wv).alias("cn"),
+        F.sum("pos").over(wv).alias("cpos"),
+        "nn",
+        "np",
+        "vmax",
+    )
+    split = cum.filter(F.col("v") < F.col("vmax")).select(
+        F.col("v").alias("threshold"),
+        F.col("cn").alias("n_left"),
+        (F.col("nn") - F.col("cn")).alias("n_right"),
+        (F.col("cpos").cast("double") / F.col("cn")).alias("pl"),
+        (
+            (F.col("np") - F.col("cpos")).cast("double")
+            / (F.col("nn") - F.col("cn"))
+        ).alias("pr"),
+        (F.col("np").cast("double") / F.col("nn")).alias("p0"),
+        "nn",
+    )
+    g = split.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        F.round(
+            (
+                F.col("n_left") * (2.0 * F.col("pl") * (1.0 - F.col("pl")))
+                + F.col("n_right") * (2.0 * F.col("pr") * (1.0 - F.col("pr")))
+            )
+            / F.col("nn"),
+            12,
+        ).alias("gini_split"),
+        F.round(2.0 * F.col("p0") * (1.0 - F.col("p0")), 12).alias("gini_parent"),
+    )
+    return g.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        F.round("gini_split", 6).alias("gini_split"),
+        F.round("gini_parent", 6).alias("gini_parent"),
+        F.round(F.col("gini_parent") - F.col("gini_split"), 6).alias("gain"),
+        F.when(
+            F.col("gini_split") == F.min("gini_split").over(Window.partitionBy()),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_best"),
+    )
+
+
+@query(
+    "q482_gk_lambda",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS f,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rowmax AS (SELECT v, CAST(max(c) AS BIGINT) AS mx FROM cells GROUP BY 1),
+    colmax AS (SELECT f, CAST(max(c) AS BIGINT) AS mx FROM cells GROUP BY 1),
+    margf AS (SELECT f, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+    margv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+    s AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cells) AS n,
+             (SELECT CAST(sum(mx) AS BIGINT) FROM rowmax) AS srm,
+             (SELECT CAST(sum(mx) AS BIGINT) FROM colmax) AS scm,
+             (SELECT CAST(max(t) AS BIGINT) FROM margf) AS mf,
+             (SELECT CAST(max(t) AS BIGINT) FROM margv) AS mv,
+             (SELECT min(f) FROM margf
+              WHERE t = (SELECT max(t) FROM margf)) AS modal_flag
+    )
+    SELECT n, modal_flag,
+           round(CAST(srm - mf AS DOUBLE) / (n - mf), 6) AS lambda_flag_given_qty,
+           round(CAST(scm - mv AS DOUBLE) / (n - mv), 6) AS lambda_qty_given_flag,
+           round(CAST((srm - mf) + (scm - mv) AS DOUBLE)
+                 / ((n - mf) + (n - mv)), 6) AS lambda_symmetric
+    FROM s
+    """,
+)
+def q482_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda (1954), the proportional-reduction-in-
+    error measure of predictive association: how much better do you
+    predict a line's return flag knowing its quantity than always
+    guessing the modal flag? lambda = (sum_v max_f n_vf - max_f n_f)
+    / (N - max_f n_f), plus the reverse direction and the symmetric
+    pooling. ALL terms are exact integers from the <= 150-cell joint
+    histogram — the only division is the final ratio. Distinct from
+    q425 (Goodman-Kruskal GAMMA ranks ordered pairs; lambda is purely
+    nominal — zero lambda with nonzero gamma means ordinal-only
+    signal). The modal flag is reported with a deterministic min-name
+    tiebreak.
+
+    100 TB story: ONE aggregate to the joint histogram; row/column
+    maxima and marginals are rollups of that checkpointed 150-row
+    frame; no window, no corpus re-scan."""
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.col("l_returnflag").alias("f"),
+        )
+        .groupBy("v", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rowmax = cells.groupBy("v").agg(F.max("c").alias("mx")).agg(
+        F.sum("mx").cast("long").alias("srm")
+    )
+    colmax = cells.groupBy("f").agg(F.max("c").alias("mx")).agg(
+        F.sum("mx").cast("long").alias("scm")
+    )
+    margf = cells.groupBy("f").agg(F.sum("c").cast("long").alias("t"))
+    margf_max = margf.agg(F.max("t").alias("mf"))
+    modal = (
+        margf.crossJoin(F.broadcast(margf_max))
+        .filter(F.col("t") == F.col("mf"))
+        .agg(F.min("f").alias("modal_flag"), F.max("mf").alias("mf"))
+    )
+    margv_max = (
+        cells.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(F.max("t").alias("mv"))
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    s = (
+        tot.crossJoin(F.broadcast(rowmax))
+        .crossJoin(F.broadcast(colmax))
+        .crossJoin(F.broadcast(modal))
+        .crossJoin(F.broadcast(margv_max))
+    )
+    return s.select(
+        "n",
+        "modal_flag",
+        F.round(
+            (F.col("srm") - F.col("mf")).cast("double") / (F.col("n") - F.col("mf")),
+            6,
+        ).alias("lambda_flag_given_qty"),
+        F.round(
+            (F.col("scm") - F.col("mv")).cast("double") / (F.col("n") - F.col("mv")),
+            6,
+        ).alias("lambda_qty_given_flag"),
+        F.round(
+            ((F.col("srm") - F.col("mf")) + (F.col("scm") - F.col("mv"))).cast(
+                "double"
+            )
+            / ((F.col("n") - F.col("mf")) + (F.col("n") - F.col("mv"))),
+            6,
+        ).alias("lambda_symmetric"),
+    )
+
+
+@query(
+    "q483_theils_u",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    hs AS (
+      SELECT CAST(round(sum(CAST(round(
+               -(CAST(t AS DOUBLE) / (SELECT n FROM n))
+                 * ln(CAST(t AS DOUBLE) / (SELECT n FROM n)),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS h
+      FROM (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)
+    ),
+    hl AS (
+      SELECT CAST(round(sum(CAST(round(
+               -(CAST(t AS DOUBLE) / (SELECT n FROM n))
+                 * ln(CAST(t AS DOUBLE) / (SELECT n FROM n)),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS h
+      FROM (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)
+    ),
+    hj AS (
+      SELECT CAST(round(sum(CAST(round(
+               -(CAST(c AS DOUBLE) / (SELECT n FROM n))
+                 * ln(CAST(c AS DOUBLE) / (SELECT n FROM n)),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS h
+      FROM cells
+    )
+    SELECT (SELECT n FROM n) AS n_docs,
+           round((SELECT h FROM hs), 6) AS h_source,
+           round((SELECT h FROM hl), 6) AS h_lang,
+           round((SELECT h FROM hj), 6) AS h_joint,
+           round(((SELECT h FROM hl) + (SELECT h FROM hs) - (SELECT h FROM hj))
+                 / (SELECT h FROM hl), 6) AS u_lang_given_source,
+           round(2.0 * ((SELECT h FROM hl) + (SELECT h FROM hs) - (SELECT h FROM hj))
+                 / ((SELECT h FROM hl) + (SELECT h FROM hs)), 6) AS u_symmetric
+    """,
+)
+def q483_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U (Theil 1970) between document
+    source and language: the fraction of language entropy explained by
+    knowing the source, U(L|S) = (H(L) + H(S) - H(S,L)) / H(L) =
+    I(S;L)/H(L), plus the symmetric form — the entropy-based
+    (chi-square-free) association measure for two categoricals, the
+    right screen for "is language assignment confounded with source"
+    before any per-source language quota is trusted. Entropies are
+    -p ln p folds over marginal/joint histograms with the registry's
+    12-dp DECIMAL policy (identical ln chains both engines; q293 KL
+    kinship disclosed).
+
+    100 TB story: ONE aggregate to the O(sources x langs) joint
+    histogram; marginals and all three entropy folds are rollups of
+    that checkpointed frame — no window, no second corpus scan."""
+    cells = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_row = cells.agg(F.sum("c").cast("long").alias("n"))
+
+    def _ent(df, cnt_col):
+        p = F.col(cnt_col).cast("double") / F.col("n")
+        return (
+            df.crossJoin(F.broadcast(n_row))
+            .agg(_fold12(-p * F.log(p)).alias("h"))
+        )
+
+    hs = _ent(cells.groupBy("source").agg(F.sum("c").cast("long").alias("t")), "t")
+    hl = _ent(cells.groupBy("lang").agg(F.sum("c").cast("long").alias("t")), "t")
+    hj = _ent(cells, "c")
+    out = (
+        n_row.crossJoin(F.broadcast(hs.select(F.col("h").alias("h_s"))))
+        .crossJoin(F.broadcast(hl.select(F.col("h").alias("h_l"))))
+        .crossJoin(F.broadcast(hj.select(F.col("h").alias("h_j"))))
+    )
+    mi = F.col("h_l") + F.col("h_s") - F.col("h_j")
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.round("h_s", 6).alias("h_source"),
+        F.round("h_l", 6).alias("h_lang"),
+        F.round("h_j", 6).alias("h_joint"),
+        F.round(mi / F.col("h_l"), 6).alias("u_lang_given_source"),
+        F.round(2.0 * mi / (F.col("h_l") + F.col("h_s")), 6).alias("u_symmetric"),
+    )
+
+
+@query(
+    "q484_kuiper_test",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS m, CAST(sum(cb) AS BIGINT) AS n
+      FROM h
+    ),
+    cum AS (
+      SELECT v,
+             round(CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE)
+                   / (SELECT m FROM tot)
+                   - CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE)
+                     / (SELECT n FROM tot), 12) AS diff
+      FROM h
+    ),
+    d AS (
+      SELECT greatest(max(diff), 0.0) AS dplus,
+             greatest(max(-diff), 0.0) AS dminus
+      FROM cum
+    ),
+    f AS (
+      SELECT (SELECT m FROM tot) AS m, (SELECT n FROM tot) AS n,
+             dplus, dminus, dplus + dminus AS vstat,
+             CAST((SELECT m FROM tot) AS DOUBLE) * (SELECT n FROM tot)
+               / ((SELECT m FROM tot) + (SELECT n FROM tot)) AS ne
+      FROM d
+    )
+    SELECT m AS n_open, n AS n_finished,
+           round(dplus, 6) AS d_plus,
+           round(dminus, 6) AS d_minus,
+           round(vstat, 6) AS kuiper_v,
+           round(vstat * (sqrt(ne) + 0.155 + 0.24 / sqrt(ne)), 6) AS kuiper_stat,
+           CASE WHEN vstat * (sqrt(ne) + 0.155 + 0.24 / sqrt(ne)) > 1.747
+                THEN 'distributions_differ' ELSE 'no_evidence' END AS verdict
+    FROM f
+    """,
+)
+def q484_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper two-sample test (Kuiper 1960) on the quantity
+    distributions of open (O) vs finished (F) lines: V = D+ + D-, the
+    sum of the maximum ECDF exceedances in BOTH directions — unlike the
+    plain KS D = max|diff| (q183 kinship, disclosed), V weights the
+    tails and the center equally and is invariant to cyclic shifts,
+    which is why it is the standard test for periodic/binned supports.
+    ECDF differences are computed at every support value from one
+    cumulative pass and rounded to 12 dp before the max; the finite-
+    sample Stephens (1970) correction V*(sqrt(ne)+0.155+0.24/sqrt(ne))
+    is compared to the 95% point 1.747 (both literals shared).
+
+    100 TB story: ONE aggregate to the <= 50-row two-group support
+    histogram; the ECDF cum runs on that support (allowlisted); the
+    max-fold and the closed-form statistic are scalar work — the
+    corpus is never sorted."""
+    h = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.when(F.col("l_linestatus") == "O", 1).otherwise(0).alias("isa"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("isa").cast("long").alias("ca"),
+            F.sum(1 - F.col("isa")).cast("long").alias("cb"),
+        )
+    )
+    tot = h.agg(
+        F.sum("ca").cast("long").alias("m"),
+        F.sum("cb").cast("long").alias("n"),
+    )
+    wv = Window.orderBy("v")
+    cum = h.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.sum("ca").over(wv).cast("double") / F.col("m")
+            - F.sum("cb").over(wv).cast("double") / F.col("n"),
+            12,
+        ).alias("diff"),
+        "m",
+        "n",
+    )
+    d = cum.agg(
+        F.greatest(F.max("diff"), F.lit(0.0)).alias("dplus"),
+        F.greatest(F.max(-F.col("diff")), F.lit(0.0)).alias("dminus"),
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+    )
+    f = d.select(
+        "m",
+        "n",
+        "dplus",
+        "dminus",
+        (F.col("dplus") + F.col("dminus")).alias("vstat"),
+        (
+            F.col("m").cast("double") * F.col("n") / (F.col("m") + F.col("n"))
+        ).alias("ne"),
+    )
+    stat = F.col("vstat") * (
+        F.sqrt("ne") + 0.155 + 0.24 / F.sqrt("ne")
+    )
+    return f.select(
+        F.col("m").alias("n_open"),
+        F.col("n").alias("n_finished"),
+        F.round("dplus", 6).alias("d_plus"),
+        F.round("dminus", 6).alias("d_minus"),
+        F.round("vstat", 6).alias("kuiper_v"),
+        F.round(stat, 6).alias("kuiper_stat"),
+        F.when(stat > 1.747, "distributions_differ")
+        .otherwise("no_evidence")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q485_oaxaca_mix_rate",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg,
+             year(o.o_orderdate) AS yr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE year(o.o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT yr, CAST(sum(n) AS BIGINT) AS tn FROM o GROUP BY 1
+    ),
+    w AS (
+      SELECT o.seg,
+             CAST(max(CASE WHEN o.yr = 1995 THEN o.n END) AS BIGINT) AS n95,
+             CAST(max(CASE WHEN o.yr = 1996 THEN o.n END) AS BIGINT) AS n96,
+             max(CASE WHEN o.yr = 1995 THEN o.sc END) AS s95,
+             max(CASE WHEN o.yr = 1996 THEN o.sc END) AS s96,
+             (SELECT tn FROM tot WHERE yr = 1995) AS t95,
+             (SELECT tn FROM tot WHERE yr = 1996) AS t96
+      FROM o GROUP BY 1
+    ),
+    r AS (
+      SELECT seg,
+             CAST(n95 AS DOUBLE) / t95 AS sh95,
+             CAST(n96 AS DOUBLE) / t96 AS sh96,
+             CAST(s95 AS DOUBLE) / n95 / 100.0 AS r95,
+             CAST(s96 AS DOUBLE) / n96 / 100.0 AS r96
+      FROM w
+    ),
+    c AS (
+      SELECT seg, sh95, sh96, r95, r96,
+             round((sh96 - sh95) * r95, 12) AS mix_c,
+             round(sh95 * (r96 - r95), 12) AS rate_c,
+             round((sh96 - sh95) * (r96 - r95), 12) AS inter_c
+      FROM r
+    ),
+    t AS (
+      SELECT CAST(round(sum(CAST(mix_c AS DECIMAL(38,12))), 12) AS DOUBLE) AS mix_t,
+             CAST(round(sum(CAST(rate_c AS DECIMAL(38,12))), 12) AS DOUBLE) AS rate_t,
+             CAST(round(sum(CAST(inter_c AS DECIMAL(38,12))), 12) AS DOUBLE) AS inter_t
+      FROM c
+    )
+    SELECT c.seg, round(c.sh95, 6) AS share_1995, round(c.sh96, 6) AS share_1996,
+           round(c.r95, 6) AS avg_price_1995, round(c.r96, 6) AS avg_price_1996,
+           round(c.mix_c, 6) AS mix_contrib,
+           round(c.rate_c, 6) AS rate_contrib,
+           round((SELECT mix_t FROM t), 6) AS mix_total,
+           round((SELECT rate_t FROM t), 6) AS rate_total,
+           round((SELECT inter_t FROM t), 6) AS interaction_total
+    FROM c
+    """,
+)
+def q485_oaxaca_mix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder / shift-share decomposition (Oaxaca 1973) of the
+    1995 -> 1996 change in mean order value into MIX (segment share
+    shifts at old prices), RATE (within-segment price changes at old
+    shares) and the interaction residual — the standard "did revenue
+    per order move because customers changed or because segments
+    changed" audit, here over the market-segment composition. Segment
+    shares and mean prices come from exact integer counts and
+    DECIMAL(38,0) cent sums; per-segment contributions are rounded to
+    12 dp and totalled through the registry's DECIMAL fold. DiD (q403
+    kinship, disclosed) compares two GROUPS over time; this decomposes
+    one population's change into composition vs rate.
+
+    100 TB story: one broadcast-dim join + ONE aggregate to the
+    O(segments x 2) frame; the pivot, ratios and the three folds all
+    run on <= 5 rows — no window, no second scan."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(_dim(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "seg",
+            F.year("o_orderdate").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)").alias("pc"),
+        )
+        .groupBy("seg", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pc").cast("decimal(38,0)").alias("sc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = o.groupBy("yr").agg(F.sum("n").cast("long").alias("tn"))
+    t95 = tot.filter(F.col("yr") == 1995).select(F.col("tn").alias("t95"))
+    t96 = tot.filter(F.col("yr") == 1996).select(F.col("tn").alias("t96"))
+    w = (
+        o.groupBy("seg")
+        .agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("n"))).alias("n95"),
+            F.max(F.when(F.col("yr") == 1996, F.col("n"))).alias("n96"),
+            F.max(F.when(F.col("yr") == 1995, F.col("sc"))).alias("s95"),
+            F.max(F.when(F.col("yr") == 1996, F.col("sc"))).alias("s96"),
+        )
+        .crossJoin(F.broadcast(t95))
+        .crossJoin(F.broadcast(t96))
+    )
+    r = w.select(
+        "seg",
+        (F.col("n95").cast("double") / F.col("t95")).alias("sh95"),
+        (F.col("n96").cast("double") / F.col("t96")).alias("sh96"),
+        (F.col("s95").cast("double") / F.col("n95") / 100.0).alias("r95"),
+        (F.col("s96").cast("double") / F.col("n96") / 100.0).alias("r96"),
+    )
+    cdf = r.select(
+        "seg",
+        "sh95",
+        "sh96",
+        "r95",
+        "r96",
+        F.round((F.col("sh96") - F.col("sh95")) * F.col("r95"), 12).alias("mix_c"),
+        F.round(F.col("sh95") * (F.col("r96") - F.col("r95")), 12).alias("rate_c"),
+        F.round(
+            (F.col("sh96") - F.col("sh95")) * (F.col("r96") - F.col("r95")), 12
+        ).alias("inter_c"),
+    )
+
+    def _f12(c_):
+        return F.round(F.sum(F.col(c_).cast("decimal(38,12)")), 12).cast("double")
+
+    t = cdf.agg(
+        _f12("mix_c").alias("mix_t"),
+        _f12("rate_c").alias("rate_t"),
+        _f12("inter_c").alias("inter_t"),
+    )
+    return cdf.crossJoin(F.broadcast(t)).select(
+        "seg",
+        F.round("sh95", 6).alias("share_1995"),
+        F.round("sh96", 6).alias("share_1996"),
+        F.round("r95", 6).alias("avg_price_1995"),
+        F.round("r96", 6).alias("avg_price_1996"),
+        F.round("mix_c", 6).alias("mix_contrib"),
+        F.round("rate_c", 6).alias("rate_contrib"),
+        F.round("mix_t", 6).alias("mix_total"),
+        F.round("rate_t", 6).alias("rate_total"),
+        F.round("inter_t", 6).alias("interaction_total"),
     )

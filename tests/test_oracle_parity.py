@@ -83,6 +83,9 @@ AGG_WINDOW_ALLOWLIST = {
                                 # frame: O(days^2) calendar-bounded, SF-invariant
     "q476_moods_median",        # grand-median cum over the 1..50 value support
     "q477_ansari_bradley",      # score-block cum over the 1..50 value support
+    "q481_gini_stump",          # split cum + argmin over the 1..50 value support
+    "q482_gk_lambda",           # modal-flag sort-agg over the 3-row flag marginal
+    "q484_kuiper_test",         # ECDF cum over the 1..50 value support (q183 kin)
     "q458_sign_wilcoxon",       # |d| value-support cum: char-domain-bounded
     "q460_forecastability",     # centered 7-day MA over the daily rollup (q444 kin)
     "q466_granger_causality",   # lag window over the daily rollup: O(days)
