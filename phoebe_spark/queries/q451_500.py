@@ -4066,3 +4066,550 @@ def q485_oaxaca_mix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_t", 6).alias("rate_total"),
         F.round("inter_t", 6).alias("interaction_total"),
     )
+
+
+@query(
+    "q486_rank_instability",
+    oracle="""
+    WITH li AS (
+      SELECT l_suppkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+             1 AS one
+      FROM lineitem
+    ),
+    n AS (
+      SELECT nt.n_name AS nation,
+             CAST(sum(CAST(li.rev AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM li
+      JOIN supplier s ON s.s_suppkey = li.l_suppkey
+      JOIN nation nt ON nt.n_nationkey = s.s_nationkey
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT nation, rev, cnt,
+             row_number() OVER (ORDER BY rev DESC, nation ASC) AS r_rev,
+             row_number() OVER (ORDER BY cnt DESC, nation ASC) AS r_cnt
+      FROM n
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(abs(r_rev - r_cnt)) AS BIGINT) AS footrule,
+             CAST(max(abs(r_rev - r_cnt)) AS BIGINT) AS max_disp,
+             CAST(sum((r_rev - r_cnt) * (r_rev - r_cnt)) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN r_rev <= 5 AND r_cnt <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS top5_overlap
+      FROM r
+    )
+    SELECT r.nation, r.r_rev AS revenue_rank, r.r_cnt AS volume_rank,
+           CAST(abs(r.r_rev - r.r_cnt) AS BIGINT) AS displacement,
+           (SELECT footrule FROM t) AS footrule_total,
+           (SELECT max_disp FROM t) AS max_displacement,
+           (SELECT top5_overlap FROM t) AS top5_overlap,
+           round(1.0 - 6.0 * (SELECT d2 FROM t)
+                 / (CAST((SELECT k FROM t) AS DOUBLE)
+                    * ((SELECT k FROM t) * (SELECT k FROM t) - 1)), 6) AS spearman_rho
+    FROM r
+    """,
+)
+def q486_rank_instability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-instability audit between two nation leaderboards — supplier
+    nations ranked by REVENUE vs by LINE VOLUME: Spearman's footrule
+    distance (sum |r1 - r2|, Diaconis & Graham 1977), the maximum
+    single displacement, top-5 overlap, and Spearman's rho from the
+    exact integer d^2 sum (ranks are distinct by construction: ties
+    break deterministically on nation name in BOTH engines, so rho's
+    no-tie formula is exact). The standard "does the KPI choice change
+    the league table" screen before any top-k budget allocation; q85
+    (value-support Spearman) measures column correlation — this
+    measures RANKING disagreement on an entity leaderboard.
+
+    100 TB story: one broadcast-dim join chain collapses the corpus to
+    25 nation rows in ONE aggregate; both rankings and all four
+    distance folds run on that fixed 25-row frame (allowlisted
+    windows); no corpus-rate sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nt = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    n = (
+        li.join(_dim(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_dim(nt), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("nation")
+        .agg(
+            F.sum(F.col("rev").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    r = n.select(
+        "nation",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("nation").asc()))
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("nation").asc()))
+        .alias("r_cnt"),
+    )
+    disp = F.abs(F.col("r_rev") - F.col("r_cnt"))
+    t = r.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(disp).cast("long").alias("footrule"),
+        F.max(disp).cast("long").alias("max_disp"),
+        F.sum(
+            (F.col("r_rev") - F.col("r_cnt")) * (F.col("r_rev") - F.col("r_cnt"))
+        )
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when((F.col("r_rev") <= 5) & (F.col("r_cnt") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("top5_overlap"),
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "nation",
+        F.col("r_rev").alias("revenue_rank"),
+        F.col("r_cnt").alias("volume_rank"),
+        disp.cast("long").alias("displacement"),
+        F.col("footrule").alias("footrule_total"),
+        F.col("max_disp").alias("max_displacement"),
+        "top5_overlap",
+        F.round(
+            1.0
+            - 6.0
+            * F.col("d2")
+            / (F.col("k").cast("double") * (F.col("k") * F.col("k") - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "q487_negbin_fit",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM g
+    ),
+    f AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS mean_y,
+             CAST(CAST(n AS DECIMAL(19,0)) * s2 - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_y
+      FROM m
+    )
+    SELECT n AS n_customers,
+           round(mean_y, 6) AS mean_orders,
+           round(var_y, 6) AS var_orders,
+           round(var_y / mean_y, 6) AS dispersion_index,
+           round(CASE WHEN var_y > mean_y
+                      THEN mean_y * mean_y / (var_y - mean_y) END, 6) AS nb_r,
+           round(CASE WHEN var_y > mean_y
+                      THEN mean_y / var_y END, 6) AS nb_p,
+           CASE WHEN var_y > mean_y THEN 'overdispersed_nb'
+                ELSE 'poisson_or_under' END AS verdict
+    FROM f
+    """,
+)
+def q487_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit (Anscombe 1950) to
+    per-CUSTOMER order counts: mean, sample variance, the dispersion
+    index, and the NB(r, p) parameters r = m^2/(s^2 - m), p = m/s^2
+    (null when the data is not overdispersed — fail-visible rather
+    than a garbage negative r). q405 (disclosed kinship) TESTS daily
+    arrival counts for Poisson-ness; this FITS the unit-level count
+    model that a marketing-frequency or repeat-buyer simulation would
+    sample from. Customers with zero orders are not observable in the
+    orders table and are excluded (disclosed — this is the
+    zero-truncated frame). All moments are exact BIGINT/DECIMAL.
+
+    100 TB story: one groupBy(custkey) shuffle, then ONE moment fold
+    to a single row; closed-form arithmetic after — no window, no
+    join, no second scan."""
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("s2"),
+    )
+    f = m.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_y"),
+        (
+            (
+                F.col("n").cast("decimal(19,0)") * F.col("s2")
+                - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
+            ).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_y"),
+    )
+    over = F.col("var_y") > F.col("mean_y")
+    return f.select(
+        F.col("n").alias("n_customers"),
+        F.round("mean_y", 6).alias("mean_orders"),
+        F.round("var_y", 6).alias("var_orders"),
+        F.round(F.col("var_y") / F.col("mean_y"), 6).alias("dispersion_index"),
+        F.round(
+            F.when(
+                over,
+                F.col("mean_y") * F.col("mean_y") / (F.col("var_y") - F.col("mean_y")),
+            ),
+            6,
+        ).alias("nb_r"),
+        F.round(F.when(over, F.col("mean_y") / F.col("var_y")), 6).alias("nb_p"),
+        F.when(over, "overdispersed_nb")
+        .otherwise("poisson_or_under")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q488_breakpoint_search",
+    oracle="""
+    WITH od AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, y,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             CAST(sum(y) OVER (ORDER BY d) AS BIGINT) AS cy,
+             CAST(sum(y * y) OVER (ORDER BY d) AS BIGINT) AS cy2,
+             (SELECT CAST(count(*) AS BIGINT) FROM od) AS nd,
+             (SELECT CAST(sum(y) AS BIGINT) FROM od) AS ty,
+             (SELECT CAST(sum(y * y) AS BIGINT) FROM od) AS ty2
+      FROM od
+    ),
+    cand AS (
+      SELECT d, rn, nd,
+             round((cy2 - CAST(cy AS DOUBLE) * cy / rn)
+                   + ((ty2 - cy2) - CAST(ty - cy AS DOUBLE) * (ty - cy) / (nd - rn)),
+                   12) AS sse_split,
+             round(ty2 - CAST(ty AS DOUBLE) * ty / nd, 12) AS sse_total,
+             CAST(cy AS DOUBLE) / rn AS mean_left,
+             CAST(ty - cy AS DOUBLE) / (nd - rn) AS mean_right
+      FROM cum WHERE rn >= 2 AND rn <= nd - 2
+    ),
+    best AS (
+      SELECT * FROM cand
+      WHERE sse_split = (SELECT min(sse_split) FROM cand)
+      ORDER BY d LIMIT 1
+    )
+    SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS break_day,
+           nd AS n_days, rn AS days_before,
+           round(mean_left, 6) AS mean_before,
+           round(mean_right, 6) AS mean_after,
+           round(sse_total, 6) AS sse_total,
+           round(sse_split, 6) AS sse_split,
+           round(sse_total - sse_split, 6) AS gain,
+           round((sse_total - sse_split) / (sse_split / (nd - 2)), 6) AS f_stat
+    FROM best
+    """,
+)
+def q488_breakpoint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-changepoint search (the first step of binary
+    segmentation, Scott & Knott 1974) on the daily order-arrival
+    series: the split day minimizing total within-segment SSE, from
+    ONE cumulative pass over the day rollup (SSE of each side comes
+    from prefix count/sum/sum-of-squares — no per-candidate rescan).
+    Both engines round candidate SSEs to 12 dp before the argmin and
+    break ties on the earliest day, so the selected breakpoint is
+    deterministic. Reports the F-like variance-ratio gain. Distinct
+    from q424 (Chow TESTS a GIVEN break date) and q238 (hourly CUSUM
+    drift): this SEARCHES all candidate days; guards require >= 2 days
+    per side.
+
+    100 TB story: the corpus collapses to the O(days) rollup in one
+    aggregate; the candidate scan is the SAME calendar-bounded frame
+    under three prefix windows (allowlisted); argmin is an aggregate —
+    at no point does anything scale past O(days)."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    tot = od.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("ty"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ty2"),
+    )
+    wd = Window.orderBy("d")
+    cum = od.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.row_number().over(wd).cast("long").alias("rn"),
+        F.sum("y").over(wd).cast("long").alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(wd).cast("long").alias("cy2"),
+        "nd",
+        "ty",
+        "ty2",
+    )
+    cand = cum.filter(
+        (F.col("rn") >= 2) & (F.col("rn") <= F.col("nd") - 2)
+    ).select(
+        "d",
+        "rn",
+        "nd",
+        F.round(
+            (F.col("cy2") - F.col("cy").cast("double") * F.col("cy") / F.col("rn"))
+            + (
+                (F.col("ty2") - F.col("cy2"))
+                - (F.col("ty") - F.col("cy")).cast("double")
+                * (F.col("ty") - F.col("cy"))
+                / (F.col("nd") - F.col("rn"))
+            ),
+            12,
+        ).alias("sse_split"),
+        F.round(
+            F.col("ty2") - F.col("ty").cast("double") * F.col("ty") / F.col("nd"),
+            12,
+        ).alias("sse_total"),
+        (F.col("cy").cast("double") / F.col("rn")).alias("mean_left"),
+        (
+            (F.col("ty") - F.col("cy")).cast("double") / (F.col("nd") - F.col("rn"))
+        ).alias("mean_right"),
+    )
+    mn = cand.agg(F.min("sse_split").alias("best_sse"))
+    best = (
+        cand.crossJoin(F.broadcast(mn))
+        .filter(F.col("sse_split") == F.col("best_sse"))
+        .orderBy("d")
+        .limit(1)
+    )
+    return best.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias(
+            "break_day"
+        ),
+        F.col("nd").alias("n_days"),
+        F.col("rn").alias("days_before"),
+        F.round("mean_left", 6).alias("mean_before"),
+        F.round("mean_right", 6).alias("mean_after"),
+        F.round("sse_total", 6).alias("sse_total"),
+        F.round("sse_split", 6).alias("sse_split"),
+        F.round(F.col("sse_total") - F.col("sse_split"), 6).alias("gain"),
+        F.round(
+            (F.col("sse_total") - F.col("sse_split"))
+            / (F.col("sse_split") / (F.col("nd") - 2)),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "q489_edge_jaccard",
+    oracle=f"""
+    WITH {_COGRAPH_SQL},
+    und AS (SELECT s1 AS u, s2 AS w FROM co UNION ALL SELECT s2, s1 FROM co),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY 1),
+    common AS (
+      SELECT co.s1, co.s2, CAST(count(*) AS BIGINT) AS cn
+      FROM co
+      JOIN und e1 ON e1.u = co.s1
+      JOIN und e2 ON e2.u = co.s2 AND e2.w = e1.w
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT co.s1, co.s2,
+             COALESCE(c.cn, 0) AS common_neighbors,
+             da.dg AS deg_s1, db.dg AS deg_s2,
+             round(CAST(COALESCE(c.cn, 0) AS DOUBLE)
+                   / (da.dg + db.dg - COALESCE(c.cn, 0)), 12) AS jr
+      FROM co
+      LEFT JOIN common c ON c.s1 = co.s1 AND c.s2 = co.s2
+      JOIN deg da ON da.u = co.s1
+      JOIN deg db ON db.u = co.s2
+    )
+    SELECT s1, s2, common_neighbors, deg_s1, deg_s2,
+           round(jr, 6) AS jaccard
+    FROM j
+    ORDER BY jr DESC, s1 ASC, s2 ASC
+    LIMIT 10
+    """,
+)
+def q489_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity of co-purchase EDGES (the
+    link-prediction / community-strength score of Jaccard 1901 applied
+    to graph neighborhoods): for each edge (u,v), |N(u) cap N(v)| /
+    |N(u) cup N(v)| where the intersection count is the number of
+    triangles through the edge (one wedge join — the audited
+    triangle-count shape) and the union is deg(u)+deg(v)-common.
+    Top-10 strongest edges with a deterministic (rounded-score, s1,
+    s2) ordering. Adamic-Adar (disclosed kinship) weights common
+    neighbors by rarity to PREDICT missing links; Jaccard normalizes
+    by neighborhood size to rank EXISTING edges — near-1 edges are
+    redundant bundle ties, near-0 edges are bridges.
+
+    100 TB story: edge build is bounded-lines-per-order linear; the
+    wedge join joins the edge list to the adjacency list on node keys
+    (never all-pairs); the top-10 cut is TakeOrderedAndProject —
+    bounded output, no unpartitioned sort of the full edge set."""
+    co = _cograph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = co.select(F.col("s1").alias("u"), F.col("s2").alias("w")).unionAll(
+        co.select(F.col("s2").alias("u"), F.col("s1").alias("w"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    e1 = und.select(F.col("u").alias("a1"), F.col("w").alias("w1"))
+    e2 = und.select(F.col("u").alias("a2"), F.col("w").alias("w2"))
+    common = (
+        co.join(e1, F.col("a1") == F.col("s1"))
+        .join(e2, (F.col("a2") == F.col("s2")) & (F.col("w2") == F.col("w1")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    da = deg.select(F.col("u").alias("s1"), F.col("dg").alias("deg_s1"))
+    db = deg.select(F.col("u").alias("s2"), F.col("dg").alias("deg_s2"))
+    j = (
+        co.join(common, ["s1", "s2"], "left")
+        .join(_dim(da), "s1")
+        .join(_dim(db), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce("cn", F.lit(0)).cast("long").alias("common_neighbors"),
+            "deg_s1",
+            "deg_s2",
+            F.round(
+                F.coalesce("cn", F.lit(0)).cast("double")
+                / (F.col("deg_s1") + F.col("deg_s2") - F.coalesce("cn", F.lit(0))),
+                12,
+            ).alias("jr"),
+        )
+    )
+    return (
+        j.orderBy(F.col("jr").desc(), F.col("s1").asc(), F.col("s2").asc())
+        .limit(10)
+        .select(
+            "s1",
+            "s2",
+            "common_neighbors",
+            "deg_s1",
+            "deg_s2",
+            F.round("jr", 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q490_fisher_price_index",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sc
+      FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT pk,
+             CAST(max(CASE WHEN yr = 1995 THEN q END) AS BIGINT) AS q0,
+             CAST(max(CASE WHEN yr = 1996 THEN q END) AS BIGINT) AS q1,
+             max(CASE WHEN yr = 1995 THEN sc END) AS s0,
+             max(CASE WHEN yr = 1996 THEN sc END) AS s1
+      FROM li GROUP BY 1
+      HAVING max(CASE WHEN yr = 1995 THEN q END) IS NOT NULL
+         AND max(CASE WHEN yr = 1996 THEN q END) IS NOT NULL
+    ),
+    p AS (
+      SELECT pk, q0, q1,
+             CAST(s0 AS DOUBLE) / q0 AS p0,
+             CAST(s1 AS DOUBLE) / q1 AS p1
+      FROM w
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(round(sum(CAST(round(p1 * q0, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS l_num,
+             CAST(round(sum(CAST(round(p0 * q0, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS l_den,
+             CAST(round(sum(CAST(round(p1 * q1, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS p_num,
+             CAST(round(sum(CAST(round(p0 * q1, 12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS p_den
+      FROM p
+    )
+    SELECT n_parts,
+           round(l_num / l_den, 6) AS laspeyres,
+           round(p_num / p_den, 6) AS paasche,
+           round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher,
+           round((sqrt((l_num / l_den) * (p_num / p_den)) - 1.0) * 100.0, 6)
+             AS inflation_pct
+    FROM t
+    """,
+)
+def q490_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher ideal price index (Fisher 1922) for 1995 -> 1996 over
+    parts shipped in BOTH years: Laspeyres (new prices at OLD
+    quantities), Paasche (new prices at NEW quantities) and their
+    geometric mean. Per-part unit prices are revenue-cents over
+    quantity from exact DECIMAL/BIGINT year rollups; the four basket
+    sums are 12-dp DECIMAL folds shared by both engines. Complements
+    q485 (disclosed kinship: Oaxaca decomposes the mean CHANGE by
+    segment composition; Fisher aggregates PRICE relatives at fixed
+    baskets — the two standard answers to "how much of the revenue
+    move is price"). Parts sold in only one year drop out (standard
+    matched-sample index; disclosed).
+
+    100 TB story: ONE aggregate to O(parts x 2) rollups, a pivot on
+    the part key (same shuffle), and ONE fold to a single row — no
+    window, no corpus re-scan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.year("l_shipdate").alias("yr"),
+            F.col("l_quantity").cast("long").alias("qy"),
+            F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)").alias("pc"),
+        )
+        .groupBy("pk", "yr")
+        .agg(
+            F.sum("qy").cast("long").alias("q"),
+            F.sum("pc").cast("decimal(38,0)").alias("sc"),
+        )
+    )
+    w = (
+        li.groupBy("pk")
+        .agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("q"))).alias("q0"),
+            F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("yr") == 1995, F.col("sc"))).alias("s0"),
+            F.max(F.when(F.col("yr") == 1996, F.col("sc"))).alias("s1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    p = w.select(
+        "pk",
+        "q0",
+        "q1",
+        (F.col("s0").cast("double") / F.col("q0")).alias("p0"),
+        (F.col("s1").cast("double") / F.col("q1")).alias("p1"),
+    )
+    t = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        _fold12(F.col("p1") * F.col("q0")).alias("l_num"),
+        _fold12(F.col("p0") * F.col("q0")).alias("l_den"),
+        _fold12(F.col("p1") * F.col("q1")).alias("p_num"),
+        _fold12(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return t.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        F.round((F.sqrt(lasp * paas) - 1.0) * 100.0, 6).alias("inflation_pct"),
+    )
