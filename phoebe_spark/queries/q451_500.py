@@ -4613,3 +4613,665 @@ def q490_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
         F.round((F.sqrt(lasp * paas) - 1.0) * 100.0, 6).alias("inflation_pct"),
     )
+
+
+@query(
+    "q491_mad_robust_z",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    sup AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+    cum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cc,
+             (SELECT CAST(sum(c) AS BIGINT) FROM sup) AS n
+      FROM sup
+    ),
+    med AS (
+      SELECT ((SELECT min(v) FROM cum WHERE cc >= (n + 1) // 2)
+              + (SELECT min(v) FROM cum WHERE cc >= (n + 2) // 2)) AS med2,
+             max(n) AS n
+      FROM cum
+    ),
+    dsup AS (
+      SELECT abs(2 * v - (SELECT med2 FROM med)) AS d2, CAST(sum(c) AS BIGINT) AS c
+      FROM sup GROUP BY 1
+    ),
+    dcum AS (
+      SELECT d2, CAST(sum(c) OVER (ORDER BY d2) AS BIGINT) AS cc,
+             (SELECT CAST(sum(c) AS BIGINT) FROM dsup) AS n
+      FROM dsup
+    ),
+    mad AS (
+      SELECT ((SELECT min(d2) FROM dcum WHERE cc >= (n + 1) // 2)
+              + (SELECT min(d2) FROM dcum WHERE cc >= (n + 2) // 2)) AS mad4
+      FROM dcum LIMIT 1
+    ),
+    z AS (
+      SELECT v, c,
+             round(0.6745 * (2.0 * v - (SELECT med2 FROM med))
+                   * 2.0 / (SELECT mad4 FROM mad), 12) AS rz
+      FROM sup
+    )
+    SELECT (SELECT n FROM med) AS n_customers,
+           round((SELECT med2 FROM med) / 2.0, 6) AS median_orders,
+           round((SELECT mad4 FROM mad) / 4.0, 6) AS mad_orders,
+           CAST(sum(CASE WHEN abs(rz) > 3.5 THEN c ELSE 0 END) AS BIGINT) AS n_outliers_35,
+           CAST(sum(CASE WHEN abs(rz) > 3.0 THEN c ELSE 0 END) AS BIGINT) AS n_outliers_30,
+           round(max(abs(rz)), 6) AS max_robust_z,
+           round(CAST(sum(CASE WHEN abs(rz) > 3.5 THEN c ELSE 0 END) AS DOUBLE)
+                 / (SELECT n FROM med), 6) AS outlier_share
+    FROM z
+    """,
+)
+def q491_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified robust z-score outlier audit (Iglewicz & Hoaglin 1993:
+    z = 0.6745 (y - median) / MAD, flag |z| > 3.5) on per-customer
+    order counts — the breakdown-resistant sibling of q468's Tukey
+    fences (disclosed kinship: fences use quartiles, MAD-z uses the
+    median of absolute deviations, which survives 50% contamination).
+    Exactness: both medians run on count-value SUPPORTS via the
+    covering-ranks idiom, and all half-values are kept integer by the
+    DOUBLING trick (med2 = 2*median, mad4 = 4*MAD are exact integers;
+    z re-scales once in double, rounded 12 dp before thresholding in
+    both engines). Reports the 3.5 and 3.0 censuses plus max |z| — the
+    max is the non-vacuous signal when the census is legitimately 0
+    at small scale (disclosed).
+
+    100 TB story: one groupBy(custkey) shuffle, then everything runs
+    on the count-range-bounded value support (q449-class bound): two
+    support cums (allowlisted), one fold — no corpus sort."""
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    sup = g.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_row = sup.agg(F.sum("c").cast("long").alias("n"))
+    cum = sup.crossJoin(F.broadcast(n_row)).select(
+        "v",
+        F.sum("c").over(Window.orderBy("v")).cast("long").alias("cc"),
+        "n",
+    )
+
+    def _cover(df, vcol):
+        lo = df.filter(F.col("cc") >= F.expr("(n + 1) div 2")).agg(
+            F.min(vcol).alias("a")
+        )
+        hi = df.filter(F.col("cc") >= F.expr("(n + 2) div 2")).agg(
+            F.min(vcol).alias("b")
+        )
+        return lo.crossJoin(F.broadcast(hi)).select(
+            (F.col("a") + F.col("b")).alias("twice")
+        )
+
+    med = _cover(cum, "v").select(F.col("twice").alias("med2"))
+    dsup = (
+        sup.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(2 * F.col("v") - F.col("med2")).alias("d2"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    dcum = dsup.crossJoin(F.broadcast(n_row)).select(
+        "d2",
+        F.sum("c").over(Window.orderBy("d2")).cast("long").alias("cc"),
+        "n",
+    )
+    mad = _cover(dcum, "d2").select(F.col("twice").alias("mad4"))
+    z = (
+        sup.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "c",
+            F.round(
+                0.6745 * (2.0 * F.col("v") - F.col("med2")) * 2.0 / F.col("mad4"),
+                12,
+            ).alias("rz"),
+        )
+    )
+    out = z.agg(
+        F.sum(F.when(F.abs("rz") > 3.5, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_outliers_35"),
+        F.sum(F.when(F.abs("rz") > 3.0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_outliers_30"),
+        F.round(F.max(F.abs("rz")), 6).alias("max_robust_z"),
+    )
+    return (
+        n_row.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(out))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(F.col("med2") / 2.0, 6).alias("median_orders"),
+            F.round(F.col("mad4") / 4.0, 6).alias("mad_orders"),
+            "n_outliers_35",
+            "n_outliers_30",
+            "max_robust_z",
+            F.round(F.col("n_outliers_35").cast("double") / F.col("n"), 6).alias(
+                "outlier_share"
+            ),
+        )
+    )
+
+
+@query(
+    "q492_winsorized_corr",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    xc AS (
+      SELECT x AS v, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cc
+      FROM (SELECT x, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1)
+    ),
+    yc AS (
+      SELECT y AS v, CAST(sum(c) OVER (ORDER BY y) AS BIGINT) AS cc
+      FROM (SELECT y, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1)
+    ),
+    b AS (
+      SELECT
+        (SELECT min(v) FROM xc WHERE cc >= CAST(ceil(0.05 * (SELECT n FROM n)) AS BIGINT)) AS xlo,
+        (SELECT min(v) FROM xc WHERE cc >= CAST(ceil(0.95 * (SELECT n FROM n)) AS BIGINT)) AS xhi,
+        (SELECT min(v) FROM yc WHERE cc >= CAST(ceil(0.05 * (SELECT n FROM n)) AS BIGINT)) AS ylo,
+        (SELECT min(v) FROM yc WHERE cc >= CAST(ceil(0.95 * (SELECT n FROM n)) AS BIGINT)) AS yhi
+    ),
+    w AS (
+      SELECT least(greatest(x, (SELECT xlo FROM b)), (SELECT xhi FROM b)) AS wx,
+             least(greatest(y, (SELECT ylo FROM b)), (SELECT yhi FROM b)) AS wy,
+             x, y, c
+      FROM cells
+    ),
+    m AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * wx) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * wy) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * wx * wx) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * wy * wy) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * wx * wy) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS rsx,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS rsy,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * x * x) AS DECIMAL(38,0)) AS rsxx,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * y * y) AS DECIMAL(38,0)) AS rsyy,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * x * y) AS DECIMAL(38,0)) AS rsxy
+      FROM w
+    )
+    SELECT n AS n_lines,
+           (SELECT xlo FROM b) AS x_lo, (SELECT xhi FROM b) AS x_hi,
+           (SELECT ylo FROM b) AS y_lo, (SELECT yhi FROM b) AS y_hi,
+           round(CAST(CAST(n AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE)
+                        * CAST(CAST(n AS DECIMAL(19,0)) * syy - sy * sy AS DOUBLE)), 6)
+             AS r_winsorized,
+           round(CAST(CAST(n AS DECIMAL(19,0)) * rsxy - rsx * rsy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS DECIMAL(19,0)) * rsxx - rsx * rsx AS DOUBLE)
+                        * CAST(CAST(n AS DECIMAL(19,0)) * rsyy - rsy * rsy AS DOUBLE)), 6)
+             AS r_raw
+    FROM m
+    """,
+)
+def q492_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized Pearson correlation (Wilcox 2012's robust correlation
+    workhorse) between line quantity and discount cents: both margins
+    are clamped at their empirical 5th/95th percentiles — taken
+    DETERMINISTICALLY from the marginal support cums (smallest value
+    whose cumulative count reaches ceil(q*N)) — and the correlation is
+    recomputed from exact DECIMAL(38,0) cell-weighted moments on the
+    <= 550-cell joint support, alongside the raw correlation for the
+    tail-sensitivity delta. q442 (disclosed kinship) winsorizes a MEAN;
+    this winsorizes a BIVARIATE moment — the robustness screen before
+    trusting any price-incentive elasticity readout (q418 kin).
+
+    100 TB story: ONE aggregate to the joint support; marginal cums run
+    on <= 50/11-row supports (allowlisted); clamping and both moment
+    sets are folds over the same checkpointed 550 cells — no second
+    corpus scan, no corpus-rate window."""
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_row = cells.agg(F.sum("c").cast("long").alias("n"))
+
+    def _margin_cum(col):
+        m = cells.groupBy(F.col(col).alias("v")).agg(
+            F.sum("c").cast("long").alias("c")
+        )
+        return m.select(
+            "v", F.sum("c").over(Window.orderBy("v")).cast("long").alias("cc")
+        )
+
+    def _pct(cumdf, q, alias):
+        return (
+            cumdf.crossJoin(F.broadcast(n_row))
+            .filter(F.col("cc") >= F.ceil(q * F.col("n")).cast("long"))
+            .agg(F.min("v").alias(alias))
+        )
+
+    xc = _margin_cum("x")
+    ycm = _margin_cum("y")
+    b = (
+        _pct(xc, 0.05, "xlo")
+        .crossJoin(F.broadcast(_pct(xc, 0.95, "xhi")))
+        .crossJoin(F.broadcast(_pct(ycm, 0.05, "ylo")))
+        .crossJoin(F.broadcast(_pct(ycm, 0.95, "yhi")))
+    )
+    w = cells.crossJoin(F.broadcast(b)).select(
+        F.least(F.greatest("x", "xlo"), F.col("xhi")).alias("wx"),
+        F.least(F.greatest("y", "ylo"), F.col("yhi")).alias("wy"),
+        "x",
+        "y",
+        "c",
+        "xlo",
+        "xhi",
+        "ylo",
+        "yhi",
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    m = w.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(cd * F.col("wx")).cast("decimal(38,0)").alias("sx"),
+        F.sum(cd * F.col("wy")).cast("decimal(38,0)").alias("sy"),
+        F.sum(cd * F.col("wx") * F.col("wx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(cd * F.col("wy") * F.col("wy")).cast("decimal(38,0)").alias("syy"),
+        F.sum(cd * F.col("wx") * F.col("wy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(cd * F.col("x")).cast("decimal(38,0)").alias("rsx"),
+        F.sum(cd * F.col("y")).cast("decimal(38,0)").alias("rsy"),
+        F.sum(cd * F.col("x") * F.col("x")).cast("decimal(38,0)").alias("rsxx"),
+        F.sum(cd * F.col("y") * F.col("y")).cast("decimal(38,0)").alias("rsyy"),
+        F.sum(cd * F.col("x") * F.col("y")).cast("decimal(38,0)").alias("rsxy"),
+        F.max("xlo").alias("x_lo"),
+        F.max("xhi").alias("x_hi"),
+        F.max("ylo").alias("y_lo"),
+        F.max("yhi").alias("y_hi"),
+    )
+    nD = F.col("n").cast("decimal(19,0)")
+
+    def _pearson(sxy, sx, sy, sxx, syy):
+        return (
+            (nD * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+            / F.sqrt(
+                (nD * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+                * (nD * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+            )
+        )
+
+    return m.select(
+        F.col("n").alias("n_lines"),
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        F.round(_pearson("sxy", "sx", "sy", "sxx", "syy"), 6).alias("r_winsorized"),
+        F.round(_pearson("rsxy", "rsx", "rsy", "rsxx", "rsyy"), 6).alias("r_raw"),
+    )
+
+
+@query(
+    "q493_design_effect",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CAST(s1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS t1,
+             CAST(sum(s2) AS DECIMAL(38,0)) AS t2,
+             CAST(count(*) AS BIGINT) AS h
+      FROM s
+    ),
+    wv AS (
+      SELECT CAST(round(sum(CAST(round(
+               (CAST(s.n AS DOUBLE) / (SELECT nn FROM tot))
+                 * (CAST(CAST(s.n AS DECIMAL(19,0)) * s.s2
+                         - CAST(s.s1 AS DECIMAL(19,0)) * CAST(s.s1 AS DECIMAL(19,0)) AS DOUBLE)
+                    / (CAST(s.n AS DOUBLE) * (s.n - 1))),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS within
+      FROM s
+    ),
+    f AS (
+      SELECT (SELECT nn FROM tot) AS nn, (SELECT h FROM tot) AS h,
+             (SELECT within FROM wv) AS within,
+             CAST(CAST((SELECT nn FROM tot) AS DECIMAL(19,0)) * (SELECT t2 FROM tot)
+                  - (SELECT t1 FROM tot) * (SELECT t1 FROM tot) AS DOUBLE)
+               / (CAST((SELECT nn FROM tot) AS DOUBLE) * ((SELECT nn FROM tot) - 1)) AS total_var
+    )
+    SELECT nn AS n_docs, h AS n_strata,
+           round(total_var, 6) AS var_total,
+           round(within, 6) AS var_within_weighted,
+           round(within / total_var, 6) AS deff_proportionate,
+           round(1.0 - within / total_var, 6) AS between_share,
+           CASE WHEN within / total_var < 1.0 THEN 'stratification_helps'
+                ELSE 'no_gain' END AS verdict
+    FROM f
+    """,
+)
+def q493_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of proportionate stratification by source (Kish
+    1965): DEFF = sum_h W_h s_h^2 / s^2 — the variance of a
+    proportionate stratified mean of document length relative to
+    simple random sampling. DEFF < 1 quantifies exactly how much a
+    source-stratified eval/training sample beats an unstratified one;
+    1 - DEFF is the share of length variance that lives BETWEEN
+    sources. Per-stratum sample variances come from exact
+    BIGINT/DECIMAL moments; the W_h s_h^2 terms are 12-dp folds.
+    q360 (disclosed kinship) ALLOCATES a stratified budget
+    (Neyman); this measures the PAYOFF of stratifying at all.
+
+    100 TB story: ONE map-side-combining aggregate to O(sources)
+    moment rows, one fold to a single row, closed form after — no
+    window, no join, no second scan."""
+    s = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.col("n_chars").cast("long").alias("x"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = s.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("s1").cast("decimal(19,0)")).cast("decimal(38,0)").alias("t1"),
+        F.sum("s2").cast("decimal(38,0)").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+    )
+    sh_var = (
+        F.col("n").cast("decimal(19,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
+    ).cast("double") / (F.col("n").cast("double") * (F.col("n") - 1))
+    wv = (
+        s.crossJoin(F.broadcast(tot.select("nn")))
+        .agg(
+            _fold12((F.col("n").cast("double") / F.col("nn")) * sh_var).alias(
+                "within"
+            )
+        )
+    )
+    f = tot.crossJoin(F.broadcast(wv)).select(
+        "nn",
+        "h",
+        "within",
+        (
+            (
+                F.col("nn").cast("decimal(19,0)") * F.col("t2")
+                - F.col("t1") * F.col("t1")
+            ).cast("double")
+            / (F.col("nn").cast("double") * (F.col("nn") - 1))
+        ).alias("total_var"),
+    )
+    deff = F.col("within") / F.col("total_var")
+    return f.select(
+        F.col("nn").alias("n_docs"),
+        F.col("h").alias("n_strata"),
+        F.round("total_var", 6).alias("var_total"),
+        F.round("within", 6).alias("var_within_weighted"),
+        F.round(deff, 6).alias("deff_proportionate"),
+        F.round(1.0 - deff, 6).alias("between_share"),
+        F.when(deff < 1.0, "stratification_helps")
+        .otherwise("no_gain")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q494_hill_numbers",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM tf GROUP BY 1),
+    g AS (
+      SELECT tf.source,
+             max(ns.n) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(round(sum(CAST(round(
+               -(CAST(tf.cnt AS DOUBLE) / ns.n) * ln(CAST(tf.cnt AS DOUBLE) / ns.n),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS h1,
+             CAST(round(sum(CAST(round(
+               (CAST(tf.cnt AS DOUBLE) / ns.n) * (CAST(tf.cnt AS DOUBLE) / ns.n),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS p2
+      FROM tf JOIN ns ON ns.source = tf.source
+      GROUP BY 1
+    )
+    SELECT source, n AS n_tokens, v AS hill_q0_richness,
+           round(exp(h1), 6) AS hill_q1_shannon,
+           round(1.0 / p2, 6) AS hill_q2_simpson,
+           round(h1 / ln(CAST(v AS DOUBLE)), 6) AS pielou_evenness,
+           round((1.0 / p2) / v, 6) AS simpson_evenness
+    FROM g
+    """,
+)
+def q494_hill_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-numbers diversity profile (Hill 1973) of each source's
+    vocabulary — the effective number of equally-common types at
+    orders q=0 (richness V), q=1 (exp of Shannon entropy) and q=2
+    (inverse Simpson concentration) — plus Pielou's J = H/ln V and the
+    q2/q0 evenness ratio. The PROFILE is the point: q0 counts every
+    hapax equally, q2 is dominated by the head, so the spread between
+    the three numbers is the standard "is this source's diversity real
+    or a long tail of junk tokens" screen (ecology's answer to the
+    q479 repeat-rate view — disclosed kinship, as are q336's
+    Gini-Simpson and q87's Zipf fit). Entropy and concentration are
+    12-dp p-folds; exp runs on the identical quantized double in both
+    engines.
+
+    100 TB story: one vocabulary-bounded (source, term) groupBy; ONE
+    fold to O(sources) rows; scalar arithmetic after — no window, no
+    corpus re-scan."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ns = tf.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    g = (
+        tf.join(_dim(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+            _fold12(-p * F.log(p)).alias("h1"),
+            _fold12(p * p).alias("p2"),
+        )
+    )
+    return g.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("hill_q0_richness"),
+        F.round(F.exp("h1"), 6).alias("hill_q1_shannon"),
+        F.round(1.0 / F.col("p2"), 6).alias("hill_q2_simpson"),
+        F.round(F.col("h1") / F.log(F.col("v").cast("double")), 6).alias(
+            "pielou_evenness"
+        ),
+        F.round((1.0 / F.col("p2")) / F.col("v"), 6).alias("simpson_evenness"),
+    )
+
+
+def _q495_croston_oracle(T: int = 60, a: float = 0.2) -> str:
+    """Generated oracle for q495: Croston's recursion unrolled as one CTE
+    per day (the q273 generated-chain treatment applied to intermittent
+    demand). State columns: z (demand-size EWMA), p (inter-demand-interval
+    EWMA), q (periods since last demand), st (seen-first-demand flag),
+    nd (demand-day count). The float sequence is identical to the
+    engine-side sequential fold."""
+    b = round(1.0 - a, 12)
+    ctes = [
+        "c0 AS (SELECT 0.0 AS z, 0.0 AS p, 0.0 AS q, 0 AS st, 0.0 AS nd, xs FROM series)"
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"c{t} AS (SELECT "
+            f"CASE WHEN st = 0 THEN CASE WHEN xs[{t}] > 0 THEN xs[{t}] ELSE z END "
+            f"ELSE CASE WHEN xs[{t}] > 0 THEN {a} * xs[{t}] + {b} * z ELSE z END END AS z, "
+            f"CASE WHEN st = 0 THEN CASE WHEN xs[{t}] > 0 THEN CAST({t} AS DOUBLE) ELSE p END "
+            f"ELSE CASE WHEN xs[{t}] > 0 THEN {a} * q + {b} * p ELSE p END END AS p, "
+            f"CASE WHEN xs[{t}] > 0 THEN 1.0 "
+            f"ELSE CASE WHEN st = 0 THEN 0.0 ELSE q + 1.0 END END AS q, "
+            f"CASE WHEN st = 1 OR xs[{t}] > 0 THEN 1 ELSE 0 END AS st, "
+            f"nd + CASE WHEN xs[{t}] > 0 THEN 1.0 ELSE 0.0 END AS nd, "
+            f"xs FROM c{t - 1})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH li AS (
+      SELECT l.l_shipdate AS sd, CAST(l.l_quantity AS DOUBLE) AS qy
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#11'
+    ),
+    lo AS (SELECT min(sd) AS lo FROM li),
+    daily AS (
+      SELECT datediff('day', (SELECT lo FROM lo), sd) AS d, sum(qy) AS c
+      FROM li WHERE datediff('day', (SELECT lo FROM lo), sd) < {T}
+      GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(0, {T - 1})) AS d),
+    dense AS (
+      SELECT g.d, coalesce(daily.c, 0.0) AS c
+      FROM grid g LEFT JOIN daily ON daily.d = g.d
+    ),
+    series AS (SELECT list(c ORDER BY d) AS xs FROM dense),
+    {chain}
+    SELECT CAST(nd AS BIGINT) AS n_demand_days,
+           {T} AS window_days,
+           round(z, 6) + 0.0 AS demand_size,
+           round(p, 6) + 0.0 AS demand_interval,
+           round(z / p, 6) + 0.0 AS croston_rate,
+           round({round(1.0 - a / 2.0, 12)} * (z / p), 6) + 0.0 AS sba_rate
+    FROM c{T}
+    """
+
+
+@query("q495_croston", oracle=_q495_croston_oracle())
+def q495_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972) with the
+    Syntetos-Boylan approximation (2005 bias correction factor
+    1 - alpha/2), alpha = 0.2, on Brand#11's daily shipped quantity
+    over the 60 days from its first shipment: separate EWMAs of the
+    demand SIZE (updated only on demand days) and the inter-demand
+    INTERVAL, forecast rate = size/interval — the standard forecaster
+    for sparse series where plain exponential smoothing (q273 kinship,
+    disclosed) decays toward zero between demands and double-counts
+    after them. The sequential recursion folds in ONE codegen
+    `aggregate` over the dense 60-day array engine-side; the oracle
+    replays the identical float sequence as a generated 60-step CTE
+    chain (q273's treatment), so the state matches digit-for-digit.
+    The series is genuinely intermittent at small SF and dense at
+    bench SF (disclosed — Croston degrades gracefully to EWMA as
+    p -> 1).
+
+    100 TB story: one filtered broadcast-dim join collapses to the
+    O(window) daily rollup; the fold is a single-row array op —
+    per-SKU Croston over millions of parts is the same fold grouped
+    by part key (q274's certified pattern)."""
+    T, a = 60, 0.2
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_dim(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_shipdate", F.col("l_quantity").cast("double").alias("qy"))
+    )
+    lo = li.agg(F.min("l_shipdate").alias("lo"))
+    daily = (
+        li.crossJoin(F.broadcast(lo))
+        .select(F.datediff("l_shipdate", "lo").alias("d"), "qy")
+        .filter(F.col("d") < T)
+        .groupBy("d")
+        .agg(F.sum("qy").alias("c"))
+    )
+    grid = lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"))
+    dense = grid.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    series = dense.agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs")
+    )
+    state = F.aggregate(
+        F.col("xs"),
+        F.struct(
+            F.lit(0.0).alias("z"),
+            F.lit(0.0).alias("p"),
+            F.lit(0.0).alias("q"),
+            F.lit(0).alias("st"),
+            F.lit(0.0).alias("nd"),
+            F.lit(0.0).alias("idx"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                acc["st"] == 0, F.when(x > 0, x).otherwise(acc["z"])
+            )
+            .otherwise(
+                F.when(x > 0, F.lit(a) * x + F.lit(1 - a) * acc["z"]).otherwise(
+                    acc["z"]
+                )
+            )
+            .alias("z"),
+            F.when(
+                acc["st"] == 0,
+                F.when(x > 0, acc["idx"] + 1.0).otherwise(acc["p"]),
+            )
+            .otherwise(
+                F.when(
+                    x > 0, F.lit(a) * acc["q"] + F.lit(1 - a) * acc["p"]
+                ).otherwise(acc["p"])
+            )
+            .alias("p"),
+            F.when(x > 0, F.lit(1.0))
+            .otherwise(
+                F.when(acc["st"] == 0, F.lit(0.0)).otherwise(acc["q"] + 1.0)
+            )
+            .alias("q"),
+            F.when((acc["st"] == 1) | (x > 0), F.lit(1)).otherwise(F.lit(0)).alias(
+                "st"
+            ),
+            (acc["nd"] + F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0))).alias(
+                "nd"
+            ),
+            (acc["idx"] + 1.0).alias("idx"),
+        ),
+    )
+    out = series.select(state.alias("s"))
+    rate = F.col("s.z") / F.col("s.p")
+    return out.select(
+        F.col("s.nd").cast("long").alias("n_demand_days"),
+        F.lit(T).alias("window_days"),
+        (F.round(F.col("s.z"), 6) + F.lit(0.0)).alias("demand_size"),
+        (F.round(F.col("s.p"), 6) + F.lit(0.0)).alias("demand_interval"),
+        (F.round(rate, 6) + F.lit(0.0)).alias("croston_rate"),
+        (F.round(F.lit(round(1.0 - a / 2.0, 12)) * rate, 6) + F.lit(0.0)).alias(
+            "sba_rate"
+        ),
+    )

@@ -88,6 +88,8 @@ AGG_WINDOW_ALLOWLIST = {
     "q484_kuiper_test",         # ECDF cum over the 1..50 value support (q183 kin)
     "q486_rank_instability",    # dual leaderboard ranks over the 25-row nation frame
     "q488_breakpoint_search",   # prefix cums over the daily rollup: O(days)
+    "q491_mad_robust_z",        # median/MAD cums over count-value supports (q449-class)
+    "q492_winsorized_corr",     # percentile cums over the 50/11-row marginal supports
     "q458_sign_wilcoxon",       # |d| value-support cum: char-domain-bounded
     "q460_forecastability",     # centered 7-day MA over the daily rollup (q444 kin)
     "q466_granger_causality",   # lag window over the daily rollup: O(days)
