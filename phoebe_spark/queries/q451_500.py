@@ -2406,6 +2406,9 @@ def q471_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # checkpointed: the total, the chi-square fold and the final
+        # select all replay this 9-row frame, not the orders scan
+        .localCheckpoint(eager=True)
     )
     tot = fd.agg(F.sum("n").cast("long").alias("nn"))
     j = (
@@ -2857,7 +2860,11 @@ def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the pair enumeration is a broadcast theta-join of the
     calendar-bounded day frame with itself (~days^2/2 rows,
     SF-INVARIANT — it does not grow with corpus size); the two
-    median sorts run on that bounded frame (allowlisted)."""
+    median sorts run on that bounded frame (allowlisted). The orders
+    scan runs three times (self-join sides + the intercept branch),
+    each a single-column read collapsing map-side to O(days) —
+    deliberate: checkpointing the rollup would hide the aggregate from
+    the plan guard (see inline note)."""
     od = (
         _t(spark, sf_dir, "orders")
         .select(
@@ -3146,14 +3153,16 @@ def q477_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("isa")).cast("long").alias("ct"),
         )
     )
-    nn_row = h.agg(F.sum(F.col("ca") + F.col("ct")).cast("long").alias("nn"))
-    cum = h.crossJoin(F.broadcast(nn_row)).select(
+    # total N comes from a whole-frame window over the SAME support frame
+    # (no second corpus scan; the support is the only lineitem read)
+    wall = Window.partitionBy()
+    cum = h.select(
         "v",
         "ca",
         "ct",
         (F.col("ca") + F.col("ct")).alias("c"),
         F.sum(F.col("ca") + F.col("ct")).over(Window.orderBy("v")).alias("cc"),
-        "nn",
+        F.sum(F.col("ca") + F.col("ct")).over(wall).cast("long").alias("nn"),
     )
     blocks = cum.select(
         "v",
@@ -3559,19 +3568,15 @@ def q481_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("isr").cast("long").alias("pos"),
         )
     )
-    tot = h.agg(
-        F.sum("c").cast("long").alias("nn"),
-        F.sum("pos").cast("long").alias("np"),
-        F.max("v").alias("vmax"),
-    )
     wv = Window.orderBy("v")
-    cum = h.crossJoin(F.broadcast(tot)).select(
+    wall = Window.partitionBy()
+    cum = h.select(
         "v",
         F.sum("c").over(wv).alias("cn"),
         F.sum("pos").over(wv).alias("cpos"),
-        "nn",
-        "np",
-        "vmax",
+        F.sum("c").over(wall).cast("long").alias("nn"),
+        F.sum("pos").over(wall).cast("long").alias("np"),
+        F.max("v").over(wall).alias("vmax"),
     )
     split = cum.filter(F.col("v") < F.col("vmax")).select(
         F.col("v").alias("threshold"),
@@ -3875,15 +3880,18 @@ def q484_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("isa")).cast("long").alias("cb"),
         )
     )
-    tot = h.agg(
-        F.sum("ca").cast("long").alias("m"),
-        F.sum("cb").cast("long").alias("n"),
-    )
     wv = Window.orderBy("v")
-    cum = h.crossJoin(F.broadcast(tot)).select(
+    wall = Window.partitionBy()
+    cum = h.select(
+        "v",
+        F.sum("ca").over(wall).cast("long").alias("m"),
+        F.sum("cb").over(wall).cast("long").alias("n"),
+        F.sum("ca").over(wv).alias("cca"),
+        F.sum("cb").over(wv).alias("ccb"),
+    ).select(
         F.round(
-            F.sum("ca").over(wv).cast("double") / F.col("m")
-            - F.sum("cb").over(wv).cast("double") / F.col("n"),
+            F.col("cca").cast("double") / F.col("m")
+            - F.col("ccb").cast("double") / F.col("n"),
             12,
         ).alias("diff"),
         "m",
@@ -4146,14 +4154,19 @@ def q486_rank_instability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("cnt"),
         )
     )
-    r = n.select(
-        "nation",
-        F.row_number()
-        .over(Window.orderBy(F.col("rev").desc(), F.col("nation").asc()))
-        .alias("r_rev"),
-        F.row_number()
-        .over(Window.orderBy(F.col("cnt").desc(), F.col("nation").asc()))
-        .alias("r_cnt"),
+    r = (
+        n.select(
+            "nation",
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), F.col("nation").asc()))
+            .alias("r_rev"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("nation").asc()))
+            .alias("r_cnt"),
+        )
+        # checkpointed AFTER the rank windows: the distance fold and the
+        # final join both replay this 25-row frame, not the dim-join chain
+        .localCheckpoint(eager=True)
     )
     disp = F.abs(F.col("r_rev") - F.col("r_cnt"))
     t = r.agg(
@@ -4306,8 +4319,9 @@ def q487_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum WHERE rn >= 2 AND rn <= nd - 2
     ),
     best AS (
-      SELECT * FROM cand
-      WHERE sse_split = (SELECT min(sse_split) FROM cand)
+      SELECT * FROM (
+        SELECT cand.*, min(sse_split) OVER () AS best_sse FROM cand
+      ) WHERE sse_split = best_sse
       ORDER BY d LIMIT 1
     )
     SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS break_day,
@@ -4346,20 +4360,16 @@ def q488_breakpoint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
-    tot = od.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("y").cast("long").alias("ty"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("ty2"),
-    )
     wd = Window.orderBy("d")
-    cum = od.crossJoin(F.broadcast(tot)).select(
+    wall = Window.partitionBy()
+    cum = od.select(
         "d",
         F.row_number().over(wd).cast("long").alias("rn"),
         F.sum("y").over(wd).cast("long").alias("cy"),
         F.sum(F.col("y") * F.col("y")).over(wd).cast("long").alias("cy2"),
-        "nd",
-        "ty",
-        "ty2",
+        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+        F.sum("y").over(wall).cast("long").alias("ty"),
+        F.sum(F.col("y") * F.col("y")).over(wall).cast("long").alias("ty2"),
     )
     cand = cum.filter(
         (F.col("rn") >= 2) & (F.col("rn") <= F.col("nd") - 2)
@@ -4386,9 +4396,10 @@ def q488_breakpoint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ty") - F.col("cy")).cast("double") / (F.col("nd") - F.col("rn"))
         ).alias("mean_right"),
     )
-    mn = cand.agg(F.min("sse_split").alias("best_sse"))
     best = (
-        cand.crossJoin(F.broadcast(mn))
+        cand.withColumn(
+            "best_sse", F.min("sse_split").over(Window.partitionBy())
+        )
         .filter(F.col("sse_split") == F.col("best_sse"))
         .orderBy("d")
         .limit(1)
@@ -4686,6 +4697,11 @@ def q491_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        # checkpointed so the four support-derived branches (total,
+        # median cum, |d| support, z census) replay this rollup, not
+        # the orders scan; the support groupBy BELOW each window keeps
+        # the guard's agg classification intact
+        .localCheckpoint(eager=True)
     )
     sup = g.groupBy(F.col("y").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -5199,21 +5215,25 @@ def q495_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
         "p_partkey"
     )
-    li = (
+    daily_abs = (
         _t(spark, sf_dir, "lineitem")
         .join(_dim(p), F.col("p_partkey") == F.col("l_partkey"))
         .select("l_shipdate", F.col("l_quantity").cast("double").alias("qy"))
-    )
-    lo = li.agg(F.min("l_shipdate").alias("lo"))
-    daily = (
-        li.crossJoin(F.broadcast(lo))
-        .select(F.datediff("l_shipdate", "lo").alias("d"), "qy")
-        .filter(F.col("d") < T)
-        .groupBy("d")
+        .groupBy("l_shipdate")
         .agg(F.sum("qy").alias("c"))
+        # checkpointed O(demand days) rollup: the window anchor, the
+        # relative-day mapping and the grid all replay it — one
+        # lineitem scan total
+        .localCheckpoint(eager=True)
+    )
+    lo = daily_abs.agg(F.min("l_shipdate").alias("lo"))
+    daily = (
+        daily_abs.crossJoin(F.broadcast(lo))
+        .select(F.datediff("l_shipdate", "lo").alias("d"), "c")
+        .filter(F.col("d") < T)
     )
     grid = lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"))
-    dense = grid.join(daily, "d", "left").select(
+    dense = grid.join(F.broadcast(daily), "d", "left").select(
         "d", F.coalesce("c", F.lit(0.0)).alias("c")
     )
     series = dense.agg(

@@ -1,0 +1,297 @@
+"""Physical-plan assertions for the round-11 extension block
+(q471-q495): the scale properties claimed in the docstrings must be
+visible in the plans, including pre-checkpoint stages (captured via the
+guard, per the round-8 q321 lesson)."""
+
+from __future__ import annotations
+
+import re
+
+from phoebe_spark.plans.guard import (
+    capture_checkpoints,
+    explain_formatted,
+    raw_single_partition_sort_violations,
+)
+from phoebe_spark.queries import QUERIES
+
+BLOCK = [
+    "q471_benford_audit",
+    "q472_kendall_tau_b",
+    "q473_cronbach_alpha",
+    "q474_icc_supplier",
+    "q475_theil_sen",
+    "q476_moods_median",
+    "q477_ansari_bradley",
+    "q478_fk_readability",
+    "q479_yules_k",
+    "q480_gearys_c",
+    "q481_gini_stump",
+    "q482_gk_lambda",
+    "q483_theils_u",
+    "q484_kuiper_test",
+    "q485_oaxaca_mix_rate",
+    "q486_rank_instability",
+    "q487_negbin_fit",
+    "q488_breakpoint_search",
+    "q489_edge_jaccard",
+    "q490_fisher_price_index",
+    "q491_mad_robust_z",
+    "q492_winsorized_corr",
+    "q493_design_effect",
+    "q494_hill_numbers",
+    "q495_croston",
+]
+
+
+def _plans(spark, sf_dir, name):
+    with capture_checkpoints() as caps:
+        df = QUERIES[name](spark, sf_dir)
+        final = explain_formatted(df)
+    return list(caps) + [final]
+
+
+def _ops(plan: str, op: str) -> int:
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+def _scans(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_round11b_block_no_raw_single_partition_sorts(spark, sf_dir):
+    """Every q471-q495 query, including checkpointed stages, must be
+    free of unpartitioned sorts over raw corpus rows."""
+    for name in BLOCK:
+        for p in _plans(spark, sf_dir, name):
+            assert raw_single_partition_sort_violations(p) == [], name
+
+
+def test_q471_literal_table_broadcast_one_scan(spark, sf_dir):
+    """Benford: ONE orders scan; the 9-row expectation table and both
+    scalar folds join via broadcast; no window, no sort-merge join."""
+    plans = _plans(spark, sf_dir, "q471_benford_audit")
+    assert sum(_scans(p) for p in plans) == 1
+    assert all(_ops(p, "Window") == 0 for p in plans)
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+    assert sum(_ops(p, "BroadcastHashJoin") for p in plans) >= 1
+
+
+def test_q472_pair_cross_reads_checkpointed_cells(spark, sf_dir):
+    """Kendall tau-b: the 350x350 support cross and all marginals read
+    ONLY the checkpointed joint histogram — one corpus scan total, zero
+    in the final plan; the theta-join is broadcast nested-loop over the
+    support, never a shuffle join."""
+    plans = _plans(spark, sf_dir, "q472_kendall_tau_b")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "SortMergeJoin") == 0
+    assert _ops(final, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_q473_q474_q487_one_scan_moment_folds(spark, sf_dir):
+    """Cronbach, ICC, NB fit: one corpus scan collapsing through a
+    grouped rollup into ONE moment fold; no window, no sort-merge
+    join."""
+    for name in (
+        "q473_cronbach_alpha",
+        "q474_icc_supplier",
+        "q487_negbin_fit",
+    ):
+        plans = _plans(spark, sf_dir, name)
+        assert sum(_scans(p) for p in plans) == 1, name
+        assert all(_ops(p, "Window") == 0 for p in plans), name
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+
+
+def test_q475_pair_join_is_broadcast_theta(spark, sf_dir):
+    """Theil-Sen: the day-pair enumeration is a broadcast theta-join of
+    the aggregated day rollup with itself (never a shuffle join); the
+    two median sorts run on aggregate-derived frames only (no raw
+    violations). Three single-column orders scans by design (pair-join
+    sides + intercept branch) — the rollup stays un-checkpointed so
+    the guard can see the aggregate below each median sort."""
+    [plan] = _plans(spark, sf_dir, "q475_theil_sen")
+    assert _ops(plan, "BroadcastNestedLoopJoin") >= 1
+    assert _ops(plan, "SortMergeJoin") == 0
+    assert _scans(plan) == 3
+    assert raw_single_partition_sort_violations(plan) == []
+
+
+def test_q477_q481_q484_single_scan_support_windows(spark, sf_dir):
+    """Ansari-Bradley, Gini stump, Kuiper: exactly ONE lineitem scan —
+    frame totals come from whole-frame windows over the same support,
+    not a second rollup branch; every window input has the support
+    aggregate below it."""
+    for name in (
+        "q477_ansari_bradley",
+        "q481_gini_stump",
+        "q484_kuiper_test",
+    ):
+        plans = _plans(spark, sf_dir, name)
+        assert sum(_scans(p) for p in plans) == 1, name
+        final = plans[-1]
+        assert raw_single_partition_sort_violations(final) == [], name
+
+
+def test_q476_branches_read_checkpointed_histogram(spark, sf_dir):
+    """Mood's median: the grand-median support, the per-flag counts and
+    the chi-square fold all replay the checkpointed (value, flag)
+    histogram — one corpus scan total, zero in the final plan."""
+    plans = _plans(spark, sf_dir, "q476_moods_median")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+
+
+def test_q478_no_token_explosion(spark, sf_dir):
+    """FK readability: counts come from length arithmetic — the plan
+    has NO Generate (explode) node, one documents scan, no window."""
+    plans = _plans(spark, sf_dir, "q478_fk_readability")
+    assert all(_ops(p, "Generate") == 0 for p in plans)
+    assert sum(_scans(p) for p in plans) == 1
+    assert all(_ops(p, "Window") == 0 for p in plans)
+
+
+def test_q479_q494_vocab_bounded_single_explosion(spark, sf_dir):
+    """Yule's K and Hill numbers: ONE token explosion into the
+    (source, term) groupBy; no window; no sort-merge join (the Hill
+    per-source total joins broadcast)."""
+    for name in ("q479_yules_k", "q494_hill_numbers"):
+        plans = _plans(spark, sf_dir, name)
+        assert sum(_ops(p, "Generate") for p in plans) == 1, name
+        assert all(_ops(p, "Window") == 0 for p in plans), name
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+
+
+def test_q480_edge_numerator_is_two_hash_joins(spark, sf_dir):
+    """Geary's C: the numerator joins the edge list to the price frame
+    twice (hash joins, no sort-merge); moments are plain aggregates; no
+    window anywhere."""
+    plans = _plans(spark, sf_dir, "q480_gearys_c")
+    assert all(_ops(p, "Window") == 0 for p in plans)
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+
+
+def test_q482_marginals_read_checkpointed_cells(spark, sf_dir):
+    """GK lambda: row/column maxima, marginals and the modal flag all
+    replay the checkpointed joint histogram — one corpus scan total,
+    zero in the final plan; all joins broadcast."""
+    plans = _plans(spark, sf_dir, "q482_gk_lambda")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q483_entropies_read_checkpointed_cells(spark, sf_dir):
+    """Theil's U: all three entropy folds replay the checkpointed
+    source x lang histogram — one corpus scan total, zero in the final
+    plan; no window."""
+    plans = _plans(spark, sf_dir, "q483_theils_u")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert all(_ops(p, "Window") == 0 for p in plans)
+
+
+def test_q485_pivot_reads_checkpointed_rollup(spark, sf_dir):
+    """Oaxaca: the year totals, the pivot and the three folds replay
+    the checkpointed (segment, year) rollup — one orders scan plus one
+    customer-dim scan total across stages, zero scans in the final
+    plan."""
+    plans = _plans(spark, sf_dir, "q485_oaxaca_mix_rate")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 2  # orders + customer
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+
+
+def test_q486_distance_fold_reads_checkpointed_ranks(spark, sf_dir):
+    """Rank instability: the footrule/rho fold and the final join both
+    replay the checkpointed 25-row rank frame — the dim-join chain runs
+    once (one lineitem scan across stages, zero in the final plan)."""
+    plans = _plans(spark, sf_dir, "q486_rank_instability")
+    final = plans[-1]
+    assert _scans(final) == 0
+    # pre-checkpoint stage: lineitem + supplier + nation, each once
+    assert sum(_scans(c) for c in plans[:-1]) == 3
+
+
+def test_q488_one_scan_three_prefix_windows(spark, sf_dir):
+    """Breakpoint search: ONE orders scan; prefix cums AND frame totals
+    are windows over the same day rollup (no second rollup branch); the
+    argmin is an aggregate and the final cut a 1-row limit."""
+    plans = _plans(spark, sf_dir, "q488_breakpoint_search")
+    assert sum(_scans(p) for p in plans) == 1
+    final = plans[-1]
+    assert _ops(final, "TakeOrderedAndProject") + _ops(final, "CollectLimit") >= 1
+    assert raw_single_partition_sort_violations(final) == []
+
+
+def test_q489_topk_is_take_ordered(spark, sf_dir):
+    """Edge Jaccard: the top-10 cut is TakeOrderedAndProject (bounded
+    output — no global sort of the edge set); the wedge join and
+    degree/common joins read the checkpointed edge list (one lineitem
+    scan total)."""
+    plans = _plans(spark, sf_dir, "q489_edge_jaccard")
+    final = plans[-1]
+    assert _ops(final, "TakeOrderedAndProject") == 1
+    assert _scans(final) == 0
+    # pre-checkpoint edge build: the distinct (order, part) frame
+    # self-joins, so lineitem appears twice (the audited cograph shape)
+    assert sum(_scans(c) for c in plans[:-1]) == 2
+
+
+def test_q490_single_scan_no_window(spark, sf_dir):
+    """Fisher index: one lineitem scan through the year rollup and the
+    part-key pivot; the basket folds are aggregates — no window, no
+    sort-merge join."""
+    plans = _plans(spark, sf_dir, "q490_fisher_price_index")
+    assert sum(_scans(p) for p in plans) == 1
+    assert all(_ops(p, "Window") == 0 for p in plans)
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+
+
+def test_q491_branches_read_checkpointed_counts(spark, sf_dir):
+    """MAD robust-z: the total, both median cums and the z census all
+    replay the checkpointed per-customer rollup — one orders scan
+    total, zero in the final plan; every support window has its
+    support aggregate below it."""
+    plans = _plans(spark, sf_dir, "q491_mad_robust_z")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+
+
+def test_q492_moments_read_checkpointed_cells(spark, sf_dir):
+    """Winsorized correlation: marginal cums, percentile bounds and
+    both moment sets replay the checkpointed 550-cell joint support —
+    one lineitem scan total, zero in the final plan."""
+    plans = _plans(spark, sf_dir, "q492_winsorized_corr")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+
+
+def test_q493_one_scan_no_window(spark, sf_dir):
+    """Design effect: one documents scan to O(sources) moments (then
+    checkpointed for the two folds); no window anywhere."""
+    plans = _plans(spark, sf_dir, "q493_design_effect")
+    assert sum(_scans(p) for p in plans) == 1
+    assert all(_ops(p, "Window") == 0 for p in plans)
+
+
+def test_q495_croston_single_row_fold(spark, sf_dir):
+    """Croston: the corpus collapses to the 60-day window rollup (one
+    lineitem scan + broadcast part dim); the recursion is a single-row
+    array fold — no window, no sort-merge join, and the plan contains
+    the codegen `aggregate` (AggregateInPandas absent: pure JVM)."""
+    plans = _plans(spark, sf_dir, "q495_croston")
+    assert all(_ops(p, "Window") == 0 for p in plans)
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+    # pre-checkpoint stage: lineitem + the broadcast part dim, once
+    # each; the final plan replays the checkpointed day rollup
+    assert sum(_scans(p) for p in plans[:-1]) == 2
+    assert _scans(plans[-1]) == 0
+    assert all(_ops(p, "AggregateInPandas") == 0 for p in plans)
