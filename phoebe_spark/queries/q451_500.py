@@ -4,10 +4,19 @@ Breusch-Pagan heteroscedasticity, Page trend), information dynamics
 (Markov entropy rate), Bayesian A/B (two-proportion posterior),
 variance homogeneity (Bartlett), inequality (Palma/Hoover), extremes
 (Gumbel block maxima), paired nonparametrics (sign + Wilcoxon
-signed-rank), and regression influence (Cook's distance) — each with
-the exact-fold determinism policy from ``_core`` (integer/DECIMAL
-corpus sums, 12-dp per-iteration rounding, identical literal chains on
-both engines)."""
+signed-rank), and regression influence (Cook's distance); extended in
+round 11b (q471-q495) with forensic/effect audits (Benford, MAD
+robust-z, rank instability), association measures (Kendall tau-b,
+Goodman-Kruskal lambda, Theil's U, winsorized Pearson), reliability
+and design (Cronbach alpha, ICC, Kish design effect), robust trends
+and breaks (exact Theil-Sen, best-changepoint SSE search), rank tests
+(Mood's median, Ansari-Bradley, Kuiper), graph/spatial (Geary's C,
+edge Jaccard), text diversity (Flesch-Kincaid, Yule's K, Hill
+numbers), economics (Oaxaca mix/rate, Fisher ideal index), count
+models (negative-binomial MoM) and intermittent-demand forecasting
+(Croston/SBA as a codegen array fold) — each with the exact-fold
+determinism policy from ``_core`` (integer/DECIMAL corpus sums, 12-dp
+per-iteration rounding, identical literal chains on both engines)."""
 
 from __future__ import annotations
 

@@ -333,6 +333,57 @@ def run_scale(spark, scale: int) -> dict:
 
     t_build("morans_edges", _morans_edges)
 
+    # q489 structural shape (round 11b): edge-neighborhood Jaccard — the
+    # wedge join (edge list vs adjacency on node keys, never all-pairs)
+    # + degree join + TakeOrdered top-10; time must track wedge count,
+    # which is bounded by edges x max-degree (linear here: bounded
+    # items/group keeps degrees flat as scale grows)
+    def _edge_jaccard():
+        n_orders, n_parts = 3000 * scale, 1000 * scale
+        li = spark.range(n_orders * 4).select(
+            (F.col("id") % n_orders).alias("ok"),
+            F.pmod(F.xxhash64("id"), F.lit(n_parts)).alias("pk"),
+        ).distinct()
+        a, b = li.alias("a"), li.alias("b")
+        co = (
+            a.join(b, "ok")
+            .filter(F.col("a.pk") < F.col("b.pk"))
+            .select(F.col("a.pk").alias("s1"), F.col("b.pk").alias("s2"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        und = co.select(F.col("s1").alias("u"), F.col("s2").alias("w")).unionAll(
+            co.select(F.col("s2").alias("u"), F.col("s1").alias("w"))
+        )
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+        e1 = und.select(F.col("u").alias("a1"), F.col("w").alias("w1"))
+        e2 = und.select(F.col("u").alias("a2"), F.col("w").alias("w2"))
+        common = (
+            co.join(e1, F.col("a1") == F.col("s1"))
+            .join(e2, (F.col("a2") == F.col("s2")) & (F.col("w2") == F.col("w1")))
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+        da = deg.select(F.col("u").alias("s1"), F.col("dg").alias("d1"))
+        db = deg.select(F.col("u").alias("s2"), F.col("dg").alias("d2"))
+        return (
+            co.join(common, ["s1", "s2"], "left")
+            .join(da, "s1")
+            .join(db, "s2")
+            .select(
+                "s1",
+                "s2",
+                (
+                    F.coalesce("cn", F.lit(0)).cast("double")
+                    / (F.col("d1") + F.col("d2") - F.coalesce("cn", F.lit(0)))
+                ).alias("jr"),
+            )
+            .orderBy(F.col("jr").desc(), "s1", "s2")
+            .limit(10)
+        )
+
+    t_build("edge_jaccard", _edge_jaccard)
+
     # round-6 graph ops on a synthetic bounded-degree graph (linear in
     # scale): every iteration is one edge-sized join, so time must track
     # edge count, not node-pair count
