@@ -5304,3 +5304,177 @@ def q495_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sba_rate"
         ),
     )
+
+
+_CROSTON_BRANDS = ("Brand#11", "Brand#12", "Brand#13")
+_CROSTON_BRANDS_SQL = ", ".join(f"'{b}'" for b in _CROSTON_BRANDS)
+
+
+def _q496_croston_oracle(T: int = 60, a: float = 0.2) -> str:
+    """Keyed variant of the q495 generated chain: one state row per
+    brand, each step transforming every brand's row in place — the q274
+    keyed-oracle treatment applied to Croston."""
+    b = round(1.0 - a, 12)
+    ctes = [
+        "c0 AS (SELECT brand, 0.0 AS z, 0.0 AS p, 0.0 AS q, 0 AS st, 0.0 AS nd, xs FROM series)"
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"c{t} AS (SELECT brand, "
+            f"CASE WHEN st = 0 THEN CASE WHEN xs[{t}] > 0 THEN xs[{t}] ELSE z END "
+            f"ELSE CASE WHEN xs[{t}] > 0 THEN {a} * xs[{t}] + {b} * z ELSE z END END AS z, "
+            f"CASE WHEN st = 0 THEN CASE WHEN xs[{t}] > 0 THEN CAST({t} AS DOUBLE) ELSE p END "
+            f"ELSE CASE WHEN xs[{t}] > 0 THEN {a} * q + {b} * p ELSE p END END AS p, "
+            f"CASE WHEN xs[{t}] > 0 THEN 1.0 "
+            f"ELSE CASE WHEN st = 0 THEN 0.0 ELSE q + 1.0 END END AS q, "
+            f"CASE WHEN st = 1 OR xs[{t}] > 0 THEN 1 ELSE 0 END AS st, "
+            f"nd + CASE WHEN xs[{t}] > 0 THEN 1.0 ELSE 0.0 END AS nd, "
+            f"xs FROM c{t - 1})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH li AS (
+      SELECT p.p_brand AS brand, l.l_shipdate AS sd,
+             CAST(l.l_quantity AS DOUBLE) AS qy
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ({_CROSTON_BRANDS_SQL})
+    ),
+    lo AS (SELECT brand, min(sd) AS lo FROM li GROUP BY 1),
+    daily AS (
+      SELECT li.brand, datediff('day', lo.lo, li.sd) AS d, sum(li.qy) AS c
+      FROM li JOIN lo ON lo.brand = li.brand
+      WHERE datediff('day', lo.lo, li.sd) < {T}
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT lo.brand, g.d
+      FROM lo CROSS JOIN (SELECT unnest(generate_series(0, {T - 1})) AS d) g
+    ),
+    dense AS (
+      SELECT g.brand, g.d, coalesce(daily.c, 0.0) AS c
+      FROM grid g LEFT JOIN daily ON daily.brand = g.brand AND daily.d = g.d
+    ),
+    series AS (SELECT brand, list(c ORDER BY d) AS xs FROM dense GROUP BY 1),
+    {chain}
+    SELECT brand,
+           CAST(nd AS BIGINT) AS n_demand_days,
+           round(z, 6) + 0.0 AS demand_size,
+           round(p, 6) + 0.0 AS demand_interval,
+           round(z / p, 6) + 0.0 AS croston_rate,
+           round({round(1.0 - a / 2.0, 12)} * (z / p), 6) + 0.0 AS sba_rate
+    FROM c{T}
+    """
+
+
+@query("q496_streaming_croston_drain", oracle=_q496_croston_oracle())
+def q496_streaming_croston_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Croston drained in the hash-checked gate — the q495
+    recursion as a keyed stateful operator
+    (:func:`stateful.streaming_croston`): each of three brands' dense
+    60-day demand series arrives as three sequence-ordered micro-batches
+    (days 0-19, 20-39, 40-59), the (size-EWMA, interval-EWMA, counter)
+    state folds ACROSS batches, and the final per-key state must match
+    the generated keyed 60-step CTE-chain oracle digit-for-digit. One
+    smoother, two execution forms, one answer (q273/q274/q275's
+    equivalence-class treatment applied to intermittent demand).
+
+    Scale: state is six scalars per key; each micro-batch does O(new
+    rows) work — the streaming form is how a million sparse SKUs
+    re-forecast INCREMENTALLY per day without re-reading history."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from phoebe_spark.streaming.stateful import streaming_croston
+
+    T, a = 60, 0.2
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*_CROSTON_BRANDS))
+        .select("p_partkey", F.col("p_brand").alias("brand"))
+    )
+    daily_abs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_dim(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("brand", "l_shipdate", F.col("l_quantity").cast("double").alias("qy"))
+        .groupBy("brand", "l_shipdate")
+        .agg(F.sum("qy").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lo = daily_abs.groupBy("brand").agg(F.min("l_shipdate").alias("lo"))
+    daily = (
+        daily_abs.join(_dim(lo), "brand")
+        .select("brand", F.datediff("l_shipdate", "lo").alias("d"), "c")
+        .filter(F.col("d") < T)
+    )
+    grid = lo.select(
+        "brand", F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d")
+    )
+    dense = grid.join(F.broadcast(daily), ["brand", "d"], "left").select(
+        "brand", F.col("d").cast("int").alias("d"), F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+
+    work = tempfile.mkdtemp(prefix="q496_")
+    src_dir = f"{work}/src"
+    try:
+        os.makedirs(src_dir)
+        for i, (d_lo, d_hi) in enumerate(((0, 20), (20, 40), (40, 60)), start=1):
+            part = dense.filter((F.col("d") >= d_lo) & (F.col("d") < d_hi))
+            part.coalesce(1).write.parquet(f"{work}/stage{i}")
+            pf = glob.glob(f"{work}/stage{i}/part-*.parquet")[0]
+            dst = f"{src_dir}/{i:03d}.parquet"
+            shutil.copyfile(pf, dst)
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("brand STRING, d INT, c DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_croston(stream, alpha=a, key_col="brand")
+        sink = f"{work}/croston"
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q496: streaming Croston drain did not finish within 300 s — "
+                "refusing to report a partial state"
+            )
+        states = spark.read.parquet(sink)
+        final = (
+            states.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy(F.col("n").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("key").alias("brand"),
+                F.col("nd").cast("long").alias("n_demand_days"),
+                (F.round("z", 6) + F.lit(0.0)).alias("demand_size"),
+                (F.round("p", 6) + F.lit(0.0)).alias("demand_interval"),
+                (F.round(F.col("z") / F.col("p"), 6) + F.lit(0.0)).alias(
+                    "croston_rate"
+                ),
+                (
+                    F.round(
+                        F.lit(round(1.0 - a / 2.0, 12)) * (F.col("z") / F.col("p")),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("sba_rate"),
+            )
+        )
+        return spark.createDataFrame(
+            final.collect(), schema=final.schema
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

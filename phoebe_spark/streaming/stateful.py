@@ -815,6 +815,84 @@ def streaming_holt(
     )
 
 
+CROSTON_OUTPUT_SCHEMA = "key STRING, n LONG, nd LONG, z DOUBLE, p DOUBLE"
+CROSTON_STATE_SCHEMA = "z DOUBLE, p DOUBLE, q DOUBLE, st LONG, nd DOUBLE, idx DOUBLE"
+
+
+def streaming_croston(
+    stream: DataFrame,
+    alpha: float = 0.2,
+    key_col: str = "key",
+    seq_col: str = "d",
+    value_col: str = "c",
+) -> DataFrame:
+    """Croston's intermittent-demand smoothing (Croston 1972) as a
+    STREAMING stateful operator: per key, the (size-EWMA, interval-EWMA,
+    periods-since-demand) recursion folds across micro-batches exactly
+    as the q495 batch array fold does — seed on the first demand (z =
+    its size, p = its 1-based position), demand rows update both EWMAs
+    and reset the counter, zero rows only increment it. Rows are applied
+    in ``seq_col`` order within each invocation; cross-batch order comes
+    from the source (the drain stages sequence-ordered files). Emits the
+    post-batch state per key in update mode — the drain keeps each key's
+    max-n row, which after availableNow equals the full-series state.
+
+    State: six scalars per key, O(keys) total — a million intermittent
+    SKUs cost a million tiny rows; each micro-batch does O(new rows)
+    work with no history re-read (the incremental form of the reference
+    workload-forecast refresh loop, applied to sparse demand).
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        frames = list(pdfs)
+        batch = pd.concat(frames) if frames else pd.DataFrame()
+        if not len(batch):
+            return
+        if state.exists:
+            z, p, q, st, nd, idx = state.get
+        else:
+            z, p, q, st, nd, idx = 0.0, 0.0, 0.0, 0, 0.0, 0.0
+        batch = batch.sort_values(seq_col)
+        for x in batch[value_col]:
+            x = float(x)
+            idx += 1.0
+            if not st:
+                if x > 0:
+                    z, p, q, st = x, idx, 1.0, 1
+                    nd += 1.0
+            else:
+                if x > 0:
+                    z = alpha * x + (1 - alpha) * z
+                    p = alpha * q + (1 - alpha) * p
+                    q = 1.0
+                    nd += 1.0
+                else:
+                    q += 1.0
+        state.update((float(z), float(p), float(q), int(st), float(nd), float(idx)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n": [int(idx)],
+                "nd": [int(nd)],
+                "z": [float(z)],
+                "p": [float(p)],
+            }
+        )
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col),
+        F.col(value_col),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=CROSTON_OUTPUT_SCHEMA,
+        stateStructType=CROSTON_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 BURN_OUTPUT_SCHEMA = (
     "hr LONG, n LONG, errs LONG, burn_short DOUBLE, burn_long DOUBLE, page INT"
 )
