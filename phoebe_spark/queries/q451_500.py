@@ -5478,3 +5478,571 @@ def q496_streaming_croston_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# O'Brien-Fleming two-sided group-sequential z boundaries for K=4 equally
+# spaced analyses at overall alpha=0.05 (Lan-DeMets textbook values),
+# quantized once and embedded in BOTH engines.
+_OBF_BOUNDS = [(1, 4.048894), (2, 2.862786), (3, 2.337455), (4, 2.024447)]
+_OBF_BOUNDS_SQL = ", ".join(f"({k}, {z})" for k, z in _OBF_BOUNDS)
+
+
+@query(
+    "q497_obrien_fleming",
+    oracle=f"""
+    WITH ob(stage, bound) AS (VALUES {_OBF_BOUNDS_SQL}),
+    s AS (
+      SELECT CASE WHEN year(o.o_orderdate) = 1995 THEN 1 ELSE 2 END * 2
+             - CASE WHEN month(o.o_orderdate) <= 6 THEN 1 ELSE 0 END AS stage,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE year(o.o_orderdate) IN (1995, 1996)
+    ),
+    g AS (
+      SELECT stage, arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(yc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT stage, arm,
+             CAST(sum(n) OVER (PARTITION BY arm ORDER BY stage) AS BIGINT) AS n,
+             CAST(sum(s1) OVER (PARTITION BY arm ORDER BY stage) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(s2) OVER (PARTITION BY arm ORDER BY stage) AS DECIMAL(38,0)) AS s2
+      FROM g
+    ),
+    w AS (
+      SELECT stage,
+             CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+             CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+             max(CASE WHEN arm = 1 THEN s1 END) AS s11,
+             max(CASE WHEN arm = 0 THEN s1 END) AS s10,
+             max(CASE WHEN arm = 1 THEN s2 END) AS s21,
+             max(CASE WHEN arm = 0 THEN s2 END) AS s20
+      FROM cum GROUP BY 1
+    ),
+    z AS (
+      SELECT stage, n1, n0,
+             round((CAST(s11 AS DOUBLE) / n1 - CAST(s10 AS DOUBLE) / n0)
+                   / sqrt(CAST(CAST(n1 AS DECIMAL(19,0)) * s21 - s11 * s11 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+                          + CAST(CAST(n0 AS DECIMAL(19,0)) * s20 - s10 * s10 AS DOUBLE)
+                            / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0), 12) AS zstat
+      FROM w
+    )
+    SELECT z.stage, z.n1 + z.n0 AS n_accrued,
+           round(z.zstat, 6) AS z_stat,
+           CAST(ob.bound AS DOUBLE) AS obf_bound,
+           CASE WHEN abs(z.zstat) >= ob.bound THEN 1 ELSE 0 END AS crossed,
+           CASE WHEN (SELECT max(CASE WHEN abs(z2.zstat) >= ob2.bound THEN 1 ELSE 0 END)
+                      FROM z z2 JOIN ob ob2 ON ob2.stage = z2.stage) = 1
+                THEN 'stop_early' ELSE 'continue_to_final' END AS verdict
+    FROM z JOIN ob ON ob.stage = z.stage
+    """,
+)
+def q497_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring (O'Brien & Fleming
+    1979) of the BUILDING-vs-rest order-value experiment accruing over
+    1995-1996: the Welch z statistic at four equally spaced interim
+    looks (half-years) against the canonical K=4 two-sided 5% OBF
+    boundaries (4.049 / 2.863 / 2.337 / 2.024 — steep early, nominal
+    late), embedded as a Python-quantized literal table in BOTH
+    engines. The peeking-correct complement to q470's fixed-n MDE audit
+    (disclosed kinship; q303's SPRT is the fully-sequential cousin):
+    crossing an interim boundary is a legitimate early stop, a naive
+    1.96 at every look is not. Cumulative moments accrue via stage
+    windows over the 8-row (stage, arm) grid.
+
+    100 TB story: one broadcast-dim join + ONE aggregate to 8 moment
+    rows; stage cums, the z closed form and the boundary join all run
+    on that fixed frame (broadcast literal table) — no corpus-rate
+    window, no second scan."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("arm"),
+    )
+    stage = (
+        F.when(F.year("o_orderdate") == 1995, 1).otherwise(2) * 2
+        - F.when(F.month("o_orderdate") <= 6, 1).otherwise(0)
+    )
+    s = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(_dim(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            stage.alias("stage"),
+            "arm",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"),
+        )
+    )
+    yd = F.col("yc").cast("decimal(19,0)")
+    g = s.groupBy("stage", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(yd).cast("decimal(38,0)").alias("s1"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("s2"),
+    )
+    warm = Window.partitionBy("arm").orderBy("stage")
+    cum = g.select(
+        "stage",
+        "arm",
+        F.sum("n").over(warm).cast("long").alias("n"),
+        F.sum("s1").over(warm).cast("decimal(38,0)").alias("s1"),
+        F.sum("s2").over(warm).cast("decimal(38,0)").alias("s2"),
+    )
+    w = cum.groupBy("stage").agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("s1"))).alias("s11"),
+        F.max(F.when(F.col("arm") == 0, F.col("s1"))).alias("s10"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("s20"),
+    )
+
+    def _v(n, s1, s2):
+        return (
+            (F.col(n).cast("decimal(19,0)") * F.col(s2) - F.col(s1) * F.col(s1)).cast(
+                "double"
+            )
+            / (F.col(n).cast("double") * (F.col(n) - 1))
+            / F.col(n)
+        )
+
+    z = w.select(
+        "stage",
+        "n1",
+        "n0",
+        F.round(
+            (
+                F.col("s11").cast("double") / F.col("n1")
+                - F.col("s10").cast("double") / F.col("n0")
+            )
+            / F.sqrt(_v("n1", "s11", "s21") + _v("n0", "s10", "s20")),
+            12,
+        ).alias("zstat"),
+    ).localCheckpoint(eager=True)
+    ob = spark.createDataFrame(_OBF_BOUNDS, "stage INT, bound DOUBLE")
+    any_cross = (
+        z.join(F.broadcast(ob), "stage")
+        .agg(
+            F.max(
+                F.when(F.abs("zstat") >= F.col("bound"), 1).otherwise(0)
+            ).alias("anyc")
+        )
+    )
+    return (
+        z.join(F.broadcast(ob), "stage")
+        .crossJoin(F.broadcast(any_cross))
+        .select(
+            "stage",
+            (F.col("n1") + F.col("n0")).alias("n_accrued"),
+            F.round("zstat", 6).alias("z_stat"),
+            F.col("bound").alias("obf_bound"),
+            F.when(F.abs("zstat") >= F.col("bound"), 1).otherwise(0).alias("crossed"),
+            F.when(F.col("anyc") == 1, "stop_early")
+            .otherwise("continue_to_final")
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "q498_direct_standardization",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_quantity AS BIGINT) AS stratum,
+             CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT stratum, t, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM s GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT stratum,
+             CAST(max(CASE WHEN t = 1 THEN n END) AS BIGINT) AS nt,
+             CAST(max(CASE WHEN t = 0 THEN n END) AS BIGINT) AS nc,
+             CAST(max(CASE WHEN t = 1 THEN pos END) AS BIGINT) AS pt,
+             CAST(max(CASE WHEN t = 0 THEN pos END) AS BIGINT) AS pc
+      FROM g GROUP BY 1
+    ),
+    used AS (SELECT * FROM w WHERE nt IS NOT NULL AND nc IS NOT NULL),
+    tot AS (
+      SELECT CAST(sum(nt + nc) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k_used,
+             (SELECT CAST(count(*) AS BIGINT) FROM w) - CAST(count(*) AS BIGINT) AS k_dropped
+      FROM used
+    ),
+    crude AS (
+      SELECT CAST(sum(pt) AS DOUBLE) / sum(nt)
+             - CAST(sum(pc) AS DOUBLE) / sum(nc) AS rd
+      FROM used
+    ),
+    adj AS (
+      SELECT CAST(round(sum(CAST(round(
+               (CAST(nt + nc AS DOUBLE) / (SELECT nn FROM tot))
+                 * (CAST(pt AS DOUBLE) / nt - CAST(pc AS DOUBLE) / nc),
+             12) AS DECIMAL(38,12))), 12) AS DOUBLE) AS rd
+      FROM used
+    )
+    SELECT (SELECT nn FROM tot) AS n_lines,
+           (SELECT k_used FROM tot) AS n_strata_used,
+           (SELECT k_dropped FROM tot) AS n_strata_dropped,
+           round((SELECT rd FROM crude), 6) AS crude_risk_diff,
+           round((SELECT rd FROM adj), 6) AS adjusted_risk_diff,
+           round((SELECT rd FROM crude) - (SELECT rd FROM adj), 6) AS confounding_delta,
+           CASE WHEN abs((SELECT rd FROM crude) - (SELECT rd FROM adj)) > 0.01
+                THEN 'confounded' ELSE 'negligible_confounding' END AS verdict
+    """,
+)
+def q498_direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization / stratified risk-difference adjustment
+    (the Cochran 1957 workhorse of observational epidemiology): the
+    crude effect of a deep discount (>= 5%) on return probability vs
+    the effect ADJUSTED by standardizing each quantity stratum's
+    within-stratum risk difference to the total population weights —
+    w_s = n_s/N, RD_adj = sum w_s (p_t,s - p_c,s). The gap between
+    crude and adjusted is the measured confounding through quantity.
+    Strata missing either arm are dropped and COUNTED (fail-visible,
+    q414's convention). q463 (disclosed kinship) pools stratified ODDS
+    ratios by MH weights; this standardizes risk DIFFERENCES to a
+    reference population — different estimand, same one-pass shape.
+
+    100 TB story: ONE aggregate to the <= 100-cell (stratum, arm)
+    grid; the pivot, the drop rule and both folds run on that support
+    — no window, no join, no second scan."""
+    s = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("stratum"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("t"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("stratum", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = g.groupBy("stratum").agg(
+        F.max(F.when(F.col("t") == 1, F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("t") == 0, F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("t") == 1, F.col("pos"))).alias("pt"),
+        F.max(F.when(F.col("t") == 0, F.col("pos"))).alias("pc"),
+    ).localCheckpoint(eager=True)
+    used = w.filter(F.col("nt").isNotNull() & F.col("nc").isNotNull())
+    k_all = w.agg(F.count(F.lit(1)).cast("long").alias("k_all"))
+    tot = used.agg(
+        F.sum(F.col("nt") + F.col("nc")).cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+    ).crossJoin(F.broadcast(k_all))
+    crude = used.agg(
+        (
+            F.sum("pt").cast("double") / F.sum("nt")
+            - F.sum("pc").cast("double") / F.sum("nc")
+        ).alias("crude_rd")
+    )
+    adj = (
+        used.crossJoin(F.broadcast(tot.select("nn")))
+        .agg(
+            _fold12(
+                ((F.col("nt") + F.col("nc")).cast("double") / F.col("nn"))
+                * (
+                    F.col("pt").cast("double") / F.col("nt")
+                    - F.col("pc").cast("double") / F.col("nc")
+                )
+            ).alias("adj_rd")
+        )
+    )
+    out = (
+        tot.crossJoin(F.broadcast(crude))
+        .crossJoin(F.broadcast(adj))
+    )
+    delta = F.col("crude_rd") - F.col("adj_rd")
+    return out.select(
+        F.col("nn").alias("n_lines"),
+        F.col("k_used").alias("n_strata_used"),
+        (F.col("k_all") - F.col("k_used")).alias("n_strata_dropped"),
+        F.round("crude_rd", 6).alias("crude_risk_diff"),
+        F.round("adj_rd", 6).alias("adjusted_risk_diff"),
+        F.round(delta, 6).alias("confounding_delta"),
+        F.when(F.abs(delta) > 0.01, "confounded")
+        .otherwise("negligible_confounding")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q499_abc_xyz",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS rev,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev) AS DECIMAL(38,0)) AS trev FROM pr),
+    r AS (
+      SELECT pk, rev, n, s1, s2,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, pk ASC) AS DECIMAL(38,0)) AS crev
+      FROM pr
+    ),
+    cls AS (
+      SELECT pk, rev, n, s1, s2,
+             CASE WHEN CAST(crev - rev AS DOUBLE) / (SELECT trev FROM tot) < 0.80 THEN 'A'
+                  WHEN CAST(crev - rev AS DOUBLE) / (SELECT trev FROM tot) < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN n < 2 THEN 'Z'
+                  WHEN sqrt(CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0))
+                                 - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                       / (CAST(s1 AS DOUBLE) / n) < 0.5 THEN 'X'
+                  WHEN sqrt(CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0))
+                                 - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                       / (CAST(s1 AS DOUBLE) / n) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM r
+    )
+    SELECT abc AS class_abc, xyz AS class_xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(rev) AS DOUBLE) / (SELECT CAST(trev AS DOUBLE) FROM tot), 6)
+             AS revenue_share
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def q499_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification (the Dickie 1951 Pareto cut
+    crossed with demand-variability banding): parts ranked by revenue —
+    class A while the cumulative share STRICTLY BEFORE the part stays
+    under 80%, B under 95%, else C — crossed with the coefficient of
+    variation of per-line quantity (X < 0.5, Y < 1.0, else Z;
+    single-line parts are Z by the n<2 guard). Output is the 3x3 grid
+    with counts and revenue shares — the canonical "which SKUs deserve
+    forecasting effort" screen (q495 Croston is the Z-class tool;
+    kinship disclosed). The Spark side computes the revenue prefix sum
+    with the TWO-PHASE value-bucketed cum (bucket-offset window over
+    the bounded $1000-bucket frame + a bucket-PARTITIONED prefix sum),
+    the q224/q262 family trick — bit-identical to the oracle's naive
+    global window, which DuckDB can afford single-node.
+
+    100 TB story: one scan to O(parts) rollups; the only unpartitioned
+    window runs on the price-range-bounded bucket frame (allowlisted);
+    the per-row prefix sum is partitioned BY bucket — distributed, no
+    single-reducer sort of the parts frame; the grid rollup is a
+    9-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("s1"),
+            F.sum(
+                F.col("l_quantity").cast("long") * F.col("l_quantity").cast("long")
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = pr.agg(F.sum("rev").cast("decimal(38,0)").alias("trev"))
+    # two-phase cum: $1000-bucket offsets (bounded frame window) + a
+    # bucket-partitioned prefix sum ordered by (rev desc, pk)
+    b = pr.select("*", F.expr("rev div 100000").alias("bkt"))
+    boff = (
+        b.groupBy("bkt")
+        .agg(F.sum("rev").cast("decimal(38,0)").alias("brev"))
+        .select(
+            "bkt",
+            (
+                F.sum("brev").over(Window.orderBy(F.col("bkt").desc()))
+                - F.col("brev")
+            )
+            .cast("decimal(38,0)")
+            .alias("off"),
+        )
+    )
+    win = Window.partitionBy("bkt").orderBy(F.col("rev").desc(), F.col("pk").asc())
+    r = (
+        b.join(F.broadcast(boff), "bkt")
+        .select(
+            "pk",
+            "rev",
+            "n",
+            "s1",
+            "s2",
+            (F.col("off") + F.sum("rev").over(win)).cast("decimal(38,0)").alias("crev"),
+        )
+    )
+    cv = F.sqrt(
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("s2").cast("decimal(19,0)")
+            - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
+        ).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    ) / (F.col("s1").cast("double") / F.col("n"))
+    before = (F.col("crev") - F.col("rev")).cast("double") / F.col("trev")
+    cls = r.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        F.when(before < 0.80, "A").when(before < 0.95, "B").otherwise("C").alias(
+            "abc"
+        ),
+        F.when(F.col("n") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "trev",
+    )
+    return cls.groupBy(
+        F.col("abc").alias("class_abc"), F.col("xyz").alias("class_xyz")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(
+            F.sum("rev").cast("double") / F.max(F.col("trev").cast("double")), 6
+        ).alias("revenue_share"),
+    )
+
+
+# Shewhart X-bar/R control-chart constants for subgroup size n=7
+# (standard SPC table: A2, D3, D4), embedded in BOTH engines.
+_XBAR_A2, _XBAR_D3, _XBAR_D4 = 0.419, 0.076, 1.924
+
+
+@query(
+    "q500_xbar_control_chart",
+    oracle=f"""
+    WITH od AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    wk AS (
+      SELECT d // 7 AS w, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(max(y) - min(y) AS BIGINT) AS r
+      FROM od GROUP BY 1
+      HAVING count(*) = 7
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(round(sum(CAST(round(CAST(s AS DOUBLE) / 7.0, 12) AS DECIMAL(38,12))), 12) AS DOUBLE)
+               / count(*) AS xbb,
+             CAST(sum(r) AS DOUBLE) / count(*) AS rbar
+      FROM wk
+    ),
+    lim AS (
+      SELECT k, xbb, rbar,
+             xbb + {_XBAR_A2} * rbar AS ucl_x, xbb - {_XBAR_A2} * rbar AS lcl_x,
+             {_XBAR_D4} * rbar AS ucl_r, {_XBAR_D3} * rbar AS lcl_r
+      FROM g
+    ),
+    cen AS (
+      SELECT CAST(sum(CASE WHEN CAST(s AS DOUBLE) / 7.0 > (SELECT ucl_x FROM lim)
+                             OR CAST(s AS DOUBLE) / 7.0 < (SELECT lcl_x FROM lim)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ooc_x,
+             CAST(sum(CASE WHEN r > (SELECT ucl_r FROM lim)
+                             OR r < (SELECT lcl_r FROM lim)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ooc_r
+      FROM wk
+    )
+    SELECT lim.k AS n_weeks,
+           round(lim.xbb, 6) AS xbar_bar, round(lim.rbar, 6) AS r_bar,
+           round(lim.ucl_x, 6) AS ucl_xbar, round(lim.lcl_x, 6) AS lcl_xbar,
+           round(lim.ucl_r, 6) AS ucl_range, round(lim.lcl_r, 6) AS lcl_range,
+           (SELECT ooc_x FROM cen) AS ooc_xbar_weeks,
+           (SELECT ooc_r FROM cen) AS ooc_range_weeks,
+           CASE WHEN (SELECT ooc_x FROM cen) + (SELECT ooc_r FROM cen) > 0
+                THEN 'out_of_control' ELSE 'in_control' END AS verdict
+    FROM lim
+    """,
+)
+def q500_xbar_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar / R control chart (Shewhart 1931) over the daily
+    order-arrival series in complete 7-day subgroups: per-week mean and
+    range, grand mean and mean range, control limits from the standard
+    n=7 SPC constants (A2=0.419, D3=0.076, D4=1.924 — embedded as
+    shared literals), and the census of out-of-control weeks on both
+    charts. The PHASE-I process-stability screen that runs before any
+    CUSUM/Page-Hinkley-style sequential monitor is calibrated (q238 and
+    the streaming PH drain — kinship disclosed: Shewhart detects LARGE
+    isolated shifts, CUSUM small sustained ones). Week means are
+    12-dp-rounded s/7 folds; ranges are exact integers.
+
+    100 TB story: the corpus collapses to the O(days) rollup in one
+    aggregate, weeks to O(weeks) in a second (both map-side-combining);
+    limits are one fold and the census one broadcast join — no window
+    anywhere, no sort."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wk = (
+        od.groupBy(F.expr("d div 7").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.sum("y").cast("long").alias("s"),
+            (F.max("y") - F.min("y")).cast("long").alias("r"),
+        )
+        .filter(F.col("nd") == 7)
+        .localCheckpoint(eager=True)
+    )
+    g = wk.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            F.round(
+                F.sum(F.round(F.col("s").cast("double") / 7.0, 12).cast("decimal(38,12)")),
+                12,
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xbb"),
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("rbar"),
+    )
+    lim = g.select(
+        "k",
+        "xbb",
+        "rbar",
+        (F.col("xbb") + _XBAR_A2 * F.col("rbar")).alias("ucl_x"),
+        (F.col("xbb") - _XBAR_A2 * F.col("rbar")).alias("lcl_x"),
+        (_XBAR_D4 * F.col("rbar")).alias("ucl_r"),
+        (_XBAR_D3 * F.col("rbar")).alias("lcl_r"),
+    )
+    xb = F.col("s").cast("double") / 7.0
+    cen = wk.crossJoin(F.broadcast(lim)).agg(
+        F.sum(
+            F.when((xb > F.col("ucl_x")) | (xb < F.col("lcl_x")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("ooc_x"),
+        F.sum(
+            F.when(
+                (F.col("r") > F.col("ucl_r")) | (F.col("r") < F.col("lcl_r")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ooc_r"),
+    )
+    return lim.crossJoin(F.broadcast(cen)).select(
+        F.col("k").alias("n_weeks"),
+        F.round("xbb", 6).alias("xbar_bar"),
+        F.round("rbar", 6).alias("r_bar"),
+        F.round("ucl_x", 6).alias("ucl_xbar"),
+        F.round("lcl_x", 6).alias("lcl_xbar"),
+        F.round("ucl_r", 6).alias("ucl_range"),
+        F.round("lcl_r", 6).alias("lcl_range"),
+        F.col("ooc_x").alias("ooc_xbar_weeks"),
+        F.col("ooc_r").alias("ooc_range_weeks"),
+        F.when(F.col("ooc_x") + F.col("ooc_r") > 0, "out_of_control")
+        .otherwise("in_control")
+        .alias("verdict"),
+    )
