@@ -40,6 +40,10 @@ BLOCK = [
     "q493_design_effect",
     "q494_hill_numbers",
     "q495_croston",
+    "q497_obrien_fleming",
+    "q498_direct_standardization",
+    "q499_abc_xyz",
+    "q500_xbar_control_chart",
 ]
 
 
@@ -295,3 +299,39 @@ def test_q495_croston_single_row_fold(spark, sf_dir):
     assert sum(_scans(p) for p in plans[:-1]) == 2
     assert _scans(plans[-1]) == 0
     assert all(_ops(p, "AggregateInPandas") == 0 for p in plans)
+
+
+def test_q497_q498_single_fold_grids(spark, sf_dir):
+    """OBF and standardization: the corpus (orders/lineitem x broadcast
+    dim where applicable) collapses in ONE grouped aggregate; windows
+    (q497's stage cums) are PARTITIONED by arm over the 8-row grid; no
+    sort-merge join."""
+    for name in ("q497_obrien_fleming", "q498_direct_standardization"):
+        plans = _plans(spark, sf_dir, name)
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+        for p in plans:
+            assert raw_single_partition_sort_violations(p) == [], name
+
+
+def test_q499_per_part_cum_is_bucket_partitioned(spark, sf_dir):
+    """ABC/XYZ: the per-part revenue cum must be a window PARTITIONED by
+    the $1000 bucket (the two-phase trick) — the ONLY unpartitioned sort
+    runs on the aggregated bucket frame; everything reads the
+    checkpointed part rollup (one lineitem scan total)."""
+    plans = _plans(spark, sf_dir, "q499_abc_xyz")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert re.search(r"windowspecdefinition\(bkt", final) is not None
+    assert raw_single_partition_sort_violations(final) == []
+
+
+def test_q500_no_window_two_rollups(spark, sf_dir):
+    """X-bar/R: day rollup -> week rollup -> folds; no window, no
+    sort-merge join; census and limits read the checkpointed week frame
+    (one orders scan total)."""
+    plans = _plans(spark, sf_dir, "q500_xbar_control_chart")
+    assert all(_ops(p, "Window") == 0 for p in plans)
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+    assert _scans(plans[-1]) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
