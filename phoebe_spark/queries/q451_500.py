@@ -13,8 +13,7 @@ and breaks (exact Theil-Sen, best-changepoint SSE search), rank tests
 (Mood's median, Ansari-Bradley, Kuiper), graph/spatial (Geary's C,
 edge Jaccard), text diversity (Flesch-Kincaid, Yule's K, Hill
 numbers), economics (Oaxaca mix/rate, Fisher ideal index), count
-models (negative-binomial MoM) and intermittent-demand forecasting
-(Croston/SBA as a codegen array fold) — each with the exact-fold
+models (negative-binomial MoM) and the streaming Croston/SBA drain (cross-batch keyed state, q326's batch fold kin) — each with the exact-fold
 determinism policy from ``_core`` (integer/DECIMAL corpus sums, 12-dp
 per-iteration rounding, identical literal chains on both engines)."""
 
@@ -5144,168 +5143,6 @@ def q494_hill_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q495_croston_oracle(T: int = 60, a: float = 0.2) -> str:
-    """Generated oracle for q495: Croston's recursion unrolled as one CTE
-    per day (the q273 generated-chain treatment applied to intermittent
-    demand). State columns: z (demand-size EWMA), p (inter-demand-interval
-    EWMA), q (periods since last demand), st (seen-first-demand flag),
-    nd (demand-day count). The float sequence is identical to the
-    engine-side sequential fold."""
-    b = round(1.0 - a, 12)
-    ctes = [
-        "c0 AS (SELECT 0.0 AS z, 0.0 AS p, 0.0 AS q, 0 AS st, 0.0 AS nd, xs FROM series)"
-    ]
-    for t in range(1, T + 1):
-        ctes.append(
-            f"c{t} AS (SELECT "
-            f"CASE WHEN st = 0 THEN CASE WHEN xs[{t}] > 0 THEN xs[{t}] ELSE z END "
-            f"ELSE CASE WHEN xs[{t}] > 0 THEN {a} * xs[{t}] + {b} * z ELSE z END END AS z, "
-            f"CASE WHEN st = 0 THEN CASE WHEN xs[{t}] > 0 THEN CAST({t} AS DOUBLE) ELSE p END "
-            f"ELSE CASE WHEN xs[{t}] > 0 THEN {a} * q + {b} * p ELSE p END END AS p, "
-            f"CASE WHEN xs[{t}] > 0 THEN 1.0 "
-            f"ELSE CASE WHEN st = 0 THEN 0.0 ELSE q + 1.0 END END AS q, "
-            f"CASE WHEN st = 1 OR xs[{t}] > 0 THEN 1 ELSE 0 END AS st, "
-            f"nd + CASE WHEN xs[{t}] > 0 THEN 1.0 ELSE 0.0 END AS nd, "
-            f"xs FROM c{t - 1})"
-        )
-    chain = ",\n    ".join(ctes)
-    return f"""
-    WITH li AS (
-      SELECT l.l_shipdate AS sd, CAST(l.l_quantity AS DOUBLE) AS qy
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE p.p_brand = 'Brand#11'
-    ),
-    lo AS (SELECT min(sd) AS lo FROM li),
-    daily AS (
-      SELECT datediff('day', (SELECT lo FROM lo), sd) AS d, sum(qy) AS c
-      FROM li WHERE datediff('day', (SELECT lo FROM lo), sd) < {T}
-      GROUP BY 1
-    ),
-    grid AS (SELECT unnest(generate_series(0, {T - 1})) AS d),
-    dense AS (
-      SELECT g.d, coalesce(daily.c, 0.0) AS c
-      FROM grid g LEFT JOIN daily ON daily.d = g.d
-    ),
-    series AS (SELECT list(c ORDER BY d) AS xs FROM dense),
-    {chain}
-    SELECT CAST(nd AS BIGINT) AS n_demand_days,
-           {T} AS window_days,
-           round(z, 6) + 0.0 AS demand_size,
-           round(p, 6) + 0.0 AS demand_interval,
-           round(z / p, 6) + 0.0 AS croston_rate,
-           round({round(1.0 - a / 2.0, 12)} * (z / p), 6) + 0.0 AS sba_rate
-    FROM c{T}
-    """
-
-
-@query("q495_croston", oracle=_q495_croston_oracle())
-def q495_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Croston's method for intermittent demand (Croston 1972) with the
-    Syntetos-Boylan approximation (2005 bias correction factor
-    1 - alpha/2), alpha = 0.2, on Brand#11's daily shipped quantity
-    over the 60 days from its first shipment: separate EWMAs of the
-    demand SIZE (updated only on demand days) and the inter-demand
-    INTERVAL, forecast rate = size/interval — the standard forecaster
-    for sparse series where plain exponential smoothing (q273 kinship,
-    disclosed) decays toward zero between demands and double-counts
-    after them. The sequential recursion folds in ONE codegen
-    `aggregate` over the dense 60-day array engine-side; the oracle
-    replays the identical float sequence as a generated 60-step CTE
-    chain (q273's treatment), so the state matches digit-for-digit.
-    The series is genuinely intermittent at small SF and dense at
-    bench SF (disclosed — Croston degrades gracefully to EWMA as
-    p -> 1).
-
-    100 TB story: one filtered broadcast-dim join collapses to the
-    O(window) daily rollup; the fold is a single-row array op —
-    per-SKU Croston over millions of parts is the same fold grouped
-    by part key (q274's certified pattern)."""
-    T, a = 60, 0.2
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
-        "p_partkey"
-    )
-    daily_abs = (
-        _t(spark, sf_dir, "lineitem")
-        .join(_dim(p), F.col("p_partkey") == F.col("l_partkey"))
-        .select("l_shipdate", F.col("l_quantity").cast("double").alias("qy"))
-        .groupBy("l_shipdate")
-        .agg(F.sum("qy").alias("c"))
-        # checkpointed O(demand days) rollup: the window anchor, the
-        # relative-day mapping and the grid all replay it — one
-        # lineitem scan total
-        .localCheckpoint(eager=True)
-    )
-    lo = daily_abs.agg(F.min("l_shipdate").alias("lo"))
-    daily = (
-        daily_abs.crossJoin(F.broadcast(lo))
-        .select(F.datediff("l_shipdate", "lo").alias("d"), "c")
-        .filter(F.col("d") < T)
-    )
-    grid = lo.select(F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("d"))
-    dense = grid.join(F.broadcast(daily), "d", "left").select(
-        "d", F.coalesce("c", F.lit(0.0)).alias("c")
-    )
-    series = dense.agg(
-        F.array_sort(F.collect_list(F.struct("d", "c"))).getField("c").alias("xs")
-    )
-    state = F.aggregate(
-        F.col("xs"),
-        F.struct(
-            F.lit(0.0).alias("z"),
-            F.lit(0.0).alias("p"),
-            F.lit(0.0).alias("q"),
-            F.lit(0).alias("st"),
-            F.lit(0.0).alias("nd"),
-            F.lit(0.0).alias("idx"),
-        ),
-        lambda acc, x: F.struct(
-            F.when(
-                acc["st"] == 0, F.when(x > 0, x).otherwise(acc["z"])
-            )
-            .otherwise(
-                F.when(x > 0, F.lit(a) * x + F.lit(1 - a) * acc["z"]).otherwise(
-                    acc["z"]
-                )
-            )
-            .alias("z"),
-            F.when(
-                acc["st"] == 0,
-                F.when(x > 0, acc["idx"] + 1.0).otherwise(acc["p"]),
-            )
-            .otherwise(
-                F.when(
-                    x > 0, F.lit(a) * acc["q"] + F.lit(1 - a) * acc["p"]
-                ).otherwise(acc["p"])
-            )
-            .alias("p"),
-            F.when(x > 0, F.lit(1.0))
-            .otherwise(
-                F.when(acc["st"] == 0, F.lit(0.0)).otherwise(acc["q"] + 1.0)
-            )
-            .alias("q"),
-            F.when((acc["st"] == 1) | (x > 0), F.lit(1)).otherwise(F.lit(0)).alias(
-                "st"
-            ),
-            (acc["nd"] + F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0))).alias(
-                "nd"
-            ),
-            (acc["idx"] + 1.0).alias("idx"),
-        ),
-    )
-    out = series.select(state.alias("s"))
-    rate = F.col("s.z") / F.col("s.p")
-    return out.select(
-        F.col("s.nd").cast("long").alias("n_demand_days"),
-        F.lit(T).alias("window_days"),
-        (F.round(F.col("s.z"), 6) + F.lit(0.0)).alias("demand_size"),
-        (F.round(F.col("s.p"), 6) + F.lit(0.0)).alias("demand_interval"),
-        (F.round(rate, 6) + F.lit(0.0)).alias("croston_rate"),
-        (F.round(F.lit(round(1.0 - a / 2.0, 12)) * rate, 6) + F.lit(0.0)).alias(
-            "sba_rate"
-        ),
-    )
-
-
 _CROSTON_BRANDS = ("Brand#11", "Brand#12", "Brand#13")
 _CROSTON_BRANDS_SQL = ", ".join(f"'{b}'" for b in _CROSTON_BRANDS)
 
@@ -5368,15 +5205,17 @@ def _q496_croston_oracle(T: int = 60, a: float = 0.2) -> str:
 
 @query("q496_streaming_croston_drain", oracle=_q496_croston_oracle())
 def q496_streaming_croston_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING Croston drained in the hash-checked gate — the q495
-    recursion as a keyed stateful operator
+    """STREAMING Croston drained in the hash-checked gate — the q326
+    batch recursion as a keyed stateful operator
     (:func:`stateful.streaming_croston`): each of three brands' dense
     60-day demand series arrives as three sequence-ordered micro-batches
     (days 0-19, 20-39, 40-59), the (size-EWMA, interval-EWMA, counter)
     state folds ACROSS batches, and the final per-key state must match
     the generated keyed 60-step CTE-chain oracle digit-for-digit. One
     smoother, two execution forms, one answer (q273/q274/q275's
-    equivalence-class treatment applied to intermittent demand).
+    equivalence-class treatment applied to q326's intermittent-demand
+    family — same alpha-0.2 recursion, here on SKU demand with
+    cross-batch state instead of a batch array fold).
 
     Scale: state is six scalars per key; each micro-batch does O(new
     rows) work — the streaming form is how a million sparse SKUs
@@ -5819,7 +5658,7 @@ def q499_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     variation of per-line quantity (X < 0.5, Y < 1.0, else Z;
     single-line parts are Z by the n<2 guard). Output is the 3x3 grid
     with counts and revenue shares — the canonical "which SKUs deserve
-    forecasting effort" screen (q495 Croston is the Z-class tool;
+    forecasting effort" screen (q326/q496 Croston is the Z-class tool;
     kinship disclosed). The Spark side computes the revenue prefix sum
     with the TWO-PHASE value-bucketed cum (bucket-offset window over
     the bounded $1000-bucket frame + a bucket-PARTITIONED prefix sum),

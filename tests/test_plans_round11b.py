@@ -39,7 +39,6 @@ BLOCK = [
     "q492_winsorized_corr",
     "q493_design_effect",
     "q494_hill_numbers",
-    "q495_croston",
     "q497_obrien_fleming",
     "q498_direct_standardization",
     "q499_abc_xyz",
@@ -284,21 +283,6 @@ def test_q493_one_scan_no_window(spark, sf_dir):
     plans = _plans(spark, sf_dir, "q493_design_effect")
     assert sum(_scans(p) for p in plans) == 1
     assert all(_ops(p, "Window") == 0 for p in plans)
-
-
-def test_q495_croston_single_row_fold(spark, sf_dir):
-    """Croston: the corpus collapses to the 60-day window rollup (one
-    lineitem scan + broadcast part dim); the recursion is a single-row
-    array fold — no window, no sort-merge join, and the plan contains
-    the codegen `aggregate` (AggregateInPandas absent: pure JVM)."""
-    plans = _plans(spark, sf_dir, "q495_croston")
-    assert all(_ops(p, "Window") == 0 for p in plans)
-    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
-    # pre-checkpoint stage: lineitem + the broadcast part dim, once
-    # each; the final plan replays the checkpointed day rollup
-    assert sum(_scans(p) for p in plans[:-1]) == 2
-    assert _scans(plans[-1]) == 0
-    assert all(_ops(p, "AggregateInPandas") == 0 for p in plans)
 
 
 def test_q497_q498_single_fold_grids(spark, sf_dir):

@@ -76,8 +76,9 @@ def _croston_python(xs, a=0.2):
 
 
 def test_croston_query_matches_python_loop(spark, sf_dir):
-    """q495's engine-side fold must match an independent Python Croston
-    run on the same dense 60-day series rebuilt directly from parquet."""
+    """q496's streaming cross-batch state must match an independent
+    Python Croston run on the same dense 60-day Brand#11 series rebuilt
+    directly from parquet."""
     con = duckdb.connect()
     rows = con.execute(
         f"""
@@ -99,7 +100,8 @@ def test_croston_query_matches_python_loop(spark, sf_dir):
     for d, c in rows:
         xs[int(d)] = float(c)
     z, p, nd = _croston_python(xs)
-    got = QUERIES["q495_croston"](spark, sf_dir).collect()[0]
+    rows_out = QUERIES["q496_streaming_croston_drain"](spark, sf_dir).collect()
+    got = next(r for r in rows_out if r["brand"] == "Brand#11")
     assert got["n_demand_days"] == int(nd)
     assert got["demand_size"] == pytest.approx(round(z, 6), abs=1e-9)
     assert got["demand_interval"] == pytest.approx(round(p, 6), abs=1e-9)
