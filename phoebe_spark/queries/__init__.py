@@ -11,7 +11,7 @@ name of every block is re-exported here so existing importers
 from __future__ import annotations
 
 from . import _core
-MODS = ['q001_050', 'q051_100', 'q101_150', 'q151_200', 'q201_250', 'q251_300', 'q301_350', 'q351_400', 'q401_450', 'q451_500']
+MODS = ['q001_050', 'q051_100', 'q101_150', 'q151_200', 'q201_250', 'q251_300', 'q301_350', 'q351_400', 'q401_450', 'q451_500', 'q501_550']
 
 import importlib as _importlib
 

@@ -4849,7 +4849,8 @@ def q492_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose cumulative count reaches ceil(q*N)) — and the correlation is
     recomputed from exact DECIMAL(38,0) cell-weighted moments on the
     <= 550-cell joint support, alongside the raw correlation for the
-    tail-sensitivity delta. q442 (disclosed kinship) winsorizes a MEAN;
+    tail-sensitivity delta. q199/q442 (disclosed kinship) winsorize
+    univariate STATS and a trimmed MEAN respectively;
     this winsorizes a BIVARIATE moment — the robustness screen before
     trusting any price-incentive elasticity readout (q418 kin).
 
@@ -5387,8 +5388,11 @@ def q497_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
     looks (half-years) against the canonical K=4 two-sided 5% OBF
     boundaries (4.049 / 2.863 / 2.337 / 2.024 — steep early, nominal
     late), embedded as a Python-quantized literal table in BOTH
-    engines. The peeking-correct complement to q470's fixed-n MDE audit
-    (disclosed kinship; q303's SPRT is the fully-sequential cousin):
+    engines. q362 (disclosed kinship) monitors a PROPORTION with the
+    constant Pocock boundary; this monitors a MEAN with the
+    spend-late OBF boundary — the two canonical boundary families,
+    deliberately paired. The peeking-correct complement to q470's
+    fixed-n MDE audit (q303's SPRT is the fully-sequential cousin):
     crossing an interim boundary is a legitimate early stop, a naive
     1.96 at every look is not. Cumulative moments accrue via stage
     windows over the 8-row (stage, arm) grid.

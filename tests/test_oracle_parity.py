@@ -92,6 +92,8 @@ AGG_WINDOW_ALLOWLIST = {
     "q492_winsorized_corr",     # percentile cums over the 50/11-row marginal supports
     "q499_abc_xyz",             # $1000-bucket revenue offsets: price-range-bounded
                                 # (q82 kin); per-part cum is bucket-PARTITIONED
+    "q504_youden_threshold",    # scan cum + argmax over the 1..50 value support
+    "q505_expected_shortfall",  # descending dollar-support cum: price-range-bounded
     "q458_sign_wilcoxon",       # |d| value-support cum: char-domain-bounded
     "q460_forecastability",     # centered 7-day MA over the daily rollup (q444 kin)
     "q466_granger_causality",   # lag window over the daily rollup: O(days)
