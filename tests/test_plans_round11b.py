@@ -319,3 +319,65 @@ def test_q500_no_window_two_rollups(spark, sf_dir):
     assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
     assert _scans(plans[-1]) == 0
     assert sum(_scans(c) for c in plans[:-1]) == 1
+
+
+BLOCK_501 = [
+    "q501_gwet_ac1",
+    "q502_cohens_h",
+    "q503_byar_rate_ci",
+    "q504_youden_threshold",
+    "q505_expected_shortfall",
+    "q506_tost_equivalence",
+    "q507_mean_residual_life",
+    "q508_woolf_homogeneity",
+]
+
+
+def test_block501_no_raw_single_partition_sorts(spark, sf_dir):
+    """Every q501-q508 query, including checkpointed stages, must be
+    free of unpartitioned sorts over raw corpus rows."""
+    for name in BLOCK_501:
+        for p in _plans(spark, sf_dir, name):
+            assert raw_single_partition_sort_violations(p) == [], name
+
+
+def test_q501_q502_q506_single_fold_no_window(spark, sf_dir):
+    """AC1, Cohen's h, TOST: ONE aggregate to a cell/pivot grid, closed
+    form after — no window, no sort-merge join, one scan."""
+    for name in ("q501_gwet_ac1", "q502_cohens_h", "q506_tost_equivalence"):
+        plans = _plans(spark, sf_dir, name)
+        assert sum(_scans(p) for p in plans) == 1, name
+        assert all(_ops(p, "Window") == 0 for p in plans), name
+        assert all(_ops(p, "SortMergeJoin") == 0 for p in plans), name
+
+
+def test_q504_q505_single_scan_support_windows(spark, sf_dir):
+    """Youden scan and expected shortfall: ONE scan; totals come from
+    whole-frame windows over the same support (no second rollup
+    branch)."""
+    for name in ("q504_youden_threshold", "q505_expected_shortfall"):
+        plans = _plans(spark, sf_dir, name)
+        assert sum(_scans(p) for p in plans) == 1, name
+
+
+def test_q507_grid_join_reads_checkpointed_gaps(spark, sf_dir):
+    """MRL: the horizon-grid join and the total read the checkpointed
+    gap support — one orders scan total, zero in the final plan; the
+    only corpus window is customer-partitioned lead()."""
+    plans = _plans(spark, sf_dir, "q507_mean_residual_life")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert _ops(final, "SortMergeJoin") == 0
+
+
+def test_q508_folds_read_checkpointed_lor(spark, sf_dir):
+    """Woolf: pooling and the dispersion fold read the checkpointed
+    2-row log-OR frame; the cell grid reads the checkpointed K x 4
+    table — one lineitem scan total across stages, zero in the final
+    plan; no window."""
+    plans = _plans(spark, sf_dir, "q508_woolf_homogeneity")
+    final = plans[-1]
+    assert _scans(final) == 0
+    assert sum(_scans(c) for c in plans[:-1]) == 1
+    assert all(_ops(p, "Window") == 0 for p in plans)
