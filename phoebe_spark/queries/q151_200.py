@@ -1811,8 +1811,11 @@ def q179_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize (sources-sized) so the scratch dir can be removed —
         # a lazily-returned frame would still be reading from it
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1893,8 +1896,11 @@ def q180_streaming_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         # materialize (minute-buckets-sized) so the scratch dir can go
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2146,8 +2152,11 @@ def q184_streaming_profile_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n_events", "total_value")
         )
         # materialize before the scratch dir vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2490,8 +2499,11 @@ def q188_streaming_quota_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("ord").alias("max_ord"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -3124,8 +3136,11 @@ def q197_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("lag_s").alias("max_lag_s"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

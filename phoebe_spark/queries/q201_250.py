@@ -276,8 +276,11 @@ def q203_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.avg("dur"), 6).alias("avg_session_dur_s"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -503,8 +506,11 @@ def q205_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").cast("long").alias("win_start"),
             "n_events",
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -990,8 +996,11 @@ def q209_streaming_cusum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("alarm").cast("long")).alias("n_alarm_batches"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1141,8 +1150,11 @@ def q210_streaming_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumnRenamed("key", "event_type")
         )
-        rows = audit.collect()
-        return spark.createDataFrame(rows, audit.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return audit.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1869,8 +1881,11 @@ def q218_stream_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.when(~F.col("matched"), 1)).alias("n_expired_null"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2091,8 +2106,11 @@ def q220_dedup_within_watermark_drain(spark: SparkSession, sf_dir: str) -> DataF
                 "n_dropped"
             ),
         )
-        rows_out = out.collect()
-        return spark.createDataFrame(rows_out, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2224,8 +2242,11 @@ def q222_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .csv(f"{work}/csv")
         )
         out = back.select("doc_id", F.md5("content").alias("content_md5"))
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2280,8 +2301,11 @@ def q223_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("quality").isNull(), 1)).alias("n_missing_quality"),
             F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias("quality_total"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2807,8 +2831,11 @@ def q229_event_timer_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFra
         out = spark.read.parquet(sink).select(
             "key", "session_start", "session_end", "n_events"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2960,17 +2987,39 @@ _COGRAPH_SQL = """
 
 
 def _cograph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (s1 < s2) co-occurrence edges; see _COGRAPH_SQL."""
+    """Canonical (s1 < s2) co-occurrence edges; see _COGRAPH_SQL.
+
+    Shape (optimization round 11): ONE shuffle on l_orderkey collects each
+    order's distinct part set (bounded: TPC-H caps lines per order at 7),
+    the i<j pair fan-out is a per-row array expression over that <=7-element
+    set, and the pair census is the second (map-side-combining) shuffle.
+    The previous self-join form scanned lineitem twice, ran the DISTINCT
+    shuffle twice (once per join side), and at plan-estimate sizes beyond
+    the broadcast bound would shuffle both sides a third time for the join
+    — this form is scan-once / two-shuffle at every scale, with no
+    broadcast of a corpus-sized side. Pair set is identical: collect_set ==
+    DISTINCT, sort_array + (i<j) == the a.l_partkey < b.l_partkey theta."""
     li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_partkey").distinct()
-    a = os_.alias("a")
-    b = os_.alias("b")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2")
-        )
+        pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .count()
         .filter(F.col("count") >= 2)
         .select("s1", "s2")
@@ -4028,8 +4077,11 @@ def q246_stream_first_match_drain(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         out = spark.read.parquet(sink).select("key", "a_time", "b_time", "lag_ms")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4094,8 +4146,11 @@ def q247_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dsum2(_dec("value")).alias("day_sum"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(work, ignore_errors=True)
@@ -4157,8 +4212,11 @@ def q248_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dsum2(_dec("o_totalprice")).alias("revenue"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
@@ -4278,8 +4336,11 @@ def q249_streaming_cdc_upsert_drain(spark: SparkSession, sf_dir: str) -> DataFra
                 F.round(F.sum("price"), 2).cast("double").alias("total_price"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

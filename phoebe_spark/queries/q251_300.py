@@ -2091,8 +2091,11 @@ def q275_streaming_holt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.round(F.col("level") + 3 * F.col("trend"), 6) + F.lit(0.0)).alias("f3"),
             )
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -3556,8 +3559,11 @@ def q289_streaming_burn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("burn_long", 6).alias("burn_long"),
             "page",
         )
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

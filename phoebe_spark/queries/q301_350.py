@@ -1603,8 +1603,11 @@ def q315_streaming_page_hinkley_drain(spark: SparkSession, sf_dir: str) -> DataF
                 F.col("alarm").alias("alarm_day"),
             )
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2671,8 +2674,11 @@ def q324_streaming_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(psi, 6) + F.lit(0.0)).alias("psi"),
             F.when(psi > 0.2, 1).otherwise(0).alias("drifted"),
         )
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -817,9 +817,17 @@ def q353_streaming_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
     toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=True
+    # ONE tokenization pass (round-11 optimization): the per-(slice, tok)
+    # pre-counts are materialized once and both the exact census and the
+    # three staged micro-batch files derive from them — the former code
+    # re-read and re-tokenized the corpus once for `exact` plus once per
+    # staged slice (4 scans total, tokenize being the dominant cost).
+    slice_counts = (
+        toks.groupBy((F.col("doc_id") % 3).alias("sl"), "tok")
+        .agg(F.count(F.lit(1)).alias("tn"))
+        .localCheckpoint(eager=True)
     )
+    exact = slice_counts.groupBy("tok").agg(F.sum("tn").alias("n"))
     probes = exact.orderBy(F.desc("n"), F.asc("tok")).limit(20)
     seeds = F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s")
     bucket = F.pmod(
@@ -833,9 +841,7 @@ def q353_streaming_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src_dir)
         for i in range(1, 4):
             part = (
-                toks.filter(F.col("doc_id") % 3 == i - 1)
-                .groupBy("tok")
-                .agg(F.count(F.lit(1)).alias("tn"))
+                slice_counts.filter(F.col("sl") == i - 1)
                 .select("tok", "tn", seeds)
                 .select(
                     F.col("s").cast("string").alias("key"),
@@ -899,8 +905,11 @@ def q353_streaming_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cms_est").cast("long").alias("cms_est"),
             (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
         )
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4852,8 +4861,11 @@ def q391_streaming_bottomk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type", "rank")
         )
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -241,9 +241,10 @@ def test_q489_topk_is_take_ordered(spark, sf_dir):
     final = plans[-1]
     assert _ops(final, "TakeOrderedAndProject") == 1
     assert _scans(final) == 0
-    # pre-checkpoint edge build: the distinct (order, part) frame
-    # self-joins, so lineitem appears twice (the audited cograph shape)
-    assert sum(_scans(c) for c in plans[:-1]) == 2
+    # pre-checkpoint edge build: the collect_set pair expansion reads
+    # lineitem exactly ONCE (round-11 optimization: the former distinct
+    # self-join scanned it twice and shuffled the distinct per side)
+    assert sum(_scans(c) for c in plans[:-1]) == 1
 
 
 def test_q490_single_scan_no_window(spark, sf_dir):
