@@ -5313,9 +5313,11 @@ def q496_streaming_croston_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("sba_rate"),
             )
         )
-        return spark.createDataFrame(
-            final.collect(), schema=final.schema
-        )
+        # freeze JVM-side: eager localCheckpoint materializes every partition
+        # before the temp sink is deleted (round-11 optimization: the former
+        # collect+createDataFrame ferried all rows driver-side and re-shipped
+        # them through Python on every downstream action)
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
