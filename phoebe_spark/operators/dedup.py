@@ -607,22 +607,62 @@ def dedup_components(
         .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("s").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = e.join(
             labels.select(F.col("doc").alias("d"), "lbl"), "d"
         ).select(F.col("s").alias("doc"), "lbl")
-        # min over {old label} ∪ {labels seen across edges}, plus a
-        # did-anything-improve flag computed in the same aggregation so the
-        # convergence check reuses this round's checkpointed result.
-        new_labels = (
+        # min over {old label} ∪ {labels seen across edges}; the _old column
+        # (null for propagated rows, so min() picks the previous label)
+        # feeds the did-anything-improve flag below.
+        m = (
             labels.withColumn("_old", F.col("lbl"))
             .union(prop.withColumn("_old", F.lit(None)))
             .groupBy("doc")
-            .agg(
-                F.min("lbl").alias("lbl"),
-                (F.min("lbl") < F.min("_old")).alias("_chg"),
+            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
+        )
+        # Pointer-jumping shortcut (round-11 optimization): follow one more
+        # hop through the PREVIOUS round's checkpointed label map —
+        # new(v) = min(m(v), prev(m(v))). A label is always a node id inside
+        # v's own component (min over in-component ids), so prev(m(v)) is
+        # too, and the least fixpoint is unchanged: every node still ends at
+        # its component minimum. What changes is the convergence rate — the
+        # label-distance closed per round compounds, so a diameter-d chain
+        # converges in O(log d) rounds instead of O(d). Measured on q327's
+        # core graph at sf0.1: 17 rounds -> 6 with the jump in every round.
+        # GATED to rounds >= 3: near-dup graphs are overwhelmingly shallow
+        # (pairs/triangles converge in <=2 rounds) and the jump's extra
+        # label self-join per round is pure overhead there — measured
+        # q53 1.75 s -> 2.87 s when applied unconditionally, while q68/q88/
+        # q120 (deeper clusters) improved. Plain rounds close distance 1;
+        # once a graph is still moving after two rounds it is deep enough
+        # that geometric closing dominates the per-round join cost.
+        # Joining against the checkpointed `labels` (not m itself) keeps
+        # the aggregation subtree single-evaluation; the left join +
+        # coalesce covers nodes whose label has no row in the map.
+        if it < 2:
+            new_labels = m.select(
+                "doc",
+                "lbl",
+                (F.col("lbl") < F.col("_old")).alias("_chg"),
+            ).localCheckpoint(eager=True)
+        else:
+            jmp = F.least(
+                F.col("lbl"), F.coalesce(F.col("_lbl2"), F.col("lbl"))
             )
-        ).localCheckpoint(eager=True)
+            new_labels = (
+                m.join(
+                    labels.select(
+                        F.col("doc").alias("_l2"), F.col("lbl").alias("_lbl2")
+                    ),
+                    F.col("lbl") == F.col("_l2"),
+                    "left",
+                )
+                .select(
+                    "doc",
+                    jmp.alias("lbl"),
+                    (jmp < F.col("_old")).alias("_chg"),
+                )
+            ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.select("doc", "lbl")
         if changed == 0:

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from phoebe_spark.operators import layout
+
 from ._core import _dim, _t, query
 from .q201_250 import _COGRAPH_SQL, _cograph_edges
 from .q401_450 import _phi_col, _phi_sql
@@ -2867,12 +2869,18 @@ def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB story: the corpus collapses to the O(days) rollup in one
     aggregate; the pair enumeration is a broadcast theta-join of the
     calendar-bounded day frame with itself (~days^2/2 rows,
-    SF-INVARIANT — it does not grow with corpus size); the two
-    median sorts run on that bounded frame (allowlisted). The orders
-    scan runs three times (self-join sides + the intercept branch),
-    each a single-column read collapsing map-side to O(days) —
-    deliberate: checkpointing the rollup would hide the aggregate from
-    the plan guard (see inline note)."""
+    SF-INVARIANT — it does not grow with corpus size); the slope
+    median runs on the slope VALUE HISTOGRAM (distinct Δcount/Δdays
+    rationals, range-bounded) via the two-phase bucketed prefix sum —
+    no unpartitioned sort ever touches the pair rows — and the
+    intercept median sorts only the O(days) residual frame
+    (allowlisted). The slope histogram is materialized ONCE (eager
+    checkpoint of the bounded support; the pair enumeration runs a
+    single time); the orders scan runs twice for the pair-join sides
+    during that materialization plus once in the intercept branch,
+    each a single-column read collapsing map-side to O(days) — the
+    day rollup itself stays un-checkpointed so the plan guard can see
+    the aggregate below the intercept median sort (see inline note)."""
     od = (
         _t(spark, sf_dir, "orders")
         .select(
@@ -2889,23 +2897,70 @@ def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a = od.alias("a")
     b = od.alias("b")
+    # try_divide, not /: the prefix-sum's inner equi-join on the bucket key
+    # lets the optimizer infer isnotnull(floor(slope*10)) and push it INTO
+    # this theta-join's condition, where conjunct order vs d<d' is not
+    # guaranteed — under ANSI the plain division then throws on the d==d'
+    # pairs the condition exists to exclude. For every surviving pair the
+    # denominator is nonzero, so try_divide is value-identical.
     pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
         F.round(
-            (F.col("b.y") - F.col("a.y")).cast("double")
-            / (F.col("b.d") - F.col("a.d")),
+            F.try_divide(
+                (F.col("b.y") - F.col("a.y")).cast("double"),
+                F.col("b.d") - F.col("a.d"),
+            ),
             12,
         ).alias("slope")
     )
-    w = Window.orderBy("slope")
-    ranked = pairs.select(
-        "slope",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    # Slope median WITHOUT the former unpartitioned row_number over all
+    # ~days^2/2 pair rows (a single-reducer sort of 2.9M rows at sf0.1,
+    # measured ~85% of this query's runtime — round-11 optimization).
+    # Slopes are rationals (Δcount/Δdays) with a SMALL distinct support
+    # (~90k values at sf0.1, range [-37, 44]), so: ONE map-side-combining
+    # shuffle builds the value histogram, the cumulative count comes from
+    # the two-phase bucketed prefix sum (offsets window only over the
+    # ~800-bucket floor(slope*10) frame — range-bounded; floor is
+    # monotone, so bucket-major order IS slope order), and the two
+    # covering positions (m+1) div 2 / (m+2) div 2 are read off the
+    # cumulative counts. Position weights (a value row can cover both
+    # positions) reproduce F.avg over the two covering rank rows exactly:
+    # one row covering both gives sum(v*2)/2 = v, two rows give
+    # (v1+v2)/2 — the identical IEEE arithmetic the rank form produced.
+    # Eager checkpoint: the histogram is referenced three times below (the
+    # prefix-sum's row side, its bucket-offsets side, and the grand total);
+    # without it each reference re-runs the whole pair enumeration (the
+    # pushed isnotnull(bucket) predicate makes the subtrees non-identical,
+    # so AQE exchange reuse cannot dedupe them — measured 3x the BNLJ).
+    # The checkpointed frame is the BOUNDED slope support (~90k rows at
+    # sf0.1, <= pair count but value-capped), not corpus rows.
+    hist = (
+        pairs.groupBy("slope")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    sen = ranked.filter(
-        (F.col("r") == F.expr("(m + 1) div 2")) | (F.col("r") == F.expr("(m + 2) div 2"))
-    ).agg(
-        F.round(F.avg("slope"), 6).alias("sen_slope"),
+    cum = layout.global_prefix_sums(
+        hist,
+        order_col="slope",
+        tie_col="slope",
+        bucket=F.floor(F.col("slope") * 10),
+        sum_cols=["c"],
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("m"))
+    k1, k2 = F.expr("(m + 1) div 2"), F.expr("(m + 2) div 2")
+    cov = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "slope",
+            "m",
+            (
+                ((F.col("cum_c") >= k1) & (F.col("cum_c") - F.col("c") < k1)).cast("int")
+                + ((F.col("cum_c") >= k2) & (F.col("cum_c") - F.col("c") < k2)).cast("int")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    sen = cov.agg(
+        F.round(F.sum(F.col("slope") * F.col("w")) / F.sum("w"), 6).alias("sen_slope"),
         F.max("m").alias("n_pairs"),
     )
     resid = od.crossJoin(F.broadcast(sen)).select(

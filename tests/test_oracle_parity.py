@@ -79,8 +79,9 @@ AGG_WINDOW_ALLOWLIST = {
     "q443_acf_bartlett",        # 7-lag window over the daily rollup: O(days)
     "q451_cross_correlation",   # best-lag window over the fixed 15-lag frame
     "q456_palma_hoover",        # cent-value support cum: range-bounded (q82 kin)
-    "q475_theil_sen",           # slope/intercept medians over the day-pair
-                                # frame: O(days^2) calendar-bounded, SF-invariant
+    "q475_theil_sen",           # slope median: offsets window over the ~800-row
+                                # floor(slope*10) bucket frame (range-bounded);
+                                # intercept median over the O(days) residual frame
     "q476_moods_median",        # grand-median cum over the 1..50 value support
     "q477_ansari_bradley",      # score-block cum over the 1..50 value support
     "q481_gini_stump",          # split cum + argmin over the 1..50 value support

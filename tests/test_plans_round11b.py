@@ -109,16 +109,23 @@ def test_q473_q474_q487_one_scan_moment_folds(spark, sf_dir):
 
 def test_q475_pair_join_is_broadcast_theta(spark, sf_dir):
     """Theil-Sen: the day-pair enumeration is a broadcast theta-join of
-    the aggregated day rollup with itself (never a shuffle join); the
-    two median sorts run on aggregate-derived frames only (no raw
-    violations). Three single-column orders scans by design (pair-join
-    sides + intercept branch) — the rollup stays un-checkpointed so
-    the guard can see the aggregate below each median sort."""
-    [plan] = _plans(spark, sf_dir, "q475_theil_sen")
-    assert _ops(plan, "BroadcastNestedLoopJoin") >= 1
-    assert _ops(plan, "SortMergeJoin") == 0
-    assert _scans(plan) == 3
-    assert raw_single_partition_sort_violations(plan) == []
+    the aggregated day rollup with itself (never a shuffle join), run
+    ONCE into the checkpointed slope histogram (2 scans in that stage);
+    the slope median is the two-phase bucketed prefix sum over the
+    checkpointed support — NO unpartitioned sort touches pair rows —
+    and the final plan's only scan is the intercept branch's orders
+    rollup, whose median window keeps the aggregate visible below it."""
+    plans = _plans(spark, sf_dir, "q475_theil_sen")
+    final = plans[-1]
+    assert sum(_ops(p, "BroadcastNestedLoopJoin") for p in plans[:-1]) >= 1
+    assert all(_ops(p, "SortMergeJoin") == 0 for p in plans)
+    assert sum(_scans(p) for p in plans[:-1]) == 2
+    assert _scans(final) == 1
+    # the former all-pairs row_number is gone: no window over pair rows
+    # in the checkpointed (pre-histogram) stages
+    assert all(_ops(p, "Window") == 0 for p in plans[:-1])
+    for p in plans:
+        assert raw_single_partition_sort_violations(p) == []
 
 
 def test_q477_q481_q484_single_scan_support_windows(spark, sf_dir):
