@@ -21,12 +21,25 @@ silently keeps the session-zone interpretation.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: epoch-nanos BIGINT from either a NTZ/LTZ timestamp column; exact integer
 #: math (unix_micros is a long), no double roundtrip.
 _TS_TO_NANOS = "unix_micros(CAST({c} AS TIMESTAMP)) * CAST(1000 AS BIGINT)"
+
+#: Per-session logical-plan cache: (sf_dir, name) -> the canonical unresolved
+#: DataFrame. Every ``spark.read.parquet`` call runs parquet schema
+#: inference + file listing (~100 ms measured warm at sf0.1), and a bench
+#: pass over the full registry issues 700+ ``load_table`` calls — reusing
+#: the immutable DataFrame object removes that per-call planning cost.
+#: NO DATA is cached: the plan is unresolved, every action still scans the
+#: parquet files (the test corpus directories are immutable/read-only, so a
+#: stale file listing cannot occur). Keyed weakly by session so a stopped
+#: driver session cannot leak plans into a new one.
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -36,11 +49,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the file stores TIMESTAMP(NANOS) or TIMESTAMP(MICROS) wall clocks.
     """
     # Legacy nanos files are only readable with this conf (as BIGINT);
-    # harmless for every other table/type.
+    # harmless for every other table/type. Set on every call (cached plans
+    # included): the conf matters at ACTION time and the driver's own
+    # plain session does not carry it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_event_times(spark, df)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_event_times(spark, df)
+        per_session[key] = df
     return df
 
 

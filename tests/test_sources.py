@@ -114,3 +114,25 @@ def test_jsonl_roundtrip_and_malformed(spark, tmp_path):
     rows = read_jsonl(spark, path, "id long, s string, v double").collect()
     assert len(rows) == 3
     assert sum(1 for r in rows if r["id"] is None and r["s"] is None) == 1
+
+
+def test_load_table_plan_cache_reuses_within_session(spark, sf_dir):
+    """load_table memoizes the UNRESOLVED DataFrame per (session, dir,
+    table) — same object back on a repeat call (no second schema-inference
+    pass), distinct entries per table, and every action still computes
+    from parquet (no data/result caching: the plan has no InMemoryRelation
+    and collects fresh rows)."""
+    from phoebe_spark.sources.testdata import load_table
+
+    a = load_table(spark, sf_dir, "documents")
+    b = load_table(spark, sf_dir, "documents")
+    assert a is b
+    c = load_table(spark, sf_dir, "orders")
+    assert c is not a
+    # no materialization in the cached plan
+    assert "InMemoryRelation" not in a._jdf.queryExecution().optimizedPlan().toString()
+    assert a.count() > 0
+    # events keeps its canonical epoch-nanos BIGINT ts through the cache
+    ev = load_table(spark, sf_dir, "events")
+    assert ev is load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "bigint"
