@@ -26,7 +26,69 @@ tiny inputs (candidate grids <= 23 rows).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+
+def lit_double_array(xs) -> "Column":
+    """``array<double>`` literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in xs])`` issues a py4j round-trip per
+    element — measured ~4 s for a 51-tap vector + two 25x51 matrices in
+    the Savitzky-Golay kernel, ALL of it Python-side construction time.
+    A single ``F.expr("array(...)")`` parses in the JVM in ~ms. Values
+    are bit-identical: ``repr(float)`` is the shortest round-trip decimal
+    form and Java's ``Double.parseDouble`` is correctly-rounded, so
+    ``parseDouble(repr(x)) == x`` exactly (the ``D`` suffix pins the SQL
+    literal type to DOUBLE — bare decimals would parse as DECIMAL).
+    Non-finite values fall back to the per-element form (repr emits
+    'inf'/'nan', which the SQL parser does not accept)."""
+    from pyspark.sql import functions as F
+
+    vals = [float(x) for x in xs]
+    if vals and all(math.isfinite(x) for x in vals):
+        return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+    return F.array(*[F.lit(x) for x in vals]).cast("array<double>")
+
+
+def lit_double_matrix(rows) -> "Column":
+    """``array<array<double>>`` literal in one parsed expression (see
+    :func:`lit_double_array`)."""
+    from pyspark.sql import functions as F
+
+    mat = [[float(x) for x in row] for row in rows]
+    if mat and all(math.isfinite(x) for row in mat for x in row):
+        return F.expr(
+            "array("
+            + ",".join("array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in mat)
+            + ")"
+        )
+    return F.array(
+        *[F.array(*[F.lit(x) for x in row]).cast("array<double>") for row in mat]
+    )
+
+
+def lit_long_array(xs) -> "Column":
+    """``array<bigint>`` literal in one parsed expression (see
+    :func:`lit_double_array`; the ``L`` suffix pins BIGINT)."""
+    from pyspark.sql import functions as F
+
+    vals = [int(x) for x in xs]
+    if not vals:
+        return F.array().cast("array<bigint>")
+    return F.expr("array(" + ",".join(f"{x}L" for x in vals) + ")")
+
+
+def lit_long_matrix(rows) -> "Column":
+    """``array<array<bigint>>`` literal in one parsed expression."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(f"{int(x)}L" for x in row) + ")" for row in rows)
+        + ")"
+    )
 
 
 def savgol_coeffs(window: int, polyorder: int) -> np.ndarray:

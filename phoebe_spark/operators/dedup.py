@@ -792,7 +792,9 @@ def contamination_flags_bloom(
         for i in range(n_hashes):
             idx = row[i] % m  # python %: non-negative, matches SQL pmod
             words[idx >> 6] |= np.uint64(1) << np.uint64(idx & 63)
-    arr = F.array(*[F.lit(int(w.astype(np.int64))) for w in words])
+    from phoebe_spark.functions.numeric import lit_long_array
+
+    arr = lit_long_array(int(w.astype(np.int64)) for w in words)
 
     def _bit(seed: int):
         idx = f"pmod(xxhash64(shingle, {seed}), {m})"

@@ -16,6 +16,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from phoebe_spark.functions.numeric import (
+    lit_double_array,
+    lit_double_matrix,
+    lit_long_matrix,
+)
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -47,7 +53,7 @@ def cosine_to_query(
 ) -> DataFrame:
     """Cosine similarity of every row to one literal query vector. The
     query is a literal array — constant-folded, corpus scanned once."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
 
 
@@ -84,7 +90,7 @@ def random_hyperplane_buckets(
     key -> skew-free shuffle; bucket count = 2^len(planes)."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        pv = F.array(*[F.lit(float(x)) for x in p])
+        pv = lit_double_array(p)
         bucket = bucket + F.when(dot(F.col(vec_col), pv) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
@@ -165,8 +171,8 @@ def all_pairs_cosine(
     # pairs (bi <= b, b); both lists are compile-time literals per block.
     left_pairs = [[b * n_blocks + bj for bj in range(b, n_blocks)] for b in range(n_blocks)]
     right_pairs = [[bi * n_blocks + b for bi in range(0, b + 1)] for b in range(n_blocks)]
-    lmap = F.array(*[F.array(*[F.lit(p) for p in row]) for row in left_pairs])
-    rmap = F.array(*[F.array(*[F.lit(p) for p in row]) for row in right_pairs])
+    lmap = lit_long_matrix(left_pairs)
+    rmap = lit_long_matrix(right_pairs)
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
 
@@ -617,7 +623,7 @@ def pq_topk(
                 F.aggregate(
                     F.zip_with(
                         sl,
-                        F.array(*[F.lit(float(x)) for x in cw]),
+                        lit_double_array(cw),
                         lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                     ),
                     F.lit(0.0),
@@ -640,7 +646,7 @@ def pq_topk(
     score = None
     for j in range(m):
         qsl = F.slice(F.col("q_vec"), j * d_sub + 1, d_sub)
-        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[j]])
+        cb = lit_double_matrix(codebooks[j])
         cw = F.element_at(cb, F.col(f"code{j}") + 1)
         part = F.aggregate(
             F.zip_with(qsl, cw, lambda a, b: a.cast("double") * b),
@@ -697,7 +703,7 @@ def random_projection(
         F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in R[j]]),
+                lit_double_array(R[j]),
                 lambda v, r: v.cast("double") * r,
             ),
             F.lit(0.0),
@@ -794,7 +800,7 @@ def _sq_dist(v: Column, centroid: list[float]) -> Column:
     centroid: ordered left fold over dimensions (index order), matching
     DuckDB's ``list_sum(list_transform(generate_series(...), ...))``
     accumulation digit for digit."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = lit_double_array(centroid)
     return F.sqrt(
         F.aggregate(
             F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),

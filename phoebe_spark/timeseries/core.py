@@ -450,9 +450,15 @@ def savgol_smooth(
     L = np.array([savgol_filter(np.eye(m)[j], window, polyorder) for j in range(m)]).T
     center = L[m // 2, m // 2 - half : m // 2 + half + 1]
     head, tail = L[:half, :window], L[-half:, -window:]
-    CC = F.array(*[F.lit(float(c)) for c in center])
-    HH = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in head])
-    TT = F.array(*[F.array(*[F.lit(float(c)) for c in row]) for row in tail])
+    # one-parse literal blocks (round-11 optimization): the per-element
+    # F.lit form cost ~2.5 s of py4j round-trips per construction for the
+    # 51 + 2*(25x51) coefficients; bit-identical values (see
+    # numeric.lit_double_array)
+    from phoebe_spark.functions.numeric import lit_double_array, lit_double_matrix
+
+    CC = lit_double_array(center)
+    HH = lit_double_matrix(head)
+    TT = lit_double_matrix(tail)
 
     def _dotl(coeffs, vals):
         return F.aggregate(

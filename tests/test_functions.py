@@ -63,3 +63,46 @@ def test_token_stats_edge_cases(spark):
     assert out[4]["token_count"] == 2  # leading/trailing/multi-space handled
     assert out[5]["token_count"] == 2
     assert out[5]["punct_ratio"] > 0
+
+
+def test_lit_array_helpers_bit_identical(spark):
+    """One-parse literal arrays (round-11 optimization) must be
+    BIT-identical to the per-element F.lit form for every value class
+    that appears in kernels: negative zero, denormals, huge/tiny
+    exponents, integral doubles. Also covers the non-finite fallback
+    and long arrays/matrices."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from phoebe_spark.functions.numeric import (
+        lit_double_array,
+        lit_double_matrix,
+        lit_long_array,
+        lit_long_matrix,
+    )
+
+    vals = [0.0, -0.0, 1.0, -1.5, 5e-324, 1.7976931348623157e308,
+            2.2250738585072014e-308, 0.1, 1/3, -2/3, 1234567890.123456789]
+    row = spark.range(1).select(
+        lit_double_array(vals).alias("a"),
+        F.array(*[F.lit(v) for v in vals]).alias("b"),
+        lit_double_matrix([vals, vals[::-1]]).alias("ma"),
+        F.array(F.array(*[F.lit(v) for v in vals]),
+                F.array(*[F.lit(v) for v in vals[::-1]])).alias("mb"),
+        lit_long_array([0, -1, 2**62, -(2**62)]).alias("la"),
+        lit_long_matrix([[1, 2], [3, 4]]).alias("lma"),
+        lit_double_array([float("nan"), float("inf"), 1.0]).alias("nf"),
+    ).collect()[0]
+    bits = lambda x: struct.pack("<d", x)
+    assert [bits(x) for x in row["a"]] == [bits(x) for x in row["b"]]
+    assert [[bits(x) for x in r] for r in row["ma"]] == [
+        [bits(x) for x in r] for r in row["mb"]]
+    assert row["la"] == [0, -1, 2**62, -(2**62)]
+    assert row["lma"] == [[1, 2], [3, 4]]
+    import math
+    assert math.isnan(row["nf"][0]) and math.isinf(row["nf"][1])
+    # types preserved (bigint, not int — F.lit(python int) is LongType)
+    df = spark.range(1).select(lit_long_array([1]).alias("x"),
+                               lit_double_array([1.0]).alias("y"))
+    assert dict(df.dtypes) == {"x": "array<bigint>", "y": "array<double>"}
