@@ -2790,7 +2790,16 @@ def q229_event_timer_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFra
                 "timestamp_millis(2 * ((ts div 1000000000) * 1000 + event_id % 1000))"
             ).alias("event_time"),
         )
-        staged.repartitionByRange(4, "event_time").write.parquet(f"{work}/stage")
+        # 3 time-range slices (round-11 optimization, was 4): each staged
+        # file is one micro-batch and every batch pays the fixed
+        # applyInPandasWithState per-key protocol cost (~1.4 s at 8 state
+        # partitions, measured), so one fewer value-monotone slice is one
+        # fewer fixed-cost batch. Output is staging-invariant by fixture
+        # design (monotone slices + the odd-gap/tie rules above); 3 data
+        # batches + the finalization batch still exercise cross-batch
+        # state handoff and the timer paths (nonvacuity asserted in
+        # tests/test_plans.py against the staging-independent oracle).
+        staged.repartitionByRange(3, "event_time").write.parquet(f"{work}/stage")
         parts = sorted(glob.glob(f"{work}/stage/part-*.parquet"))
         for i, part in enumerate(parts, start=1):
             dst = f"{src_dir}/{i:03d}.parquet"
@@ -4032,7 +4041,16 @@ def q246_stream_first_match_drain(spark: SparkSession, sf_dir: str) -> DataFrame
                 "timestamp_millis((ts div 1000000000) * 1000 + event_id % 1000)"
             ).alias("event_time"),
         )
-        staged.repartitionByRange(4, "event_time").write.parquet(f"{work}/stage")
+        # 3 time-range slices (round-11 optimization, was 4): each staged
+        # file is one micro-batch and every batch pays the fixed
+        # applyInPandasWithState per-key protocol cost (~1.4 s at 8 state
+        # partitions, measured), so one fewer value-monotone slice is one
+        # fewer fixed-cost batch. Output is staging-invariant by fixture
+        # design (monotone slices + the odd-gap/tie rules above); 3 data
+        # batches + the finalization batch still exercise cross-batch
+        # state handoff and the timer paths (nonvacuity asserted in
+        # tests/test_plans.py against the staging-independent oracle).
+        staged.repartitionByRange(3, "event_time").write.parquet(f"{work}/stage")
         parts = sorted(glob.glob(f"{work}/stage/part-*.parquet"))
         for i, part in enumerate(parts, start=1):
             dst = f"{src_dir}/{i:03d}.parquet"

@@ -3403,9 +3403,11 @@ def q288_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB story: pairs are generated only within blocks (the standard
     ER contract — block growth is the quadratic knob, finer blocking is
-    the scale path); the EM step is two aggregations over the pair
-    stream with map-side combine, never materializing pairs to the
-    driver.
+    the scale path), and the pair stream collapses in ONE
+    map-side-combining pass to the 8-cell (g1,g2,g3) agreement census —
+    the u-init, the posterior, and the EM update are all arithmetic on
+    that checkpointed 8-row frame, so the blocked self-join runs once
+    and nothing pair-sized ever reaches the driver.
     """
     d = (
         _t(spark, sf_dir, "documents")
@@ -3436,11 +3438,28 @@ def q288_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("g3"),
         )
     )
-    u0 = pairs.agg(
-        F.avg(F.col("g1") * 1.0).alias("u1"),
-        F.avg(F.col("g2") * 1.0).alias("u2"),
-        F.avg(F.col("g3") * 1.0).alias("u3"),
-        F.count(F.lit(1)).alias("np"),
+    # (g1,g2,g3) census (round-11 optimization): the former plan consumed
+    # `pairs` twice — the u0 aggregate AND the posterior pass — so the
+    # blocked self-join (documents scanned + tokenized on BOTH sides) ran
+    # twice end to end. The agreement vector has only 8 cells, so ONE
+    # map-side-combining census carries everything both passes need and
+    # every EM quantity below is arithmetic on the 8-row checkpointed
+    # frame. u1..u3 are bit-identical (integer cell counts are exact in
+    # DOUBLE below 2^53 and the division sees the same operands), so the
+    # per-cell posterior w is bit-identical too; the weighted sums
+    # sum(c*x) replace float sums whose partial-aggregation order was
+    # already nondeterministic — ulp-level differences, orders of
+    # magnitude under the 6-dp output rounding (oracle-verified).
+    cen = (
+        pairs.groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    u0 = cen.agg(
+        (F.sum(F.col("c") * F.col("g1")).cast("double") / F.sum("c")).alias("u1"),
+        (F.sum(F.col("c") * F.col("g2")).cast("double") / F.sum("c")).alias("u2"),
+        (F.sum(F.col("c") * F.col("g3")).cast("double") / F.sum("c")).alias("u3"),
+        F.sum("c").cast("long").alias("np"),
     )
 
     def lik(g, p):
@@ -3451,18 +3470,18 @@ def q288_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     num = F.lit(0.05) * lik("g1", 0.9) * lik("g2", 0.9) * lik("g3", 0.9)
     den = num + F.lit(0.95) * ulik("g1", "u1") * ulik("g2", "u2") * ulik("g3", "u3")
-    post = pairs.crossJoin(F.broadcast(u0)).select(
-        "g1", "g2", "g3", "np", (num / den).alias("w")
+    post = cen.crossJoin(F.broadcast(u0)).select(
+        "g1", "g2", "g3", "c", "np", (num / den).alias("w")
     )
     upd = post.groupBy("np").agg(
-        F.sum("w").alias("sw"),
-        F.sum(1 - F.col("w")).alias("swn"),
+        F.sum(F.col("c") * F.col("w")).alias("sw"),
+        F.sum(F.col("c") * (1 - F.col("w"))).alias("swn"),
         *[
             agg
             for i in (1, 2, 3)
             for agg in (
-                F.sum(F.col("w") * F.col(f"g{i}")).alias(f"m{i}n"),
-                F.sum((1 - F.col("w")) * F.col(f"g{i}")).alias(f"u{i}n"),
+                F.sum(F.col("c") * F.col("w") * F.col(f"g{i}")).alias(f"m{i}n"),
+                F.sum(F.col("c") * (1 - F.col("w")) * F.col(f"g{i}")).alias(f"u{i}n"),
             )
         ],
     )
