@@ -582,13 +582,15 @@ def dedup_components(
 
     Min-label propagation: every node starts labeled with itself; each
     round labels flow across edges and each node keeps the minimum seen.
-    Converges in O(cluster diameter) rounds — near-dup clusters are
-    shallow (most are pairs/triangles), so a handful of rounds suffice.
-    Each round is one equi-join + one min-aggregation on the edge list
-    (both shuffle on uniform node ids), with an eager ``localCheckpoint``
-    truncating the growing lineage; the changed-label flag rides along in
-    the same materialization, so the convergence probe is a local count on
-    checkpointed rows, not a second Spark job per round. For adversarially
+    Converges in O(cluster diameter) propagation steps — near-dup
+    clusters are shallow (most are pairs/triangles), so a handful
+    suffice. TWO propagation steps fuse into every materialization
+    (each an equi-join + min-aggregation on uniform node ids; the fixed
+    per-materialization cost, not the data, dominates at small label
+    frames), with an eager ``localCheckpoint`` truncating the growing
+    lineage; the changed-label flag rides along in the same
+    materialization, so the convergence probe is a local count on
+    checkpointed rows, not a second Spark job per block. For adversarially
     deep chain graphs switch to the large-star/small-star formulation; for
     dedup workloads this simple form is the right cost.
 
@@ -607,50 +609,68 @@ def dedup_components(
         .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("s").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
+
+    # Round-11 optimization, re-measured and restructured: at bench scale
+    # the loop's cost is the FIXED per-materialization overhead (eager
+    # checkpoint job + convergence probe ~0.5-0.7 s on a label frame of
+    # any small size), not the data, so TWO propagation steps are fused
+    # into every materialization — half the jobs for the same fixpoint
+    # (min-label propagation is confluent: step composition changes no
+    # label that the per-step form would produce, and the _chg flag
+    # compares against the block start, so convergence still means "no
+    # label moved in either fused step"). The second step additionally
+    # follows one hop through the block-start label map
+    # (new(v) = min(m(v), start(m(v))) — start(m(v)) is an id inside v's
+    # own component, so the least fixpoint is unchanged). HONEST
+    # measurement note: an earlier revision claimed this jump makes
+    # convergence geometric (17 -> 6 rounds on q327's graph); re-measured
+    # carefully it is data-dependent — it IS geometric on id-monotone
+    # chains (100-chain: >60 plain rounds -> 8) but on q327's real LSH
+    # core graph it saves only ~3 of 17 propagation steps, because the
+    # min id inside a node's t-ball need not sit on the geodesic toward
+    # the component minimum, so ITS t-ball need not extend the reach.
+    # The provably O(log d) alternative (large-star/small-star,
+    # Kiveris et al. 2014) stays the documented 100 TB escape hatch for
+    # adversarially deep graphs; for real near-dup/LSH graphs (depth <=
+    # ~16 measured) fused rounds + the cheap hop are the better constant.
+    changed = 1
     for it in range(max_iter):
-        prop = e.join(
+        # step 1: min over {old label} ∪ {labels across edges}; _old
+        # (null on propagated rows, so min() recovers the block-start
+        # label) rides through BOTH fused aggregations into the _chg flag.
+        prop1 = e.join(
             labels.select(F.col("doc").alias("d"), "lbl"), "d"
         ).select(F.col("s").alias("doc"), "lbl")
-        # min over {old label} ∪ {labels seen across edges}; the _old column
-        # (null for propagated rows, so min() picks the previous label)
-        # feeds the did-anything-improve flag below.
-        m = (
+        m1 = (
             labels.withColumn("_old", F.col("lbl"))
-            .union(prop.withColumn("_old", F.lit(None)))
+            .union(prop1.withColumn("_old", F.lit(None)))
             .groupBy("doc")
             .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
         )
-        # Pointer-jumping shortcut (round-11 optimization): follow one more
-        # hop through the PREVIOUS round's checkpointed label map —
-        # new(v) = min(m(v), prev(m(v))). A label is always a node id inside
-        # v's own component (min over in-component ids), so prev(m(v)) is
-        # too, and the least fixpoint is unchanged: every node still ends at
-        # its component minimum. What changes is the convergence rate — the
-        # label-distance closed per round compounds, so a diameter-d chain
-        # converges in O(log d) rounds instead of O(d). Measured on q327's
-        # core graph at sf0.1: 17 rounds -> 6 with the jump in every round.
-        # GATED to rounds >= 3: near-dup graphs are overwhelmingly shallow
-        # (pairs/triangles converge in <=2 rounds) and the jump's extra
-        # label self-join per round is pure overhead there — measured
-        # q53 1.75 s -> 2.87 s when applied unconditionally, while q68/q88/
-        # q120 (deeper clusters) improved. Plain rounds close distance 1;
-        # once a graph is still moving after two rounds it is deep enough
-        # that geometric closing dominates the per-round join cost.
-        # Joining against the checkpointed `labels` (not m itself) keeps
-        # the aggregation subtree single-evaluation; the left join +
-        # coalesce covers nodes whose label has no row in the map.
-        if it < 2:
-            new_labels = m.select(
+        # step 2 (fused: same job, no intermediate materialization; the
+        # repeated m1 subtree is one shuffle reused by AQE)
+        prop2 = e.join(
+            m1.select(F.col("doc").alias("d"), "lbl"), "d"
+        ).select(F.col("s").alias("doc"), "lbl", F.lit(None).alias("_old"))
+        m2 = (
+            m1.select("doc", "lbl", "_old")
+            .union(prop2)
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
+        )
+        if it == 0:
+            # first block: no hop — shallow graphs (pairs/triangles,
+            # depth <= 2) reach fixpoint inside this block and the hop
+            # join would be pure overhead for them
+            new_labels = m2.select(
                 "doc",
                 "lbl",
                 (F.col("lbl") < F.col("_old")).alias("_chg"),
             ).localCheckpoint(eager=True)
         else:
-            jmp = F.least(
-                F.col("lbl"), F.coalesce(F.col("_lbl2"), F.col("lbl"))
-            )
+            jmp = F.least(F.col("lbl"), F.coalesce(F.col("_lbl2"), F.col("lbl")))
             new_labels = (
-                m.join(
+                m2.join(
                     labels.select(
                         F.col("doc").alias("_l2"), F.col("lbl").alias("_lbl2")
                     ),
