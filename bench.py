@@ -93,11 +93,20 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    # Per-entry wall-clock start timestamps (epoch seconds). Round-11's
+    # closing benches each contained ONE contiguous slow window at a
+    # different registry position that had to be attributed to external
+    # host noise by cross-run inference; with absolute timestamps a noise
+    # window is machine-identifiable (entries inflated AND clustered in
+    # wall-clock time). Additive only: the one-line JSON contract and the
+    # `queries` map are unchanged (VERDICT r11 ask #7).
+    entry_ts: dict[str, float] = {}
     timings: dict[str, float] = {}
     for i, name in enumerate(BENCH_QUERIES):
         if i and i % 50 == 0:
             release_session_state()
         t0 = time.time()
+        entry_ts[name] = round(t0, 3)
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
@@ -120,11 +129,14 @@ def main() -> None:
     import statistics
 
     rerun_runs: dict[str, list[float]] = {}
+    rerun_ts: dict[str, list[float]] = {}
     for name in sorted(timings, key=lambda n: -timings[n])[:10]:
         runs = [timings[name]]
+        rerun_ts[name] = [entry_ts[name]]
         for _ in range(2):
             release_session_state()
             t0 = time.time()
+            rerun_ts[name].append(round(t0, 3))
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
@@ -138,16 +150,21 @@ def main() -> None:
 
     from phoebe_spark.models.workload import WorkloadForecaster
 
+    def _begin(stage_name: str) -> float:
+        ts = time.time()
+        entry_ts[stage_name] = round(ts, 3)
+        return ts
+
     rng = np.random.default_rng(42)
     t = np.arange(21_600)
     vals = np.abs(
         (100_000 * np.sin(2 * np.pi * t / 7_200) + 100_000) * (1 + rng.normal(0, 0.01, len(t)))
     )
-    t0 = time.time()
+    t0 = _begin("m1_fit_20_models_6h_series")
     forecaster = WorkloadForecaster()
     forecaster.fit(spark, t, vals)
     timings["m1_fit_20_models_6h_series"] = round(time.time() - t0, 3)
-    t0 = time.time()
+    t0 = _begin("m2_forecast_600s")
     forecaster.predict(t, vals, horizon_s=600)
     timings["m2_forecast_600s"] = round(time.time() - t0, 3)
 
@@ -182,24 +199,24 @@ def main() -> None:
     # (mirroring the reference's n_estimators), each a tiny Spark job on
     # the 61-row profile table — fixed scheduler overhead, independent of
     # corpus scale. The other stages are sub-second.
-    t0 = time.time()
+    t0 = _begin("m4_latency_fit_profiles")
     latency_model = LatencyModel()
     latency_model.fit(prof)
     timings["m4_latency_fit_profiles"] = round(time.time() - t0, 3)
-    t0 = time.time()
+    t0 = _begin("m5_latency_candidate_grid")
     latency_model.predict(
         spark, throughput_rate=50379.1, min_scale_out=2, max_scale_out=24
     ).write.format("noop").mode("overwrite").save()
     timings["m5_latency_candidate_grid"] = round(time.time() - t0, 3)
 
     max_thr = [18000.0 + 2400.0 * so for so in scale_outs]
-    t0 = time.time()
+    t0 = _begin("m6_capacity_ridge")
     cap = CapacityModel()
     cap.fit(scale_outs, max_thr)
     cap.predict(list(range(2, 25)))
     timings["m6_capacity_ridge"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
+    t0 = _begin("m7_recovery_iterative_simpson")
     recovery = RecoveryTimeModel()
     recovery.fit(scale_outs, max_thr)
     recovery.predict(
@@ -209,7 +226,7 @@ def main() -> None:
     )
     timings["m7_recovery_iterative_simpson"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
+    t0 = _begin("m8_twres_decision")
     twres = TwresModel()
     twres.fit(scale_outs, max_thr)
     twres.predict(
@@ -232,6 +249,8 @@ def main() -> None:
         "sf": sf_val,
         "queries": timings,
         "rerun_runs": rerun_runs,
+        "entry_ts": entry_ts,
+        "rerun_ts": rerun_ts,
     }
     print(json.dumps(full, separators=(",", ":")))
     # The driver's BENCH artifact keeps only a 2000-char tail, so also

@@ -2060,19 +2060,32 @@ def q275_streaming_holt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = streaming_holt(stream, alpha=a, gamma=g, key_col="k")
         sink = f"{work}/holt"
-        q = (
-            out.writeStream.outputMode("update")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q275: streaming Holt drain did not finish within 300 s — "
-                "refusing to report a partial smooth"
+        # 8 state partitions while the stream runs (round-12: same
+        # measured override the earlier drains carry — the stateful
+        # exchange sizes its state-store tasks from
+        # spark.sql.shuffle.partitions, and 32 near-empty state
+        # partitions per micro-batch are pure fixed cost at this key
+        # cardinality; partition count does not affect results, only
+        # task bucketing. Scale note: at real key cardinality this is
+        # the knob that scales OUT, sized to keys, not cores).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q275: streaming Holt drain did not finish within 300 s — "
+                    "refusing to report a partial smooth"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         states = spark.read.parquet(sink)
         final = (
             states.withColumn(
@@ -3557,19 +3570,32 @@ def q289_streaming_burn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = streaming_burn_rate(stream)
         sink = f"{work}/burn"
-        q = (
-            out.writeStream.outputMode("update")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q289: streaming burn drain did not finish within 300 s — "
-                "refusing to report a partial alert stream"
+        # 8 state partitions while the stream runs (round-12: same
+        # measured override the earlier drains carry — the stateful
+        # exchange sizes its state-store tasks from
+        # spark.sql.shuffle.partitions, and 32 near-empty state
+        # partitions per micro-batch are pure fixed cost at this key
+        # cardinality; partition count does not affect results, only
+        # task bucketing. Scale note: at real key cardinality this is
+        # the knob that scales OUT, sized to keys, not cores).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q289: streaming burn drain did not finish within 300 s — "
+                    "refusing to report a partial alert stream"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         res = spark.read.parquet(sink).select(
             "hr",
             "n",

@@ -1569,19 +1569,32 @@ def q315_streaming_page_hinkley_drain(spark: SparkSession, sf_dir: str) -> DataF
         )
         out = streaming_page_hinkley(stream, delta=delta, lam=lam, key_col="k")
         sink = f"{work}/ph"
-        q = (
-            out.writeStream.outputMode("update")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q315: streaming Page-Hinkley drain did not finish within"
-                " 300 s — refusing to report a partial drift state"
+        # 8 state partitions while the stream runs (round-12: same
+        # measured override the earlier drains carry — the stateful
+        # exchange sizes its state-store tasks from
+        # spark.sql.shuffle.partitions, and 32 near-empty state
+        # partitions per micro-batch are pure fixed cost at this key
+        # cardinality; partition count does not affect results, only
+        # task bucketing. Scale note: at real key cardinality this is
+        # the knob that scales OUT, sized to keys, not cores).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q315: streaming Page-Hinkley drain did not finish within"
+                    " 300 s — refusing to report a partial drift state"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         states = spark.read.parquet(sink)
         final = (
             states.withColumn(
@@ -2627,19 +2640,32 @@ def q324_streaming_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = streaming_bin_counts(stream, n_bins=10, key_col="event_type")
         sink = f"{work}/psi"
-        q = (
-            out.writeStream.outputMode("update")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q324: streaming PSI drain did not finish within 300 s — "
-                "refusing to score a partial distribution"
+        # 8 state partitions while the stream runs (round-12: same
+        # measured override the earlier drains carry — the stateful
+        # exchange sizes its state-store tasks from
+        # spark.sql.shuffle.partitions, and 32 near-empty state
+        # partitions per micro-batch are pure fixed cost at this key
+        # cardinality; partition count does not affect results, only
+        # task bucketing. Scale note: at real key cardinality this is
+        # the knob that scales OUT, sized to keys, not cores).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q324: streaming PSI drain did not finish within 300 s — "
+                    "refusing to score a partial distribution"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         states = spark.read.parquet(sink)
         final = (
             states.withColumn(

@@ -865,19 +865,32 @@ def q353_streaming_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = streaming_bin_counts(stream, n_bins=256, key_col="key")
         sink = f"{work}/cms"
-        q = (
-            out.writeStream.outputMode("update")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q353: streaming CMS drain did not finish within 300 s — "
-                "refusing to score a partial sketch"
+        # 8 state partitions while the stream runs (round-12: same
+        # measured override the earlier drains carry — the stateful
+        # exchange sizes its state-store tasks from
+        # spark.sql.shuffle.partitions, and 32 near-empty state
+        # partitions per micro-batch are pure fixed cost at this key
+        # cardinality; partition count does not affect results, only
+        # task bucketing. Scale note: at real key cardinality this is
+        # the knob that scales OUT, sized to keys, not cores).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q353: streaming CMS drain did not finish within 300 s — "
+                    "refusing to score a partial sketch"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         states = spark.read.parquet(sink)
         final = (
             states.withColumn(
@@ -4827,19 +4840,32 @@ def q391_streaming_bottomk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = streaming_bottom_k(stream, k=20, key_col="key", hash_col="h", id_col="id")
         sink = f"{work}/bk"
-        q = (
-            out.writeStream.outputMode("update")
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q391: streaming bottom-k drain did not finish within 300 s — "
-                "refusing to score a partial sample"
+        # 8 state partitions while the stream runs (round-12: same
+        # measured override the earlier drains carry — the stateful
+        # exchange sizes its state-store tasks from
+        # spark.sql.shuffle.partitions, and 32 near-empty state
+        # partitions per micro-batch are pure fixed cost at this key
+        # cardinality; partition count does not affect results, only
+        # task bucketing. Scale note: at real key cardinality this is
+        # the knob that scales OUT, sized to keys, not cores).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "q391: streaming bottom-k drain did not finish within 300 s — "
+                    "refusing to score a partial sample"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         states = spark.read.parquet(sink)
         final = (
             states.withColumn(
