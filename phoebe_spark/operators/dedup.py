@@ -590,9 +590,16 @@ def dedup_components(
     frames), with an eager ``localCheckpoint`` truncating the growing
     lineage; the changed-label flag rides along in the same
     materialization, so the convergence probe is a local count on
-    checkpointed rows, not a second Spark job per block. For adversarially
-    deep chain graphs switch to the large-star/small-star formulation; for
-    dedup workloads this simple form is the right cost.
+    checkpointed rows, not a second Spark job per block. NOTE on
+    ``max_iter``: one loop iteration is one fused BLOCK of two
+    propagation steps (plus, from block 2, one pointer hop), so
+    ``max_iter`` bounds blocks — the effective propagation-step budget
+    is at least ``2 * max_iter``. The convergence flag reads the second
+    fused step only (if it moved nothing the block's first step already
+    reached a propagation fixpoint), so shallow pair/triangle graphs
+    finish in one materialization. For adversarially deep chain graphs
+    switch to the large-star/small-star formulation; for dedup workloads
+    this simple form is the right cost.
 
     Returns (doc, component) where component = min doc id in the cluster.
     """
@@ -635,25 +642,32 @@ def dedup_components(
     # ~16 measured) fused rounds + the cheap hop are the better constant.
     changed = 1
     for it in range(max_iter):
-        # step 1: min over {old label} ∪ {labels across edges}; _old
-        # (null on propagated rows, so min() recovers the block-start
-        # label) rides through BOTH fused aggregations into the _chg flag.
+        # step 1: min over {old label} ∪ {labels across edges}. No _chg
+        # bookkeeping here — convergence is judged on the SECOND fused
+        # step alone (below), so step 1 shuffles one column less.
         prop1 = e.join(
             labels.select(F.col("doc").alias("d"), "lbl"), "d"
         ).select(F.col("s").alias("doc"), "lbl")
-        m1 = (
-            labels.withColumn("_old", F.col("lbl"))
-            .union(prop1.withColumn("_old", F.lit(None)))
-            .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
-        )
+        m1 = labels.union(prop1).groupBy("doc").agg(F.min("lbl").alias("lbl"))
         # step 2 (fused: same job, no intermediate materialization; the
-        # repeated m1 subtree is one shuffle reused by AQE)
+        # repeated m1 subtree is one shuffle reused by AQE). _old seeds at
+        # m1's label (null on propagated rows, so min() recovers it), so
+        # the _chg flag reads "did the SECOND step move any label".
+        # Round-12 convergence change: if step 2 changes nothing then m1
+        # already satisfies lbl(v) = min({lbl(v)} ∪ {lbl(u): u~v}) — i.e.
+        # m1 IS a propagation fixpoint and the returned m2 = m1 is final —
+        # so stopping on the step-2 flag is sound, and it detects the
+        # fixpoint one whole block earlier whenever convergence lands on
+        # an odd propagation step. Shallow near-dup graphs (pairs /
+        # triangles / stars, depth 1) now finish in ONE materialization
+        # instead of two; the hop cannot mask a needed round because at a
+        # propagation fixpoint every label is its component minimum and
+        # the hop is the identity (min-node labels itself from round 0).
         prop2 = e.join(
             m1.select(F.col("doc").alias("d"), "lbl"), "d"
         ).select(F.col("s").alias("doc"), "lbl", F.lit(None).alias("_old"))
         m2 = (
-            m1.select("doc", "lbl", "_old")
+            m1.select("doc", "lbl", F.col("lbl").alias("_old"))
             .union(prop2)
             .groupBy("doc")
             .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
@@ -689,15 +703,17 @@ def dedup_components(
             break
     else:
         # exiting via max_iter with labels still moving means the returned
-        # components are WRONG (a > max_iter-diameter chain is still
-        # multiple labels) — surface it instead of silently under-merging
+        # components are WRONG (a graph deeper than the 2*max_iter step
+        # budget is still multiple labels) — surface it instead of
+        # silently under-merging
         if changed != 0:
             import warnings
 
             warnings.warn(
                 f"dedup_components did not converge within max_iter={max_iter} "
-                "rounds; returned labels under-merge at least one component. "
-                "Raise max_iter or switch to the large-star/small-star form.",
+                "fused blocks (two propagation steps each); returned labels "
+                "under-merge at least one component. Raise max_iter or "
+                "switch to the large-star/small-star form.",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -113,6 +113,41 @@ def test_dedup_components_chain_triangle_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_components_shallow_graph_converges_in_one_block(spark):
+    """Round-12 convergence flag: the per-block changed flag reads the
+    SECOND fused propagation step only, so a depth-1 graph (pairs /
+    triangles — step 2 moves nothing) reaches a detected fixpoint inside
+    the first block. max_iter=1 must therefore return correct labels
+    with NO non-convergence warning (the old block-start flag warned,
+    because step 1 had moved labels). A 5-chain needs more than one
+    block and must still warn at max_iter=1."""
+    import warnings
+
+    from phoebe_spark.operators.dedup import dedup_components
+
+    shallow = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 12), (10, 12)], "doc_a LONG, doc_b LONG"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {
+            r["doc"]: r["component"]
+            for r in dedup_components(shallow, max_iter=1).collect()
+        }
+    assert out == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a LONG, doc_b LONG"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always", RuntimeWarning)
+        dedup_components(chain, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    # and with the budget it needs, the chain resolves fully
+    full = {r["doc"]: r["component"] for r in dedup_components(chain).collect()}
+    assert full == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
 def test_hash_split_deterministic_and_nested(spark):
     """hash_split: stable across invocations, shares near the request, and
     hash_sample cuts nest (1% subset of 10%) at the same salt."""
