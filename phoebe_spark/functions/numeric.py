@@ -49,6 +49,7 @@ def lit_double_array(xs) -> "Column":
     vals = [float(x) for x in xs]
     if vals and all(math.isfinite(x) for x in vals):
         return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+    # empty input or non-finite values: per-element form, still typed
     return F.array(*[F.lit(x) for x in vals]).cast("array<double>")
 
 
@@ -64,9 +65,12 @@ def lit_double_matrix(rows) -> "Column":
             + ",".join("array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in mat)
             + ")"
         )
+    # empty input or non-finite values: per-element form, cast as a WHOLE
+    # so lit_double_matrix([]) is array<array<double>>, not array<void>
+    # (ADVICE r11 — the helpers are public; callers never hit this today)
     return F.array(
-        *[F.array(*[F.lit(x) for x in row]).cast("array<double>") for row in mat]
-    )
+        *[F.array(*[F.lit(x) for x in row]) for row in mat]
+    ).cast("array<array<double>>")
 
 
 def lit_long_array(xs) -> "Column":
@@ -77,6 +81,10 @@ def lit_long_array(xs) -> "Column":
     vals = [int(x) for x in xs]
     if not vals:
         return F.array().cast("array<bigint>")
+    # a BIGINT literal must fit in int64 or the parsed `NNNL` form fails
+    # at analysis time with an opaque error — assert at construction
+    # (ADVICE r11; no current caller passes values outside int64)
+    assert all(-(2**63) <= x < 2**63 for x in vals), "lit_long_array: int64 overflow"
     return F.expr("array(" + ",".join(f"{x}L" for x in vals) + ")")
 
 
@@ -84,9 +92,16 @@ def lit_long_matrix(rows) -> "Column":
     """``array<array<bigint>>`` literal in one parsed expression."""
     from pyspark.sql import functions as F
 
+    mat = [[int(x) for x in row] for row in rows]
+    if not mat:
+        # typed empty guard (ADVICE r11): F.expr("array()") is array<void>
+        return F.array().cast("array<array<bigint>>")
+    assert all(
+        -(2**63) <= x < 2**63 for row in mat for x in row
+    ), "lit_long_matrix: int64 overflow"
     return F.expr(
         "array("
-        + ",".join("array(" + ",".join(f"{int(x)}L" for x in row) + ")" for row in rows)
+        + ",".join("array(" + ",".join(f"{x}L" for x in row) + ")" for row in mat)
         + ")"
     )
 

@@ -2792,8 +2792,11 @@ def q229_event_timer_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFra
         )
         # 3 time-range slices (round-11 optimization, was 4): each staged
         # file is one micro-batch and every batch pays the fixed
-        # applyInPandasWithState per-key protocol cost (~1.4 s at 8 state
-        # partitions, measured), so one fewer value-monotone slice is one
+        # applyInPandasWithState per-key protocol cost (~1.4 s per
+        # micro-batch END-TO-END at 8 state partitions on this fixture;
+        # the trivial-handler floor experiment in OPTIMIZATION_r11.md
+        # measured ~0.64 s/stateful task on an EMPTY batch — two
+        # configurations, both measured), so one fewer value-monotone slice is one
         # fewer fixed-cost batch. Output is staging-invariant by fixture
         # design (monotone slices + the odd-gap/tie rules above); 3 data
         # batches + the finalization batch still exercise cross-batch
@@ -4043,8 +4046,11 @@ def q246_stream_first_match_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         # 3 time-range slices (round-11 optimization, was 4): each staged
         # file is one micro-batch and every batch pays the fixed
-        # applyInPandasWithState per-key protocol cost (~1.4 s at 8 state
-        # partitions, measured), so one fewer value-monotone slice is one
+        # applyInPandasWithState per-key protocol cost (~1.4 s per
+        # micro-batch END-TO-END at 8 state partitions on this fixture;
+        # the trivial-handler floor experiment in OPTIMIZATION_r11.md
+        # measured ~0.64 s/stateful task on an EMPTY batch — two
+        # configurations, both measured), so one fewer value-monotone slice is one
         # fewer fixed-cost batch. Output is staging-invariant by fixture
         # design (monotone slices + the odd-gap/tie rules above); 3 data
         # batches + the finalization batch still exercise cross-batch

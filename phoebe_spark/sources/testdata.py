@@ -21,8 +21,6 @@ silently keeps the session-zone interpretation.
 
 from __future__ import annotations
 
-from weakref import WeakKeyDictionary
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,9 +35,16 @@ _TS_TO_NANOS = "unix_micros(CAST({c} AS TIMESTAMP)) * CAST(1000 AS BIGINT)"
 #: the immutable DataFrame object removes that per-call planning cost.
 #: NO DATA is cached: the plan is unresolved, every action still scans the
 #: parquet files (the test corpus directories are immutable/read-only, so a
-#: stale file listing cannot occur). Keyed weakly by session so a stopped
-#: driver session cannot leak plans into a new one.
-_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+#: stale file listing cannot occur). The per-session dict is stored ON the
+#: session object itself (ADVICE r11: the former module-level
+#: WeakKeyDictionary held its values strongly and each cached DataFrame
+#: holds a strong reference back to its session, so the value->key path
+#: kept stopped sessions reachable from the module global — immortal
+#: entries). With the dict as a session attribute, the cache's lifetime is
+#: exactly the session object's: a new session gets a fresh dict
+#: (correctness isolation unchanged) and a dropped session takes its
+#: cached plans with it (no global root pins them).
+_TABLE_CACHE_ATTR = "_phoebe_table_plan_cache"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,7 +58,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # included): the conf matters at ACTION time and the driver's own
     # plain session does not carry it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    # The UTC pin is equally action-time-sensitive (the NTZ->TIMESTAMP cast
+    # inside a cached events plan reads the session zone when the action
+    # runs) — mirror the nanosAsLong handling and re-pin on EVERY call, not
+    # only on the cache-miss path through normalize_event_times, so a
+    # caller that violated the zone contract since the plan was cached is
+    # re-pinned instead of silently shifting every ts (ADVICE r11).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    per_session = getattr(spark, _TABLE_CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _TABLE_CACHE_ATTR, per_session)
     key = (sf_dir, name)
     df = per_session.get(key)
     if df is None:
