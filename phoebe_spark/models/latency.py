@@ -48,22 +48,23 @@ class LatencyModel:
         if append and self.previous_data is not None:
             df = self.previous_data.unionByName(df)
         df = df.cache()
-        self.previous_data = df
         n = df.count()
         # Profile tables are O(scale-outs x profiling rounds) rows (the
         # reference trains on ~60-row profiles), but arrive partitioned at
         # the session default — and GBT schedules its boosting jobs per
-        # iteration over EVERY input partition, so 183 iterations x 32
-        # near-empty partitions is pure scheduler overhead. Pack the
+        # iteration over EVERY input partition, so dozens of iterations x
+        # 32 near-empty partitions is pure scheduler overhead. Pack the
         # training rows into ceil(n/5000) partitions (size-derived, not a
         # local[32] constant: a genuinely large profile table keeps its
-        # parallelism). Measured: m4 fit 12.1 s -> see OPTIMIZATION_r11.md.
+        # parallelism). Round-12: the pack is a bare narrow coalesce OVER
+        # the cached parent — the previous unpersist + re-cache +
+        # re-count + rdd.getNumPartitions probe re-materialized the frame
+        # a second time and cost ~5 s of m4's ~12 s (phase profile in
+        # OPTIMIZATION_r12.md); coalesce never increases partition count,
+        # so the guard was redundant.
         target_parts = max(1, -(-n // 5000))
-        if df.rdd.getNumPartitions() > target_parts:
-            df.unpersist()
-            df = df.coalesce(target_parts).cache()
-            df.count()
-            self.previous_data = df
+        df = df.coalesce(target_parts)
+        self.previous_data = df
 
         # clustering features: RobustScaler(quantile_range=(0.0, 1.0)) on
         # latencies then log-clamp (latency/models.py:39-45 + :56-58).
